@@ -1,0 +1,647 @@
+"""Relational [Q] operator inventory (SURVEY.md §2.2-2.8).
+
+Each query is the Spark-first expression of a capability the reference
+exercises (or declares for surface parity) — projections
+(tutorial/guide.md:130-136), aliasing (tutorial/guide.md:90), the
+relational core of the lookup join (tutorial/guide.md:137-140),
+global COUNT(*) (tutorial/guide.md:53,90-96), the PK-upsert merge
+semantic as a ranking window (tutorial/guide.md:65 + min_sequence_number
+ordering tutorial/guide.md:206), LIMIT (Readme.md:112,160), plus the
+declared-for-parity filter/join/agg/set/scalar surface.
+
+Value-parity rules with the DuckDB oracle (SURVEY.md §5):
+- Money columns hold exact 2-decimal values stored as doubles → cast to
+  DECIMAL *before* any arithmetic. Decimal multiply/sum is exact in both
+  engines, so neither aggregation order nor double→decimal rounding (where
+  Spark uses the double's shortest-repr and DuckDB the exact binary value)
+  can diverge. Never downcast a decimal to fewer fraction digits: Spark
+  rounds ties HALF_UP, DuckDB HALF_EVEN — only widen (exact).
+- AVG over doubles is order-dependent in the last ulp → ROUND(avg, 4)
+  in both engines.
+- Every computed column aliased identically in both dialects (driver
+  hashes by sorted column name).
+
+Scale notes (100 TB): every query below is pure DataFrame API — filters
+and projections push into the parquet scan, small dimensions are
+explicitly broadcast, aggregations run partial+final, and nothing
+collects to the driver. No Python UDFs in this module.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from advent_of_code_flink_paimon_spark.operators.registry import T, query
+
+_DEC = "decimal(18,2)"
+
+
+def _dp(price: str, disc: str):
+    """Exact discounted price: DECIMAL(12,2) * (1 - DECIMAL(4,2)) → scale 4."""
+    return F.col(price).cast("decimal(12,2)") * (F.lit(1) - F.col(disc).cast("decimal(4,2)"))
+
+
+def _charge(price: str, disc: str, tax: str):
+    """Exact charge: discounted price * (1 + tax) → scale 6."""
+    return _dp(price, disc) * (F.lit(1) + F.col(tax).cast("decimal(4,2)"))
+
+
+# DuckDB-side twins of _dp/_charge (same exact-decimal pipeline).
+_SQL_DP = "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+_SQL_CHARGE = f"{_SQL_DP} * (1 + CAST(l_tax AS DECIMAL(4,2)))"
+
+
+# ---------------------------------------------------------------------------
+# Flagship: pricing summary (grouped agg over the big fact — the shape the
+# reference's sensor analytics implies; TPC-H Q1 dialect on our star schema).
+# ---------------------------------------------------------------------------
+@query(
+    "q01_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+           CAST(SUM({_SQL_DP}) AS DECIMAL(38,4)) AS sum_disc_price,
+           CAST(SUM({_SQL_CHARGE}) AS DECIMAL(38,6)) AS sum_charge,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark, sf_dir):
+    l = T(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(_DEC)).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(_DEC)).alias("sum_base_price"),
+            F.sum(_dp("l_extendedprice", "l_discount")).cast("decimal(38,4)").alias("sum_disc_price"),
+            F.sum(_charge("l_extendedprice", "l_discount", "l_tax")).cast("decimal(38,6)").alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projections (reference: SELECT * Readme.md:112; qualified reorder
+# tutorial/guide.md:130-136; alias tutorial/guide.md:90).
+# ---------------------------------------------------------------------------
+@query("q02_project_all", oracle="SELECT * FROM region")
+def q02_project_all(spark, sf_dir):
+    return T(spark, sf_dir, "region").select("*")
+
+
+@query(
+    "q03_project_reorder",
+    oracle="""
+    SELECT l.l_orderkey AS orderkey, l.l_linenumber AS linenumber,
+           s.s_name AS supp_name, l.l_quantity AS quantity, s.s_nationkey AS supp_nation
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE l.l_linenumber = 1
+    """,
+)
+def q03_project_reorder(spark, sf_dir):
+    l = T(spark, sf_dir, "lineitem").alias("l")
+    s = T(spark, sf_dir, "supplier").alias("s")
+    # Qualified refs + reorder across the join, as tutorial/guide.md:130-136.
+    return (
+        l.filter(F.col("l_linenumber") == 1)
+        .join(F.broadcast(s), F.col("l.l_suppkey") == F.col("s.s_suppkey"))
+        .select(
+            F.col("l.l_orderkey").alias("orderkey"),
+            F.col("l.l_linenumber").alias("linenumber"),
+            F.col("s.s_name").alias("supp_name"),
+            F.col("l.l_quantity").alias("quantity"),
+            F.col("s.s_nationkey").alias("supp_nation"),
+        )
+    )
+
+
+@query("q04_count_alias", oracle="SELECT COUNT(*) AS total_suppliers FROM supplier")
+def q04_count_alias(spark, sf_dir):
+    # tutorial/guide.md:90: COUNT(*) AS total_sensor_information
+    return T(spark, sf_dir, "supplier").agg(F.count("*").alias("total_suppliers"))
+
+
+# ---------------------------------------------------------------------------
+# Filters / predicates (declared surface — SURVEY.md §2.2).
+# ---------------------------------------------------------------------------
+@query(
+    "q05_filter_range",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.02 AND 0.08
+      AND l_quantity < 25
+    """,
+)
+def q05_filter_range(spark, sf_dir):
+    l = T(spark, sf_dir, "lineitem")
+    return l.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & F.col("l_discount").between(0.02, 0.08)
+        & (F.col("l_quantity") < 25)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+
+
+@query(
+    "q06_filter_in_or",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_orderstatus IN ('F', 'O')
+      AND (o_orderpriority = '1-URGENT' OR o_totalprice > 150000.0)
+    """,
+)
+def q06_filter_in_or(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderstatus").isin("F", "O")
+        & ((F.col("o_orderpriority") == "1-URGENT") | (F.col("o_totalprice") > 150000.0))
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+
+@query(
+    "q07_computed_column",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           CAST({_SQL_DP} AS DECIMAL(18,4)) AS disc_price,
+           CAST({_SQL_CHARGE} AS DECIMAL(24,6)) AS charge
+    FROM lineitem WHERE l_quantity >= 49
+    """,
+)
+def q07_computed_column(spark, sf_dir):
+    # Generated-column analog of event_time AS PROCTIME() (tutorial/guide.md:26),
+    # using deterministic arithmetic instead of a clock.
+    l = T(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        _dp("l_extendedprice", "l_discount").cast("decimal(18,4)").alias("disc_price"),
+        _charge("l_extendedprice", "l_discount", "l_tax").cast("decimal(24,6)").alias("charge"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (reference: inner equi-join core of the lookup join,
+# tutorial/guide.md:137-140; left/semi/anti declared — they express the
+# lookup_miss retry semantics, tutorial/guide.md:124).
+# ---------------------------------------------------------------------------
+@query(
+    "q08_join_inner_broadcast",
+    oracle="""
+    SELECT s.s_name AS supp_name,
+           COUNT(*) AS n_items,
+           SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS revenue
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_name
+    """,
+)
+def q08_join_inner_broadcast(spark, sf_dir):
+    l = T(spark, sf_dir, "lineitem")
+    s = T(spark, sf_dir, "supplier")
+    # The 10-row (1000 at reference scale) dim is a natural broadcast:
+    # no shuffle of the big fact side, exactly like Flink's lookup join
+    # keeps the stream side unshuffled (tutorial/guide.md:119-141).
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("s_name").alias("supp_name"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast(_DEC)).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q09_join_left",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, COUNT(o.o_orderkey) AS n_orders,
+           COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), CAST(0 AS DECIMAL(18,2))) AS total_spend
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def q09_join_left(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(F.col("o_totalprice").cast(_DEC)), F.lit(0).cast(_DEC)).alias("total_spend"),
+        )
+    )
+
+
+@query(
+    "q10_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def q10_join_semi(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "q11_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def q11_join_anti(spark, sf_dir):
+    # Identifies "lookup misses" — the rows the reference's retry
+    # predicate targets (tutorial/guide.md:124). Filtered to urgent
+    # orders so the result is non-empty at every sf (a 0-row result
+    # would make the oracle comparison vacuous).
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "q12_join_multi_chain",
+    oracle="""
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           COUNT(*) AS n_customers,
+           SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def q12_join_multi_chain(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast(_DEC)).alias("total_acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (reference: global COUNT(*) tutorial/guide.md:53,90-96;
+# grouped/distinct declared — SURVEY.md §2.4).
+# ---------------------------------------------------------------------------
+@query(
+    "q13_agg_global",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty,
+           MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship
+    FROM lineitem
+    """,
+)
+def q13_agg_global(spark, sf_dir):
+    l = T(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.sum(F.col("l_quantity").cast(_DEC)).alias("total_qty"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+
+
+@query(
+    "q14_agg_grouped",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS cnt,
+           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q14_agg_grouped(spark, sf_dir):
+    l = T(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("l_quantity").cast(_DEC)).alias("sum_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+@query(
+    "q15_agg_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(DISTINCT o_orderpriority) AS n_priorities
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q15_agg_distinct(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+    )
+
+
+@query("q16_agg_approx_distinct")  # no oracle: HLL sketch values are engine-specific
+def q16_agg_approx_distinct(spark, sf_dir):
+    """approx_count_distinct — declared in SURVEY.md §2.4. The sketch
+    estimate differs across engines by design → rows-only check."""
+    l = T(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    )
+
+
+@query(
+    "q17_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q17_rollup(spark, sf_dir):
+    l = T(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("l_quantity").cast(_DEC)).alias("sum_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / top-k / ranking windows (SURVEY.md §2.5-2.6;
+# LIMIT Readme.md:112,160; row_number = the PK-upsert merge semantic,
+# tutorial/guide.md:65 + min_sequence_number tutorial/guide.md:206).
+# ---------------------------------------------------------------------------
+@query(
+    "q18_topk_orderby",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+)
+def q18_topk_orderby(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    # TakeOrderedAndProject: per-partition top-k then driver merge of k
+    # candidates — no global sort shuffle even at 100 TB.
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@query(
+    "q19_window_rank_merge",
+    oracle="""
+    SELECT user_id, event_id, event_type, value FROM (
+        SELECT user_id, event_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) t
+    WHERE rn = 1
+    """,
+)
+def q19_window_rank_merge(spark, sf_dir):
+    """The engine's PK-upsert merge-on-read: latest row per key, ordered
+    by (sequence, tiebreak) — exactly how sensor_info's last-write-wins
+    merge works (tutorial/guide.md:65,206)."""
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+    )
+
+
+@query(
+    "q20_window_lag",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           LAG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
+    FROM orders
+    """,
+)
+def q20_window_lag(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (UNION ALL — multi-source ingestion composition,
+# SURVEY.md §2.7).
+# ---------------------------------------------------------------------------
+@query(
+    "q21_union_all",
+    oracle="""
+    SELECT o_orderkey AS k, 'high' AS bucket FROM orders WHERE o_totalprice > 200000.0
+    UNION ALL
+    SELECT o_orderkey AS k, 'urgent' AS bucket FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def q21_union_all(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    high = o.filter(F.col("o_totalprice") > 200000.0).select(
+        F.col("o_orderkey").alias("k"), F.lit("high").alias("bucket")
+    )
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("k"), F.lit("urgent").alias("bucket")
+    )
+    return high.unionByName(urgent)
+
+
+# ---------------------------------------------------------------------------
+# Scalar function pack (SURVEY.md §2.8) + JSON extension surface (§2.11).
+# ---------------------------------------------------------------------------
+@query(
+    "q22_scalar_string",
+    oracle="""
+    SELECT c_custkey,
+           LOWER(c_name) AS name_lower,
+           UPPER(c_mktsegment) AS seg_upper,
+           SUBSTRING(c_name, 1, 8) AS name_prefix,
+           LENGTH(c_name) AS name_len,
+           CONCAT(c_mktsegment, '#', CAST(c_custkey AS VARCHAR)) AS tagged
+    FROM customer
+    """,
+)
+def q22_scalar_string(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lower("c_name").alias("name_lower"),
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").alias("name_len"),
+        F.concat(F.col("c_mktsegment"), F.lit("#"), F.col("c_custkey").cast("string")).alias("tagged"),
+    )
+
+
+@query(
+    "q23_scalar_conditional",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity < 10 THEN 'small'
+                WHEN l_quantity < 30 THEN 'medium'
+                ELSE 'large' END AS qty_class,
+           GREATEST(l_discount, l_tax) AS max_rate,
+           LEAST(l_discount, l_tax) AS min_rate,
+           COALESCE(NULLIF(l_returnflag, 'N'), 'none') AS flag_or_none
+    FROM lineitem WHERE l_orderkey <= 100
+    """,
+)
+def q23_scalar_conditional(spark, sf_dir):
+    l = T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 100)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_quantity") < 10, "small")
+        .when(F.col("l_quantity") < 30, "medium")
+        .otherwise("large")
+        .alias("qty_class"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+        F.coalesce(F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("none")).alias("flag_or_none"),
+    )
+
+
+@query(
+    "q24_scalar_datetime",
+    oracle="""
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year,
+           CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS order_month,
+           COUNT(*) AS n_orders,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def q24_scalar_datetime(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(_DEC)).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q25_json_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q25_json_extract(spark, sf_dir):
+    # §2.11 JSON surface: events.props is a JSON string (TESTDATA.md).
+    e = T(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@query(
+    "q26_distinct_rows",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def q26_distinct_rows(spark, sf_dir):
+    return T(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@query(
+    "q27_having",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+    FROM orders GROUP BY o_custkey
+    HAVING COUNT(*) >= 12
+    """,
+)
+def q27_having(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(_DEC)).alias("spend"),
+        )
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+@query(
+    "q28_enrichment_join",
+    oracle=f"""
+    SELECT n.n_name AS nation_name,
+           CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS order_year,
+           CAST(SUM({_SQL_DP}) AS DECIMAL(38,4)) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name, CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT)
+    """,
+)
+def q28_enrichment_join(spark, sf_dir):
+    """The tutorial's enrichment pipeline shape (tutorial/guide.md:119-141)
+    as a batch query: fact stream enriched through a dimension chain,
+    then rolled up. Fact-fact join shuffles on the key; dims broadcast."""
+    l = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"), F.year("o_orderdate").alias("order_year"))
+        .agg(F.sum(_dp("l_extendedprice", "l_discount")).cast("decimal(38,4)").alias("revenue"))
+    )
