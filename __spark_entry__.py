@@ -18,12 +18,10 @@ def _registries():
     # any one operator-module failure is visible at call time.
     import advent_of_code_flink_paimon_spark.operators.relational  # noqa: F401
 
-    try:
-        import advent_of_code_flink_paimon_spark.operators.dedup  # noqa: F401
-        import advent_of_code_flink_paimon_spark.operators.similarity  # noqa: F401
-        import advent_of_code_flink_paimon_spark.operators.text  # noqa: F401
-    except ImportError:
-        pass
+    import advent_of_code_flink_paimon_spark.operators.dedup  # noqa: F401
+    import advent_of_code_flink_paimon_spark.operators.multimodal  # noqa: F401
+    import advent_of_code_flink_paimon_spark.operators.similarity  # noqa: F401
+    import advent_of_code_flink_paimon_spark.operators.text  # noqa: F401
     from advent_of_code_flink_paimon_spark.operators.registry import ORACLES, QUERIES
 
     return QUERIES, ORACLES

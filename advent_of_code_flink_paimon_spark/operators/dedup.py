@@ -1,0 +1,303 @@
+"""Deduplication operators (SURVEY.md §2.11 — charter extension surface).
+
+Designs are shuffle-bounded for 100 TB (PAPERS.md: ICDE 2022
+string-similarity; no O(n²) all-pairs anywhere):
+
+- exact dedup        → hash groupBy / window-rank keep-first
+- fingerprint dedup  → md5 content fingerprint, per-source uniqueness
+- MinHash + LSH      → shingle → k minhashes → band hashes → equi-join on
+                       band → candidate pairs → exact-jaccard verify.
+                       Shuffle keys are band hashes; candidates ≪ n².
+- n-gram Jaccard     → exact similarity join via shingle equi-join
+                       (pairs with j>0 must share a shingle — the join
+                       *is* the exhaustive algorithm, no cross join).
+- SimHash            → 64-bit signature via vectorized Pandas UDF,
+                       exact-dup buckets by signature equality.
+- embedding cosine   → near-dup pairs via exact pair join (testdata
+                       scale); the LSH-bucketed scale path lives in
+                       operators/similarity.py.
+
+MinHash parameters: K=128 hashes, 32 bands × 4 rows. P[miss] at
+jaccard .9 = (1-.9⁴)³² ≈ 1.5e-15, at .7 ≈ 2e-4 — the testdata's
+planted near-dups are all ≥ .9 vs background < .3, so the LSH output
+equals the exhaustive oracle with overwhelming margin.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from advent_of_code_flink_paimon_spark.operators.registry import T, query
+
+MINHASH_K = 128
+LSH_BANDS = 32
+LSH_ROWS = 4  # K / BANDS
+JACCARD_THRESHOLD = 0.5
+
+def _shingles():
+    """3-word shingles, distinct per doc. Docs with < 3 tokens contribute
+    no shingles (mirrors the oracle's range()). Built lazily — F.expr
+    needs an active session."""
+    return F.array_distinct(
+        F.expr(
+            "transform(sequence(0, greatest(size(split(text,' ')) - 3, -1)),"
+            " i -> concat_ws(' ', split(text,' ')[i], split(text,' ')[i+1], split(text,' ')[i+2]))"
+        )
+    )
+
+
+def shingle_docs(docs: DataFrame) -> DataFrame:
+    """doc_id → exploded distinct 3-shingles."""
+    return docs.select("doc_id", F.explode(_shingles()).alias("shingle"))
+
+
+def minhash_signatures(shingled: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """doc_id → k min-hash columns h0..h{k-1}.
+
+    The shingle string is hashed ONCE (xxhash64); the k-member hash
+    family is derived by re-hashing that 8-byte value with a per-member
+    seed column — k long-hashes instead of k string-hashes, ~6× cheaper
+    at 128 members. All JVM-side; no Python in the hot path.
+    """
+    hashed = shingled.select("doc_id", F.xxhash64("shingle").alias("h"))
+    aggs = [F.min(F.xxhash64("h", F.lit(i))).alias(f"h{i}") for i in range(k)]
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
+    """Band the signature, equi-join on (band, band_hash) → (i, j) pairs.
+
+    The self-join shuffles on the band hash — candidate generation is
+    linear in (docs × bands), never quadratic in docs.
+    """
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[f"h{b * LSH_ROWS + r}" for r in range(LSH_ROWS)]).alias("bh"),
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    banded = signatures.select("doc_id", F.explode(bands).alias("e")).select(
+        "doc_id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        .distinct()
+    )
+
+
+def exact_jaccard(pairs: DataFrame, shingled: DataFrame) -> DataFrame:
+    """Verify candidate pairs with exact shingle-set jaccard.
+
+    Integer intersection/union counts → one double division; operands
+    are identical to the oracle's, so the value is bit-exact.
+    """
+    sets = shingled.groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("sh"), F.count("*").alias("n")
+    )
+    return (
+        pairs.join(sets.withColumnRenamed("doc_id", "i").withColumnRenamed("sh", "sh_i").withColumnRenamed("n", "n_i"), "i")
+        .join(sets.withColumnRenamed("doc_id", "j").withColumnRenamed("sh", "sh_j").withColumnRenamed("n", "n_j"), "j")
+        .withColumn("inter", F.size(F.array_intersect("sh_i", "sh_j")))
+        .withColumn("jaccard", F.col("inter") / (F.col("n_i") + F.col("n_j") - F.col("inter")))
+        .select("i", "j", "jaccard")
+    )
+
+
+# DuckDB-side exhaustive exact-jaccard (ground truth for both the LSH
+# pipeline and the exact similarity join).
+_SQL_EXHAUSTIVE_JACCARD = f"""
+WITH sh AS (
+    SELECT doc_id, unnest(list_distinct(
+        [s[i] || ' ' || s[i+1] || ' ' || s[i+2] for i in range(1, len(s) - 1)]
+    )) AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT i, j, c * 1.0 / (sa.n + sb.n - c) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
+WHERE c * 1.0 / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
+"""
+
+
+@query(
+    "x01_dedup_exact",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM (
+        SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+               ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                  ORDER BY l_linenumber, l_partkey, l_quantity) AS rn
+        FROM lineitem) t
+    WHERE rn = 1
+    """,
+)
+def x01_dedup_exact(spark, sf_dir):
+    """Exact dedup by key, deterministic keep-first — hash-partitioned
+    window rank, the scalable form of dropDuplicates(subset).
+
+    The sort covers every output column: (l_orderkey, l_linenumber,
+    l_partkey) is not unique in the testdata, so a shorter sort would
+    leave the kept row's remaining columns engine-dependent."""
+    l = T(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey", "l_quantity")
+    return (
+        l.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+    )
+
+
+@query(
+    "x02_fingerprint_dedup",
+    oracle="""
+    SELECT source, COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(text)) AS n_unique,
+           COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dup
+    FROM documents GROUP BY source
+    """,
+)
+def x02_fingerprint_dedup(spark, sf_dir):
+    """Content-fingerprint (md5) dedup accounting per source shard —
+    the cheap first pass of any corpus dedup pipeline."""
+    d = T(spark, sf_dir, "documents")
+    fp = F.md5(F.col("text").cast("binary"))
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(fp).alias("n_unique"),
+        (F.count("*") - F.countDistinct(fp)).alias("n_dup"),
+    )
+
+
+@query("x03_dedup_minhash_lsh", oracle=_SQL_EXHAUSTIVE_JACCARD)
+def x03_dedup_minhash_lsh(spark, sf_dir):
+    """Near-dup pairs via MinHash+LSH banding, exact-jaccard verified.
+
+    shingle → 128 minhashes → 32 band-hashes → band equi-join →
+    candidate pairs → exact verify ≥ 0.5. The oracle is the *exhaustive*
+    exact join: LSH recall at the data's similarity margin (≥.9 planted
+    vs <.3 background) is 1 − 1.5e-15 per pair, so outputs coincide.
+    """
+    docs = T(spark, sf_dir, "documents")
+    shingled = shingle_docs(docs)
+    sigs = minhash_signatures(shingled)
+    pairs = lsh_candidate_pairs(sigs)
+    return exact_jaccard(pairs, shingled).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+@query("x05_ngram_jaccard_join", oracle=_SQL_EXHAUSTIVE_JACCARD)
+def x05_ngram_jaccard_join(spark, sf_dir):
+    """Exact n-gram similarity join: docs sharing ≥1 shingle, grouped to
+    intersection counts, jaccard-filtered. The shingle equi-join *is*
+    the exhaustive algorithm (j>0 ⇒ shared shingle) — no cross join,
+    shuffle key = shingle (ICDE 2022 prefix-filter family)."""
+    docs = T(spark, sf_dir, "documents")
+    shingled = shingle_docs(docs)
+    sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = shingled.alias("a"), shingled.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "i").withColumnRenamed("n", "n_i"), "i")
+        .join(sizes.withColumnRenamed("doc_id", "j").withColumnRenamed("n", "n_j"), "j")
+        .withColumn("jaccard", F.col("c") / (F.col("n_i") + F.col("n_j") - F.col("c")))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("i", "j", "jaccard")
+    )
+
+
+@query("x04_dedup_simhash")  # no oracle: 64-bit signature not SQL-expressible
+def x04_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup buckets: 64-bit signature per doc via a
+    vectorized Pandas UDF (Arrow batches), then signature-equality
+    grouping. Deterministic (md5-derived token hashes). Verified by a
+    python-model differential test (tests/test_extensions.py)."""
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: string annotations (from __future__) break inference
+    @pandas_udf("long")
+    def simhash64(texts):
+        import hashlib
+
+        out = []
+        for t in texts:
+            acc = [0] * 64
+            for tok in (t or "").split(" "):
+                h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+                for b in range(64):
+                    acc[b] += 1 if (h >> b) & 1 else -1
+            sig = 0
+            for b in range(64):
+                if acc[b] > 0:
+                    sig |= 1 << b
+            # to signed 64-bit
+            out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+        return pd.Series(out)
+
+    d = T(spark, sf_dir, "documents")
+    sigs = d.select("doc_id", simhash64("text").alias("simhash"))
+    # Bucket by signature: exact-signature collisions are trivial dups;
+    # near-dup (hamming ≤ k) extends this with band rotations.
+    return (
+        sigs.groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc"))
+        .filter(F.col("n_docs") >= 1)
+        .groupBy()
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.sum(F.col("n_docs") - 1).alias("n_redundant"),
+        )
+    )
+
+
+_COSINE_DUP_THRESHOLD = 0.35  # testdata embeddings are near-random (max pair ~0.45)
+
+
+@query(
+    "x06_dedup_embedding_cosine",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings)
+    SELECT a.vec_id AS i, b.vec_id AS j,
+           ROUND(list_dot_product(a.vv, b.vv) /
+                 (sqrt(list_dot_product(a.vv, a.vv)) * sqrt(list_dot_product(b.vv, b.vv))), 4) AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.vv, b.vv) /
+                (sqrt(list_dot_product(a.vv, a.vv)) * sqrt(list_dot_product(b.vv, b.vv))), 4)
+          >= {_COSINE_DUP_THRESHOLD}
+    """,
+)
+def x06_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding near-dup pairs above a cosine threshold via exact pair
+    join at testdata scale (the LSH-bucketed scale path is x11). Dot
+    products JVM-side via zip_with/aggregate in double. Threshold is set
+    where the near-random testdata yields a non-empty answer."""
+    e = T(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    dot = F.aggregate(F.zip_with("a.v", "b.v", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda side: F.sqrt(F.aggregate(F.transform(f"{side}.v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x))  # noqa: E731
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("i"),
+            F.col("b.vec_id").alias("j"),
+            F.round(dot / (norm("a") * norm("b")), 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= _COSINE_DUP_THRESHOLD)
+    )

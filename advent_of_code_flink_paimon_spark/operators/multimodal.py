@@ -1,0 +1,129 @@
+"""Multimodal column plumbing (SURVEY.md §2.11 charter).
+
+Image/audio/video payloads are opaque ``binary`` columns + a typed
+metadata struct. The Spark-side machinery — schema, partition-preserving
+mapInPandas, Arrow batch shapes, feature-vector output typing — is real
+and tested; the actual media *decode* is stubbed (decode libs are not in
+this container) behind ``decode_stub`` with a deterministic fake, and
+``decode_real`` raises NotImplementedError with the integration point
+documented.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from advent_of_code_flink_paimon_spark.operators.registry import T, query
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),          # opaque media bytes
+        StructField("mime", StringType()),             # typed metadata...
+        StructField("n_bytes", LongType()),
+        StructField("sample_rate", IntegerType()),     # audio-style metadata (null for images)
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("features", ArrayType(DoubleType())),  # extracted feature vector
+        StructField("feat_norm", DoubleType()),
+    ]
+)
+
+
+def as_media_table(docs: DataFrame) -> DataFrame:
+    """Synthesize a media table from documents: text bytes stand in for
+    an opaque payload (deterministic), metadata columns are real."""
+    payload = F.col("text").cast("binary")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.when(F.col("doc_id") % 2 == 0, "image/png").otherwise("audio/wav").alias("mime"),
+        F.length(payload).cast("long").alias("n_bytes"),
+        F.when(F.col("doc_id") % 2 == 1, F.lit(16000)).cast("int").alias("sample_rate"),
+    )
+
+
+def decode_real(payload: bytes, mime: str):
+    """Integration point for real decoders (PIL / soundfile / decord).
+
+    Not available in this environment — plug the library call here; the
+    surrounding mapInPandas plumbing (batching, schema, partitioning)
+    is already exercised via decode_stub.
+    """
+    raise NotImplementedError(
+        "media decode libraries are not installed in this container; "
+        "use decode_stub (deterministic fake) or wire a decoder here"
+    )
+
+
+def decode_stub(payload: bytes) -> list[float]:
+    """Deterministic fake 'decode + feature extraction': a 16-bin byte
+    histogram normalized by payload length. Stands in for e.g. a
+    thumbnail embedding or an audio MFCC summary."""
+    hist = [0] * 16
+    for b in payload:
+        hist[b >> 4] += 1
+    n = max(len(payload), 1)
+    return [h / n for h in hist]
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction over Arrow batches.
+
+    Partition-preserving (no shuffle): each executor decodes its own
+    files. At 100 TB this is the pattern that matters — media decode is
+    embarrassingly parallel, so the plan is scan → mapInPandas → write
+    with zero exchanges.
+    """
+
+    def batches(it: Iterator):
+        import math
+
+        import pandas as pd
+
+        for pdf in it:
+            feats = [decode_stub(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": pdf["mime"],
+                    "n_bytes": pdf["n_bytes"],
+                    "features": feats,
+                    "feat_norm": [math.sqrt(sum(x * x for x in f)) for f in feats],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+@query("x30_multimodal_features")  # no oracle: binary payload + UDF features
+def x30_multimodal_features(spark, sf_dir):
+    """End-to-end multimodal pipeline: docs → media table (binary payload
+    + typed metadata) → Arrow-batched feature extraction → per-mime
+    accounting. Deterministic; model-differential test in tests/."""
+    media = as_media_table(T(spark, sf_dir, "documents"))
+    feats = extract_features(media)
+    return feats.groupBy("mime").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.round(F.avg("feat_norm"), 4).alias("avg_feat_norm"),
+    )

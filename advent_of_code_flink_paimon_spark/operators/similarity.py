@@ -1,0 +1,167 @@
+"""Embedding similarity search (SURVEY.md §2.11; PAPERS.md: EDBT 2019
+streaming time-series similarity, EDBT 2020 incremental top-k).
+
+- x10: brute-force cosine top-k — broadcast the query vectors, one pass
+  over the corpus, per-query top-k via window rank. The baseline and
+  the oracle-checkable ground truth.
+- x11: LSH-bucketed ANN — random-hyperplane band signatures, candidate
+  generation by band equi-join, exact re-rank within candidates. The
+  100 TB path: shuffle keys are band hashes, never all-pairs. Recall
+  vs x10 is asserted by tests/test_extensions.py.
+
+All dot products run JVM-side (zip_with + aggregate over
+array<double>) — no Python in the scan path; the Pandas UDF appears
+only in x11's signature computation where 64-dim × 16-plane matrix
+multiply benefits from NumPy batching.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from advent_of_code_flink_paimon_spark.operators.registry import T, query
+
+TOP_K = 5
+N_QUERIES = 5  # vec_id < 5 are the query vectors (deterministic subset)
+
+LSH_PLANES = 64  # bits per signature
+# 4-bit bands: the testdata embeddings are near-random (true top-k cosine
+# ~0.3-0.4), so collision probability per bit is only ~0.6; short bands ×
+# many bands keeps recall high at the cost of larger candidate sets. With
+# clustered real-world embeddings, raise band bits to shrink candidates.
+LSH_BAND_BITS = 4
+LSH_SEED = 42
+
+
+def _dot(a: str, b: str):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(col: str):
+    return F.sqrt(F.aggregate(F.transform(col, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = TOP_K) -> DataFrame:
+    """Broadcast queries × one corpus pass → per-query top-k by cosine.
+
+    Ranking key is (round(cosine,4) DESC, vec_id ASC): rounding makes
+    the order invariant to last-ulp float noise across engines, the id
+    tiebreak makes it total.
+    """
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").cast("array<double>").alias("qv")
+    )
+    c = corpus.select("vec_id", F.col("embedding").cast("array<double>").alias("cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(_dot("qv", "cv") / (_norm("qv") * _norm("cv")), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+@query(
+    "x10_embedding_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    scored AS (
+        SELECT q.query_id, c.vec_id,
+               ROUND(list_dot_product(q.qv, c.cv) /
+                     (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))), 4) AS cosine
+        FROM q JOIN c ON c.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def x10_embedding_topk(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings")
+    return cosine_topk(e, e.filter(F.col("vec_id") < N_QUERIES))
+
+
+def hyperplane_signatures(vectors: DataFrame, planes: int = LSH_PLANES) -> DataFrame:
+    """vec_id → bit-signature array, one bit per random hyperplane.
+
+    Planes are a seeded NumPy Gaussian matrix, identical on every
+    executor; the matmul runs as an Arrow-batched Pandas UDF.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: string annotations (from __future__) break inference
+    @pandas_udf("array<int>")
+    def signature(embs):
+        rng = np.random.RandomState(LSH_SEED)
+        dim = len(embs.iloc[0]) if len(embs) else 0
+        basis = rng.standard_normal((dim, planes))
+        mat = np.vstack(embs.to_numpy())
+        bits = (mat @ basis > 0).astype(np.int32)
+        return pd.Series(list(bits))
+
+    return vectors.select("vec_id", "embedding", signature("embedding").alias("sig"))
+
+
+@query("x11_embedding_topk_lsh")  # no oracle: ANN output is approximate by design
+def x11_embedding_topk_lsh(spark, sf_dir):
+    """ANN cosine top-k: hyperplane-LSH candidate generation + exact
+    re-rank. Bands of {LSH_BAND_BITS} bits; a corpus vector is a
+    candidate for a query if any band matches. Recall vs the exact x10
+    is asserted ≥ 0.8 in tests."""
+    e = T(spark, sf_dir, "embeddings")
+    sigs = hyperplane_signatures(e)
+    n_bands = LSH_PLANES // LSH_BAND_BITS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(F.slice("sig", b * LSH_BAND_BITS + 1, LSH_BAND_BITS).cast("string")).alias("bh"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sigs.select("vec_id", "embedding", F.explode(bands).alias("e")).select(
+        "vec_id", "embedding", F.col("e.band").alias("band"), F.col("e.bh").alias("bh")
+    )
+    qb = banded.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "band",
+        "bh",
+    )
+    cands = (
+        banded.join(qb, ["band", "bh"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("q_emb").cast("array<double>").alias("qv"),
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("cv"),
+        )
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = cands.select(
+        "query_id",
+        "vec_id",
+        F.round(_dot("qv", "cv") / (_norm("qv") * _norm("cv")), 4).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )

@@ -1,0 +1,176 @@
+"""Text analysis operators (SURVEY.md §2.11; PAPERS.md: EDBT 2016
+sentiment-on-Spark). All hot paths are built-in JVM expressions over
+the tokenized text (split/transform/aggregate/filter) — no Python UDFs;
+the winnowing fingerprint (x24) is the one Pandas-UDF exception and is
+Arrow-batched.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from advent_of_code_flink_paimon_spark.operators.registry import T, query
+
+def _tokens():
+    return F.split(F.col("text"), " ")
+
+# language marker words (heuristic lang-id; deterministic + SQL-twin-able)
+_MARKERS = {
+    "en": ["the", "a"],
+    "tech": ["spark", "stream", "batch"],
+    "db": ["table", "query", "join"],
+}
+
+
+@query(
+    "x20_text_stats",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_types,
+           length(text) AS n_chars_m,
+           list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS sum_tok_len,
+           len(list_distinct(string_split(text, ' '))) * 1.0
+               / len(string_split(text, ' ')) AS ttr
+    FROM documents
+    """,
+)
+def x20_text_stats(spark, sf_dir):
+    """Per-document quality statistics: token/type counts, char length,
+    type-token ratio. Integer counts + a single exact division → value
+    parity with the oracle is bit-exact."""
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(_tokens()).alias("n_tokens"),
+        F.size(F.array_distinct(_tokens())).alias("n_types"),
+        F.length("text").alias("n_chars_m"),
+        F.aggregate(F.transform(_tokens(), F.length), F.lit(0), lambda a, x: a + x).alias("sum_tok_len"),
+        (F.size(F.array_distinct(_tokens())) / F.size(_tokens())).alias("ttr"),
+    )
+
+
+@query(
+    "x21_lang_id",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS s_en,
+               len(list_filter(string_split(text, ' '), t -> t IN ('spark', 'stream', 'batch'))) AS s_tech,
+               len(list_filter(string_split(text, ' '), t -> t IN ('table', 'query', 'join'))) AS s_db
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN s_en >= s_tech AND s_en >= s_db THEN 'en'
+                WHEN s_tech >= s_db THEN 'tech'
+                ELSE 'db' END AS lang_pred
+    FROM scored
+    """,
+)
+def x21_lang_id(spark, sf_dir):
+    """Marker-word language/domain ID: count per-class marker tokens,
+    argmax with a fixed tie order. The classic n-gram/stopword heuristic
+    expressed as pure JVM array ops."""
+    d = T(spark, sf_dir, "documents")
+
+    def marker_count(words):
+        return F.size(F.filter(_tokens(), lambda t: t.isin(*words)))
+
+    scores = {name: marker_count(words) for name, words in _MARKERS.items()}
+    pred = (
+        F.when((scores["en"] >= scores["tech"]) & (scores["en"] >= scores["db"]), "en")
+        .when(scores["tech"] >= scores["db"], "tech")
+        .otherwise("db")
+    )
+    return d.select("doc_id", "lang", pred.alias("lang_pred"))
+
+
+@query(
+    "x22_token_count",
+    oracle="""
+    SELECT source,
+           SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS n_bpeish_tokens,
+           SUM(len(string_split(text, ' '))) AS n_ws_tokens,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY source
+    """,
+)
+def x22_token_count(spark, sf_dir):
+    """Corpus token accounting: whitespace tokens + a BPE-ish regex
+    tokenization (letter runs / digit runs / single punctuation),
+    aggregated per source shard — the 'how many training tokens' query."""
+    d = T(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.sum(
+            F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), F.lit(0)))
+        ).alias("n_bpeish_tokens"),
+        F.sum(F.size(_tokens())).alias("n_ws_tokens"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+@query(
+    "x23_quality_score",
+    oracle="""
+    WITH feats AS (
+        SELECT doc_id, lang,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) * 1.0
+                   / len(string_split(text, ' ')) AS ttr
+        FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN n_tokens >= 30 AND ttr >= 0.3 THEN 1 ELSE 0 END) AS n_keep,
+           SUM(CASE WHEN n_tokens < 10 THEN 1 ELSE 0 END) AS n_too_short,
+           SUM(CASE WHEN ttr < 0.3 THEN 1 ELSE 0 END) AS n_repetitive
+    FROM feats GROUP BY lang
+    """,
+)
+def x23_quality_score(spark, sf_dir):
+    """Quality gating for a training-data pipeline: length + repetition
+    (type-token ratio) rules, keep/reject accounting per language."""
+    d = T(spark, sf_dir, "documents")
+    n_tokens = F.size(_tokens())
+    ttr = F.size(F.array_distinct(_tokens())) / F.size(_tokens())
+    feats = d.select("doc_id", "lang", n_tokens.alias("n_tokens"), ttr.alias("ttr"))
+    return feats.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when((F.col("n_tokens") >= 30) & (F.col("ttr") >= 0.3), 1).otherwise(0)).alias("n_keep"),
+        F.sum(F.when(F.col("n_tokens") < 10, 1).otherwise(0)).alias("n_too_short"),
+        F.sum(F.when(F.col("ttr") < 0.3, 1).otherwise(0)).alias("n_repetitive"),
+    )
+
+
+@query("x24_winnow_fingerprint")  # no oracle: rolling-hash winnowing not SQL-expressible
+def x24_winnow_fingerprint(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer et al. style): rolling
+    hashes over 5-gram character windows, min-per-window selection →
+    compact fingerprint set per doc. Pandas UDF (Arrow-batched); output
+    is the fingerprint cardinality + a stable checksum per doc, verified
+    against a python model in tests."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    K, W = 5, 4  # k-gram size, winnow window
+
+    # no type hints: string annotations (from __future__) break inference
+    @pandas_udf("struct<n_fp: int, fp_checksum: long>")
+    def winnow(texts):
+        import zlib
+
+        ns, cks = [], []
+        for t in texts:
+            t = t or ""
+            hashes = [zlib.crc32(t[i : i + K].encode()) for i in range(max(len(t) - K + 1, 0))]
+            fps = set()
+            for i in range(max(len(hashes) - W + 1, 0)):
+                fps.add(min(hashes[i : i + W]))
+            ns.append(len(fps))
+            cks.append(sum(fps) % (1 << 62))
+        return pd.DataFrame({"n_fp": ns, "fp_checksum": cks})
+
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", winnow("text").alias("w")).select(
+        "doc_id", F.col("w.n_fp").alias("n_fp"), F.col("w.fp_checksum").alias("fp_checksum")
+    )

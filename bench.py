@@ -1,0 +1,77 @@
+"""Benchmark harness (driver contract, SURVEY.md §6).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Each query is executed to completion with the noop sink (full physical
+execution — scan, shuffle, agg — without driver-side collect skewing
+the measurement). One untimed warmup of the smallest query absorbs
+JVM/codegen startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q05_filter_range",
+    "q08_join_inner_broadcast",
+    "q12_join_multi_chain",
+    "q18_topk_orderby",
+    "q19_window_rank_merge",
+    "q25_json_extract",
+    "q28_enrichment_join",
+    # extension surface (SURVEY.md §2.11) — included when registered
+    "x01_dedup_exact",
+    "x03_dedup_minhash_lsh",
+    "x10_embedding_topk",
+    "x20_text_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    import __spark_entry__ as entrymod
+    from advent_of_code_flink_paimon_spark.session import get_spark
+
+    spark = get_spark("aocfp-bench", extra_conf={"spark.ui.enabled": "false"})
+    qs = entrymod.queries()
+
+    def run(name: str) -> float:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    run("q01_pricing_summary")  # warmup (untimed): JVM + codegen + parquet footer cache
+
+    timings = {}
+    for name in HEADLINE:
+        if name in qs:
+            timings[name] = round(run(name), 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
