@@ -1,0 +1,112 @@
+"""Catalog: persistent, file-backed table registry.
+
+The Spark-side equivalent of `CREATE CATALOG ... type=paimon,
+warehouse=...` + `USE CATALOG` (tutorial/guide.md:11-17): a warehouse
+directory holding databases holding tables; each table carries a
+versioned schema + options log (schema-0, schema-1, ... —
+assets/output5.png) where ALTER TABLE SET writes a new version
+(tutorial/guide.md:180-185).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+from pyspark.sql.types import StructType
+
+from advent_of_code_flink_paimon_spark.lakehouse.meta import (
+    TablePaths,
+    atomic_write_json,
+    now_millis,
+    read_json,
+)
+from advent_of_code_flink_paimon_spark.lakehouse.table import Table
+
+
+class Catalog:
+    def __init__(self, warehouse: str, db: str = "default"):
+        self.warehouse, self.db = warehouse, db
+        os.makedirs(os.path.join(warehouse, f"{db}.db"), exist_ok=True)
+
+    # -- DDL ------------------------------------------------------------
+    def create_table(
+        self, name: str, schema: StructType | str, options: dict | None = None
+    ) -> Table:
+        """CREATE TABLE ... WITH (options). Recognized options mirror the
+        reference DDL (tutorial/guide.md:23-32,59-75): 'bucket',
+        'bucket-key', 'primary-key' (list or csv), 'file.format',
+        'changelog-producer', 'full-compaction.delta-commits',
+        'snapshot.num-retained.min/max'."""
+        if isinstance(schema, str):
+            schema = StructType.fromDDL(schema)
+        opts = dict(options or {})
+        if isinstance(opts.get("primary-key"), str):
+            opts["primary-key"] = [c.strip() for c in opts["primary-key"].split(",")]
+        paths = TablePaths(self.warehouse, self.db, name)
+        if os.path.exists(paths.schema_path(0)):
+            raise ValueError(f"table {name} already exists")
+        atomic_write_json(
+            paths.schema_path(0),
+            {"version": 0, "schema": schema.jsonValue(), "options": opts, "created_ms": now_millis()},
+        )
+        return Table(self.warehouse, self.db, name)
+
+    def alter_table(self, name: str, set_options: dict) -> Table:
+        """ALTER TABLE SET (props) → new schema version
+        (tutorial/guide.md:180-185,265-272; schema-1 in assets/output5.png)."""
+        t = self.get_table(name)
+        doc = t.schema_doc()
+        new_opts = dict(doc["options"])
+        new_opts.update(set_options)
+        if isinstance(new_opts.get("primary-key"), str):
+            new_opts["primary-key"] = [c.strip() for c in new_opts["primary-key"].split(",")]
+        v = t.schema_version + 1
+        atomic_write_json(
+            t.paths.schema_path(v),
+            {"version": v, "schema": doc["schema"], "options": new_opts, "created_ms": now_millis()},
+        )
+        return t
+
+    def drop_table(self, name: str) -> None:
+        paths = TablePaths(self.warehouse, self.db, name)
+        shutil.rmtree(paths.root, ignore_errors=True)
+
+    def get_table(self, name: str) -> Table:
+        paths = TablePaths(self.warehouse, self.db, name)
+        if not os.path.exists(paths.schema_path(0)):
+            raise KeyError(f"table {name} does not exist in {self.warehouse}/{self.db}.db")
+        return Table(self.warehouse, self.db, name)
+
+    def list_tables(self) -> list[str]:
+        base = os.path.join(self.warehouse, f"{self.db}.db")
+        return sorted(
+            os.path.basename(p)
+            for p in glob.glob(os.path.join(base, "*"))
+            if os.path.isdir(p) and os.path.exists(os.path.join(p, "schema", "schema-0"))
+        )
+
+    # -- SQL over the catalog (system-table rewrite, SURVEY.md §4) ------
+    def register_views(self, spark: SparkSession) -> None:
+        """Expose every table (merged-on-read LATEST) plus its $files /
+        $snapshots system tables as temp views. `$` is not legal in a
+        view name, so system tables register with `__` (measurements$files
+        → measurements__files); Catalog.sql() rewrites the `$` syntax."""
+        for name in self.list_tables():
+            t = self.get_table(name)
+            t.read(spark).createOrReplaceTempView(name)
+            t.files_table(spark).createOrReplaceTempView(f"{name}__files")
+            t.snapshots_table(spark).createOrReplaceTempView(f"{name}__snapshots")
+
+    def sql(self, spark: SparkSession, query: str):
+        """Run SQL against the catalog; supports the reference's
+        `table$files` system-table syntax (tutorial/guide.md:208) by
+        rewriting to the registered __files views before Catalyst sees
+        the query."""
+        self.register_views(spark)
+        import re
+
+        rewritten = re.sub(r"(\w+)\$(files|snapshots)", r"\1__\2", query)
+        return spark.sql(rewritten)

@@ -1,0 +1,93 @@
+"""On-disk metadata primitives: JSON documents with atomic-rename commit.
+
+Layout per table (mirrors the reference warehouse, SURVEY.md §1.2 /
+assets/output2-5.png):
+
+    <warehouse>/<db>.db/<table>/
+      bucket-<n>/data-<uuid>.parquet      data files, hash-bucketed
+      changelog/<snapshot>/...parquet     _change_type rows (PK tables
+                                          with changelog-producer=input)
+      manifest/manifest-<n>.json          full live-file manifest per snapshot
+      schema/schema-<n>.json              versioned schema + options
+      snapshot/snapshot-<n>               commit metadata
+      snapshot/EARLIEST, LATEST           pointer files
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+import uuid
+
+
+def atomic_write_json(path: str, doc: dict) -> None:
+    """Write-then-rename: readers never observe a torn file. On POSIX
+    rename is atomic within a filesystem; on object stores this maps to
+    a conditional PUT of the snapshot key (single-committer assumption,
+    SURVEY.md §7 watch list)."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(doc, f, separators=(",", ":"))
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def read_json(path: str) -> dict:
+    with open(path) as f:
+        return json.load(f)
+
+
+def new_file_name() -> str:
+    return f"data-{uuid.uuid4().hex}.parquet"
+
+
+def now_millis() -> int:
+    return int(time.time() * 1000)
+
+
+class TablePaths:
+    def __init__(self, warehouse: str, db: str, table: str):
+        self.root = os.path.join(warehouse, f"{db}.db", table)
+
+    def bucket_dir(self, n: int) -> str:
+        return os.path.join(self.root, f"bucket-{n}")
+
+    def schema_path(self, version: int) -> str:
+        return os.path.join(self.root, "schema", f"schema-{version}")
+
+    def schema_dir(self) -> str:
+        return os.path.join(self.root, "schema")
+
+    def manifest_path(self, snapshot_id: int) -> str:
+        return os.path.join(self.root, "manifest", f"manifest-{snapshot_id}.json")
+
+    def snapshot_path(self, snapshot_id: int) -> str:
+        return os.path.join(self.root, "snapshot", f"snapshot-{snapshot_id}")
+
+    def snapshot_dir(self) -> str:
+        return os.path.join(self.root, "snapshot")
+
+    def pointer_path(self, name: str) -> str:  # EARLIEST / LATEST
+        return os.path.join(self.root, "snapshot", name)
+
+    def changelog_dir(self, snapshot_id: int) -> str:
+        return os.path.join(self.root, "changelog", f"snapshot-{snapshot_id}")
+
+    def read_pointer(self, name: str) -> int | None:
+        p = self.pointer_path(name)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return int(f.read().strip())
+
+    def write_pointer(self, name: str, snapshot_id: int) -> None:
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(self.pointer_path(name)), suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            f.write(str(snapshot_id))
+        os.replace(tmp, self.pointer_path(name))

@@ -1,0 +1,594 @@
+"""Table: bucketed parquet storage + MVCC snapshot log + merge-on-read.
+
+The write path mirrors the reference job DAG `Source → shuffle by
+bucket → Writer → Global Committer` (assets/output1.png): executors
+write staged parquet partitioned by bucket hash; the driver — the
+single "global committer" — renames files into place, collects footer
+stats into the manifest, and atomically publishes snapshot-N
+(tutorial/guide.md:3, one snapshot per checkpoint/trigger).
+
+PK tables implement Paimon's last-write-wins merge: every commit gets a
+monotone sequence number stored in a ``__seq`` column; merge-on-read is
+a ranking window (rn=1 by __seq desc) — exactly the semantic of
+`PRIMARY KEY NOT ENFORCED` + min_sequence_number ordering
+(tutorial/guide.md:65,206). ``__op`` ∈ {'U','D'} supports retractions.
+
+Commit kinds: APPEND (ingest), COMPACT (rewrite), OVERWRITE.
+Exactly-once for streaming sinks: commits carry an optional
+``commit_identifier`` (micro-batch id); a replayed batch with an
+already-committed identifier is a no-op (SURVEY.md §7 watch list).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql.types import StructType
+
+from advent_of_code_flink_paimon_spark.lakehouse.meta import (
+    TablePaths,
+    atomic_write_json,
+    new_file_name,
+    now_millis,
+    read_json,
+)
+
+META_COLS = ("__seq", "__op")
+COMPACT_LEVEL = 5  # files produced by full compaction (L0 = fresh writes)
+
+
+class Table:
+    def __init__(self, warehouse: str, db: str, name: str):
+        self.warehouse, self.db, self.name = warehouse, db, name
+        self.paths = TablePaths(warehouse, db, name)
+
+    # ------------------------------------------------------------------
+    # schema / options
+    # ------------------------------------------------------------------
+    @property
+    def schema_version(self) -> int:
+        versions = [
+            int(os.path.basename(p).split("-")[1])
+            for p in glob.glob(os.path.join(self.paths.schema_dir(), "schema-*"))
+        ]
+        return max(versions) if versions else -1
+
+    def schema_doc(self, version: int | None = None) -> dict:
+        v = self.schema_version if version is None else version
+        return read_json(self.paths.schema_path(v))
+
+    @property
+    def schema(self) -> StructType:
+        return StructType.fromJson(self.schema_doc()["schema"])
+
+    @property
+    def options(self) -> dict:
+        return self.schema_doc()["options"]
+
+    @property
+    def primary_key(self) -> list[str]:
+        return self.options.get("primary-key", [])
+
+    @property
+    def num_buckets(self) -> int:
+        return int(self.options.get("bucket", "1"))
+
+    @property
+    def bucket_key(self) -> list[str]:
+        bk = self.options.get("bucket-key")
+        if bk:
+            return bk.split(",") if isinstance(bk, str) else list(bk)
+        return self.primary_key  # PK tables bucket by key by default
+
+    # ------------------------------------------------------------------
+    # snapshots
+    # ------------------------------------------------------------------
+    def latest_snapshot_id(self) -> int | None:
+        return self.paths.read_pointer("LATEST")
+
+    def snapshot(self, snapshot_id: int) -> dict:
+        return read_json(self.paths.snapshot_path(snapshot_id))
+
+    def snapshots(self) -> list[dict]:
+        earliest, latest = self.paths.read_pointer("EARLIEST"), self.latest_snapshot_id()
+        if latest is None:
+            return []
+        return [
+            self.snapshot(i)
+            for i in range(earliest or 1, latest + 1)
+            if os.path.exists(self.paths.snapshot_path(i))
+        ]
+
+    def manifest(self, snapshot_id: int | None = None) -> list[dict]:
+        sid = self.latest_snapshot_id() if snapshot_id is None else snapshot_id
+        if sid is None:
+            return []
+        return read_json(self.paths.manifest_path(sid))["files"]
+
+    def _committed_identifiers(self) -> set:
+        return {
+            s.get("commit_identifier")
+            for s in self.snapshots()
+            if s.get("commit_identifier") is not None
+        }
+
+    # ------------------------------------------------------------------
+    # write path
+    # ------------------------------------------------------------------
+    def _with_bucket(self, df: DataFrame) -> DataFrame:
+        key = self.bucket_key
+        if not key or self.num_buckets <= 1:
+            return df.withColumn("__bucket", F.lit(0))
+        return df.withColumn(
+            "__bucket", F.pmod(F.xxhash64(*key), F.lit(self.num_buckets)).cast("int")
+        )
+
+    def _stage_write(self, df: DataFrame) -> tuple[str, list[dict]]:
+        """Executors write parquet partitioned by bucket into a staging
+        dir; driver moves files into bucket-N/ and reads footers for
+        manifest stats (metadata-only I/O on the driver)."""
+        staging = os.path.join(self.paths.root, f".staging-{now_millis()}-{os.getpid()}")
+        (
+            self._with_bucket(df)
+            .repartition("__bucket")
+            .write.partitionBy("__bucket")
+            .mode("overwrite")
+            .parquet(staging)
+        )
+        import pyarrow.parquet as pq
+
+        entries = []
+        for part_dir in sorted(glob.glob(os.path.join(staging, "__bucket=*"))):
+            bucket = int(os.path.basename(part_dir).split("=")[1])
+            os.makedirs(self.paths.bucket_dir(bucket), exist_ok=True)
+            for fpath in sorted(glob.glob(os.path.join(part_dir, "*.parquet"))):
+                meta = pq.ParquetFile(fpath).metadata
+                if meta.num_rows == 0:
+                    continue
+                dest = os.path.join(self.paths.bucket_dir(bucket), new_file_name())
+                shutil.move(fpath, dest)
+                entries.append(
+                    {
+                        "file_path": os.path.relpath(dest, self.paths.root),
+                        "bucket": bucket,
+                        "record_count": meta.num_rows,
+                        "file_size_in_bytes": os.path.getsize(dest),
+                        "level": 0,
+                        "stats": _footer_stats(meta),
+                        "creation_time": now_millis(),
+                    }
+                )
+        shutil.rmtree(staging, ignore_errors=True)
+        return staging, entries
+
+    def _commit(
+        self,
+        new_entries: list[dict],
+        kind: str,
+        replaced: set[str] | None = None,
+        commit_identifier: int | None = None,
+        sequence_number: int | None = None,
+    ) -> int:
+        """Single-committer snapshot publish (the 'Global Committer')."""
+        latest = self.latest_snapshot_id()
+        base = [] if latest is None else self.manifest(latest)
+        if replaced:
+            base = [e for e in base if e["file_path"] not in replaced]
+        files = base + new_entries
+        sid = (latest or 0) + 1
+        seq = sequence_number if sequence_number is not None else sid
+        for e in new_entries:
+            e.setdefault("min_sequence_number", seq)
+        atomic_write_json(self.paths.manifest_path(sid), {"files": files})
+        atomic_write_json(
+            self.paths.snapshot_path(sid),
+            {
+                "id": sid,
+                "schema_id": self.schema_version,
+                "commit_kind": kind,
+                "commit_identifier": commit_identifier,
+                "sequence_number": seq,
+                "timestamp_ms": now_millis(),
+                "added_files": len(new_entries),
+                "total_files": len(files),
+                "total_record_count": sum(e["record_count"] for e in files),
+            },
+        )
+        os.makedirs(self.paths.snapshot_dir(), exist_ok=True)
+        if self.paths.read_pointer("EARLIEST") is None:
+            self.paths.write_pointer("EARLIEST", sid)
+        self.paths.write_pointer("LATEST", sid)
+        self._maybe_auto_compact()
+        return sid
+
+    def append(self, df: DataFrame, commit_identifier: int | None = None) -> int | None:
+        """Append commit (bucketed). Idempotent on commit_identifier."""
+        if commit_identifier is not None and commit_identifier in self._committed_identifiers():
+            return None  # replayed micro-batch → no-op (exactly-once)
+        if self.primary_key:
+            return self.upsert(df, commit_identifier=commit_identifier)
+        _, entries = self._stage_write(df.select(*[f.name for f in self.schema.fields]))
+        return self._commit(entries, "APPEND", commit_identifier=commit_identifier)
+
+    def overwrite(self, df: DataFrame, commit_identifier: int | None = None) -> int | None:
+        """Replace the whole table image in one OVERWRITE commit (used
+        e.g. for retry-queue state; INSERT OVERWRITE semantics)."""
+        if commit_identifier is not None and commit_identifier in self._committed_identifiers():
+            return None
+        old = {e["file_path"] for e in self.manifest()} if self.latest_snapshot_id() else set()
+        _, entries = self._stage_write(df.select(*[f.name for f in self.schema.fields]))
+        return self._commit(entries, "OVERWRITE", replaced=old, commit_identifier=commit_identifier)
+
+    def upsert(self, df: DataFrame, commit_identifier: int | None = None) -> int | None:
+        """PK commit: in-batch last-write-wins dedup, then append files
+        carrying (__seq, __op); merge happens on read. Optionally emits
+        a changelog (changelog-producer=input, tutorial/guide.md:69-74).
+        """
+        if commit_identifier is not None and commit_identifier in self._committed_identifiers():
+            return None
+        pk = self.primary_key
+        assert pk, f"{self.name} has no primary key"
+        latest = self.latest_snapshot_id()
+        seq = (self.snapshot(latest)["sequence_number"] + 1) if latest else 1
+
+        cols = [f.name for f in self.schema.fields]
+        if "__op" not in df.columns:
+            df = df.withColumn("__op", F.lit("U"))
+        # batch-local dedup: keep the last row per key, ordered by all
+        # value columns for determinism (callers with a real sequence
+        # column should pre-sort/dedup upstream)
+        value_cols = [c for c in cols if c not in pk]
+        w = Window.partitionBy(*pk).orderBy(*[F.desc(c) for c in value_cols] or [F.lit(1)])
+        deduped = (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        batch = deduped.select(*cols, "__op").withColumn("__seq", F.lit(seq).cast("long"))
+
+        if self.options.get("changelog-producer") == "input":
+            self._write_changelog(batch, seq)
+
+        _, entries = self._stage_write(batch)
+        return self._commit(
+            entries, "APPEND", commit_identifier=commit_identifier, sequence_number=seq
+        )
+
+    def _write_changelog(self, batch: DataFrame, seq: int) -> None:
+        """Emit +I/-U/+U/-D rows for this commit by joining the batch
+        against the pre-image of the affected keys (executor-side)."""
+        pk = self.primary_key
+        cols = [f.name for f in self.schema.fields]
+        sid_dir = self.paths.changelog_dir(seq)
+        pre = self._merged(batch.sparkSession)
+        if pre is None:
+            changelog = batch.withColumn(
+                "_change_type", F.when(F.col("__op") == "D", "-D").otherwise("+I")
+            )
+            out = changelog.filter(F.col("_change_type") != "-D")  # delete of absent key: no-op
+            out.select(*cols, "_change_type").write.mode("overwrite").parquet(sid_dir)
+            return
+        pre_keys = pre.select(*pk, *[F.col(c).alias(f"__pre_{c}") for c in cols if c not in pk])
+        joined = batch.join(pre_keys, on=pk, how="left")
+        had_pre = F.coalesce(*[F.col(f"__pre_{c}").isNotNull() for c in cols if c not in pk], F.lit(False))
+        post = joined.withColumn(
+            "_change_type",
+            F.when(F.col("__op") == "D", F.lit("-D"))
+            .when(had_pre, F.lit("+U"))
+            .otherwise(F.lit("+I")),
+        ).select(*cols, "_change_type")
+        pre_rows = (
+            joined.filter(had_pre & (F.col("__op") != "D"))
+            .select(*pk, *[F.col(f"__pre_{c}").alias(c) for c in cols if c not in pk])
+            .withColumn("_change_type", F.lit("-U"))
+            .select(*cols, "_change_type")
+        )
+        post.filter((F.col("_change_type") != "-D") | had_pre).unionByName(pre_rows).write.mode(
+            "overwrite"
+        ).parquet(sid_dir)
+
+    # ------------------------------------------------------------------
+    # read path
+    # ------------------------------------------------------------------
+    def _live_files(self, snapshot_id: int | None = None, where: str | None = None) -> list[str]:
+        entries = self.manifest(snapshot_id)
+        if where:
+            entries = prune_entries(entries, where)
+        return [os.path.join(self.paths.root, e["file_path"]) for e in entries]
+
+    def _raw(self, spark: SparkSession, snapshot_id: int | None = None, where: str | None = None):
+        files = self._live_files(snapshot_id, where)
+        if not files:
+            schema = self.schema
+            if self.primary_key:
+                schema = StructType(
+                    schema.fields
+                    + StructType.fromDDL("__op string, __seq long").fields
+                )
+            return spark.createDataFrame([], schema)
+        return spark.read.parquet(*files)
+
+    def _merged(self, spark: SparkSession, snapshot_id: int | None = None, where: str | None = None):
+        """Merge-on-read for PK tables: latest row per key by commit
+        sequence, deletes dropped. None if the table is empty."""
+        if self.latest_snapshot_id() is None:
+            return None
+        raw = self._raw(spark, snapshot_id)
+        pk = self.primary_key
+        cols = [f.name for f in self.schema.fields]
+        w = Window.partitionBy(*pk).orderBy(F.col("__seq").desc())
+        merged = (
+            raw.withColumn("__rn", F.row_number().over(w))
+            .filter((F.col("__rn") == 1) & (F.col("__op") != "D"))
+            .select(*cols)
+        )
+        return merged.filter(where) if where else merged
+
+    def read(
+        self,
+        spark: SparkSession,
+        snapshot_id: int | None = None,
+        where: str | None = None,
+    ) -> DataFrame:
+        """Batch read of a snapshot (default LATEST). ``where`` both
+        prunes whole files via manifest min/max stats AND applies as a
+        normal filter (Catalyst then pushes it into the parquet scan —
+        two pruning layers, SURVEY.md §4)."""
+        if self.primary_key:
+            merged = self._merged(spark, snapshot_id, where)
+            if merged is None:
+                return spark.createDataFrame([], self.schema)
+            return merged
+        df = self._raw(spark, snapshot_id, where)
+        df = df.select(*[f.name for f in self.schema.fields])
+        return df.filter(where) if where else df
+
+    def read_changelog(self, spark: SparkSession, from_seq: int = 0) -> DataFrame:
+        """Changelog read (changelog-producer=input): stored +I/-U/+U/-D
+        rows for commits with sequence > from_seq."""
+        dirs = sorted(glob.glob(os.path.join(self.paths.root, "changelog", "snapshot-*")))
+        dirs = [d for d in dirs if int(os.path.basename(d).split("-")[1]) > from_seq]
+        if not dirs:
+            schema = StructType(
+                self.schema.fields + StructType.fromDDL("_change_type string").fields
+            )
+            return spark.createDataFrame([], schema)
+        return spark.read.parquet(*dirs)
+
+    def incremental_read(
+        self, spark: SparkSession, from_snapshot: int, to_snapshot: int | None = None
+    ) -> DataFrame:
+        """Files added in (from_snapshot, to_snapshot] — the batch
+        equivalent of one streaming micro-batch over the snapshot log."""
+        to_snapshot = to_snapshot or self.latest_snapshot_id()
+        before = {e["file_path"] for e in self.manifest(from_snapshot)} if from_snapshot else set()
+        added = [
+            os.path.join(self.paths.root, e["file_path"])
+            for e in self.manifest(to_snapshot)
+            if e["file_path"] not in before
+        ]
+        if not added:
+            return self._raw(spark, to_snapshot).limit(0)
+        return spark.read.parquet(*added)
+
+    # ------------------------------------------------------------------
+    # operations: compaction, expiry (tutorial/guide.md:172-185,236-272)
+    # ------------------------------------------------------------------
+    def compact(self) -> int | None:
+        """Full compaction: rewrite all live files into one file per
+        bucket at COMPACT_LEVEL. Append tables preserve exact row counts
+        (the reference's invariant, tutorial/guide.md:212-231 vs
+        255-261); PK tables collapse to the merged image with the
+        current max sequence retained."""
+        spark = SparkSession.getActiveSession()
+        latest = self.latest_snapshot_id()
+        if latest is None:
+            return None
+        old = {e["file_path"] for e in self.manifest(latest)}
+        if not old:
+            return None
+        if self.primary_key:
+            seq = self.snapshot(latest)["sequence_number"]
+            merged = self._merged(spark).withColumn("__op", F.lit("U")).withColumn(
+                "__seq", F.lit(seq).cast("long")
+            )
+            _, entries = self._stage_write(merged)
+        else:
+            _, entries = self._stage_write(self._raw(spark))
+        for e in entries:
+            e["level"] = COMPACT_LEVEL
+        return self._commit(entries, "COMPACT", replaced=old)
+
+    def _maybe_auto_compact(self) -> None:
+        """Honor 'full-compaction.delta-commits' (tutorial/guide.md:269):
+        compact automatically every N commits."""
+        delta = self.options.get("full-compaction.delta-commits")
+        if not delta:
+            return
+        latest = self.latest_snapshot_id()
+        snaps = self.snapshots()
+        since = 0
+        for s in reversed(snaps):
+            if s["commit_kind"] == "COMPACT":
+                break
+            since += 1
+        if since >= int(delta) and latest is not None:
+            self.compact()
+
+    def expire_snapshots(
+        self, retain_min: int = 1, retain_max: int | None = None, older_than_ms: int | None = None
+    ) -> list[int]:
+        """Retention (snapshot.num-retained / time-retained,
+        tutorial/guide.md:181-183,266-268): drop expired snapshots and
+        any data files referenced only by them."""
+        snaps = self.snapshots()
+        if not snaps:
+            return []
+        latest = snaps[-1]["id"]
+        keep: set[int] = set()
+        for s in snaps:
+            age_ok = older_than_ms is None or s["timestamp_ms"] >= older_than_ms
+            if age_ok:
+                keep.add(s["id"])
+        # always retain at least retain_min newest, at most retain_max
+        ids = [s["id"] for s in snaps]
+        for sid in ids[-retain_min:]:
+            keep.add(sid)
+        if retain_max is not None:
+            keep = set(sorted(keep)[-retain_max:])
+        keep.add(latest)
+        expired = [sid for sid in ids if sid not in keep]
+        if not expired:
+            return []
+        referenced: set[str] = set()
+        for sid in keep:
+            referenced |= {e["file_path"] for e in self.manifest(sid)}
+        for sid in expired:
+            for e in self.manifest(sid):
+                if e["file_path"] not in referenced:
+                    p = os.path.join(self.paths.root, e["file_path"])
+                    if os.path.exists(p):
+                        os.unlink(p)
+            os.unlink(self.paths.manifest_path(sid))
+            os.unlink(self.paths.snapshot_path(sid))
+        self.paths.write_pointer("EARLIEST", min(keep))
+        return expired
+
+    # ------------------------------------------------------------------
+    # system tables (tutorial/guide.md:200-234; FIXTURES.md A4)
+    # ------------------------------------------------------------------
+    def files_table(self, spark: SparkSession) -> DataFrame:
+        rows = [
+            (
+                e["file_path"],
+                e["level"],
+                e["record_count"],
+                e["file_size_in_bytes"],
+                {k: str(v["min"]) for k, v in e.get("stats", {}).items()},
+                e.get("min_sequence_number", 0),
+                e["creation_time"],
+            )
+            for e in self.manifest()
+        ]
+        schema = (
+            "file_path string, level int, record_count long, file_size_in_bytes long, "
+            "min_value_stats map<string,string>, min_sequence_number long, creation_time timestamp"
+        )
+        import datetime
+
+        rows = [
+            r[:6] + (datetime.datetime.fromtimestamp(r[6] / 1000.0),)
+            for r in rows
+        ]
+        return spark.createDataFrame(rows, schema)
+
+    def snapshots_table(self, spark: SparkSession) -> DataFrame:
+        import datetime
+
+        rows = [
+            (
+                s["id"],
+                s["schema_id"],
+                s["commit_kind"],
+                s.get("commit_identifier"),
+                s["sequence_number"],
+                datetime.datetime.fromtimestamp(s["timestamp_ms"] / 1000.0),
+                s["total_record_count"],
+                s["total_files"],
+            )
+            for s in self.snapshots()
+        ]
+        schema = (
+            "snapshot_id long, schema_id long, commit_kind string, commit_identifier long, "
+            "sequence_number long, commit_time timestamp, total_record_count long, total_files long"
+        )
+        return spark.createDataFrame(rows, schema)
+
+
+# ----------------------------------------------------------------------
+# manifest stats + pruning
+# ----------------------------------------------------------------------
+def _footer_stats(meta) -> dict:
+    """Aggregate parquet row-group min/max into per-column stats."""
+    stats: dict[str, dict] = {}
+    schema_names = [meta.row_group(0).column(i).path_in_schema for i in range(meta.num_columns)] if meta.num_row_groups else []
+    for rg in range(meta.num_row_groups):
+        for i in range(meta.num_columns):
+            col = meta.row_group(rg).column(i)
+            try:
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                _ = st.min, st.max  # may raise for exotic physical types
+            except Exception:
+                continue  # stats are optional; skip columns arrow can't decode
+            name = schema_names[i]
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                try:
+                    mn, mx = mn.decode(), mx.decode()
+                except UnicodeDecodeError:
+                    continue
+            cur = stats.get(name)
+            if cur is None:
+                stats[name] = {"min": mn, "max": mx}
+            else:
+                cur["min"] = min(cur["min"], mn)
+                cur["max"] = max(cur["max"], mx)
+    return {
+        k: {"min": _jsonable(v["min"]), "max": _jsonable(v["max"])} for k, v in stats.items()
+    }
+
+
+def _jsonable(v):
+    import datetime
+
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    return v
+
+
+def prune_entries(entries: list[dict], where: str) -> list[dict]:
+    """File-level pruning for conjunctions of `col <op> literal`
+    (op ∈ {=, <, <=, >, >=}). Anything unparseable keeps the file
+    (pruning is an optimization, never a filter)."""
+    import re
+
+    conds = []
+    for part in re.split(r"(?i)\s+and\s+", where.strip()):
+        m = re.match(r"^\s*(\w+)\s*(<=|>=|=|==|<|>)\s*('([^']*)'|[-0-9.eE]+)\s*$", part)
+        if not m:
+            return entries  # unsupported shape → no pruning
+        col, op, lit_raw, lit_str = m.groups()
+        value = lit_str if lit_str is not None else float(lit_raw)
+        conds.append((col, op, value))
+
+    def keep(entry: dict) -> bool:
+        for col, op, value in conds:
+            st = entry.get("stats", {}).get(col)
+            if st is None:
+                continue
+            mn, mx = st["min"], st["max"]
+            if isinstance(value, float) and isinstance(mn, (int, float)):
+                pass
+            elif isinstance(value, str) and isinstance(mn, str):
+                pass
+            else:
+                continue
+            if op in ("=", "==") and (value < mn or value > mx):
+                return False
+            if op == "<" and mn >= value:
+                return False
+            if op == "<=" and mn > value:
+                return False
+            if op == ">" and mx <= value:
+                return False
+            if op == ">=" and mx < value:
+                return False
+        return True
+
+    return [e for e in entries if keep(e)]

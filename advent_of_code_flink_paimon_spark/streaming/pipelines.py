@@ -1,0 +1,76 @@
+"""Named continuous pipelines: readStream → transform → lakehouse sink.
+
+The Spark expression of the reference's `INSERT INTO … SELECT` streaming
+jobs (tutorial/guide.md:36-40,78-81: `pipeline.name`, 20 s checkpoint →
+one snapshot per trigger). ``foreachBatch`` plays the Writer role on
+executors; the table layer's snapshot commit is the Global Committer on
+the driver (assets/output1.png DAG); ``commit_identifier=batch_id``
+makes replayed batches no-ops → exactly-once end to end.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from advent_of_code_flink_paimon_spark.lakehouse.table import Table
+
+
+class Pipeline:
+    """`INSERT INTO <table> SELECT … FROM <source>` as a named streaming
+    job (mode='append' | 'upsert' | 'overwrite')."""
+
+    def __init__(
+        self,
+        name: str,
+        source: DataFrame,
+        target: Table,
+        mode: str = "append",
+        trigger_seconds: int | None = 20,
+        checkpoint_dir: str | None = None,
+        available_now: bool = False,
+        transform=None,
+    ):
+        self.name, self.source, self.target, self.mode = name, source, target, mode
+        self.trigger_seconds = trigger_seconds
+        self.available_now = available_now
+        self.transform = transform
+        self.checkpoint_dir = checkpoint_dir or os.path.join(
+            target.paths.root, f".checkpoint-{name}"
+        )
+
+    def _sink(self, batch_df: DataFrame, batch_id: int) -> None:
+        if self.transform is not None:
+            batch_df = self.transform(batch_df)
+        commit = {
+            "append": self.target.append,
+            "upsert": self.target.upsert,
+            "overwrite": self.target.overwrite,
+        }[self.mode]
+        commit(batch_df, commit_identifier=batch_id)
+
+    def start(self) -> StreamingQuery:
+        writer = (
+            self.source.writeStream.queryName(self.name)
+            .foreachBatch(self._sink)
+            .option("checkpointLocation", self.checkpoint_dir)
+        )
+        if self.available_now:
+            writer = writer.trigger(availableNow=True)
+        elif self.trigger_seconds:
+            writer = writer.trigger(processingTime=f"{self.trigger_seconds} seconds")
+        return writer.start()
+
+
+def stream_table_files(spark: SparkSession, table: Table, max_files_per_trigger: int | None = None) -> DataFrame:
+    """Streaming scan of an append lakehouse table: Spark's file source
+    watches the bucket directories and emits newly committed data files
+    as micro-batches — the 'each new snapshot = one micro-batch'
+    semantic of SURVEY.md §2.1. (PK tables stream via read_changelog.)
+    """
+    reader = spark.readStream.schema(table.schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(os.path.join(table.paths.root, "bucket-*"))

@@ -1,0 +1,254 @@
+"""Behavioral tests for the lakehouse table layer (SURVEY.md §5 [S]
+capabilities — snapshot semantics, upsert invariant, compaction
+invariant, system tables, changelog, retention)."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+from advent_of_code_flink_paimon_spark.lakehouse.table import prune_entries
+
+
+@pytest.fixture()
+def catalog(tmp_path):
+    return Catalog(str(tmp_path / "warehouse"))
+
+
+def _measurements(spark, n, start=0):
+    """Reference-shaped measurements rows (FIXTURES.md A1)."""
+    return (
+        spark.range(start, start + n)
+        .select(
+            F.pmod(F.col("id"), F.lit(1001)).alias("sensor_id"),
+            (F.pmod(F.col("id") * 7, F.lit(450)) / 10.0).cast("decimal(5,1)").alias("reading"),
+            F.timestamp_millis(F.lit(1700000000000) + F.col("id")).alias("event_time"),
+        )
+    )
+
+
+def test_append_roundtrip_bucketed(spark, catalog):
+    t = catalog.create_table(
+        "measurements",
+        "sensor_id long, reading decimal(5,1), event_time timestamp",
+        {"bucket": "2", "bucket-key": "sensor_id", "file.format": "parquet"},
+    )
+    df = _measurements(spark, 1000)
+    sid = t.append(df)
+    assert sid == 1
+    out = t.read(spark)
+    assert out.count() == 1000
+    assert set(out.columns) == {"sensor_id", "reading", "event_time"}
+    # physical layout: hash-bucketed dirs, like assets/output4.png
+    assert os.path.isdir(t.paths.bucket_dir(0)) and os.path.isdir(t.paths.bucket_dir(1))
+    # bucket routing is consistent: same key never lands in two buckets
+    b0 = spark.read.parquet(t.paths.bucket_dir(0)).select("sensor_id").distinct()
+    b1 = spark.read.parquet(t.paths.bucket_dir(1)).select("sensor_id").distinct()
+    assert b0.join(b1, "sensor_id").count() == 0
+
+
+def test_one_snapshot_per_commit_and_time_travel(spark, catalog):
+    t = catalog.create_table("m", "sensor_id long, reading decimal(5,1), event_time timestamp")
+    for i in range(3):
+        t.append(_measurements(spark, 100, start=i * 100))
+    assert t.latest_snapshot_id() == 3
+    assert [s["id"] for s in t.snapshots()] == [1, 2, 3]
+    assert t.read(spark).count() == 300
+    assert t.read(spark, snapshot_id=2).count() == 200  # time travel
+    assert t.incremental_read(spark, 1, 2).count() == 100  # snapshot diff
+
+
+def test_exactly_once_commit_identifier(spark, catalog):
+    t = catalog.create_table("m", "sensor_id long, reading decimal(5,1), event_time timestamp")
+    df = _measurements(spark, 50)
+    assert t.append(df, commit_identifier=7) == 1
+    assert t.append(df, commit_identifier=7) is None  # replayed batch → no-op
+    assert t.read(spark).count() == 50
+    assert t.latest_snapshot_id() == 1
+
+
+def test_upsert_invariant_count_equals_distinct_keys(spark, catalog):
+    """The reference invariant (tutorial/guide.md:90-96): a PK table's
+    COUNT(*) equals distinct keys ever written, however many upserts."""
+    t = catalog.create_table(
+        "sensor_info",
+        "sensor_id long, latitude double, longitude double, generation int, updated_at timestamp",
+        {"primary-key": "sensor_id", "bucket": "1", "changelog-producer": "input"},
+    )
+    base = spark.range(0, 1000).select(
+        F.col("id").alias("sensor_id"),
+        (F.col("id") * 0.1).alias("latitude"),
+        (F.col("id") * 0.2).alias("longitude"),
+        F.lit(1).alias("generation"),
+        F.timestamp_millis(F.lit(1700000000000)).alias("updated_at"),
+    )
+    t.upsert(base)
+    # overwrite 400 keys, add 100 new → 1100 distinct
+    upd = spark.range(600, 1100).select(
+        F.col("id").alias("sensor_id"),
+        F.lit(-1.0).alias("latitude"),
+        F.lit(-2.0).alias("longitude"),
+        F.lit(2).alias("generation"),
+        F.timestamp_millis(F.lit(1700000001000)).alias("updated_at"),
+    )
+    t.upsert(upd)
+    out = t.read(spark)
+    assert out.count() == 1100
+    assert out.count() == out.select("sensor_id").distinct().count()
+    # last-write-wins
+    assert out.filter("sensor_id = 700").collect()[0].generation == 2
+    assert out.filter("sensor_id = 100").collect()[0].generation == 1
+
+
+def test_upsert_delete(spark, catalog):
+    t = catalog.create_table(
+        "s", "k long, v string", {"primary-key": "k"}
+    )
+    t.upsert(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string"))
+    dels = spark.createDataFrame([(2, "b")], "k long, v string").withColumn("__op", F.lit("D"))
+    t.upsert(dels)
+    assert sorted(r.k for r in t.read(spark).collect()) == [1, 3]
+
+
+def test_changelog_producer_input(spark, catalog):
+    t = catalog.create_table(
+        "s", "k long, v string", {"primary-key": "k", "changelog-producer": "input"}
+    )
+    t.upsert(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    t.upsert(spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string"))
+    cl = t.read_changelog(spark).collect()
+    kinds = sorted((r.k, r._change_type) for r in cl)
+    assert kinds == [(1, "+I"), (2, "+I"), (2, "+U"), (2, "-U"), (3, "+I")]
+    # changelog reconstructs table state: apply +I/+U keep-last, drop -U/-D
+    assert sorted((r.k, r.v) for r in cl if r._change_type in ("+I", "+U") and (r.k, r._change_type) != (2, "+I")) == [
+        (1, "a"),
+        (2, "B"),
+        (3, "c"),
+    ]
+
+
+def test_compaction_preserves_rows_reduces_files(spark, catalog):
+    """The reference compaction invariant (tutorial/guide.md:212-231 vs
+    255-261): record counts preserved, file count drops, level rises."""
+    t = catalog.create_table(
+        "m",
+        "sensor_id long, reading decimal(5,1), event_time timestamp",
+        {"bucket": "2", "bucket-key": "sensor_id"},
+    )
+    for i in range(5):
+        t.append(_measurements(spark, 200, start=i * 200))
+    before = t.files_table(spark).collect()
+    rows_before = sum(r.record_count for r in before)
+    assert len(before) >= 10  # ≥ 2 buckets × 5 commits
+    assert all(r.level == 0 for r in before)
+
+    t.compact()
+    after = t.files_table(spark).collect()
+    assert sum(r.record_count for r in after) == rows_before == 1000
+    assert len(after) == 2  # one file per bucket
+    assert all(r.level == 5 for r in after)
+    assert t.read(spark).count() == 1000
+    assert t.snapshots()[-1]["commit_kind"] == "COMPACT"
+
+
+def test_pk_compaction_collapses_to_merged_image(spark, catalog):
+    t = catalog.create_table("s", "k long, v string", {"primary-key": "k"})
+    t.upsert(spark.createDataFrame([(i, "v0") for i in range(100)], "k long, v string"))
+    t.upsert(spark.createDataFrame([(i, "v1") for i in range(50)], "k long, v string"))
+    t.compact()
+    assert t.read(spark).count() == 100
+    assert t.read(spark).filter("v = 'v1'").count() == 50
+    assert len(t.manifest()) == 1
+    # further upserts after compaction still win
+    t.upsert(spark.createDataFrame([(0, "v2")], "k long, v string"))
+    assert t.read(spark).filter("k = 0").collect()[0].v == "v2"
+
+
+def test_auto_compact_on_delta_commits(spark, catalog):
+    t = catalog.create_table(
+        "m",
+        "sensor_id long, reading decimal(5,1), event_time timestamp",
+        {"full-compaction.delta-commits": "3"},
+    )
+    for i in range(3):
+        t.append(_measurements(spark, 10, start=i * 10))
+    kinds = [s["commit_kind"] for s in t.snapshots()]
+    assert kinds[-1] == "COMPACT" and kinds[:-1] == ["APPEND"] * 3
+    assert t.read(spark).count() == 30
+
+
+def test_expire_snapshots(spark, catalog):
+    t = catalog.create_table("m", "sensor_id long, reading decimal(5,1), event_time timestamp")
+    for i in range(4):
+        t.append(_measurements(spark, 10, start=i * 10))
+    expired = t.expire_snapshots(retain_min=2, retain_max=2)
+    assert expired == [1, 2]
+    assert t.paths.read_pointer("EARLIEST") == 3
+    assert t.read(spark).count() == 40  # latest unaffected
+    with pytest.raises(FileNotFoundError):
+        t.snapshot(1)
+
+
+def test_alter_table_bumps_schema_version(spark, catalog):
+    catalog.create_table("m", "k long, v string", {"bucket": "1"})
+    t = catalog.get_table("m")
+    assert t.schema_version == 0
+    catalog.alter_table("m", {"snapshot.num-retained.min": "1"})
+    assert t.schema_version == 1
+    assert t.options["snapshot.num-retained.min"] == "1"
+    assert t.options["bucket"] == "1"  # previous options carried forward
+
+
+def test_files_system_table_schema(spark, catalog):
+    """$files column contract per FIXTURES.md A4 / tutorial/guide.md:200-208."""
+    t = catalog.create_table("m", "sensor_id long, reading decimal(5,1), event_time timestamp")
+    t.append(_measurements(spark, 100))
+    ft = t.files_table(spark)
+    assert [f.name for f in ft.schema.fields] == [
+        "file_path",
+        "level",
+        "record_count",
+        "file_size_in_bytes",
+        "min_value_stats",
+        "min_sequence_number",
+        "creation_time",
+    ]
+    row = ft.collect()[0]
+    assert row.record_count == 100
+    assert row.file_size_in_bytes > 0
+    assert "sensor_id" in row.min_value_stats
+
+
+def test_sql_system_table_rewrite(spark, catalog):
+    t = catalog.create_table("m", "sensor_id long, reading decimal(5,1), event_time timestamp")
+    t.append(_measurements(spark, 100))
+    got = catalog.sql(spark, "SELECT SUM(record_count) AS rc FROM m$files").collect()
+    assert got[0].rc == 100
+    snaps = catalog.sql(spark, "SELECT COUNT(*) AS n FROM m$snapshots").collect()
+    assert snaps[0].n == 1
+    cnt = catalog.sql(spark, "SELECT COUNT(*) AS n FROM m").collect()
+    assert cnt[0].n == 100
+
+
+def test_manifest_file_pruning(spark, catalog):
+    t = catalog.create_table("m", "sensor_id long, reading decimal(5,1), event_time timestamp")
+    # three commits with disjoint sensor_id ranges → prunable files
+    for lo in (0, 1000, 2000):
+        df = spark.range(lo, lo + 500).select(
+            F.col("id").alias("sensor_id"),
+            F.lit(1.0).cast("decimal(5,1)").alias("reading"),
+            F.timestamp_millis(F.lit(1700000000000)).alias("event_time"),
+        )
+        t.append(df)
+    entries = t.manifest()
+    assert len(prune_entries(entries, "sensor_id >= 2000")) == 1
+    # files cover [0,499], [1000,1499], [2000,2499] → only the middle one
+    assert len(prune_entries(entries, "sensor_id >= 500 AND sensor_id < 1500")) == 1
+    assert len(prune_entries(entries, "sensor_id <= 1200")) == 2
+    # unsupported predicate shapes keep everything (pruning is safe)
+    assert len(prune_entries(entries, "sensor_id % 2 = 0")) == 3
+    got = t.read(spark, where="sensor_id >= 2000")
+    assert got.count() == 500

@@ -1,0 +1,207 @@
+"""Streaming behavioral tests (SURVEY.md §5): ingestion commits one
+snapshot per trigger, batch reads see committed rows, the lookup-join
+pipeline enriches with retry-on-miss — the full tutorial workload
+(tutorial/guide.md:23-165) end to end on the engine's own primitives."""
+
+from __future__ import annotations
+
+import time
+
+import pyspark.sql.functions as F
+import pytest
+
+from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+from advent_of_code_flink_paimon_spark.sources.datagen import (
+    measurements_batch,
+    measurements_stream,
+    sensor_info_static,
+)
+from advent_of_code_flink_paimon_spark.streaming import (
+    LookupJoinPipeline,
+    Pipeline,
+    stream_table_files,
+)
+
+MEASUREMENTS_DDL = "sensor_id long, reading decimal(5,1), event_time timestamp"
+SENSOR_DDL = (
+    "sensor_id long, latitude double, longitude double, generation int, updated_at timestamp"
+)
+ENRICHED_DDL = (
+    "sensor_id long, reading decimal(5,1), event_time timestamp, "
+    "latitude double, longitude double, generation int, updated_at timestamp"
+)
+
+
+@pytest.fixture()
+def catalog(tmp_path):
+    return Catalog(str(tmp_path / "warehouse"))
+
+
+def _wait(predicate, timeout=60, interval=0.5):
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        if predicate():
+            return True
+        time.sleep(interval)
+    return False
+
+
+def test_datagen_synthesis_ranges(spark):
+    df = measurements_batch(spark, 5000)
+    row = df.agg(
+        F.min("sensor_id"), F.max("sensor_id"), F.min("reading"), F.max("reading")
+    ).collect()[0]
+    assert row[0] >= 0 and row[1] <= 1000
+    assert float(row[2]) >= 0.0 and float(row[3]) <= 45.0
+    dim = sensor_info_static(spark, 1000)
+    assert dim.count() == 1000
+    assert dim.agg(F.min("sensor_id"), F.max("sensor_id")).collect()[0] == (1, 1000)
+    assert dim.filter("latitude < -90 OR latitude > 90").count() == 0
+    assert dim.filter("generation NOT IN (0,1,2,3)").count() == 0
+
+
+def test_ingestion_pipeline_snapshot_per_trigger(spark, catalog, tmp_path):
+    """Continuous INSERT INTO (tutorial/guide.md:36-40): every micro-batch
+    becomes exactly one snapshot; batch reads see exactly the committed
+    rows (stream/batch unification, tutorial/guide.md:51-56)."""
+    t = catalog.create_table(
+        "measurements", MEASUREMENTS_DDL, {"bucket": "2", "bucket-key": "sensor_id"}
+    )
+    stream = measurements_stream(spark, rows_per_second=1000, trigger_seconds=1)
+    pipe = Pipeline(
+        "measurements_ingest",
+        stream,
+        t,
+        trigger_seconds=None,  # as fast as possible for the test
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q = pipe.start()
+    try:
+        assert _wait(lambda: (t.latest_snapshot_id() or 0) >= 3, timeout=90)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    snaps = t.snapshots()
+    assert len(snaps) >= 3
+    # one commit identifier per micro-batch, strictly increasing
+    idents = [s["commit_identifier"] for s in snaps]
+    assert idents == sorted(idents) and len(set(idents)) == len(idents)
+    # batch read sees exactly the committed row count (1000 rows/batch)
+    assert t.read(spark).count() == sum(s["added_files"] and 1000 for s in snaps)
+
+
+def test_bounded_ingest_available_now(spark, catalog, tmp_path):
+    """Bounded source → availableNow trigger drains it and terminates
+    (the reference's bounded datagen sequence, Readme.md:155-157)."""
+    t = catalog.create_table("m", MEASUREMENTS_DDL)
+    stream = measurements_stream(spark, rows_per_second=500, trigger_seconds=1)
+    pipe = Pipeline(
+        "bounded", stream, t, available_now=True, checkpoint_dir=str(tmp_path / "c2")
+    )
+    q = pipe.start()
+    q.awaitTermination(60)
+    assert t.read(spark).count() >= 500
+    assert t.latest_snapshot_id() >= 1
+
+
+def test_upsert_pipeline_invariant(spark, catalog, tmp_path):
+    """Streaming upserts into a PK table keep COUNT(*) == distinct keys
+    (tutorial/guide.md:88-96) under continuous redelivery of keys."""
+    t = catalog.create_table("sensor_info", SENSOR_DDL, {"primary-key": "sensor_id"})
+    # re-deliver overlapping key ranges across micro-batches
+    stream = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 300)
+        .load()
+        .select((F.pmod(F.col("value"), F.lit(500)) + 1).alias("sensor_id"), F.col("timestamp"))
+        .select(
+            "sensor_id",
+            (F.col("sensor_id") * 0.1).alias("latitude"),
+            (F.col("sensor_id") * 0.2).alias("longitude"),
+            F.lit(0).alias("generation"),
+            F.col("timestamp").alias("updated_at"),
+        )
+    )
+    pipe = Pipeline("sensor_upsert", stream, t, mode="upsert", trigger_seconds=None,
+                    checkpoint_dir=str(tmp_path / "c3"))
+    q = pipe.start()
+    try:
+        assert _wait(lambda: (t.latest_snapshot_id() or 0) >= 3, timeout=90)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    out = t.read(spark)
+    n, d = out.count(), out.select("sensor_id").distinct().count()
+    assert n == d <= 500
+
+
+def test_lookup_join_enrichment_with_retry(spark, catalog, tmp_path):
+    """The tutorial's enrichment pipeline (tutorial/guide.md:119-141):
+    matches enrich immediately; misses wait in the retry queue and join
+    as soon as the dimension catches up (retry-predicate=lookup_miss)."""
+    dim = catalog.create_table("sensor_info", SENSOR_DDL, {"primary-key": "sensor_id"})
+    # dimension knows only sensors 1..500 at first
+    dim.upsert(sensor_info_static(spark, 500))
+    enriched = catalog.create_table(
+        "measurements_enriched", ENRICHED_DDL, {"bucket": "1", "bucket-key": "sensor_id"}
+    )
+    stream = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 200)
+        .load()
+        .select(
+            (F.pmod(F.col("value"), F.lit(1000)) + 1).alias("sensor_id"),
+            F.lit(20.0).cast("decimal(5,1)").alias("reading"),
+            F.col("timestamp").alias("event_time"),
+        )
+    )
+    pipe = LookupJoinPipeline(
+        "enrich",
+        catalog,
+        stream,
+        dim_table=dim,
+        target_table=enriched,
+        on="sensor_id",
+        max_attempts=50,
+        checkpoint_dir=str(tmp_path / "c4"),
+    )
+    q = pipe.start()
+    try:
+        assert _wait(lambda: (enriched.latest_snapshot_id() or 0) >= 2, timeout=90)
+        # the retry queue holds the misses (sensors 501..1000)
+        assert _wait(lambda: pipe.retry.latest_snapshot_id() is not None, timeout=30)
+        missed = pipe.retry.read(spark)
+        assert missed.filter("sensor_id <= 500").count() == 0
+        # dimension catches up → next batches drain the queue
+        dim.upsert(sensor_info_static(spark, 1000))
+        assert _wait(
+            lambda: pipe.retry.read(spark).count() == 0
+            and enriched.read(spark).filter("sensor_id > 500").count() > 0,
+            timeout=90,
+        )
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    out = enriched.read(spark)
+    # every enriched row carries attributes consistent with some committed
+    # dimension version (FIXTURES.md A3 invariant)
+    bad = out.join(
+        dim.read(spark).select("sensor_id", F.col("generation").alias("g")), "sensor_id"
+    ).filter("generation <> g")
+    assert bad.count() == 0
+    assert out.filter("latitude IS NULL").count() == 0
+
+
+def test_stream_table_files_source(spark, catalog, tmp_path):
+    """File-backed streaming scan of a lakehouse table: committed files
+    feed a downstream streaming query (stream/batch unification over one
+    storage layer)."""
+    t = catalog.create_table("m", MEASUREMENTS_DDL)
+    t.append(measurements_batch(spark, 400))
+    downstream = catalog.create_table("m_copy", MEASUREMENTS_DDL)
+    stream = stream_table_files(spark, t)
+    pipe = Pipeline("copy", stream, downstream, available_now=True,
+                    checkpoint_dir=str(tmp_path / "c5"))
+    q = pipe.start()
+    q.awaitTermination(60)
+    assert downstream.read(spark).count() == 400
