@@ -1,0 +1,239 @@
+"""Temporal & analytical operator pack (SURVEY.md §2.3/2.5/2.6 extensions).
+
+Operators the reference's SQL surface implies but never exercises, plus
+the time-series shapes a sensor/event workload needs at scale: event-time
+as-of join, banded range join, time-bucket (hypertable-style) rollup,
+cube with grouping ids, exact percentiles, and gap-based sessionization.
+
+Scale notes (100 TB):
+- The as-of join is a SINGLE shuffle on the partition key (union + one
+  window pass) — never a per-row range probe and never a join explosion;
+  this is the merge-as-of pattern (SURVEY.md §2.3 "event-time as-of").
+- Sessionization is the same single-window-pass shape (lag + running sum).
+- The range join broadcasts the (tiny) band table; at scale a banded
+  equi-join (floor(value/width)) replaces the nested-loop entirely.
+- Rollup/cube/percentile are Catalyst built-ins: partial+final agg.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from advent_of_code_flink_paimon_spark.operators.registry import T, query
+
+
+@query(
+    "q29_asof_join",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts, MAX(c.ts) AS last_click_ts
+    FROM events p
+    LEFT JOIN events c
+      ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id, p.user_id, p.ts
+    """,
+)
+def q29_asof_join(spark, sf_dir):
+    """Event-time AS-OF join: for every purchase, the most recent click
+    by the same user at-or-before the purchase time.
+
+    Implemented as union + one running-max window (merge-as-of): tag the
+    two event kinds, sort per user by (ts, clicks-first-on-ties), and
+    take the running max of click timestamps. One shuffle on user_id,
+    zero joins — the scalable form; a range join here would re-shuffle
+    and risk quadratic per-user blowup on hot keys."""
+    e = T(spark, sf_dir, "events")
+    tagged = e.filter(F.col("event_type").isin("purchase", "click")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+    )
+    # clicks sort before purchases at equal ts so `c.ts <= p.ts` is inclusive
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_type"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn("last_click_ts", F.max("click_ts").over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "last_click_ts")
+    )
+
+
+@query(
+    "q30_range_join",
+    oracle="""
+    WITH bands(band_name, lo, hi) AS (
+        VALUES ('low', 0.0, 50.0), ('mid', 50.0, 200.0), ('high', 200.0, 500.0)
+    )
+    SELECT b.band_name, e.event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(e.value AS DECIMAL(18,2))) AS sum_value
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band_name, e.event_type
+    """,
+)
+def q30_range_join(spark, sf_dir):
+    """Banded range join: events bucketed into value bands via an
+    interval predicate against a broadcast dimension.
+
+    The band table is tiny → broadcast nested-loop, which Catalyst picks
+    automatically for a broadcast side with a non-equi condition; the
+    fact side streams through with no shuffle. At 100 TB this stays a
+    single scan; if the band table grew, the rewrite is
+    floor(value/width) equi-join."""
+    e = T(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 200.0), ("high", 200.0, 500.0)],
+        "band_name string, lo double, hi double",
+    )
+    return (
+        e.join(F.broadcast(bands), (e.value >= bands.lo) & (e.value < bands.hi))
+        .groupBy("band_name", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "q31_time_bucket_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, event_type,
+           COUNT(*) AS n,
+           SUM(CAST(value AS DECIMAL(18,2))) AS sum_value,
+           ROUND(MIN(value), 4) AS min_value,
+           ROUND(MAX(value), 4) AS max_value
+    FROM events
+    GROUP BY CAST(date_trunc('day', ts) AS TIMESTAMP), event_type
+    """,
+)
+def q31_time_bucket_rollup(spark, sf_dir):
+    """Hypertable-style continuous-aggregate shape: per-(time bucket,
+    type) rollup of the event stream. date_trunc is a pure projection →
+    the groupBy shuffles pre-reduced partial aggregates only.
+
+    The per-bucket mean is emitted as exact-decimal SUM + COUNT (the
+    consumer divides): any engine-side division lands on round-half
+    ties (e.g. 307.03/8 = 38.37875 exactly) where Spark rounds the
+    decimal string HALF_UP and DuckDB rounds the binary double — sum
+    and count are tie-free and exact."""
+    e = T(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_trunc("day", "ts").alias("bucket"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+    )
+
+
+@query(
+    "q32_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) + 2 * GROUPING(l_linestatus) AS gid,
+           COUNT(*) AS n,
+           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q32_cube(spark, sf_dir):
+    """CUBE over (returnflag, linestatus) with a grouping id — the
+    multi-dimensional rollup surface (SURVEY.md §2.4 'grouping sets').
+    Spark expands the cube before the partial agg; 4 grouping sets over
+    2 low-cardinality keys stay tiny at any scale.
+
+    gid encodes which columns are aggregated away, bit 0 = returnflag,
+    bit 1 = linestatus (Spark's GROUPING() and DuckDB's agree: 1 when
+    the column is rolled up)."""
+    l = T(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus").agg(
+            (F.grouping("l_returnflag") + F.lit(2) * F.grouping("l_linestatus")).alias("gid"),
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+        )
+    ).select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
+
+
+@query(
+    "q33_percentiles",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 4) AS p50,
+           ROUND(quantile_cont(value, 0.9), 4) AS p90,
+           ROUND(quantile_cont(value, 0.99), 4) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def q33_percentiles(spark, sf_dir):
+    """Exact linear-interpolated percentiles per group (Spark
+    `percentile` == DuckDB `quantile_cont`). The exact form sorts within
+    the agg; the declared scale path is `approx_percentile` (t-digest,
+    mergeable, one pass) — kept exact here for the oracle gate."""
+    e = T(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
+@query(
+    "q34_sessionize",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM gaps
+    )
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def q34_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min idle timeout): lag + running sum
+    assigns session ids in one window pass, then per-session rollup.
+    One shuffle on user_id shared by both windows and the final agg
+    (same partitioning → Catalyst reuses the exchange). The streaming
+    twin is `session_window` (tests/test_streaming.py)."""
+    e = T(spark, sf_dir, "events")
+    # tiebreak on event_id: ts alone is not unique per user; gap compared
+    # in µs (cast-to-long would truncate and disagree with the oracle's
+    # exact INTERVAL comparison on sub-second gaps)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    sess = e.withColumn(
+        "is_new",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
+    ).withColumn(
+        "session_id",
+        F.sum("is_new").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
