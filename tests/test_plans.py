@@ -1,0 +1,114 @@
+"""Physical-plan audit (the 100 TB scale gate, SURVEY.md §4).
+
+Correct results are necessary but not sufficient — these tests pin the
+*plans*: filters reach the parquet scan, small dims broadcast, top-k
+never global-sorts, aggregation is partial+final, and no Python shows
+up in JVM-only pipelines. A regression here is a silent 10-100× cost
+at cluster scale long before it's a wrong answer.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_ORACLE
+
+QUERIES = entrymod.queries()
+
+
+def plan_of(spark, name: str, mode: str = "formatted") -> str:
+    df = QUERIES[name](spark, SF_ORACLE)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """q05's range predicate must appear in the parquet scan's
+    PushedFilters, not only as a post-scan Filter node."""
+    plan = plan_of(spark, "q05_filter_range")
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed, plan
+    assert any("GreaterThan" in ln or "LessThan" in ln or "IsNotNull" in ln for ln in pushed), pushed
+
+
+def test_column_pruning_reaches_scan(spark):
+    """q03 projects 3 columns; the scan must not read the full schema."""
+    plan = plan_of(spark, "q03_project_reorder")
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read, plan
+    # lineitem has 11 columns; a pruned read mentions far fewer
+    assert all(ln.count(":") <= 6 for ln in read), read
+
+
+def test_small_dims_broadcast(spark):
+    """Equi-joins against small dimensions must be broadcast-hash, not
+    sort-merge: a sort-merge here shuffles the 100 TB fact side."""
+    for q in ["q08_join_inner_broadcast", "q12_join_multi_chain", "q28_enrichment_join"]:
+        plan = plan_of(spark, q)
+        assert "BroadcastHashJoin" in plan, f"{q}: no broadcast join\n{plan}"
+    # the fact-side pre-aggregation of q28 must survive (partial-agg pushdown)
+    p28 = plan_of(spark, "q28_enrichment_join")
+    assert p28.count("HashAggregate") >= 4, p28  # pre-agg (2 phases) + final rollup (2)
+
+
+def test_range_join_broadcasts_band_table(spark):
+    plan = plan_of(spark, "q30_range_join")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_topk_is_take_ordered_not_global_sort(spark):
+    """ORDER BY + LIMIT must compile to TakeOrderedAndProject (per-partition
+    heap + driver merge), never a full Exchange+Sort of the table."""
+    plan = plan_of(spark, "q18_topk_orderby")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_aggregation_is_partial_final(spark):
+    """Grouped agg must map-side combine (two HashAggregate phases) so the
+    shuffle carries pre-reduced state, not raw rows."""
+    plan = plan_of(spark, "q14_agg_grouped")
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_no_python_in_jvm_only_pipelines(spark):
+    """Relational + shingle-based dedup paths are pure JVM: any
+    BatchEvalPython/ArrowEvalPython node is a 10-100× regression."""
+    jvm_only = [n for n in QUERIES if n.startswith("q")] + [
+        "x01_dedup_exact",
+        "x02_fingerprint_dedup",
+        "x03_dedup_minhash_lsh",
+        "x05_ngram_jaccard_join",
+        "x06_dedup_embedding_cosine",
+        "x20_text_stats",
+        "x22_token_count",
+    ]
+    for q in jvm_only:
+        plan = plan_of(spark, q, mode="simple")
+        assert "EvalPython" not in plan, f"{q} has a Python eval node\n{plan}"
+
+
+def test_whole_stage_codegen_covers_flagship(spark):
+    """AQE wraps the plan pre-execution, so ask codegen mode directly —
+    it compiles and reports the WholeStageCodegen subtrees."""
+    plan = plan_of(spark, "q01_pricing_summary", mode="codegen")
+    assert "WholeStageCodegen" in plan, plan[:2000]
+
+
+def test_asof_join_is_single_window_pass(spark):
+    """The as-of join must stay a join-free single window pass: one
+    Exchange (hashpartitioning on user_id), zero joins."""
+    plan = plan_of(spark, "q29_asof_join", mode="simple")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_sessionize_reuses_exchange(spark):
+    """Sessionization's two windows + final agg all partition on user_id —
+    at most one shuffle of the events table may remain (AQE may add a
+    post-agg coalesce, so count hashpartitioning exchanges only)."""
+    plan = plan_of(spark, "q34_sessionize")
+    n_hash_exchanges = sum(
+        1 for ln in plan.splitlines() if "Exchange hashpartitioning" in ln and "REUSED" not in ln
+    )
+    assert n_hash_exchanges <= 2, plan
