@@ -1,10 +1,26 @@
 """Continuous pipelines over lakehouse tables (reference:
-tutorial/guide.md:36-141)."""
+tutorial/guide.md:36-141) plus the event-time window layer."""
 
+from advent_of_code_flink_paimon_spark.streaming.lookup_join import LookupJoinPipeline
 from advent_of_code_flink_paimon_spark.streaming.pipelines import (
     Pipeline,
     stream_table_files,
 )
-from advent_of_code_flink_paimon_spark.streaming.lookup_join import LookupJoinPipeline
+from advent_of_code_flink_paimon_spark.streaming.windows import (
+    dedup_within_watermark,
+    session_agg,
+    sliding_agg,
+    stateful_ewma,
+    tumbling_agg,
+)
 
-__all__ = ["Pipeline", "LookupJoinPipeline", "stream_table_files"]
+__all__ = [
+    "Pipeline",
+    "LookupJoinPipeline",
+    "stream_table_files",
+    "tumbling_agg",
+    "sliding_agg",
+    "session_agg",
+    "dedup_within_watermark",
+    "stateful_ewma",
+]

@@ -1,0 +1,141 @@
+"""Event-time windowed operators over streams (SURVEY.md §2.9 extension).
+
+The reference is purely processing-time (PROCTIME(), tutorial/guide.md:26;
+no WATERMARK clause anywhere), so none of this is parity surface — it is
+the Spark-native event-time layer a sensor/event workload needs once late
+data matters: watermarked tumbling/sliding/session windows, stream dedup
+within a watermark, and a custom stateful per-key operator
+(applyInPandasWithState) for semantics the built-ins can't express.
+
+Scale notes: every windowed agg below is a keyed-state streaming agg —
+state is partitioned by (key, window) across executors, watermarks bound
+state size, and the shuffle carries partial aggregates. The stateful
+EWMA keeps O(1) state per key.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def tumbling_agg(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window rollup: count + sum(value) per
+    (window, keys). Late rows beyond the watermark are dropped; closed
+    windows emit finalized rows in append mode."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("win"), *key_cols)
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *key_cols,
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_agg(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    window: str = "2 minutes",
+    slide: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Watermarked sliding-window rollup (window/slide)."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window, slide).alias("win"), *key_cols)
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *key_cols,
+            "n",
+        )
+    )
+
+
+def session_agg(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    gap: str = "30 seconds",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Session windows with an idle gap — the streaming twin of the
+    batch q34_sessionize (operators/temporal.py)."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("sess"), *key_cols)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            *key_cols,
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(df: DataFrame, keys: list[str], ts_col: str, watermark: str = "2 minutes") -> DataFrame:
+    """Stream dedup: first occurrence per key wins; duplicate arrivals
+    within the watermark horizon are dropped, state expires with the
+    watermark (bounded memory — the streaming form of exact dedup,
+    SURVEY.md §2.11)."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def stateful_ewma(
+    df: DataFrame,
+    key_col: str = "sensor_id",
+    value_col: str = "reading",
+    ts_col: str = "event_time",
+    alpha: float = 0.3,
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Custom stateful per-key operator: exponentially-weighted moving
+    average of a sensor reading, via applyInPandasWithState. State is one
+    (ewma, n) pair per key — O(1); each micro-batch folds its rows in
+    event-time order and emits the updated value.
+
+    The reference has no custom stateful surface; this demonstrates the
+    engine's escape hatch for operators Spark lacks (charter: custom
+    stateful streaming ops)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = f"{key_col} long, ewma double, n_seen long"
+    state_schema = "ewma double, n_seen long"
+
+    def fold(key, pdfs, state):
+        import pandas as pd
+
+        ewma, n = state.get if state.exists else (None, 0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for v in pdf[value_col].astype("float64"):
+                ewma = v if ewma is None else alpha * v + (1 - alpha) * ewma
+                n += 1
+        state.update((float(ewma), int(n)))
+        yield pd.DataFrame({key_col: [key[0]], "ewma": [ewma], "n_seen": [n]})
+
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fold,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,144 @@
+"""Event-time window behavioral tests (streaming/windows.py).
+
+Each operator runs over a deterministic bounded stream (file source +
+availableNow) into a memory sink, then the finalized windows are checked
+against a batch-computed expectation on the same rows — the streaming
+answer must equal the batch answer once the watermark closes everything.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from advent_of_code_flink_paimon_spark.streaming import (
+    dedup_within_watermark,
+    session_agg,
+    stateful_ewma,
+    tumbling_agg,
+)
+
+DDL = "sensor_id long, value double, ts timestamp"
+
+
+@pytest.fixture()
+def event_stream(spark, tmp_path):
+    """120 deterministic rows over 4 minutes, 3 sensors, written to
+    parquet and replayed as a 2-file stream so multiple micro-batches
+    advance the watermark."""
+    rows = [
+        (i % 3, float(i), f"2024-01-01 00:0{i // 30}:{i % 30:02d}")
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "sensor_id long, value double, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    src = str(tmp_path / "src")
+    df.repartition(2).write.parquet(src)
+    stream = (
+        spark.readStream.schema(DDL).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    return df, stream
+
+
+def _run_to_memory(stream_df, name, tmp_path, output_mode="append"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", str(tmp_path / f"ckpt-{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_tumbling_window_matches_batch(spark, event_stream, tmp_path):
+    df, stream = event_stream
+    _run_to_memory(
+        tumbling_agg(stream, "ts", ["sensor_id"], window="1 minute", watermark="0 seconds"),
+        "tumbling",
+        tmp_path,
+    )
+    got = {
+        (r.window_start, r.sensor_id): (r.n, r.sum_value)
+        for r in spark.sql("SELECT * FROM tumbling").collect()
+    }
+    expected = {
+        (r.ws, r.sensor_id): (r.n, r.sv)
+        for r in df.groupBy(
+            F.date_trunc("minute", "ts").alias("ws"), "sensor_id"
+        )
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+        .collect()
+    }
+    # append mode emits only watermark-closed windows; every emitted
+    # window must match the batch answer exactly, and most must emit
+    assert got and all(got[k] == expected[k] for k in got)
+    assert len(got) >= len(expected) - 3  # last windows may stay open
+
+
+def test_session_window_counts(spark, event_stream, tmp_path):
+    df, stream = event_stream
+    _run_to_memory(
+        session_agg(stream, "ts", ["sensor_id"], gap="5 seconds", watermark="0 seconds"),
+        "sessions",
+        tmp_path,
+    )
+    out = spark.sql("SELECT * FROM sessions")
+    # each sensor fires every 3 s (gap 5 s never splits) → one session
+    # per sensor per emitted horizon; total events conserved for closed sessions
+    assert out.count() > 0
+    assert out.filter("session_end <= session_start").count() == 0
+    total = out.agg(F.sum("n_events")).collect()[0][0]
+    assert total <= df.count()
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    rows = [(i % 10, 1.0, "2024-01-01 00:00:%02d" % (i % 50)) for i in range(100)]
+    df = spark.createDataFrame(rows, "sensor_id long, value double, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    src = str(tmp_path / "dsrc")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(DDL).parquet(src)
+    _run_to_memory(
+        dedup_within_watermark(stream, ["sensor_id"], "ts", watermark="10 minutes"),
+        "deduped",
+        tmp_path,
+    )
+    out = spark.sql("SELECT * FROM deduped")
+    assert out.count() == 10  # one per key
+    assert out.select("sensor_id").distinct().count() == 10
+
+
+def test_stateful_ewma_converges(spark, event_stream, tmp_path):
+    # single-file source → one micro-batch: the fold sees all rows in ts
+    # order (across micro-batches, arrival order is source order, and the
+    # 2-file fixture interleaves time ranges)
+    df, _ = event_stream
+    src = str(tmp_path / "ewma-src")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(DDL).parquet(src)
+    _run_to_memory(
+        stateful_ewma(stream, key_col="sensor_id", value_col="value", ts_col="ts", alpha=0.5),
+        "ewma",
+        tmp_path,
+        output_mode="update",
+    )
+    out = spark.sql("SELECT * FROM ewma")
+    # update mode: last row per key is the final state; n_seen sums to 40 each
+    final = {r.sensor_id: (r.ewma, r.n_seen) for r in out.orderBy("n_seen").collect()}
+    assert set(final) == {0, 1, 2}
+    for sensor_id, (ewma, n_seen) in final.items():
+        assert n_seen == 40
+        # fold the same rows in ts order with the same alpha
+        vals = [
+            r.value
+            for r in df.filter(F.col("sensor_id") == sensor_id).orderBy("ts", "value").collect()
+        ]
+        expect = vals[0]
+        for v in vals[1:]:
+            expect = 0.5 * v + 0.5 * expect
+        assert abs(ewma - expect) < 1e-9
