@@ -1,0 +1,252 @@
+"""SQL frontend: the reference's Flink-SQL session surface on Spark.
+
+Lets a user of the reference run the tutorial's statements verbatim
+(modulo dialect trivia) against this engine:
+
+    CREATE CATALOG / USE CATALOG          (Readme.md:51-66, guide.md:11-17)
+    CREATE TABLE … [PRIMARY KEY … NOT ENFORCED] [col AS PROCTIME()]
+        WITH ('bucket'=…, 'bucket-key'=…)  (guide.md:23-32,59-75,103-116)
+    ALTER TABLE … SET ('k'='v')            (guide.md:180-185,265-272)
+    INSERT INTO t SELECT …                 (guide.md:36-40,78-81,119-141)
+    SELECT … FROM t / t$files / t$snapshots (guide.md:51-56,200-234)
+    SET 'key' = 'value'                    (guide.md:2-4,51-56)
+    SHOW TABLES / DESCRIBE t / DROP TABLE t
+
+Statement routing happens with a handful of anchored regexes; everything
+inside a SELECT is handed to Spark SQL untouched (Catalyst owns
+expression parsing/optimization — SURVEY.md §3 EP1). DDL state lives in
+the lakehouse Catalog; an INSERT whose source is a registered *streaming*
+view becomes a named continuous Pipeline (the tutorial's
+`INSERT INTO … SELECT` jobs), a batch source commits one snapshot.
+
+Scale notes: the frontend adds no execution of its own — SELECTs compile
+to the same pruned-scan DataFrames as the Python API (snapshot file list
+→ manifest min/max pruning → parquet vectorized scan), and INSERT
+routing reuses Table.append/upsert (bucket-hash repartition, atomic
+snapshot commit).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+
+# Flink type -> Spark DDL type (the reference's full type surface, SURVEY.md §1.3)
+_TYPE_MAP = [
+    (re.compile(r"DOUBLE\s+PRECISION", re.I), "double"),
+    (re.compile(r"\bBIGINT\b", re.I), "long"),
+    (re.compile(r"\bINT\b", re.I), "int"),
+    (re.compile(r"\bINTEGER\b", re.I), "int"),
+    (re.compile(r"\bDOUBLE\b", re.I), "double"),
+    (re.compile(r"\bFLOAT\b", re.I), "float"),
+    (re.compile(r"\bVARCHAR(\s*\(\s*\d+\s*\))?", re.I), "string"),
+    (re.compile(r"\bSTRING\b", re.I), "string"),
+    (re.compile(r"\bBOOLEAN\b", re.I), "boolean"),
+    (re.compile(r"\bTIMESTAMP\s*\(\s*\d\s*\)", re.I), "timestamp"),
+    (re.compile(r"\bTIMESTAMP\b", re.I), "timestamp"),
+    (re.compile(r"\bDECIMAL\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", re.I), r"decimal(\1,\2)"),
+]
+
+
+def _flink_type_to_spark(t: str) -> str:
+    for pat, repl in _TYPE_MAP:
+        t = pat.sub(repl, t)
+    return t.strip()
+
+
+def _parse_with_options(tail: str) -> dict:
+    """Parse `('k' = 'v', ...)` option lists."""
+    return {
+        k: v for k, v in re.findall(r"'([^']+)'\s*=\s*'([^']*)'", tail)
+    }
+
+
+class StatementResult:
+    """Uniform return for non-SELECT statements."""
+
+    def __init__(self, kind: str, detail: str = "", handle=None):
+        self.kind, self.detail, self.handle = kind, detail, handle
+
+    def __repr__(self):
+        return f"<{self.kind} {self.detail}>".strip()
+
+
+class Engine:
+    """The SQL-client role of the reference (Readme.md:38-46): one object
+    holding a SparkSession + lakehouse Catalog, executing statements."""
+
+    def __init__(self, spark: SparkSession, warehouse: str, db: str = "default"):
+        self.spark = spark
+        self.warehouse = warehouse
+        self.catalog = Catalog(warehouse, db)
+        self.session_conf: dict[str, str] = {}
+        self._sources: dict[str, DataFrame] = {}
+        self._pipelines: dict[str, object] = {}
+        self._computed: dict[str, dict[str, str]] = {}  # table -> {col: PROCTIME}
+
+    # -- sources ---------------------------------------------------------
+    def register_source(self, name: str, df: DataFrame) -> None:
+        """Register an external (possibly streaming) DataFrame as a named
+        source view — the datagen tables of Readme.md:88-154 (built with
+        sources/datagen.py) enter the SQL surface here."""
+        self._sources[name] = df
+        if not df.isStreaming:
+            df.createOrReplaceTempView(name)
+
+    # -- statement router ------------------------------------------------
+    def sql(self, statement: str):
+        s = statement.strip().rstrip(";").strip()
+        u = s.upper()
+
+        if u.startswith("CREATE CATALOG") or u.startswith("USE CATALOG"):
+            return StatementResult("OK", "catalog bound at Engine construction")
+        if u.startswith("SET"):
+            m = re.match(r"SET\s+'([^']+)'\s*=\s*'([^']*)'", s, re.I)
+            if m:
+                self.session_conf[m.group(1)] = m.group(2)
+                return StatementResult("OK", f"set {m.group(1)}")
+            return StatementResult("OK")
+        if u.startswith("SHOW TABLES"):
+            return self.spark.createDataFrame(
+                [(t,) for t in self.catalog.list_tables()], "table_name string"
+            )
+        if u.startswith("DESCRIBE"):
+            name = s.split()[-1]
+            t = self.catalog.get_table(name)
+            rows = [(f.name, f.dataType.simpleString()) for f in t.schema.fields]
+            return self.spark.createDataFrame(rows, "col_name string, data_type string")
+        if u.startswith("CREATE TABLE"):
+            return self._create_table(s)
+        if u.startswith("ALTER TABLE"):
+            m = re.match(r"ALTER\s+TABLE\s+(\S+)\s+SET\s*\((.*)\)\s*$", s, re.I | re.S)
+            if not m:
+                raise ValueError(f"unsupported ALTER TABLE form: {s}")
+            self.catalog.alter_table(m.group(1), _parse_with_options(m.group(2)))
+            return StatementResult("OK", f"altered {m.group(1)}")
+        if u.startswith("DROP TABLE"):
+            name = s.split()[-1]
+            self.catalog.drop_table(name)
+            return StatementResult("OK", f"dropped {name}")
+        if u.startswith("INSERT INTO"):
+            return self._insert(s)
+        # everything else (SELECT/WITH/VALUES) → Spark SQL over the
+        # catalog views, with $files/$snapshots and Flink-dialect
+        # function-name rewrites (functions/scalar.py)
+        from advent_of_code_flink_paimon_spark.functions import rewrite_flink_functions
+
+        for name, df in self._sources.items():
+            if not df.isStreaming:
+                df.createOrReplaceTempView(name)
+        return self.catalog.sql(self.spark, rewrite_flink_functions(s))
+
+    # -- DDL -------------------------------------------------------------
+    def _create_table(self, s: str):
+        # lazy column body + end anchor: the greedy form would swallow an
+        # optional trailing WITH (...) clause into the column list
+        m = re.match(
+            r"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\S+)\s*\((.*?)\)\s*(?:WITH\s*\((.*)\))?\s*$",
+            s,
+            re.I | re.S,
+        )
+        if not m:
+            raise ValueError(f"unparseable CREATE TABLE: {s}")
+        name, body, with_tail = m.group(1), m.group(2), m.group(3) or ""
+        options = _parse_with_options(with_tail)
+
+        fields, computed = [], {}
+        # split body on top-level commas
+        depth, cur, parts = 0, [], []
+        for ch in body:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                parts.append("".join(cur)); cur = []
+            else:
+                cur.append(ch)
+        if cur:
+            parts.append("".join(cur))
+
+        for part in (p.strip() for p in parts):
+            if not part:
+                continue
+            pk = re.match(r"PRIMARY\s+KEY\s*\(([^)]*)\)(\s+NOT\s+ENFORCED)?", part, re.I)
+            if pk:
+                options["primary-key"] = [c.strip() for c in pk.group(1).split(",")]
+                continue
+            gen = re.match(r"(\w+)\s+AS\s+PROCTIME\s*\(\s*\)", part, re.I)
+            if gen:
+                computed[gen.group(1)] = "PROCTIME"
+                fields.append(f"{gen.group(1)} timestamp")
+                continue
+            col = re.match(r"(\w+)\s+(.+)", part)
+            if col:
+                fields.append(f"{col.group(1)} {_flink_type_to_spark(col.group(2))}")
+
+        schema = StructType.fromDDL(", ".join(fields))
+        self.catalog.create_table(name, schema, options)
+        if computed:
+            self._computed[name] = computed
+        return StatementResult("OK", f"created {name}")
+
+    # -- DML -------------------------------------------------------------
+    def _insert(self, s: str):
+        m = re.match(r"INSERT\s+INTO\s+(\S+)\s+(SELECT\b.*|VALUES\b.*)$", s, re.I | re.S)
+        if not m:
+            raise ValueError(f"unparseable INSERT: {s}")
+        target_name, select_sql = m.group(1), m.group(2)
+        target = self.catalog.get_table(target_name)
+
+        # a SELECT straight from one registered streaming source becomes a
+        # continuous pipeline (the tutorial's INSERT INTO jobs,
+        # guide.md:36-40); anything else evaluates as a batch snapshot
+        streaming_src = self._streaming_select(select_sql)
+        src_df = streaming_src if streaming_src is not None else self.sql(select_sql)
+
+        for col in self._computed.get(target_name, {}):
+            src_df = src_df.withColumn(col, F.current_timestamp())
+
+        if src_df.isStreaming:
+            from advent_of_code_flink_paimon_spark.streaming import Pipeline
+
+            mode = "upsert" if target.primary_key else "append"
+            pname = self.session_conf.get("pipeline.name", f"insert-{target_name}")
+            trigger = int(
+                float(
+                    re.sub(
+                        r"[^\d.]", "",
+                        self.session_conf.get("execution.checkpointing.interval", "20s"),
+                    )
+                    or 20
+                )
+            )
+            pipe = Pipeline(pname, src_df, target, mode=mode, trigger_seconds=trigger)
+            q = pipe.start()
+            self._pipelines[pname] = q
+            return StatementResult("PIPELINE", pname, handle=q)
+
+        mode = "upsert" if target.primary_key else "append"
+        getattr(target, mode)(src_df)
+        return StatementResult("OK", f"{mode} into {target_name}")
+
+    def _streaming_select(self, select_sql: str) -> DataFrame | None:
+        """`SELECT <cols|*> FROM <streaming-source>` (no joins/aggs) maps
+        directly onto the registered stream; richer streaming SQL composes
+        via the Python API (streaming/windows.py)."""
+        m = re.match(r"SELECT\s+(.*?)\s+FROM\s+(\S+)\s*$", select_sql.strip(), re.I | re.S)
+        if not m:
+            return None
+        cols, src = m.group(1).strip(), m.group(2)
+        src = src.split(".")[-1]  # default_catalog.default_database.t → t
+        df = self._sources.get(src)
+        if df is None or not df.isStreaming:
+            return None
+        if cols == "*":
+            return df
+        return df.selectExpr(*[c.strip() for c in cols.split(",")])

@@ -1,0 +1,118 @@
+"""The tutorial's SQL workload, verbatim shapes, through plans.Engine.
+
+Mirrors tutorial/guide.md end to end: DDL with WITH-options and
+PROCTIME() computed column (guide.md:23-32), PK table DDL (guide.md:59-75),
+batch INSERT + COUNT (guide.md:51-56,88-96), streaming INSERT pipeline
+(guide.md:36-40), ALTER TABLE SET (guide.md:180-185), $files system
+table (guide.md:200-234), upsert invariant (guide.md:88-96).
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from advent_of_code_flink_paimon_spark.plans import Engine, StatementResult
+from advent_of_code_flink_paimon_spark.sources.datagen import (
+    measurements_stream,
+    sensor_info_static,
+)
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    return Engine(spark, str(tmp_path / "warehouse"))
+
+
+def test_tutorial_ddl_and_batch_roundtrip(engine, spark):
+    engine.sql("CREATE CATALOG paimon WITH ('type' = 'paimon', 'warehouse' = '/ignored')")
+    engine.sql("USE CATALOG paimon")
+    engine.sql(
+        """
+        CREATE TABLE measurements (
+            sensor_id BIGINT,
+            reading DECIMAL(5, 1),
+            event_time AS PROCTIME()
+        ) WITH ('bucket' = '2', 'bucket-key' = 'sensor_id', 'file.format' = 'parquet')
+        """
+    )
+    engine.sql(
+        """
+        CREATE TABLE sensor_info (
+            sensor_id BIGINT,
+            latitude DOUBLE PRECISION,
+            longitude DOUBLE PRECISION,
+            generation INT,
+            updated_at TIMESTAMP(3),
+            PRIMARY KEY (sensor_id) NOT ENFORCED
+        ) WITH ('changelog-producer' = 'input')
+        """
+    )
+    tables = {r.table_name for r in engine.sql("SHOW TABLES").collect()}
+    assert tables == {"measurements", "sensor_info"}
+
+    # batch INSERT … VALUES-style via SELECT
+    engine.sql(
+        "INSERT INTO measurements "
+        "SELECT CAST(id AS BIGINT) AS sensor_id, CAST(20.5 AS DECIMAL(5,1)) AS reading "
+        "FROM range(100)"
+    )
+    n = engine.sql("SELECT COUNT(*) AS c FROM measurements").collect()[0].c
+    assert n == 100
+    # PROCTIME() computed column materialized at ingestion
+    assert engine.sql("SELECT * FROM measurements WHERE event_time IS NULL").count() == 0
+
+    # upsert invariant: re-inserting the same keys keeps COUNT == distinct
+    dim = sensor_info_static(spark, 50)
+    dim.createOrReplaceTempView("dim_src")
+    engine.sql("INSERT INTO sensor_info SELECT * FROM dim_src")
+    engine.sql("INSERT INTO sensor_info SELECT * FROM dim_src")
+    c = engine.sql("SELECT COUNT(*) AS c FROM sensor_info").collect()[0].c
+    assert c == 50
+
+    # ALTER TABLE SET bumps schema version and persists options
+    engine.sql("ALTER TABLE sensor_info SET ('snapshot.num-retained.max' = '5')")
+    t = engine.catalog.get_table("sensor_info")
+    assert t.schema_version == 1
+    assert t.options["snapshot.num-retained.max"] == "5"
+
+    # system tables through the $ syntax
+    files = engine.sql("SELECT file_path, record_count, level FROM measurements$files")
+    assert files.count() >= 1
+    snaps = engine.sql("SELECT snapshot_id FROM sensor_info$snapshots")
+    assert snaps.count() == 2
+
+
+def test_streaming_insert_becomes_pipeline(engine, spark):
+    engine.sql(
+        "CREATE TABLE measurements (sensor_id BIGINT, reading DECIMAL(5, 1), "
+        "event_time TIMESTAMP(3)) WITH ('bucket' = '1', 'bucket-key' = 'sensor_id')"
+    )
+    engine.register_source(
+        "measurements_source", measurements_stream(spark, rows_per_second=500, trigger_seconds=1)
+    )
+    engine.sql("SET 'pipeline.name' = 'measurements_ingestion_pipeline'")
+    engine.sql("SET 'execution.checkpointing.interval' = '1s'")
+    res = engine.sql("INSERT INTO measurements SELECT * FROM measurements_source")
+    assert isinstance(res, StatementResult) and res.kind == "PIPELINE"
+    assert res.detail == "measurements_ingestion_pipeline"
+    q = res.handle
+    try:
+        t = engine.catalog.get_table("measurements")
+        deadline = time.time() + 90
+        while time.time() < deadline and (t.latest_snapshot_id() or 0) < 2:
+            time.sleep(0.5)
+        assert (t.latest_snapshot_id() or 0) >= 2
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    assert engine.sql("SELECT COUNT(*) AS c FROM measurements").collect()[0].c > 0
+
+
+def test_describe_and_drop(engine):
+    engine.sql("CREATE TABLE t (a BIGINT, b VARCHAR(10))")
+    d = {r.col_name: r.data_type for r in engine.sql("DESCRIBE t").collect()}
+    assert d == {"a": "bigint", "b": "string"}
+    engine.sql("DROP TABLE t")
+    assert engine.sql("SHOW TABLES").count() == 0
