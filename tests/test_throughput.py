@@ -1,0 +1,56 @@
+"""Streaming-sanity throughput thresholds from BASELINE.md (§6):
+
+- reference observed ingestion ≈ 3,529 rec/s at parallelism 1
+  (60,000 records / 17 s, assets/output1.png)
+- ≈ 10k-row commit batches at the 20 s checkpoint cadence
+  (tutorial/guide.md:213-231)
+
+These are sanity floors, not benchmarks — bench.py is the measured
+surface. A failure here means the table layer's write path regressed by
+an order of magnitude.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pyspark.sql.functions as F
+
+from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+from advent_of_code_flink_paimon_spark.sources.datagen import measurements_batch
+
+BASELINE_REC_S = 3529
+
+
+def test_batch_append_beats_baseline_rate(spark, tmp_path):
+    """Appending 60k rows (the reference's observed workload size) must
+    beat the reference's 17 s wall — with margin."""
+    cat = Catalog(str(tmp_path / "wh"))
+    t = cat.create_table(
+        "measurements",
+        "sensor_id long, reading decimal(5,1), event_time timestamp",
+        {"bucket": "2", "bucket-key": "sensor_id"},
+    )
+    df = measurements_batch(spark, 60_000).cache()
+    df.count()  # materialize input outside the timed region
+    t0 = time.perf_counter()
+    t.append(df)
+    wall = time.perf_counter() - t0
+    rate = 60_000 / wall
+    assert rate >= BASELINE_REC_S, f"{rate:.0f} rec/s < baseline {BASELINE_REC_S}"
+    df.unpersist()
+
+
+def test_commit_batch_size_at_trigger_cadence(spark, tmp_path):
+    """A 20 s trigger at the reference's 1000 rows/s source rate must
+    commit ≥10k-row snapshots; verified by appending a 20k-row batch and
+    reading the $files record counts back."""
+    cat = Catalog(str(tmp_path / "wh"))
+    t = cat.create_table(
+        "m", "sensor_id long, reading decimal(5,1), event_time timestamp", {"bucket": "2"}
+    )
+    t.append(measurements_batch(spark, 20_000))
+    per_snapshot = (
+        t.files_table(spark).agg(F.sum("record_count").alias("n")).collect()[0].n
+    )
+    assert per_snapshot == 20_000
