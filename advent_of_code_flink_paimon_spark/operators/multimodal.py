@@ -115,6 +115,83 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame", BinaryType()),
+        StructField("frame_bytes", LongType()),
+    ]
+)
+
+
+def resize_media(media: DataFrame, factor: int = 4) -> DataFrame:
+    """'Resize' pass: payload → smaller payload (every ``factor``-th byte
+    as the deterministic stand-in for image downscaling). Binary→binary
+    mapInPandas, schema-preserving, zero shuffles — the real resize drops
+    into the same loop via decode_real."""
+
+    def batches(it: Iterator):
+        import pandas as pd
+
+        for pdf in it:
+            resized = [bytes(p[::factor]) for p in pdf["payload"]]
+            out = pdf.copy()
+            out["payload"] = resized
+            out["n_bytes"] = [len(r) for r in resized]
+            yield out
+
+    return media.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def frame_sample(media: DataFrame, frame_bytes: int = 256, every_n: int = 4) -> DataFrame:
+    """Frame sampling: one media row → N frame rows (every ``every_n``-th
+    fixed-size chunk — the deterministic stand-in for video keyframe
+    extraction). The 1→N row shape is the part Spark must get right:
+    mapInPandas yields more rows than it consumes, partition-locally,
+    so 100 TB of video fans out to frames with zero exchanges."""
+
+    def batches(it: Iterator):
+        import pandas as pd
+
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                chunks = [p[i : i + frame_bytes] for i in range(0, len(p), frame_bytes)]
+                for fi, chunk in enumerate(chunks[::every_n]):
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    frames.append(bytes(chunk))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "frame": frames,
+                    "frame_bytes": [len(f) for f in frames],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+@query("x31_frame_sample")  # no oracle: binary frame payloads
+def x31_frame_sample(spark, sf_dir):
+    """Video-style frame-sampling accounting: media → resize → frame
+    explode → per-doc frame counts rolled up. Exercises the full
+    multimodal chain (binary in, 1→N explode, rollup)."""
+    media = as_media_table(T(spark, sf_dir, "documents"))
+    frames = frame_sample(resize_media(media))
+    per_doc = frames.groupBy("doc_id").agg(
+        F.count("*").alias("n_frames"), F.sum("frame_bytes").alias("total_frame_bytes")
+    )
+    return per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_frames").alias("total_frames"),
+        F.min("n_frames").alias("min_frames"),
+        F.max("n_frames").alias("max_frames"),
+    )
+
+
 @query("x30_multimodal_features")  # no oracle: binary payload + UDF features
 def x30_multimodal_features(spark, sf_dir):
     """End-to-end multimodal pipeline: docs → media table (binary payload

@@ -28,6 +28,9 @@ HEADLINE = [
     "q19_window_rank_merge",
     "q25_json_extract",
     "q28_enrichment_join",
+    "q29_asof_join",
+    "q31_time_bucket_rollup",
+    "q34_sessionize",
     # extension surface (SURVEY.md §2.11) — included when registered
     "x01_dedup_exact",
     "x03_dedup_minhash_lsh",

@@ -130,3 +130,27 @@ def test_decode_real_is_gated():
 
     with pytest.raises(NotImplementedError):
         decode_real(b"x", "image/png")
+
+
+def test_frame_sample_model(spark):
+    """resize + frame_sample vs a pure-python model on a tiny corpus."""
+    from tests.conftest import SF_ORACLE
+
+    from advent_of_code_flink_paimon_spark.operators.multimodal import (
+        as_media_table,
+        frame_sample,
+        resize_media,
+    )
+    from advent_of_code_flink_paimon_spark.operators.registry import T
+
+    docs = T(spark, SF_ORACLE, "documents").limit(20)
+    media = as_media_table(docs)
+    got = {
+        (r.doc_id, r.frame_idx): r.frame_bytes
+        for r in frame_sample(resize_media(media)).collect()
+    }
+    for r in media.collect():
+        payload = bytes(r.payload)[::4]  # resize factor 4
+        chunks = [payload[i : i + 256] for i in range(0, len(payload), 256)]
+        for fi, chunk in enumerate(chunks[::4]):  # every 4th frame
+            assert got[(r.doc_id, fi)] == len(chunk)
