@@ -93,6 +93,83 @@ def x10_embedding_topk(spark, sf_dir):
     return cosine_topk(e, e.filter(F.col("vec_id") < N_QUERIES))
 
 
+IVF_CENTROIDS = 16
+IVF_NPROBE = 4
+
+
+def _cos_to_literal(col: str, vec: list[float]):
+    """cosine(col, constant vector) as a pure codegen expression."""
+    lit_v = F.array(*[F.lit(float(x)) for x in vec])
+    dot = F.aggregate(F.zip_with(col, lit_v, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    import math
+
+    nv = math.sqrt(sum(x * x for x in vec)) or 1.0
+    return dot / (_norm(col) * F.lit(nv))
+
+
+def ivf_assign(vectors: DataFrame, centroids: list[tuple[int, list[float]]], nprobe: int = 1) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest centroids.
+
+    Centroids are embedded as LITERALS (C × dim doubles — a few KB), so
+    assignment is a map-only projection inside codegen: scan → project,
+    ZERO shuffles and zero joins. This is the property that makes IVF
+    the 100 TB path — the alternative (crossJoin small centroid table +
+    groupBy argmin) would shuffle the full corpus."""
+    arr = F.array(
+        *[
+            F.struct((-_cos_to_literal("cv", vec)).alias("negcos"), F.lit(cid).alias("cid"))
+            for cid, vec in centroids
+        ]
+    )
+    probed = F.slice(F.array_sort(arr), 1, nprobe)
+    return vectors.withColumn("__probe", F.explode(probed)).withColumn(
+        "cluster", F.col("__probe.cid")
+    ).drop("__probe")
+
+
+@query("x12_embedding_topk_ivf")  # no oracle: ANN output is approximate by design
+def x12_embedding_topk_ivf(spark, sf_dir):
+    """IVF ANN top-k: deterministic centroid pick (hash-sampled corpus
+    vectors), literal-centroid assignment (map-only), candidates =
+    corpus rows sharing one of the query's nprobe clusters, exact
+    cosine re-rank within candidates.
+
+    Scale shape: assignment is shuffle-free; the candidate join keys on
+    cluster id, so work is ~nprobe/C of brute force. C grows ~sqrt(n)
+    at scale (here 16 — the testdata corpus is small); verified by a
+    python-model differential test (tests/test_extensions.py)."""
+    e = T(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("cv"))
+    cent_rows = (
+        v.filter(F.pmod(F.col("vec_id"), F.lit(61)) == 7).orderBy("vec_id").limit(IVF_CENTROIDS).collect()
+    )
+    centroids = [(int(r.vec_id), list(r.cv)) for r in cent_rows]
+
+    corpus = ivf_assign(v, centroids, nprobe=1)
+    queries = ivf_assign(
+        v.filter(F.col("vec_id") < N_QUERIES).select(F.col("vec_id").alias("query_id"), "cv"),
+        centroids,
+        nprobe=IVF_NPROBE,
+    ).select("query_id", F.col("cv").alias("qv"), "cluster")
+
+    cands = (
+        corpus.join(queries, "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = cands.select(
+        "query_id",
+        "vec_id",
+        F.round(_dot("qv", "cv") / (_norm("qv") * _norm("cv")), 4).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
 def hyperplane_signatures(vectors: DataFrame, planes: int = LSH_PLANES) -> DataFrame:
     """vec_id → bit-signature array, one bit per random hyperplane.
 

@@ -154,3 +154,64 @@ def test_frame_sample_model(spark):
         chunks = [payload[i : i + 256] for i in range(0, len(payload), 256)]
         for fi, chunk in enumerate(chunks[::4]):  # every 4th frame
             assert got[(r.doc_id, fi)] == len(chunk)
+
+
+def test_ivf_matches_python_model(spark):
+    """x12 IVF ANN vs an exact python replica of the same algorithm
+    (same centroid pick, same nprobe, same re-rank) — deterministic."""
+    import math
+
+    from tests.conftest import SF_ORACLE
+
+    from advent_of_code_flink_paimon_spark.operators import similarity as sim
+    from advent_of_code_flink_paimon_spark.operators.registry import T
+
+    got = {
+        (r.query_id, r.rank): (r.vec_id, r.cosine)
+        for r in sim.x12_embedding_topk_ivf(spark, SF_ORACLE).collect()
+    }
+
+    rows = T(spark, SF_ORACLE, "embeddings").collect()
+    vecs = {int(r.vec_id): [float(x) for x in r.embedding] for r in rows}
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb)
+
+    cents = [(i, vecs[i]) for i in sorted(vecs) if i % 61 == 7][: sim.IVF_CENTROIDS]
+
+    def assign(v, nprobe):
+        ranked = sorted(((-cos(v, cv), cid) for cid, cv in cents))
+        return [cid for _, cid in ranked[:nprobe]]
+
+    corpus_cluster = {i: assign(v, 1)[0] for i, v in vecs.items()}
+    for qid in range(sim.N_QUERIES):
+        probes = set(assign(vecs[qid], sim.IVF_NPROBE))
+        cands = [i for i, c in corpus_cluster.items() if c in probes and i != qid]
+        ranked = sorted(
+            ((round(cos(vecs[qid], vecs[i]), 4), i) for i in cands),
+            key=lambda t: (-t[0], t[1]),
+        )[: sim.TOP_K]
+        for rank, (cosv, vid) in enumerate(ranked, start=1):
+            assert got[(qid, rank)] == (vid, cosv), (qid, rank)
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_join == plain join on a skewed workload (90% of rows share
+    one key), and the salted plan spreads the hot key across subkeys."""
+    import pyspark.sql.functions as F
+
+    from advent_of_code_flink_paimon_spark.operators.skew import salted_join
+
+    left = spark.range(10_000).select(
+        F.when(F.col("id") % 10 != 0, 1).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    right = spark.createDataFrame([(1, "hot"), (20, "cold"), (30, "cold")], "k long, tag string")
+
+    for how in ("inner", "left"):
+        plain = left.join(right, ["k"], how).orderBy("payload", "tag")
+        salted = salted_join(left, right, "k", how=how, salt=8).orderBy("payload", "tag")
+        assert [tuple(r) for r in plain.collect()] == [tuple(r) for r in salted.collect()], how
