@@ -4,6 +4,7 @@ tutorial/guide.md:36-141) plus the event-time window layer."""
 from advent_of_code_flink_paimon_spark.streaming.lookup_join import LookupJoinPipeline
 from advent_of_code_flink_paimon_spark.streaming.pipelines import (
     Pipeline,
+    stream_table_changelog,
     stream_table_files,
 )
 from advent_of_code_flink_paimon_spark.streaming.windows import (
@@ -18,6 +19,7 @@ __all__ = [
     "Pipeline",
     "LookupJoinPipeline",
     "stream_table_files",
+    "stream_table_changelog",
     "tumbling_agg",
     "sliding_agg",
     "session_agg",

@@ -68,9 +68,30 @@ def stream_table_files(spark: SparkSession, table: Table, max_files_per_trigger:
     """Streaming scan of an append lakehouse table: Spark's file source
     watches the bucket directories and emits newly committed data files
     as micro-batches — the 'each new snapshot = one micro-batch'
-    semantic of SURVEY.md §2.1. (PK tables stream via read_changelog.)
+    semantic of SURVEY.md §2.1. (PK tables stream via
+    stream_table_changelog.)
     """
     reader = spark.readStream.schema(table.schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.parquet(os.path.join(table.paths.root, "bucket-*"))
+
+
+def stream_table_changelog(spark: SparkSession, table: Table) -> DataFrame:
+    """Streaming changelog read of a PK table with
+    ``changelog-producer=input`` (tutorial/guide.md:69-74): every upsert
+    commit's +I/-U/+U/-D rows arrive as a micro-batch, so downstream
+    queries consume retractions directly instead of diffing snapshots —
+    the reference's 'skip changelog-normalize' fast path as a live
+    stream. Schema = table schema + ``_change_type`` string."""
+    if table.options.get("changelog-producer") != "input":
+        raise ValueError(
+            f"table {table.name} has no stored changelog "
+            "(set 'changelog-producer'='input' at CREATE TABLE)"
+        )
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(list(table.schema.fields) + [StructField("_change_type", StringType())])
+    return spark.readStream.schema(schema).parquet(
+        os.path.join(table.paths.root, "changelog", "snapshot-*")
+    )

@@ -205,3 +205,34 @@ def test_stream_table_files_source(spark, catalog, tmp_path):
     q = pipe.start()
     q.awaitTermination(60)
     assert downstream.read(spark).count() == 400
+
+
+def test_stream_table_changelog(spark, catalog, tmp_path):
+    """Streaming changelog read of a PK table: each upsert commit's
+    +I/-U/+U rows arrive; replaying insert-then-update yields the final
+    image when the consumer keeps the last +row per key."""
+    from advent_of_code_flink_paimon_spark.streaming import stream_table_changelog
+
+    t = catalog.create_table(
+        "s", SENSOR_DDL, {"primary-key": "sensor_id", "changelog-producer": "input"}
+    )
+    t.upsert(sensor_info_static(spark, 10))
+    # update half the keys (generation bump via overwriting rows)
+    t.upsert(sensor_info_static(spark, 5).withColumn("generation", F.lit(9)))
+
+    q = (
+        stream_table_changelog(spark, t)
+        .writeStream.format("memory")
+        .queryName("cl")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cl-ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    out = spark.sql("SELECT * FROM cl")
+    types = {r._change_type for r in out.select("_change_type").distinct().collect()}
+    assert types == {"+I", "-U", "+U"}
+    assert out.filter("_change_type = '+I'").count() == 10
+    assert out.filter("_change_type = '+U'").count() == 5
+    assert out.filter("_change_type = '+U' AND generation <> 9").count() == 0
