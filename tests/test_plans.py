@@ -112,3 +112,35 @@ def test_sessionize_reuses_exchange(spark):
         1 for ln in plan.splitlines() if "Exchange hashpartitioning" in ln and "REUSED" not in ln
     )
     assert n_hash_exchanges <= 2, plan
+
+
+def test_bucketed_cojoin_is_exchange_free(spark, tmp_path):
+    """Two tables bucketed on the join key with equal bucket counts must
+    join with ZERO Exchange (the write-once shuffle is amortized over
+    every later join) and, being sorted, with zero Sort nodes."""
+    import pyspark.sql.functions as F
+
+    from advent_of_code_flink_paimon_spark.operators.bucketing import (
+        cojoined,
+        materialize_bucketed,
+    )
+
+    left = spark.range(10_000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("a"))
+    right = spark.range(5_000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("b"))
+    materialize_bucketed(left, "bkt_left", "k", 4, path=str(tmp_path / "l"))
+    materialize_bucketed(right, "bkt_right", "k", 4, path=str(tmp_path / "r"))
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            df = cojoined(spark, "bkt_left", "bkt_right", "k")
+            jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+            plan = df._jdf.queryExecution().explainString(jmode)
+            assert "SortMergeJoin" in plan, plan
+            assert "Exchange" not in plan, plan
+            assert df.count() == 5_000
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")
