@@ -652,3 +652,92 @@ def q28_enrichment_join(spark, sf_dir):
         .groupBy(F.col("n_name").alias("nation_name"), F.year("o_orderdate").alias("order_year"))
         .agg(F.sum("rev").cast("decimal(38,4)").alias("revenue"))
     )
+
+
+@query(
+    "q35_scalar_subquery",
+    oracle="""
+    SELECT p_partkey, p_name, CAST(p_retailprice AS DECIMAL(12,2)) AS retail
+    FROM part
+    WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part)
+    ORDER BY p_partkey
+    """,
+)
+def q35_scalar_subquery(spark, sf_dir):
+    """Scalar-subquery filter (price above global mean). The subquery
+    aggregates to ONE row → broadcast as a literal-like join: Catalyst
+    plans a 1-row broadcast, the fact scan streams once. The comparison
+    runs on raw doubles (no rounding) — both engines compute the same
+    double from the same parquet values, and no equality-at-boundary
+    rows exist in the fixture."""
+    p = T(spark, sf_dir, "part")
+    gavg = p.agg(F.avg("p_retailprice").alias("__avg"))
+    return (
+        p.join(F.broadcast(gavg))
+        .filter(F.col("p_retailprice") > F.col("__avg"))
+        .select(
+            "p_partkey",
+            "p_name",
+            F.col("p_retailprice").cast("decimal(12,2)").alias("retail"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "q36_correlated_exists",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45
+    )
+    ORDER BY o.o_orderkey
+    """,
+)
+def q36_correlated_exists(spark, sf_dir):
+    """Correlated EXISTS with an inner predicate → left-semi join with the
+    predicate pushed below the join (filter before shuffle: only
+    qualifying lineitems move)."""
+    o = T(spark, sf_dir, "orders")
+    l = T(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "q37_below_group_avg",
+    oracle="""
+    WITH pa AS (
+        SELECT l_partkey, AVG(l_quantity) AS aq
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l.l_partkey, COUNT(*) AS n_small,
+           SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS sum_price
+    FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
+    WHERE l.l_quantity < 0.5 * pa.aq
+    GROUP BY l.l_partkey
+    """,
+)
+def q37_below_group_avg(spark, sf_dir):
+    """TPC-H Q17 shape: rows below half their group's average — the
+    decorrelated per-group-aggregate compare. One window pass over a
+    single hash partitioning (no self-join): the same exchange serves
+    the avg window, the filter, and the final agg. The 0.5·avg threshold
+    never ties (quantities are integral halves at worst), so double avg
+    is safe."""
+    l = T(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    return (
+        l.withColumn("__aq", F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < 0.5 * F.col("__aq"))
+        .groupBy("l_partkey")
+        .agg(
+            F.count("*").alias("n_small"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_price"),
+        )
+    )
