@@ -84,6 +84,18 @@ class Table:
             return bk.split(",") if isinstance(bk, str) else list(bk)
         return self.primary_key  # PK tables bucket by key by default
 
+    @property
+    def partition_keys(self) -> list[str]:
+        """'partition-by' option → Hive-style partition dirs above the
+        bucket dirs (Paimon's PARTITIONED BY). Partition columns STAY in
+        the data files, so every file's footer stats carry min=max for
+        them and the manifest pruner gets partition pruning for free —
+        the dominant scan reducer at 100 TB."""
+        pk = self.options.get("partition-by")
+        if not pk:
+            return []
+        return pk.split(",") if isinstance(pk, str) else list(pk)
+
     # ------------------------------------------------------------------
     # snapshots
     # ------------------------------------------------------------------
@@ -128,33 +140,53 @@ class Table:
         )
 
     def _stage_write(self, df: DataFrame) -> tuple[str, list[dict]]:
-        """Executors write parquet partitioned by bucket into a staging
-        dir; driver moves files into bucket-N/ and reads footers for
-        manifest stats (metadata-only I/O on the driver)."""
+        """Executors write parquet partitioned by (partitions, bucket)
+        into a staging dir; driver moves files into
+        [<p>=<v>/...]bucket-N/ and reads footers for manifest stats
+        (metadata-only I/O on the driver).
+
+        Partition dirs are staged from ``__pt_*`` COPIES of the
+        partition columns so the originals stay in the data files
+        (partitionBy drops its columns from file contents)."""
         staging = os.path.join(self.paths.root, f".staging-{now_millis()}-{os.getpid()}")
+        pcols = self.partition_keys
+        staged = self._with_bucket(df)
+        for c in pcols:
+            staged = staged.withColumn(f"__pt_{c}", F.col(c).cast("string"))
+        part_by = [f"__pt_{c}" for c in pcols] + ["__bucket"]
         (
-            self._with_bucket(df)
-            .repartition("__bucket")
-            .write.partitionBy("__bucket")
+            staged.repartition(*part_by)
+            .write.partitionBy(*part_by)
             .mode("overwrite")
             .parquet(staging)
         )
         import pyarrow.parquet as pq
 
         entries = []
-        for part_dir in sorted(glob.glob(os.path.join(staging, "__bucket=*"))):
+        for part_dir in sorted(glob.glob(os.path.join(staging, *["__pt_*=*"] * len(pcols), "__bucket=*"))):
             bucket = int(os.path.basename(part_dir).split("=")[1])
-            os.makedirs(self.paths.bucket_dir(bucket), exist_ok=True)
+            rel = os.path.relpath(part_dir, staging)
+            partition = {}
+            for seg in rel.split(os.sep)[:-1]:
+                k, v = seg.split("=", 1)
+                partition[k[len("__pt_"):]] = v
+            dest_dir = os.path.join(
+                self.paths.root,
+                *[f"{k}={v}" for k, v in partition.items()],
+                f"bucket-{bucket}",
+            )
+            os.makedirs(dest_dir, exist_ok=True)
             for fpath in sorted(glob.glob(os.path.join(part_dir, "*.parquet"))):
                 meta = pq.ParquetFile(fpath).metadata
                 if meta.num_rows == 0:
                     continue
-                dest = os.path.join(self.paths.bucket_dir(bucket), new_file_name())
+                dest = os.path.join(dest_dir, new_file_name())
                 shutil.move(fpath, dest)
                 entries.append(
                     {
                         "file_path": os.path.relpath(dest, self.paths.root),
                         "bucket": bucket,
+                        "partition": partition,
                         "record_count": meta.num_rows,
                         "file_size_in_bytes": os.path.getsize(dest),
                         "level": 0,
@@ -465,6 +497,7 @@ class Table:
         rows = [
             (
                 e["file_path"],
+                e.get("partition", {}),
                 e["level"],
                 e["record_count"],
                 e["file_size_in_bytes"],
@@ -475,13 +508,14 @@ class Table:
             for e in self.manifest()
         ]
         schema = (
-            "file_path string, level int, record_count long, file_size_in_bytes long, "
+            "file_path string, partition map<string,string>, level int, record_count long, "
+            "file_size_in_bytes long, "
             "min_value_stats map<string,string>, min_sequence_number long, creation_time timestamp"
         )
         import datetime
 
         rows = [
-            r[:6] + (datetime.datetime.fromtimestamp(r[6] / 1000.0),)
+            r[:7] + (datetime.datetime.fromtimestamp(r[7] / 1000.0),)
             for r in rows
         ]
         return spark.createDataFrame(rows, schema)

@@ -146,17 +146,20 @@ class Engine:
 
     # -- DDL -------------------------------------------------------------
     def _create_table(self, s: str):
-        # lazy column body + end anchor: the greedy form would swallow an
-        # optional trailing WITH (...) clause into the column list
+        # lazy column body + end anchor: the greedy form would swallow the
+        # optional trailing PARTITIONED BY / WITH clauses into the column list
         m = re.match(
-            r"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\S+)\s*\((.*?)\)\s*(?:WITH\s*\((.*)\))?\s*$",
+            r"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\S+)\s*\((.*?)\)\s*"
+            r"(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?(?:WITH\s*\((.*)\))?\s*$",
             s,
             re.I | re.S,
         )
         if not m:
             raise ValueError(f"unparseable CREATE TABLE: {s}")
-        name, body, with_tail = m.group(1), m.group(2), m.group(3) or ""
+        name, body, part_tail, with_tail = m.group(1), m.group(2), m.group(3), m.group(4) or ""
         options = _parse_with_options(with_tail)
+        if part_tail:
+            options["partition-by"] = [c.strip() for c in part_tail.split(",")]
 
         fields, computed = [], {}
         # split body on top-level commas

@@ -74,7 +74,9 @@ def stream_table_files(spark: SparkSession, table: Table, max_files_per_trigger:
     reader = spark.readStream.schema(table.schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.parquet(os.path.join(table.paths.root, "bucket-*"))
+    # partitioned tables nest bucket dirs under <col>=<val> partition dirs
+    depth = ["*"] * len(table.partition_keys)
+    return reader.parquet(os.path.join(table.paths.root, *depth, "bucket-*"))
 
 
 def stream_table_changelog(spark: SparkSession, table: Table) -> DataFrame:

@@ -209,6 +209,7 @@ def test_files_system_table_schema(spark, catalog):
     ft = t.files_table(spark)
     assert [f.name for f in ft.schema.fields] == [
         "file_path",
+        "partition",
         "level",
         "record_count",
         "file_size_in_bytes",
@@ -252,3 +253,46 @@ def test_manifest_file_pruning(spark, catalog):
     assert len(prune_entries(entries, "sensor_id % 2 = 0")) == 3
     got = t.read(spark, where="sensor_id >= 2000")
     assert got.count() == 500
+
+
+def test_partitioned_table_layout_and_pruning(spark, catalog):
+    """partition-by: Hive-style <col>=<val> dirs above bucket dirs,
+    partition columns preserved in data files, manifest pruning skips
+    non-matching partitions, compaction keeps the layout."""
+    import os
+
+    t = catalog.create_table(
+        "ev",
+        "event_id long, day string, v double",
+        {"partition-by": "day", "bucket": "2", "bucket-key": "event_id"},
+    )
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{1 + i % 3:02d}", float(i)) for i in range(300)],
+        "event_id long, day string, v double",
+    )
+    t.append(df)
+
+    # layout: day=<val>/bucket-<n>/
+    days = sorted(
+        d for d in os.listdir(t.paths.root) if d.startswith("day=")
+    )
+    assert days == ["day=2024-01-01", "day=2024-01-02", "day=2024-01-03"]
+    assert sorted(os.listdir(os.path.join(t.paths.root, days[0]))) == ["bucket-0", "bucket-1"]
+
+    # partition metadata in the manifest + $files
+    parts = {e["partition"]["day"] for e in t.manifest()}
+    assert parts == {"2024-01-01", "2024-01-02", "2024-01-03"}
+
+    # read roundtrip keeps partition column values
+    assert t.read(spark).count() == 300
+    assert t.read(spark).filter("day = '2024-01-02'").count() == 100
+
+    # manifest pruning: a day predicate must cut the file list ~3x
+    all_files = t._live_files()
+    pruned = t._live_files(where="day = '2024-01-02'")
+    assert len(pruned) * 3 <= len(all_files) + 2, (len(pruned), len(all_files))
+
+    # compaction preserves rows and the partitioned layout
+    t.compact()
+    assert t.read(spark).count() == 300
+    assert {e["partition"]["day"] for e in t.manifest()} == parts

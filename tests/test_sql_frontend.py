@@ -116,3 +116,20 @@ def test_describe_and_drop(engine):
     assert d == {"a": "bigint", "b": "string"}
     engine.sql("DROP TABLE t")
     assert engine.sql("SHOW TABLES").count() == 0
+
+
+def test_partitioned_by_ddl(engine, spark):
+    engine.sql(
+        "CREATE TABLE ev (event_id BIGINT, day VARCHAR(10), v DOUBLE) "
+        "PARTITIONED BY (day) WITH ('bucket' = '2', 'bucket-key' = 'event_id')"
+    )
+    t = engine.catalog.get_table("ev")
+    assert t.partition_keys == ["day"]
+    engine.sql(
+        "INSERT INTO ev SELECT id AS event_id, "
+        "CASE WHEN id % 2 = 0 THEN '2024-01-01' ELSE '2024-01-02' END AS day, "
+        "CAST(id AS DOUBLE) AS v FROM range(100)"
+    )
+    assert engine.sql("SELECT COUNT(*) AS c FROM ev WHERE day = '2024-01-01'").collect()[0].c == 50
+    parts = {r.partition["day"] for r in engine.sql("SELECT partition FROM ev$files").collect()}
+    assert parts == {"2024-01-01", "2024-01-02"}
