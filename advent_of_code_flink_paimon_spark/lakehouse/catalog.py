@@ -102,11 +102,20 @@ class Catalog:
 
     def sql(self, spark: SparkSession, query: str):
         """Run SQL against the catalog; supports the reference's
-        `table$files` system-table syntax (tutorial/guide.md:208) by
-        rewriting to the registered __files views before Catalyst sees
-        the query."""
+        `table$files` system-table syntax (tutorial/guide.md:208) and
+        time travel (`FROM t VERSION AS OF n` over the MVCC snapshot
+        log) by view registration + rewrite before Catalyst sees the
+        query."""
         self.register_views(spark)
         import re
 
         rewritten = re.sub(r"(\w+)\$(files|snapshots)", r"\1__\2", query)
+
+        def tt(m):
+            name, sid = m.group(1), int(m.group(2))
+            view = f"{name}__v{sid}"
+            self.get_table(name).read(spark, snapshot_id=sid).createOrReplaceTempView(view)
+            return view
+
+        rewritten = re.sub(r"(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)", tt, rewritten, flags=re.I)
         return spark.sql(rewritten)

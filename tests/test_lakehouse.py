@@ -296,3 +296,13 @@ def test_partitioned_table_layout_and_pruning(spark, catalog):
     t.compact()
     assert t.read(spark).count() == 300
     assert {e["partition"]["day"] for e in t.manifest()} == parts
+
+
+def test_time_travel_sql(spark, catalog):
+    """`VERSION AS OF n` reads the table as of snapshot n (MVCC log)."""
+    t = catalog.create_table("m", "k long, v long")
+    t.append(spark.createDataFrame([(1, 1)], "k long, v long"))
+    t.append(spark.createDataFrame([(2, 2)], "k long, v long"))
+    assert catalog.sql(spark, "SELECT COUNT(*) AS c FROM m VERSION AS OF 1").collect()[0].c == 1
+    assert catalog.sql(spark, "SELECT COUNT(*) AS c FROM m VERSION AS OF 2").collect()[0].c == 2
+    assert catalog.sql(spark, "SELECT COUNT(*) AS c FROM m").collect()[0].c == 2
