@@ -105,6 +105,22 @@ class Engine:
 
         if u.startswith("CREATE CATALOG") or u.startswith("USE CATALOG"):
             return StatementResult("OK", "catalog bound at Engine construction")
+        if u.startswith("CREATE DATABASE"):
+            db = s.split()[-1]
+            Catalog(self.warehouse, db)  # creates <db>.db
+            return StatementResult("OK", f"created database {db}")
+        if u.startswith("SHOW DATABASES"):
+            import glob as _glob
+            import os as _os
+
+            dbs = sorted(
+                _os.path.basename(p)[: -len(".db")]
+                for p in _glob.glob(_os.path.join(self.warehouse, "*.db"))
+            )
+            return self.spark.createDataFrame([(d,) for d in dbs], "database_name string")
+        if u.startswith("USE "):
+            self.catalog = Catalog(self.warehouse, s.split()[-1])
+            return StatementResult("OK", f"using {self.catalog.db}")
         if u.startswith("SET"):
             m = re.match(r"SET\s+'([^']+)'\s*=\s*'([^']*)'", s, re.I)
             if m:

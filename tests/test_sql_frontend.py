@@ -133,3 +133,14 @@ def test_partitioned_by_ddl(engine, spark):
     assert engine.sql("SELECT COUNT(*) AS c FROM ev WHERE day = '2024-01-01'").collect()[0].c == 50
     parts = {r.partition["day"] for r in engine.sql("SELECT partition FROM ev$files").collect()}
     assert parts == {"2024-01-01", "2024-01-02"}
+
+
+def test_databases(engine):
+    engine.sql("CREATE DATABASE analytics")
+    dbs = {r.database_name for r in engine.sql("SHOW DATABASES").collect()}
+    assert dbs == {"analytics", "default"}
+    engine.sql("USE analytics")
+    engine.sql("CREATE TABLE t (a BIGINT)")
+    assert engine.sql("SHOW TABLES").count() == 1
+    engine.sql("USE default")
+    assert engine.sql("SHOW TABLES").count() == 0

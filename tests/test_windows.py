@@ -142,3 +142,28 @@ def test_stateful_ewma_converges(spark, event_stream, tmp_path):
         for v in vals[1:]:
             expect = 0.5 * v + 0.5 * expect
         assert abs(ewma - expect) < 1e-9
+
+
+def test_sliding_window_counts(spark, event_stream, tmp_path):
+    from advent_of_code_flink_paimon_spark.streaming import sliding_agg
+
+    df, stream = event_stream
+    _run_to_memory(
+        sliding_agg(stream, "ts", ["sensor_id"], window="2 minutes", slide="1 minute",
+                    watermark="0 seconds"),
+        "sliding",
+        tmp_path,
+    )
+    out = spark.sql("SELECT * FROM sliding").collect()
+    assert out
+    for r in out:
+        # every emitted window spans exactly 2 minutes and starts on a slide boundary
+        assert (r.window_end - r.window_start).total_seconds() == 120
+        assert r.window_start.second == 0
+        # count matches the batch answer for that (sensor, window)
+        expect = df.filter(
+            (F.col("sensor_id") == r.sensor_id)
+            & (F.col("ts") >= r.window_start)
+            & (F.col("ts") < r.window_end)
+        ).count()
+        assert r.n == expect
