@@ -101,6 +101,14 @@ class Engine:
     # -- statement router ------------------------------------------------
     def sql(self, statement: str):
         s = statement.strip().rstrip(";").strip()
+        # Flink-dialect tolerance so the tutorial's statements run
+        # verbatim: execution hints are advisory in micro-batch Spark
+        # (SURVEY.md §2.3 — LOOKUP retry/async hints have no per-record
+        # analog), and `FOR SYSTEM_TIME AS OF <proctime>` IS the batch
+        # join against the dimension's latest snapshot, which is exactly
+        # what the rewritten query does.
+        s = re.sub(r"/\*\+.*?\*/", " ", s, flags=re.S)
+        s = re.sub(r"\bFOR\s+SYSTEM_TIME\s+AS\s+OF\s+[\w.$]+", " ", s, flags=re.I)
         u = s.upper()
 
         if u.startswith("CREATE CATALOG") or u.startswith("USE CATALOG"):
@@ -209,6 +217,15 @@ class Engine:
                 fields.append(f"{col.group(1)} {_flink_type_to_spark(col.group(2))}")
 
         schema = StructType.fromDDL(", ".join(fields))
+
+        # 'connector'='datagen' DDL (Readme.md:88-102,132-154) defines a
+        # generated SOURCE, not a lakehouse table
+        if options.get("connector") == "datagen":
+            from advent_of_code_flink_paimon_spark.sources.datagen import datagen_source
+
+            self.register_source(name, datagen_source(self.spark, schema, options))
+            return StatementResult("SOURCE", f"registered datagen source {name}")
+
         self.catalog.create_table(name, schema, options)
         if computed:
             self._computed[name] = computed

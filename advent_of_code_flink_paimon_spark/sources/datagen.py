@@ -88,3 +88,80 @@ def sensor_info_stream(spark: SparkSession, n_sensors: int = 1000, rows_per_batc
         _uniform_long(F.col("id"), 0, 3, seed=5).cast("int").alias("generation"),
         F.current_timestamp().alias("updated_at"),
     )
+
+
+def datagen_source(spark: SparkSession, schema, options: dict) -> DataFrame:
+    """Generic Flink-datagen-connector equivalent, driven by the DDL's
+    WITH options (Readme.md:88-102,132-154):
+
+      'rows-per-second'          unbounded random stream at that rate
+      'number-of-rows'           bounded random batch
+      'fields.<f>.kind'          random (default) | sequence
+      'fields.<f>.min/max'       numeric range for random fields
+      'fields.<f>.start/end'     sequence range (bounded source)
+      'fields.<f>.max-past'      timestamp staleness ('0' → now)
+
+    A sequence field makes the whole source bounded (spark.range over
+    the sequence — Readme.md:155-157); otherwise 'rows-per-second'
+    makes it a rate-micro-batch stream. Every random field is a seeded
+    hash of the row id — deterministic, uniform in range."""
+    from pyspark.sql.types import (
+        DecimalType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StringType,
+        TimestampType,
+    )
+
+    def fopt(f, key, default=None):
+        return options.get(f"fields.{f}.{key}", default)
+
+    seq_fields = [f.name for f in schema.fields if fopt(f.name, "kind") == "sequence"]
+    if seq_fields:
+        start = int(fopt(seq_fields[0], "start", 1))
+        end = int(fopt(seq_fields[0], "end", 1000))
+        base = spark.range(start, end + 1).select(F.col("id"))
+    elif "number-of-rows" in options:
+        base = spark.range(int(options["number-of-rows"])).select(F.col("id"))
+    else:
+        rate = int(options.get("rows-per-second", 1000))
+        base = (
+            spark.readStream.format("rate-micro-batch")
+            .option("rowsPerBatch", rate)
+            .load()
+            .select(F.col("value").alias("id"))
+        )
+
+    cols = []
+    for i, f in enumerate(schema.fields):
+        name, dt = f.name, f.dataType
+        if name in seq_fields:
+            cols.append(F.col("id").cast(dt.simpleString()).alias(name))
+        elif isinstance(dt, TimestampType):
+            cols.append(F.current_timestamp().alias(name))  # max-past='0' ≈ now
+        elif isinstance(dt, DecimalType):
+            scale = 10 ** dt.scale
+            lo = int(float(fopt(name, "min", 0)) * scale)
+            hi = int(float(fopt(name, "max", 100)) * scale)
+            cols.append(
+                (_uniform_long(F.col("id"), lo, hi, seed=i + 1) / scale)
+                .cast(dt.simpleString())
+                .alias(name)
+            )
+        elif isinstance(dt, (DoubleType, FloatType)):
+            lo, hi = float(fopt(name, "min", 0)), float(fopt(name, "max", 100))
+            cols.append(
+                (_uniform_long(F.col("id"), 0, 1_000_000, seed=i + 1) / 1_000_000.0 * (hi - lo) + lo)
+                .cast(dt.simpleString())
+                .alias(name)
+            )
+        elif isinstance(dt, (LongType, IntegerType)):
+            lo, hi = int(fopt(name, "min", 0)), int(fopt(name, "max", 1000))
+            cols.append(_uniform_long(F.col("id"), lo, hi, seed=i + 1).cast(dt.simpleString()).alias(name))
+        elif isinstance(dt, StringType):
+            cols.append(F.concat(F.lit(f"{name}-"), F.xxhash64("id", F.lit(i)).cast("string")).alias(name))
+        else:
+            cols.append(F.lit(None).cast(dt.simpleString()).alias(name))
+    return base.select(*cols)

@@ -144,3 +144,91 @@ def test_databases(engine):
     assert engine.sql("SHOW TABLES").count() == 1
     engine.sql("USE default")
     assert engine.sql("SHOW TABLES").count() == 0
+
+
+def test_tutorial_full_workload_verbatim_sql(engine):
+    """The tutorial's statements near-verbatim (datagen connector DDL
+    Readme.md:88-154; lookup-join enrichment with LOOKUP hints and FOR
+    SYSTEM_TIME AS OF, guide.md:119-141) — bounded sources so the test
+    runs as batch inserts."""
+    engine.sql(
+        """
+        CREATE TABLE measurements_source (
+            sensor_id BIGINT,
+            reading DECIMAL(5, 1),
+            event_time TIMESTAMP(3)
+        ) WITH (
+            'connector' = 'datagen',
+            'number-of-rows' = '2000',
+            'fields.sensor_id.min' = '0',
+            'fields.sensor_id.max' = '1000',
+            'fields.reading.min' = '0.0',
+            'fields.reading.max' = '45.0'
+        )
+        """
+    )
+    engine.sql(
+        """
+        CREATE TABLE sensor_info_source (
+            sensor_id BIGINT,
+            latitude DOUBLE,
+            longitude DOUBLE,
+            generation INT,
+            updated_at TIMESTAMP(3)
+        ) WITH (
+            'connector' = 'datagen',
+            'fields.sensor_id.kind' = 'sequence',
+            'fields.sensor_id.start' = '1',
+            'fields.sensor_id.end' = '1000',
+            'fields.latitude.min' = '-90', 'fields.latitude.max' = '90',
+            'fields.longitude.min' = '-180', 'fields.longitude.max' = '180',
+            'fields.generation.min' = '0', 'fields.generation.max' = '3'
+        )
+        """
+    )
+    engine.sql(
+        "CREATE TABLE measurements (sensor_id BIGINT, reading DECIMAL(5, 1), "
+        "event_time TIMESTAMP(3)) WITH ('bucket' = '2', 'bucket-key' = 'sensor_id')"
+    )
+    engine.sql(
+        """
+        CREATE TABLE sensor_info (
+            sensor_id BIGINT, latitude DOUBLE, longitude DOUBLE,
+            generation INT, updated_at TIMESTAMP(3),
+            PRIMARY KEY (sensor_id) NOT ENFORCED
+        ) WITH ('changelog-producer' = 'input')
+        """
+    )
+    engine.sql(
+        "CREATE TABLE measurements_enriched (sensor_id BIGINT, reading DECIMAL(5, 1), "
+        "event_time TIMESTAMP(3), latitude DOUBLE, longitude DOUBLE, generation INT, "
+        "updated_at TIMESTAMP(3))"
+    )
+
+    engine.sql("INSERT INTO measurements SELECT * FROM measurements_source")
+    engine.sql("INSERT INTO sensor_info SELECT * FROM sensor_info_source")
+    assert engine.sql("SELECT COUNT(*) AS c FROM measurements").collect()[0].c == 2000
+    assert engine.sql("SELECT COUNT(*) AS c FROM sensor_info").collect()[0].c == 1000
+
+    # guide.md:119-141 shape, hints + FOR SYSTEM_TIME verbatim
+    engine.sql(
+        """
+        INSERT INTO measurements_enriched
+        SELECT /*+ LOOKUP('table'='sensor_info', 'retry-predicate'='lookup_miss',
+                          'output-mode'='allow_unordered', 'retry-strategy'='fixed_delay',
+                          'fixed-delay'='1s', 'max-attempts'='50') */
+               m.sensor_id, m.reading, m.event_time,
+               s.latitude, s.longitude, s.generation, s.updated_at
+        FROM measurements AS m
+        JOIN sensor_info FOR SYSTEM_TIME AS OF m.event_time AS s
+        ON m.sensor_id = s.sensor_id
+        """
+    )
+    n = engine.sql("SELECT COUNT(*) AS c FROM measurements_enriched").collect()[0].c
+    # measurements sensor_id ∈ [0,1000]; dim knows 1..1000 → ≈ all join
+    assert 0 < n <= 2000
+    bad = engine.sql(
+        "SELECT COUNT(*) AS c FROM measurements_enriched e "
+        "JOIN sensor_info s ON e.sensor_id = s.sensor_id WHERE e.generation <> s.generation"
+    ).collect()[0].c
+    assert bad == 0
