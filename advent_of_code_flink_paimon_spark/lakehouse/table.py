@@ -451,6 +451,36 @@ class Table:
         if since >= int(delta) and latest is not None:
             self.compact()
 
+    def remove_orphan_files(self, older_than_ms: int | None = None) -> list[str]:
+        """Delete data files on disk that no live snapshot references —
+        the residue of a writer that crashed between staging and commit
+        (Paimon's remove_orphan_files action). ``older_than_ms`` guards
+        against racing an in-flight commit; defaults to 1 h ago, pass 0
+        (epoch-relative future) to clean everything in tests."""
+        import time as _time
+
+        cutoff = (
+            older_than_ms
+            if older_than_ms is not None
+            else int(_time.time() * 1000) - 3_600_000
+        )
+        referenced: set[str] = set()
+        for s in self.snapshots():
+            referenced |= {e["file_path"] for e in self.manifest(s["id"])}
+        removed = []
+        pdirs = ["*"] * len(self.partition_keys)
+        for f in glob.glob(os.path.join(self.paths.root, *pdirs, "bucket-*", "*.parquet")):
+            rel = os.path.relpath(f, self.paths.root)
+            if rel not in referenced and os.path.getmtime(f) * 1000 < cutoff:
+                os.unlink(f)
+                removed.append(rel)
+        # abandoned staging dirs are orphans too
+        for d in glob.glob(os.path.join(self.paths.root, ".staging-*")):
+            if os.path.getmtime(d) * 1000 < cutoff:
+                shutil.rmtree(d, ignore_errors=True)
+                removed.append(os.path.relpath(d, self.paths.root))
+        return removed
+
     def expire_snapshots(
         self, retain_min: int = 1, retain_max: int | None = None, older_than_ms: int | None = None
     ) -> list[int]:

@@ -306,3 +306,27 @@ def test_time_travel_sql(spark, catalog):
     assert catalog.sql(spark, "SELECT COUNT(*) AS c FROM m VERSION AS OF 1").collect()[0].c == 1
     assert catalog.sql(spark, "SELECT COUNT(*) AS c FROM m VERSION AS OF 2").collect()[0].c == 2
     assert catalog.sql(spark, "SELECT COUNT(*) AS c FROM m").collect()[0].c == 2
+
+
+def test_remove_orphan_files(spark, catalog):
+    """Files outside every snapshot's manifest (crash residue) are
+    removed; referenced files and newer-than-cutoff files survive."""
+    import time as _time
+
+    t = catalog.create_table("m", "k long, v long")
+    t.append(spark.createDataFrame([(1, 1), (2, 2)], "k long, v long"))
+    # plant an orphan data file + an abandoned staging dir
+    orphan = os.path.join(t.paths.bucket_dir(0), "data-orphan.parquet")
+    spark.createDataFrame([(9, 9)], "k long, v long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(t.paths.root, ".staging-crashed-123"))
+    with open(orphan, "wb") as f:
+        f.write(b"not really parquet")
+
+    future = int(_time.time() * 1000) + 60_000  # everything is "old enough"
+    removed = t.remove_orphan_files(older_than_ms=future)
+    assert any("data-orphan" in r for r in removed)
+    assert any(".staging-crashed" in r for r in removed)
+    assert not os.path.exists(orphan)
+    # live data intact
+    assert t.read(spark).count() == 2
