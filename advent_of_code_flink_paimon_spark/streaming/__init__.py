@@ -8,6 +8,7 @@ from advent_of_code_flink_paimon_spark.streaming.pipelines import (
     stream_table_files,
 )
 from advent_of_code_flink_paimon_spark.streaming.windows import (
+    stream_stream_join,
     dedup_within_watermark,
     session_agg,
     sliding_agg,
@@ -25,4 +26,5 @@ __all__ = [
     "session_agg",
     "dedup_within_watermark",
     "stateful_ewma",
+    "stream_stream_join",
 ]

@@ -95,6 +95,32 @@ def dedup_within_watermark(df: DataFrame, keys: list[str], ts_col: str, watermar
     return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    watermark: str = "2 minutes",
+    within: str = "1 minute",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: rows match when their
+    event times are within ``within`` of each other. Both sides buffer
+    keyed state; the watermark + interval bound lets Spark evict state,
+    so memory stays proportional to the interval, not the stream
+    (SURVEY.md §2.9 extension — no reference analog, Flink's interval
+    join equivalent)."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[on] == rw[on])
+        & (rw[right_ts] >= F.expr(f"{left_ts} - interval {within}"))
+        & (rw[right_ts] <= F.expr(f"{left_ts} + interval {within}"))
+    )
+    return lw.join(rw, cond, how)
+
+
 def stateful_ewma(
     df: DataFrame,
     key_col: str = "sensor_id",

@@ -167,3 +167,79 @@ def test_sliding_window_counts(spark, event_stream, tmp_path):
             & (F.col("ts") < r.window_end)
         ).count()
         assert r.n == expect
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """clicks ⋈ purchases within ±1 minute per user — streaming answer
+    equals the batch interval join on the same rows."""
+    from advent_of_code_flink_paimon_spark.streaming import stream_stream_join
+
+    clicks = [(i % 5, f"2024-01-01 00:{i:02d}:00") for i in range(20)]
+    buys = [(i % 5, f"2024-01-01 00:{i:02d}:30") for i in range(0, 20, 2)]
+    cdf = spark.createDataFrame(clicks, "user_id long, cts string").withColumn(
+        "cts", F.col("cts").cast("timestamp")
+    )
+    bdf = spark.createDataFrame(buys, "user_id long, bts string").withColumn(
+        "bts", F.col("bts").cast("timestamp")
+    )
+    cdf.write.parquet(str(tmp_path / "c"))
+    bdf.write.parquet(str(tmp_path / "b"))
+    cs = spark.readStream.schema("user_id long, cts timestamp").parquet(str(tmp_path / "c"))
+    bs = spark.readStream.schema("user_id long, bts timestamp").parquet(str(tmp_path / "b"))
+
+    joined = stream_stream_join(
+        cs, bs, on="user_id", left_ts="cts", right_ts="bts",
+        watermark="0 seconds", within="1 minute",
+    ).select(cs.user_id, "cts", "bts")
+    q = (
+        joined.writeStream.format("memory").queryName("ssj").outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r.user_id, str(r.cts), str(r.bts)) for r in spark.sql("SELECT * FROM ssj").collect()}
+    expect = {
+        (r.user_id, str(r.cts), str(r.bts))
+        for r in cdf.join(
+            bdf,
+            (cdf.user_id == bdf.user_id)
+            & (bdf.bts >= F.expr("cts - interval 1 minute"))
+            & (bdf.bts <= F.expr("cts + interval 1 minute")),
+        ).select(cdf.user_id, "cts", "bts").collect()
+    }
+    assert got == expect and got
+
+
+def test_continuous_aggregate_into_pk_table(spark, tmp_path, event_stream):
+    """Continuous aggregate: tumbling windowed agg streamed into a PK
+    (upsert) lakehouse table keyed by (window_start, sensor_id) — the
+    materialized-rollup capstone (windows + upsert sink composed)."""
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+    from advent_of_code_flink_paimon_spark.streaming import Pipeline, tumbling_agg
+
+    df, stream = event_stream
+    cat = Catalog(str(tmp_path / "wh"))
+    rollup = cat.create_table(
+        "rollup",
+        "window_start timestamp, window_end timestamp, sensor_id long, n long, sum_value double",
+        {"primary-key": ["window_start", "sensor_id"]},
+    )
+    agg = tumbling_agg(stream, "ts", ["sensor_id"], window="1 minute", watermark="0 seconds")
+    pipe = Pipeline("rollup", agg, rollup, mode="upsert", available_now=True,
+                    checkpoint_dir=str(tmp_path / "ck2"))
+    q = pipe.start()
+    q.awaitTermination(120)
+
+    got = {
+        (str(r.window_start), r.sensor_id): (r.n, r.sum_value)
+        for r in rollup.read(spark).collect()
+    }
+    expected = {
+        (str(r.ws), r.sensor_id): (r.n, r.sv)
+        for r in df.groupBy(F.date_trunc("minute", "ts").alias("ws"), "sensor_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+        .collect()
+    }
+    assert got and all(got[k] == expected[k] for k in got)
+    # PK invariant: one row per (window, sensor)
+    assert rollup.read(spark).count() == rollup.read(spark).select("window_start", "sensor_id").distinct().count()
