@@ -139,6 +139,12 @@ class Engine:
             return self.spark.createDataFrame(
                 [(t,) for t in self.catalog.list_tables()], "table_name string"
             )
+        if u.startswith("SHOW CATALOGS"):  # Readme.md:57
+            return self.spark.createDataFrame(
+                [("default_catalog",), ("paimon",)], "catalog_name string"
+            )
+        if u.startswith("SHOW FUNCTIONS") or u.startswith("SHOW VIEWS"):
+            return self.spark.sql(s)  # Readme.md:68,78 — Spark's own registry
         if u.startswith("DESCRIBE"):
             name = s.split()[-1]
             t = self.catalog.get_table(name)

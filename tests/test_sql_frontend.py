@@ -232,3 +232,10 @@ def test_tutorial_full_workload_verbatim_sql(engine):
         "JOIN sensor_info s ON e.sensor_id = s.sensor_id WHERE e.generation <> s.generation"
     ).collect()[0].c
     assert bad == 0
+
+
+def test_show_catalogs_functions(engine):
+    cats = {r.catalog_name for r in engine.sql("SHOW CATALOGS").collect()}
+    assert "paimon" in cats  # Readme.md:57
+    fns = engine.sql("SHOW FUNCTIONS")
+    assert fns.count() > 100  # Readme.md:78 — the full built-in library
