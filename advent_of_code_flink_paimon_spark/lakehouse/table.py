@@ -435,21 +435,56 @@ class Table:
             e["level"] = COMPACT_LEVEL
         return self._commit(entries, "COMPACT", replaced=old)
 
-    def _maybe_auto_compact(self) -> None:
-        """Honor 'full-compaction.delta-commits' (tutorial/guide.md:269):
-        compact automatically every N commits."""
-        delta = self.options.get("full-compaction.delta-commits")
-        if not delta:
-            return
+    def compact_minor(self) -> int | None:
+        """Minor (L0) compaction: merge only the level-0 files of each
+        bucket into one file, leaving already-compacted higher-level
+        files untouched — the incremental LSM merge the reference tunes
+        with 'compaction.max.file-num' (tutorial/guide.md:269-270). At
+        scale this bounds write amplification: a full rewrite touches
+        the whole table; a minor pass touches only the fresh commits."""
+        spark = SparkSession.getActiveSession()
         latest = self.latest_snapshot_id()
-        snaps = self.snapshots()
-        since = 0
-        for s in reversed(snaps):
-            if s["commit_kind"] == "COMPACT":
-                break
-            since += 1
-        if since >= int(delta) and latest is not None:
-            self.compact()
+        if latest is None:
+            return None
+        l0 = [e for e in self.manifest(latest) if e["level"] == 0]
+        if len(l0) <= 1:
+            return None
+        files = [os.path.join(self.paths.root, e["file_path"]) for e in l0]
+        df = spark.read.parquet(*files)
+        _, entries = self._stage_write(df)
+        for e in entries:
+            e["level"] = 1
+        if self.primary_key:
+            # preserve merge ordering: rewritten rows keep their own __seq
+            # values (they are in the data), commit sequence stays monotone
+            seq = self.snapshot(latest)["sequence_number"]
+            return self._commit(
+                entries, "COMPACT", replaced={e["file_path"] for e in l0}, sequence_number=seq
+            )
+        return self._commit(entries, "COMPACT", replaced={e["file_path"] for e in l0})
+
+    def _maybe_auto_compact(self) -> None:
+        """Honor 'full-compaction.delta-commits' (full rewrite every N
+        commits) and 'compaction.max.file-num' (minor L0 merge when the
+        fresh-file count exceeds the bound) — tutorial/guide.md:269-270."""
+        delta = self.options.get("full-compaction.delta-commits")
+        if delta:
+            snaps = self.snapshots()
+            since = 0
+            for s in reversed(snaps):
+                if s["commit_kind"] == "COMPACT":
+                    break
+                since += 1
+            if since >= int(delta) and self.latest_snapshot_id() is not None:
+                self.compact()
+                return
+        max_files = self.options.get("compaction.max.file-num")
+        if max_files:
+            latest = self.latest_snapshot_id()
+            if latest is not None:
+                l0 = [e for e in self.manifest(latest) if e["level"] == 0]
+                if len(l0) > int(max_files):
+                    self.compact_minor()
 
     def remove_orphan_files(self, older_than_ms: int | None = None) -> list[str]:
         """Delete data files on disk that no live snapshot references —

@@ -330,3 +330,36 @@ def test_remove_orphan_files(spark, catalog):
     assert not os.path.exists(orphan)
     # live data intact
     assert t.read(spark).count() == 2
+
+
+def test_minor_compaction_max_file_num(spark, catalog):
+    """'compaction.max.file-num' triggers a minor L0-only merge: fresh
+    files collapse to level 1, compacted files stay untouched, rows
+    preserved (tutorial/guide.md:269-270)."""
+    t = catalog.create_table(
+        "m",
+        "sensor_id long, reading decimal(5,1), event_time timestamp",
+        {"bucket": "1", "compaction.max.file-num": "3"},
+    )
+    for i in range(5):
+        t.append(_measurements(spark, 100, start=i * 100))
+    levels = sorted(e["level"] for e in t.manifest())
+    assert 1 in levels  # minor compaction ran
+    assert levels.count(0) <= 3  # L0 population bounded
+    assert t.read(spark).count() == 500
+    assert any(s["commit_kind"] == "COMPACT" for s in t.snapshots())
+
+
+def test_minor_compaction_pk_preserves_merge(spark, catalog):
+    """Minor compaction of a PK table must not disturb merge-on-read:
+    the rewritten rows keep their own __seq, so later upserts still win
+    and earlier images stay shadowed."""
+    t = catalog.create_table("s", "k long, v string", {"primary-key": "k"})
+    t.upsert(spark.createDataFrame([(1, "v1"), (2, "v1")], "k long, v string"))
+    t.upsert(spark.createDataFrame([(1, "v2")], "k long, v string"))
+    t.compact_minor()
+    got = {r.k: r.v for r in t.read(spark).collect()}
+    assert got == {1: "v2", 2: "v1"}
+    t.upsert(spark.createDataFrame([(2, "v3")], "k long, v string"))
+    got = {r.k: r.v for r in t.read(spark).collect()}
+    assert got == {1: "v2", 2: "v3"}
