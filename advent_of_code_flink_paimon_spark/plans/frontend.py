@@ -245,6 +245,12 @@ class Engine:
         target_name, select_sql = m.group(1), m.group(2)
         target = self.catalog.get_table(target_name)
 
+        # the tutorial's streaming lookup-join enrichment (guide.md:119-141):
+        # stream JOIN pk-table → continuous LookupJoinPipeline with retry
+        lookup = self._streaming_lookup_insert(target, select_sql)
+        if lookup is not None:
+            return lookup
+
         # a SELECT straight from one registered streaming source becomes a
         # continuous pipeline (the tutorial's INSERT INTO jobs,
         # guide.md:36-40); anything else evaluates as a batch snapshot
@@ -276,6 +282,54 @@ class Engine:
         mode = "upsert" if target.primary_key else "append"
         getattr(target, mode)(src_df)
         return StatementResult("OK", f"{mode} into {target_name}")
+
+    def _streaming_lookup_insert(self, target, select_sql: str):
+        """`SELECT … FROM <streaming-src> [AS a] JOIN <pk-table> [AS b]
+        ON a.k = b.k` → LookupJoinPipeline (processing-time temporal
+        join with retry queue, SURVEY.md §3 EP3). The hint/SYSTEM_TIME
+        decorations were already stripped by sql(). The output column
+        set is the pipeline's contract (stream columns + dimension
+        attributes) — the SELECT list is advisory here, as the sink
+        schema is the target table's."""
+        m = re.match(
+            r"SELECT\s+.*?\s+FROM\s+(\S+)(?:\s+AS\s+(\w+))?\s+"
+            r"JOIN\s+(\S+)(?:\s+AS\s+(\w+))?\s+ON\s+(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$",
+            select_sql.strip(),
+            re.I | re.S,
+        )
+        if not m:
+            return None
+        src_name = m.group(1).split(".")[-1]
+        dim_name = m.group(3).split(".")[-1]
+        k1, k2 = m.group(6), m.group(8)
+        src = self._sources.get(src_name)
+        if src is None or not src.isStreaming or k1 != k2:
+            return None
+        try:
+            dim = self.catalog.get_table(dim_name)
+        except KeyError:
+            return None
+
+        from advent_of_code_flink_paimon_spark.streaming import LookupJoinPipeline
+
+        pname = self.session_conf.get("pipeline.name", f"lookup-{target.name}")
+        pipe = LookupJoinPipeline(
+            pname,
+            self.catalog,
+            src,
+            dim_table=dim,
+            target_table=target,
+            on=k1,
+            max_attempts=int(self.session_conf.get("lookup.max-attempts", 50)),
+            trigger_seconds=int(
+                float(
+                    re.sub(r"[^\d.]", "", self.session_conf.get("execution.checkpointing.interval", "20s")) or 20
+                )
+            ),
+        )
+        q = pipe.start()
+        self._pipelines[pname] = q
+        return StatementResult("PIPELINE", pname, handle=q)
 
     def _streaming_select(self, select_sql: str) -> DataFrame | None:
         """`SELECT <cols|*> FROM <streaming-source>` (no joins/aggs) maps

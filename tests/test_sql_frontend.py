@@ -239,3 +239,60 @@ def test_show_catalogs_functions(engine):
     assert "paimon" in cats  # Readme.md:57
     fns = engine.sql("SHOW FUNCTIONS")
     assert fns.count() > 100  # Readme.md:78 — the full built-in library
+
+
+def test_streaming_lookup_join_sql_becomes_pipeline(engine, spark):
+    """The tutorial's streaming enrichment INSERT (guide.md:119-141),
+    hints and FOR SYSTEM_TIME verbatim, starts a continuous
+    LookupJoinPipeline against the PK dimension."""
+    engine.sql(
+        "CREATE TABLE sensor_info (sensor_id BIGINT, latitude DOUBLE, longitude DOUBLE, "
+        "generation INT, updated_at TIMESTAMP(3), PRIMARY KEY (sensor_id) NOT ENFORCED)"
+    )
+    dim_src = sensor_info_static(spark, 1000)
+    dim_src.createOrReplaceTempView("dim_src")
+    engine.sql("INSERT INTO sensor_info SELECT * FROM dim_src")
+    engine.sql(
+        "CREATE TABLE measurements_enriched (sensor_id BIGINT, reading DECIMAL(5, 1), "
+        "event_time TIMESTAMP(3), latitude DOUBLE, longitude DOUBLE, generation INT, "
+        "updated_at TIMESTAMP(3))"
+    )
+    engine.register_source(
+        "measurements", measurements_stream(spark, rows_per_second=300, trigger_seconds=1)
+    )
+    engine.sql("SET 'pipeline.name' = 'MeasurementsEnrichment'")
+    engine.sql("SET 'execution.checkpointing.interval' = '1s'")
+    res = engine.sql(
+        """
+        INSERT INTO measurements_enriched
+        SELECT /*+ LOOKUP('table'='sensor_info', 'retry-predicate'='lookup_miss',
+                          'output-mode'='allow_unordered') */
+               m.sensor_id, m.reading, m.event_time,
+               s.latitude, s.longitude, s.generation, s.updated_at
+        FROM measurements AS m
+        JOIN sensor_info FOR SYSTEM_TIME AS OF m.event_time AS s
+        ON m.sensor_id = s.sensor_id
+        """
+    )
+    assert isinstance(res, StatementResult) and res.kind == "PIPELINE"
+    assert res.detail == "MeasurementsEnrichment"
+    q = res.handle
+    try:
+        t = engine.catalog.get_table("measurements_enriched")
+        deadline = time.time() + 90
+        while time.time() < deadline and (t.latest_snapshot_id() or 0) < 2:
+            time.sleep(0.5)
+        assert (t.latest_snapshot_id() or 0) >= 2
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    out = engine.sql("SELECT COUNT(*) AS c FROM measurements_enriched").collect()[0].c
+    assert out > 0
+    # enriched rows carry dimension attributes (no null lat for matched keys)
+    assert engine.sql(
+        "SELECT COUNT(*) AS c FROM measurements_enriched WHERE latitude IS NULL"
+    ).collect()[0].c == 0
+    # retry queue table materialized for the misses (sensor_id 0 has no dim row)
+    assert "measurements_enriched_retry" in {
+        r.table_name for r in engine.sql("SHOW TABLES").collect()
+    }
