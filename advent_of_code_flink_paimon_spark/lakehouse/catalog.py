@@ -70,6 +70,23 @@ class Catalog:
         )
         return t
 
+    def add_column(self, name: str, col_ddl: str) -> Table:
+        """ALTER TABLE ADD COLUMN — schema evolution (schema-N+1, the
+        versioned-schema mechanism of assets/output5.png). Old data
+        files simply lack the column; the read path supplies the latest
+        schema to the parquet reader, which null-fills missing columns —
+        no rewrite of existing files."""
+        t = self.get_table(name)
+        doc = t.schema_doc()
+        new_fields = StructType.fromDDL(col_ddl).fields
+        schema = StructType(StructType.fromJson(doc["schema"]).fields + new_fields)
+        v = t.schema_version + 1
+        atomic_write_json(
+            t.paths.schema_path(v),
+            {"version": v, "schema": schema.jsonValue(), "options": doc["options"], "created_ms": now_millis()},
+        )
+        return t
+
     def drop_table(self, name: str) -> None:
         paths = TablePaths(self.warehouse, self.db, name)
         shutil.rmtree(paths.root, ignore_errors=True)

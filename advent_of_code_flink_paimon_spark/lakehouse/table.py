@@ -334,15 +334,17 @@ class Table:
 
     def _raw(self, spark: SparkSession, snapshot_id: int | None = None, where: str | None = None):
         files = self._live_files(snapshot_id, where)
+        schema = self.schema
+        if self.primary_key:
+            schema = StructType(
+                schema.fields + StructType.fromDDL("__op string, __seq long").fields
+            )
         if not files:
-            schema = self.schema
-            if self.primary_key:
-                schema = StructType(
-                    schema.fields
-                    + StructType.fromDDL("__op string, __seq long").fields
-                )
             return spark.createDataFrame([], schema)
-        return spark.read.parquet(*files)
+        # explicit schema (latest version): files written before an ADD
+        # COLUMN lack the new field and the reader null-fills it — schema
+        # evolution without rewriting data (assets/output5.png semantics)
+        return spark.read.schema(schema).parquet(*files)
 
     def _merged(self, spark: SparkSession, snapshot_id: int | None = None, where: str | None = None):
         """Merge-on-read for PK tables: latest row per key by commit

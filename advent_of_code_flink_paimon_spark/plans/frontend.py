@@ -154,10 +154,21 @@ class Engine:
             return self._create_table(s)
         if u.startswith("ALTER TABLE"):
             m = re.match(r"ALTER\s+TABLE\s+(\S+)\s+SET\s*\((.*)\)\s*$", s, re.I | re.S)
-            if not m:
-                raise ValueError(f"unsupported ALTER TABLE form: {s}")
-            self.catalog.alter_table(m.group(1), _parse_with_options(m.group(2)))
-            return StatementResult("OK", f"altered {m.group(1)}")
+            if m:
+                self.catalog.alter_table(m.group(1), _parse_with_options(m.group(2)))
+                return StatementResult("OK", f"altered {m.group(1)}")
+            m = re.match(
+                r"ALTER\s+TABLE\s+(\S+)\s+ADD\s+(?:COLUMN\s+)?(.+?)\s*$", s, re.I
+            )
+            if m:
+                spec = m.group(2).strip()
+                # Flink's `ADD (col TYPE)` form: strip the enclosing parens
+                if spec.startswith("(") and spec.endswith(")"):
+                    spec = spec[1:-1].strip()
+                col, typ = spec.split(None, 1)
+                self.catalog.add_column(m.group(1), f"{col} {_flink_type_to_spark(typ)}")
+                return StatementResult("OK", f"added column to {m.group(1)}")
+            raise ValueError(f"unsupported ALTER TABLE form: {s}")
         if u.startswith("DROP TABLE"):
             name = s.split()[-1]
             self.catalog.drop_table(name)

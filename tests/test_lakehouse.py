@@ -363,3 +363,34 @@ def test_minor_compaction_pk_preserves_merge(spark, catalog):
     t.upsert(spark.createDataFrame([(2, "v3")], "k long, v string"))
     got = {r.k: r.v for r in t.read(spark).collect()}
     assert got == {1: "v2", 2: "v3"}
+
+
+def test_add_column_schema_evolution(spark, catalog):
+    """ADD COLUMN bumps the schema version; old files read back with the
+    new column null-filled, new writes carry it (assets/output5.png)."""
+    t = catalog.create_table("m", "k long, v long")
+    t.append(spark.createDataFrame([(1, 10)], "k long, v long"))
+    catalog.add_column("m", "tag string")
+    assert t.schema_version == 1
+    assert [f.name for f in t.schema.fields] == ["k", "v", "tag"]
+    # old file: tag is null
+    rows = {r.k: r.tag for r in t.read(spark).collect()}
+    assert rows == {1: None}
+    # new write carries the column
+    t.append(spark.createDataFrame([(2, 20, "fresh")], "k long, v long, tag string"))
+    rows = {r.k: r.tag for r in t.read(spark).collect()}
+    assert rows == {1: None, 2: "fresh"}
+
+
+def test_composite_pk_and_bucket_key(spark, catalog):
+    """Composite primary key + multi-column bucket key: merge-on-read
+    dedups on the full key tuple; bucket routing uses both columns."""
+    t = catalog.create_table(
+        "s",
+        "a long, b long, v long",
+        {"primary-key": ["a", "b"], "bucket": "4", "bucket-key": "a,b"},
+    )
+    t.upsert(spark.createDataFrame([(1, 1, 10), (1, 2, 20), (2, 1, 30)], "a long, b long, v long"))
+    t.upsert(spark.createDataFrame([(1, 2, 99)], "a long, b long, v long"))
+    got = {(r.a, r.b): r.v for r in t.read(spark).collect()}
+    assert got == {(1, 1): 10, (1, 2): 99, (2, 1): 30}

@@ -296,3 +296,12 @@ def test_streaming_lookup_join_sql_becomes_pipeline(engine, spark):
     assert "measurements_enriched_retry" in {
         r.table_name for r in engine.sql("SHOW TABLES").collect()
     }
+
+
+def test_alter_add_column(engine, spark):
+    engine.sql("CREATE TABLE t (a BIGINT)")
+    engine.sql("INSERT INTO t SELECT id AS a FROM range(3)")
+    engine.sql("ALTER TABLE t ADD COLUMN note VARCHAR(20)")
+    assert engine.sql("SELECT COUNT(*) AS c FROM t WHERE note IS NULL").collect()[0].c == 3
+    d = {r.col_name for r in engine.sql("DESCRIBE t").collect()}
+    assert d == {"a", "note"}
