@@ -116,6 +116,7 @@ class Catalog:
             t.read(spark).createOrReplaceTempView(name)
             t.files_table(spark).createOrReplaceTempView(f"{name}__files")
             t.snapshots_table(spark).createOrReplaceTempView(f"{name}__snapshots")
+            t.schemas_table(spark).createOrReplaceTempView(f"{name}__schemas")
 
     def sql(self, spark: SparkSession, query: str):
         """Run SQL against the catalog; supports the reference's
@@ -126,7 +127,7 @@ class Catalog:
         self.register_views(spark)
         import re
 
-        rewritten = re.sub(r"(\w+)\$(files|snapshots)", r"\1__\2", query)
+        rewritten = re.sub(r"(\w+)\$(files|snapshots|schemas)", r"\1__\2", query)
 
         def tt(m):
             name, sid = m.group(1), int(m.group(2))

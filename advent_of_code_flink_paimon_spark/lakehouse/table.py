@@ -587,6 +587,27 @@ class Table:
         ]
         return spark.createDataFrame(rows, schema)
 
+    def schemas_table(self, spark: SparkSession) -> DataFrame:
+        """$schemas: one row per schema version (schema-0, schema-1, …
+        — assets/output5.png)."""
+        import datetime
+        import json as _json
+
+        rows = []
+        for v in range(self.schema_version + 1):
+            doc = self.schema_doc(v)
+            rows.append(
+                (
+                    v,
+                    ",".join(f.name for f in StructType.fromJson(doc["schema"]).fields),
+                    _json.dumps(doc["options"], sort_keys=True),
+                    datetime.datetime.fromtimestamp(doc["created_ms"] / 1000.0),
+                )
+            )
+        return spark.createDataFrame(
+            rows, "schema_id long, fields string, options string, update_time timestamp"
+        )
+
     def snapshots_table(self, spark: SparkSession) -> DataFrame:
         import datetime
 

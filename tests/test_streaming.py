@@ -236,3 +236,70 @@ def test_stream_table_changelog(spark, catalog, tmp_path):
     assert out.filter("_change_type = '+I'").count() == 10
     assert out.filter("_change_type = '+U'").count() == 5
     assert out.filter("_change_type = '+U' AND generation <> 9").count() == 0
+
+
+def test_schemas_system_table(spark, catalog):
+    t = catalog.create_table("m", MEASUREMENTS_DDL)
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog as _C
+
+    cat = catalog
+    cat.alter_table("m", {"snapshot.num-retained.max": "5"})
+    rows = cat.sql(spark, "SELECT schema_id, fields FROM m$schemas ORDER BY schema_id").collect()
+    assert [r.schema_id for r in rows] == [0, 1]
+    assert "sensor_id" in rows[0].fields
+
+
+def test_full_tutorial_topology_concurrent(spark, catalog, tmp_path):
+    """The tutorial's actual job graph, all jobs live at once
+    (guide.md:36-40, 78-81, 119-141): ingestion pipeline into
+    `measurements` + dim upserts into `sensor_info` + lookup-join
+    enrichment from the measurements STREAM — three writers, one
+    warehouse, concurrent."""
+    m = catalog.create_table(
+        "measurements", MEASUREMENTS_DDL, {"bucket": "2", "bucket-key": "sensor_id"}
+    )
+    dim = catalog.create_table("sensor_info", SENSOR_DDL, {"primary-key": "sensor_id"})
+    dim.upsert(sensor_info_static(spark, 1000))
+    enriched = catalog.create_table("measurements_enriched", ENRICHED_DDL)
+
+    ingest = Pipeline(
+        "ingest",
+        measurements_stream(spark, rows_per_second=300, trigger_seconds=1),
+        m,
+        trigger_seconds=None,
+        checkpoint_dir=str(tmp_path / "ck-ingest"),
+    )
+    enrich = LookupJoinPipeline(
+        "enrich",
+        catalog,
+        measurements_stream(spark, rows_per_second=200, trigger_seconds=1),
+        dim_table=dim,
+        target_table=enriched,
+        on="sensor_id",
+        checkpoint_dir=str(tmp_path / "ck-enrich"),
+    )
+    q1, q2 = ingest.start(), enrich.start()
+    try:
+        assert _wait(
+            lambda: (m.latest_snapshot_id() or 0) >= 2
+            and (enriched.latest_snapshot_id() or 0) >= 2,
+            timeout=120,
+        )
+        # concurrent dim update while both pipelines run
+        dim.upsert(sensor_info_static(spark, 1000).withColumn("generation", F.lit(7)))
+    finally:
+        q1.stop(); q2.stop()
+        q1.awaitTermination(30); q2.awaitTermination(30)
+
+    assert m.read(spark).count() > 0
+    out = enriched.read(spark)
+    assert out.count() > 0
+    assert out.filter("latitude IS NULL").count() == 0
+    # every table readable in one SQL session over the shared warehouse
+    n = catalog.sql(
+        spark,
+        "SELECT (SELECT COUNT(*) FROM measurements) AS a, "
+        "(SELECT COUNT(*) FROM sensor_info) AS b, "
+        "(SELECT COUNT(*) FROM measurements_enriched) AS c",
+    ).collect()[0]
+    assert n.a > 0 and n.b == 1000 and n.c > 0
