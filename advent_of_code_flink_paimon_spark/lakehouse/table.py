@@ -154,9 +154,16 @@ class Table:
         for c in pcols:
             staged = staged.withColumn(f"__pt_{c}", F.col(c).cast("string"))
         part_by = [f"__pt_{c}" for c in pcols] + ["__bucket"]
+        writer = staged.repartition(*part_by)
+        # 'sort-by': cluster rows within each file so footer min/max
+        # ranges are tight and disjoint → manifest + row-group pruning
+        # skip far more files on those columns (lightweight Z-order)
+        sort_by = self.options.get("sort-by")
+        if sort_by:
+            cols = sort_by.split(",") if isinstance(sort_by, str) else list(sort_by)
+            writer = writer.sortWithinPartitions(*part_by, *cols)
         (
-            staged.repartition(*part_by)
-            .write.partitionBy(*part_by)
+            writer.write.partitionBy(*part_by)
             .mode("overwrite")
             .parquet(staging)
         )
@@ -436,6 +443,70 @@ class Table:
         for e in entries:
             e["level"] = COMPACT_LEVEL
         return self._commit(entries, "COMPACT", replaced=old)
+
+    # ------------------------------------------------------------------
+    # row-level DML (DELETE / UPDATE)
+    # ------------------------------------------------------------------
+    def delete_where(self, spark: SparkSession, predicate: str) -> int | None:
+        """Row-level DELETE.
+
+        PK tables: retraction upsert (__op='D') for the matching keys —
+        O(matching rows), merge-on-read hides them immediately.
+        Append tables: copy-on-write — manifest pruning narrows to the
+        files that *can* contain matches, only those are rewritten
+        without the matching rows; untouched files stay in place. At
+        100 TB a selective predicate rewrites a handful of files, never
+        the table."""
+        if self.primary_key:
+            victims = self.read(spark, where=predicate)
+            if victims.isEmpty():
+                return None
+            return self.upsert(victims.withColumn("__op", F.lit("D")))
+        affected_entries = prune_entries(self.manifest(), predicate)
+        if not affected_entries:
+            return None
+        affected = {e["file_path"] for e in affected_entries}
+        paths = [os.path.join(self.paths.root, p) for p in sorted(affected)]
+        survivors = spark.read.schema(self.schema).parquet(*paths).filter(f"NOT ({predicate})")
+        _, entries = self._stage_write(survivors)
+        return self._commit(entries, "OVERWRITE", replaced=affected)
+
+    def update_where(self, spark: SparkSession, set_exprs: dict, predicate: str) -> int | None:
+        """Row-level UPDATE (SET col = sql_expr WHERE predicate).
+
+        PK tables: upsert the updated images of matching rows.
+        Append tables: copy-on-write of the pruned file set, applying
+        the SET expressions to matching rows and passing the rest
+        through unchanged."""
+        def apply_set(df):
+            cols = []
+            for f in self.schema.fields:
+                if f.name in set_exprs:
+                    cols.append(
+                        F.when(F.expr(predicate), F.expr(set_exprs[f.name]))
+                        .otherwise(F.col(f.name))
+                        .cast(f.dataType)
+                        .alias(f.name)
+                    )
+                else:
+                    cols.append(F.col(f.name))
+            return df.select(*cols)
+
+        if self.primary_key:
+            updated = self.read(spark, where=predicate)
+            if updated.isEmpty():
+                return None
+            for col, expr in set_exprs.items():
+                updated = updated.withColumn(col, F.expr(expr))
+            return self.upsert(updated)
+        affected_entries = prune_entries(self.manifest(), predicate)
+        if not affected_entries:
+            return None
+        affected = {e["file_path"] for e in affected_entries}
+        paths = [os.path.join(self.paths.root, p) for p in sorted(affected)]
+        rewritten = apply_set(spark.read.schema(self.schema).parquet(*paths))
+        _, entries = self._stage_write(rewritten)
+        return self._commit(entries, "OVERWRITE", replaced=affected)
 
     def compact_minor(self) -> int | None:
         """Minor (L0) compaction: merge only the level-0 files of each

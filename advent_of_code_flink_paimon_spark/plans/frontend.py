@@ -175,6 +175,22 @@ class Engine:
             return StatementResult("OK", f"dropped {name}")
         if u.startswith("INSERT INTO"):
             return self._insert(s)
+        if u.startswith("DELETE FROM"):
+            m = re.match(r"DELETE\s+FROM\s+(\S+)\s+WHERE\s+(.+)$", s, re.I | re.S)
+            if not m:
+                raise ValueError(f"unparseable DELETE: {s}")
+            sid = self.catalog.get_table(m.group(1)).delete_where(self.spark, m.group(2))
+            return StatementResult("OK", f"deleted from {m.group(1)} (snapshot {sid})")
+        if u.startswith("UPDATE "):
+            m = re.match(r"UPDATE\s+(\S+)\s+SET\s+(.+?)\s+WHERE\s+(.+)$", s, re.I | re.S)
+            if not m:
+                raise ValueError(f"unparseable UPDATE: {s}")
+            sets = {}
+            for part in m.group(2).split(","):
+                col, expr = part.split("=", 1)
+                sets[col.strip()] = expr.strip()
+            sid = self.catalog.get_table(m.group(1)).update_where(self.spark, sets, m.group(3))
+            return StatementResult("OK", f"updated {m.group(1)} (snapshot {sid})")
         # everything else (SELECT/WITH/VALUES) → Spark SQL over the
         # catalog views, with $files/$snapshots and Flink-dialect
         # function-name rewrites (functions/scalar.py)

@@ -394,3 +394,70 @@ def test_composite_pk_and_bucket_key(spark, catalog):
     t.upsert(spark.createDataFrame([(1, 2, 99)], "a long, b long, v long"))
     got = {(r.a, r.b): r.v for r in t.read(spark).collect()}
     assert got == {(1, 1): 10, (1, 2): 99, (2, 1): 30}
+
+
+def test_sort_by_tightens_stats_for_pruning(spark, catalog):
+    """'sort-by' clusters rows within bucket files: with multiple files
+    per bucket (maxRecordsPerFile), sorted writes give disjoint min/max
+    ranges and a point predicate prunes to few files; unsorted writes
+    leave every file covering the whole range (no pruning)."""
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "250")
+    try:
+        data = spark.createDataFrame(
+            [((i * 7919) % 1000, i) for i in range(1000)], "k long, v long"
+        )
+        plain = catalog.create_table("plain", "k long, v long", {"bucket": "1"})
+        plain.append(data)
+        sorted_t = catalog.create_table(
+            "clustered", "k long, v long", {"bucket": "1", "sort-by": "k"}
+        )
+        sorted_t.append(data)
+        assert len(plain._live_files()) >= 4 and len(sorted_t._live_files()) >= 4
+        pred = "k >= 100 AND k <= 120"
+        assert len(plain._live_files(where=pred)) == len(plain._live_files())
+        assert len(sorted_t._live_files(where=pred)) == 1
+        # correctness unaffected
+        assert sorted_t.read(spark, where=pred).count() == plain.read(spark, where=pred).count()
+    finally:
+        spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+
+
+def test_delete_where_append_table_copy_on_write(spark, catalog):
+    """DELETE on an append table rewrites only the files the predicate
+    can touch (manifest-pruned copy-on-write)."""
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "250")
+    try:
+        t = catalog.create_table("m", "k long, v long", {"bucket": "1", "sort-by": "k"})
+        t.append(spark.createDataFrame([(i, i) for i in range(1000)], "k long, v long"))
+        files_before = set(t._live_files())
+        assert len(files_before) >= 4
+        t.delete_where(spark, "k >= 100 AND k < 120")
+        assert t.read(spark).count() == 980
+        assert t.read(spark).filter("k >= 100 AND k < 120").count() == 0
+        # COW: most files untouched
+        untouched = set(t._live_files()) & files_before
+        assert len(untouched) >= len(files_before) - 1
+        assert t.snapshots()[-1]["commit_kind"] == "OVERWRITE"
+    finally:
+        spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+
+
+def test_delete_where_pk_table_retraction(spark, catalog):
+    t = catalog.create_table("s", "k long, v long", {"primary-key": "k"})
+    t.upsert(spark.createDataFrame([(i, i) for i in range(10)], "k long, v long"))
+    t.delete_where(spark, "k % 2 = 0")
+    assert sorted(r.k for r in t.read(spark).collect()) == [1, 3, 5, 7, 9]
+
+
+def test_update_where_both_table_kinds(spark, catalog):
+    a = catalog.create_table("a", "k long, v long")
+    a.append(spark.createDataFrame([(i, 0) for i in range(10)], "k long, v long"))
+    a.update_where(spark, {"v": "v + 100"}, "k < 3")
+    got = {r.k: r.v for r in a.read(spark).collect()}
+    assert all(got[k] == 100 for k in range(3)) and all(got[k] == 0 for k in range(3, 10))
+
+    p = catalog.create_table("p", "k long, v long", {"primary-key": "k"})
+    p.upsert(spark.createDataFrame([(i, 0) for i in range(10)], "k long, v long"))
+    p.update_where(spark, {"v": "42"}, "k >= 8")
+    got = {r.k: r.v for r in p.read(spark).collect()}
+    assert got[8] == got[9] == 42 and got[0] == 0 and len(got) == 10

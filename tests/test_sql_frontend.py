@@ -305,3 +305,12 @@ def test_alter_add_column(engine, spark):
     assert engine.sql("SELECT COUNT(*) AS c FROM t WHERE note IS NULL").collect()[0].c == 3
     d = {r.col_name for r in engine.sql("DESCRIBE t").collect()}
     assert d == {"a", "note"}
+
+
+def test_delete_update_sql(engine):
+    engine.sql("CREATE TABLE t (k BIGINT, v BIGINT)")
+    engine.sql("INSERT INTO t SELECT id AS k, 0 AS v FROM range(10)")
+    engine.sql("UPDATE t SET v = 7 WHERE k < 5")
+    assert engine.sql("SELECT SUM(v) AS s FROM t").collect()[0].s == 35
+    engine.sql("DELETE FROM t WHERE k >= 8")
+    assert engine.sql("SELECT COUNT(*) AS c FROM t").collect()[0].c == 8
