@@ -175,6 +175,28 @@ class Engine:
             return StatementResult("OK", f"dropped {name}")
         if u.startswith("INSERT INTO"):
             return self._insert(s)
+        if u.startswith("MERGE INTO"):
+            # restricted MERGE: equi-key vs a PK table with update-all /
+            # insert-all branches ≡ the engine's native upsert
+            m = re.match(
+                r"MERGE\s+INTO\s+(\S+)(?:\s+AS\s+\w+)?\s+USING\s+(\S+)(?:\s+AS\s+\w+)?\s+"
+                r"ON\s+\w+\.(\w+)\s*=\s*\w+\.(\w+)\s+"
+                r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+"
+                r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*$",
+                s,
+                re.I | re.S,
+            )
+            if not m:
+                raise ValueError(
+                    "MERGE supports: MERGE INTO t USING s ON t.<pk> = s.<pk> "
+                    "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+                )
+            target = self.catalog.get_table(m.group(1))
+            if not target.primary_key or m.group(3) != m.group(4) or [m.group(3)] != target.primary_key:
+                raise ValueError("MERGE requires the target's primary key as the join key")
+            src_df = self.sql(f"SELECT * FROM {m.group(2)}")
+            sid = target.upsert(src_df)
+            return StatementResult("OK", f"merged into {m.group(1)} (snapshot {sid})")
         if u.startswith("DELETE FROM"):
             m = re.match(r"DELETE\s+FROM\s+(\S+)\s+WHERE\s+(.+)$", s, re.I | re.S)
             if not m:

@@ -314,3 +314,15 @@ def test_delete_update_sql(engine):
     assert engine.sql("SELECT SUM(v) AS s FROM t").collect()[0].s == 35
     engine.sql("DELETE FROM t WHERE k >= 8")
     assert engine.sql("SELECT COUNT(*) AS c FROM t").collect()[0].c == 8
+
+
+def test_merge_into(engine, spark):
+    engine.sql("CREATE TABLE tgt (k BIGINT, v BIGINT, PRIMARY KEY (k) NOT ENFORCED)")
+    engine.sql("INSERT INTO tgt SELECT id AS k, 0 AS v FROM range(5)")
+    spark.createDataFrame([(3, 33), (7, 77)], "k long, v long").createOrReplaceTempView("src")
+    engine.sql(
+        "MERGE INTO tgt USING src ON tgt.k = src.k "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = {r.k: r.v for r in engine.sql("SELECT * FROM tgt").collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 33, 4: 0, 7: 77}
