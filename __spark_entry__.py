@@ -18,6 +18,7 @@ def _registries():
     # any one operator-module failure is visible at call time.
     import advent_of_code_flink_paimon_spark.operators.relational  # noqa: F401
 
+    import advent_of_code_flink_paimon_spark.operators.corpus_pipeline  # noqa: F401
     import advent_of_code_flink_paimon_spark.operators.dedup  # noqa: F401
     import advent_of_code_flink_paimon_spark.operators.multimodal  # noqa: F401
     import advent_of_code_flink_paimon_spark.operators.similarity  # noqa: F401
