@@ -106,12 +106,17 @@ class Catalog:
         )
 
     # -- SQL over the catalog (system-table rewrite, SURVEY.md §4) ------
-    def register_views(self, spark: SparkSession) -> None:
-        """Expose every table (merged-on-read LATEST) plus its $files /
-        $snapshots system tables as temp views. `$` is not legal in a
-        view name, so system tables register with `__` (measurements$files
-        → measurements__files); Catalog.sql() rewrites the `$` syntax."""
+    def register_views(self, spark: SparkSession, only: set[str] | None = None) -> None:
+        """Expose tables (merged-on-read LATEST) plus their $files /
+        $snapshots / $schemas system tables as temp views. `$` is not
+        legal in a view name, so system tables register with `__`
+        (measurements$files → measurements__files); Catalog.sql()
+        rewrites the `$` syntax. ``only`` limits registration to the
+        named tables — re-materializing every view per statement costs
+        a snapshot read + window-plan build per table."""
         for name in self.list_tables():
+            if only is not None and name not in only:
+                continue
             t = self.get_table(name)
             t.read(spark).createOrReplaceTempView(name)
             t.files_table(spark).createOrReplaceTempView(f"{name}__files")
@@ -123,10 +128,12 @@ class Catalog:
         `table$files` system-table syntax (tutorial/guide.md:208) and
         time travel (`FROM t VERSION AS OF n` over the MVCC snapshot
         log) by view registration + rewrite before Catalyst sees the
-        query."""
-        self.register_views(spark)
+        query. Only tables whose names appear in the statement are
+        (re-)registered."""
         import re
 
+        idents = set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", query))
+        self.register_views(spark, only=idents)
         rewritten = re.sub(r"(\w+)\$(files|snapshots|schemas)", r"\1__\2", query)
 
         def tt(m):
