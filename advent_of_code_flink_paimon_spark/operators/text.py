@@ -8,6 +8,7 @@ Arrow-batched.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+from pyspark.sql import Window
 
 from advent_of_code_flink_paimon_spark.operators.registry import T, query
 
@@ -173,4 +174,89 @@ def x24_winnow_fingerprint(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
     return d.select("doc_id", winnow("text").alias("w")).select(
         "doc_id", F.col("w.n_fp").alias("n_fp"), F.col("w.fp_checksum").alias("fp_checksum")
+    )
+
+
+@query(
+    "x25_heavy_hitter_bigrams",
+    oracle="""
+    WITH grams AS (
+        SELECT unnest([s[i] || ' ' || s[i+1] for i in range(1, len(s))]) AS bigram
+        FROM (SELECT string_split(text, ' ') AS s FROM documents)
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM grams GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT 20
+    """,
+)
+def x25_heavy_hitter_bigrams(spark, sf_dir):
+    """Corpus heavy hitters: top-20 word bigrams by frequency — the
+    boilerplate/template detector of a training-data pipeline. Exact
+    form here (grouped count + TakeOrdered); at 100 TB the declared
+    scale path is a count-min sketch / `approx_top_k` first pass with
+    exact recount of the sketch's candidates."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select(F.split("text", " ").alias("toks"))
+    grams = toks.select(
+        F.explode(
+            F.expr("transform(sequence(0, greatest(size(toks) - 2, -1)), i -> concat_ws(' ', toks[i], toks[i+1]))")
+        ).alias("bigram")
+    )
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+@query(
+    "x26_tfidf_top_terms",
+    oracle="""
+    WITH tokens AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents WHERE doc_id < 200
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM tokens GROUP BY doc_id, term
+    ),
+    df AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df FROM tokens GROUP BY term
+    ),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tokens),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               ROUND(tf.tf * ln(n.n_docs * 1.0 / df.df), 4) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, term, tfidf,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+        FROM scored
+    )
+    SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def x26_tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (first 200 docs — bounded output).
+
+    Scale shape: tf is one grouped count; df one grouped distinct-count
+    joined back by term (broadcast — vocabulary ≪ corpus); ranking one
+    window on doc_id. ROUND(…,4) pins float parity with the oracle
+    (both engines compute tf·ln(N/df) from identical integers)."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    tokens = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tokens.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tokens.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = tokens.select("doc_id").distinct().count()
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tfidf", "rank")
     )
