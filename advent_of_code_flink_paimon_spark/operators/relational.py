@@ -741,3 +741,158 @@ def q37_below_group_avg(spark, sf_dir):
             F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_price"),
         )
     )
+
+
+@query(
+    "q38_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q38_intersect(spark, sf_dir):
+    """INTERSECT (distinct semantics) — SURVEY.md §2.7 set-op surface.
+    Nations that have both customers and suppliers. Catalyst plans this
+    as a left-semi join over distinct keys; both sides aggregate to
+    ~25 rows before the join, so at 100 TB the exchange carries only
+    distinct nationkeys (partial agg pushes below the shuffle)."""
+    c = T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@query(
+    "q39_except",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def q39_except(spark, sf_dir):
+    """EXCEPT (distinct semantics) — customers with an urgent order but
+    no finished order. Left-anti join over pre-aggregated distinct keys;
+    both filters push into the parquet scan of the same file."""
+    o = T(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    finished = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return urgent.subtract(finished)
+
+
+@query(
+    "q40_pivot",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS "1-URGENT",
+           COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS "2-HIGH",
+           COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
+           COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
+           COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS "5-LOW"
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q40_pivot(spark, sf_dir):
+    """PIVOT: order counts by status × priority. Explicit value list so
+    Catalyst compiles straight to conditional aggregates (one pass, no
+    second job to discover pivot values — at 100 TB the value-discovery
+    scan would read the fact table twice)."""
+    o = T(spark, sf_dir, "orders")
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    return o.groupBy("o_orderstatus").pivot("o_orderpriority", prios).count().na.fill(0)
+
+
+@query(
+    "q41_window_frames",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_suppkey,
+           SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+               PARTITION BY l_suppkey
+               ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity,
+                        l_extendedprice, l_discount, l_tax, l_returnflag,
+                        l_linestatus, l_shipdate
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mov_qty,
+           SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+               PARTITION BY l_suppkey ORDER BY l_orderkey
+               RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) AS range_qty
+    FROM lineitem
+    """,
+)
+def q41_window_frames(spark, sf_dir):
+    """Explicit ROWS + RANGE frames (moving sums per supplier) —
+    SURVEY.md §2.5 analytic-window surface. (l_orderkey, l_linenumber)
+    is NOT unique in the synthetic data, so the ROWS frame orders by the
+    full column tuple: exact-duplicate rows are interchangeable and the
+    output multiset is deterministic. The RANGE frame includes all order
+    peers, so a single sort key suffices. Decimal cast before the frame
+    sum keeps both engines exact; one hash exchange on l_suppkey serves
+    both windows (two sorts, same partitioning)."""
+    l = T(spark, sf_dir, "lineitem")
+    w_rows = (
+        Window.partitionBy("l_suppkey")
+        .orderBy(
+            "l_orderkey", "l_linenumber", "l_partkey", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+            "l_linestatus", "l_shipdate",
+        )
+        .rowsBetween(-3, Window.currentRow)
+    )
+    w_range = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_orderkey")
+        .rangeBetween(-10, Window.currentRow)
+    )
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        F.sum(F.col("l_quantity").cast(_DEC)).over(w_rows).alias("mov_qty"),
+        F.sum(F.col("l_quantity").cast(_DEC)).over(w_range).alias("range_qty"),
+    )
+
+
+@query(
+    "q42_listagg",
+    oracle="""
+    SELECT n_regionkey, STRING_AGG(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def q42_listagg(spark, sf_dir):
+    """LISTAGG/STRING_AGG (the Flink spelling the dialect bridge maps,
+    functions/scalar.py) — deterministic via explicit element sort.
+    collect_list is partial-aggregated per partition; the sort happens
+    on the ~5 grouped rows, not the input."""
+    n = T(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations")
+    )
+
+
+@query(
+    "q43_ntile_rank_stats",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           NTILE(4) OVER (PARTITION BY c_mktsegment ORDER BY c_custkey) AS quartile,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_custkey), 6) AS pr,
+           ROUND(CUME_DIST() OVER (PARTITION BY c_mktsegment ORDER BY c_custkey), 6) AS cd
+    FROM customer
+    """,
+)
+def q43_ntile_rank_stats(spark, sf_dir):
+    """ntile / percent_rank / cume_dist over a deterministic unique
+    ordering — completes the ranking-window family beyond row_number
+    (q19). All three share one exchange + one sort on c_mktsegment."""
+    c = T(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
