@@ -21,6 +21,7 @@ def _registries():
     import advent_of_code_flink_paimon_spark.operators.corpus_pipeline  # noqa: F401
     import advent_of_code_flink_paimon_spark.operators.dedup  # noqa: F401
     import advent_of_code_flink_paimon_spark.operators.multimodal  # noqa: F401
+    import advent_of_code_flink_paimon_spark.operators.sampling  # noqa: F401
     import advent_of_code_flink_paimon_spark.operators.similarity  # noqa: F401
     import advent_of_code_flink_paimon_spark.operators.temporal  # noqa: F401
     import advent_of_code_flink_paimon_spark.operators.text  # noqa: F401

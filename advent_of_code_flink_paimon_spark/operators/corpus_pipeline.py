@@ -101,3 +101,81 @@ def x40_corpus_curation(spark, sf_dir):
         F.sum("n_tokens").alias("total_tokens"),
         F.min("doc_id").alias("min_doc_id"),
     )
+
+
+@query(
+    "x41_decontaminate",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (
+        SELECT doc_id,
+               CASE WHEN len(w) >= 8
+                    THEN list_transform(generate_series(1, len(w) - 7),
+                                        i -> array_to_string(w[i:i+7], ' '))
+                    ELSE [] END AS ngrams
+        FROM d
+    ),
+    bench AS (SELECT DISTINCT unnest(ngrams) AS ng FROM g WHERE doc_id % 50 = 0),
+    corpus AS (SELECT DISTINCT doc_id, unnest(ngrams) AS ng FROM g WHERE doc_id % 50 <> 0),
+    tot AS (SELECT doc_id, len(list_distinct(ngrams)) AS n_ngrams
+            FROM g WHERE doc_id % 50 <> 0),
+    hits AS (SELECT c.doc_id, COUNT(*) AS n_hits
+             FROM corpus c JOIN bench b USING (ng) GROUP BY c.doc_id)
+    SELECT t.doc_id, t.n_ngrams, COALESCE(h.n_hits, 0) AS n_hits,
+           ROUND(COALESCE(h.n_hits, 0) * 1.0 / NULLIF(t.n_ngrams, 0), 6)
+               AS contamination
+    FROM tot t LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def x41_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training documents whose word
+    8-grams overlap a held-out benchmark set (here: every 50th doc).
+    The standard eval-contamination check for LLM corpus curation.
+
+    Scale shape: the benchmark n-gram set is tiny relative to the
+    corpus (evals are ~1e5 grams vs 1e12 corpus grams), so it is
+    deduped and **broadcast** — the corpus side streams through a
+    broadcast-hash semi-ish join with zero shuffle of corpus n-grams;
+    the only exchange is the per-doc count aggregation, keyed by
+    doc_id. N-gram synthesis is pure codegen (transform/sequence/
+    slice), no Python."""
+    d = T(spark, sf_dir, "documents").withColumn("w", F.split("text", " "))
+    g = d.withColumn(
+        "ngrams",
+        F.expr(
+            "CASE WHEN size(w) >= 8 THEN transform(sequence(1, size(w) - 7),"
+            " i -> array_join(slice(w, i, 8), ' ')) ELSE array() END"
+        ),
+    ).select("doc_id", "ngrams")
+    bench = (
+        g.filter(F.col("doc_id") % 50 == 0)
+        .select(F.explode("ngrams").alias("ng"))
+        .distinct()
+    )
+    corpus = (
+        g.filter(F.col("doc_id") % 50 != 0)
+        .select("doc_id", F.explode("ngrams").alias("ng"))
+        .distinct()
+    )
+    tot = g.filter(F.col("doc_id") % 50 != 0).select(
+        "doc_id", F.size(F.array_distinct("ngrams")).alias("n_ngrams")
+    )
+    hits = (
+        corpus.join(F.broadcast(bench), "ng")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        tot.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_ngrams",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0))
+                * 1.0
+                / F.when(F.col("n_ngrams") > 0, F.col("n_ngrams")),
+                6,
+            ).alias("contamination"),
+        )
+    )

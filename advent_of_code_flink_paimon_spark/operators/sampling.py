@@ -1,0 +1,84 @@
+"""Deterministic sampling operators for corpus curation (SURVEY.md
+§2.11 extension surface).
+
+Large-scale training-data pipelines need *reproducible* samples —
+`df.sample()` depends on partition layout and seed plumbing, so these
+operators derive keep/drop decisions purely from data values. Both are
+single-pass, shuffle-minimal, and have exact DuckDB twins.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from advent_of_code_flink_paimon_spark.operators.registry import T, query
+
+# Knuth's multiplicative-hash constant (2^32 * golden ratio).
+_KNUTH = 2654435761
+_BUCKETS = 1_000_000
+_KEEP = 100_000  # 10 % sample
+
+
+@query(
+    "x42_hash_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source,
+           (doc_id * {_KNUTH}) % {_BUCKETS} AS bucket
+    FROM documents
+    WHERE (doc_id * {_KNUTH}) % {_BUCKETS} < {_KEEP}
+    """,
+)
+def x42_hash_sample(spark, sf_dir):
+    """Deterministic ~10 % sample via multiplicative hashing of the key:
+    keep iff (doc_id * knuth) mod 1e6 < 1e5. Unlike `df.sample()` the
+    decision is a pure function of the row, so the sample is stable
+    across partitionings, retries, and engines (hence SQL-twin-able).
+    Zero shuffle — the predicate evaluates inside the scan. At 100 TB
+    with arbitrary-width keys, swap the multiply for `xxhash64(key)`
+    (same shape, no oracle twin since hash functions differ per
+    engine); ids here are small enough that the product stays exact in
+    int64 in both engines."""
+    d = T(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(_KNUTH)) % F.lit(_BUCKETS)
+    return (
+        d.select("doc_id", "lang", "source", bucket.alias("bucket"))
+        .filter(F.col("bucket") < _KEEP)
+    )
+
+
+@query(
+    "x43_stratified_cap",
+    oracle="""
+    WITH r AS (
+        SELECT lang, source,
+               ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY lang, source) AS n_total
+        FROM documents
+    )
+    SELECT lang, source, MAX(n_total) AS n_total, COUNT(*) AS n_kept
+    FROM r WHERE rn <= 20 GROUP BY lang, source
+    """,
+)
+def x43_stratified_cap(spark, sf_dir):
+    """Per-stratum quota sampling: cap each (lang, source) group at 20
+    documents, chosen deterministically by doc_id order — the domain-
+    quota step of corpus mixing (cap over-represented sources). One
+    hash exchange on the stratum key serves the row_number, the group
+    count, and the final aggregate. At 100 TB a skewed stratum would
+    bottleneck one task; mitigation is a two-level cap (salted
+    pre-rank keeping ≥20 per salt, then exact rank) — unnecessary at
+    the quota sizes used here."""
+    d = T(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy("doc_id")
+    r = d.select(
+        "lang",
+        "source",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("lang", "source")).alias("n_total"),
+    )
+    return (
+        r.filter(F.col("rn") <= 20)
+        .groupBy("lang", "source")
+        .agg(F.max("n_total").alias("n_total"), F.count("*").alias("n_kept"))
+    )

@@ -260,3 +260,48 @@ def x26_tfidf_top_terms(spark, sf_dir):
         .filter(F.col("rank") <= 3)
         .select("doc_id", "term", "tfidf", "rank")
     )
+
+
+@query(
+    "x27_pii_redact",
+    oracle="""
+    WITH c AS (
+        SELECT event_id,
+               'user' || CAST(user_id AS VARCHAR) || '@example.com call 555-'
+                   || CAST(event_id AS VARCHAR) || ' ref ' || props AS contact
+        FROM events
+    )
+    SELECT event_id,
+           len(regexp_extract_all(contact, '[a-z0-9._%+-]+@[a-z0-9.-]+')) AS n_emails,
+           len(regexp_extract_all(contact, '[0-9]{3,}')) AS n_longnums,
+           regexp_replace(
+               regexp_replace(contact, '[a-z0-9._%+-]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+               '[0-9]{3,}', '<NUM>', 'g') AS redacted
+    FROM c
+    """,
+)
+def x27_pii_redact(spark, sf_dir):
+    """PII-style scrubbing for corpus curation: count and redact
+    email-shaped tokens and long digit runs. The contact string is
+    synthesized deterministically from id columns (the testdata corpus
+    has no real PII) so both engines see identical input; the regexes
+    stay in the RE2∩Java-regex common subset. Pure codegen
+    (regexp_count/regexp_replace) — no Python in the row path, so at
+    100 TB this runs at scan speed with no shuffle at all."""
+    e = T(spark, sf_dir, "events")
+    contact = F.concat(
+        F.lit("user"), F.col("user_id").cast("string"),
+        F.lit("@example.com call 555-"), F.col("event_id").cast("string"),
+        F.lit(" ref "), F.col("props"),
+    )
+    email = r"[a-z0-9._%+-]+@[a-z0-9.-]+"
+    nums = r"[0-9]{3,}"
+    c = e.select("event_id", contact.alias("contact"))
+    return c.select(
+        "event_id",
+        F.regexp_count("contact", F.lit(email)).alias("n_emails"),
+        F.regexp_count("contact", F.lit(nums)).alias("n_longnums"),
+        F.regexp_replace(
+            F.regexp_replace("contact", email, "<EMAIL>"), nums, "<NUM>"
+        ).alias("redacted"),
+    )
