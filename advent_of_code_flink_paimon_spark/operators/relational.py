@@ -797,13 +797,22 @@ def q39_except(spark, sf_dir):
     """,
 )
 def q40_pivot(spark, sf_dir):
-    """PIVOT: order counts by status × priority. Explicit value list so
-    Catalyst compiles straight to conditional aggregates (one pass, no
-    second job to discover pivot values — at 100 TB the value-discovery
-    scan would read the fact table twice)."""
+    """PIVOT: order counts by status × priority, compiled directly to
+    conditional aggregates. Equivalent to
+    ``groupBy(status).pivot(priority, values).count()`` but one pass:
+    ``.pivot`` plans a two-phase aggregate (pre-agg on (status,
+    priority) → exchange → pivotfirst → second exchange); conditional
+    counts need a single partial+final agg and one exchange. Explicit
+    value list either way — value discovery would scan the fact table
+    twice at 100 TB."""
     o = T(spark, sf_dir, "orders")
     prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
-    return o.groupBy("o_orderstatus").pivot("o_orderpriority", prios).count().na.fill(0)
+    return o.groupBy("o_orderstatus").agg(
+        *[
+            F.count(F.when(F.col("o_orderpriority") == p, F.lit(1))).alias(p)
+            for p in prios
+        ]
+    )
 
 
 @query(

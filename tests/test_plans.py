@@ -144,3 +144,49 @@ def test_bucketed_cojoin_is_exchange_free(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_left")
         spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    """x41: the deduped benchmark n-gram set must broadcast — a
+    sort-merge join here would shuffle every corpus n-gram (~1e12 at
+    100 TB) instead of only the per-doc counts."""
+    plan = plan_of(spark, "x41_decontaminate")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_hash_sample_is_scan_side_only(spark):
+    """x42: the sampling predicate is a pure function of the row, so
+    the whole query must run scan-side — zero Exchange nodes."""
+    plan = plan_of(spark, "x42_hash_sample")
+    assert "Exchange" not in plan, plan
+
+
+def test_pii_redact_is_scan_side_only(spark):
+    """x27: regex scrubbing is row-local — zero Exchange nodes."""
+    plan = plan_of(spark, "x27_pii_redact")
+    assert "Exchange" not in plan, plan
+
+
+def test_pivot_is_single_pass(spark):
+    """q40: pivot-as-conditional-aggregates — one partial+final agg
+    pair and one exchange (``.pivot`` would plan a two-phase aggregate
+    with a second shuffle)."""
+    plan = plan_of(spark, "q40_pivot", mode="simple")
+    assert plan.count("Exchange") == 1, plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_window_frames_share_one_exchange_one_sort(spark):
+    """q41: both frame specs partition by l_suppkey and the RANGE
+    window's order key is a prefix of the ROWS window's — one hash
+    exchange and ONE sort must serve both Window nodes."""
+    plan = plan_of(spark, "q41_window_frames", mode="simple")
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Sort") == 1, plan
+
+
+def test_stratified_cap_shares_one_exchange(spark):
+    """x43: rank window, count window, and final agg all key on
+    (lang, source) — a single exchange must serve all three."""
+    plan = plan_of(spark, "x43_stratified_cap", mode="simple")
+    assert plan.count("Exchange") == 1, plan
