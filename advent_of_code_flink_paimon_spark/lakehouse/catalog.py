@@ -122,6 +122,8 @@ class Catalog:
             t.files_table(spark).createOrReplaceTempView(f"{name}__files")
             t.snapshots_table(spark).createOrReplaceTempView(f"{name}__snapshots")
             t.schemas_table(spark).createOrReplaceTempView(f"{name}__schemas")
+            t.tags_table(spark).createOrReplaceTempView(f"{name}__tags")
+            t.partitions_table(spark).createOrReplaceTempView(f"{name}__partitions")
 
     def sql(self, spark: SparkSession, query: str):
         """Run SQL against the catalog; supports the reference's
@@ -134,13 +136,18 @@ class Catalog:
 
         idents = set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", query))
         self.register_views(spark, only=idents)
-        rewritten = re.sub(r"(\w+)\$(files|snapshots|schemas)", r"\1__\2", query)
+        rewritten = re.sub(r"(\w+)\$(files|snapshots|schemas|tags|partitions)", r"\1__\2", query)
 
         def tt(m):
-            name, sid = m.group(1), int(m.group(2))
+            name, ref = m.group(1), m.group(2).strip("'\"")
+            t = self.get_table(name)
+            sid = t.resolve_ref(ref)
             view = f"{name}__v{sid}"
-            self.get_table(name).read(spark, snapshot_id=sid).createOrReplaceTempView(view)
+            t.read(spark, snapshot_id=sid).createOrReplaceTempView(view)
             return view
 
-        rewritten = re.sub(r"(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)", tt, rewritten, flags=re.I)
+        # VERSION AS OF <n> (snapshot id) or VERSION AS OF '<tag>'
+        rewritten = re.sub(
+            r"(\w+)\s+VERSION\s+AS\s+OF\s+(\d+|'[^']+'|\"[^\"]+\")", tt, rewritten, flags=re.I
+        )
         return spark.sql(rewritten)

@@ -79,6 +79,12 @@ class TablePaths:
     def changelog_dir(self, snapshot_id: int) -> str:
         return os.path.join(self.root, "changelog", f"snapshot-{snapshot_id}")
 
+    def tag_dir(self) -> str:
+        return os.path.join(self.root, "tag")
+
+    def tag_path(self, name: str) -> str:
+        return os.path.join(self.root, "tag", f"tag-{name}")
+
     def read_pointer(self, name: str) -> int | None:
         p = self.pointer_path(name)
         if not os.path.exists(p):

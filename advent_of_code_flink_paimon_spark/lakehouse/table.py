@@ -121,6 +121,83 @@ class Table:
             return []
         return read_json(self.paths.manifest_path(sid))["files"]
 
+    # ------------------------------------------------------------------
+    # tags (Paimon tag surface: named immutable references to snapshots;
+    # tagged snapshots are protected from expiry)
+    # ------------------------------------------------------------------
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> int:
+        """Pin a snapshot under a human name (release/backup points).
+        Defaults to LATEST. Idempotent re-create of an identical tag is
+        a no-op; retargeting an existing tag is an error (tags are
+        immutable, like Paimon's)."""
+        sid = self.latest_snapshot_id() if snapshot_id is None else snapshot_id
+        assert sid is not None, f"{self.name}: no snapshot to tag"
+        assert os.path.exists(self.paths.snapshot_path(sid)), f"no snapshot-{sid}"
+        existing = self.tags().get(name)
+        if existing is not None:
+            assert existing["snapshot_id"] == sid, (
+                f"tag {name} already points at snapshot {existing['snapshot_id']}"
+            )
+            return sid
+        atomic_write_json(
+            self.paths.tag_path(name),
+            {"tag_name": name, "snapshot_id": sid, "creation_time_ms": now_millis()},
+        )
+        return sid
+
+    def delete_tag(self, name: str) -> None:
+        p = self.paths.tag_path(name)
+        if os.path.exists(p):
+            os.unlink(p)
+
+    def tags(self) -> dict[str, dict]:
+        out = {}
+        for p in glob.glob(os.path.join(self.paths.tag_dir(), "tag-*")):
+            doc = read_json(p)
+            out[doc["tag_name"]] = doc
+        return out
+
+    def resolve_ref(self, ref: int | str | None) -> int | None:
+        """Snapshot id (int / digit-string) or tag name → snapshot id."""
+        if ref is None:
+            return None
+        if isinstance(ref, int):
+            return ref
+        if ref.isdigit():
+            return int(ref)
+        tag = self.tags().get(ref)
+        assert tag is not None, f"{self.name}: no tag '{ref}'"
+        return tag["snapshot_id"]
+
+    def rollback_to(self, ref: int | str) -> int:
+        """Roll the table back to an earlier snapshot (Paimon's
+        rollback action): snapshots after the target are deleted, along
+        with data files only they reference, and LATEST resets. The
+        target must still exist (not expired)."""
+        target = self.resolve_ref(ref)
+        assert target is not None and os.path.exists(self.paths.snapshot_path(target)), (
+            f"{self.name}: snapshot {ref} does not exist"
+        )
+        latest = self.latest_snapshot_id() or 0
+        if target >= latest:
+            return target
+        referenced: set[str] = set()
+        for s in self.snapshots():
+            if s["id"] <= target:
+                referenced |= {e["file_path"] for e in self.manifest(s["id"])}
+        for sid in range(target + 1, latest + 1):
+            if not os.path.exists(self.paths.snapshot_path(sid)):
+                continue
+            for e in self.manifest(sid):
+                if e["file_path"] not in referenced:
+                    p = os.path.join(self.paths.root, e["file_path"])
+                    if os.path.exists(p):
+                        os.unlink(p)
+            os.unlink(self.paths.manifest_path(sid))
+            os.unlink(self.paths.snapshot_path(sid))
+        self.paths.write_pointer("LATEST", target)
+        return target
+
     def _committed_identifiers(self) -> set:
         return {
             s.get("commit_identifier")
@@ -372,13 +449,15 @@ class Table:
     def read(
         self,
         spark: SparkSession,
-        snapshot_id: int | None = None,
+        snapshot_id: int | str | None = None,
         where: str | None = None,
     ) -> DataFrame:
-        """Batch read of a snapshot (default LATEST). ``where`` both
-        prunes whole files via manifest min/max stats AND applies as a
-        normal filter (Catalyst then pushes it into the parquet scan —
-        two pruning layers, SURVEY.md §4)."""
+        """Batch read of a snapshot (default LATEST; accepts a snapshot
+        id or a tag name). ``where`` both prunes whole files via
+        manifest min/max stats AND applies as a normal filter (Catalyst
+        then pushes it into the parquet scan — two pruning layers,
+        SURVEY.md §4)."""
+        snapshot_id = self.resolve_ref(snapshot_id)
         if self.primary_key:
             merged = self._merged(spark, snapshot_id, where)
             if merged is None:
@@ -611,6 +690,9 @@ class Table:
         if retain_max is not None:
             keep = set(sorted(keep)[-retain_max:])
         keep.add(latest)
+        # tagged snapshots are pinned: a tag is a promise the snapshot
+        # stays readable (Paimon tag semantics)
+        keep |= {t["snapshot_id"] for t in self.tags().values() if t["snapshot_id"] in set(ids)}
         expired = [sid for sid in ids if sid not in keep]
         if not expired:
             return []
@@ -677,6 +759,64 @@ class Table:
             )
         return spark.createDataFrame(
             rows, "schema_id long, fields string, options string, update_time timestamp"
+        )
+
+    def tags_table(self, spark: SparkSession) -> DataFrame:
+        """$tags: one row per tag (name, pinned snapshot, its commit
+        facts) — Paimon's tags system table."""
+        import datetime
+
+        rows = []
+        for doc in sorted(self.tags().values(), key=lambda d: d["tag_name"]):
+            snap = self.snapshot(doc["snapshot_id"])
+            rows.append(
+                (
+                    doc["tag_name"],
+                    doc["snapshot_id"],
+                    snap["schema_id"],
+                    datetime.datetime.fromtimestamp(doc["creation_time_ms"] / 1000.0),
+                    snap["total_record_count"],
+                )
+            )
+        return spark.createDataFrame(
+            rows,
+            "tag_name string, snapshot_id long, schema_id long, "
+            "create_time timestamp, record_count long",
+        )
+
+    def partitions_table(self, spark: SparkSession) -> DataFrame:
+        """$partitions: per-partition file/row/byte totals from the
+        LATEST manifest — the scan-planning view of a partitioned table
+        (Paimon's partitions system table). Unpartitioned tables get one
+        row with an empty partition map."""
+        import datetime
+        from collections import defaultdict
+
+        agg: dict[tuple, dict] = defaultdict(
+            lambda: {"record_count": 0, "file_size_in_bytes": 0, "file_count": 0, "last_ms": 0}
+        )
+        for e in self.manifest():
+            part = e.get("partition", {}) or {}
+            key = tuple(sorted((k, str(v)) for k, v in part.items()))
+            a = agg[key]
+            a["record_count"] += e["record_count"]
+            a["file_size_in_bytes"] += e["file_size_in_bytes"]
+            a["file_count"] += 1
+            a["last_ms"] = max(a["last_ms"], e.get("creation_time", 0))
+        rows = [
+            (
+                dict(k),
+                a["record_count"],
+                a["file_size_in_bytes"],
+                a["file_count"],
+                datetime.datetime.fromtimestamp(a["last_ms"] / 1000.0),
+            )
+            for k, a in sorted(agg.items())
+        ]
+        return spark.createDataFrame(
+            rows,
+            "partition map<string,string>, record_count long, file_size_in_bytes long, "
+            "file_count long, last_update_time timestamp",
         )
 
     def snapshots_table(self, spark: SparkSession) -> DataFrame:

@@ -461,3 +461,80 @@ def test_update_where_both_table_kinds(spark, catalog):
     p.update_where(spark, {"v": "42"}, "k >= 8")
     got = {r.k: r.v for r in p.read(spark).collect()}
     assert got[8] == got[9] == 42 and got[0] == 0 and len(got) == 10
+
+
+def test_tags_pin_read_and_survive_expiry(spark, catalog):
+    """Tags: named immutable snapshot refs; tag reads see the tagged
+    image; expire_snapshots never drops a tagged snapshot (Paimon tag
+    semantics)."""
+    t = catalog.create_table("m", "sensor_id long, reading decimal(5,1), event_time timestamp", {})
+    t.append(_measurements(spark, 100))
+    t.create_tag("v1")  # pins snapshot 1
+    t.append(_measurements(spark, 50, start=100))
+    t.append(_measurements(spark, 25, start=150))
+    assert t.read(spark, snapshot_id="v1").count() == 100
+    assert t.read(spark).count() == 175
+    # idempotent re-create ok; retarget forbidden
+    t.create_tag("v1", 1)
+    with pytest.raises(AssertionError):
+        t.create_tag("v1", 2)
+    # expiry keeps the tagged snapshot alive even when out of window
+    t.expire_snapshots(retain_max=1)
+    assert t.read(spark, snapshot_id="v1").count() == 100
+    kept = {s["id"] for s in t.snapshots()}
+    assert 1 in kept and 3 in kept and 2 not in kept
+    # $tags system table + SQL surface
+    tags = {r["tag_name"]: r for r in t.tags_table(spark).collect()}
+    assert tags["v1"]["snapshot_id"] == 1 and tags["v1"]["record_count"] == 100
+    n = catalog.sql(spark, "SELECT COUNT(*) AS n FROM m VERSION AS OF 'v1'").collect()[0]["n"]
+    assert n == 100
+    assert catalog.sql(spark, "SELECT * FROM m$tags").count() == 1
+    t.delete_tag("v1")
+    assert t.tags() == {}
+
+
+def test_rollback_to_snapshot(spark, catalog):
+    """rollback_to: later snapshots and their exclusive data files are
+    deleted, LATEST resets, and the table keeps working after."""
+    t = catalog.create_table("m", "sensor_id long, reading decimal(5,1), event_time timestamp", {})
+    t.append(_measurements(spark, 100))
+    t.append(_measurements(spark, 50, start=100))
+    t.append(_measurements(spark, 25, start=150))
+    assert t.read(spark).count() == 175
+    t.rollback_to(1)
+    assert t.latest_snapshot_id() == 1
+    assert t.read(spark).count() == 100
+    assert not os.path.exists(t.paths.snapshot_path(2))
+    assert not os.path.exists(t.paths.snapshot_path(3))
+    # no orphan data files remain on disk beyond the live manifest
+    live = {e["file_path"] for e in t.manifest()}
+    on_disk = set()
+    import glob as _glob
+    for f in _glob.glob(os.path.join(t.paths.root, "bucket-*", "*.parquet")):
+        on_disk.add(os.path.relpath(f, t.paths.root))
+    assert on_disk == live
+    # writes continue from the rolled-back point
+    t.append(_measurements(spark, 10, start=200))
+    assert t.latest_snapshot_id() == 2
+    assert t.read(spark).count() == 110
+
+
+def test_partitions_system_table(spark, catalog):
+    """$partitions aggregates the manifest per partition value."""
+    t = catalog.create_table(
+        "pm",
+        "day string, sensor_id long, reading decimal(5,1), event_time timestamp",
+        {"partition-by": "day", "bucket": "1", "bucket-key": "sensor_id"},
+    )
+    df = _measurements(spark, 100).withColumn(
+        "day", F.when(F.col("sensor_id") % 2 == 0, "2024-01-01").otherwise("2024-01-02")
+    ).select("day", "sensor_id", "reading", "event_time")
+    t.append(df)
+    rows = {tuple(sorted(r["partition"].items())): r for r in t.partitions_table(spark).collect()}
+    assert len(rows) == 2
+    total = sum(r["record_count"] for r in rows.values())
+    assert total == 100
+    assert all(r["file_count"] >= 1 for r in rows.values())
+    # SQL surface
+    n = catalog.sql(spark, "SELECT SUM(record_count) AS n FROM pm$partitions").collect()[0]["n"]
+    assert n == 100
