@@ -175,6 +175,8 @@ class Engine:
             return StatementResult("OK", f"dropped {name}")
         if u.startswith("INSERT INTO"):
             return self._insert(s)
+        if u.startswith("CALL"):
+            return self._call(s)
         if u.startswith("MERGE INTO"):
             # restricted MERGE: equi-key vs a PK table with update-all /
             # insert-all branches ≡ the engine's native upsert
@@ -222,6 +224,56 @@ class Engine:
             if not df.isStreaming:
                 df.createOrReplaceTempView(name)
         return self.catalog.sql(self.spark, rewrite_flink_functions(s))
+
+    # -- procedures ------------------------------------------------------
+    def _call(self, s: str):
+        """`CALL [sys.]<proc>(args)` — the SQL spelling of the
+        reference's table-maintenance actions (the Flink action jar at
+        tutorial/guide.md:236-242 became `CALL sys.compact(...)`
+        procedures in later Flink/Paimon). Args may be positional or
+        `name => value`; the first is always the table ('db.t' or 't')."""
+        m = re.match(r"CALL\s+(?:sys\.)?(\w+)\s*\((.*)\)\s*$", s, re.I | re.S)
+        if not m:
+            raise ValueError(f"unparseable CALL: {s}")
+        proc = m.group(1).lower()
+        args = []
+        for part in m.group(2).split(","):
+            part = part.strip()
+            if not part:
+                continue
+            if "=>" in part:
+                part = part.split("=>", 1)[1].strip()
+            args.append(part.strip("'\""))
+        if not args:
+            raise ValueError(f"CALL {proc}: missing table argument")
+        t = self.catalog.get_table(args[0].split(".")[-1])
+        if proc == "compact":
+            sid = t.compact()
+            return StatementResult("OK", f"compacted {t.name} (snapshot {sid})")
+        if proc == "compact_minor":
+            sid = t.compact_minor()
+            return StatementResult("OK", f"minor-compacted {t.name} (snapshot {sid})")
+        if proc == "create_tag":
+            sid = t.create_tag(args[1], int(args[2]) if len(args) > 2 else None)
+            return StatementResult("OK", f"tag {args[1]} -> snapshot {sid}")
+        if proc == "delete_tag":
+            t.delete_tag(args[1])
+            return StatementResult("OK", f"deleted tag {args[1]}")
+        if proc == "rollback_to":
+            sid = t.rollback_to(int(args[1]) if args[1].isdigit() else args[1])
+            return StatementResult("OK", f"rolled back {t.name} to snapshot {sid}")
+        if proc == "expire_snapshots":
+            expired = t.expire_snapshots(
+                retain_max=int(args[1]) if len(args) > 1 else None,
+                retain_min=int(args[2]) if len(args) > 2 else 1,
+            )
+            return StatementResult("OK", f"expired snapshots {expired}")
+        if proc == "remove_orphan_files":
+            removed = t.remove_orphan_files(
+                older_than_ms=int(args[1]) if len(args) > 1 else None
+            )
+            return StatementResult("OK", f"removed {len(removed)} orphan files")
+        raise ValueError(f"unknown procedure: {proc}")
 
     # -- DDL -------------------------------------------------------------
     def _create_table(self, s: str):

@@ -326,3 +326,33 @@ def test_merge_into(engine, spark):
     )
     got = {r.k: r.v for r in engine.sql("SELECT * FROM tgt").collect()}
     assert got == {0: 0, 1: 0, 2: 0, 3: 33, 4: 0, 7: 77}
+
+
+def test_call_procedures(engine, spark):
+    """CALL sys.<proc>: the SQL spelling of the reference's action-jar
+    maintenance operations (tutorial/guide.md:236-242)."""
+    engine.sql("CREATE TABLE m (k BIGINT, v BIGINT) WITH ('bucket' = '1', 'bucket-key' = 'k')")
+    spark.range(100).selectExpr("id AS k", "id * 2 AS v").createOrReplaceTempView("src100")
+    engine.sql("INSERT INTO m SELECT * FROM src100")
+    spark.range(100, 150).selectExpr("id AS k", "id * 2 AS v").createOrReplaceTempView("src50")
+    engine.sql("INSERT INTO m SELECT * FROM src50")
+
+    engine.sql("CALL sys.create_tag('default.m', 'v1', 1)")
+    assert engine.sql("SELECT COUNT(*) AS n FROM m VERSION AS OF 'v1'").collect()[0]["n"] == 100
+    assert engine.sql("SELECT * FROM m$tags").collect()[0]["snapshot_id"] == 1
+
+    r = engine.sql("CALL sys.compact(`table` => 'default.m')")
+    assert r.kind == "OK"
+    t = engine.catalog.get_table("m")
+    assert t.read(spark).count() == 150
+
+    engine.sql("CALL sys.expire_snapshots('default.m', 1)")
+    assert engine.sql("SELECT COUNT(*) AS n FROM m VERSION AS OF 'v1'").collect()[0]["n"] == 100
+
+    engine.sql("CALL sys.rollback_to('default.m', 'v1')")
+    assert t.read(spark).count() == 100
+
+    r = engine.sql("CALL sys.remove_orphan_files('default.m', 0)")
+    assert r.kind == "OK"
+    with pytest.raises(ValueError):
+        engine.sql("CALL sys.nonexistent('m')")
