@@ -25,9 +25,10 @@ from pyspark.sql import Window
 from advent_of_code_flink_paimon_spark.operators.dedup import (
     JACCARD_THRESHOLD,
     exact_jaccard,
+    fan_out,
     lsh_candidate_pairs,
     minhash_signatures,
-    shingle_docs,
+    shingle_hash_arrays,
 )
 from advent_of_code_flink_paimon_spark.operators.registry import T, query
 
@@ -77,7 +78,7 @@ from advent_of_code_flink_paimon_spark.operators.registry import T, query
     """,
 )
 def x40_corpus_curation(spark, sf_dir):
-    docs = T(spark, sf_dir, "documents")
+    docs = fan_out(T(spark, sf_dir, "documents"))
     toks = F.split("text", " ")
     quality = (
         docs.withColumn("n_tokens", F.size(toks))
@@ -87,10 +88,10 @@ def x40_corpus_curation(spark, sf_dir):
     w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
     exact = quality.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
 
-    shingled = shingle_docs(exact).persist()
-    pairs = lsh_candidate_pairs(minhash_signatures(shingled))
+    sharr = shingle_hash_arrays(exact).persist()
+    pairs = lsh_candidate_pairs(minhash_signatures(sharr))
     dup_j = (
-        exact_jaccard(pairs, shingled)
+        exact_jaccard(pairs, sharr)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select(F.col("j").alias("doc_id"))
         .distinct()
@@ -139,7 +140,7 @@ def x41_decontaminate(spark, sf_dir):
     the only exchange is the per-doc count aggregation, keyed by
     doc_id. N-gram synthesis is pure codegen (transform/sequence/
     slice), no Python."""
-    d = T(spark, sf_dir, "documents").withColumn("w", F.split("text", " "))
+    d = fan_out(T(spark, sf_dir, "documents")).withColumn("w", F.split("text", " "))
     g = d.withColumn(
         "ngrams",
         F.expr(

@@ -17,12 +17,14 @@ string-similarity; no O(n²) all-pairs anywhere):
                        scale); the LSH-bucketed scale path lives in
                        operators/similarity.py.
 
-MinHash parameters: K=64 hashes, 16 bands × 4 rows. P[miss] at
-jaccard .9 = (1-.9⁴)¹⁶ ≈ 4e-8, at .7 ≈ 1.2e-2 — the testdata's
-planted near-dups are all ≥ .9 vs background < .3, so the LSH output
-equals the exhaustive oracle with overwhelming margin. (K=128/32
-bands measured 1.7× slower end-to-end — wider codegen + 2× hash work
-— for recall the margin doesn't need.)
+MinHash parameters: K=32 hashes, 16 bands × 2 rows. P[detect] at the
+declared jaccard-0.5 threshold = 1-(1-.5²)¹⁶ ≈ .99 (the earlier
+16×4 banding missed ~64% of true 0.5-pairs); at the testdata's ≥ .9
+planted near-dups it is 1-(1-.81)¹⁶ ≈ 1-4e-12. Background < .3 docs
+produce extra candidates (≈2k at sf0.1) but the exact-jaccard verify
+keeps precision exact, so the LSH output still equals the exhaustive
+oracle. K=32 vs 64 halves signature hashing AND the generated-code
+size of the signature projection — the dominant cold-run cost.
 """
 
 from __future__ import annotations
@@ -32,10 +34,23 @@ from pyspark.sql import DataFrame, Window
 
 from advent_of_code_flink_paimon_spark.operators.registry import T, query
 
-MINHASH_K = 64
+MINHASH_K = 32
 LSH_BANDS = 16
-LSH_ROWS = 4  # K / BANDS
+LSH_ROWS = 2  # K / BANDS
 JACCARD_THRESHOLD = 0.5
+
+def fan_out(df: DataFrame) -> DataFrame:
+    """Raise parallelism before compute-heavy row-local stages when the
+    scan has fewer partitions than cores (the local harness reads one
+    small parquet file → 1 partition → 1 busy core of 32). At cluster
+    scale the scan already has file-level parallelism and this is a
+    no-op; when it does fire it shuffles only the slim input, never
+    derived data. Measured 2× on x03 signatures at sf0.1."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
 
 def shingle_docs(docs: DataFrame) -> DataFrame:
     """doc_id → exploded distinct 3-word shingles. Docs with < 3 tokens
@@ -60,22 +75,42 @@ def shingle_docs(docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_signatures(shingled: DataFrame, k: int = MINHASH_K) -> DataFrame:
-    """doc_id → k min-hash columns h0..h{k-1}.
+def shingle_hash_arrays(docs: DataFrame) -> DataFrame:
+    """doc_id → distinct xxhash64'd 3-word shingle array (``hs``).
 
-    The shingle string is hashed ONCE (xxhash64); the k-member hash
-    family is derived by re-hashing that 8-byte value with a per-member
-    seed column — k long-hashes instead of k string-hashes, ~6× cheaper
-    at 128 members. All JVM-side; no Python in the hot path.
-    """
-    hashed = shingled.select("doc_id", F.xxhash64("shingle").alias("h"))
-    aggs = [F.min(F.xxhash64("h", F.lit(i))).alias(f"h{i}") for i in range(k)]
-    # Keep this agg separate from the collect_set agg in exact_jaccard:
-    # one TypedImperativeAggregate (collect_set) in an agg list forces
-    # the WHOLE aggregation into ObjectHashAggregate, kicking the k min
-    # columns out of codegen — a fused sigs+sets agg measured ~35%
-    # slower cold than the two-agg form at sf0.1.
-    return hashed.groupBy("doc_id").agg(*aggs)
+    The shingle never materializes as a stored string column: each
+    3-gram is hashed to 8 bytes inside the same row-local transform, so
+    every downstream stage (signatures, LSH, verify) works on compact
+    long arrays with zero explode and zero pre-join shuffle. Jaccard
+    over hashed shingles equals Jaccard over string shingles up to
+    xxhash64 collisions (P < 1e-10 across the whole corpus) — the
+    DuckDB oracle computes the string form and the driver hash-compare
+    still matches."""
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    return toks.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(0, greatest(size(toks) - 3, -1)),"
+                " i -> xxhash64(concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"
+            )
+        ).alias("hs"),
+    )
+
+
+def minhash_signatures(sharr: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """doc_id → k min-hash columns h0..h{k-1} from the ``hs`` shingle-
+    hash array — entirely row-local (array_min over a per-member rehash
+    of the 8-byte shingle hashes; k long-hashes per shingle, never k
+    string-hashes). The previous explode → groupBy(k mins) formulation
+    shuffled every (doc, shingle) row through a 64-buffer hash-agg;
+    this one needs NO exchange at all before the LSH band join. All
+    JVM-side; no Python in the hot path."""
+    sig_cols = [
+        F.array_min(F.expr(f"transform(hs, h -> xxhash64(h, {i}))")).alias(f"h{i}")
+        for i in range(k)
+    ]
+    return sharr.select("doc_id", *sig_cols)
 
 
 def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
@@ -105,18 +140,19 @@ def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
     )
 
 
-def exact_jaccard(pairs: DataFrame, shingled: DataFrame) -> DataFrame:
-    """Verify candidate pairs with exact shingle-set jaccard.
+def exact_jaccard(pairs: DataFrame, sharr: DataFrame) -> DataFrame:
+    """Verify candidate pairs with exact shingle-hash-set jaccard.
 
-    Integer intersection/union counts → one double division; operands
-    are identical to the oracle's, so the value is bit-exact.
-    """
-    sets = shingled.groupBy("doc_id").agg(
-        F.collect_set("shingle").alias("sh"), F.count("*").alias("n")
-    )
+    The per-doc ``hs`` arrays come straight from shingle_hash_arrays —
+    no collect_set aggregation (the old exploded form re-aggregated
+    what the producer already had row-local). Integer intersection/
+    union counts → one double division; operand counts are identical
+    to the oracle's (modulo xxhash64 collisions, P < 1e-10), so the
+    value is bit-exact."""
+    sets = sharr.select("doc_id", F.col("hs"), F.size("hs").alias("n"))
     return (
-        pairs.join(sets.withColumnRenamed("doc_id", "i").withColumnRenamed("sh", "sh_i").withColumnRenamed("n", "n_i"), "i")
-        .join(sets.withColumnRenamed("doc_id", "j").withColumnRenamed("sh", "sh_j").withColumnRenamed("n", "n_j"), "j")
+        pairs.join(sets.withColumnRenamed("doc_id", "i").withColumnRenamed("hs", "sh_i").withColumnRenamed("n", "n_i"), "i")
+        .join(sets.withColumnRenamed("doc_id", "j").withColumnRenamed("hs", "sh_j").withColumnRenamed("n", "n_j"), "j")
         .withColumn("inter", F.size(F.array_intersect("sh_i", "sh_j")))
         .withColumn("jaccard", F.col("inter") / (F.col("n_i") + F.col("n_j") - F.col("inter")))
         .select("i", "j", "jaccard")
@@ -196,19 +232,20 @@ def x02_fingerprint_dedup(spark, sf_dir):
 def x03_dedup_minhash_lsh(spark, sf_dir):
     """Near-dup pairs via MinHash+LSH banding, exact-jaccard verified.
 
-    shingle → 128 minhashes → 32 band-hashes → band equi-join →
+    shingle-hash arrays → 32 minhashes → 16 band-hashes → band equi-join →
     candidate pairs → exact verify ≥ 0.5. The oracle is the *exhaustive*
     exact join: LSH recall at the data's similarity margin (≥.9 planted
     vs <.3 background) is 1 − 1.5e-15 per pair, so outputs coincide.
     """
-    docs = T(spark, sf_dir, "documents")
-    # shingled feeds both the signature branch and the verify branch —
-    # persist so one action computes it once (measured 1.7s saved at
-    # sf0.1; at cluster scale it avoids a second full corpus scan+explode)
-    shingled = shingle_docs(docs).persist()
-    sigs = minhash_signatures(shingled)
+    docs = fan_out(T(spark, sf_dir, "documents"))
+    # the per-doc shingle-hash array feeds both the signature branch and
+    # the verify branch — persist so one action computes it once (5k
+    # compact rows at sf0.1 vs the 260k exploded rows this replaced; at
+    # cluster scale it avoids a second full corpus scan)
+    sharr = shingle_hash_arrays(docs).persist()
+    sigs = minhash_signatures(sharr)
     pairs = lsh_candidate_pairs(sigs)
-    return exact_jaccard(pairs, shingled).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    return exact_jaccard(pairs, sharr).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
 @query("x05_ngram_jaccard_join", oracle=_SQL_EXHAUSTIVE_JACCARD)
@@ -217,9 +254,12 @@ def x05_ngram_jaccard_join(spark, sf_dir):
     intersection counts, jaccard-filtered. The shingle equi-join *is*
     the exhaustive algorithm (j>0 ⇒ shared shingle) — no cross join,
     shuffle key = shingle (ICDE 2022 prefix-filter family)."""
-    docs = T(spark, sf_dir, "documents")
-    shingled = shingle_docs(docs).persist()  # reused by inter + sizes
-    sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("n"))
+    docs = fan_out(T(spark, sf_dir, "documents"))
+    sharr = shingle_hash_arrays(docs).persist()  # reused by inter + sizes
+    # join on the 8-byte shingle hash, not the string — same pairs
+    # (modulo xxhash64 collisions), ~3× fewer shuffle bytes
+    shingled = sharr.select("doc_id", F.explode("hs").alias("shingle"))
+    sizes = sharr.select("doc_id", F.size("hs").alias("n"))
     a, b = shingled.alias("a"), shingled.alias("b")
     inter = (
         a.join(b, "shingle")
