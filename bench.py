@@ -36,6 +36,9 @@ HEADLINE = [
     "x03_dedup_minhash_lsh",
     "x10_embedding_topk",
     "x20_text_stats",
+    "x41_decontaminate",
+    "x42_hash_sample",
+    "x43_stratified_cap",
 ]
 
 
