@@ -32,25 +32,12 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from advent_of_code_flink_paimon_spark.operators.registry import T, query
+from advent_of_code_flink_paimon_spark.operators.registry import T, fan_out, query
 
 MINHASH_K = 32
 LSH_BANDS = 16
 LSH_ROWS = 2  # K / BANDS
 JACCARD_THRESHOLD = 0.5
-
-def fan_out(df: DataFrame) -> DataFrame:
-    """Raise parallelism before compute-heavy row-local stages when the
-    scan has fewer partitions than cores (the local harness reads one
-    small parquet file → 1 partition → 1 busy core of 32). At cluster
-    scale the scan already has file-level parallelism and this is a
-    no-op; when it does fire it shuffles only the slim input, never
-    derived data. Measured 2× on x03 signatures at sf0.1."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
-
 
 def shingle_docs(docs: DataFrame) -> DataFrame:
     """doc_id → exploded distinct 3-word shingles. Docs with < 3 tokens
@@ -306,7 +293,7 @@ def x04_dedup_simhash(spark, sf_dir):
             out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
         return pd.Series(out)
 
-    d = T(spark, sf_dir, "documents")
+    d = fan_out(T(spark, sf_dir, "documents"))  # parallel Arrow batches for the UDF
     sigs = d.select("doc_id", simhash64("text").alias("simhash"))
     # Bucket by signature: exact-signature collisions are trivial dups;
     # near-dup (hamming ≤ k) extends this with band rotations.

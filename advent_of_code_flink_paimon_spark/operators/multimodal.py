@@ -26,7 +26,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from advent_of_code_flink_paimon_spark.operators.registry import T, query
+from advent_of_code_flink_paimon_spark.operators.registry import T, fan_out, query
 
 MEDIA_SCHEMA = StructType(
     [
@@ -53,7 +53,7 @@ def as_media_table(docs: DataFrame) -> DataFrame:
     """Synthesize a media table from documents: text bytes stand in for
     an opaque payload (deterministic), metadata columns are real."""
     payload = F.col("text").cast("binary")
-    return docs.select(
+    return fan_out(docs).select(
         "doc_id",
         payload.alias("payload"),
         F.when(F.col("doc_id") % 2 == 0, "image/png").otherwise("audio/wav").alias("mime"),

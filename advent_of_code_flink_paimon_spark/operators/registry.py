@@ -29,6 +29,20 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Raise parallelism before compute-heavy row-local stages (wide
+    projections, Pandas UDFs) when the scan has fewer partitions than
+    cores: the local harness reads single-row-group parquet files, so
+    every scan is one task and everything fused into it runs on 1 of 32
+    cores. At cluster scale scans have file/row-group parallelism and
+    this is a no-op; when it does fire it shuffles only the slim input,
+    never derived data. Measured 2x on MinHash signatures at sf0.1."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table (TESTDATA.md layout).
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from advent_of_code_flink_paimon_spark.operators.registry import T, query
+from advent_of_code_flink_paimon_spark.operators.registry import T, fan_out, query
 
 TOP_K = 5
 N_QUERIES = 5  # vec_id < 5 are the query vectors (deterministic subset)
@@ -52,7 +52,7 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = TOP_K) -> DataFr
     q = queries.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").cast("array<double>").alias("qv")
     )
-    c = corpus.select("vec_id", F.col("embedding").cast("array<double>").alias("cv"))
+    c = fan_out(corpus).select("vec_id", F.col("embedding").cast("array<double>").alias("cv"))
     scored = (
         c.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
         .select(

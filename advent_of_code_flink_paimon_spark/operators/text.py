@@ -10,7 +10,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Window
 
-from advent_of_code_flink_paimon_spark.operators.registry import T, query
+from advent_of_code_flink_paimon_spark.operators.registry import T, fan_out, query
 
 def _tokens():
     return F.split(F.col("text"), " ")
@@ -171,7 +171,7 @@ def x24_winnow_fingerprint(spark, sf_dir):
             cks.append(sum(fps) % (1 << 62))
         return pd.DataFrame({"n_fp": ns, "fp_checksum": cks})
 
-    d = T(spark, sf_dir, "documents")
+    d = fan_out(T(spark, sf_dir, "documents"))  # parallel Arrow batches for the UDF
     return d.select("doc_id", winnow("text").alias("w")).select(
         "doc_id", F.col("w.n_fp").alias("n_fp"), F.col("w.fp_checksum").alias("fp_checksum")
     )
