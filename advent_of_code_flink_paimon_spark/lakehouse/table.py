@@ -195,6 +195,11 @@ class Table:
                         os.unlink(p)
             os.unlink(self.paths.manifest_path(sid))
             os.unlink(self.paths.snapshot_path(sid))
+        # tags pinned to now-deleted snapshots would dangle — drop them
+        # (Paimon's rollback removes later tags the same way)
+        for doc in self.tags().values():
+            if doc["snapshot_id"] > target:
+                self.delete_tag(doc["tag_name"])
         self.paths.write_pointer("LATEST", target)
         return target
 

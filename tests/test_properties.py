@@ -61,3 +61,60 @@ def test_replayed_commit_identifier_is_noop(spark, tmp_path):
     assert t.read(spark).count() == 2
     assert t.append(df, commit_identifier=8) is not None
     assert t.read(spark).count() == 4
+
+
+# op stream: ("append", n_rows) | ("tag",) | ("rollback_to_last_tag",)
+op_strategy = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.integers(1, 20)),
+        st.tuples(st.just("tag")),
+        st.tuples(st.just("rollback")),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ops=op_strategy)
+def test_tag_rollback_matches_model(spark, tmp_path_factory, ops):
+    """Any interleaving of appends, tagging, and rollback-to-last-tag
+    keeps the table equal to a row-count model: append adds rows,
+    rollback restores the count captured by the most recent tag (tags
+    on the initial empty table roll back to empty only when a snapshot
+    exists to tag, so model tracking mirrors create_tag's guard)."""
+    wh = tmp_path_factory.mktemp("wh-tagprop")
+    cat = Catalog(str(wh))
+    t = cat.create_table("t", DDL, {})
+
+    count = 0
+    tag_stack: list[tuple[str, int]] = []  # (tag name, count at tag time)
+    n_tags = 0
+    next_k = 0
+    for op in ops:
+        if op[0] == "append":
+            n = op[1]
+            rows = [(next_k + i, i) for i in range(n)]
+            next_k += n
+            t.append(spark.createDataFrame(rows, DDL))
+            count += n
+        elif op[0] == "tag":
+            if t.latest_snapshot_id() is not None:
+                name = f"t{n_tags}"
+                n_tags += 1
+                t.create_tag(name)
+                tag_stack.append((name, count))
+        else:  # rollback to the most recent tag
+            if tag_stack:
+                name, tagged_count = tag_stack[-1]
+                t.rollback_to(name)
+                count = tagged_count
+    assert t.read(spark).count() == count
+    # every surviving tag still reads its pinned image; tags beyond a
+    # rollback target were dropped by rollback_to (never dangling)
+    live = t.tags()
+    latest = t.latest_snapshot_id() or 0
+    assert all(doc["snapshot_id"] <= latest for doc in live.values())
+    for name, tagged_count in tag_stack:
+        if name in live:
+            assert t.read(spark, snapshot_id=name).count() == tagged_count
