@@ -141,13 +141,19 @@ def x41_decontaminate(spark, sf_dir):
     doc_id. N-gram synthesis is pure codegen (transform/sequence/
     slice), no Python."""
     d = fan_out(T(spark, sf_dir, "documents")).withColumn("w", F.split("text", " "))
+    # each 8-gram is hashed to 8 bytes inside the synthesis transform
+    # (same trick as dedup.shingle_hash_arrays): overlap counts on
+    # hashes equal counts on strings up to xxhash64 collisions
+    # (P < 1e-10 corpus-wide), and the broadcast set + join keys shrink
+    # ~6×. The per-doc array feeds three branches (benchmark set,
+    # corpus explode, totals) — persist so one action computes it once.
     g = d.withColumn(
         "ngrams",
         F.expr(
             "CASE WHEN size(w) >= 8 THEN transform(sequence(1, size(w) - 7),"
-            " i -> array_join(slice(w, i, 8), ' ')) ELSE array() END"
+            " i -> xxhash64(array_join(slice(w, i, 8), ' '))) ELSE array() END"
         ),
-    ).select("doc_id", "ngrams")
+    ).select("doc_id", "ngrams").persist()
     bench = (
         g.filter(F.col("doc_id") % 50 == 0)
         .select(F.explode("ngrams").alias("ng"))
