@@ -905,3 +905,56 @@ def q43_ntile_rank_stats(spark, sf_dir):
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
     )
+
+
+@query(
+    "q44_value_windows",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           FIRST_VALUE(c_acctbal) OVER w AS seg_first,
+           LAST_VALUE(c_acctbal) OVER
+               (PARTITION BY c_mktsegment ORDER BY c_custkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS seg_last,
+           NTH_VALUE(c_acctbal, 2) OVER
+               (PARTITION BY c_mktsegment ORDER BY c_custkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS seg_second
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_custkey)
+    """,
+)
+def q44_value_windows(spark, sf_dir):
+    """first_value / last_value / nth_value over a deterministic unique
+    ordering (c_custkey) — the value-picking window family. last/nth use
+    the full-partition frame (the default running frame would make
+    last_value ≡ current row). All three share one exchange + sort on
+    c_mktsegment."""
+    c = T(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_custkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.first("c_acctbal").over(w).alias("seg_first"),
+        F.last("c_acctbal").over(w_full).alias("seg_last"),
+        F.nth_value("c_acctbal", 2).over(w_full).alias("seg_second"),
+    )
+
+
+@query(
+    "q45_posexplode",
+    oracle="""
+    SELECT doc_id,
+           unnest(generate_series(1, len(string_split(text, ' ')))) - 1 AS pos,
+           unnest(string_split(text, ' ')) AS token
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def q45_posexplode(spark, sf_dir):
+    """Lateral array explode with ordinality (posexplode) — the
+    table-function surface (UNNEST WITH ORDINALITY / Flink's CROSS JOIN
+    UNNEST). Generate semantics: one scan task explodes row-locally, no
+    shuffle at all; the doc_id predicate pushes into the parquet scan."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
