@@ -190,3 +190,21 @@ def test_stratified_cap_shares_one_exchange(spark):
     (lang, source) — a single exchange must serve all three."""
     plan = plan_of(spark, "x43_stratified_cap", mode="simple")
     assert plan.count("Exchange") == 1, plan
+
+
+def test_value_windows_share_one_exchange_one_sort(spark):
+    """q44: all three value-picking windows share the (c_mktsegment,
+    c_custkey) partitioning and ordering — one exchange, one sort."""
+    plan = plan_of(spark, "q44_value_windows", mode="simple")
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Sort") == 1, plan
+
+
+def test_posexplode_is_scan_side_only(spark):
+    """q45: generate (posexplode) is row-local — zero Exchange — and
+    the doc_id predicate reaches the parquet scan."""
+    plan = plan_of(spark, "q45_posexplode", mode="simple")
+    assert "Exchange" not in plan, plan
+    full = plan_of(spark, "q45_posexplode")
+    pushed = [ln for ln in full.splitlines() if "PushedFilters" in ln]
+    assert any("LessThan" in ln for ln in pushed), pushed
