@@ -86,31 +86,37 @@ def shingle_hash_arrays(docs: DataFrame) -> DataFrame:
 
 
 def minhash_signatures(sharr: DataFrame, k: int = MINHASH_K) -> DataFrame:
-    """doc_id → k min-hash columns h0..h{k-1} from the ``hs`` shingle-
+    """doc_id → ``sig`` array of k min-hashes from the ``hs`` shingle-
     hash array — entirely row-local (array_min over a per-member rehash
     of the 8-byte shingle hashes; k long-hashes per shingle, never k
-    string-hashes). The previous explode → groupBy(k mins) formulation
-    shuffled every (doc, shingle) row through a 64-buffer hash-agg;
-    this one needs NO exchange at all before the LSH band join. All
+    string-hashes) and a SINGLE nested-lambda expression rather than k
+    generated columns (k separate projections measured ~2× slower cold:
+    the generated code is k× larger and each column re-walks hs). The
+    original explode → groupBy(k mins) formulation additionally
+    shuffled every (doc, shingle) row through a k-buffer hash-agg;
+    this needs NO exchange at all before the LSH band join. All
     JVM-side; no Python in the hot path."""
-    sig_cols = [
-        F.array_min(F.expr(f"transform(hs, h -> xxhash64(h, {i}))")).alias(f"h{i}")
-        for i in range(k)
-    ]
-    return sharr.select("doc_id", *sig_cols)
+    return sharr.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, {k - 1}),"
+            " i -> array_min(transform(hs, h -> xxhash64(h, i))))"
+        ).alias("sig"),
+    )
 
 
 def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
-    """Band the signature, equi-join on (band, band_hash) → (i, j) pairs.
-
-    The self-join shuffles on the band hash — candidate generation is
-    linear in (docs × bands), never quadratic in docs.
+    """Band the ``sig`` array, equi-join on (band, band_hash) → (i, j)
+    pairs. The self-join shuffles on the band hash — candidate
+    generation is linear in (docs × bands), never quadratic in docs.
     """
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(*[f"h{b * LSH_ROWS + r}" for r in range(LSH_ROWS)]).alias("bh"),
+                F.xxhash64(
+                    *[F.expr(f"sig[{b * LSH_ROWS + r}]") for r in range(LSH_ROWS)]
+                ).alias("bh"),
             )
             for b in range(LSH_BANDS)
         ]
