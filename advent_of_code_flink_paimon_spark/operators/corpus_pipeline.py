@@ -72,7 +72,7 @@ from advent_of_code_flink_paimon_spark.operators.registry import T, query
     )
     SELECT lang, source,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            MIN(doc_id) AS min_doc_id
     FROM kept GROUP BY lang, source
     """,

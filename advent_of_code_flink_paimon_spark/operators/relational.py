@@ -9,17 +9,29 @@ semantic as a ranking window (tutorial/guide.md:65 + min_sequence_number
 ordering tutorial/guide.md:206), LIMIT (Readme.md:112,160), plus the
 declared-for-parity filter/join/agg/set/scalar surface.
 
-Value-parity rules with the DuckDB oracle (SURVEY.md §5):
+Value-parity rules with the DuckDB oracle (SURVEY.md §5), as hardened
+after round 1 (VERDICT.md: 16 hash-fails were all representation drift):
 - Money columns hold exact 2-decimal values stored as doubles → cast to
   DECIMAL *before* any arithmetic. Decimal multiply/sum is exact in both
   engines, so neither aggregation order nor double→decimal rounding (where
   Spark uses the double's shortest-repr and DuckDB the exact binary value)
   can diverge. Never downcast a decimal to fewer fraction digits: Spark
   rounds ties HALF_UP, DuckDB HALF_EVEN — only widen (exact).
-- AVG over doubles is order-dependent in the last ulp → ROUND(avg, 4)
-  in both engines.
+- **Final outputs never carry DecimalType**: the driver's comparison is
+  pandas-shaped, where DuckDB DECIMAL becomes float64 but Spark decimal
+  stays object(Decimal) → guaranteed hash-fail. Cast every decimal
+  aggregate to DOUBLE on BOTH sides as the last step. The exact decimal
+  value converts to its nearest double identically in both engines (one
+  correctly-rounded conversion; unscaled sums stay < 2^53 at driver SF,
+  so DuckDB's scale-division introduces no second rounding).
+- **DuckDB SUM over integers returns HUGEINT** (float64 in pandas) while
+  Spark returns bigint → CAST(SUM(...) AS BIGINT) in every oracle.
+- AVG over raw doubles is order-dependent in the last ulp → compute it
+  as CAST(exact-decimal SUM AS DOUBLE) / COUNT(*) on both sides: same
+  numerator bits, same denominator, same IEEE division → bit-identical.
 - Every computed column aliased identically in both dialects (driver
-  hashes by sorted column name).
+  hashes by sorted column name). int widths don't matter (value-level
+  compare); float values must be bit-identical.
 
 Scale notes (100 TB): every query below is pure DataFrame API — filters
 and projections push into the parquet scan, small dimensions are
@@ -60,13 +72,13 @@ _SQL_CHARGE = f"{_SQL_DP} * (1 + CAST(l_tax AS DECIMAL(4,2)))"
     "q01_pricing_summary",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-           CAST(SUM({_SQL_DP}) AS DECIMAL(38,4)) AS sum_disc_price,
-           CAST(SUM({_SQL_CHARGE}) AS DECIMAL(38,6)) AS sum_charge,
-           ROUND(AVG(l_quantity), 4) AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4) AS avg_price,
-           ROUND(AVG(l_discount), 4) AS avg_disc,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM({_SQL_DP}) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM({_SQL_CHARGE}) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -79,13 +91,13 @@ def q01_pricing_summary(spark, sf_dir):
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast(_DEC)).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast(_DEC)).alias("sum_base_price"),
-            F.sum(_dp("l_extendedprice", "l_discount")).cast("decimal(38,4)").alias("sum_disc_price"),
-            F.sum(_charge("l_extendedprice", "l_discount", "l_tax")).cast("decimal(38,6)").alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double").alias("sum_base_price"),
+            F.sum(_dp("l_extendedprice", "l_discount")).cast("double").alias("sum_disc_price"),
+            F.sum(_charge("l_extendedprice", "l_discount", "l_tax")).cast("double").alias("sum_charge"),
+            (F.sum(F.col("l_quantity").cast(_DEC)).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double") / F.count("*")).alias("avg_price"),
+            (F.sum(F.col("l_discount").cast("decimal(8,2)")).cast("double") / F.count("*")).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -177,8 +189,8 @@ def q06_filter_in_or(spark, sf_dir):
     "q07_computed_column",
     oracle=f"""
     SELECT l_orderkey, l_linenumber,
-           CAST({_SQL_DP} AS DECIMAL(18,4)) AS disc_price,
-           CAST({_SQL_CHARGE} AS DECIMAL(24,6)) AS charge
+           CAST({_SQL_DP} AS DOUBLE) AS disc_price,
+           CAST({_SQL_CHARGE} AS DOUBLE) AS charge
     FROM lineitem WHERE l_quantity >= 49
     """,
 )
@@ -189,8 +201,8 @@ def q07_computed_column(spark, sf_dir):
     return l.select(
         "l_orderkey",
         "l_linenumber",
-        _dp("l_extendedprice", "l_discount").cast("decimal(18,4)").alias("disc_price"),
-        _charge("l_extendedprice", "l_discount", "l_tax").cast("decimal(24,6)").alias("charge"),
+        _dp("l_extendedprice", "l_discount").cast("double").alias("disc_price"),
+        _charge("l_extendedprice", "l_discount", "l_tax").cast("double").alias("charge"),
     )
 
 
@@ -204,7 +216,7 @@ def q07_computed_column(spark, sf_dir):
     oracle="""
     SELECT s.s_name AS supp_name,
            COUNT(*) AS n_items,
-           SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS revenue
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
     FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
     GROUP BY s.s_name
     """,
@@ -220,7 +232,7 @@ def q08_join_inner_broadcast(spark, sf_dir):
         .groupBy(F.col("s_name").alias("supp_name"))
         .agg(
             F.count("*").alias("n_items"),
-            F.sum(F.col("l_extendedprice").cast(_DEC)).alias("revenue"),
+            F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double").alias("revenue"),
         )
     )
 
@@ -229,7 +241,7 @@ def q08_join_inner_broadcast(spark, sf_dir):
     "q09_join_left",
     oracle="""
     SELECT c.c_custkey, c.c_name, COUNT(o.o_orderkey) AS n_orders,
-           COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), CAST(0 AS DECIMAL(18,2))) AS total_spend
+           CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spend
     FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
     GROUP BY c.c_custkey, c.c_name
     """,
@@ -242,7 +254,7 @@ def q09_join_left(spark, sf_dir):
         .groupBy("c_custkey", "c_name")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.coalesce(F.sum(F.col("o_totalprice").cast(_DEC)), F.lit(0).cast(_DEC)).alias("total_spend"),
+            F.coalesce(F.sum(F.col("o_totalprice").cast(_DEC)), F.lit(0).cast(_DEC)).cast("double").alias("total_spend"),
         )
     )
 
@@ -286,7 +298,7 @@ def q11_join_anti(spark, sf_dir):
     oracle="""
     SELECT r.r_name AS region_name, n.n_name AS nation_name,
            COUNT(*) AS n_customers,
-           SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS total_acctbal
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -303,7 +315,7 @@ def q12_join_multi_chain(spark, sf_dir):
         .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
         .agg(
             F.count("*").alias("n_customers"),
-            F.sum(F.col("c_acctbal").cast(_DEC)).alias("total_acctbal"),
+            F.sum(F.col("c_acctbal").cast(_DEC)).cast("double").alias("total_acctbal"),
         )
     )
 
@@ -317,7 +329,7 @@ def q12_join_multi_chain(spark, sf_dir):
     oracle="""
     SELECT COUNT(*) AS n_rows,
            COUNT(DISTINCT l_orderkey) AS n_orders,
-           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
            MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship
     FROM lineitem
     """,
@@ -327,7 +339,7 @@ def q13_agg_global(spark, sf_dir):
     return l.agg(
         F.count("*").alias("n_rows"),
         F.countDistinct("l_orderkey").alias("n_orders"),
-        F.sum(F.col("l_quantity").cast(_DEC)).alias("total_qty"),
+        F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("total_qty"),
         F.min("l_shipdate").alias("min_ship"),
         F.max("l_shipdate").alias("max_ship"),
     )
@@ -338,8 +350,8 @@ def q13_agg_global(spark, sf_dir):
     oracle="""
     SELECT l_returnflag,
            COUNT(*) AS cnt,
-           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
            MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
     FROM lineitem GROUP BY l_returnflag
     """,
@@ -348,8 +360,8 @@ def q14_agg_grouped(spark, sf_dir):
     l = T(spark, sf_dir, "lineitem")
     return l.groupBy("l_returnflag").agg(
         F.count("*").alias("cnt"),
-        F.sum(F.col("l_quantity").cast(_DEC)).alias("sum_qty"),
-        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("sum_qty"),
+        (F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double") / F.count("*")).alias("avg_price"),
         F.min("l_quantity").alias("min_qty"),
         F.max("l_quantity").alias("max_qty"),
     )
@@ -387,7 +399,7 @@ def q16_agg_approx_distinct(spark, sf_dir):
     "q17_rollup",
     oracle="""
     SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
-           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
 )
@@ -395,7 +407,7 @@ def q17_rollup(spark, sf_dir):
     l = T(spark, sf_dir, "lineitem")
     return l.rollup("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("cnt"),
-        F.sum(F.col("l_quantity").cast(_DEC)).alias("sum_qty"),
+        F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("sum_qty"),
     )
 
 
@@ -548,7 +560,7 @@ def q23_scalar_conditional(spark, sf_dir):
     SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year,
            CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS order_month,
            COUNT(*) AS n_orders,
-           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
     FROM orders
     GROUP BY 1, 2
     """,
@@ -562,7 +574,7 @@ def q24_scalar_datetime(spark, sf_dir):
         )
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast(_DEC)).alias("revenue"),
+            F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("revenue"),
         )
     )
 
@@ -572,7 +584,7 @@ def q24_scalar_datetime(spark, sf_dir):
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
     FROM events GROUP BY event_type
     """,
@@ -600,7 +612,7 @@ def q26_distinct_rows(spark, sf_dir):
     "q27_having",
     oracle="""
     SELECT o_custkey, COUNT(*) AS n_orders,
-           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
     FROM orders GROUP BY o_custkey
     HAVING COUNT(*) >= 12
     """,
@@ -611,7 +623,7 @@ def q27_having(spark, sf_dir):
         o.groupBy("o_custkey")
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast(_DEC)).alias("spend"),
+            F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("spend"),
         )
         .filter(F.col("n_orders") >= 12)
     )
@@ -622,7 +634,7 @@ def q27_having(spark, sf_dir):
     oracle=f"""
     SELECT n.n_name AS nation_name,
            CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS order_year,
-           CAST(SUM({_SQL_DP}) AS DECIMAL(38,4)) AS revenue
+           CAST(SUM({_SQL_DP}) AS DOUBLE) AS revenue
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -650,36 +662,34 @@ def q28_enrichment_join(spark, sf_dir):
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation_name"), F.year("o_orderdate").alias("order_year"))
-        .agg(F.sum("rev").cast("decimal(38,4)").alias("revenue"))
+        .agg(F.sum("rev").cast("double").alias("revenue"))
     )
 
 
 @query(
     "q35_scalar_subquery",
     oracle="""
-    SELECT p_partkey, p_name, CAST(p_retailprice AS DECIMAL(12,2)) AS retail
+    SELECT p_partkey, p_name, p_retailprice AS retail
     FROM part
-    WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part)
+    WHERE p_retailprice > (SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM part)
     ORDER BY p_partkey
     """,
 )
 def q35_scalar_subquery(spark, sf_dir):
     """Scalar-subquery filter (price above global mean). The subquery
     aggregates to ONE row → broadcast as a literal-like join: Catalyst
-    plans a 1-row broadcast, the fact scan streams once. The comparison
-    runs on raw doubles (no rounding) — both engines compute the same
-    double from the same parquet values, and no equality-at-boundary
-    rows exist in the fixture."""
+    plans a 1-row broadcast, the fact scan streams once. The threshold
+    avg is computed as exact-decimal SUM cast to double over COUNT so
+    both engines compare against the identical double; `retail` is the
+    raw parquet double (bit-identical passthrough)."""
     p = T(spark, sf_dir, "part")
-    gavg = p.agg(F.avg("p_retailprice").alias("__avg"))
+    gavg = p.agg(
+        (F.sum(F.col("p_retailprice").cast(_DEC)).cast("double") / F.count("*")).alias("__avg")
+    )
     return (
         p.join(F.broadcast(gavg))
         .filter(F.col("p_retailprice") > F.col("__avg"))
-        .select(
-            "p_partkey",
-            "p_name",
-            F.col("p_retailprice").cast("decimal(12,2)").alias("retail"),
-        )
+        .select("p_partkey", "p_name", F.col("p_retailprice").alias("retail"))
         .orderBy("p_partkey")
     )
 
@@ -717,7 +727,7 @@ def q36_correlated_exists(spark, sf_dir):
         FROM lineitem GROUP BY l_partkey
     )
     SELECT l.l_partkey, COUNT(*) AS n_small,
-           SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS sum_price
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
     FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
     WHERE l.l_quantity < 0.5 * pa.aq
     GROUP BY l.l_partkey
@@ -738,7 +748,7 @@ def q37_below_group_avg(spark, sf_dir):
         .groupBy("l_partkey")
         .agg(
             F.count("*").alias("n_small"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_price"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
         )
     )
 
@@ -819,15 +829,15 @@ def q40_pivot(spark, sf_dir):
     "q41_window_frames",
     oracle="""
     SELECT l_orderkey, l_linenumber, l_suppkey,
-           SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
                PARTITION BY l_suppkey
                ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity,
                         l_extendedprice, l_discount, l_tax, l_returnflag,
                         l_linestatus, l_shipdate
-               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mov_qty,
-           SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov_qty,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
                PARTITION BY l_suppkey ORDER BY l_orderkey
-               RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) AS range_qty
+               RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) AS DOUBLE) AS range_qty
     FROM lineitem
     """,
 )
@@ -859,8 +869,8 @@ def q41_window_frames(spark, sf_dir):
         "l_orderkey",
         "l_linenumber",
         "l_suppkey",
-        F.sum(F.col("l_quantity").cast(_DEC)).over(w_rows).alias("mov_qty"),
-        F.sum(F.col("l_quantity").cast(_DEC)).over(w_range).alias("range_qty"),
+        F.sum(F.col("l_quantity").cast(_DEC)).over(w_rows).cast("double").alias("mov_qty"),
+        F.sum(F.col("l_quantity").cast(_DEC)).over(w_range).cast("double").alias("range_qty"),
     )
 
 

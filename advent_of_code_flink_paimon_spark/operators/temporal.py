@@ -72,7 +72,7 @@ def q29_asof_join(spark, sf_dir):
     )
     SELECT b.band_name, e.event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(e.value AS DECIMAL(18,2))) AS sum_value
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
     GROUP BY b.band_name, e.event_type
     """,
@@ -96,7 +96,7 @@ def q30_range_join(spark, sf_dir):
         .groupBy("band_name", "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         )
     )
 
@@ -106,9 +106,9 @@ def q30_range_join(spark, sf_dir):
     oracle="""
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, event_type,
            COUNT(*) AS n,
-           SUM(CAST(value AS DECIMAL(18,2))) AS sum_value,
-           ROUND(MIN(value), 4) AS min_value,
-           ROUND(MAX(value), 4) AS max_value
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
     FROM events
     GROUP BY CAST(date_trunc('day', ts) AS TIMESTAMP), event_type
     """,
@@ -128,9 +128,9 @@ def q31_time_bucket_rollup(spark, sf_dir):
         F.date_trunc("day", "ts").alias("bucket"), "event_type"
     ).agg(
         F.count("*").alias("n"),
-        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
-        F.round(F.min("value"), 4).alias("min_value"),
-        F.round(F.max("value"), 4).alias("max_value"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
     )
 
 
@@ -140,7 +140,7 @@ def q31_time_bucket_rollup(spark, sf_dir):
     SELECT l_returnflag, l_linestatus,
            GROUPING(l_returnflag) + 2 * GROUPING(l_linestatus) AS gid,
            COUNT(*) AS n,
-           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
@@ -159,7 +159,7 @@ def q32_cube(spark, sf_dir):
         l.cube("l_returnflag", "l_linestatus").agg(
             (F.grouping("l_returnflag") + F.lit(2) * F.grouping("l_linestatus")).alias("gid"),
             F.count("*").alias("n"),
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
         )
     ).select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
 
@@ -200,8 +200,8 @@ def q33_percentiles(spark, sf_dir):
     ),
     sess AS (
         SELECT user_id, ts,
-               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                                 ROWS UNBOUNDED PRECEDING) AS session_id
+               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         FROM gaps
     )
     SELECT user_id, session_id,

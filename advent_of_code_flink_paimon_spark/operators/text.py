@@ -30,7 +30,7 @@ _MARKERS = {
            len(string_split(text, ' ')) AS n_tokens,
            len(list_distinct(string_split(text, ' '))) AS n_types,
            length(text) AS n_chars_m,
-           list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS sum_tok_len,
+           CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS BIGINT) AS sum_tok_len,
            len(list_distinct(string_split(text, ' '))) * 1.0
                / len(string_split(text, ' ')) AS ttr
     FROM documents
@@ -90,8 +90,8 @@ def x21_lang_id(spark, sf_dir):
     "x22_token_count",
     oracle="""
     SELECT source,
-           SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS n_bpeish_tokens,
-           SUM(len(string_split(text, ' '))) AS n_ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS n_bpeish_tokens,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_ws_tokens,
            COUNT(*) AS n_docs
     FROM documents GROUP BY source
     """,
@@ -122,9 +122,9 @@ def x22_token_count(spark, sf_dir):
     )
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(CASE WHEN n_tokens >= 30 AND ttr >= 0.3 THEN 1 ELSE 0 END) AS n_keep,
-           SUM(CASE WHEN n_tokens < 10 THEN 1 ELSE 0 END) AS n_too_short,
-           SUM(CASE WHEN ttr < 0.3 THEN 1 ELSE 0 END) AS n_repetitive
+           CAST(SUM(CASE WHEN n_tokens >= 30 AND ttr >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           CAST(SUM(CASE WHEN n_tokens < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_too_short,
+           CAST(SUM(CASE WHEN ttr < 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
     FROM feats GROUP BY lang
     """,
 )
@@ -241,18 +241,24 @@ def x26_tfidf_top_terms(spark, sf_dir):
     """Top-3 TF-IDF terms per document (first 200 docs — bounded output).
 
     Scale shape: tf is one grouped count; df one grouped distinct-count
-    joined back by term (broadcast — vocabulary ≪ corpus); ranking one
-    window on doc_id. ROUND(…,4) pins float parity with the oracle
+    joined back by term (broadcast — vocabulary ≪ corpus); N is a 1-row
+    aggregate broadcast into the scoring join (NOT a driver-side
+    ``.count()`` action — the whole query stays one lazy plan); ranking
+    one window on doc_id. ROUND(…,4) pins float parity with the oracle
     (both engines compute tf·ln(N/df) from identical integers)."""
     d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     tokens = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = tokens.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = tokens.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = tokens.select("doc_id").distinct().count()
-    scored = tf.join(F.broadcast(df), "term").select(
-        "doc_id",
-        "term",
-        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4).alias("tfidf"),
+    n = tokens.agg(F.countDistinct("doc_id").cast("double").alias("__n"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * F.log(F.col("__n") / F.col("df")), 4).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     return (
