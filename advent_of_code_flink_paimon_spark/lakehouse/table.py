@@ -359,15 +359,20 @@ class Table:
         cols = [f.name for f in self.schema.fields]
         if "__op" not in df.columns:
             df = df.withColumn("__op", F.lit("U"))
-        # batch-local dedup: keep the last row per key, ordered by all
-        # value columns for determinism (callers with a real sequence
-        # column should pre-sort/dedup upstream)
-        value_cols = [c for c in cols if c not in pk]
-        w = Window.partitionBy(*pk).orderBy(*[F.desc(c) for c in value_cols] or [F.lit(1)])
+        # batch-local dedup: LAST INPUT ROW per key wins (Paimon sequence
+        # semantics) — the ordinal is captured before the window so a
+        # batch holding both an update and a delete for one key resolves
+        # by arrival order, never by value comparison (a D row with NULL
+        # values must beat an earlier U row). The ordinal is
+        # (partition, offset)-ordered; callers needing a total order
+        # across shuffled multi-partition batches should carry a real
+        # sequence column and pre-dedup upstream.
+        w = Window.partitionBy(*pk).orderBy(F.desc("__ord"))
         deduped = (
-            df.withColumn("__rn", F.row_number().over(w))
+            df.withColumn("__ord", F.monotonically_increasing_id())
+            .withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
-            .drop("__rn")
+            .drop("__rn", "__ord")
         )
         batch = deduped.select(*cols, "__op").withColumn("__seq", F.lit(seq).cast("long"))
 
@@ -379,13 +384,53 @@ class Table:
             entries, "APPEND", commit_identifier=commit_identifier, sequence_number=seq
         )
 
+    def _pre_image_for(self, batch: DataFrame):
+        """Merged pre-image restricted to rows that can share a key with
+        ``batch`` — per-commit cost scales with the BATCH, not the table.
+
+        Paimon's changelog-producer=input derives pre-images per bucket;
+        the equivalent here is (a) manifest pruning to the buckets the
+        batch's keys hash into (rows for a key always land in its
+        bucket-key hash bucket, so no other file can hold its pre-image)
+        and (b) a left-semi join to the batch's distinct keys BEFORE the
+        merge-on-read window, so the rank shuffle carries only affected
+        keys' rows. The bucket-set collect is bounded by num_buckets.
+        Returns None for an empty table."""
+        if self.latest_snapshot_id() is None:
+            return None
+        spark = batch.sparkSession
+        pk = self.primary_key
+        entries = self.manifest()
+        if self.num_buckets > 1 and set(self.bucket_key) <= set(pk):
+            hit = {
+                r["__bucket"]
+                for r in self._with_bucket(batch).select("__bucket").distinct().collect()
+            }
+            entries = [e for e in entries if e["bucket"] in hit]
+        if not entries:
+            return None
+        files = [os.path.join(self.paths.root, e["file_path"]) for e in entries]
+        schema = StructType(
+            self.schema.fields + StructType.fromDDL("__op string, __seq long").fields
+        )
+        raw = spark.read.schema(schema).parquet(*files)
+        raw = raw.join(batch.select(*pk).distinct(), on=pk, how="left_semi")
+        cols = [f.name for f in self.schema.fields]
+        w = Window.partitionBy(*pk).orderBy(F.col("__seq").desc())
+        return (
+            raw.withColumn("__rn", F.row_number().over(w))
+            .filter((F.col("__rn") == 1) & (F.col("__op") != "D"))
+            .select(*cols)
+        )
+
     def _write_changelog(self, batch: DataFrame, seq: int) -> None:
         """Emit +I/-U/+U/-D rows for this commit by joining the batch
-        against the pre-image of the affected keys (executor-side)."""
+        against the (bucket-pruned, key-restricted) pre-image of the
+        affected keys (executor-side)."""
         pk = self.primary_key
         cols = [f.name for f in self.schema.fields]
         sid_dir = self.paths.changelog_dir(seq)
-        pre = self._merged(batch.sparkSession)
+        pre = self._pre_image_for(batch)
         if pre is None:
             changelog = batch.withColumn(
                 "_change_type", F.when(F.col("__op") == "D", "-D").otherwise("+I")
@@ -393,9 +438,16 @@ class Table:
             out = changelog.filter(F.col("_change_type") != "-D")  # delete of absent key: no-op
             out.select(*cols, "_change_type").write.mode("overwrite").parquet(sid_dir)
             return
-        pre_keys = pre.select(*pk, *[F.col(c).alias(f"__pre_{c}") for c in cols if c not in pk])
+        # explicit presence marker: isNotNull() tests are never NULL, so
+        # coalescing them would always return the FIRST value column's
+        # test — wrong for NULL-valued columns and for PK-only tables
+        pre_keys = pre.select(
+            *pk,
+            F.lit(True).alias("__had_pre"),
+            *[F.col(c).alias(f"__pre_{c}") for c in cols if c not in pk],
+        )
         joined = batch.join(pre_keys, on=pk, how="left")
-        had_pre = F.coalesce(*[F.col(f"__pre_{c}").isNotNull() for c in cols if c not in pk], F.lit(False))
+        had_pre = F.coalesce(F.col("__had_pre"), F.lit(False))
         post = joined.withColumn(
             "_change_type",
             F.when(F.col("__op") == "D", F.lit("-D"))
@@ -646,9 +698,11 @@ class Table:
     def remove_orphan_files(self, older_than_ms: int | None = None) -> list[str]:
         """Delete data files on disk that no live snapshot references —
         the residue of a writer that crashed between staging and commit
-        (Paimon's remove_orphan_files action). ``older_than_ms`` guards
-        against racing an in-flight commit; defaults to 1 h ago, pass 0
-        (epoch-relative future) to clean everything in tests."""
+        (Paimon's remove_orphan_files action). ``older_than_ms`` is an
+        epoch-millis cutoff guarding against racing an in-flight commit:
+        only files with mtime strictly before it are removed. Defaults
+        to 1 h ago; pass a FUTURE timestamp to clean everything in tests
+        (0 would make the cutoff the epoch and remove nothing)."""
         import time as _time
 
         cutoff = (

@@ -316,6 +316,7 @@ def x04_dedup_simhash(spark, sf_dir):
 
 
 _COSINE_DUP_THRESHOLD = 0.35  # testdata embeddings are near-random (max pair ~0.45)
+_X06_BLOCKS = 8
 
 
 @query(
@@ -332,20 +333,52 @@ _COSINE_DUP_THRESHOLD = 0.35  # testdata embeddings are near-random (max pair ~0
     """,
 )
 def x06_dedup_embedding_cosine(spark, sf_dir):
-    """Embedding near-dup pairs above a cosine threshold via exact pair
-    join at testdata scale (the LSH-bucketed scale path is x11). Dot
-    products JVM-side via zip_with/aggregate in double. Threshold is set
-    where the near-random testdata yields a non-empty answer."""
+    """Embedding near-dup pairs above a cosine threshold — EXACT answer
+    via a block-partitioned pair join.
+
+    Round-1 shape was ``a.join(b, a.id < b.id)`` → BroadcastNestedLoop:
+    the whole O(n²) comparison funnels through tasks that each hold a
+    full broadcast copy — the single-node scale-killer VERDICT.md named.
+    This version hash-assigns every vector to one of B blocks and joins
+    through the tiny (B·(B+1)/2)-row block-pair table with two shuffle
+    EQUI-joins: work lands evenly across B² tasks, no cartesian or BNL
+    node anywhere in the plan (asserted in tests/test_plans.py), and B
+    scales as sqrt(cluster cores).
+
+    Why not LSH candidates here: the answer threshold (0.35) sits inside
+    the bulk of the near-random testdata's cosine distribution — per-bit
+    hyperplane collision probability is 0.61 at c=0.35 vs 0.50 at c=0
+    (θ/π margin of 3.5%), so any banding with recall ≈ 1 at the
+    threshold also passes ~all background pairs and only multiplies
+    shuffle volume by the band count. An EXACT threshold-join on data
+    with no similarity margin is inherently all-pairs; the right scale
+    move is distributing those pairs evenly (this plan) or accepting
+    approximation (x11's LSH ANN, which prunes genuinely when real
+    corpora cluster and thresholds are near-dup-high)."""
     e = T(spark, sf_dir, "embeddings")
-    v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    B = _X06_BLOCKS
+    v = e.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.pmod(F.xxhash64("vec_id"), F.lit(B)).cast("int").alias("blk"),
+    )
+    block_pairs = spark.createDataFrame(
+        [(b1, b2) for b1 in range(B) for b2 in range(B) if b1 <= b2], "b1 int, b2 int"
+    )
+    a = v.alias("a").join(F.broadcast(block_pairs), F.col("a.blk") == F.col("b1"))
+    joined = a.join(v.alias("b"), F.col("b.blk") == F.col("b2"))
+    # each unordered pair materializes exactly once: cross-block pairs via
+    # their unique (min_blk, max_blk) row, same-block pairs deduped by id
+    once = joined.filter(
+        (F.col("a.blk") < F.col("b.blk"))
+        | ((F.col("a.blk") == F.col("b.blk")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+    )
     dot = F.aggregate(F.zip_with("a.v", "b.v", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
     norm = lambda side: F.sqrt(F.aggregate(F.transform(f"{side}.v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x))  # noqa: E731
-    a, b = v.alias("a"), v.alias("b")
     return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("i"),
-            F.col("b.vec_id").alias("j"),
+        once.select(
+            F.least(F.col("a.vec_id"), F.col("b.vec_id")).alias("i"),
+            F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias("j"),
             F.round(dot / (norm("a") * norm("b")), 4).alias("cosine"),
         )
         .filter(F.col("cosine") >= _COSINE_DUP_THRESHOLD)

@@ -130,6 +130,73 @@ def test_changelog_producer_input(spark, catalog):
     ]
 
 
+def test_changelog_null_valued_column_and_delete(spark, catalog):
+    """ADVICE.md regression: pre-image presence must come from an
+    explicit marker, not value-column null tests — a pre-existing key
+    whose FIRST value column is NULL previously emitted +I with no -U,
+    and its delete was silently dropped from the changelog."""
+    t = catalog.create_table(
+        "s", "k long, v string, w string", {"primary-key": "k", "changelog-producer": "input"}
+    )
+    t.upsert(spark.createDataFrame([(1, None, "x")], "k long, v string, w string"))
+    t.upsert(spark.createDataFrame([(1, None, "y")], "k long, v string, w string"))
+    dels = spark.createDataFrame([(1, None, "y")], "k long, v string, w string").withColumn(
+        "__op", F.lit("D")
+    )
+    t.upsert(dels)
+    kinds = sorted((r.k, r._change_type) for r in t.read_changelog(spark).collect())
+    assert kinds == [(1, "+I"), (1, "+U"), (1, "-D"), (1, "-U")], kinds
+
+
+def test_changelog_pk_only_table(spark, catalog):
+    """A PK-only table (no value columns) must still produce -U/+U on
+    re-upsert and -D on delete (had_pre was constantly False before)."""
+    t = catalog.create_table("ids", "k long", {"primary-key": "k", "changelog-producer": "input"})
+    t.upsert(spark.createDataFrame([(1,), (2,)], "k long"))
+    t.upsert(spark.createDataFrame([(2,)], "k long"))
+    dels = spark.createDataFrame([(1,)], "k long").withColumn("__op", F.lit("D"))
+    t.upsert(dels)
+    kinds = sorted((r.k, r._change_type) for r in t.read_changelog(spark).collect())
+    assert kinds == [(1, "+I"), (1, "-D"), (2, "+I"), (2, "+U"), (2, "-U")], kinds
+
+
+def test_upsert_batch_delete_after_update_wins_by_input_order(spark, catalog):
+    """A batch holding an update then a delete for the same key must
+    resolve by input order (delete wins), not by value comparison —
+    a D row with NULL values previously lost to any U row."""
+    t = catalog.create_table("s", "k long, v string", {"primary-key": "k"})
+    t.upsert(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    batch = spark.createDataFrame(
+        [(1, "zzz", "U"), (1, None, "D")], "k long, v string, __op string"
+    ).coalesce(1)
+    t.upsert(batch)
+    assert sorted(r.k for r in t.read(spark).collect()) == [2]
+
+
+def test_changelog_pre_image_reads_scale_with_batch(spark, catalog):
+    """The pre-image for a changelog commit must be bucket-pruned to the
+    batch's keys: a 1-key batch against a 4-bucket table may read only
+    the one bucket that key hashes into."""
+    t = catalog.create_table(
+        "s", "k long, v string",
+        {"primary-key": "k", "bucket": "4", "changelog-producer": "input"},
+    )
+    t.upsert(
+        spark.range(0, 400).select(F.col("id").alias("k"), F.lit("v").alias("v"))
+    )
+    batch = spark.createDataFrame([(7, "new", "U")], "k long, v string, __op string")
+    batch = batch.withColumn("__seq", F.lit(0).cast("long"))  # schema parity for pre-image path
+    pre = t._pre_image_for(batch.drop("__seq"))
+    files_read = pre._jdf.queryExecution().optimizedPlan().toString()
+    # the pruned read must reference exactly one bucket directory
+    import re
+    buckets = set(re.findall(r"bucket-(\d)", files_read))
+    assert len(buckets) <= 1, files_read[:2000]
+    assert [r.k for r in pre.collect()] == [7]
+    kinds = [r._change_type for r in t.read_changelog(spark).collect() if r.k == 7]
+    assert sorted(kinds) == ["+I"]
+
+
 def test_compaction_preserves_rows_reduces_files(spark, catalog):
     """The reference compaction invariant (tutorial/guide.md:212-231 vs
     255-261): record counts preserved, file count drops, level rises."""

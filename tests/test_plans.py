@@ -146,6 +146,23 @@ def test_bucketed_cojoin_is_exchange_free(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bkt_right")
 
 
+def test_embedding_pair_join_is_block_distributed(spark):
+    """x06: the exact all-pairs cosine join must distribute through the
+    block-pair equi-joins — a BroadcastNestedLoop/cartesian node would
+    funnel the O(n²) comparison through single-node tasks."""
+    plan = plan_of(spark, "x06_dedup_embedding_cosine", mode="simple")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_heavy_hitters_recount_broadcasts_candidates(spark):
+    """x25: the exact-recount pass must broadcast the candidate hash
+    set so only candidate gram strings shuffle — a sort-merge join
+    here would exchange every corpus bigram."""
+    plan = plan_of(spark, "x25_heavy_hitter_bigrams", mode="simple")
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_decontaminate_broadcasts_benchmark_grams(spark):
     """x41: the deduped benchmark n-gram set must broadcast — a
     sort-merge join here would shuffle every corpus n-gram (~1e12 at
