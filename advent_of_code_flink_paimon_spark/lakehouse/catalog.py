@@ -15,7 +15,7 @@ import os
 import shutil
 
 from pyspark.sql import SparkSession
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 from advent_of_code_flink_paimon_spark.lakehouse.meta import (
     TablePaths,
@@ -84,6 +84,63 @@ class Catalog:
         atomic_write_json(
             t.paths.schema_path(v),
             {"version": v, "schema": schema.jsonValue(), "options": doc["options"], "created_ms": now_millis()},
+        )
+        return t
+
+    def drop_column(self, name: str, col: str) -> Table:
+        """ALTER TABLE DROP COLUMN — metadata-only: schema-N+1 omits the
+        field; existing files keep the bytes but the projection never
+        reads them (Table._read_entries). Key/partition/bucket columns
+        cannot be dropped."""
+        t = self.get_table(name)
+        doc = t.schema_doc()
+        protected = set(t.primary_key) | set(t.bucket_key) | set(t.partition_keys)
+        if col in protected:
+            raise ValueError(f"cannot drop key/partition column {col}")
+        fields = [f for f in StructType.fromJson(doc["schema"]).fields if f.name != col]
+        if len(fields) == len(doc["schema"]["fields"]):
+            raise ValueError(f"no such column: {col}")
+        v = t.schema_version + 1
+        atomic_write_json(
+            t.paths.schema_path(v),
+            {"version": v, "schema": StructType(fields).jsonValue(),
+             "options": doc["options"], "created_ms": now_millis()},
+        )
+        return t
+
+    def rename_column(self, name: str, old: str, new: str) -> Table:
+        """ALTER TABLE RENAME COLUMN — metadata-only: schema-N+1 carries
+        the new name plus a ``renames`` log entry ({new: old}); readers
+        map each file group's write-time physical name to the current
+        name (Table._physical_name), so no data file is rewritten. Key
+        option lists (primary-key/bucket-key/partition-by/sort-by) that
+        referenced the old name follow the rename."""
+        t = self.get_table(name)
+        doc = t.schema_doc()
+        fields = StructType.fromJson(doc["schema"]).fields
+        names = [f.name for f in fields]
+        if old not in names:
+            raise ValueError(f"no such column: {old}")
+        if new in names:
+            raise ValueError(f"column {new} already exists")
+        new_fields = [
+            StructField(new, f.dataType, f.nullable) if f.name == old else f for f in fields
+        ]
+        opts = dict(doc["options"])
+        for key in ("primary-key", "bucket-key", "partition-by"):
+            val = opts.get(key)
+            if val:
+                lst = val.split(",") if isinstance(val, str) else list(val)
+                opts[key] = [new if c.strip() == old else c.strip() for c in lst]
+        if opts.get("sort-by"):
+            sb = opts["sort-by"]
+            lst = sb.split(",") if isinstance(sb, str) else list(sb)
+            opts["sort-by"] = ",".join(new if c.strip() == old else c.strip() for c in lst)
+        v = t.schema_version + 1
+        atomic_write_json(
+            t.paths.schema_path(v),
+            {"version": v, "schema": StructType(new_fields).jsonValue(),
+             "options": opts, "renames": {new: old}, "created_ms": now_millis()},
         )
         return t
 

@@ -27,7 +27,7 @@ import shutil
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 from advent_of_code_flink_paimon_spark.lakehouse.meta import (
     TablePaths,
@@ -304,6 +304,9 @@ class Table:
         seq = sequence_number if sequence_number is not None else sid
         for e in new_entries:
             e.setdefault("min_sequence_number", seq)
+            # files are forever read with the schema they were written
+            # under (rename/drop evolution maps names at read time)
+            e.setdefault("schema_id", self.schema_version)
         atomic_write_json(self.paths.manifest_path(sid), {"files": files})
         atomic_write_json(
             self.paths.snapshot_path(sid),
@@ -409,11 +412,7 @@ class Table:
             entries = [e for e in entries if e["bucket"] in hit]
         if not entries:
             return None
-        files = [os.path.join(self.paths.root, e["file_path"]) for e in entries]
-        schema = StructType(
-            self.schema.fields + StructType.fromDDL("__op string, __seq long").fields
-        )
-        raw = spark.read.schema(schema).parquet(*files)
+        raw = self._read_entries(spark, entries)
         raw = raw.join(batch.select(*pk).distinct(), on=pk, how="left_semi")
         cols = [f.name for f in self.schema.fields]
         w = Window.partitionBy(*pk).orderBy(F.col("__seq").desc())
@@ -473,19 +472,80 @@ class Table:
             entries = prune_entries(entries, where)
         return [os.path.join(self.paths.root, e["file_path"]) for e in entries]
 
-    def _raw(self, spark: SparkSession, snapshot_id: int | None = None, where: str | None = None):
-        files = self._live_files(snapshot_id, where)
-        schema = self.schema
-        if self.primary_key:
-            schema = StructType(
-                schema.fields + StructType.fromDDL("__op string, __seq long").fields
+    def _physical_name(self, name: str, at_version: int) -> str | None:
+        """Walk RENAME COLUMN history backwards: the physical (on-file)
+        name a current column had when schema ``at_version`` was live —
+        or None if the column did not exist CONTINUOUSLY since then
+        (dropped-then-readded names are a new column identity, so old
+        bytes under the reused name must not resurrect)."""
+        for v in range(self.schema_version, at_version, -1):
+            doc = self.schema_doc(v)
+            ren = doc.get("renames") or {}
+            name = ren.get(name, name)
+            prev_names = {f["name"] for f in self.schema_doc(v - 1)["schema"]["fields"]}
+            if name not in prev_names:
+                return None  # column was created at version v
+        return name
+
+    def _read_entries(self, spark: SparkSession, entries: list[dict]):
+        """Read manifest entries under the CURRENT schema, applying
+        schema evolution per file group (assets/output5.png semantics,
+        extended to the full evolution family):
+
+        - ADD COLUMN: old files lack the field → reader null-fills.
+        - DROP COLUMN: old files carry the extra field → projection
+          ignores it (never read off disk).
+        - RENAME COLUMN: files are read with the physical name their
+          write-time schema used (entry.schema_id + the per-version
+          rename log), then aliased to the current name — metadata-only
+          evolution, no file rewrite. A column added AFTER a same-named
+          column was dropped is null-filled for old files (presence is
+          checked against the write-time schema, so stale bytes under a
+          reused name are never resurrected)."""
+        base_fields = list(self.schema.fields)
+        meta_fields = (
+            StructType.fromDDL("__op string, __seq long").fields if self.primary_key else []
+        )
+        out_schema = StructType(base_fields + list(meta_fields))
+        if not entries:
+            return spark.createDataFrame([], out_schema)
+        cur = self.schema_version
+        groups: dict[int, list[str]] = {}
+        for e in entries:
+            groups.setdefault(int(e.get("schema_id", cur)), []).append(
+                os.path.join(self.paths.root, e["file_path"])
             )
-        if not files:
-            return spark.createDataFrame([], schema)
-        # explicit schema (latest version): files written before an ADD
-        # COLUMN lack the new field and the reader null-fills it — schema
-        # evolution without rewriting data (assets/output5.png semantics)
-        return spark.read.schema(schema).parquet(*files)
+        parts = []
+        for v, files in sorted(groups.items()):
+            if v == cur:
+                parts.append(spark.read.schema(out_schema).parquet(*files))
+                continue
+            at_v = {f["name"] for f in self.schema_doc(v)["schema"]["fields"]}
+            present, absent = [], []
+            for f in base_fields:
+                phys = self._physical_name(f.name, v)
+                (present if phys is not None and phys in at_v else absent).append((phys, f))
+            read_schema = StructType(
+                [StructField(phys, f.dataType, True) for phys, f in present]
+                + list(meta_fields)
+            )
+            df = spark.read.schema(read_schema).parquet(*files)
+            df = df.select(
+                *[F.col(phys).alias(f.name) for phys, f in present],
+                *[F.lit(None).cast(f.dataType).alias(f.name) for _, f in absent],
+                *[F.col(m.name) for m in meta_fields],
+            ).select(*[f.name for f in out_schema.fields])
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _raw(self, spark: SparkSession, snapshot_id: int | None = None, where: str | None = None):
+        entries = self.manifest(snapshot_id)
+        if where:
+            entries = prune_entries(entries, where)
+        return self._read_entries(spark, entries)
 
     def _merged(self, spark: SparkSession, snapshot_id: int | None = None, where: str | None = None):
         """Merge-on-read for PK tables: latest row per key by commit

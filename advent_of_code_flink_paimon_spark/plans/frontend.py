@@ -158,6 +158,19 @@ class Engine:
                 self.catalog.alter_table(m.group(1), _parse_with_options(m.group(2)))
                 return StatementResult("OK", f"altered {m.group(1)}")
             m = re.match(
+                r"ALTER\s+TABLE\s+(\S+)\s+DROP\s+(?:COLUMN\s+)?(\w+)\s*$", s, re.I
+            )
+            if m:
+                self.catalog.drop_column(m.group(1), m.group(2))
+                return StatementResult("OK", f"dropped column {m.group(2)}")
+            m = re.match(
+                r"ALTER\s+TABLE\s+(\S+)\s+RENAME\s+(?:COLUMN\s+)?(\w+)\s+TO\s+(\w+)\s*$",
+                s, re.I,
+            )
+            if m:
+                self.catalog.rename_column(m.group(1), m.group(2), m.group(3))
+                return StatementResult("OK", f"renamed {m.group(2)} to {m.group(3)}")
+            m = re.match(
                 r"ALTER\s+TABLE\s+(\S+)\s+ADD\s+(?:COLUMN\s+)?(.+?)\s*$", s, re.I
             )
             if m:
@@ -178,27 +191,7 @@ class Engine:
         if u.startswith("CALL"):
             return self._call(s)
         if u.startswith("MERGE INTO"):
-            # restricted MERGE: equi-key vs a PK table with update-all /
-            # insert-all branches ≡ the engine's native upsert
-            m = re.match(
-                r"MERGE\s+INTO\s+(\S+)(?:\s+AS\s+\w+)?\s+USING\s+(\S+)(?:\s+AS\s+\w+)?\s+"
-                r"ON\s+\w+\.(\w+)\s*=\s*\w+\.(\w+)\s+"
-                r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+"
-                r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*$",
-                s,
-                re.I | re.S,
-            )
-            if not m:
-                raise ValueError(
-                    "MERGE supports: MERGE INTO t USING s ON t.<pk> = s.<pk> "
-                    "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
-                )
-            target = self.catalog.get_table(m.group(1))
-            if not target.primary_key or m.group(3) != m.group(4) or [m.group(3)] != target.primary_key:
-                raise ValueError("MERGE requires the target's primary key as the join key")
-            src_df = self.sql(f"SELECT * FROM {m.group(2)}")
-            sid = target.upsert(src_df)
-            return StatementResult("OK", f"merged into {m.group(1)} (snapshot {sid})")
+            return self._merge(s)
         if u.startswith("DELETE FROM"):
             m = re.match(r"DELETE\s+FROM\s+(\S+)\s+WHERE\s+(.+)$", s, re.I | re.S)
             if not m:
@@ -215,6 +208,13 @@ class Engine:
                 sets[col.strip()] = expr.strip()
             sid = self.catalog.get_table(m.group(1)).update_where(self.spark, sets, m.group(3))
             return StatementResult("OK", f"updated {m.group(1)} (snapshot {sid})")
+        # streaming runtime mode: a plain SELECT over a lakehouse table
+        # surfaces the changelog `op` column exactly like the reference's
+        # CLI rows (`+I`/-U/+U/-D — Readme.md:113-127, guide.md:209-232)
+        if self.session_conf.get("execution.runtime-mode") == "streaming":
+            op_read = self._streaming_table_select(s)
+            if op_read is not None:
+                return op_read
         # everything else (SELECT/WITH/VALUES) → Spark SQL over the
         # catalog views, with $files/$snapshots and Flink-dialect
         # function-name rewrites (functions/scalar.py)
@@ -224,6 +224,136 @@ class Engine:
             if not df.isStreaming:
                 df.createOrReplaceTempView(name)
         return self.catalog.sql(self.spark, rewrite_flink_functions(s))
+
+    def _streaming_table_select(self, s: str):
+        """`SELECT <cols|*> FROM <lakehouse-table>` under
+        `SET 'execution.runtime-mode' = 'streaming'` → the table's
+        changelog with a leading `op` column, matching the reference's
+        streaming CLI output shape. A changelog-producing table replays
+        its recorded +I/-U/+U/-D rows; an append/PK table without a
+        changelog surfaces its current image as +I rows (the insert-only
+        stream a fresh subscriber would observe)."""
+        m = re.match(r"SELECT\s+(.*?)\s+FROM\s+([\w.]+)\s*$", s, re.I | re.S)
+        if m is None or "$" in m.group(2):
+            return None
+        cols, tname = m.group(1).strip(), m.group(2).split(".")[-1]
+        try:
+            t = self.catalog.get_table(tname)
+        except (KeyError, AssertionError, FileNotFoundError):
+            return None
+        if t.options.get("changelog-producer") == "input":
+            df = t.read_changelog(self.spark).withColumnRenamed("_change_type", "op")
+        else:
+            df = t.read(self.spark).withColumn("op", F.lit("+I"))
+        names = [f.name for f in t.schema.fields] if cols == "*" else [
+            c.strip() for c in cols.split(",")
+        ]
+        return df.select("op", *names)
+
+    # -- MERGE -----------------------------------------------------------
+    def _merge(self, s: str):
+        """General MERGE INTO on a PK table, compiled to one native
+        upsert batch (SURVEY.md §2.1 row-level DML):
+
+            MERGE INTO t [AS a] USING s [AS b] ON a.pk = b.pk
+            [WHEN MATCHED [AND <cond>] THEN UPDATE SET * | SET c = expr, …]
+            [WHEN MATCHED [AND <cond>] THEN DELETE]
+            [WHEN NOT MATCHED [AND <cond>] THEN INSERT *]
+
+        Clause order is significant (first matching clause claims the
+        row, as in SQL MERGE). The join key must be the target's primary
+        key — the merge IS a keyed upsert, so updates/deletes/inserts
+        all compile to one ``Table.upsert`` batch carrying ``__op``:
+        a single shuffle-by-bucket write, no per-clause table rewrite."""
+        head = re.match(
+            r"MERGE\s+INTO\s+(\S+)(?:\s+AS\s+(\w+))?\s+USING\s+(\S+)(?:\s+AS\s+(\w+))?\s+"
+            r"ON\s+(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s+(WHEN\s+.*)$",
+            s,
+            re.I | re.S,
+        )
+        if not head:
+            raise ValueError(f"unparseable MERGE: {s}")
+        tname, talias, sname, salias = (
+            head.group(1), head.group(2) or head.group(1).split(".")[-1],
+            head.group(3), head.group(4) or head.group(3).split(".")[-1],
+        )
+        la, lc, ra, rc = head.group(5), head.group(6), head.group(7), head.group(8)
+        target = self.catalog.get_table(tname.split(".")[-1])
+        if not target.primary_key:
+            raise ValueError("MERGE target must be a primary-key table")
+        key_by_alias = {la.lower(): lc, ra.lower(): rc}
+        tkey = key_by_alias.get(talias.lower())
+        skey = key_by_alias.get(salias.lower())
+        if tkey is None or skey is None or [tkey] != target.primary_key:
+            raise ValueError("MERGE requires ON <target>.<pk> = <source>.<pk>")
+
+        clauses = re.findall(
+            r"WHEN\s+(NOT\s+)?MATCHED(?:\s+AND\s+(.*?))?\s+THEN\s+"
+            r"(UPDATE\s+SET\s+.*?|DELETE|INSERT\s+\*)\s*(?=WHEN\s+|$)",
+            head.group(9),
+            re.I | re.S,
+        )
+        if not clauses:
+            raise ValueError(f"MERGE has no WHEN clauses: {s}")
+
+        cols = [f.name for f in target.schema.fields]
+        value_cols = [c for c in cols if c not in target.primary_key]
+        tgt = self.sql(f"SELECT * FROM {tname.split('.')[-1]}").alias(talias)
+        src = self.sql(f"SELECT * FROM {sname.split('.')[-1]}").alias(salias)
+        on = F.col(f"{talias}.{tkey}") == F.col(f"{salias}.{skey}")
+
+        matched = tgt.join(src, on, "inner")
+        pieces, claimed = [], F.lit(False)
+        for is_not, cond, action in clauses:
+            cexpr = F.expr(cond) if cond and cond.strip() else F.lit(True)
+            action_u = action.strip().upper()
+            if is_not:
+                ins = src.join(tgt, on, "left_anti").filter(cexpr)
+                if not action_u.startswith("INSERT"):
+                    raise ValueError("WHEN NOT MATCHED supports INSERT * only")
+                pieces.append(
+                    ins.select(*cols).withColumn("__op", F.lit("U"))
+                )
+                continue
+            rows = matched.filter(cexpr & ~claimed)
+            claimed = claimed | cexpr
+            if action_u == "DELETE":
+                pieces.append(
+                    rows.select(
+                        F.col(f"{talias}.{tkey}").alias(tkey),
+                        *[F.col(f"{talias}.{c}").alias(c) for c in value_cols],
+                    ).withColumn("__op", F.lit("D"))
+                )
+            elif action_u.startswith("UPDATE"):
+                set_body = re.sub(r"^UPDATE\s+SET\s+", "", action.strip(), flags=re.I)
+                if set_body.strip() == "*":
+                    sets = {c: f"{salias}.{c}" for c in value_cols}
+                else:
+                    sets = {}
+                    for part in set_body.split(","):
+                        col, expr = part.split("=", 1)
+                        col = col.strip().split(".")[-1]
+                        if col in target.primary_key:
+                            raise ValueError(f"MERGE cannot SET the primary key ({col})")
+                        sets[col] = expr.strip()
+                pieces.append(
+                    rows.select(
+                        F.col(f"{talias}.{tkey}").alias(tkey),
+                        *[
+                            F.expr(sets[c]).alias(c) if c in sets
+                            else F.col(f"{talias}.{c}").alias(c)
+                            for c in value_cols
+                        ],
+                    ).withColumn("__op", F.lit("U"))
+                )
+            else:
+                raise ValueError(f"unsupported MERGE action: {action}")
+
+        batch = pieces[0]
+        for p in pieces[1:]:
+            batch = batch.unionByName(p)
+        sid = target.upsert(batch)
+        return StatementResult("OK", f"merged into {tname} (snapshot {sid})")
 
     # -- procedures ------------------------------------------------------
     def _call(self, s: str):

@@ -30,10 +30,13 @@ HEADLINE = [
     "q28_enrichment_join",
     "q29_asof_join",
     "q31_time_bucket_rollup",
+    "q33_percentiles",
     "q34_sessionize",
     # extension surface (SURVEY.md §2.11) — included when registered
     "x01_dedup_exact",
     "x03_dedup_minhash_lsh",
+    "x04_dedup_simhash",
+    "x06_dedup_embedding_cosine",
     "x10_embedding_topk",
     "x20_text_stats",
     "x41_decontaminate",

@@ -30,10 +30,11 @@ batch_strategy = st.lists(
 def test_upsert_matches_dict_model(spark, tmp_path_factory, batches):
     """After any sequence of upsert batches, the table equals a dict
     folded batch-by-batch. ACROSS batches, later commits win (sequence
-    number, tutorial/guide.md:65,206). WITHIN a batch, the engine's
-    documented dedup is deterministic max-by-value-columns (DataFrame
-    row order is not a stable ordering; callers with a real sequence
-    column pre-sort upstream), so the model takes max(v) per key."""
+    number, tutorial/guide.md:65,206). WITHIN a batch, the LAST input
+    row per key wins (Paimon sequence semantics — the dedup orders by a
+    captured input ordinal, so a later update or delete beats an
+    earlier row regardless of values), so the model keeps the last v
+    per key."""
     wh = tmp_path_factory.mktemp("wh-prop")
     cat = Catalog(str(wh))
     t = cat.create_table("t", DDL, {"primary-key": "k"})
@@ -43,7 +44,7 @@ def test_upsert_matches_dict_model(spark, tmp_path_factory, batches):
         t.upsert(spark.createDataFrame(batch, DDL))
         per_key: dict[int, int] = {}
         for k, v in batch:
-            per_key[k] = max(per_key.get(k, v), v)
+            per_key[k] = v
         model.update(per_key)
 
     got = {r.k: r.v for r in t.read(spark).collect()}

@@ -356,3 +356,90 @@ def test_call_procedures(engine, spark):
     assert r.kind == "OK"
     with pytest.raises(ValueError):
         engine.sql("CALL sys.nonexistent('m')")
+
+
+def test_streaming_mode_select_surfaces_op_column(engine, spark):
+    """Readme.md:113-127 / guide.md:209-232: under streaming runtime
+    mode, SELECT over a changelog table shows the op column rows."""
+    engine.sql(
+        "CREATE TABLE s (k BIGINT, v STRING, PRIMARY KEY (k) NOT ENFORCED) "
+        "WITH ('changelog-producer' = 'input')"
+    )
+    engine.sql("INSERT INTO s SELECT CAST(1 AS BIGINT) AS k, 'a' AS v")
+    engine.sql("INSERT INTO s SELECT CAST(1 AS BIGINT) AS k, 'b' AS v")
+    engine.sql("SET 'execution.runtime-mode' = 'streaming'")
+    rows = engine.sql("SELECT * FROM s").collect()
+    assert rows[0].__fields__[0] == "op"
+    assert sorted((r.op, r.k, r.v) for r in rows) == [
+        ("+I", 1, "a"), ("+U", 1, "b"), ("-U", 1, "a"),
+    ]
+    # append tables surface their image as the insert-only stream
+    engine.sql("CREATE TABLE app (k BIGINT)")
+    engine.sql("INSERT INTO app SELECT CAST(id AS BIGINT) AS k FROM range(3)")
+    rows = engine.sql("SELECT k FROM app").collect()
+    assert sorted(r.op for r in rows) == ["+I", "+I", "+I"]
+    # batch mode unchanged
+    engine.sql("SET 'execution.runtime-mode' = 'batch'")
+    assert "op" not in engine.sql("SELECT * FROM s").columns
+
+
+def test_merge_into_conditional_clauses(engine, spark):
+    """General MERGE: column-level SET, conditioned DELETE-when-matched,
+    conditional insert — clause order claims rows first-match-wins."""
+    engine.sql("CREATE TABLE t (k BIGINT, v STRING, n BIGINT, PRIMARY KEY (k) NOT ENFORCED)")
+    engine.sql(
+        "INSERT INTO t SELECT CAST(id AS BIGINT) AS k, 'old' AS v, CAST(id AS BIGINT) AS n "
+        "FROM range(4)"
+    )
+    spark.sql(
+        "SELECT CAST(id + 2 AS BIGINT) AS k, 'new' AS v, CAST(id + 100 AS BIGINT) AS n "
+        "FROM range(4)"
+    ).createOrReplaceTempView("src")
+    engine.register_source("src", spark.table("src"))
+    engine.sql(
+        """
+        MERGE INTO t AS a USING src AS b ON a.k = b.k
+        WHEN MATCHED AND b.n > 100 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET v = b.v, n = a.n + b.n
+        WHEN NOT MATCHED AND b.n >= 104 THEN INSERT *
+        """
+    )
+    out = {r.k: (r.v, r.n) for r in engine.sql("SELECT * FROM t").collect()}
+    # k=2: matched, b.n=100 not >100 -> column-level update (n = 2+100)
+    # k=3: matched, b.n=101 >100    -> deleted
+    # k=4: not matched, b.n=102 < 104 -> not inserted
+    # k=5: not matched, b.n=103 < 104 -> not inserted... (id+2=5 has n=103)
+    assert out == {0: ("old", 0), 1: ("old", 1), 2: ("new", 102)}
+
+
+def test_merge_into_update_all_insert_all_still_works(engine, spark):
+    engine.sql("CREATE TABLE t2 (k BIGINT, v STRING, PRIMARY KEY (k) NOT ENFORCED)")
+    engine.sql("INSERT INTO t2 SELECT CAST(1 AS BIGINT) AS k, 'a' AS v")
+    spark.sql("SELECT CAST(1 AS BIGINT) AS k, 'A' AS v UNION ALL SELECT CAST(2 AS BIGINT), 'B'").createOrReplaceTempView("src2")
+    engine.register_source("src2", spark.table("src2"))
+    engine.sql(
+        "MERGE INTO t2 USING src2 ON t2.k = src2.k "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert sorted((r.k, r.v) for r in engine.sql("SELECT * FROM t2").collect()) == [
+        (1, "A"), (2, "B"),
+    ]
+
+
+def test_alter_table_drop_and_rename_column(engine, spark):
+    """Schema evolution family: files written under schema-0 remain
+    readable through a RENAME and a DROP without rewrite."""
+    engine.sql("CREATE TABLE ev (k BIGINT, a STRING, b BIGINT)")
+    engine.sql("INSERT INTO ev SELECT CAST(1 AS BIGINT) AS k, 'x' AS a, CAST(10 AS BIGINT) AS b")
+    engine.sql("ALTER TABLE ev RENAME COLUMN a TO label")
+    engine.sql("INSERT INTO ev SELECT CAST(2 AS BIGINT) AS k, 'y' AS label, CAST(20 AS BIGINT) AS b")
+    rows = sorted((r.k, r.label, r.b) for r in engine.sql("SELECT * FROM ev").collect())
+    assert rows == [(1, "x", 10), (2, "y", 20)]
+    engine.sql("ALTER TABLE ev DROP COLUMN b")
+    rows = sorted((r.k, r.label) for r in engine.sql("SELECT * FROM ev").collect())
+    assert rows == [(1, "x"), (2, "y")]
+    assert engine.sql("SELECT * FROM ev").columns == ["k", "label"]
+    # a later ADD of a dropped name must NOT resurrect old bytes
+    engine.sql("ALTER TABLE ev ADD COLUMN b BIGINT")
+    rows = sorted((r.k, r.b) for r in engine.sql("SELECT * FROM ev").collect())
+    assert rows == [(1, None), (2, None)]
