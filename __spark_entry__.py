@@ -35,7 +35,10 @@ _ORDER = [
     "q25_json_extract", "q27_having", "q28_enrichment_join",
     "q35_scalar_subquery", "q37_below_group_avg", "q41_window_frames",
     "x40_corpus_curation",
-    # declared rows-only (no oracle by design)
+    # x04/x12/x24 gained DuckDB oracles in round 2 (md5-hex simhash,
+    # deterministic IVF replay, polynomial-hash winnowing); the
+    # remaining rows-only entries are q16 (HLL sketch engine-specific),
+    # x11 (NumPy Gaussian hyperplanes), x30/x31 (stubbed decoders)
     "q16_agg_approx_distinct", "x04_dedup_simhash",
     "x30_multimodal_features", "x31_frame_sample",
     # green in r1; x06 re-scored first (its plan was rewritten this round)

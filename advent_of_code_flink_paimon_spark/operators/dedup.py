@@ -269,13 +269,49 @@ def x05_ngram_jaccard_join(spark, sf_dir):
     )
 
 
-@query("x04_dedup_simhash")  # no oracle: 64-bit signature not SQL-expressible
+# DuckDB twin of the simhash pipeline: md5's first 8 bytes parsed
+# big-endian via hex-cast (bit-exact with int.from_bytes(digest[:8],
+# 'big')), per-bit ±1 sums as 64 generated CASE aggregates, signature
+# reassembled in HUGEINT and two's-complemented to signed BIGINT.
+_SQL_SIMHASH = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+h AS (
+    SELECT doc_id, CAST(('0x' || left(md5(t), 16)) AS UBIGINT) AS h FROM toks
+),
+acc AS (
+    SELECT doc_id,
+           {', '.join(f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS a{b}" for b in range(64))}
+    FROM h GROUP BY doc_id
+),
+sig AS (
+    SELECT doc_id,
+           ({' + '.join(f"CASE WHEN a{b} > 0 THEN CAST({1 << b} AS HUGEINT) ELSE CAST(0 AS HUGEINT) END" for b in range(64))}) AS s
+    FROM acc
+),
+signed_sig AS (
+    SELECT doc_id,
+           CAST(CASE WHEN s >= CAST({1 << 63} AS HUGEINT)
+                     THEN s - CAST({1 << 64} AS HUGEINT) ELSE s END AS BIGINT) AS simhash
+    FROM sig
+),
+buckets AS (SELECT simhash, COUNT(*) AS n_docs FROM signed_sig GROUP BY simhash)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(n_docs - 1) AS BIGINT) AS n_redundant
+FROM buckets
+"""
+
+
+@query("x04_dedup_simhash", oracle=_SQL_SIMHASH)
 def x04_dedup_simhash(spark, sf_dir):
     """SimHash near-dup buckets: 64-bit signature per doc via a
     vectorized Pandas UDF (Arrow batches), then signature-equality
     grouping. Deterministic (md5-derived token hashes). Verified
     bit-identical to the scalar python model by a differential test
-    (tests/test_extensions.py).
+    (tests/test_extensions.py) AND oracle-checked end-to-end: the
+    DuckDB twin (_SQL_SIMHASH) rebuilds the 64-bit signature from
+    md5 hex, so this is no longer a rows-only entry.
 
     Vectorization (VERDICT.md round-1 item): per Arrow batch, tokens
     are deduplicated across ALL documents and md5-hashed once each

@@ -141,7 +141,58 @@ def ivf_assign(vectors: DataFrame, centroids: list[tuple[int, list[float]]], npr
     ).drop("__probe")
 
 
-@query("x12_embedding_topk_ivf")  # no oracle: ANN output is approximate by design
+# The IVF pipeline is APPROXIMATE as an ANN method but fully
+# DETERMINISTIC end-to-end (hash-sampled centroids, argmax assignment
+# with cid tiebreak, exact re-rank), so DuckDB can replay it exactly:
+# every cosine is the same sequential list_dot_product both engines
+# compute bit-identically, and every tie breaks on ids.
+_COS = "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+_SQL_IVF = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+cent AS (
+    SELECT vec_id AS cid, cv AS cent_v
+    FROM v WHERE vec_id % 61 = 7 ORDER BY vec_id LIMIT {IVF_CENTROIDS}
+),
+corpus_assign AS (
+    SELECT vec_id, cv, cid FROM (
+        SELECT c.vec_id, c.cv, cent.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.vec_id
+                   ORDER BY {_COS.format(a='c.cv', b='cent.cent_v')} DESC, cent.cid ASC
+               ) AS r
+        FROM v c CROSS JOIN cent
+    ) WHERE r = 1
+),
+query_assign AS (
+    SELECT query_id, qv, cid FROM (
+        SELECT q.vec_id AS query_id, q.cv AS qv, cent.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_COS.format(a='q.cv', b='cent.cent_v')} DESC, cent.cid ASC
+               ) AS r
+        FROM v q CROSS JOIN cent WHERE q.vec_id < {N_QUERIES}
+    ) WHERE r <= {IVF_NPROBE}
+),
+cands AS (
+    SELECT DISTINCT qa.query_id, qa.qv, ca.vec_id, ca.cv
+    FROM corpus_assign ca JOIN query_assign qa ON ca.cid = qa.cid
+    WHERE ca.vec_id <> qa.query_id
+),
+scored AS (
+    SELECT query_id, vec_id,
+           ROUND({_COS.format(a='qv', b='cv')}, 4) AS cosine
+    FROM cands
+),
+ranked AS (
+    SELECT query_id, vec_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+@query("x12_embedding_topk_ivf", oracle=_SQL_IVF)
 def x12_embedding_topk_ivf(spark, sf_dir):
     """IVF ANN top-k: deterministic centroid pick (hash-sampled corpus
     vectors), literal-centroid assignment (map-only), candidates =

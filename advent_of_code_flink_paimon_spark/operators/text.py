@@ -143,32 +143,78 @@ def x23_quality_score(spark, sf_dir):
     )
 
 
-@query("x24_winnow_fingerprint")  # no oracle: rolling-hash winnowing not SQL-expressible
+# Winnowing constants: K-char k-grams, W-hash windows, polynomial base
+# B mod 2^32 (Rabin-Karp). A polynomial hash instead of crc32 buys two
+# things: NumPy vectorizes it (no per-gram hashlib/zlib call), and
+# DuckDB can replay it with pure arithmetic — so winnowing gets a real
+# oracle instead of a rows-only check.
+_WIN_K, _WIN_W, _WIN_B, _WIN_M = 5, 4, 257, 1 << 32
+
+_SQL_WINNOW = f"""
+WITH h AS (
+    SELECT doc_id,
+           CASE WHEN length(text) >= {_WIN_K} THEN
+               list_transform(range(1, length(text) - {_WIN_K - 2}),
+                   i -> (ord(text[i]) * {_WIN_B ** 4} + ord(text[i + 1]) * {_WIN_B ** 3}
+                         + ord(text[i + 2]) * {_WIN_B ** 2} + ord(text[i + 3]) * {_WIN_B}
+                         + ord(text[i + 4])) % {_WIN_M})
+           ELSE [] END AS hs
+    FROM documents
+),
+mins AS (
+    SELECT doc_id,
+           CASE WHEN len(hs) >= {_WIN_W} THEN
+               list_distinct(list_transform(range(1, len(hs) - {_WIN_W - 2}),
+                                            i -> list_min(hs[i:i + {_WIN_W - 1}])))
+           ELSE [] END AS fps
+    FROM h
+)
+SELECT doc_id, CAST(len(fps) AS INT) AS n_fp,
+       CAST(COALESCE(list_sum(fps), 0) % {1 << 62} AS BIGINT) AS fp_checksum
+FROM mins
+"""
+
+
+@query("x24_winnow_fingerprint", oracle=_SQL_WINNOW)
 def x24_winnow_fingerprint(spark, sf_dir):
     """Winnowing document fingerprints (Schleimer et al. style): rolling
-    hashes over 5-gram character windows, min-per-window selection →
-    compact fingerprint set per doc. Pandas UDF (Arrow-batched); output
-    is the fingerprint cardinality + a stable checksum per doc, verified
-    against a python model in tests."""
+    polynomial hashes over 5-char k-grams, min-per-window selection →
+    compact fingerprint set per doc. Pandas UDF (Arrow-batched, fully
+    NumPy-vectorized: code-point array → strided k-gram dot products →
+    sliding-window min); output is the fingerprint cardinality + a
+    stable checksum per doc, matched by the DuckDB arithmetic twin
+    (_SQL_WINNOW) and a python model test."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    K, W = 5, 4  # k-gram size, winnow window
+    K, W, B, M = _WIN_K, _WIN_W, _WIN_B, _WIN_M
 
     # no type hints: string annotations (from __future__) break inference
     @pandas_udf("struct<n_fp: int, fp_checksum: long>")
     def winnow(texts):
-        import zlib
+        import numpy as np
 
+        weights = np.array([B ** (K - 1 - j) for j in range(K)], dtype=np.int64)
         ns, cks = [], []
         for t in texts:
             t = t or ""
-            hashes = [zlib.crc32(t[i : i + K].encode()) for i in range(max(len(t) - K + 1, 0))]
-            fps = set()
-            for i in range(max(len(hashes) - W + 1, 0)):
-                fps.add(min(hashes[i : i + W]))
-            ns.append(len(fps))
-            cks.append(sum(fps) % (1 << 62))
+            n = len(t)
+            if n < K + W - 1:  # not enough grams for one full window
+                ns.append(0)
+                cks.append(0)
+                continue
+            codes = np.fromiter(map(ord, t), dtype=np.int64, count=n)
+            kg = n - K + 1
+            hashes = np.zeros(kg, dtype=np.int64)
+            for j in range(K):
+                hashes += codes[j : j + kg] * weights[j]
+            hashes %= M
+            wins = hashes[: kg - W + 1].copy()
+            for j in range(1, W):
+                np.minimum(wins, hashes[j : j + kg - W + 1], out=wins)
+            fps = np.unique(wins)
+            ns.append(int(fps.size))
+            cks.append(int(fps.sum()) % (1 << 62))
         return pd.DataFrame({"n_fp": ns, "fp_checksum": cks})
 
     d = fan_out(T(spark, sf_dir, "documents"))  # parallel Arrow batches for the UDF

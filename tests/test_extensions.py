@@ -6,7 +6,6 @@ checks for the non-SQL ops."""
 from __future__ import annotations
 
 import hashlib
-import zlib
 
 import pyspark.sql.functions as F
 import pytest
@@ -96,9 +95,12 @@ def test_winnow_fingerprint_model(spark):
     docs = duckdb.sql(
         f"SELECT doc_id, text FROM read_parquet('{SF_ORACLE}/documents.parquet') ORDER BY doc_id LIMIT 20"
     ).fetchall()
-    K, W = 5, 4
+    K, W, B, M = 5, 4, 257, 1 << 32
     for doc_id, t in docs:
-        hashes = [zlib.crc32(t[i : i + K].encode()) for i in range(max(len(t) - K + 1, 0))]
+        hashes = [
+            sum(ord(t[i + j]) * B ** (K - 1 - j) for j in range(K)) % M
+            for i in range(max(len(t) - K + 1, 0))
+        ]
         fps = set()
         for i in range(max(len(hashes) - W + 1, 0)):
             fps.add(min(hashes[i : i + W]))
