@@ -591,7 +591,12 @@ def q24_scalar_datetime(spark, sf_dir):
 )
 def q25_json_extract(spark, sf_dir):
     # §2.11 JSON surface: events.props is a JSON string (TESTDATA.md).
-    e = T(spark, sf_dir, "events")
+    # JSON parsing is the row-local hot loop here — fan_out so a
+    # single-row-group local scan doesn't serialize it on one core
+    # (no-op when the scan already has file/row-group parallelism).
+    from advent_of_code_flink_paimon_spark.operators.registry import fan_out
+
+    e = fan_out(T(spark, sf_dir, "events"))
     k = F.get_json_object("props", "$.k").cast("bigint")
     return e.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
