@@ -119,3 +119,127 @@ def test_tag_rollback_matches_model(spark, tmp_path_factory, ops):
     for name, tagged_count in tag_stack:
         if name in live:
             assert t.read(spark, snapshot_id=name).count() == tagged_count
+
+
+# MERGE model: target and source as key->value dicts; fixed clause set
+# (delete if s.v % 3 == 0, else column-update, insert if s.v % 2 == 0)
+# exercising conditional DELETE, column-level SET, and conditional
+# INSERT in one statement. hypothesis drives the key/value composition.
+merge_strategy = st.tuples(
+    st.dictionaries(st.integers(0, 9), st.integers(0, 99), min_size=1, max_size=8),
+    st.dictionaries(st.integers(0, 9), st.integers(0, 99), min_size=1, max_size=8),
+)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(data=merge_strategy)
+def test_merge_matches_dict_model(spark, tmp_path_factory, data):
+    from advent_of_code_flink_paimon_spark.plans import Engine
+
+    target0, source = data
+    wh = tmp_path_factory.mktemp("wh-merge")
+    eng = Engine(spark, str(wh))
+    eng.sql("CREATE TABLE t (k BIGINT, v BIGINT, PRIMARY KEY (k) NOT ENFORCED)")
+    if target0:
+        eng.catalog.get_table("t").upsert(
+            spark.createDataFrame(sorted(target0.items()), DDL)
+        )
+    spark.createDataFrame(sorted(source.items()), DDL).createOrReplaceTempView("msrc")
+    eng.register_source("msrc", spark.table("msrc"))
+    eng.sql(
+        """
+        MERGE INTO t AS a USING msrc AS b ON a.k = b.k
+        WHEN MATCHED AND b.v % 3 = 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET v = a.v + b.v
+        WHEN NOT MATCHED AND b.v % 2 = 0 THEN INSERT *
+        """
+    )
+
+    model = dict(target0)
+    for k, v in source.items():
+        if k in target0:
+            if v % 3 == 0:
+                model.pop(k)
+            else:
+                model[k] = target0[k] + v
+        elif v % 2 == 0:
+            model[k] = v
+    got = {r.k: r.v for r in eng.catalog.get_table("t").read(spark).collect()}
+    assert got == model
+
+
+# Schema-evolution model: a sequence of (insert | add | rename | drop)
+# steps against a list-of-dicts model. Column pool is small so renames
+# and drops collide with history on purpose (incl. dropped-then-readded
+# names, which must null-fill for pre-drop files).
+@st.composite
+def evolution_steps(draw):
+    steps, live = [], ["c0"]
+    fresh = 1
+    n = draw(st.integers(2, 7))
+    for _ in range(n):
+        kind = draw(st.sampled_from(["insert", "insert", "add", "rename", "drop"]))
+        if kind == "insert":
+            steps.append(("insert", draw(st.integers(0, 99))))
+        elif kind == "add":
+            # reuse a previously-dropped name sometimes, else a fresh one
+            name = f"c{fresh}"
+            fresh += 1
+            live.append(name)
+            steps.append(("add", name))
+        elif kind == "rename" and live:
+            old = draw(st.sampled_from(live))
+            new = f"c{fresh}"
+            fresh += 1
+            live[live.index(old)] = new
+            steps.append(("rename", old, new))
+        elif kind == "drop" and len(live) > 1:
+            col = draw(st.sampled_from(live))
+            live.remove(col)
+            steps.append(("drop", col))
+    return steps
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(steps=evolution_steps())
+def test_schema_evolution_matches_model(spark, tmp_path_factory, steps):
+    """Any interleaving of inserts and ADD/RENAME/DROP COLUMN reads back
+    exactly what a row-dict model predicts — old files keep serving
+    data through renames, and missing columns null-fill."""
+    cat = Catalog(str(tmp_path_factory.mktemp("wh-evo")))
+    t = cat.create_table("e", "k long, c0 long")
+    cols = ["c0"]
+    rows: list[dict] = []  # model: one dict per inserted row, keyed by live colname
+    next_k = 0
+    for step in steps:
+        if step[0] == "insert":
+            row = {"k": next_k, **{c: step[1] + i for i, c in enumerate(cols)}}
+            df = spark.createDataFrame(
+                [tuple(row[c] for c in ["k", *cols])],
+                ", ".join(f"{c} long" for c in ["k", *cols]),
+            )
+            t.append(df)
+            rows.append(dict(row))
+            next_k += 1
+        elif step[0] == "add":
+            cat.add_column("e", f"{step[1]} long")
+            cols.append(step[1])
+            # model: existing rows have NULL for the new column
+        elif step[0] == "rename":
+            _, old, new = step
+            cat.rename_column("e", old, new)
+            cols[cols.index(old)] = new
+            for r in rows:
+                if old in r:
+                    r[new] = r.pop(old)
+        elif step[0] == "drop":
+            cat.drop_column("e", step[1])
+            cols.remove(step[1])
+            for r in rows:
+                r.pop(step[1], None)
+    got = sorted(
+        tuple(getattr(r, c) for c in ["k", *cols])
+        for r in cat.get_table("e").read(spark).collect()
+    )
+    want = sorted(tuple(r.get(c) for c in ["k", *cols]) for r in rows)
+    assert got == want
