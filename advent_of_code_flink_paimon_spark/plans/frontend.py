@@ -223,7 +223,52 @@ class Engine:
         for name, df in self._sources.items():
             if not df.isStreaming:
                 df.createOrReplaceTempView(name)
-        return self.catalog.sql(self.spark, rewrite_flink_functions(s))
+        return self.catalog.sql(
+            self.spark, rewrite_flink_functions(self._rewrite_window_tvfs(s))
+        )
+
+    _TVF = re.compile(
+        r"TABLE\s*\(\s*(TUMBLE|HOP|SESSION)\s*\(\s*TABLE\s+([\w.]+)\s*,\s*"
+        r"DESCRIPTOR\s*\(\s*(\w+)\s*\)\s*,\s*(.*?)\)\s*\)",
+        re.I | re.S,
+    )
+    _IVL = re.compile(r"INTERVAL\s+'([\d.]+)'\s+(\w+)", re.I)
+
+    def _rewrite_window_tvfs(self, s: str) -> str:
+        """Flink windowing TVFs → Spark window functions, textually:
+
+            TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), INTERVAL '1' MINUTE))
+            TABLE(HOP(TABLE t, DESCRIPTOR(ts), <slide>, <size>))
+
+        become a subquery that exposes ``window_start``/``window_end``
+        columns (exactly the TVF's output shape), so Flink-dialect
+        windowed GROUP BYs run verbatim. Batch semantics here (the
+        lakehouse tables and registered batch views); continuous
+        windowed pipelines use streaming/windows.py, which owns
+        watermarks. SESSION is rejected: Spark's session_window only
+        merges sessions inside an aggregation, so a projection rewrite
+        would silently skip session merging — use
+        streaming.windows.session_agg / q34's batch sessionization."""
+
+        def repl(m):
+            kind, tbl, ts = m.group(1).upper(), m.group(2).split(".")[-1], m.group(3)
+            ivls = [f"{n} {unit.lower()}" for n, unit in self._IVL.findall(m.group(4))]
+            if kind == "TUMBLE" and len(ivls) == 1:
+                win = f"window({ts}, '{ivls[0]}')"
+            elif kind == "HOP" and len(ivls) == 2:
+                # Flink arg order: slide, size; Spark: size, slide
+                win = f"window({ts}, '{ivls[1]}', '{ivls[0]}')"
+            else:
+                raise ValueError(
+                    f"unsupported window TVF: {m.group(0)} "
+                    "(SESSION: use streaming.windows.session_agg)"
+                )
+            return (
+                f"(SELECT *, __win.start AS window_start, __win.end AS window_end "
+                f"FROM (SELECT *, {win} AS __win FROM {tbl})) __tvf_{tbl.replace('.', '_')}"
+            )
+
+        return self._TVF.sub(repl, s)
 
     def _streaming_table_select(self, s: str):
         """`SELECT <cols|*> FROM <lakehouse-table>` under
@@ -488,7 +533,18 @@ class Engine:
         streaming_src = self._streaming_select(select_sql)
         src_df = streaming_src if streaming_src is not None else self.sql(select_sql)
 
-        for col in self._computed.get(target_name, {}):
+        # Flink INSERT INTO ... SELECT is positional: when the SELECT
+        # list doesn't carry the target's column names (modulo computed
+        # columns appended below) but the arity lines up, map by position
+        names = [f.name for f in target.schema.fields]
+        computed = self._computed.get(target_name, {})
+        expected = [n for n in names if n not in computed]
+        if [c.lower() for c in src_df.columns] != [n.lower() for n in expected] and len(
+            src_df.columns
+        ) == len(expected):
+            src_df = src_df.toDF(*expected)
+
+        for col in computed:
             src_df = src_df.withColumn(col, F.current_timestamp())
 
         if src_df.isStreaming:

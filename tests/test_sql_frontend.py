@@ -443,3 +443,42 @@ def test_alter_table_drop_and_rename_column(engine, spark):
     engine.sql("ALTER TABLE ev ADD COLUMN b BIGINT")
     rows = sorted((r.k, r.b) for r in engine.sql("SELECT * FROM ev").collect())
     assert rows == [(1, None), (2, None)]
+
+
+def test_flink_window_tvf_tumble_and_hop(engine, spark):
+    """Flink windowing TVF spellings run verbatim against a lakehouse
+    table and agree with the equivalent native Spark SQL."""
+    engine.sql("CREATE TABLE evts (k BIGINT, ts TIMESTAMP(3), v BIGINT)")
+    engine.sql(
+        "INSERT INTO evts SELECT CAST(id AS BIGINT) AS k, "
+        "timestamp_millis(CAST(1699999920000 + id * 30000 AS BIGINT)) AS ts, "  # 2-min-aligned base
+        "CAST(id AS BIGINT) AS v FROM range(20)"
+    )
+    got = engine.sql(
+        """
+        SELECT window_start, window_end, COUNT(*) AS n, SUM(v) AS sv
+        FROM TABLE(TUMBLE(TABLE evts, DESCRIPTOR(ts), INTERVAL '2' MINUTE))
+        GROUP BY window_start, window_end ORDER BY window_start
+        """
+    ).collect()
+    # 20 events spaced 30s apart = 10 minutes -> 5 two-minute buckets of 4
+    assert [r.n for r in got] == [4, 4, 4, 4, 4]
+    assert sum(r.sv for r in got) == sum(range(20))
+
+    hop = engine.sql(
+        """
+        SELECT window_start, COUNT(*) AS n
+        FROM TABLE(HOP(TABLE evts, DESCRIPTOR(ts), INTERVAL '1' MINUTE, INTERVAL '2' MINUTE))
+        GROUP BY window_start ORDER BY window_start
+        """
+    ).collect()
+    # sliding 2-min windows every 1 min: interior windows hold 4 events
+    assert max(r.n for r in hop) == 4
+    assert sum(r.n for r in hop) == 40  # each event in exactly 2 windows
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="SESSION"):
+        engine.sql(
+            "SELECT window_start FROM TABLE(SESSION(TABLE evts, DESCRIPTOR(ts), INTERVAL '5' MINUTE)) GROUP BY window_start"
+        )
