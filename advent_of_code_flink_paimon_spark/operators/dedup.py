@@ -269,6 +269,79 @@ def x05_ngram_jaccard_join(spark, sf_dir):
     )
 
 
+# Near-dup CLUSTERS: connected components over the jaccard-pair graph.
+# The oracle computes the transitive closure with a recursive CTE; the
+# Spark side runs iterative min-label propagation (the standard
+# massive-graph pattern: each round is one distributed join+min-agg,
+# converging in O(log diameter) rounds — never a driver-side graph).
+_SQL_DUP_CLUSTERS = f"""
+WITH RECURSIVE base AS ({_SQL_EXHAUSTIVE_JACCARD}),
+edges AS (
+    SELECT i AS u, j AS v FROM base
+    UNION
+    SELECT j AS u, i AS v FROM base
+),
+reach(u, v) AS (
+    SELECT u, v FROM edges
+    UNION
+    SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+FROM reach GROUP BY u
+"""
+
+
+@query("x07_dup_clusters", oracle=_SQL_DUP_CLUSTERS)
+def x07_dup_clusters(spark, sf_dir):
+    """Connected components over the near-dup pair graph → per-doc
+    cluster id (the min doc_id in its component). This is the step
+    between pair detection (x03) and canonical-doc selection in a real
+    corpus dedup: transitive chains a~b~c must collapse to ONE cluster
+    even when (a,c) was never emitted as a pair.
+
+    Spark shape: iterative min-label propagation. labels start as each
+    doc's own id; each round joins labels across edges and takes the
+    per-node min of (own label, neighbors' labels); stop when a round
+    changes nothing. Every round is a shuffle-bounded join + hash agg
+    on the (tiny relative to corpus) pair-graph — the driver only
+    evaluates the scalar convergence count, never the graph. Rounds ≤
+    O(log diameter); near-dup components are shallow (clusters of
+    mutually-similar docs), so 2-3 rounds in practice."""
+    pairs = x03_dedup_minhash_lsh(spark, sf_dir).select("i", "j")
+    edges = pairs.unionByName(
+        pairs.select(F.col("j").alias("i"), F.col("i").alias("j"))
+    ).distinct().persist()
+    labels = edges.select(F.col("i").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    ).persist()
+    while True:
+        # neighbor labels: for each edge (i -> j), j's current label
+        nbr = (
+            edges.join(labels.withColumnRenamed("node", "j"), "j")
+            .groupBy(F.col("i").alias("node"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 # DuckDB twin of the simhash pipeline: md5's first 8 bytes parsed
 # big-endian via hex-cast (bit-exact with int.from_bytes(digest[:8],
 # 'big')), per-bit ±1 sums as 64 generated CASE aggregates, signature

@@ -418,7 +418,12 @@ class Engine:
                 continue
             if "=>" in part:
                 part = part.split("=>", 1)[1].strip()
-            args.append(part.strip("'\""))
+            # remove ONE matching outer quote pair — str.strip would also
+            # eat quotes belonging to the value (e.g. a "<col> < '…'"
+            # predicate argument)
+            if len(part) >= 2 and part[0] == part[-1] and part[0] in "'\"":
+                part = part[1:-1]
+            args.append(part)
         if not args:
             raise ValueError(f"CALL {proc}: missing table argument")
         t = self.catalog.get_table(args[0].split(".")[-1])
@@ -443,6 +448,16 @@ class Engine:
                 retain_min=int(args[2]) if len(args) > 2 else 1,
             )
             return StatementResult("OK", f"expired snapshots {expired}")
+        if proc == "expire_partitions":
+            # CALL sys.expire_partitions('t', "day < '2024-01-01'"):
+            # drop whole partitions by predicate. Rides the manifest-
+            # pruned copy-on-write delete — partition predicates prune
+            # on the partition columns' min=max footer stats, so only
+            # the expired partitions' files are touched.
+            if len(args) < 2:
+                raise ValueError("expire_partitions needs a partition predicate")
+            sid = t.delete_where(self.spark, args[1])
+            return StatementResult("OK", f"expired partitions of {t.name} (snapshot {sid})")
         if proc == "remove_orphan_files":
             removed = t.remove_orphan_files(
                 older_than_ms=int(args[1]) if len(args) > 1 else None

@@ -482,3 +482,16 @@ def test_flink_window_tvf_tumble_and_hop(engine, spark):
         engine.sql(
             "SELECT window_start FROM TABLE(SESSION(TABLE evts, DESCRIPTOR(ts), INTERVAL '5' MINUTE)) GROUP BY window_start"
         )
+
+
+def test_call_expire_partitions(engine, spark):
+    engine.sql(
+        "CREATE TABLE pt (day STRING, k BIGINT) PARTITIONED BY (day) WITH ('bucket' = '1')"
+    )
+    engine.sql(
+        "INSERT INTO pt SELECT CASE WHEN id < 5 THEN '2024-01-01' ELSE '2024-02-01' END AS day, "
+        "CAST(id AS BIGINT) AS k FROM range(10)"
+    )
+    engine.sql("CALL sys.expire_partitions('pt', \"day < '2024-02-01'\")")
+    rows = engine.sql("SELECT * FROM pt").collect()
+    assert len(rows) == 5 and all(r.day == "2024-02-01" for r in rows)
