@@ -11,11 +11,15 @@ string-similarity; no O(n²) all-pairs anywhere):
 - n-gram Jaccard     → exact similarity join via shingle equi-join
                        (pairs with j>0 must share a shingle — the join
                        *is* the exhaustive algorithm, no cross join).
-- SimHash            → 64-bit signature via vectorized Pandas UDF,
+- SimHash            → 64-bit signature via vectorized Pandas UDF
+                       (NumPy bit-matrix + per-batch vocab dedup),
                        exact-dup buckets by signature equality.
-- embedding cosine   → near-dup pairs via exact pair join (testdata
-                       scale); the LSH-bucketed scale path lives in
-                       operators/similarity.py.
+- dup clusters       → connected components over the pair graph via
+                       iterative min-label propagation (x07).
+- embedding cosine   → EXACT near-dup pair join, block-partitioned so
+                       the O(n²) comparison distributes through equi-
+                       joins (no BNL/cartesian node); the approximate
+                       LSH scale path lives in operators/similarity.py.
 
 MinHash parameters: K=32 hashes, 16 bands × 2 rows. P[detect] at the
 declared jaccard-0.5 threshold = 1-(1-.5²)¹⁶ ≈ .99 (the earlier

@@ -174,11 +174,34 @@ def frame_sample(media: DataFrame, frame_bytes: int = 256, every_n: int = 4) -> 
     return media.mapInPandas(batches, schema=FRAME_SCHEMA)
 
 
-@query("x31_frame_sample")  # no oracle: binary frame payloads
+# The frame pipeline's per-doc frame count has a closed integer form
+# from the payload byte length alone (payload = utf-8 text bytes;
+# resize keeps every 4th byte → m = ceil(n/4); frames = 256-byte
+# chunks with every 4th kept → ceil(ceil(m/256)/4)) — so the whole
+# binary → resize → 1→N-explode → rollup chain is value-hash-checked
+# without DuckDB ever touching a byte. (strlen = utf-8 byte count in
+# DuckDB, matching Spark's cast-to-binary length.)
+_SQL_FRAME_SAMPLE = """
+WITH per_doc AS (
+    SELECT doc_id,
+           (((strlen(text) + 3) // 4 + 255) // 256 + 3) // 4 AS n_frames
+    FROM documents
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_frames) AS BIGINT) AS total_frames,
+       CAST(MIN(n_frames) AS BIGINT) AS min_frames,
+       CAST(MAX(n_frames) AS BIGINT) AS max_frames
+FROM per_doc WHERE n_frames > 0
+"""
+
+
+@query("x31_frame_sample", oracle=_SQL_FRAME_SAMPLE)
 def x31_frame_sample(spark, sf_dir):
     """Video-style frame-sampling accounting: media → resize → frame
     explode → per-doc frame counts rolled up. Exercises the full
-    multimodal chain (binary in, 1→N explode, rollup)."""
+    multimodal chain (binary in, 1→N explode, rollup); the oracle
+    (_SQL_FRAME_SAMPLE) recomputes the same accounting arithmetically
+    from octet lengths, so the mapInPandas plumbing is value-checked."""
     media = as_media_table(T(spark, sf_dir, "documents"))
     frames = frame_sample(resize_media(media))
     per_doc = frames.groupBy("doc_id").agg(
