@@ -215,15 +215,51 @@ def x31_frame_sample(spark, sf_dir):
     )
 
 
-@query("x30_multimodal_features")  # no oracle: binary payload + UDF features
+# DuckDB twin of the feature pipeline: the stub 'decoder' is a 16-bin
+# byte-nibble histogram normalized by payload length — for the ASCII
+# testdata corpus, payload bytes are exactly the text's code points, so
+# the histogram (and the norm, summed in the same 0..15 order the UDF
+# uses) is recomputable with list ops. min/max feat_norm are
+# order-independent picks (an AVG here would be last-ulp
+# aggregation-order-dependent).
+_NIB_TERM = "(CAST(len(list_filter(nib, c -> c = {v})) AS DOUBLE) / n) * (CAST(len(list_filter(nib, c -> c = {v})) AS DOUBLE) / n)"
+_SQL_MEDIA_FEATURES = f"""
+WITH codes AS (
+    SELECT doc_id, strlen(text) AS nb, GREATEST(strlen(text), 1) AS n,
+           list_transform(range(1, length(text) + 1), i -> ord(text[i]) // 16) AS nib
+    FROM documents
+),
+norms AS (
+    SELECT doc_id, nb,
+           sqrt({' + '.join(_NIB_TERM.format(v=v) for v in range(16))}) AS feat_norm
+    FROM codes
+),
+media AS (
+    SELECT doc_id, nb, feat_norm,
+           CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS mime
+    FROM norms
+)
+SELECT mime, COUNT(*) AS n_docs,
+       CAST(SUM(nb) AS BIGINT) AS total_bytes,
+       ROUND(MIN(feat_norm), 4) AS min_feat_norm,
+       ROUND(MAX(feat_norm), 4) AS max_feat_norm
+FROM media GROUP BY mime
+"""
+
+
+@query("x30_multimodal_features", oracle=_SQL_MEDIA_FEATURES)
 def x30_multimodal_features(spark, sf_dir):
     """End-to-end multimodal pipeline: docs → media table (binary payload
     + typed metadata) → Arrow-batched feature extraction → per-mime
-    accounting. Deterministic; model-differential test in tests/."""
+    accounting. Deterministic: the rollup picks min/max feature norms
+    (order-independent) so the DuckDB twin (_SQL_MEDIA_FEATURES) can
+    hash-match the whole mapInPandas chain; model-differential test in
+    tests/ covers the per-doc feature vectors themselves."""
     media = as_media_table(T(spark, sf_dir, "documents"))
     feats = extract_features(media)
     return feats.groupBy("mime").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_bytes").alias("total_bytes"),
-        F.round(F.avg("feat_norm"), 4).alias("avg_feat_norm"),
+        F.round(F.min("feat_norm"), 4).alias("min_feat_norm"),
+        F.round(F.max("feat_norm"), 4).alias("max_feat_norm"),
     )
