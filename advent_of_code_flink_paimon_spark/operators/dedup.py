@@ -312,8 +312,20 @@ def x07_dup_clusters(spark, sf_dir):
     O(log diameter); near-dup components are shallow (clusters of
     mutually-similar docs), so 2-3 rounds in practice."""
     pairs = x03_dedup_minhash_lsh(spark, sf_dir).select("i", "j")
-    edges = pairs.unionByName(
-        pairs.select(F.col("j").alias("i"), F.col("i").alias("j"))
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def connected_components(pairs: DataFrame) -> DataFrame:
+    """(node, label) for every endpoint of ``pairs`` (i, j), where label
+    is the min node id in the connected component — iterative min-label
+    propagation. Each round is one distributed join + min-aggregate over
+    the edge list; the driver evaluates only the scalar convergence
+    count. Rounds ≤ O(log diameter) with this label-pull scheme."""
+    edges = pairs.select(F.col("i"), F.col("j"))
+    edges = edges.unionByName(
+        edges.select(F.col("j").alias("i"), F.col("i").alias("j"))
     ).distinct().persist()
     labels = edges.select(F.col("i").alias("node")).distinct().withColumn(
         "label", F.col("node")
@@ -343,7 +355,7 @@ def x07_dup_clusters(spark, sf_dir):
         labels = new_labels
         if changed == 0:
             break
-    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+    return labels
 
 
 # DuckDB twin of the simhash pipeline: md5's first 8 bytes parsed

@@ -243,3 +243,55 @@ def test_schema_evolution_matches_model(spark, tmp_path_factory, steps):
     )
     want = sorted(tuple(r.get(c) for c in ["k", *cols]) for r in rows)
     assert got == want
+
+
+# Connected components: random edge lists vs a union-find model.
+cc_strategy = st.lists(
+    st.tuples(st.integers(0, 19), st.integers(0, 19)), min_size=1, max_size=25
+).filter(lambda es: any(a != b for a, b in es))
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges=cc_strategy)
+def test_connected_components_matches_union_find(spark, edges):
+    from advent_of_code_flink_paimon_spark.operators.dedup import connected_components
+
+    pairs = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(pairs, "i long, j long")
+    got = {r.node: r.label for r in connected_components(df).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {n for e in pairs for n in e}
+    want = {n: find(n) for n in nodes}
+    # canonicalize union-find roots to min-of-component
+    comp: dict[int, list[int]] = {}
+    for n, r in want.items():
+        comp.setdefault(r, []).append(n)
+    want = {n: min(members) for r, members in comp.items() for n in members}
+    assert got == want
+
+
+def test_scoring_order_covers_registry_exactly():
+    """__spark_entry__._ORDER must list every registered query exactly
+    once — a typo or a new query missing from the list silently lands
+    outside the driver's scoring window."""
+    import __spark_entry__ as entrymod
+
+    registered = set(entrymod.queries())
+    ordered = entrymod._ORDER
+    assert len(ordered) == len(set(ordered)), "duplicate names in _ORDER"
+    assert set(ordered) == registered, (
+        f"missing from _ORDER: {registered - set(ordered)}; "
+        f"stale in _ORDER: {set(ordered) - registered}"
+    )
