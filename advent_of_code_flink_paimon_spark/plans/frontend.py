@@ -544,8 +544,12 @@ class Engine:
 
         # a SELECT straight from one registered streaming source becomes a
         # continuous pipeline (the tutorial's INSERT INTO jobs,
-        # guide.md:36-40); anything else evaluates as a batch snapshot
+        # guide.md:36-40); a windowed-TVF SELECT over a streaming source
+        # becomes a continuous watermarked windowed aggregate; anything
+        # else evaluates as a batch snapshot
         streaming_src = self._streaming_select(select_sql)
+        if streaming_src is None:
+            streaming_src = self._streaming_windowed_select(select_sql)
         src_df = streaming_src if streaming_src is not None else self.sql(select_sql)
 
         # Flink INSERT INTO ... SELECT is positional: when the SELECT
@@ -632,6 +636,78 @@ class Engine:
         q = pipe.start()
         self._pipelines[pname] = q
         return StatementResult("PIPELINE", pname, handle=q)
+
+    def _streaming_windowed_select(self, select_sql: str) -> DataFrame | None:
+        """A windowing-TVF SELECT whose TVF input is a registered
+        STREAMING source → continuous watermarked windowed aggregate
+        (the Flink-SQL windowed INSERT job, expressed Spark-natively).
+
+        SQL cannot spell a watermark, so it is injected on the
+        DESCRIPTOR column before the rewritten query runs over a temp
+        view of the stream (`SET 'watermark.delay' = '<duration>'`,
+        default 2 minutes). Append output: each window emits once,
+        finalized, when the watermark passes — one row per closed
+        window lands in the target per Pipeline commit, composing with
+        PK targets as the §2.9 continuous-aggregate shape."""
+        m = self._TVF.search(select_sql)
+        if m is None:
+            return None
+        src_name = m.group(2).split(".")[-1]
+        src = self._sources.get(src_name)
+        if src is None or not src.isStreaming:
+            return None
+        kind, ts = m.group(1).upper(), m.group(3)
+        ivls = [f"{n} {unit.lower()}" for n, unit in self._IVL.findall(m.group(4))]
+        if kind == "TUMBLE" and len(ivls) == 1:
+            win = F.window(ts, ivls[0])
+        elif kind == "HOP" and len(ivls) == 2:
+            win = F.window(ts, ivls[1], ivls[0])  # Flink order: slide, size
+        elif kind == "SESSION" and len(ivls) == 1:
+            win = F.session_window(ts, ivls[0])
+        else:
+            raise ValueError(f"unsupported streaming window TVF: {m.group(0)}")
+
+        shape = re.match(
+            r"SELECT\s+(.*?)\s+FROM\s+TABLE\s*\(.*?\)\s*(?:GROUP\s+BY\s+(.*?))?\s*$",
+            select_sql.strip(),
+            re.I | re.S,
+        )
+        if shape is None:
+            return None
+        items = [i.strip() for i in shape.group(1).split(",")]
+        group_keys = [
+            g.strip()
+            for g in (shape.group(2) or "").split(",")
+            if g.strip() and g.strip().lower() not in ("window_start", "window_end")
+        ]
+        # Spark's append-mode watermark check requires grouping by the
+        # window EXPRESSION (not fields derived from it), so the
+        # aggregation is built with DataFrame ops rather than SQL text.
+        aggs, out_cols = [], []
+        for item in items:
+            alias_m = re.match(r"(.*?)\s+AS\s+(\w+)\s*$", item, re.I | re.S)
+            expr, alias = (
+                (alias_m.group(1).strip(), alias_m.group(2)) if alias_m else (item, item)
+            )
+            low = expr.lower()
+            if low == "window_start":
+                out_cols.append(F.col("__win.start").alias(alias))
+            elif low == "window_end":
+                out_cols.append(F.col("__win.end").alias(alias))
+            elif expr in group_keys:
+                out_cols.append(F.col(expr).alias(alias) if alias != expr else F.col(expr))
+            else:
+                aggs.append(F.expr(expr).alias(alias))
+                out_cols.append(F.col(alias))
+        if not aggs:
+            return None
+        delay = self.session_conf.get("watermark.delay", "2 minutes")
+        grouped = (
+            src.withWatermark(ts, delay)
+            .groupBy(win.alias("__win"), *group_keys)
+            .agg(*aggs)
+        )
+        return grouped.select(*out_cols)
 
     def _streaming_select(self, select_sql: str) -> DataFrame | None:
         """`SELECT <cols|*> FROM <streaming-source>` (no joins/aggs) maps

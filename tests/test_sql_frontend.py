@@ -495,3 +495,45 @@ def test_call_expire_partitions(engine, spark):
     engine.sql("CALL sys.expire_partitions('pt', \"day < '2024-02-01'\")")
     rows = engine.sql("SELECT * FROM pt").collect()
     assert len(rows) == 5 and all(r.day == "2024-02-01" for r in rows)
+
+
+def test_streaming_windowed_tvf_insert_pipeline(engine, spark):
+    """INSERT INTO ... SELECT over TABLE(TUMBLE(TABLE <stream>, ...))
+    becomes a continuous watermarked windowed-aggregate pipeline: closed
+    windows land in the target as finalized rows."""
+    engine.sql(
+        "CREATE TABLE win_counts (window_start TIMESTAMP(3), window_end TIMESTAMP(3), "
+        "n BIGINT, PRIMARY KEY (window_start) NOT ENFORCED)"
+    )
+    engine.register_source(
+        "m_src", measurements_stream(spark, rows_per_second=200, trigger_seconds=1)
+    )
+    engine.sql("SET 'pipeline.name' = 'win_agg_pipeline'")
+    engine.sql("SET 'execution.checkpointing.interval' = '1s'")
+    engine.sql("SET 'watermark.delay' = '1 second'")
+    res = engine.sql(
+        """
+        INSERT INTO win_counts
+        SELECT window_start, window_end, COUNT(*) AS n
+        FROM TABLE(TUMBLE(TABLE m_src, DESCRIPTOR(event_time), INTERVAL '5' SECOND))
+        GROUP BY window_start, window_end
+        """
+    )
+    assert isinstance(res, StatementResult) and res.kind == "PIPELINE"
+    q = res.handle
+    try:
+        t = engine.catalog.get_table("win_counts")
+        deadline = time.time() + 90
+        rows = []
+        while time.time() < deadline and not rows:
+            time.sleep(2)
+            if t.latest_snapshot_id():
+                rows = t.read(spark).collect()
+        assert rows, "no closed window reached the target within 90s"
+        # each row is a finalized 5s window with a positive count
+        for r in rows:
+            assert (r.window_end - r.window_start).total_seconds() == 5.0
+            assert r.n > 0
+    finally:
+        q.stop()
+        q.awaitTermination(30)
