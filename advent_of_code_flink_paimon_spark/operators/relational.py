@@ -830,6 +830,36 @@ def q40_pivot(spark, sf_dir):
     )
 
 
+_PRIOS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+@query(
+    "q46_unpivot",
+    oracle=f"""
+    WITH p AS (
+        SELECT o_orderstatus,
+               {', '.join(f'''COUNT(*) FILTER (WHERE o_orderpriority = '{p}') AS "{p}"''' for p in _PRIOS)}
+        FROM orders GROUP BY o_orderstatus
+    )
+    {' UNION ALL '.join(f'''SELECT o_orderstatus, '{p}' AS priority, "{p}" AS n FROM p''' for p in _PRIOS)}
+    """,
+)
+def q46_unpivot(spark, sf_dir):
+    """UNPIVOT (melt) — the inverse of q40's pivot, completing the
+    reshaping pair (SURVEY.md §2.5): wide per-priority count columns
+    back to (status, priority, n) rows. Spark's native `unpivot`
+    compiles to a generate/expand over the 3-row pivoted frame — the
+    expensive part remains the single partial+final agg that built it;
+    the reshape itself is row-local and free at any scale."""
+    o = T(spark, sf_dir, "orders")
+    pivoted = o.groupBy("o_orderstatus").agg(
+        *[
+            F.count(F.when(F.col("o_orderpriority") == p, F.lit(1))).alias(p)
+            for p in _PRIOS
+        ]
+    )
+    return pivoted.unpivot(["o_orderstatus"], _PRIOS, "priority", "n")
+
+
 @query(
     "q41_window_frames",
     oracle="""

@@ -37,6 +37,7 @@ HEADLINE = [
     "x03_dedup_minhash_lsh",
     "x04_dedup_simhash",
     "x06_dedup_embedding_cosine",
+    "x07_dup_clusters",
     "x10_embedding_topk",
     "x20_text_stats",
     "x41_decontaminate",
