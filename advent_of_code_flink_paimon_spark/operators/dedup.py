@@ -330,6 +330,10 @@ def connected_components(pairs: DataFrame) -> DataFrame:
     labels = edges.select(F.col("i").alias("node")).distinct().withColumn(
         "label", F.col("node")
     ).persist()
+    # labels only ever DECREASE (least of self and neighbor minima), so
+    # Σ label strictly decreases iff any node changed — one aggregate
+    # action per round instead of a join-based diff
+    prev_sum = None
     while True:
         # neighbor labels: for each edge (i -> j), j's current label
         nbr = (
@@ -345,16 +349,12 @@ def connected_components(pairs: DataFrame) -> DataFrame:
             )
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels
 
 
