@@ -100,11 +100,22 @@ class Catalog:
         fields = [f for f in StructType.fromJson(doc["schema"]).fields if f.name != col]
         if len(fields) == len(doc["schema"]["fields"]):
             raise ValueError(f"no such column: {col}")
+        opts = dict(doc["options"])
+        # a dropped column must also leave the sort-by hint, or every
+        # later write crashes resolving it against the written frame
+        if opts.get("sort-by"):
+            sb = opts["sort-by"]
+            lst = sb.split(",") if isinstance(sb, str) else list(sb)
+            kept = [c.strip() for c in lst if c.strip() != col]
+            if kept:
+                opts["sort-by"] = ",".join(kept)
+            else:
+                opts.pop("sort-by")
         v = t.schema_version + 1
         atomic_write_json(
             t.paths.schema_path(v),
             {"version": v, "schema": StructType(fields).jsonValue(),
-             "options": doc["options"], "created_ms": now_millis()},
+             "options": opts, "created_ms": now_millis()},
         )
         return t
 

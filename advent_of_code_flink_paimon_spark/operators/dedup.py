@@ -355,6 +355,12 @@ def connected_components(pairs: DataFrame) -> DataFrame:
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    # the converged labels are materialized (the sum action above ran on
+    # them); release the edge cache so repeated invocations don't strand
+    # blocks in the block manager. If the labels cache is later evicted,
+    # the lineage recomputes through the un-cached edges — correct,
+    # merely slower.
+    edges.unpersist()
     return labels
 
 
@@ -507,15 +513,19 @@ def x06_dedup_embedding_cosine(spark, sf_dir):
     B = _X06_BLOCKS
     # norm is per-VECTOR, so compute it once in the scan projection —
     # recomputing it per pair would triple the join-side flops (measured
-    # 3× wall at sf0.1); cosine arithmetic is unchanged (same doubles).
-    # (An unrolled 64-term dot expression measured SLOWER than the fold —
-    # see the codegen note in operators/similarity.py.)
+    # 3× wall at sf0.1). It MUST square the double-cast array: squaring
+    # the raw float32 elements rounds each product to float before the
+    # double accumulation, diverging from the oracle's pure-double
+    # sqrt(list_dot_product) in the last bits. (An unrolled 64-term dot
+    # expression measured SLOWER than the fold — see the codegen note in
+    # operators/similarity.py.)
+    v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     norm_v = F.sqrt(
-        F.aggregate(F.transform("embedding", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+        F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
     )
-    v = e.select(
+    v = v.select(
         "vec_id",
-        F.col("embedding").cast("array<double>").alias("v"),
+        "v",
         norm_v.alias("nv"),
         F.pmod(F.xxhash64("vec_id"), F.lit(B)).cast("int").alias("blk"),
     )

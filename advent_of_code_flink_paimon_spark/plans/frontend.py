@@ -66,6 +66,25 @@ def _parse_with_options(tail: str) -> dict:
     }
 
 
+def _split_top_level(body: str) -> list[str]:
+    """Split on commas not nested inside parentheses (column lists,
+    SELECT lists with multi-argument calls)."""
+    depth, cur, parts = 0, [], []
+    for ch in body:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
 class StatementResult:
     """Uniform return for non-SELECT statements."""
 
@@ -99,7 +118,12 @@ class Engine:
             df.createOrReplaceTempView(name)
 
     # -- statement router ------------------------------------------------
-    def sql(self, statement: str):
+    def sql(self, statement: str, _internal: bool = False):
+        """Execute one statement. ``_internal`` marks the engine's own
+        recursive calls (MERGE reading its target, INSERT evaluating its
+        source): those must see plain batch relations, never the
+        streaming-runtime-mode changelog interception — a MERGE against
+        the +I/-U/+U/-D history would resurrect deleted keys."""
         s = statement.strip().rstrip(";").strip()
         # Flink-dialect tolerance so the tutorial's statements run
         # verbatim: execution hints are advisory in micro-batch Spark
@@ -211,7 +235,7 @@ class Engine:
         # streaming runtime mode: a plain SELECT over a lakehouse table
         # surfaces the changelog `op` column exactly like the reference's
         # CLI rows (`+I`/-U/+U/-D — Readme.md:113-127, guide.md:209-232)
-        if self.session_conf.get("execution.runtime-mode") == "streaming":
+        if not _internal and self.session_conf.get("execution.runtime-mode") == "streaming":
             op_read = self._streaming_table_select(s)
             if op_read is not None:
                 return op_read
@@ -277,7 +301,12 @@ class Engine:
         streaming CLI output shape. A changelog-producing table replays
         its recorded +I/-U/+U/-D rows; an append/PK table without a
         changelog surfaces its current image as +I rows (the insert-only
-        stream a fresh subscriber would observe)."""
+        stream a fresh subscriber would observe).
+
+        Surface limits, intentionally: only `SELECT <exprs> FROM <one
+        table>` is intercepted — WHERE/GROUP BY/joins fall through to
+        the batch path (no op column), matching the scope of the
+        reference CLI examples this mirrors."""
         m = re.match(r"SELECT\s+(.*?)\s+FROM\s+([\w.]+)\s*$", s, re.I | re.S)
         if m is None or "$" in m.group(2):
             return None
@@ -290,10 +319,10 @@ class Engine:
             df = t.read_changelog(self.spark).withColumnRenamed("_change_type", "op")
         else:
             df = t.read(self.spark).withColumn("op", F.lit("+I"))
-        names = [f.name for f in t.schema.fields] if cols == "*" else [
-            c.strip() for c in cols.split(",")
-        ]
-        return df.select("op", *names)
+        exprs = (
+            [f.name for f in t.schema.fields] if cols == "*" else _split_top_level(cols)
+        )
+        return df.selectExpr("op", *exprs)
 
     # -- MERGE -----------------------------------------------------------
     def _merge(self, s: str):
@@ -343,14 +372,36 @@ class Engine:
 
         cols = [f.name for f in target.schema.fields]
         value_cols = [c for c in cols if c not in target.primary_key]
-        tgt = self.sql(f"SELECT * FROM {tname.split('.')[-1]}").alias(talias)
-        src = self.sql(f"SELECT * FROM {sname.split('.')[-1]}").alias(salias)
+        tgt = self.sql(f"SELECT * FROM {tname.split('.')[-1]}", _internal=True).alias(talias)
+        src = self.sql(f"SELECT * FROM {sname.split('.')[-1]}", _internal=True).alias(salias)
         on = F.col(f"{talias}.{tkey}") == F.col(f"{salias}.{skey}")
+
+        # standard MERGE semantics: a target row matched by MORE than one
+        # source row is an error, not an arbitrary winner
+        dup = (
+            src.groupBy(F.col(f"{salias}.{skey}").alias("dup_key"))
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"MERGE source has multiple rows for key {skey}={dup[0].dup_key}; "
+                "deduplicate the source (SQL MERGE forbids multiple matches)"
+            )
 
         matched = tgt.join(src, on, "inner")
         pieces, claimed = [], F.lit(False)
         for is_not, cond, action in clauses:
-            cexpr = F.expr(cond) if cond and cond.strip() else F.lit(True)
+            # NULL conditions must behave as not-matching this clause AND
+            # still fall through to later clauses — coalesce to False so
+            # `claimed`/`~claimed` never NULL-poison the row
+            cexpr = (
+                F.coalesce(F.expr(cond), F.lit(False))
+                if cond and cond.strip()
+                else F.lit(True)
+            )
             action_u = action.strip().upper()
             if is_not:
                 ins = src.join(tgt, on, "left_anti").filter(cexpr)
@@ -483,23 +534,7 @@ class Engine:
             options["partition-by"] = [c.strip() for c in part_tail.split(",")]
 
         fields, computed = [], {}
-        # split body on top-level commas
-        depth, cur, parts = 0, [], []
-        for ch in body:
-            if ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-            if ch == "," and depth == 0:
-                parts.append("".join(cur)); cur = []
-            else:
-                cur.append(ch)
-        if cur:
-            parts.append("".join(cur))
-
-        for part in (p.strip() for p in parts):
-            if not part:
-                continue
+        for part in _split_top_level(body):
             pk = re.match(r"PRIMARY\s+KEY\s*\(([^)]*)\)(\s+NOT\s+ENFORCED)?", part, re.I)
             if pk:
                 options["primary-key"] = [c.strip() for c in pk.group(1).split(",")]
@@ -550,7 +585,11 @@ class Engine:
         streaming_src = self._streaming_select(select_sql)
         if streaming_src is None:
             streaming_src = self._streaming_windowed_select(select_sql)
-        src_df = streaming_src if streaming_src is not None else self.sql(select_sql)
+        src_df = (
+            streaming_src
+            if streaming_src is not None
+            else self.sql(select_sql, _internal=True)
+        )
 
         # Flink INSERT INTO ... SELECT is positional: when the SELECT
         # list doesn't carry the target's column names (modulo computed
@@ -674,11 +713,11 @@ class Engine:
         )
         if shape is None:
             return None
-        items = [i.strip() for i in shape.group(1).split(",")]
+        items = _split_top_level(shape.group(1))
         group_keys = [
-            g.strip()
-            for g in (shape.group(2) or "").split(",")
-            if g.strip() and g.strip().lower() not in ("window_start", "window_end")
+            g
+            for g in _split_top_level(shape.group(2) or "")
+            if g.lower() not in ("window_start", "window_end")
         ]
         # Spark's append-mode watermark check requires grouping by the
         # window EXPRESSION (not fields derived from it), so the

@@ -174,7 +174,7 @@ def test_merge_matches_dict_model(spark, tmp_path_factory, data):
 # names, which must null-fill for pre-drop files).
 @st.composite
 def evolution_steps(draw):
-    steps, live = [], ["c0"]
+    steps, live, dropped = [], ["c0"], []
     fresh = 1
     n = draw(st.integers(2, 7))
     for _ in range(n):
@@ -182,9 +182,13 @@ def evolution_steps(draw):
         if kind == "insert":
             steps.append(("insert", draw(st.integers(0, 99))))
         elif kind == "add":
-            # reuse a previously-dropped name sometimes, else a fresh one
-            name = f"c{fresh}"
-            fresh += 1
+            # reuse a previously-dropped name sometimes (exercising the
+            # stale-bytes-must-not-resurrect identity check), else fresh
+            if dropped and draw(st.booleans()):
+                name = dropped.pop()
+            else:
+                name = f"c{fresh}"
+                fresh += 1
             live.append(name)
             steps.append(("add", name))
         elif kind == "rename" and live:
@@ -196,6 +200,7 @@ def evolution_steps(draw):
         elif kind == "drop" and len(live) > 1:
             col = draw(st.sampled_from(live))
             live.remove(col)
+            dropped.append(col)
             steps.append(("drop", col))
     return steps
 

@@ -537,3 +537,61 @@ def test_streaming_windowed_tvf_insert_pipeline(engine, spark):
     finally:
         q.stop()
         q.awaitTermination(30)
+
+
+def test_merge_null_condition_falls_through(engine, spark):
+    """A WHEN MATCHED AND <cond> clause whose condition is NULL must not
+    claim the row NOR poison later clauses — the row falls through."""
+    engine.sql("CREATE TABLE t3 (k BIGINT, v BIGINT, PRIMARY KEY (k) NOT ENFORCED)")
+    engine.sql("INSERT INTO t3 SELECT CAST(1 AS BIGINT) AS k, CAST(10 AS BIGINT) AS v")
+    spark.sql("SELECT CAST(1 AS BIGINT) AS k, CAST(NULL AS BIGINT) AS v").createOrReplaceTempView("nsrc")
+    engine.register_source("nsrc", spark.table("nsrc"))
+    engine.sql(
+        "MERGE INTO t3 AS a USING nsrc AS b ON a.k = b.k "
+        "WHEN MATCHED AND b.v > 0 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET v = a.v + 1"
+    )
+    assert [(r.k, r.v) for r in engine.sql("SELECT * FROM t3").collect()] == [(1, 11)]
+
+
+def test_merge_duplicate_source_keys_rejected(engine, spark):
+    engine.sql("CREATE TABLE t4 (k BIGINT, v BIGINT, PRIMARY KEY (k) NOT ENFORCED)")
+    engine.sql("INSERT INTO t4 SELECT CAST(1 AS BIGINT) AS k, CAST(0 AS BIGINT) AS v")
+    spark.sql(
+        "SELECT CAST(1 AS BIGINT) AS k, CAST(10 AS BIGINT) AS v "
+        "UNION ALL SELECT CAST(1 AS BIGINT), CAST(20 AS BIGINT)"
+    ).createOrReplaceTempView("dsrc")
+    engine.register_source("dsrc", spark.table("dsrc"))
+    with pytest.raises(ValueError, match="multiple rows"):
+        engine.sql(
+            "MERGE INTO t4 AS a USING dsrc AS b ON a.k = b.k "
+            "WHEN MATCHED THEN UPDATE SET v = b.v"
+        )
+
+
+def test_streaming_mode_does_not_poison_internal_reads(engine, spark):
+    """MERGE/INSERT under streaming runtime mode must read plain batch
+    relations internally, never the changelog view with op rows."""
+    engine.sql(
+        "CREATE TABLE t5 (k BIGINT, v STRING, PRIMARY KEY (k) NOT ENFORCED) "
+        "WITH ('changelog-producer' = 'input')"
+    )
+    engine.sql("INSERT INTO t5 SELECT CAST(1 AS BIGINT) AS k, 'a' AS v")
+    engine.sql("INSERT INTO t5 SELECT CAST(1 AS BIGINT) AS k, 'b' AS v")
+    engine.sql("SET 'execution.runtime-mode' = 'streaming'")
+    spark.sql("SELECT CAST(1 AS BIGINT) AS k, 'c' AS v").createOrReplaceTempView("s5")
+    engine.register_source("s5", spark.table("s5"))
+    engine.sql(
+        "MERGE INTO t5 AS a USING s5 AS b ON a.k = b.k "
+        "WHEN MATCHED THEN UPDATE SET v = b.v"
+    )
+    engine.sql("SET 'execution.runtime-mode' = 'batch'")
+    assert [(r.k, r.v) for r in engine.sql("SELECT * FROM t5").collect()] == [(1, "c")]
+
+
+def test_drop_sort_by_column_keeps_table_writable(engine, spark):
+    engine.sql("CREATE TABLE t6 (k BIGINT, s BIGINT) WITH ('sort-by' = 's')")
+    engine.sql("INSERT INTO t6 SELECT CAST(id AS BIGINT) AS k, CAST(id AS BIGINT) AS s FROM range(5)")
+    engine.sql("ALTER TABLE t6 DROP COLUMN s")
+    engine.sql("INSERT INTO t6 SELECT CAST(99 AS BIGINT) AS k")
+    assert engine.sql("SELECT COUNT(*) AS c FROM t6").collect()[0].c == 6
