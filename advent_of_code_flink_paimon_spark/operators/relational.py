@@ -830,6 +830,38 @@ def q40_pivot(spark, sf_dir):
     )
 
 
+@query(
+    "q47_not_in_null_aware",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey
+    FROM customer
+    WHERE c_nationkey NOT IN (
+        SELECT s_nationkey FROM supplier WHERE s_acctbal > 9700.0
+    )
+    ORDER BY c_custkey
+    """,
+)
+def q47_not_in_null_aware(spark, sf_dir):
+    """NOT IN over a subquery — ANSI null-aware anti-join semantics
+    (distinct from q11's NOT EXISTS → plain left-anti): if the subquery
+    produced any NULL, NOT IN yields no rows at all, so Catalyst plans
+    a null-aware anti join that must check the whole build side for
+    NULLs before rejecting probe rows. Expressed through Spark SQL (the
+    DataFrame API has no null-aware anti join operator)."""
+    T(spark, sf_dir, "customer").createOrReplaceTempView("__q47_customer")
+    T(spark, sf_dir, "supplier").createOrReplaceTempView("__q47_supplier")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_nationkey
+        FROM __q47_customer
+        WHERE c_nationkey NOT IN (
+            SELECT s_nationkey FROM __q47_supplier WHERE s_acctbal > 9700.0
+        )
+        ORDER BY c_custkey
+        """
+    )
+
+
 _PRIOS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 
 @query(
