@@ -210,8 +210,36 @@ class Engine:
             name = s.split()[-1]
             self.catalog.drop_table(name)
             return StatementResult("OK", f"dropped {name}")
-        if u.startswith("INSERT INTO"):
+        if u.startswith("INSERT INTO") or u.startswith("INSERT OVERWRITE"):
             return self._insert(s)
+        if u.startswith("TRUNCATE TABLE"):
+            name = s.split()[-1].split(".")[-1]
+            t = self.catalog.get_table(name)
+            sid = t.overwrite(self.spark.createDataFrame([], t.schema))
+            return StatementResult("OK", f"truncated {name} (snapshot {sid})")
+        if u.startswith("SHOW CREATE TABLE"):
+            name = s.split()[-1].split(".")[-1]
+            t = self.catalog.get_table(name)
+            cols = ",\n    ".join(
+                f"{f.name} {f.dataType.simpleString().upper()}" for f in t.schema.fields
+            )
+            pk = t.primary_key
+            if pk:
+                cols += f",\n    PRIMARY KEY ({', '.join(pk)}) NOT ENFORCED"
+            parts = t.partition_keys
+            part_clause = f" PARTITIONED BY ({', '.join(parts)})" if parts else ""
+            opts = {
+                k: v for k, v in t.options.items()
+                if k not in ("primary-key", "partition-by")
+            }
+            with_clause = (
+                " WITH (" + ", ".join(
+                    f"'{k}' = '{v if isinstance(v, str) else ','.join(v)}'"
+                    for k, v in sorted(opts.items())
+                ) + ")" if opts else ""
+            )
+            ddl = f"CREATE TABLE {name} (\n    {cols}\n){part_clause}{with_clause}"
+            return self.spark.createDataFrame([(name, ddl)], "table_name string, ddl string")
         if u.startswith("CALL"):
             return self._call(s)
         if u.startswith("MERGE INTO"):
@@ -565,11 +593,25 @@ class Engine:
 
     # -- DML -------------------------------------------------------------
     def _insert(self, s: str):
-        m = re.match(r"INSERT\s+INTO\s+(\S+)\s+(SELECT\b.*|VALUES\b.*)$", s, re.I | re.S)
+        m = re.match(
+            r"INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?(\S+)\s+(SELECT\b.*|VALUES\b.*)$",
+            s, re.I | re.S,
+        )
         if not m:
             raise ValueError(f"unparseable INSERT: {s}")
-        target_name, select_sql = m.group(1), m.group(2)
+        overwrite = m.group(1).upper() == "OVERWRITE"
+        target_name, select_sql = m.group(2), m.group(3)
         target = self.catalog.get_table(target_name)
+        if overwrite:
+            # INSERT OVERWRITE: replace the table image in one commit
+            src_df = self.sql(select_sql, _internal=True)
+            names = [f.name for f in target.schema.fields]
+            if [c.lower() for c in src_df.columns] != [n.lower() for n in names] and len(
+                src_df.columns
+            ) == len(names):
+                src_df = src_df.toDF(*names)
+            sid = target.overwrite(src_df)
+            return StatementResult("OK", f"overwrote {target_name} (snapshot {sid})")
 
         # the tutorial's streaming lookup-join enrichment (guide.md:119-141):
         # stream JOIN pk-table → continuous LookupJoinPipeline with retry

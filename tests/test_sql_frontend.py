@@ -595,3 +595,34 @@ def test_drop_sort_by_column_keeps_table_writable(engine, spark):
     engine.sql("ALTER TABLE t6 DROP COLUMN s")
     engine.sql("INSERT INTO t6 SELECT CAST(99 AS BIGINT) AS k")
     assert engine.sql("SELECT COUNT(*) AS c FROM t6").collect()[0].c == 6
+
+
+def test_insert_overwrite_and_truncate(engine, spark):
+    engine.sql("CREATE TABLE t7 (k BIGINT, v BIGINT)")
+    engine.sql("INSERT INTO t7 SELECT CAST(id AS BIGINT) AS k, CAST(id AS BIGINT) AS v FROM range(10)")
+    assert engine.sql("SELECT COUNT(*) AS c FROM t7").collect()[0].c == 10
+    engine.sql("INSERT OVERWRITE t7 SELECT CAST(id AS BIGINT) AS k, CAST(id*2 AS BIGINT) AS v FROM range(3)")
+    rows = sorted((r.k, r.v) for r in engine.sql("SELECT * FROM t7").collect())
+    assert rows == [(0, 0), (1, 2), (2, 4)]
+    # time travel still sees the pre-overwrite image
+    assert engine.sql("SELECT COUNT(*) AS c FROM t7 VERSION AS OF 1").collect()[0].c == 10
+    engine.sql("TRUNCATE TABLE t7")
+    assert engine.sql("SELECT COUNT(*) AS c FROM t7").collect()[0].c == 0
+
+
+def test_show_create_table_roundtrip(engine, spark):
+    engine.sql(
+        "CREATE TABLE t8 (k BIGINT, day STRING, v DOUBLE, PRIMARY KEY (k) NOT ENFORCED) "
+        "PARTITIONED BY (day) WITH ('bucket' = '2', 'changelog-producer' = 'input')"
+    )
+    row = engine.sql("SHOW CREATE TABLE t8").collect()[0]
+    ddl = row.ddl
+    assert "PRIMARY KEY (k) NOT ENFORCED" in ddl
+    assert "PARTITIONED BY (day)" in ddl
+    assert "'bucket' = '2'" in ddl and "'changelog-producer' = 'input'" in ddl
+    # the emitted DDL must itself be executable (round-trip)
+    engine.sql("DROP TABLE t8")
+    engine.sql(ddl)
+    t = engine.catalog.get_table("t8")
+    assert t.primary_key == ["k"] and t.partition_keys == ["day"]
+    assert t.options["bucket"] == "2"
