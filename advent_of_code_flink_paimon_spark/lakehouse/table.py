@@ -200,15 +200,32 @@ class Table:
         for doc in self.tags().values():
             if doc["snapshot_id"] > target:
                 self.delete_tag(doc["tag_name"])
+        # changelog rows of rolled-back commits must go with them, or
+        # read_changelog/stream_table_changelog replays events for
+        # commits that no longer exist (changelog dirs key on SEQUENCE)
+        target_seq = self.snapshot(target)["sequence_number"]
+        for d in glob.glob(os.path.join(self.paths.root, "changelog", "snapshot-*")):
+            if int(os.path.basename(d).split("-")[1]) > target_seq:
+                shutil.rmtree(d, ignore_errors=True)
         self.paths.write_pointer("LATEST", target)
         return target
 
     def _committed_identifiers(self) -> set:
-        return {
+        """Identifiers of already-committed micro-batches (exactly-once
+        replay guard). Cached per LATEST pointer: a long-running
+        pipeline calls this every commit, and re-parsing every snapshot
+        JSON is O(history) per batch — O(N²) over a stream's life."""
+        latest = self.latest_snapshot_id()
+        cached = getattr(self, "_ids_cache", None)
+        if cached is not None and cached[0] == latest:
+            return cached[1]
+        ids = {
             s.get("commit_identifier")
             for s in self.snapshots()
             if s.get("commit_identifier") is not None
         }
+        self._ids_cache = (latest, ids)
+        return ids
 
     # ------------------------------------------------------------------
     # write path
@@ -326,6 +343,22 @@ class Table:
         if self.paths.read_pointer("EARLIEST") is None:
             self.paths.write_pointer("EARLIEST", sid)
         self.paths.write_pointer("LATEST", sid)
+        if kind == "APPEND":
+            # append-log mirror for streaming file readers: hard-link each
+            # newly APPENDED data file into stream/. COMPACT/OVERWRITE
+            # rewrites are never linked, so a file-source subscriber
+            # (streaming/pipelines.stream_table_files) sees each row once
+            # — the 'streaming read skips compaction snapshots' semantic.
+            sdir = os.path.join(self.paths.root, "stream")
+            os.makedirs(sdir, exist_ok=True)
+            for e in new_entries:
+                src = os.path.join(self.paths.root, e["file_path"])
+                dst = os.path.join(sdir, os.path.basename(e["file_path"]))
+                if not os.path.exists(dst):
+                    try:
+                        os.link(src, dst)
+                    except OSError:
+                        shutil.copy2(src, dst)
         self._maybe_auto_compact()
         return sid
 
@@ -340,11 +373,24 @@ class Table:
 
     def overwrite(self, df: DataFrame, commit_identifier: int | None = None) -> int | None:
         """Replace the whole table image in one OVERWRITE commit (used
-        e.g. for retry-queue state; INSERT OVERWRITE semantics)."""
+        e.g. for retry-queue state; INSERT OVERWRITE semantics). PK
+        tables stamp the merge metadata (__op/__seq) like any other PK
+        write — without it the merge-on-read filter (__op != 'D') sees
+        NULLs and drops every row."""
         if commit_identifier is not None and commit_identifier in self._committed_identifiers():
             return None
         old = {e["file_path"] for e in self.manifest()} if self.latest_snapshot_id() else set()
-        _, entries = self._stage_write(df.select(*[f.name for f in self.schema.fields]))
+        out = df.select(*[f.name for f in self.schema.fields])
+        if self.primary_key:
+            latest = self.latest_snapshot_id()
+            seq = (self.snapshot(latest)["sequence_number"] + 1) if latest else 1
+            out = out.withColumn("__op", F.lit("U")).withColumn("__seq", F.lit(seq).cast("long"))
+            _, entries = self._stage_write(out)
+            return self._commit(
+                entries, "OVERWRITE", replaced=old,
+                commit_identifier=commit_identifier, sequence_number=seq,
+            )
+        _, entries = self._stage_write(out)
         return self._commit(entries, "OVERWRITE", replaced=old, commit_identifier=commit_identifier)
 
     def upsert(self, df: DataFrame, commit_identifier: int | None = None) -> int | None:
@@ -662,8 +708,10 @@ class Table:
         if not affected_entries:
             return None
         affected = {e["file_path"] for e in affected_entries}
-        paths = [os.path.join(self.paths.root, p) for p in sorted(affected)]
-        survivors = spark.read.schema(self.schema).parquet(*paths).filter(f"NOT ({predicate})")
+        # evolution-aware read: rewriting old files with the CURRENT
+        # schema by name would null-fill renamed columns and persist the
+        # loss (the rewritten files get stamped schema_id=current)
+        survivors = self._read_entries(spark, affected_entries).filter(f"NOT ({predicate})")
         _, entries = self._stage_write(survivors)
         return self._commit(entries, "OVERWRITE", replaced=affected)
 
@@ -688,19 +736,22 @@ class Table:
                     cols.append(F.col(f.name))
             return df.select(*cols)
 
+        fields = {f.name: f for f in self.schema.fields}
         if self.primary_key:
             updated = self.read(spark, where=predicate)
             if updated.isEmpty():
                 return None
             for col, expr in set_exprs.items():
-                updated = updated.withColumn(col, F.expr(expr))
+                # cast back to the declared type: an uncast SET (v = v/2
+                # → double) would stage mistyped parquet that every later
+                # schema-pinned read rejects
+                updated = updated.withColumn(col, F.expr(expr).cast(fields[col].dataType))
             return self.upsert(updated)
         affected_entries = prune_entries(self.manifest(), predicate)
         if not affected_entries:
             return None
         affected = {e["file_path"] for e in affected_entries}
-        paths = [os.path.join(self.paths.root, p) for p in sorted(affected)]
-        rewritten = apply_set(spark.read.schema(self.schema).parquet(*paths))
+        rewritten = apply_set(self._read_entries(spark, affected_entries))
         _, entries = self._stage_write(rewritten)
         return self._commit(entries, "OVERWRITE", replaced=affected)
 
@@ -718,8 +769,10 @@ class Table:
         l0 = [e for e in self.manifest(latest) if e["level"] == 0]
         if len(l0) <= 1:
             return None
-        files = [os.path.join(self.paths.root, e["file_path"]) for e in l0]
-        df = spark.read.parquet(*files)
+        # evolution-aware read (never schema inference: with mixed-schema
+        # L0 files, inference picks ONE file's schema and silently drops
+        # or misreads the others' columns in the rewritten output)
+        df = self._read_entries(spark, l0)
         _, entries = self._stage_write(df)
         for e in entries:
             e["level"] = 1
@@ -818,7 +871,9 @@ class Table:
         referenced: set[str] = set()
         for sid in keep:
             referenced |= {e["file_path"] for e in self.manifest(sid)}
+        kept_seqs = {self.snapshot(sid)["sequence_number"] for sid in keep}
         for sid in expired:
+            seq = self.snapshot(sid)["sequence_number"]
             for e in self.manifest(sid):
                 if e["file_path"] not in referenced:
                     p = os.path.join(self.paths.root, e["file_path"])
@@ -826,6 +881,11 @@ class Table:
                         os.unlink(p)
             os.unlink(self.paths.manifest_path(sid))
             os.unlink(self.paths.snapshot_path(sid))
+            # expired commits' changelog rows expire with them (kept
+            # sequence numbers may be shared by COMPACT snapshots — only
+            # remove a changelog dir no retained snapshot claims)
+            if seq not in kept_seqs:
+                shutil.rmtree(self.paths.changelog_dir(seq), ignore_errors=True)
         self.paths.write_pointer("EARLIEST", min(keep))
         return expired
 

@@ -66,8 +66,17 @@ class LookupJoinPipeline:
 
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        if batch_id in self.target._committed_identifiers():
-            return  # replayed micro-batch: target AND queue already advanced
+        # NO early return on a replayed batch id: exactly-once spans TWO
+        # commits (target append + queue overwrite). After a crash
+        # between them, the target's own identifier check makes its
+        # append a no-op while the queue overwrite still runs — an early
+        # return here would leave matched rows in the queue to be
+        # re-joined and double-appended under the NEXT batch id.
+        # (Residual window: if the dimension changed between the
+        # original run and the replay, rows matching only at replay time
+        # leave the queue without an append — the inherent limit of
+        # non-atomic two-table commits; Paimon closes it with a single
+        # transactional commit spanning both tables.)
         stream_cols = [f.name for f in self.source.schema.fields]
 
         new_rows = batch_df.select(*stream_cols).withColumn("__attempts", F.lit(0))

@@ -66,17 +66,22 @@ class Pipeline:
 
 def stream_table_files(spark: SparkSession, table: Table, max_files_per_trigger: int | None = None) -> DataFrame:
     """Streaming scan of an append lakehouse table: Spark's file source
-    watches the bucket directories and emits newly committed data files
-    as micro-batches — the 'each new snapshot = one micro-batch'
-    semantic of SURVEY.md §2.1. (PK tables stream via
-    stream_table_changelog.)
+    watches the table's ``stream/`` append-log mirror (hard-links made
+    at APPEND-commit time) and emits newly committed data files as
+    micro-batches — the 'each new snapshot = one micro-batch' semantic
+    of SURVEY.md §2.1. Watching bucket dirs directly would re-emit every
+    row a COMPACT/OVERWRITE rewrite produces; the mirror receives only
+    APPEND files, so rewrites are invisible to subscribers (Paimon's
+    streaming reads skip compaction snapshots the same way). Hard links
+    keep already-subscribed bytes readable even after expiry unlinks the
+    canonical file. (PK tables stream via stream_table_changelog.)
     """
     reader = spark.readStream.schema(table.schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    # partitioned tables nest bucket dirs under <col>=<val> partition dirs
-    depth = ["*"] * len(table.partition_keys)
-    return reader.parquet(os.path.join(table.paths.root, *depth, "bucket-*"))
+    sdir = os.path.join(table.paths.root, "stream")
+    os.makedirs(sdir, exist_ok=True)
+    return reader.parquet(sdir)
 
 
 def stream_table_changelog(spark: SparkSession, table: Table) -> DataFrame:

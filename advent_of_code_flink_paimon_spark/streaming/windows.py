@@ -113,10 +113,14 @@ def stream_stream_join(
     join equivalent)."""
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
+    # bounds via QUALIFIED column refs: an F.expr string naming the
+    # timestamp column is ambiguous when both streams share the column
+    # name (the natural case for homogeneous event streams)
+    iv = F.expr(f"interval {within}")
     cond = (
         (lw[on] == rw[on])
-        & (rw[right_ts] >= F.expr(f"{left_ts} - interval {within}"))
-        & (rw[right_ts] <= F.expr(f"{left_ts} + interval {within}"))
+        & (rw[right_ts] >= lw[left_ts] - iv)
+        & (rw[right_ts] <= lw[left_ts] + iv)
     )
     return lw.join(rw, cond, how)
 
@@ -139,7 +143,10 @@ def stateful_ewma(
     stateful streaming ops)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    out_schema = f"{key_col} long, ewma double, n_seen long"
+    # key column keeps ITS declared type (a hardcoded 'long' would break
+    # string/other keys at runtime with a per-batch schema mismatch)
+    key_type = df.schema[key_col].dataType.simpleString()
+    out_schema = f"{key_col} {key_type}, ewma double, n_seen long"
     state_schema = "ewma double, n_seen long"
 
     def fold(key, pdfs, state):

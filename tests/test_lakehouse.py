@@ -605,3 +605,67 @@ def test_partitions_system_table(spark, catalog):
     # SQL surface
     n = catalog.sql(spark, "SELECT SUM(record_count) AS n FROM pm$partitions").collect()[0]["n"]
     assert n == 100
+
+
+def test_overwrite_pk_table_reads_back(spark, catalog):
+    """OVERWRITE on a PK table must stamp merge metadata — without
+    __op/__seq the merge-on-read filter dropped every row."""
+    t = catalog.create_table("pko", "k long, v string", {"primary-key": "k"})
+    t.upsert(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    t.overwrite(spark.createDataFrame([(3, "c")], "k long, v string"))
+    assert sorted((r.k, r.v) for r in t.read(spark).collect()) == [(3, "c")]
+    # upserts keep working on top of the overwritten image
+    t.upsert(spark.createDataFrame([(3, "C"), (4, "d")], "k long, v string"))
+    assert sorted((r.k, r.v) for r in t.read(spark).collect()) == [(3, "C"), (4, "d")]
+
+
+def test_delete_update_respect_schema_evolution(spark, catalog):
+    """Copy-on-write DELETE/UPDATE must read old files with their
+    write-time schema: reading by current name after a RENAME would
+    null-fill the column and PERSIST the loss in the rewritten files."""
+    t = catalog.create_table("ev2", "k long, a string")
+    t.append(spark.createDataFrame([(1, "x"), (2, "y"), (3, "z")], "k long, a string"))
+    catalog.rename_column("ev2", "a", "label")
+    t = catalog.get_table("ev2")
+    t.delete_where(spark, "k = 2")
+    rows = sorted((r.k, r.label) for r in t.read(spark).collect())
+    assert rows == [(1, "x"), (3, "z")]
+    t.update_where(spark, {"label": "upper(label)"}, "k = 3")
+    rows = sorted((r.k, r.label) for r in t.read(spark).collect())
+    assert rows == [(1, "x"), (3, "Z")]
+
+
+def test_update_where_pk_casts_to_declared_type(spark, catalog):
+    """SET expressions on a PK table must cast back to the declared
+    column type — an uncast v/2 (double) staged mistyped parquet that
+    bricked every later schema-pinned read."""
+    t = catalog.create_table("pkc", "k long, v int", {"primary-key": "k"})
+    t.upsert(spark.createDataFrame([(1, 10)], "k long, v int"))
+    t.update_where(spark, {"v": "v / 2"}, "k = 1")
+    assert [(r.k, r.v) for r in t.read(spark).collect()] == [(1, 5)]
+
+
+def test_minor_compaction_respects_added_columns(spark, catalog):
+    """L0 files written before and after an ADD COLUMN must merge
+    without losing the new column (schema inference picked one file's
+    schema and silently dropped the other's columns)."""
+    t = catalog.create_table("mc", "k long, a long")
+    t.append(spark.createDataFrame([(1, 10)], "k long, a long"))
+    catalog.add_column("mc", "b long")
+    t = catalog.get_table("mc")
+    t.append(spark.createDataFrame([(2, 20, 200)], "k long, a long, b long"))
+    assert t.compact_minor() is not None
+    rows = sorted((r.k, r.a, r.b) for r in t.read(spark).collect())
+    assert rows == [(1, 10, None), (2, 20, 200)]
+
+
+def test_rollback_removes_changelog_of_rolled_back_commits(spark, catalog):
+    t = catalog.create_table(
+        "clr", "k long, v string", {"primary-key": "k", "changelog-producer": "input"}
+    )
+    t.upsert(spark.createDataFrame([(1, "a")], "k long, v string"))
+    t.upsert(spark.createDataFrame([(1, "b")], "k long, v string"))
+    assert len(t.read_changelog(spark).collect()) == 3  # +I, -U, +U
+    t.rollback_to(1)
+    kinds = [(r.k, r._change_type) for r in t.read_changelog(spark).collect()]
+    assert kinds == [(1, "+I")], kinds

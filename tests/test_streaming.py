@@ -303,3 +303,27 @@ def test_full_tutorial_topology_concurrent(spark, catalog, tmp_path):
         "(SELECT COUNT(*) FROM measurements_enriched) AS c",
     ).collect()[0]
     assert n.a > 0 and n.b == 1000 and n.c > 0
+
+
+def test_stream_table_files_ignores_compaction(spark, catalog, tmp_path):
+    """A COMPACT rewrite must be invisible to streaming file readers —
+    watching bucket dirs directly would re-emit every rewritten row."""
+    import time as _time
+
+    t = catalog.create_table("sfc", "k long, v long")
+    for i in range(3):
+        t.append(spark.createDataFrame([(i, i * 10)], "k long, v long"))
+    assert t.compact() is not None  # rewrites all rows into one file
+    t.append(spark.createDataFrame([(99, 990)], "k long, v long"))
+
+    stream = stream_table_files(spark, t)
+    out = str(tmp_path / "out")
+    q = (
+        stream.writeStream.format("memory").queryName("sfc_sink")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(60)
+    rows = spark.sql("SELECT * FROM sfc_sink").collect()
+    # 4 appended rows exactly once; the compaction rewrite adds nothing
+    assert sorted((r.k, r.v) for r in rows) == [(0, 0), (1, 10), (2, 20), (99, 990)]
