@@ -53,13 +53,18 @@ def shingle_docs(docs: DataFrame) -> DataFrame:
     subexpression elimination happens inside higher-order-function
     lambdas) — measured 10× slower at sf0.1."""
     toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    # explicit empty-array guard: sequence(0, -1) is the DESCENDING
+    # sequence [0, -1], not empty — under Spark 4's default ANSI mode a
+    # <3-token doc would then crash on the out-of-bounds toks[i+2]
     return toks.select(
         "doc_id",
         F.explode(
             F.array_distinct(
                 F.expr(
-                    "transform(sequence(0, greatest(size(toks) - 3, -1)),"
+                    "CASE WHEN size(toks) >= 3 THEN"
+                    " transform(sequence(0, size(toks) - 3),"
                     " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+                    " ELSE array() END"
                 )
             )
         ).alias("shingle"),
@@ -78,12 +83,15 @@ def shingle_hash_arrays(docs: DataFrame) -> DataFrame:
     DuckDB oracle computes the string form and the driver hash-compare
     still matches."""
     toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    # same empty-array guard as shingle_docs (sequence(0,-1) = [0,-1])
     return toks.select(
         "doc_id",
         F.array_distinct(
             F.expr(
-                "transform(sequence(0, greatest(size(toks) - 3, -1)),"
+                "CASE WHEN size(toks) >= 3 THEN"
+                " transform(sequence(0, size(toks) - 3),"
                 " i -> xxhash64(concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"
+                " ELSE array() END"
             )
         ).alias("hs"),
     )
@@ -454,8 +462,7 @@ def x04_dedup_simhash(spark, sf_dir):
     # near-dup (hamming ≤ k) extends this with band rotations.
     return (
         sigs.groupBy("simhash")
-        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc"))
-        .filter(F.col("n_docs") >= 1)
+        .agg(F.count("*").alias("n_docs"))
         .groupBy()
         .agg(
             F.count("*").alias("n_buckets"),
@@ -519,14 +526,13 @@ def x06_dedup_embedding_cosine(spark, sf_dir):
     # sqrt(list_dot_product) in the last bits. (An unrolled 64-term dot
     # expression measured SLOWER than the fold — see the codegen note in
     # operators/similarity.py.)
+    from advent_of_code_flink_paimon_spark.operators.similarity import _dot, _norm
+
     v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    norm_v = F.sqrt(
-        F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
-    )
     v = v.select(
         "vec_id",
         "v",
-        norm_v.alias("nv"),
+        _norm("v").alias("nv"),
         F.pmod(F.xxhash64("vec_id"), F.lit(B)).cast("int").alias("blk"),
     )
     block_pairs = spark.createDataFrame(
@@ -543,12 +549,11 @@ def x06_dedup_embedding_cosine(spark, sf_dir):
         (F.col("a.blk") < F.col("b.blk"))
         | ((F.col("a.blk") == F.col("b.blk")) & (F.col("a.vec_id") < F.col("b.vec_id")))
     )
-    dot = F.aggregate(F.zip_with("a.v", "b.v", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
     return (
         once.select(
             F.least(F.col("a.vec_id"), F.col("b.vec_id")).alias("i"),
             F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias("j"),
-            F.round(dot / (F.col("a.nv") * F.col("b.nv")), 4).alias("cosine"),
+            F.round(_dot("a.v", "b.v") / (F.col("a.nv") * F.col("b.nv")), 4).alias("cosine"),
         )
         .filter(F.col("cosine") >= _COSINE_DUP_THRESHOLD)
     )

@@ -191,7 +191,7 @@ def q33_percentiles(spark, sf_dir):
     "q34_sessionize",
     oracle="""
     WITH gaps AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                          > INTERVAL 30 MINUTE
                     OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -200,7 +200,7 @@ def q33_percentiles(spark, sf_dir):
     ),
     sess AS (
         SELECT user_id, ts,
-               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         FROM gaps
     )

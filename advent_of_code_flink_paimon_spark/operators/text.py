@@ -260,9 +260,15 @@ def x25_heavy_hitter_bigrams(spark, sf_dir):
     same bound x03/x41 carry)."""
     d = T(spark, sf_dir, "documents")
     toks = d.select(F.split("text", " ").alias("toks"))
+    # empty-array guard: sequence(0, -1) is [0, -1], not empty — a
+    # 1-token doc would crash on toks[1] under default ANSI mode
     grams = toks.select(
         F.explode(
-            F.expr("transform(sequence(0, greatest(size(toks) - 2, -1)), i -> concat_ws(' ', toks[i], toks[i+1]))")
+            F.expr(
+                "CASE WHEN size(toks) >= 2 THEN"
+                " transform(sequence(0, size(toks) - 2), i -> concat_ws(' ', toks[i], toks[i+1]))"
+                " ELSE array() END"
+            )
         ).alias("bigram")
     )
     hcnt = grams.select(F.xxhash64("bigram").alias("h")).groupBy("h").agg(

@@ -119,10 +119,21 @@ def datagen_source(spark: SparkSession, schema, options: dict) -> DataFrame:
         return options.get(f"fields.{f}.{key}", default)
 
     seq_fields = [f.name for f in schema.fields if fopt(f.name, "kind") == "sequence"]
+    seq_ranges = {
+        f: (int(fopt(f, "start", 1)), int(fopt(f, "end", 1000))) for f in seq_fields
+    }
     if seq_fields:
-        start = int(fopt(seq_fields[0], "start", 1))
-        end = int(fopt(seq_fields[0], "end", 1000))
-        base = spark.range(start, end + 1).select(F.col("id"))
+        lengths = {end - start + 1 for start, end in seq_ranges.values()}
+        if len(lengths) > 1:
+            raise ValueError(
+                f"sequence fields must share a length (Flink datagen rows are "
+                f"generated in lockstep): {seq_ranges}"
+            )
+        # the row index drives every sequence field from ITS OWN start —
+        # reading only the first field's range silently fed its values
+        # to every other sequence column
+        start0 = seq_ranges[seq_fields[0]][0]
+        base = spark.range(lengths.pop()).select((F.col("id") + start0).alias("id"))
     elif "number-of-rows" in options:
         base = spark.range(int(options["number-of-rows"])).select(F.col("id"))
     else:
@@ -138,7 +149,9 @@ def datagen_source(spark: SparkSession, schema, options: dict) -> DataFrame:
     for i, f in enumerate(schema.fields):
         name, dt = f.name, f.dataType
         if name in seq_fields:
-            cols.append(F.col("id").cast(dt.simpleString()).alias(name))
+            start, _ = seq_ranges[name]
+            offset = start - seq_ranges[seq_fields[0]][0]
+            cols.append((F.col("id") + F.lit(offset)).cast(dt.simpleString()).alias(name))
         elif isinstance(dt, TimestampType):
             cols.append(F.current_timestamp().alias(name))  # max-past='0' ≈ now
         elif isinstance(dt, DecimalType):

@@ -217,3 +217,20 @@ def test_salted_join_equals_plain_join(spark):
         plain = left.join(right, ["k"], how).orderBy("payload", "tag")
         salted = salted_join(left, right, "k", how=how, salt=8).orderBy("payload", "tag")
         assert [tuple(r) for r in plain.collect()] == [tuple(r) for r in salted.collect()], how
+
+
+def test_shingles_and_bigrams_handle_short_docs(spark):
+    """Docs with fewer tokens than the n-gram width contribute nothing —
+    sequence(0, -1) is [0, -1] in Spark, so an unguarded transform
+    crashes under default ANSI mode on the out-of-bounds index."""
+    from advent_of_code_flink_paimon_spark.operators.dedup import (
+        shingle_docs,
+        shingle_hash_arrays,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "one"), (3, "x y z w")], "doc_id long, text string"
+    )
+    assert shingle_docs(docs).count() == 2  # only doc 3 (two 3-shingles)
+    hs = {r.doc_id: len(r.hs) for r in shingle_hash_arrays(docs).collect()}
+    assert hs == {1: 0, 2: 0, 3: 2}
