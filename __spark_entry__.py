@@ -30,6 +30,7 @@ _ORDER = [
     "x26_tfidf_top_terms", "x27_pii_redact", "x43_stratified_cap",
     # new in round 2 (never scored)
     "x07_dup_clusters", "q46_unpivot", "q47_not_in_null_aware",
+    "q48_time_range_frame",
     # hash-failed in round 1, representation-fixed this round
     "q01_pricing_summary", "q07_computed_column", "q08_join_inner_broadcast",
     "q09_join_left", "q12_join_multi_chain", "q13_agg_global",

@@ -188,6 +188,44 @@ def q33_percentiles(spark, sf_dir):
 
 
 @query(
+    "q48_time_range_frame",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS rolling_30m,
+           CAST(COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_30m
+    FROM events
+    """,
+)
+def q48_time_range_frame(spark, sf_dir):
+    """Time-interval RANGE frame (rolling 30-minute per-user sum/count)
+    — the event-time sliding aggregate as a WINDOW rather than a
+    bucketed groupBy, completing the frame family beyond q41's numeric
+    RANGE. ts ties are frame PEERS (all included), so the result is
+    deterministic without a tiebreak; the decimal-cast sum keeps both
+    engines exact before the final double cast. One exchange + one sort
+    on user_id serves both window functions."""
+    e = T(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-30 * 60 * 1_000_000, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("rolling_30m"),
+        F.count("*").over(w).alias("n_30m"),
+    )
+
+
+@query(
     "q34_sessionize",
     oracle="""
     WITH gaps AS (
