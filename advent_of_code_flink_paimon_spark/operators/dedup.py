@@ -335,9 +335,18 @@ def connected_components(pairs: DataFrame) -> DataFrame:
     edges = edges.unionByName(
         edges.select(F.col("j").alias("i"), F.col("i").alias("j"))
     ).distinct().persist()
-    labels = edges.select(F.col("i").alias("node")).distinct().withColumn(
-        "label", F.col("node")
-    ).persist()
+    # localCheckpoint (eager) per round, NOT persist: each round's plan
+    # references the previous labels TWICE (directly + inside the
+    # neighbor aggregate), so without lineage truncation the logical
+    # plan doubles per round — exponential analyzer cost that OOMs the
+    # driver on high-diameter graphs after ~10 rounds. Checkpointing
+    # materializes the round and restarts the lineage; stale round
+    # blocks are released by Spark's context cleaner on GC.
+    labels = (
+        edges.select(F.col("i").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
     # labels only ever DECREASE (least of self and neighbor minima), so
     # Σ label strictly decreases iff any node changed — one aggregate
     # action per round instead of a join-based diff
@@ -349,25 +358,18 @@ def connected_components(pairs: DataFrame) -> DataFrame:
             .groupBy(F.col("i").alias("node"))
             .agg(F.min("label").alias("nbr_min"))
         )
-        new_labels = (
+        labels = (
             labels.join(nbr, "node", "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias("label"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
-        labels.unpersist()
-        labels = new_labels
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    # the converged labels are materialized (the sum action above ran on
-    # them); release the edge cache so repeated invocations don't strand
-    # blocks in the block manager. If the labels cache is later evicted,
-    # the lineage recomputes through the un-cached edges — correct,
-    # merely slower.
     edges.unpersist()
     return labels
 

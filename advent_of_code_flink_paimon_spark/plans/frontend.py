@@ -185,14 +185,14 @@ class Engine:
                 r"ALTER\s+TABLE\s+(\S+)\s+DROP\s+(?:COLUMN\s+)?(\w+)\s*$", s, re.I
             )
             if m:
-                self.catalog.drop_column(m.group(1), m.group(2))
+                self.catalog.drop_column(m.group(1).split(".")[-1], m.group(2))
                 return StatementResult("OK", f"dropped column {m.group(2)}")
             m = re.match(
                 r"ALTER\s+TABLE\s+(\S+)\s+RENAME\s+(?:COLUMN\s+)?(\w+)\s+TO\s+(\w+)\s*$",
                 s, re.I,
             )
             if m:
-                self.catalog.rename_column(m.group(1), m.group(2), m.group(3))
+                self.catalog.rename_column(m.group(1).split(".")[-1], m.group(2), m.group(3))
                 return StatementResult("OK", f"renamed {m.group(2)} to {m.group(3)}")
             m = re.match(
                 r"ALTER\s+TABLE\s+(\S+)\s+ADD\s+(?:COLUMN\s+)?(.+?)\s*$", s, re.I
@@ -255,10 +255,12 @@ class Engine:
             if not m:
                 raise ValueError(f"unparseable UPDATE: {s}")
             sets = {}
-            for part in m.group(2).split(","):
+            for part in _split_top_level(m.group(2)):
                 col, expr = part.split("=", 1)
                 sets[col.strip()] = expr.strip()
-            sid = self.catalog.get_table(m.group(1)).update_where(self.spark, sets, m.group(3))
+            sid = self.catalog.get_table(m.group(1).split(".")[-1]).update_where(
+                self.spark, sets, m.group(3)
+            )
             return StatementResult("OK", f"updated {m.group(1)} (snapshot {sid})")
         # streaming runtime mode: a plain SELECT over a lakehouse table
         # surfaces the changelog `op` column exactly like the reference's
@@ -316,7 +318,7 @@ class Engine:
                     "(SESSION: use streaming.windows.session_agg)"
                 )
             return (
-                f"(SELECT *, __win.start AS window_start, __win.end AS window_end "
+                f"(SELECT * EXCEPT (__win), __win.start AS window_start, __win.end AS window_end "
                 f"FROM (SELECT *, {win} AS __win FROM {tbl})) __tvf_{tbl.replace('.', '_')}"
             )
 
@@ -350,7 +352,12 @@ class Engine:
         exprs = (
             [f.name for f in t.schema.fields] if cols == "*" else _split_top_level(cols)
         )
-        return df.selectExpr("op", *exprs)
+        try:
+            return df.selectExpr("op", *exprs)
+        except Exception:
+            # aggregates / DISTINCT / anything row-shape-changing has no
+            # per-row op; fall through to the batch path
+            return None
 
     # -- MERGE -----------------------------------------------------------
     def _merge(self, s: str):
@@ -389,9 +396,13 @@ class Engine:
         if tkey is None or skey is None or [tkey] != target.primary_key:
             raise ValueError("MERGE requires ON <target>.<pk> = <source>.<pk>")
 
+        # clause boundaries anchor on WHEN [NOT] MATCHED specifically, so
+        # a CASE WHEN ... THEN inside a condition or SET expression never
+        # terminates the clause early
         clauses = re.findall(
             r"WHEN\s+(NOT\s+)?MATCHED(?:\s+AND\s+(.*?))?\s+THEN\s+"
-            r"(UPDATE\s+SET\s+.*?|DELETE|INSERT\s+\*)\s*(?=WHEN\s+|$)",
+            r"(UPDATE\s+SET\s+.*?|DELETE|INSERT\s+\*)\s*"
+            r"(?=WHEN\s+(?:NOT\s+)?MATCHED\b|$)",
             head.group(9),
             re.I | re.S,
         )
@@ -454,7 +465,7 @@ class Engine:
                     sets = {c: f"{salias}.{c}" for c in value_cols}
                 else:
                     sets = {}
-                    for part in set_body.split(","):
+                    for part in _split_top_level(set_body):
                         col, expr = part.split("=", 1)
                         col = col.strip().split(".")[-1]
                         if col in target.primary_key:
@@ -491,8 +502,7 @@ class Engine:
             raise ValueError(f"unparseable CALL: {s}")
         proc = m.group(1).lower()
         args = []
-        for part in m.group(2).split(","):
-            part = part.strip()
+        for part in _split_top_level(m.group(2)):
             if not part:
                 continue
             if "=>" in part:
@@ -604,12 +614,17 @@ class Engine:
         target = self.catalog.get_table(target_name)
         if overwrite:
             # INSERT OVERWRITE: replace the table image in one commit
+            # (computed PROCTIME columns are stamped here exactly like
+            # the INTO path — the SELECT never provides them)
             src_df = self.sql(select_sql, _internal=True)
-            names = [f.name for f in target.schema.fields]
-            if [c.lower() for c in src_df.columns] != [n.lower() for n in names] and len(
+            computed = self._computed.get(target_name, {})
+            expected = [f.name for f in target.schema.fields if f.name not in computed]
+            if [c.lower() for c in src_df.columns] != [n.lower() for n in expected] and len(
                 src_df.columns
-            ) == len(names):
-                src_df = src_df.toDF(*names)
+            ) == len(expected):
+                src_df = src_df.toDF(*expected)
+            for col in computed:
+                src_df = src_df.withColumn(col, F.current_timestamp())
             sid = target.overwrite(src_df)
             return StatementResult("OK", f"overwrote {target_name} (snapshot {sid})")
 
@@ -756,38 +771,47 @@ class Engine:
         if shape is None:
             return None
         items = _split_top_level(shape.group(1))
+        # keys compare by their LAST path segment: the TVF's table alias
+        # (b.user_id) does not exist on the raw stream DataFrame
         group_keys = [
-            g
+            g.split(".")[-1]
             for g in _split_top_level(shape.group(2) or "")
-            if g.lower() not in ("window_start", "window_end")
+            if g.split(".")[-1].lower() not in ("window_start", "window_end")
         ]
+        key_set = {k.lower() for k in group_keys}
         # Spark's append-mode watermark check requires grouping by the
         # window EXPRESSION (not fields derived from it), so the
         # aggregation is built with DataFrame ops rather than SQL text.
-        aggs, out_cols = [], []
+        aggs, out_cols, proj_cols = [], [], []
         for item in items:
             alias_m = re.match(r"(.*?)\s+AS\s+(\w+)\s*$", item, re.I | re.S)
             expr, alias = (
                 (alias_m.group(1).strip(), alias_m.group(2)) if alias_m else (item, item)
             )
-            low = expr.lower()
+            low = expr.split(".")[-1].lower()
             if low == "window_start":
-                out_cols.append(F.col("__win.start").alias(alias))
+                out_cols.append(F.col("__win.start").alias(alias if alias_m else "window_start"))
+                proj_cols.append(out_cols[-1])
             elif low == "window_end":
-                out_cols.append(F.col("__win.end").alias(alias))
-            elif expr in group_keys:
-                out_cols.append(F.col(expr).alias(alias) if alias != expr else F.col(expr))
+                out_cols.append(F.col("__win.end").alias(alias if alias_m else "window_end"))
+                proj_cols.append(out_cols[-1])
+            elif low in key_set:
+                key = expr.split(".")[-1]
+                out_cols.append(F.col(key).alias(alias) if alias_m else F.col(key))
+                proj_cols.append(out_cols[-1])
             else:
                 aggs.append(F.expr(expr).alias(alias))
                 out_cols.append(F.col(alias))
+                proj_cols.append(F.expr(expr).alias(alias))
+        delay = self.session_conf.get("watermark.delay", "2 minutes")
+        wsrc = src.withWatermark(ts, delay)
+        if shape.group(2) is None and not [a for a in aggs]:
+            # projection-only TVF select: window assignment without
+            # aggregation — still a valid streaming transform
+            return wsrc.withColumn("__win", win).select(*proj_cols)
         if not aggs:
             return None
-        delay = self.session_conf.get("watermark.delay", "2 minutes")
-        grouped = (
-            src.withWatermark(ts, delay)
-            .groupBy(win.alias("__win"), *group_keys)
-            .agg(*aggs)
-        )
+        grouped = wsrc.groupBy(win.alias("__win"), *group_keys).agg(*aggs)
         return grouped.select(*out_cols)
 
     def _streaming_select(self, select_sql: str) -> DataFrame | None:

@@ -626,3 +626,62 @@ def test_show_create_table_roundtrip(engine, spark):
     t = engine.catalog.get_table("t8")
     assert t.primary_key == ["k"] and t.partition_keys == ["day"]
     assert t.options["bucket"] == "2"
+
+
+def test_merge_with_case_expressions_and_multiarg_set(engine, spark):
+    """SET expressions with commas/CASE WHEN must parse (top-level comma
+    split; clause boundaries anchor on WHEN [NOT] MATCHED)."""
+    engine.sql("CREATE TABLE t9 (k BIGINT, v BIGINT, PRIMARY KEY (k) NOT ENFORCED)")
+    engine.sql("INSERT INTO t9 SELECT CAST(1 AS BIGINT) AS k, CAST(10 AS BIGINT) AS v")
+    spark.sql("SELECT CAST(1 AS BIGINT) AS k, CAST(NULL AS BIGINT) AS v").createOrReplaceTempView("csrc")
+    engine.register_source("csrc", spark.table("csrc"))
+    engine.sql(
+        "MERGE INTO t9 AS a USING csrc AS b ON a.k = b.k "
+        "WHEN MATCHED THEN UPDATE SET v = coalesce(b.v, a.v) + CASE WHEN b.v IS NULL THEN 1 ELSE 0 END"
+    )
+    assert [(r.k, r.v) for r in engine.sql("SELECT * FROM t9").collect()] == [(1, 11)]
+
+
+def test_streaming_mode_aggregate_select_falls_back(engine, spark):
+    engine.sql("CREATE TABLE ta (k BIGINT)")
+    engine.sql("INSERT INTO ta SELECT CAST(id AS BIGINT) AS k FROM range(5)")
+    engine.sql("SET 'execution.runtime-mode' = 'streaming'")
+    try:
+        assert engine.sql("SELECT count(*) AS c FROM ta").collect()[0].c == 5
+        # plain projections still get the op column
+        assert "op" in engine.sql("SELECT k FROM ta").columns
+    finally:
+        engine.sql("SET 'execution.runtime-mode' = 'batch'")
+
+
+def test_insert_overwrite_proctime_table(engine, spark):
+    engine.sql("CREATE TABLE tp (k BIGINT, pt AS PROCTIME())")
+    engine.sql("INSERT INTO tp SELECT CAST(id AS BIGINT) AS k FROM range(4)")
+    engine.sql("INSERT OVERWRITE tp SELECT CAST(id AS BIGINT) AS k FROM range(2)")
+    rows = engine.sql("SELECT * FROM tp").collect()
+    assert sorted(r.k for r in rows) == [0, 1]
+    assert all(r.pt is not None for r in rows)
+
+
+def test_call_predicate_with_commas(engine, spark):
+    engine.sql("CREATE TABLE pl (day STRING, k BIGINT) PARTITIONED BY (day) WITH ('bucket' = '1')")
+    engine.sql(
+        "INSERT INTO pl SELECT CASE WHEN id = 0 THEN '2024-01-01' WHEN id = 1 THEN '2024-01-02' "
+        "ELSE '2024-02-01' END AS day, CAST(id AS BIGINT) AS k FROM range(3)"
+    )
+    engine.sql("CALL sys.expire_partitions('pl', \"day IN ('2024-01-01','2024-01-02')\")")
+    rows = engine.sql("SELECT * FROM pl").collect()
+    assert len(rows) == 1 and rows[0].day == "2024-02-01"
+
+
+def test_batch_tvf_star_has_no_internal_columns(engine, spark):
+    engine.sql("CREATE TABLE tw (k BIGINT, ts TIMESTAMP(3))")
+    engine.sql(
+        "INSERT INTO tw SELECT CAST(id AS BIGINT) AS k, "
+        "timestamp_millis(CAST(1699999920000 + id * 30000 AS BIGINT)) AS ts FROM range(4)"
+    )
+    df = engine.sql(
+        "SELECT * FROM TABLE(TUMBLE(TABLE tw, DESCRIPTOR(ts), INTERVAL '2' MINUTE))"
+    )
+    assert "__win" not in df.columns
+    assert {"k", "ts", "window_start", "window_end"} == set(df.columns)
