@@ -685,3 +685,48 @@ def test_batch_tvf_star_has_no_internal_columns(engine, spark):
     )
     assert "__win" not in df.columns
     assert {"k", "ts", "window_start", "window_end"} == set(df.columns)
+
+
+def test_streaming_hop_tvf_insert_pipeline(engine, spark):
+    """HOP (sliding) windows through the streaming TVF path: each event
+    lands in two overlapping windows."""
+    engine.sql(
+        "CREATE TABLE hop_counts (window_start TIMESTAMP(3), n BIGINT, "
+        "PRIMARY KEY (window_start) NOT ENFORCED)"
+    )
+    engine.register_source(
+        "h_src", measurements_stream(spark, rows_per_second=200, trigger_seconds=1)
+    )
+    engine.sql("SET 'pipeline.name' = 'hop_agg_pipeline'")
+    engine.sql("SET 'execution.checkpointing.interval' = '1s'")
+    engine.sql("SET 'watermark.delay' = '1 second'")
+    res = engine.sql(
+        """
+        INSERT INTO hop_counts
+        SELECT window_start, COUNT(*) AS n
+        FROM TABLE(HOP(TABLE h_src, DESCRIPTOR(event_time), INTERVAL '2' SECOND, INTERVAL '4' SECOND))
+        GROUP BY window_start
+        """
+    )
+    assert isinstance(res, StatementResult) and res.kind == "PIPELINE"
+    q = res.handle
+    try:
+        t = engine.catalog.get_table("hop_counts")
+        deadline = time.time() + 90
+        rows = []
+        while time.time() < deadline and len(rows) < 2:
+            time.sleep(2)
+            if t.latest_snapshot_id():
+                rows = t.read(spark).collect()
+        assert len(rows) >= 2, "expected at least two closed sliding windows"
+        starts = sorted(r.window_start for r in rows)
+        # slide = 2s: starts fall on the 2s grid and at least one
+        # consecutive pair is exactly one slide apart (a transient
+        # gap can appear while the next window's commit is in flight)
+        deltas = {(b - a).total_seconds() for a, b in zip(starts, starts[1:])}
+        assert all(d % 2.0 == 0 for d in deltas), deltas
+        assert 2.0 in deltas, deltas
+        assert all(r.n > 0 for r in rows)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
