@@ -10,9 +10,10 @@ streaming time-series similarity, EDBT 2020 incremental top-k).
   vs x10 is asserted by tests/test_extensions.py.
 
 All dot products run JVM-side (zip_with + aggregate over
-array<double>) — no Python in the scan path; the Pandas UDF appears
-only in x11's signature computation where 64-dim × 16-plane matrix
-multiply benefits from NumPy batching.
+array<double>) — no Python anywhere in these pipelines. x11's
+hyperplanes are a seeded Gaussian matrix inlined as double literals in
+both the Spark plan and the DuckDB oracle (the x12 literal-replay
+technique), so even the approximate method is exactly replayable.
 """
 
 from __future__ import annotations
@@ -235,65 +236,113 @@ def x12_embedding_topk_ivf(spark, sf_dir):
     )
 
 
-def hyperplane_signatures(vectors: DataFrame, planes: int = LSH_PLANES) -> DataFrame:
-    """vec_id → bit-signature array, one bit per random hyperplane.
+EMB_DIM = 64  # testdata embedding width (TESTDATA.md)
+_LSH_BASIS = None  # EMB_DIM × LSH_PLANES Gaussian matrix, lazy singleton
 
-    Planes are a seeded NumPy Gaussian matrix, identical on every
-    executor; the matmul runs as an Arrow-batched Pandas UDF.
+
+def _lsh_basis():
+    """Deterministic hyperplane matrix, computed once on the driver.
+
+    Seeded Mersenne-Twister Gaussians: the VALUES are what both engines
+    must agree on, so the Spark plan and the DuckDB oracle each receive
+    them as inlined double literals (the x12 literal-centroid replay
+    technique) — no executor-side RNG, nothing engine-specific.
     """
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
+    global _LSH_BASIS
+    if _LSH_BASIS is None:
+        import numpy as np
 
-    # no type hints: string annotations (from __future__) break inference
-    @pandas_udf("array<int>")
-    def signature(embs):
-        rng = np.random.RandomState(LSH_SEED)
-        dim = len(embs.iloc[0]) if len(embs) else 0
-        basis = rng.standard_normal((dim, planes))
-        mat = np.vstack(embs.to_numpy())
-        bits = (mat @ basis > 0).astype(np.int32)
-        return pd.Series(list(bits))
-
-    return vectors.select("vec_id", "embedding", signature("embedding").alias("sig"))
+        _LSH_BASIS = np.random.RandomState(LSH_SEED).standard_normal((EMB_DIM, LSH_PLANES))
+    return _LSH_BASIS
 
 
-@query("x11_embedding_topk_lsh")  # no oracle: ANN output is approximate by design
+def _band_keys(col: str):
+    """array of LSH_PLANES/LSH_BAND_BITS integer band keys for a vector.
+
+    Bit p of the signature is sign(dot(v, plane_p)); a band's key packs
+    its LSH_BAND_BITS bits plus the band index (band*2^bits + bits), so
+    a single integer equi-join key replaces (band, hash) pairs and the
+    oracle can recompute it exactly — dot products are the same
+    sequential fold DuckDB's list_dot_product runs, in doubles, so the
+    sign comparisons agree bit-for-bit.
+    """
+    basis = _lsh_basis()
+    keys = []
+    for b in range(LSH_PLANES // LSH_BAND_BITS):
+        key = F.lit(b * (1 << LSH_BAND_BITS))
+        for j in range(LSH_BAND_BITS):
+            plane = F.array(*[F.lit(float(v)) for v in basis[:, b * LSH_BAND_BITS + j]])
+            dot = F.aggregate(
+                F.zip_with(col, plane, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+            )
+            key = key + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        keys.append(key)
+    return F.array(*keys)
+
+
+def _band_keys_sql(col: str) -> str:
+    """The DuckDB twin of :func:`_band_keys`: same literals, same fold."""
+    basis = _lsh_basis()
+    keys = []
+    for b in range(LSH_PLANES // LSH_BAND_BITS):
+        bits = []
+        for j in range(LSH_BAND_BITS):
+            plane = "[" + ", ".join(repr(float(v)) for v in basis[:, b * LSH_BAND_BITS + j]) + "]"
+            bits.append(
+                f"(CASE WHEN list_dot_product({col}, {plane}) > 0 THEN {1 << j} ELSE 0 END)"
+            )
+        keys.append(f"({b * (1 << LSH_BAND_BITS)} + " + " + ".join(bits) + ")")
+    return "[" + ", ".join(keys) + "]"
+
+
+def _sql_lsh() -> str:
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    banded AS (SELECT vec_id, cv, unnest({_band_keys_sql('cv')}) AS key FROM v),
+    qb AS (SELECT vec_id AS query_id, cv AS qv, key FROM banded WHERE vec_id < {N_QUERIES}),
+    cands AS (
+        SELECT DISTINCT qb.query_id, qb.qv, b.vec_id, b.cv
+        FROM banded b JOIN qb USING (key)
+        WHERE b.vec_id <> qb.query_id
+    ),
+    scored AS (
+        SELECT query_id, vec_id,
+               ROUND({_COS.format(a='qv', b='cv')}, 4) AS cosine
+        FROM cands
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+    """
+
+
+@query("x11_embedding_topk_lsh", oracle=_sql_lsh())
 def x11_embedding_topk_lsh(spark, sf_dir):
     """ANN cosine top-k: hyperplane-LSH candidate generation + exact
-    re-rank. Bands of {LSH_BAND_BITS} bits; a corpus vector is a
-    candidate for a query if any band matches. Recall vs the exact x10
-    is asserted ≥ 0.8 in tests."""
+    re-rank. Bands of LSH_BAND_BITS bits; a corpus vector is a
+    candidate for a query if any band key matches. ANN is approximate
+    as a METHOD (recall vs exact x10 asserted ≥ 0.8 in tests) but
+    deterministic as a COMPUTATION — hyperplanes are literals shared
+    with the oracle, so DuckDB replays signatures, band membership and
+    the re-rank exactly.
+
+    Scale shape: candidate generation is a band-key equi-join (shuffle
+    keys are band buckets, never all-pairs); the exact re-rank touches
+    candidates only.
+    """
     e = T(spark, sf_dir, "embeddings")
-    sigs = hyperplane_signatures(e)
-    n_bands = LSH_PLANES // LSH_BAND_BITS
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(F.slice("sig", b * LSH_BAND_BITS + 1, LSH_BAND_BITS).cast("string")).alias("bh"),
-            )
-            for b in range(n_bands)
-        ]
-    )
-    banded = sigs.select("vec_id", "embedding", F.explode(bands).alias("e")).select(
-        "vec_id", "embedding", F.col("e.band").alias("band"), F.col("e.bh").alias("bh")
-    )
+    v = fan_out(e).select("vec_id", F.col("embedding").cast("array<double>").alias("cv"))
+    banded = v.select("vec_id", "cv", F.explode(_band_keys("cv")).alias("key"))
     qb = banded.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        "band",
-        "bh",
+        F.col("vec_id").alias("query_id"), F.col("cv").alias("qv"), "key"
     )
     cands = (
-        banded.join(qb, ["band", "bh"])
+        banded.join(qb, "key")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("q_emb").cast("array<double>").alias("qv"),
-            "vec_id",
-            F.col("embedding").cast("array<double>").alias("cv"),
-        )
+        .select("query_id", "qv", "vec_id", "cv")
         .dropDuplicates(["query_id", "vec_id"])
     )
     scored = cands.select(
