@@ -78,7 +78,7 @@ from advent_of_code_flink_paimon_spark.operators.registry import T, query
     """,
 )
 def x40_corpus_curation(spark, sf_dir):
-    docs = fan_out(T(spark, sf_dir, "documents"))
+    docs = fan_out(T(spark, sf_dir, "documents"), heavy=True)
     toks = F.split("text", " ")
     quality = (
         docs.withColumn("n_tokens", F.size(toks))
@@ -140,7 +140,7 @@ def x41_decontaminate(spark, sf_dir):
     the only exchange is the per-doc count aggregation, keyed by
     doc_id. N-gram synthesis is pure codegen (transform/sequence/
     slice), no Python."""
-    d = fan_out(T(spark, sf_dir, "documents")).withColumn("w", F.split("text", " "))
+    d = fan_out(T(spark, sf_dir, "documents"), heavy=True).withColumn("w", F.split("text", " "))
     # each 8-gram is hashed to 8 bytes inside the synthesis transform
     # (same trick as dedup.shingle_hash_arrays): overlap counts on
     # hashes equal counts on strings up to xxhash64 collisions

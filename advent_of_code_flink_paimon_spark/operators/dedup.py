@@ -242,7 +242,7 @@ def x03_dedup_minhash_lsh(spark, sf_dir):
     exact join: LSH recall at the data's similarity margin (≥.9 planted
     vs <.3 background) is 1 − 1.5e-15 per pair, so outputs coincide.
     """
-    docs = fan_out(T(spark, sf_dir, "documents"))
+    docs = fan_out(T(spark, sf_dir, "documents"), heavy=True)
     # the per-doc shingle-hash array feeds both the signature branch and
     # the verify branch — persist so one action computes it once (5k
     # compact rows at sf0.1 vs the 260k exploded rows this replaced; at
@@ -259,7 +259,7 @@ def x05_ngram_jaccard_join(spark, sf_dir):
     intersection counts, jaccard-filtered. The shingle equi-join *is*
     the exhaustive algorithm (j>0 ⇒ shared shingle) — no cross join,
     shuffle key = shingle (ICDE 2022 prefix-filter family)."""
-    docs = fan_out(T(spark, sf_dir, "documents"))
+    docs = fan_out(T(spark, sf_dir, "documents"), heavy=True)
     sharr = shingle_hash_arrays(docs).persist()  # reused by inter + sizes
     # join on the 8-byte shingle hash, not the string — same pairs
     # (modulo xxhash64 collisions), ~3× fewer shuffle bytes
@@ -458,7 +458,7 @@ def x04_dedup_simhash(spark, sf_dir):
             out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
         return pd.Series(out)
 
-    d = fan_out(T(spark, sf_dir, "documents"))  # parallel Arrow batches for the UDF
+    d = fan_out(T(spark, sf_dir, "documents"), heavy=True)  # parallel Arrow batches for the UDF
     sigs = d.select("doc_id", simhash64("text").alias("simhash"))
     # Bucket by signature: exact-signature collisions are trivial dups;
     # near-dup (hamming ≤ k) extends this with band rotations.
@@ -543,7 +543,7 @@ def x06_dedup_embedding_cosine(spark, sf_dir):
     # At testdata scale both joins broadcast, so the whole pair loop
     # inherits the PROBE side's partitioning — fan_out, or a single-file
     # scan runs 2M cosine folds on one core (measured 12s → ~2s).
-    a = fan_out(v).alias("a").join(F.broadcast(block_pairs), F.col("a.blk") == F.col("b1"))
+    a = fan_out(v, heavy=True).alias("a").join(F.broadcast(block_pairs), F.col("a.blk") == F.col("b1"))
     joined = a.join(v.alias("b"), F.col("b.blk") == F.col("b2"))
     # each unordered pair materializes exactly once: cross-block pairs via
     # their unique (min_blk, max_blk) row, same-block pairs deduped by id

@@ -53,7 +53,7 @@ def as_media_table(docs: DataFrame) -> DataFrame:
     """Synthesize a media table from documents: text bytes stand in for
     an opaque payload (deterministic), metadata columns are real."""
     payload = F.col("text").cast("binary")
-    return fan_out(docs).select(
+    return fan_out(docs, heavy=True).select(
         "doc_id",
         payload.alias("payload"),
         F.when(F.col("doc_id") % 2 == 0, "image/png").otherwise("audio/wav").alias("mime"),

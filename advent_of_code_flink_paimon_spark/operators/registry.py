@@ -29,18 +29,46 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
-def fan_out(df: DataFrame) -> DataFrame:
+_FAN_OUT_BYTES_PER_SLOT = 1 << 20  # 1 MiB of input per core
+
+
+def _estimated_bytes(df: DataFrame) -> int | None:
+    """Catalyst's optimized-plan size estimate (file bytes for scans)."""
+    try:
+        size = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        return int(size if isinstance(size, int) else size.toString())
+    except Exception:
+        return None
+
+
+def fan_out(df: DataFrame, heavy: bool = False) -> DataFrame:
     """Raise parallelism before compute-heavy row-local stages (wide
     projections, Pandas UDFs) when the scan has fewer partitions than
     cores: the local harness reads single-row-group parquet files, so
     every scan is one task and everything fused into it runs on 1 of 32
     cores. At cluster scale scans have file/row-group parallelism and
     this is a no-op; when it does fire it shuffles only the slim input,
-    never derived data. Measured 2x on MinHash signatures at sf0.1."""
+    never derived data. Measured 2x on MinHash signatures at sf0.1.
+
+    ``heavy=True``: the caller's per-row compute dominates any shuffle
+    of its input (MinHash shingle-hashing, NumPy bit matrices,
+    O(n²/B) pair scoring, decoder UDFs) — repartition whenever the
+    scan under-fills the cores, independent of input size.
+
+    ``heavy=False`` (default): row-local but cheap-per-byte work (JSON
+    field extraction) — repartition only when the estimated input per
+    core exceeds ~1 MiB, so the shuffle only fires when the single-task
+    compute it breaks up actually outweighs one pass over the wire.
+    Measured: ungated, the q25 exchange cost 1.78x at sf0.1 (VERDICT
+    r2 #3) where the whole events table is 2 MB."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    if not heavy:
+        est = _estimated_bytes(df)
+        if est is not None and est // target < _FAN_OUT_BYTES_PER_SLOT:
+            return df
+    return df.repartition(target)
 
 
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -591,12 +591,13 @@ def q24_scalar_datetime(spark, sf_dir):
 )
 def q25_json_extract(spark, sf_dir):
     # §2.11 JSON surface: events.props is a JSON string (TESTDATA.md).
-    # JSON parsing is the row-local hot loop here — fan_out so a
-    # single-row-group local scan doesn't serialize it on one core
-    # (no-op when the scan already has file/row-group parallelism).
+    # JSON parsing is the row-local hot loop; fan_out is cost-gated
+    # (fires only when the single-task input is large enough that the
+    # parse outweighs a shuffle — VERDICT r2 #3), and the projection is
+    # slimmed FIRST so a firing shuffle moves only the two live columns.
     from advent_of_code_flink_paimon_spark.operators.registry import fan_out
 
-    e = fan_out(T(spark, sf_dir, "events"))
+    e = fan_out(T(spark, sf_dir, "events").select("event_type", "props"))
     k = F.get_json_object("props", "$.k").cast("bigint")
     return e.groupBy("event_type").agg(
         F.count("*").alias("n_events"),

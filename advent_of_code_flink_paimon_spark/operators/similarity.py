@@ -63,7 +63,7 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = TOP_K) -> DataFr
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("qv"),
     )
-    c = fan_out(corpus).select("vec_id", F.col("embedding").cast("array<double>").alias("cv"))
+    c = fan_out(corpus, heavy=True).select("vec_id", F.col("embedding").cast("array<double>").alias("cv"))
     # norms are per-vector — computed once in each side's projection,
     # never per pair (same doubles, ~3× fewer pair-loop flops)
     q = q.withColumn("nq", _norm("qv"))
@@ -334,7 +334,7 @@ def x11_embedding_topk_lsh(spark, sf_dir):
     candidates only.
     """
     e = T(spark, sf_dir, "embeddings")
-    v = fan_out(e).select("vec_id", F.col("embedding").cast("array<double>").alias("cv"))
+    v = fan_out(e, heavy=True).select("vec_id", F.col("embedding").cast("array<double>").alias("cv"))
     banded = v.select("vec_id", "cv", F.explode(_band_keys("cv")).alias("key"))
     qb = banded.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("cv").alias("qv"), "key"

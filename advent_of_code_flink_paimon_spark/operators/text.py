@@ -217,7 +217,7 @@ def x24_winnow_fingerprint(spark, sf_dir):
             cks.append(int(fps.sum()) % (1 << 62))
         return pd.DataFrame({"n_fp": ns, "fp_checksum": cks})
 
-    d = fan_out(T(spark, sf_dir, "documents"))  # parallel Arrow batches for the UDF
+    d = fan_out(T(spark, sf_dir, "documents"), heavy=True)  # parallel Arrow batches for the UDF
     return d.select("doc_id", winnow("text").alias("w")).select(
         "doc_id", F.col("w.n_fp").alias("n_fp"), F.col("w.fp_checksum").alias("fp_checksum")
     )

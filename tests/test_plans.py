@@ -225,3 +225,23 @@ def test_posexplode_is_scan_side_only(spark):
     full = plan_of(spark, "q45_posexplode")
     pushed = [ln for ln in full.splitlines() if "PushedFilters" in ln]
     assert any("LessThan" in ln for ln in pushed), pushed
+
+
+def test_fan_out_is_cost_gated(spark):
+    """fan_out must NOT shuffle a small single-row-group input on the
+    default (cheap-per-byte) path — the q25 exchange cost 1.78x at
+    sf0.1 (VERDICT r2 #3) — but must still parallelize for heavy
+    per-row compute callers regardless of input size."""
+    from advent_of_code_flink_paimon_spark.operators.registry import T, fan_out
+
+    target = spark.sparkContext.defaultParallelism
+    small = T(spark, SF_ORACLE, "events").select("event_type", "props")
+    assert fan_out(small).rdd.getNumPartitions() < target
+    assert fan_out(small, heavy=True).rdd.getNumPartitions() == target
+
+
+def test_json_extract_single_exchange(spark):
+    """q25: parse + partial agg fuse into the scan stage; the only
+    exchange carries pre-reduced per-group state."""
+    plan = plan_of(spark, "q25_json_extract", mode="simple")
+    assert plan.count("Exchange") == 1, plan
