@@ -476,12 +476,59 @@ def test_flink_window_tvf_tumble_and_hop(engine, spark):
     assert max(r.n for r in hop) == 4
     assert sum(r.n for r in hop) == 40  # each event in exactly 2 windows
 
-    import pytest as _pytest
+def test_flink_session_tvf_batch_matches_duckdb_gap_islands(engine, spark):
+    """TABLE(SESSION(...)) over a bounded table compiles to the q34
+    gap-sessionization shape; the same SQL semantics replayed as a
+    DuckDB gap-island query must agree exactly (VERDICT r2 ask #4)."""
+    import duckdb
 
-    with _pytest.raises(ValueError, match="SESSION"):
-        engine.sql(
-            "SELECT window_start FROM TABLE(SESSION(TABLE evts, DESCRIPTOR(ts), INTERVAL '5' MINUTE)) GROUP BY window_start"
+    engine.sql("CREATE TABLE sess_ev (k BIGINT, ts TIMESTAMP(3), v BIGINT)")
+    # two keys; per-key gaps > 5 min split sessions at ids 0..9 vs 10..19
+    engine.sql(
+        "INSERT INTO sess_ev SELECT CAST(id % 2 AS BIGINT) AS k, "
+        "timestamp_millis(CAST(1700000000000 + (id DIV 2) * 60000 "
+        "+ CASE WHEN id >= 10 THEN 1800000 ELSE 0 END AS BIGINT)) AS ts, "
+        "CAST(id AS BIGINT) AS v FROM range(20)"
+    )
+    got = engine.sql(
+        """
+        SELECT k, window_start, window_end, COUNT(*) AS n, SUM(v) AS sv
+        FROM TABLE(SESSION(TABLE sess_ev PARTITION BY k, DESCRIPTOR(ts), INTERVAL '5' MINUTE))
+        GROUP BY k, window_start, window_end ORDER BY k, window_start
+        """
+    ).collect()
+    src = [(r.k, r.ts, r.v) for r in engine.sql("SELECT * FROM sess_ev").collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ev (k BIGINT, ts TIMESTAMP, v BIGINT)")
+    con.executemany("INSERT INTO ev VALUES (?, ?, ?)", src)
+    want = con.execute(
+        """
+        WITH marked AS (
+            SELECT *, CASE WHEN ts <= LAG(ts) OVER (PARTITION BY k ORDER BY ts)
+                               + INTERVAL '5' MINUTE THEN 0 ELSE 1 END AS new_s
+            FROM ev
+        ), sessions AS (
+            SELECT *, SUM(new_s) OVER (PARTITION BY k ORDER BY ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM marked
         )
+        SELECT k, MIN(ts) AS window_start, MAX(ts) + INTERVAL '5' MINUTE AS window_end,
+               COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS sv
+        FROM sessions GROUP BY k, sid ORDER BY k, window_start
+        """
+    ).fetchall()
+    assert [(r.k, r.window_start, r.window_end, r.n, r.sv) for r in got] == [
+        tuple(w) for w in want
+    ]
+    # unkeyed SESSION (global ordering) also compiles and merges
+    g2 = engine.sql(
+        """
+        SELECT window_start, COUNT(*) AS n
+        FROM TABLE(SESSION(TABLE sess_ev, DESCRIPTOR(ts), INTERVAL '30' SECOND))
+        GROUP BY window_start ORDER BY window_start
+        """
+    ).collect()
+    assert sum(r.n for r in g2) == 20
 
 
 def test_call_expire_partitions(engine, spark):
@@ -730,3 +777,54 @@ def test_streaming_hop_tvf_insert_pipeline(engine, spark):
     finally:
         q.stop()
         q.awaitTermination(30)
+
+
+def test_split_top_level_is_quote_aware(engine, spark):
+    """Commas inside string literals must not split SET lists (UPDATE
+    and MERGE UPDATE SET), including '' escapes."""
+    engine.sql("CREATE TABLE qt (k BIGINT, v STRING, w STRING, PRIMARY KEY (k) NOT ENFORCED)")
+    engine.sql("INSERT INTO qt SELECT CAST(1 AS BIGINT) AS k, 'x' AS v, 'y' AS w")
+    engine.sql("UPDATE qt SET v = 'a,b', w = 'c' WHERE k = 1")
+    r = engine.sql("SELECT * FROM qt").collect()[0]
+    assert (r.v, r.w) == ("a,b", "c")
+    spark.sql("SELECT CAST(1 AS BIGINT) AS k").createOrReplaceTempView("qsrc")
+    engine.register_source("qsrc", spark.table("qsrc"))
+    engine.sql(
+        "MERGE INTO qt AS a USING qsrc AS b ON a.k = b.k "
+        "WHEN MATCHED THEN UPDATE SET v = 'it''s, quoted', w = 'z'"
+    )
+    r = engine.sql("SELECT * FROM qt").collect()[0]
+    assert (r.v, r.w) == ("it's, quoted", "z")
+
+
+def test_create_table_as_select(engine, spark):
+    engine.sql("CREATE TABLE base (k BIGINT, v BIGINT)")
+    engine.sql(
+        "INSERT INTO base SELECT CAST(id AS BIGINT) AS k, CAST(id * 2 AS BIGINT) AS v FROM range(10)"
+    )
+    engine.sql("CREATE TABLE derived AS SELECT k, v + 1 AS v1 FROM base")
+    rows = sorted((r.k, r.v1) for r in engine.sql("SELECT * FROM derived").collect())
+    assert rows == [(i, 2 * i + 1) for i in range(10)]
+    # PK CTAS via WITH option: later inserts keep upsert semantics
+    engine.sql("CREATE TABLE dpk WITH ('primary-key' = 'k') AS SELECT k, v FROM base")
+    engine.sql("INSERT INTO dpk SELECT CAST(1 AS BIGINT) AS k, CAST(99 AS BIGINT) AS v")
+    got = {r.k: r.v for r in engine.sql("SELECT * FROM dpk").collect()}
+    assert got[1] == 99 and len(got) == 10
+    ddl = engine.sql("SHOW CREATE TABLE derived").collect()[0].ddl
+    assert "v1" in ddl
+
+
+def test_streaming_tvf_alias_qualified_aggregates(engine, spark):
+    """Flink-style alias-qualified aggregate args (SUM(src.col)) must
+    resolve against the raw stream (the TVF alias does not exist on the
+    DataFrame) — analysis alone proves the rewrite."""
+    engine.register_source(
+        "als_src", measurements_stream(spark, rows_per_second=10, trigger_seconds=1)
+    )
+    df = engine._streaming_windowed_select(
+        "SELECT window_start, SUM(als_src.reading) AS total "
+        "FROM TABLE(TUMBLE(TABLE als_src, DESCRIPTOR(event_time), INTERVAL '5' SECOND)) "
+        "GROUP BY window_start"
+    )
+    assert df is not None and df.isStreaming
+    assert df.columns == ["window_start", "total"]
