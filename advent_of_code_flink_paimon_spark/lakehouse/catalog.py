@@ -87,6 +87,56 @@ class Catalog:
         )
         return t
 
+    # lossless numeric widenings Paimon's schema evolution permits; the
+    # key is (from.simpleString, to.simpleString)
+    _WIDENINGS = {
+        ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+        ("smallint", "int"), ("smallint", "bigint"),
+        ("int", "bigint"),
+        ("float", "double"),
+    }
+
+    def alter_column_type(self, name: str, col: str, new_type: str) -> Table:
+        """ALTER TABLE … MODIFY (col TYPE) — type WIDENING only
+        (INT→BIGINT, FLOAT→DOUBLE, …): schema-N+1 carries the wider
+        type; existing files keep their written encoding and the read
+        path casts per file group (Table._read_entries reads each group
+        with its write-time dtype, then casts to the current one), so
+        no data file is rewritten.
+
+        Key columns (primary-key / bucket-key / partition-by) cannot be
+        widened: Spark's xxhash64 hashes INT and BIGINT representations
+        of the same value differently, so a widened key would scatter
+        identical keys across different buckets than their old rows."""
+        t = self.get_table(name)
+        doc = t.schema_doc()
+        protected = set(t.primary_key) | set(t.bucket_key) | set(t.partition_keys)
+        if col in protected:
+            raise ValueError(f"cannot widen key/partition column {col}")
+        target = StructType.fromDDL(f"__c {new_type}").fields[0].dataType
+        fields, found = [], False
+        for f in StructType.fromJson(doc["schema"]).fields:
+            if f.name != col:
+                fields.append(f)
+                continue
+            found = True
+            frm, to = f.dataType.simpleString(), target.simpleString()
+            if frm != to and (frm, to) not in self._WIDENINGS:
+                raise ValueError(
+                    f"cannot change column {col} from {frm} to {to}: "
+                    "only lossless numeric widening is supported"
+                )
+            fields.append(StructField(f.name, target, f.nullable))
+        if not found:
+            raise ValueError(f"no such column: {col}")
+        v = t.schema_version + 1
+        atomic_write_json(
+            t.paths.schema_path(v),
+            {"version": v, "schema": StructType(fields).jsonValue(),
+             "options": doc["options"], "created_ms": now_millis()},
+        )
+        return t
+
     def drop_column(self, name: str, col: str) -> Table:
         """ALTER TABLE DROP COLUMN — metadata-only: schema-N+1 omits the
         field; existing files keep the bytes but the projection never

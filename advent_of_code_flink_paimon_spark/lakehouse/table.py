@@ -185,6 +185,29 @@ class Table:
         for s in self.snapshots():
             if s["id"] <= target:
                 referenced |= {e["file_path"] for e in self.manifest(s["id"])}
+        # the stream/ append-log mirror hard-links every APPENDed file;
+        # rolled-back appends must leave it too, or stream_table_files
+        # subscribers (fresh ones included) replay rows from commits
+        # that no longer exist. Diff each rolled-back APPEND manifest
+        # against its predecessor BEFORE the deletion loop below
+        # destroys the predecessor manifests.
+        rolled_back_appends: set[str] = set()
+        for sid in range(target + 1, latest + 1):
+            if not os.path.exists(self.paths.snapshot_path(sid)):
+                continue
+            if self.snapshot(sid).get("commit_kind") != "APPEND":
+                continue
+            prev = (
+                {e["file_path"] for e in self.manifest(sid - 1)}
+                if os.path.exists(self.paths.manifest_path(sid - 1))
+                else set()
+            )
+            rolled_back_appends |= {e["file_path"] for e in self.manifest(sid)} - prev
+        sdir = os.path.join(self.paths.root, "stream")
+        for fp in rolled_back_appends:
+            sp = os.path.join(sdir, os.path.basename(fp))
+            if os.path.exists(sp):
+                os.unlink(sp)
         for sid in range(target + 1, latest + 1):
             if not os.path.exists(self.paths.snapshot_path(sid)):
                 continue
@@ -547,7 +570,11 @@ class Table:
           evolution, no file rewrite. A column added AFTER a same-named
           column was dropped is null-filled for old files (presence is
           checked against the write-time schema, so stale bytes under a
-          reused name are never resurrected)."""
+          reused name are never resurrected).
+        - MODIFY (type widening, e.g. INT→BIGINT): old file groups are
+          read with their write-time dtype (the parquet encoding on
+          disk) and cast to the current, wider dtype — a no-op cast for
+          unwidened columns, so the common path is unchanged."""
         base_fields = list(self.schema.fields)
         meta_fields = (
             StructType.fromDDL("__op string, __seq long").fields if self.primary_key else []
@@ -566,18 +593,21 @@ class Table:
             if v == cur:
                 parts.append(spark.read.schema(out_schema).parquet(*files))
                 continue
-            at_v = {f["name"] for f in self.schema_doc(v)["schema"]["fields"]}
+            at_v = {
+                f["name"]: StructField.fromJson(f).dataType
+                for f in self.schema_doc(v)["schema"]["fields"]
+            }
             present, absent = [], []
             for f in base_fields:
                 phys = self._physical_name(f.name, v)
                 (present if phys is not None and phys in at_v else absent).append((phys, f))
             read_schema = StructType(
-                [StructField(phys, f.dataType, True) for phys, f in present]
+                [StructField(phys, at_v[phys], True) for phys, f in present]
                 + list(meta_fields)
             )
             df = spark.read.schema(read_schema).parquet(*files)
             df = df.select(
-                *[F.col(phys).alias(f.name) for phys, f in present],
+                *[F.col(phys).cast(f.dataType).alias(f.name) for phys, f in present],
                 *[F.lit(None).cast(f.dataType).alias(f.name) for _, f in absent],
                 *[F.col(m.name) for m in meta_fields],
             ).select(*[f.name for f in out_schema.fields])

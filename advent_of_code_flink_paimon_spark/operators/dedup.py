@@ -316,8 +316,8 @@ def x07_dup_clusters(spark, sf_dir):
     per-node min of (own label, neighbors' labels); stop when a round
     changes nothing. Every round is a shuffle-bounded join + hash agg
     on the (tiny relative to corpus) pair-graph — the driver only
-    evaluates the scalar convergence count, never the graph. Rounds ≤
-    O(log diameter); near-dup components are shallow (clusters of
+    evaluates the scalar convergence count, never the graph. Rounds =
+    O(diameter); near-dup components are shallow (clusters of
     mutually-similar docs), so 2-3 rounds in practice."""
     pairs = x03_dedup_minhash_lsh(spark, sf_dir).select("i", "j")
     return connected_components(pairs).select(
@@ -325,27 +325,47 @@ def x07_dup_clusters(spark, sf_dir):
     )
 
 
-def connected_components(pairs: DataFrame) -> DataFrame:
+def connected_components(pairs: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
     """(node, label) for every endpoint of ``pairs`` (i, j), where label
     is the min node id in the connected component — iterative min-label
     propagation. Each round is one distributed join + min-aggregate over
     the edge list; the driver evaluates only the scalar convergence
-    count. Rounds ≤ O(log diameter) with this label-pull scheme."""
+    count. Pull-based min propagation converges in O(diameter) rounds
+    (a label travels one hop per round); near-dup components are
+    shallow mutually-similar clusters, so 2-3 rounds in practice. For
+    genuinely deep graphs, large-star/small-star pointer doubling
+    (Kiveris et al., SoCC'14) would cut this to O(log diameter) — not
+    worth the extra shuffles at this graph shape.
+
+    ``checkpoint_dir``: per-round lineage truncation uses executor-local
+    ``localCheckpoint`` by default — fine on local[n], but NOT
+    fault-tolerant: on a real cluster one lost executor mid-iteration
+    kills the job unrecoverably because the truncated lineage cannot
+    recompute its blocks. Cluster callers pass a reliable (HDFS/S3)
+    directory to get ``checkpoint()`` durability instead."""
+    spark = pairs.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def truncate(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     edges = pairs.select(F.col("i"), F.col("j"))
     edges = edges.unionByName(
         edges.select(F.col("j").alias("i"), F.col("i").alias("j"))
     ).distinct().persist()
-    # localCheckpoint (eager) per round, NOT persist: each round's plan
+    # eager checkpoint per round, NOT persist: each round's plan
     # references the previous labels TWICE (directly + inside the
     # neighbor aggregate), so without lineage truncation the logical
     # plan doubles per round — exponential analyzer cost that OOMs the
     # driver on high-diameter graphs after ~10 rounds. Checkpointing
     # materializes the round and restarts the lineage; stale round
     # blocks are released by Spark's context cleaner on GC.
-    labels = (
+    labels = truncate(
         edges.select(F.col("i").alias("node")).distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
     )
     # labels only ever DECREASE (least of self and neighbor minima), so
     # Σ label strictly decreases iff any node changed — one aggregate
@@ -358,13 +378,12 @@ def connected_components(pairs: DataFrame) -> DataFrame:
             .groupBy(F.col("i").alias("node"))
             .agg(F.min("label").alias("nbr_min"))
         )
-        labels = (
+        labels = truncate(
             labels.join(nbr, "node", "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:

@@ -387,11 +387,13 @@ def q15_agg_distinct(spark, sf_dir):
 @query("q16_agg_approx_distinct")  # no oracle: HLL sketch values are engine-specific
 def q16_agg_approx_distinct(spark, sf_dir):
     """approx_count_distinct — declared in SURVEY.md §2.4. The sketch
-    estimate differs across engines by design → rows-only check."""
+    estimate differs across engines by design → rows-only check;
+    tests/test_extensions.py bounds the estimates within ±5% of exact
+    (rsd=0.02 → the 5% bound is ±2.5 sigma)."""
     l = T(spark, sf_dir, "lineitem")
     return l.agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
     )
 
 

@@ -234,3 +234,21 @@ def test_shingles_and_bigrams_handle_short_docs(spark):
     assert shingle_docs(docs).count() == 2  # only doc 3 (two 3-shingles)
     hs = {r.doc_id: len(r.hs) for r in shingle_hash_arrays(docs).collect()}
     assert hs == {1: 0, 2: 0, 3: 2}
+
+
+def test_q16_approx_distinct_within_error_bound(spark):
+    """HLL sketch values are engine-specific (hence rows-only for the
+    driver), but the estimates must stay within ±5% of exact — the
+    default rsd=0.05 contract of approx_count_distinct."""
+    from advent_of_code_flink_paimon_spark.operators.registry import T
+
+    import advent_of_code_flink_paimon_spark.operators.relational  # noqa: F401
+
+    got = QUERIES["q16_agg_approx_distinct"](spark, SF_ORACLE).collect()[0]
+    l = T(spark, SF_ORACLE, "lineitem")
+    exact = l.agg(
+        F.countDistinct("l_orderkey").alias("o"),
+        F.countDistinct("l_partkey").alias("p"),
+    ).collect()[0]
+    assert abs(got.approx_orders - exact.o) <= 0.05 * exact.o, (got, exact)
+    assert abs(got.approx_parts - exact.p) <= 0.05 * exact.p, (got, exact)

@@ -669,3 +669,29 @@ def test_rollback_removes_changelog_of_rolled_back_commits(spark, catalog):
     t.rollback_to(1)
     kinds = [(r.k, r._change_type) for r in t.read_changelog(spark).collect()]
     assert kinds == [(1, "+I")], kinds
+
+
+def test_rollback_unlinks_stream_mirror_of_rolled_back_appends(spark, catalog):
+    """The stream/ append-log mirror must forget rolled-back APPEND
+    commits, or stream_table_files subscribers (fresh ones included)
+    replay rows from commits that no longer exist — while keeping the
+    mirror files of surviving commits (even if later compacted)."""
+    t = catalog.create_table("rbs", "k long, v string", {})
+    t.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    t.append(spark.createDataFrame([(2, "b")], "k long, v string"))
+    t.append(spark.createDataFrame([(3, "c")], "k long, v string"))
+    sdir = os.path.join(t.paths.root, "stream")
+    assert len(os.listdir(sdir)) == 3
+    survivors = {
+        os.path.basename(e["file_path"]) for e in t.manifest(1)
+    }
+    t.rollback_to(1)
+    assert set(os.listdir(sdir)) == survivors
+    # compaction keeps mirror files; a later rollback over the compact
+    # snapshot still only removes genuinely rolled-back appends
+    t.append(spark.createDataFrame([(4, "d")], "k long, v string"))
+    t.compact()
+    t.append(spark.createDataFrame([(5, "e")], "k long, v string"))
+    before = set(os.listdir(sdir))
+    t.rollback_to(3)  # drop only the (5, 'e') append
+    assert len(before - set(os.listdir(sdir))) == 1

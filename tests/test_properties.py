@@ -287,6 +287,21 @@ def test_connected_components_matches_union_find(spark, edges):
     assert got == want
 
 
+def test_connected_components_reliable_checkpoint_mode(spark, tmp_path_factory):
+    """checkpoint_dir= switches lineage truncation to reliable
+    checkpoint() (the fault-tolerant cluster path — localCheckpoint
+    blocks die with their executor); results must be identical on a
+    multi-round chain graph."""
+    from advent_of_code_flink_paimon_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(12)] + [(100, 101), (101, 102)]
+    df = spark.createDataFrame(chain, "i long, j long")
+    ckpt = str(tmp_path_factory.mktemp("cc-ckpt"))
+    got = {r.node: r.label for r in connected_components(df, checkpoint_dir=ckpt).collect()}
+    want = {i: 0 for i in range(13)} | {n: 100 for n in (100, 101, 102)}
+    assert got == want
+
+
 def test_scoring_order_covers_registry_exactly():
     """__spark_entry__._ORDER must list every registered query exactly
     once — a typo or a new query missing from the list silently lands
