@@ -9,6 +9,8 @@ max_examples stays small while shrinking still works.
 
 from __future__ import annotations
 
+from pathlib import Path
+
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -314,4 +316,45 @@ def test_scoring_order_covers_registry_exactly():
     assert set(ordered) == registered, (
         f"missing from _ORDER: {registered - set(ordered)}; "
         f"stale in _ORDER: {set(ordered) - registered}"
+    )
+
+
+def test_scoring_window_overflow_not_stale():
+    """Driver-evidence freshness guard (round-3 verdict ask #7).
+
+    The driver scores only the first 50 ``_ORDER`` entries each round,
+    so anything past position 50 keeps its old CORRECTNESS row as its
+    evidence. That is acceptable for exactly one round: every overflow
+    entry must be fully green (rows+schema+hash) in the LATEST
+    CORRECTNESS_r*.json in the repo. If a future rotation parks an
+    entry that was not scored green last round, this test fails before
+    the driver runs, instead of the judge finding two-round-old
+    evidence again.
+    """
+    import glob
+    import json
+    import re
+
+    import __spark_entry__ as entrymod
+
+    files = sorted(
+        glob.glob(str(Path(__file__).resolve().parent.parent / "CORRECTNESS_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", Path(p).name).group(1)),
+    )
+    if not files:  # first round: no driver evidence exists yet
+        return
+    latest = json.loads(Path(files[-1]).read_text())
+    overflow = entrymod._ORDER[50:]
+    stale = [
+        k for k in overflow
+        if not (
+            k in latest
+            and latest[k].get("rows_match")
+            and latest[k].get("schema_match")
+            and latest[k].get("hash_match")
+        )
+    ]
+    assert not stale, (
+        f"_ORDER overflow entries lack a green row in {Path(files[-1]).name} "
+        f"(driver evidence would be >1 round old): {stale}"
     )
