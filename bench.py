@@ -8,12 +8,20 @@ Each query is executed to completion with the noop sink (full physical
 execution — scan, shuffle, agg — without driver-side collect skewing
 the measurement). One untimed warmup of the smallest query absorbs
 JVM/codegen startup.
+
+Round 4: each query runs ``$SPARK_GRAFT_BENCH_REPEATS`` times (default
+3) in round-robin passes (pass 1 runs every query once, then pass 2,
+...) so a slow phase of a shared machine spreads across all queries
+instead of biasing whichever query it lands on. Reported per-query
+number is the MEDIAN; ``spread`` carries per-query [min, max] so a
+ratio can be judged against the run's own noise band.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -63,10 +71,15 @@ def main() -> None:
 
     run("q01_pricing_summary")  # warmup (untimed): JVM + codegen + parquet footer cache
 
-    timings = {}
-    for name in HEADLINE:
-        if name in qs:
-            timings[name] = round(run(name), 4)
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+    names = [n for n in HEADLINE if n in qs]
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(repeats):  # round-robin: machine drift spreads evenly
+        for name in names:
+            samples[name].append(run(name))
+
+    timings = {n: round(statistics.median(s), 4) for n, s in samples.items()}
+    spread = {n: [round(min(s), 4), round(max(s), 4)] for n, s in samples.items()}
 
     total = round(sum(timings.values()), 4)
     print(
@@ -76,6 +89,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "repeats": repeats,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
