@@ -225,6 +225,22 @@ class Engine:
                 col, typ = spec.split(None, 1)
                 self.catalog.add_column(m.group(1), f"{col} {_flink_type_to_spark(typ)}")
                 return StatementResult("OK", f"added column to {m.group(1)}")
+            # Flink's `ALTER TABLE t MODIFY (col TYPE)` schema-evolution
+            # spelling (reference evolution surface, assets/output5.png
+            # schema-0→schema-1): numeric widening only — the catalog
+            # rejects anything lossy or on a key/partition column.
+            m = re.match(
+                r"ALTER\s+TABLE\s+(\S+)\s+MODIFY\s+(?:COLUMN\s+)?(.+?)\s*$", s, re.I
+            )
+            if m:
+                spec = m.group(2).strip()
+                if spec.startswith("(") and spec.endswith(")"):
+                    spec = spec[1:-1].strip()
+                col, typ = spec.split(None, 1)
+                self.catalog.alter_column_type(
+                    m.group(1).split(".")[-1], col, _flink_type_to_spark(typ)
+                )
+                return StatementResult("OK", f"modified column {col} to {typ.strip()}")
             raise ValueError(f"unsupported ALTER TABLE form: {s}")
         if u.startswith("DROP TABLE"):
             name = s.split()[-1]
