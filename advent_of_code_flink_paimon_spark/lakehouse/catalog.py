@@ -215,6 +215,9 @@ class Catalog:
             raise KeyError(f"table {name} does not exist in {self.warehouse}/{self.db}.db")
         return Table(self.warehouse, self.db, name)
 
+    def has_table(self, name: str) -> bool:
+        return os.path.exists(TablePaths(self.warehouse, self.db, name).schema_path(0))
+
     def list_tables(self) -> list[str]:
         base = os.path.join(self.warehouse, f"{self.db}.db")
         return sorted(

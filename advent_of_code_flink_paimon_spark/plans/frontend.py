@@ -105,6 +105,32 @@ def _split_top_level(body: str) -> list[str]:
     return [p.strip() for p in parts if p.strip()]
 
 
+def _sub_outside_literals(pattern: re.Pattern, repl: str, text: str) -> str:
+    """pattern.sub(repl, ...) applied only OUTSIDE single-quoted string
+    literals ('' escapes honored) — same literal-masking discipline as
+    _split_top_level, so a literal like 'b.foo' survives a `b.` →
+    dequalify rewrite verbatim."""
+    out, i, n = [], 0, len(text)
+    while i < n:
+        k = text.find("'", i)
+        if k == -1:
+            out.append(pattern.sub(repl, text[i:]))
+            break
+        out.append(pattern.sub(repl, text[i:k]))
+        j = k + 1
+        while j < n:
+            if text[j] == "'":
+                if j + 1 < n and text[j + 1] == "'":
+                    j += 2
+                    continue
+                j += 1
+                break
+            j += 1
+        out.append(text[k:j])
+        i = j
+    return "".join(out)
+
+
 class StatementResult:
     """Uniform return for non-SELECT statements."""
 
@@ -546,8 +572,14 @@ class Engine:
             .agg(F.count(F.lit(1)).alias("__n"))
             .filter(F.col("__n") > 1)
             .select(
+                # coalesce: a NULL duplicate key would otherwise NULL the
+                # whole concat, so raise_error's message — and the marker
+                # the except-branch greps for — would vanish
                 F.raise_error(
-                    F.concat(F.lit(f"{_DUP_MARK} {skey}="), F.col(tkey).cast("string"))
+                    F.concat(
+                        F.lit(f"{_DUP_MARK} {skey}="),
+                        F.coalesce(F.col(tkey).cast("string"), F.lit("NULL")),
+                    )
                 )
                 .cast(target.schema[tkey].dataType)
                 .alias(tkey),
@@ -562,8 +594,10 @@ class Engine:
             sid = target.upsert(batch.unionByName(viol))
         except Exception as ex:
             if _DUP_MARK in str(ex):
+                keym = re.search(rf"{re.escape(_DUP_MARK)} \S+=(\S+)", str(ex))
+                offender = f" = {keym.group(1)}" if keym else ""
                 raise ValueError(
-                    f"{_DUP_MARK} {skey}; deduplicate the source "
+                    f"{_DUP_MARK} {skey}{offender}; deduplicate the source "
                     "(SQL MERGE forbids multiple matches)"
                 ) from None
             raise
@@ -642,13 +676,18 @@ class Engine:
         # PRIMARY KEY clause doesn't exist here) makes it a PK table and
         # the seed write an upsert, otherwise one append commit.
         ctas = re.match(
-            r"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\S+)\s*"
+            r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(\S+)\s*"
             r"(?:WITH\s*\((.*?)\)\s*)?AS\s+((?:SELECT|WITH|VALUES)\b.*)$",
             s,
             re.I | re.S,
         )
         if ctas:
-            name, with_tail, select_sql = ctas.group(1), ctas.group(2) or "", ctas.group(3)
+            if_not_exists, name = bool(ctas.group(1)), ctas.group(2)
+            with_tail, select_sql = ctas.group(3) or "", ctas.group(4)
+            if if_not_exists and self.catalog.has_table(name):
+                # IF NOT EXISTS on an existing table: whole statement is a
+                # no-op — the seed SELECT must not run, let alone write
+                return StatementResult("OK", f"{name} already exists, skipped")
             src_df = self.sql(select_sql, _internal=True)
             t = self.catalog.create_table(name, src_df.schema, _parse_with_options(with_tail))
             mode = "upsert" if t.primary_key else "append"
@@ -657,14 +696,17 @@ class Engine:
         # lazy column body + end anchor: the greedy form would swallow the
         # optional trailing PARTITIONED BY / WITH clauses into the column list
         m = re.match(
-            r"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\S+)\s*\((.*?)\)\s*"
+            r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(\S+)\s*\((.*?)\)\s*"
             r"(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?(?:WITH\s*\((.*)\))?\s*$",
             s,
             re.I | re.S,
         )
         if not m:
             raise ValueError(f"unparseable CREATE TABLE: {s}")
-        name, body, part_tail, with_tail = m.group(1), m.group(2), m.group(3), m.group(4) or ""
+        if_not_exists = bool(m.group(1))
+        name, body, part_tail, with_tail = m.group(2), m.group(3), m.group(4), m.group(5) or ""
+        if if_not_exists and self.catalog.has_table(name):
+            return StatementResult("OK", f"{name} already exists, skipped")
         options = _parse_with_options(with_tail)
         if part_tail:
             options["partition-by"] = [c.strip() for c in part_tail.split(",")]
@@ -873,7 +915,10 @@ class Engine:
         # exist on the raw stream DataFrame — strip it from every
         # expression, aggregates included, before building F.expr
         dequalify = re.compile(rf"\b{re.escape(src_name)}\.", re.I)
-        items = [dequalify.sub("", it) for it in _split_top_level(shape.group(1))]
+        items = [
+            _sub_outside_literals(dequalify, "", it)
+            for it in _split_top_level(shape.group(1))
+        ]
         group_keys = [
             g.split(".")[-1]
             for g in _split_top_level(shape.group(2) or "")

@@ -828,3 +828,107 @@ def test_streaming_tvf_alias_qualified_aggregates(engine, spark):
     )
     assert df is not None and df.isStreaming
     assert df.columns == ["window_start", "total"]
+
+
+def test_alter_modify_widens_column_over_old_files(engine, spark):
+    """Flink's `ALTER TABLE t MODIFY (col TYPE)` evolution spelling
+    (reference evolution surface, assets/output5.png schema-0→schema-1):
+    old file groups written as INT must read back through the widened
+    BIGINT schema, and post-widening writes may exceed INT range."""
+    engine.sql("CREATE TABLE w1 (k BIGINT, v INT)")
+    engine.sql("INSERT INTO w1 SELECT CAST(id AS BIGINT) AS k, CAST(id AS INT) AS v FROM range(5)")
+    engine.sql("ALTER TABLE w1 MODIFY (v BIGINT)")
+    # old files (written int32) read through the wide schema
+    rows = sorted((r.k, r.v) for r in engine.sql("SELECT * FROM w1").collect())
+    assert rows == [(i, i) for i in range(5)]
+    assert dict(engine.sql("SELECT * FROM w1").dtypes)["v"] == "bigint"
+    # new writes accept values beyond int32
+    engine.sql(
+        "INSERT INTO w1 SELECT CAST(100 AS BIGINT) AS k, CAST(4000000000 AS BIGINT) AS v"
+    )
+    got = {r.k: r.v for r in engine.sql("SELECT * FROM w1").collect()}
+    assert got[100] == 4_000_000_000
+    # SHOW CREATE round-trips the widened type
+    ddl = engine.sql("SHOW CREATE TABLE w1").collect()[0].ddl
+    assert "v BIGINT" in ddl
+
+
+def test_alter_modify_widen_on_pk_merge_on_read(engine, spark):
+    """Widening a VALUE column of a PK table: pre-widening file groups
+    flow through the merge-on-read path (write-time dtype read + cast)
+    and post-widening upserts overwrite them correctly."""
+    engine.sql("CREATE TABLE w2 (k BIGINT, v INT, PRIMARY KEY (k) NOT ENFORCED)")
+    engine.sql("INSERT INTO w2 SELECT CAST(id AS BIGINT) AS k, CAST(id * 10 AS INT) AS v FROM range(4)")
+    engine.sql("ALTER TABLE w2 MODIFY (v BIGINT)")
+    engine.sql(
+        "INSERT INTO w2 SELECT CAST(1 AS BIGINT) AS k, CAST(5000000000 AS BIGINT) AS v"
+    )
+    got = {r.k: r.v for r in engine.sql("SELECT * FROM w2").collect()}
+    assert got == {0: 0, 1: 5_000_000_000, 2: 20, 3: 30}
+
+
+def test_alter_modify_rejects_lossy_and_key_columns(engine, spark):
+    engine.sql("CREATE TABLE w3 (k BIGINT, v BIGINT, f FLOAT, PRIMARY KEY (k) NOT ENFORCED)")
+    with pytest.raises(ValueError, match="key/partition"):
+        engine.sql("ALTER TABLE w3 MODIFY (k INT)")
+    with pytest.raises(ValueError, match="widening"):
+        engine.sql("ALTER TABLE w3 MODIFY (v INT)")
+    engine.sql("ALTER TABLE w3 MODIFY (f DOUBLE)")  # FLOAT→DOUBLE is lossless
+    assert dict(engine.sql("SELECT * FROM w3").dtypes)["f"] == "double"
+
+
+def test_create_table_if_not_exists_is_idempotent(engine, spark):
+    engine.sql("CREATE TABLE ine (k BIGINT, v BIGINT)")
+    engine.sql("INSERT INTO ine SELECT CAST(1 AS BIGINT) AS k, CAST(2 AS BIGINT) AS v")
+    # plain form: second CREATE IF NOT EXISTS is a no-op, data untouched
+    r = engine.sql("CREATE TABLE IF NOT EXISTS ine (k BIGINT)")
+    assert isinstance(r, StatementResult)
+    assert [(x.k, x.v) for x in engine.sql("SELECT * FROM ine").collect()] == [(1, 2)]
+    # CTAS form: must NOT run the seed SELECT or clobber existing rows
+    engine.sql("CREATE TABLE IF NOT EXISTS ine AS SELECT CAST(id AS BIGINT) AS k FROM range(3)")
+    assert [(x.k, x.v) for x in engine.sql("SELECT * FROM ine").collect()] == [(1, 2)]
+    with pytest.raises(ValueError, match="already exists"):
+        engine.sql("CREATE TABLE ine (k BIGINT)")
+
+
+def test_merge_null_duplicate_source_keys_clean_error(engine, spark):
+    """A NULL duplicate key must still surface the clean ValueError (the
+    raise_error message would otherwise be NULLed by the concat), and a
+    non-null duplicate reports the offending key value."""
+    engine.sql("CREATE TABLE t5 (k BIGINT, v BIGINT, PRIMARY KEY (k) NOT ENFORCED)")
+    engine.sql("INSERT INTO t5 SELECT CAST(1 AS BIGINT) AS k, CAST(0 AS BIGINT) AS v")
+    spark.sql(
+        "SELECT CAST(NULL AS BIGINT) AS k, CAST(10 AS BIGINT) AS v "
+        "UNION ALL SELECT CAST(NULL AS BIGINT), CAST(20 AS BIGINT)"
+    ).createOrReplaceTempView("nsrc")
+    engine.register_source("nsrc", spark.table("nsrc"))
+    with pytest.raises(ValueError, match="multiple rows"):
+        engine.sql(
+            "MERGE INTO t5 AS a USING nsrc AS b ON a.k = b.k "
+            "WHEN MATCHED THEN UPDATE SET v = b.v"
+        )
+    spark.sql(
+        "SELECT CAST(7 AS BIGINT) AS k, CAST(10 AS BIGINT) AS v "
+        "UNION ALL SELECT CAST(7 AS BIGINT), CAST(20 AS BIGINT)"
+    ).createOrReplaceTempView("dsrc7")
+    engine.register_source("dsrc7", spark.table("dsrc7"))
+    with pytest.raises(ValueError, match=r"= 7"):
+        engine.sql(
+            "MERGE INTO t5 AS a USING dsrc7 AS b ON a.k = b.k "
+            "WHEN MATCHED THEN UPDATE SET v = b.v"
+        )
+
+
+def test_streaming_tvf_dequalify_skips_string_literals(engine, spark):
+    """A string literal containing '<src>.' (e.g. 'als2.reading') must
+    survive the alias-dequalify rewrite verbatim."""
+    engine.register_source(
+        "als2", measurements_stream(spark, rows_per_second=10, trigger_seconds=1)
+    )
+    df = engine._streaming_windowed_select(
+        "SELECT window_start, CONCAT('als2.reading=', CAST(SUM(als2.reading) AS STRING)) AS labeled "
+        "FROM TABLE(TUMBLE(TABLE als2, DESCRIPTOR(event_time), INTERVAL '5' SECOND)) "
+        "GROUP BY window_start"
+    )
+    assert df is not None and df.isStreaming
+    assert df.columns == ["window_start", "labeled"]
