@@ -23,6 +23,6 @@ execution is stock Catalyst/Tungsten (SURVEY.md §4).
 """
 
 from advent_of_code_flink_paimon_spark.lakehouse.catalog import Catalog
-from advent_of_code_flink_paimon_spark.lakehouse.table import Table
+from advent_of_code_flink_paimon_spark.lakehouse.table import CommitConflictError, Table
 
-__all__ = ["Catalog", "Table"]
+__all__ = ["Catalog", "CommitConflictError", "Table"]

@@ -38,6 +38,28 @@ def atomic_write_json(path: str, doc: dict) -> None:
             os.unlink(tmp)
 
 
+def exclusive_write_json(path: str, doc: dict) -> bool:
+    """Create-if-absent commit arbiter: write a temp file, then
+    hard-link it to ``path``. ``link(2)`` fails with EEXIST when the
+    target already exists, so exactly ONE of two racing committers
+    observes success — the POSIX equivalent of an object store's
+    conditional PUT-if-absent (which is what this maps to on S3/GCS).
+    Returns False when another committer won the race."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(doc, f, separators=(",", ":"))
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            return False
+        return True
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
 def read_json(path: str) -> dict:
     with open(path) as f:
         return json.load(f)

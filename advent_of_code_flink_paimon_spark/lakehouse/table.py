@@ -32,6 +32,7 @@ from pyspark.sql.types import StructField, StructType
 from advent_of_code_flink_paimon_spark.lakehouse.meta import (
     TablePaths,
     atomic_write_json,
+    exclusive_write_json,
     new_file_name,
     now_millis,
     read_json,
@@ -39,6 +40,20 @@ from advent_of_code_flink_paimon_spark.lakehouse.meta import (
 
 META_COLS = ("__seq", "__op")
 COMPACT_LEVEL = 5  # files produced by full compaction (L0 = fresh writes)
+
+# sentinel: caller did not capture a base snapshot (self-conflict only)
+_UNSET = object()
+
+
+class CommitConflictError(RuntimeError):
+    """Another committer published a snapshot between this writer's read
+    of LATEST and its publish attempt, and the commit cannot be safely
+    rebased: PK upserts baked a sequence number into their data files,
+    and OVERWRITE/COMPACT/row-level rewrites replace files computed from
+    table state the concurrent commit may have changed. Paimon's
+    optimistic commit protocol makes the same split — retry clean
+    appends, abort dirty writers (the caller re-runs against the new
+    snapshot)."""
 
 
 class Table:
@@ -333,21 +348,72 @@ class Table:
         replaced: set[str] | None = None,
         commit_identifier: int | None = None,
         sequence_number: int | None = None,
+        expected_latest: int | None | object = _UNSET,
     ) -> int:
-        """Single-committer snapshot publish (the 'Global Committer')."""
-        latest = self.latest_snapshot_id()
-        base = [] if latest is None else self.manifest(latest)
-        if replaced:
-            base = [e for e in base if e["file_path"] not in replaced]
-        files = base + new_entries
-        sid = (latest or 0) + 1
-        seq = sequence_number if sequence_number is not None else sid
+        """Optimistic snapshot publish (the 'Global Committer').
+
+        Concurrency: the per-snapshot manifest is created with a
+        create-if-absent primitive (``exclusive_write_json``), so two
+        committers racing on the same base snapshot get exactly ONE
+        winner — no silent lost update. ``expected_latest`` is the
+        LATEST the caller observed before staging; drift between it and
+        the pointer at publish time is a conflict. The loser REBASES
+        when that is provably safe — a plain APPEND's file set is
+        disjoint from every concurrent commit, so its manifest entries
+        graft onto the new base unchanged — and raises
+        :class:`CommitConflictError` otherwise (PK upserts bake ``__seq``
+        into data files; OVERWRITE/COMPACT replace files computed from
+        possibly-stale state). Mirrors Paimon's optimistic conflict
+        resolution: retry clean appends, abort dirty writers."""
+        rebasable = (
+            kind == "APPEND"
+            and not replaced
+            and sequence_number is None
+            and not self.primary_key
+        )
+        # entries this call owns the stamping of (a rebase must restamp
+        # them with the new attempt's sequence; entries arriving with
+        # their own min_sequence_number keep it forever)
+        unstamped = [e for e in new_entries if "min_sequence_number" not in e]
         for e in new_entries:
-            e.setdefault("min_sequence_number", seq)
             # files are forever read with the schema they were written
             # under (rename/drop evolution maps names at read time)
             e.setdefault("schema_id", self.schema_version)
-        atomic_write_json(self.paths.manifest_path(sid), {"files": files})
+        def _abort(msg: str):
+            # the loser's staged data files were never published; drop
+            # them so the conflict leaves no orphans to GC
+            for e in new_entries:
+                p = os.path.join(self.paths.root, e["file_path"])
+                if os.path.exists(p):
+                    os.unlink(p)
+            raise CommitConflictError(f"{self.name}: {msg}")
+
+        for _attempt in range(16):
+            latest = self.latest_snapshot_id()
+            if (
+                expected_latest is not _UNSET
+                and latest != expected_latest
+                and not rebasable
+            ):
+                _abort(
+                    f"{kind} built against snapshot {expected_latest} "
+                    f"but LATEST is now {latest}"
+                )
+            base = [] if latest is None else self.manifest(latest)
+            if replaced:
+                base = [e for e in base if e["file_path"] not in replaced]
+            files = base + new_entries
+            sid = (latest or 0) + 1
+            seq = sequence_number if sequence_number is not None else sid
+            for e in unstamped:
+                e["min_sequence_number"] = seq
+            if exclusive_write_json(self.paths.manifest_path(sid), {"files": files}):
+                break  # this committer owns snapshot `sid`
+            if not rebasable:
+                _abort(f"lost the snapshot-{sid} publish race ({kind} cannot be rebased)")
+            # lost the create race: loop rebases onto the winner's base
+        else:
+            _abort("APPEND gave up after 16 rebase attempts")
         atomic_write_json(
             self.paths.snapshot_path(sid),
             {
@@ -365,7 +431,13 @@ class Table:
         os.makedirs(self.paths.snapshot_dir(), exist_ok=True)
         if self.paths.read_pointer("EARLIEST") is None:
             self.paths.write_pointer("EARLIEST", sid)
-        self.paths.write_pointer("LATEST", sid)
+        # forward-only pointer advance: a rebased loser publishing sid+1
+        # must never be clobbered back to sid by the slower winner's
+        # pointer write (on an object store this is the CAS the
+        # conditional-PUT of the pointer key provides)
+        cur = self.paths.read_pointer("LATEST")
+        if cur is None or cur < sid:
+            self.paths.write_pointer("LATEST", sid)
         if kind == "APPEND":
             # append-log mirror for streaming file readers: hard-link each
             # newly APPENDED data file into stream/. COMPACT/OVERWRITE
@@ -391,8 +463,11 @@ class Table:
             return None  # replayed micro-batch → no-op (exactly-once)
         if self.primary_key:
             return self.upsert(df, commit_identifier=commit_identifier)
+        expected = self.latest_snapshot_id()
         _, entries = self._stage_write(df.select(*[f.name for f in self.schema.fields]))
-        return self._commit(entries, "APPEND", commit_identifier=commit_identifier)
+        return self._commit(
+            entries, "APPEND", commit_identifier=commit_identifier, expected_latest=expected
+        )
 
     def overwrite(self, df: DataFrame, commit_identifier: int | None = None) -> int | None:
         """Replace the whole table image in one OVERWRITE commit (used
@@ -402,19 +477,23 @@ class Table:
         NULLs and drops every row."""
         if commit_identifier is not None and commit_identifier in self._committed_identifiers():
             return None
-        old = {e["file_path"] for e in self.manifest()} if self.latest_snapshot_id() else set()
+        expected = self.latest_snapshot_id()
+        old = {e["file_path"] for e in self.manifest()} if expected else set()
         out = df.select(*[f.name for f in self.schema.fields])
         if self.primary_key:
-            latest = self.latest_snapshot_id()
-            seq = (self.snapshot(latest)["sequence_number"] + 1) if latest else 1
+            seq = (self.snapshot(expected)["sequence_number"] + 1) if expected else 1
             out = out.withColumn("__op", F.lit("U")).withColumn("__seq", F.lit(seq).cast("long"))
             _, entries = self._stage_write(out)
             return self._commit(
                 entries, "OVERWRITE", replaced=old,
                 commit_identifier=commit_identifier, sequence_number=seq,
+                expected_latest=expected,
             )
         _, entries = self._stage_write(out)
-        return self._commit(entries, "OVERWRITE", replaced=old, commit_identifier=commit_identifier)
+        return self._commit(
+            entries, "OVERWRITE", replaced=old,
+            commit_identifier=commit_identifier, expected_latest=expected,
+        )
 
     def upsert(self, df: DataFrame, commit_identifier: int | None = None) -> int | None:
         """PK commit: in-batch last-write-wins dedup, then append files
@@ -448,13 +527,32 @@ class Table:
         )
         batch = deduped.select(*cols, "__op").withColumn("__seq", F.lit(seq).cast("long"))
 
+        pending_changelog = None
         if self.options.get("changelog-producer") == "input":
-            self._write_changelog(batch, seq)
+            # stage pre-commit (the pre-image must reflect the table
+            # BEFORE this batch), publish only after the commit wins
+            pending_changelog = os.path.join(
+                self.paths.root, "changelog", f".staging-{now_millis()}-{os.getpid()}"
+            )
+            self._write_changelog(batch, seq, target_dir=pending_changelog)
 
         _, entries = self._stage_write(batch)
-        return self._commit(
-            entries, "APPEND", commit_identifier=commit_identifier, sequence_number=seq
-        )
+        try:
+            sid = self._commit(
+                entries, "APPEND", commit_identifier=commit_identifier,
+                sequence_number=seq, expected_latest=latest,
+            )
+        except CommitConflictError:
+            # the changelog rows for this never-published seq must not
+            # survive (_commit already dropped the staged data files)
+            if pending_changelog:
+                shutil.rmtree(pending_changelog, ignore_errors=True)
+            raise
+        if pending_changelog:
+            final = self.paths.changelog_dir(seq)
+            shutil.rmtree(final, ignore_errors=True)
+            os.rename(pending_changelog, final)
+        return sid
 
     def _pre_image_for(self, batch: DataFrame):
         """Merged pre-image restricted to rows that can share a key with
@@ -491,13 +589,17 @@ class Table:
             .select(*cols)
         )
 
-    def _write_changelog(self, batch: DataFrame, seq: int) -> None:
+    def _write_changelog(self, batch: DataFrame, seq: int, target_dir: str | None = None) -> None:
         """Emit +I/-U/+U/-D rows for this commit by joining the batch
         against the (bucket-pruned, key-restricted) pre-image of the
-        affected keys (executor-side)."""
+        affected keys (executor-side). ``target_dir`` lets the caller
+        stage the rows outside the published changelog layout until its
+        commit wins (two racing upserts share a sequence number, so
+        writing the final dir pre-commit would let the loser's rows —
+        or its conflict cleanup — clobber the winner's)."""
         pk = self.primary_key
         cols = [f.name for f in self.schema.fields]
-        sid_dir = self.paths.changelog_dir(seq)
+        sid_dir = target_dir or self.paths.changelog_dir(seq)
         pre = self._pre_image_for(batch)
         if pre is None:
             changelog = batch.withColumn(
@@ -714,7 +816,7 @@ class Table:
             _, entries = self._stage_write(self._raw(spark))
         for e in entries:
             e["level"] = COMPACT_LEVEL
-        return self._commit(entries, "COMPACT", replaced=old)
+        return self._commit(entries, "COMPACT", replaced=old, expected_latest=latest)
 
     # ------------------------------------------------------------------
     # row-level DML (DELETE / UPDATE)
@@ -734,6 +836,7 @@ class Table:
             if victims.isEmpty():
                 return None
             return self.upsert(victims.withColumn("__op", F.lit("D")))
+        expected = self.latest_snapshot_id()
         affected_entries = prune_entries(self.manifest(), predicate)
         if not affected_entries:
             return None
@@ -743,7 +846,9 @@ class Table:
         # loss (the rewritten files get stamped schema_id=current)
         survivors = self._read_entries(spark, affected_entries).filter(f"NOT ({predicate})")
         _, entries = self._stage_write(survivors)
-        return self._commit(entries, "OVERWRITE", replaced=affected)
+        return self._commit(
+            entries, "OVERWRITE", replaced=affected, expected_latest=expected
+        )
 
     def update_where(self, spark: SparkSession, set_exprs: dict, predicate: str) -> int | None:
         """Row-level UPDATE (SET col = sql_expr WHERE predicate).
@@ -777,13 +882,16 @@ class Table:
                 # schema-pinned read rejects
                 updated = updated.withColumn(col, F.expr(expr).cast(fields[col].dataType))
             return self.upsert(updated)
+        expected = self.latest_snapshot_id()
         affected_entries = prune_entries(self.manifest(), predicate)
         if not affected_entries:
             return None
         affected = {e["file_path"] for e in affected_entries}
         rewritten = apply_set(self._read_entries(spark, affected_entries))
         _, entries = self._stage_write(rewritten)
-        return self._commit(entries, "OVERWRITE", replaced=affected)
+        return self._commit(
+            entries, "OVERWRITE", replaced=affected, expected_latest=expected
+        )
 
     def compact_minor(self) -> int | None:
         """Minor (L0) compaction: merge only the level-0 files of each
@@ -811,9 +919,12 @@ class Table:
             # values (they are in the data), commit sequence stays monotone
             seq = self.snapshot(latest)["sequence_number"]
             return self._commit(
-                entries, "COMPACT", replaced={e["file_path"] for e in l0}, sequence_number=seq
+                entries, "COMPACT", replaced={e["file_path"] for e in l0},
+                sequence_number=seq, expected_latest=latest,
             )
-        return self._commit(entries, "COMPACT", replaced={e["file_path"] for e in l0})
+        return self._commit(
+            entries, "COMPACT", replaced={e["file_path"] for e in l0}, expected_latest=latest
+        )
 
     def _maybe_auto_compact(self) -> None:
         """Honor 'full-compaction.delta-commits' (full rewrite every N

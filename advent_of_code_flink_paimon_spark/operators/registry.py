@@ -74,9 +74,13 @@ def fan_out(df: DataFrame, heavy: bool = False) -> DataFrame:
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table (TESTDATA.md layout).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-    default; read it as a long and truncate ns → µs with exact integer
-    division (matches DuckDB's µs-precision read of the same file).
+    ``events.ts`` is parquet TIMESTAMP(NANOS). pyspark ≤ 4.0 rejects
+    that type unless the legacy conf maps it to a long (then ns → µs by
+    exact integer division); pyspark ≥ 4.1 reads it natively as a
+    µs-truncated TIMESTAMP_NTZ and ignores the conf. Both paths land on
+    the same TIMESTAMP (LTZ) µs values DuckDB produces for the same
+    file (the session timezone is pinned to UTC in session.py, so the
+    NTZ→LTZ cast is the identity on the epoch value).
     """
     import pyspark.sql.functions as F
 
@@ -84,5 +88,8 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        ts_type = df.schema["ts"].dataType.simpleString()
+        if ts_type == "bigint":
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(path)

@@ -695,3 +695,99 @@ def test_rollback_unlinks_stream_mirror_of_rolled_back_appends(spark, catalog):
     before = set(os.listdir(sdir))
     t.rollback_to(3)  # drop only the (5, 'e') append
     assert len(before - set(os.listdir(sdir))) == 1
+
+
+# ----------------------------------------------------------------------
+# Concurrent-writer commit conflicts (VERDICT r3 ask #4): with multiple
+# continuous pipelines writing one table at 100 TB, a lost-update must
+# be impossible — clean appends rebase, dirty writers abort loudly.
+# ----------------------------------------------------------------------
+def _interleave(table, other_commit):
+    """Make `other_commit` run inside `table`'s next write, between its
+    read of LATEST and its _commit — a real two-writer race, forced
+    deterministically."""
+    orig = table._stage_write
+
+    def hooked(df):
+        staged = orig(df)
+        table._stage_write = orig  # fire once
+        other_commit()
+        return staged
+
+    table._stage_write = hooked
+
+
+def test_concurrent_appends_rebase_and_both_survive(spark, catalog):
+    """Two racing APPENDs have disjoint file sets: the loser of the
+    snapshot-publish race rebases onto the winner's base instead of
+    clobbering it, and both commits' rows survive."""
+    a = catalog.create_table("cc_app", "k long, v string", {})
+    b = catalog.get_table("cc_app")
+    _interleave(a, lambda: b.append(spark.createDataFrame([(2, "b")], "k long, v string")))
+    a.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    assert a.latest_snapshot_id() == 2
+    assert {r["k"] for r in a.read(spark).collect()} == {1, 2}
+    # snapshot 2 (the rebased winner-after-retry) contains BOTH file sets
+    assert len(a.manifest(2)) == 2
+
+
+def test_concurrent_upsert_loser_raises_not_clobbers(spark, catalog):
+    """PK upserts bake __seq into their files; the loser must raise
+    CommitConflictError (Paimon aborts the dirty writer) and leave the
+    winner's image intact — no silent lost update, no orphan files or
+    changelog rows from the aborted commit."""
+    from advent_of_code_flink_paimon_spark.lakehouse import CommitConflictError
+
+    a = catalog.create_table(
+        "cc_pk", "k long, v string",
+        {"primary-key": "k", "changelog-producer": "input"},
+    )
+    b = catalog.get_table("cc_pk")
+    _interleave(a, lambda: b.upsert(spark.createDataFrame([(1, "winner")], "k long, v string")))
+    with pytest.raises(CommitConflictError):
+        a.upsert(spark.createDataFrame([(1, "loser")], "k long, v string"))
+    assert a.latest_snapshot_id() == 1
+    rows = {(r["k"], r["v"]) for r in a.read(spark).collect()}
+    assert rows == {(1, "winner")}
+    # aborted commit left no data files beyond the winner's manifest
+    live = {os.path.basename(e["file_path"]) for e in a.manifest(1)}
+    on_disk = {
+        os.path.basename(p)
+        for p in __import__("glob").glob(os.path.join(a.paths.root, "bucket-*", "*.parquet"))
+    }
+    assert on_disk == live
+    # and no changelog rows for the never-published sequence
+    assert a.read_changelog(spark).count() == 1  # the winner's +I only
+
+
+def test_concurrent_overwrite_and_compact_losers_raise(spark, catalog):
+    from advent_of_code_flink_paimon_spark.lakehouse import CommitConflictError
+
+    a = catalog.create_table("cc_ow", "k long, v string", {})
+    a.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    b = catalog.get_table("cc_ow")
+    # OVERWRITE loser: replaced-set computed against a stale manifest
+    _interleave(a, lambda: b.append(spark.createDataFrame([(2, "b")], "k long, v string")))
+    with pytest.raises(CommitConflictError):
+        a.overwrite(spark.createDataFrame([(9, "z")], "k long, v string"))
+    assert {r["k"] for r in a.read(spark).collect()} == {1, 2}
+    # COMPACT loser: file set to replace changed under it
+    _interleave(a, lambda: b.append(spark.createDataFrame([(3, "c")], "k long, v string")))
+    with pytest.raises(CommitConflictError):
+        a.compact()
+    assert {r["k"] for r in a.read(spark).collect()} == {1, 2, 3}
+    # after the conflicts, a clean retry of each succeeds
+    assert a.compact() is not None
+    assert a.read(spark).count() == 3
+
+
+def test_exactly_once_survives_append_rebase(spark, catalog):
+    """commit_identifier dedup must still hold when the identified
+    commit was published via the rebase path."""
+    a = catalog.create_table("cc_eo", "k long, v string", {})
+    b = catalog.get_table("cc_eo")
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    _interleave(a, lambda: b.append(spark.createDataFrame([(2, "b")], "k long, v string")))
+    assert a.append(df, commit_identifier=42) == 2  # rebased onto b's snapshot 1
+    assert a.append(df, commit_identifier=42) is None  # replay → no-op
+    assert a.read(spark).count() == 2
