@@ -331,8 +331,18 @@ def x11_embedding_topk_lsh(spark, sf_dir):
 
     Scale shape: candidate generation is a band-key equi-join (shuffle
     keys are band buckets, never all-pairs); the exact re-rank touches
-    candidates only.
+    candidates only. A HOT band key (clustered embeddings collapsing
+    one bucket) cannot melt a single task: the corpus side is salted
+    across 8 subkeys and the (bounded, query-side) band rows are
+    replicated to meet them — identical join result, skew spread
+    across tasks. Unlike the dedup self-join there is no quadratic
+    pair blowup to cap here (cost per key is |corpus bucket| × |query
+    bucket|, and queries are bounded), so salting — which loses NO
+    recall — is the right guard; shrinking dense buckets structurally
+    is LSH_BAND_BITS' job (see the constant's comment).
     """
+    from advent_of_code_flink_paimon_spark.operators.skew import salted_join
+
     e = T(spark, sf_dir, "embeddings")
     v = fan_out(e, heavy=True).select("vec_id", F.col("embedding").cast("array<double>").alias("cv"))
     banded = v.select("vec_id", "cv", F.explode(_band_keys("cv")).alias("key"))
@@ -340,7 +350,7 @@ def x11_embedding_topk_lsh(spark, sf_dir):
         F.col("vec_id").alias("query_id"), F.col("cv").alias("qv"), "key"
     )
     cands = (
-        banded.join(qb, "key")
+        salted_join(banded, qb, "key")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "qv", "vec_id", "cv")
         .dropDuplicates(["query_id", "vec_id"])

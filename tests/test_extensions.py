@@ -252,3 +252,29 @@ def test_q16_approx_distinct_within_error_bound(spark):
     ).collect()[0]
     assert abs(got.approx_orders - exact.o) <= 0.05 * exact.o, (got, exact)
     assert abs(got.approx_parts - exact.p) <= 0.05 * exact.p, (got, exact)
+
+
+def test_lsh_band_cap_bounds_hot_band_candidates(spark):
+    """A degenerate band key (boilerplate corpus: one band matching
+    every doc) must not explode quadratically inside one join task —
+    bands above the cap are dropped before the self-join, while small
+    genuine clusters keep producing their pairs (VERDICT r3 ask #5)."""
+    from advent_of_code_flink_paimon_spark.operators.dedup import lsh_candidate_pairs
+
+    hot = [(i, [7] * 32) for i in range(200)]  # identical sigs → every band hot
+    cluster = [(1000 + i, list(range(32))) for i in range(5)]  # small true cluster
+    sigs = spark.createDataFrame(hot + cluster, "doc_id long, sig array<bigint>")
+
+    capped = lsh_candidate_pairs(sigs, band_cap=50)
+    got = capped.collect()
+    # the hot group's 19,900 within-band pairs are gone; the small
+    # cluster's C(5,2)=10 survive untouched
+    assert all(r.i >= 1000 and r.j >= 1000 for r in got)
+    assert len(got) == 10
+    # the cap's member-count filter sits in the plan (below the join)
+    plan = capped._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("extended")
+    )
+    assert "__bsz" in plan
+    # sanity: uncapped, the hot band really is quadratic
+    assert lsh_candidate_pairs(sigs, band_cap=None).count() == 19900 + 10
