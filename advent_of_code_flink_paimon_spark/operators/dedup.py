@@ -350,17 +350,31 @@ def x07_dup_clusters(spark, sf_dir):
     )
 
 
-def connected_components(pairs: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
+def connected_components(
+    pairs: DataFrame,
+    checkpoint_dir: str | None = None,
+    algorithm: str = "min-label",
+) -> DataFrame:
     """(node, label) for every endpoint of ``pairs`` (i, j), where label
-    is the min node id in the connected component — iterative min-label
+    is the min node id in the connected component.
+
+    ``algorithm='min-label'`` (default): iterative min-label
     propagation. Each round is one distributed join + min-aggregate over
     the edge list; the driver evaluates only the scalar convergence
     count. Pull-based min propagation converges in O(diameter) rounds
     (a label travels one hop per round); near-dup components are
-    shallow mutually-similar clusters, so 2-3 rounds in practice. For
-    genuinely deep graphs, large-star/small-star pointer doubling
-    (Kiveris et al., SoCC'14) would cut this to O(log diameter) — not
-    worth the extra shuffles at this graph shape.
+    shallow mutually-similar clusters, so 2-3 rounds in practice and
+    the fewest shuffles per round.
+
+    ``algorithm='pointer-doubling'``: large-star/small-star alternation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — every round rewires nodes directly to their
+    neighborhood minimum, so label distance halves per alternation and
+    rounds are O(log diameter) instead of O(diameter). Two shuffles per
+    round vs one, so it wins only on genuinely DEEP graphs (long
+    chains: web link paths, citation chains), not on shallow near-dup
+    clusters. The round count of the last call is exposed as
+    ``connected_components.last_rounds`` (property-tested ≲ log₂ d).
 
     ``checkpoint_dir``: per-round lineage truncation uses executor-local
     ``localCheckpoint`` by default — fine on local[n], but NOT
@@ -376,6 +390,11 @@ def connected_components(pairs: DataFrame, checkpoint_dir: str | None = None) ->
         if checkpoint_dir is not None:
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
+
+    if algorithm == "pointer-doubling":
+        return _cc_star(pairs, truncate)
+    if algorithm != "min-label":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
 
     edges = pairs.select(F.col("i"), F.col("j"))
     edges = edges.unionByName(
@@ -416,6 +435,76 @@ def connected_components(pairs: DataFrame, checkpoint_dir: str | None = None) ->
         prev_sum = cur_sum
     edges.unpersist()
     return labels
+
+
+def _star_round(edges: DataFrame, small: bool) -> DataFrame:
+    """One star operation over a both-directions edge set (u, v).
+
+    For each node u with neighborhood Γ(u), let m = min(Γ(u) ∪ {u}).
+    Large-star rewires every LARGER neighbor straight to m (the
+    doubling step: a chain node's grandchildren skip to its minimum);
+    small-star rewires the smaller neighbors and u itself to m
+    (canonicalizes the partial stars). Alternating the two is the
+    Kiveris et al. scheme; the fixed point is a star forest rooted at
+    each component's min."""
+    mins = (
+        edges.groupBy("u")
+        .agg(F.min("v").alias("m"))
+        .select("u", F.least("u", "m").alias("m"))
+    )
+    joined = edges.join(mins, "u")
+    if small:
+        out = joined.filter(F.col("v") < F.col("u")).select("v", "m").unionByName(
+            mins.select(F.col("u").alias("v"), "m")
+        )
+    else:
+        out = joined.filter(F.col("v") > F.col("u")).select("v", "m")
+    out = out.filter(F.col("v") != F.col("m")).distinct()
+    return out.select(F.col("v").alias("u"), F.col("m").alias("v")).unionByName(
+        out.select(F.col("m").alias("u"), F.col("v").alias("v"))
+    )
+
+
+def _cc_star(pairs: DataFrame, truncate) -> DataFrame:
+    """Pointer-doubling connected components (see connected_components).
+
+    Convergence: the edge set is a fixed point of the alternation. The
+    per-round check is (count, Σ xxhash64(u,v)) equality — one scalar
+    aggregate per round like the min-label path's Σ(label), with a
+    ~2⁻⁶⁴ per-round collision probability (vs materializing a full
+    set-difference join every round)."""
+    edges = pairs.select("i", "j").filter(F.col("i") != F.col("j"))
+    edges = truncate(
+        edges.select(F.col("i").alias("u"), F.col("j").alias("v"))
+        .unionByName(edges.select(F.col("j").alias("u"), F.col("i").alias("v")))
+        .distinct()
+    )
+    prev_sig, rounds = None, 0
+    while True:
+        edges = truncate(_star_round(edges, small=False))
+        edges = truncate(_star_round(edges, small=True))
+        rounds += 1
+        # decimal accumulator: ANSI mode faults a long Σ of 2⁶⁴-spread
+        # hashes on overflow; decimal(38,0) is exact at any edge count
+        sig = tuple(
+            edges.agg(
+                F.count(F.lit(1)),
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+            ).collect()[0]
+        )
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+        if rounds > 64:
+            raise RuntimeError("pointer-doubling CC failed to converge in 64 rounds")
+    connected_components.last_rounds = rounds
+    # star forest: every non-root points at its root; a root's
+    # neighbors are all larger, so least(u, min Γ) is the root itself
+    return (
+        edges.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select(F.col("u").alias("node"), F.least("u", "mn").alias("label"))
+    )
 
 
 # DuckDB twin of the simhash pipeline: md5's first 8 bytes parsed

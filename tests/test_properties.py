@@ -258,14 +258,15 @@ cc_strategy = st.lists(
 ).filter(lambda es: any(a != b for a, b in es))
 
 
+@pytest.mark.parametrize("algorithm", ["min-label", "pointer-doubling"])
 @settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
 @given(edges=cc_strategy)
-def test_connected_components_matches_union_find(spark, edges):
+def test_connected_components_matches_union_find(spark, algorithm, edges):
     from advent_of_code_flink_paimon_spark.operators.dedup import connected_components
 
     pairs = [(a, b) for a, b in edges if a != b]
     df = spark.createDataFrame(pairs, "i long, j long")
-    got = {r.node: r.label for r in connected_components(df).collect()}
+    got = {r.node: r.label for r in connected_components(df, algorithm=algorithm).collect()}
 
     parent: dict[int, int] = {}
 
@@ -302,6 +303,27 @@ def test_connected_components_reliable_checkpoint_mode(spark, tmp_path_factory):
     got = {r.node: r.label for r in connected_components(df, checkpoint_dir=ckpt).collect()}
     want = {i: 0 for i in range(13)} | {n: 100 for n in (100, 101, 102)}
     assert got == want
+
+
+def test_pointer_doubling_cc_is_logarithmic_on_deep_chain(spark):
+    """The pointer-doubling mode exists FOR deep graphs: on a
+    diameter-64 chain it must converge in O(log d) alternations (the
+    min-label path would need ~64 rounds), and still produce the
+    union-find answer."""
+    import math
+
+    from advent_of_code_flink_paimon_spark.operators.dedup import connected_components
+
+    d = 64
+    chain = [(i, i + 1) for i in range(d)]
+    df = spark.createDataFrame(chain, "i long, j long")
+    got = {r.node: r.label for r in connected_components(df, algorithm="pointer-doubling").collect()}
+    assert got == {i: 0 for i in range(d + 1)}
+    rounds = connected_components.last_rounds
+    # each alternation at least halves every node's distance to the
+    # component min (+1 fixed-point detection round, + slack for the
+    # two-phase interleave)
+    assert rounds <= math.ceil(math.log2(d)) + 3, rounds
 
 
 def test_scoring_order_covers_registry_exactly():
