@@ -7,7 +7,11 @@ assets/output2-5.png):
       bucket-<n>/data-<uuid>.parquet      data files, hash-bucketed
       changelog/<snapshot>/...parquet     _change_type rows (PK tables
                                           with changelog-producer=input)
-      manifest/manifest-<n>.json          full live-file manifest per snapshot
+      manifest/manifest-<n>.json          live-file manifest per snapshot:
+                                          full {"files": [...]} image, or an
+                                          O(commit) append delta
+                                          {"base_snapshot", "added", "removed"}
+                                          (Table.manifest() reconstructs)
       schema/schema-<n>.json              versioned schema + options
       snapshot/snapshot-<n>               commit metadata
       snapshot/EARLIEST, LATEST           pointer files

@@ -40,6 +40,7 @@ from advent_of_code_flink_paimon_spark.lakehouse.meta import (
 
 META_COLS = ("__seq", "__op")
 COMPACT_LEVEL = 5  # files produced by full compaction (L0 = fresh writes)
+FULL_MANIFEST_EVERY = 10  # delta-chain length bound (manifest() docstring)
 
 # sentinel: caller did not capture a base snapshot (self-conflict only)
 _UNSET = object()
@@ -131,10 +132,55 @@ class Table:
         ]
 
     def manifest(self, snapshot_id: int | None = None) -> list[dict]:
+        """Live-file entries at a snapshot.
+
+        Storage is INCREMENTAL (Paimon/Iceberg manifest-delta shape):
+        APPEND commits write ``{"base_snapshot": N, "added": [...],
+        "removed": [...]}`` — O(commit), not O(table) — while
+        OVERWRITE/COMPACT commits and every FULL_MANIFEST_EVERY-th
+        snapshot write the full ``{"files": [...]}`` image, bounding
+        every reconstruction to a short delta chain. At 100 TB (~10⁶
+        live files) a full manifest is ~100 MB of driver JSON per
+        commit; a streaming pipeline committing every 20 s would spend
+        more time serializing manifests than writing data without
+        this."""
         sid = self.latest_snapshot_id() if snapshot_id is None else snapshot_id
         if sid is None:
             return []
-        return read_json(self.paths.manifest_path(sid))["files"]
+        return self._entries_at(sid)
+
+    def _entries_at(self, sid: int) -> list[dict]:
+        cache = getattr(self, "_manifest_cache", None)
+        if cache is None:
+            cache = self._manifest_cache = {}
+        if sid in cache:
+            return list(cache[sid])
+        doc = read_json(self.paths.manifest_path(sid))
+        if "files" in doc:
+            entries = list(doc["files"])
+        else:
+            base = doc["base_snapshot"]
+            entries = self._entries_at(base) if base is not None else []
+            removed = set(doc.get("removed", ()))
+            if removed:
+                entries = [e for e in entries if e["file_path"] not in removed]
+            entries += list(doc["added"])
+        while len(cache) >= 16:  # bound driver memory on long histories
+            cache.pop(next(iter(cache)))
+        cache[sid] = entries
+        return list(entries)
+
+    def _manifest_chain(self, sid: int) -> set[int]:
+        """Snapshot ids this manifest's delta chain depends on."""
+        out: set[int] = set()
+        doc = read_json(self.paths.manifest_path(sid))
+        while "files" not in doc:
+            base = doc["base_snapshot"]
+            if base is None:
+                break
+            out.add(base)
+            doc = read_json(self.paths.manifest_path(base))
+        return out
 
     # ------------------------------------------------------------------
     # tags (Paimon tag surface: named immutable references to snapshots;
@@ -223,16 +269,25 @@ class Table:
             sp = os.path.join(sdir, os.path.basename(fp))
             if os.path.exists(sp):
                 os.unlink(sp)
-        for sid in range(target + 1, latest + 1):
-            if not os.path.exists(self.paths.snapshot_path(sid)):
-                continue
-            for e in self.manifest(sid):
+        # materialize every doomed snapshot's file list BEFORE deleting
+        # any manifest: a delta manifest reconstructs through a base
+        # that may be earlier in the deletion order
+        doomed_entries = {
+            sid: self.manifest(sid)
+            for sid in range(target + 1, latest + 1)
+            if os.path.exists(self.paths.snapshot_path(sid))
+        }
+        for sid, entries in doomed_entries.items():
+            for e in entries:
                 if e["file_path"] not in referenced:
                     p = os.path.join(self.paths.root, e["file_path"])
                     if os.path.exists(p):
                         os.unlink(p)
             os.unlink(self.paths.manifest_path(sid))
             os.unlink(self.paths.snapshot_path(sid))
+        # rolled-back snapshot ids WILL be re-issued by later commits —
+        # cached reconstructions for them must not survive
+        getattr(self, "_manifest_cache", {}).clear()
         # tags pinned to now-deleted snapshots would dangle — drop them
         # (Paimon's rollback removes later tags the same way)
         for doc in self.tags().values():
@@ -399,15 +454,30 @@ class Table:
                     f"{kind} built against snapshot {expected_latest} "
                     f"but LATEST is now {latest}"
                 )
-            base = [] if latest is None else self.manifest(latest)
-            if replaced:
-                base = [e for e in base if e["file_path"] not in replaced]
-            files = base + new_entries
             sid = (latest or 0) + 1
             seq = sequence_number if sequence_number is not None else sid
             for e in unstamped:
                 e["min_sequence_number"] = seq
-            if exclusive_write_json(self.paths.manifest_path(sid), {"files": files}):
+            # APPENDs write an O(commit) manifest delta; commits that
+            # replace files (and every K-th snapshot, to bound chain
+            # length) write the full O(table) image — they already did
+            # O(table) work staging the rewrite
+            if kind == "APPEND" and not replaced and latest is not None and sid % FULL_MANIFEST_EVERY != 0:
+                prev = self.snapshot(latest)
+                doc = {"base_snapshot": latest, "added": new_entries, "removed": []}
+                total_files = prev["total_files"] + len(new_entries)
+                total_records = prev["total_record_count"] + sum(
+                    e["record_count"] for e in new_entries
+                )
+            else:
+                base = [] if latest is None else self.manifest(latest)
+                if replaced:
+                    base = [e for e in base if e["file_path"] not in replaced]
+                files = base + new_entries
+                doc = {"files": files}
+                total_files = len(files)
+                total_records = sum(e["record_count"] for e in files)
+            if exclusive_write_json(self.paths.manifest_path(sid), doc):
                 break  # this committer owns snapshot `sid`
             if not rebasable:
                 _abort(f"lost the snapshot-{sid} publish race ({kind} cannot be rebased)")
@@ -424,8 +494,8 @@ class Table:
                 "sequence_number": seq,
                 "timestamp_ms": now_millis(),
                 "added_files": len(new_entries),
-                "total_files": len(files),
-                "total_record_count": sum(e["record_count"] for e in files),
+                "total_files": total_files,
+                "total_record_count": total_records,
             },
         )
         os.makedirs(self.paths.snapshot_dir(), exist_ok=True)
@@ -1013,9 +1083,21 @@ class Table:
         for sid in keep:
             referenced |= {e["file_path"] for e in self.manifest(sid)}
         kept_seqs = {self.snapshot(sid)["sequence_number"] for sid in keep}
+        # a kept snapshot whose manifest delta-chains through an expired
+        # base must be materialized as a full manifest first, or it
+        # becomes unreadable the moment the base is deleted
+        expired_set = set(expired)
+        for sid in sorted(keep):
+            if sid in set(ids) and self._manifest_chain(sid) & expired_set:
+                atomic_write_json(
+                    self.paths.manifest_path(sid), {"files": self.manifest(sid)}
+                )
+        # and every doomed delta must be materialized before ANY
+        # manifest deletion (its base may be deleted first)
+        expired_entries = {sid: self.manifest(sid) for sid in expired}
         for sid in expired:
             seq = self.snapshot(sid)["sequence_number"]
-            for e in self.manifest(sid):
+            for e in expired_entries[sid]:
                 if e["file_path"] not in referenced:
                     p = os.path.join(self.paths.root, e["file_path"])
                     if os.path.exists(p):

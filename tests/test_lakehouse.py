@@ -791,3 +791,66 @@ def test_exactly_once_survives_append_rebase(spark, catalog):
     assert a.append(df, commit_identifier=42) == 2  # rebased onto b's snapshot 1
     assert a.append(df, commit_identifier=42) is None  # replay → no-op
     assert a.read(spark).count() == 2
+
+
+# ----------------------------------------------------------------------
+# Incremental (delta) manifests: APPEND commits write O(commit) deltas,
+# not the O(table) full file list — at 100 TB / 1M files a full manifest
+# is ~100 MB of driver JSON per 20 s streaming commit.
+# ----------------------------------------------------------------------
+def test_append_manifests_are_deltas_with_periodic_full(spark, catalog):
+    import json
+
+    t = catalog.create_table("dm", "k long, v string", {})
+    for i in range(12):
+        t.append(spark.createDataFrame([(i, "x")], "k long, v string"))
+    docs = {
+        sid: json.load(open(t.paths.manifest_path(sid))) for sid in range(1, 13)
+    }
+    # snapshot 1 (no base) and snapshot 10 (chain bound) are full images
+    assert "files" in docs[1] and "files" in docs[10]
+    for sid in (2, 3, 4, 5, 6, 7, 8, 9, 11, 12):
+        assert docs[sid]["base_snapshot"] == sid - 1, sid
+        assert len(docs[sid]["added"]) >= 1 and "files" not in docs[sid]
+    # reconstruction equals reality at every snapshot
+    for sid in range(1, 13):
+        assert len(t.manifest(sid)) == sid
+        assert t.read(spark, snapshot_id=sid).count() == sid
+    # a replacing commit (compact) writes a full image again
+    t.compact()
+    assert "files" in json.load(open(t.paths.manifest_path(13)))
+    assert t.read(spark).count() == 12
+
+
+def test_expire_materializes_kept_delta_manifests(spark, catalog):
+    """Expiring a delta's base snapshot must not strand the kept
+    snapshots — their manifests are rewritten as full images first."""
+    import json
+
+    t = catalog.create_table("dme", "k long, v string", {})
+    for i in range(7):
+        t.append(spark.createDataFrame([(i, "x")], "k long, v string"))
+    # keep only the 3 newest: snapshots 5..7 survive, 1..4 (including
+    # snapshot 5's base chain 1→…→4) are deleted
+    expired = t.expire_snapshots(retain_min=3, retain_max=3)
+    assert expired == [1, 2, 3, 4]
+    assert "files" in json.load(open(t.paths.manifest_path(5)))
+    for sid in (5, 6, 7):
+        assert t.read(spark, snapshot_id=sid).count() == sid
+    # and the table keeps appending deltas on top afterwards
+    t.append(spark.createDataFrame([(99, "y")], "k long, v string"))
+    assert t.read(spark).count() == 8
+
+
+def test_rollback_across_delta_manifests(spark, catalog):
+    t = catalog.create_table("dmr", "k long, v string", {})
+    for i in range(6):
+        t.append(spark.createDataFrame([(i, "x")], "k long, v string"))
+    t.rollback_to(2)
+    assert t.read(spark).count() == 2
+    # re-issued snapshot ids after rollback must not see stale cached
+    # reconstructions
+    t.append(spark.createDataFrame([(50, "y")], "k long, v string"))
+    assert t.latest_snapshot_id() == 3
+    assert {r.k for r in t.read(spark).collect()} == {0, 1, 50}
+    assert t.read(spark, snapshot_id=2).count() == 2
