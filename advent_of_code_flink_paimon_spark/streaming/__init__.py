@@ -6,6 +6,7 @@ from advent_of_code_flink_paimon_spark.streaming.pipelines import (
     Pipeline,
     stream_table_changelog,
     stream_table_files,
+    stream_table_upsert,
 )
 from advent_of_code_flink_paimon_spark.streaming.windows import (
     stream_stream_join,
@@ -21,6 +22,7 @@ __all__ = [
     "LookupJoinPipeline",
     "stream_table_files",
     "stream_table_changelog",
+    "stream_table_upsert",
     "tumbling_agg",
     "sliding_agg",
     "session_agg",

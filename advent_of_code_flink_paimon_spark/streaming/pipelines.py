@@ -14,6 +14,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import LongType
 
 from advent_of_code_flink_paimon_spark.lakehouse.table import Table
 
@@ -82,6 +83,42 @@ def stream_table_files(spark: SparkSession, table: Table, max_files_per_trigger:
     sdir = os.path.join(table.paths.root, "stream")
     os.makedirs(sdir, exist_ok=True)
     return reader.parquet(sdir)
+
+
+def stream_table_upsert(spark: SparkSession, table: Table) -> DataFrame:
+    """Streaming read of a PK table WITHOUT a stored changelog
+    (Paimon's changelog-producer=none): each upsert commit's POST-IMAGE
+    rows arrive as a micro-batch with ``op`` ∈ {'+U', '-D'} — no
+    pre-images, so a downstream consumer keeps its own keyed state to
+    normalize (exactly the reference's 'changelog normalize' operator
+    the stored-changelog fast path skips, tutorial/guide.md:69-74).
+    SURVEY.md §7 watch-list closure: snapshot-diff fallback for upsert
+    tables, as a live stream.
+
+    Scale shape: upsert commits already hard-link their staged files
+    into the ``stream/`` append-log mirror (COMPACT rewrites are never
+    linked), so this is the same O(new files per trigger) file-source
+    scan as stream_table_files — no snapshot diffing, no O(table)
+    reads."""
+    if not table.primary_key:
+        raise ValueError(f"table {table.name} has no primary key — use stream_table_files")
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    # staged PK files carry the merge metadata columns; read them and
+    # map __op onto the public op column
+    schema = StructType(
+        list(table.schema.fields)
+        + [StructField("__op", StringType()), StructField("__seq", LongType())]
+    )
+    sdir = os.path.join(table.paths.root, "stream")
+    os.makedirs(sdir, exist_ok=True)
+    raw = spark.readStream.schema(schema).parquet(sdir)
+    cols = [f.name for f in table.schema.fields]
+    return raw.select(
+        *cols,
+        F.when(F.col("__op") == "D", "-D").otherwise("+U").alias("op"),
+    )
 
 
 def stream_table_changelog(spark: SparkSession, table: Table) -> DataFrame:

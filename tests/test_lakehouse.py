@@ -854,3 +854,21 @@ def test_rollback_across_delta_manifests(spark, catalog):
     assert t.latest_snapshot_id() == 3
     assert {r.k for r in t.read(spark).collect()} == {0, 1, 50}
     assert t.read(spark, snapshot_id=2).count() == 2
+
+
+def test_incremental_read_uses_delta_manifests(spark, catalog):
+    """Pure-append ranges are answered from the delta manifests alone;
+    ranges crossing a full/replacing manifest fall back to the diff —
+    both must return exactly the (from, to] rows."""
+    t = catalog.create_table("dinc", "k long, v string", {})
+    for i in range(6):
+        t.append(spark.createDataFrame([(i, "x")], "k long, v string"))
+    # pure-append fast path
+    assert t._delta_added_paths(2, 5) is not None
+    assert {r.k for r in t.incremental_read(spark, 2, 5).collect()} == {2, 3, 4}
+    # a compact inside the range forces the fallback
+    t.compact()  # snapshot 7, full image
+    t.append(spark.createDataFrame([(60, "y")], "k long, v string"))
+    assert t._delta_added_paths(5, 8) is None
+    got = {r.k for r in t.incremental_read(spark, 7, 8).collect()}
+    assert got == {60}

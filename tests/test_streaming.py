@@ -327,3 +327,38 @@ def test_stream_table_files_ignores_compaction(spark, catalog, tmp_path):
     rows = spark.sql("SELECT * FROM sfc_sink").collect()
     # 4 appended rows exactly once; the compaction rewrite adds nothing
     assert sorted((r.k, r.v) for r in rows) == [(0, 0), (1, 10), (2, 20), (99, 990)]
+
+
+def test_stream_table_upsert_without_changelog(spark, catalog, tmp_path):
+    """PK table with NO stored changelog still streams (SURVEY §7
+    watch-list closure): each upsert commit's post-image rows arrive
+    with op ∈ {+U, -D}; a keyed normalize over the stream reproduces
+    the merged table image, and compaction re-emits nothing."""
+    from advent_of_code_flink_paimon_spark.streaming import stream_table_upsert
+
+    t = catalog.create_table("su", SENSOR_DDL, {"primary-key": "sensor_id"})
+    t.upsert(sensor_info_static(spark, 8))
+    t.upsert(sensor_info_static(spark, 3).withColumn("generation", F.lit(9)))
+    t.delete_where(spark, "sensor_id = 7")
+    t.compact()  # rewrites must NOT re-emit
+
+    q = (
+        stream_table_upsert(spark, t)
+        .writeStream.format("memory")
+        .queryName("ups")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ups-ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    out = spark.sql("SELECT * FROM ups")
+    assert {r.op for r in out.select("op").distinct().collect()} == {"+U", "-D"}
+    assert out.count() == 12  # 8 inserts + 3 updates + 1 delete, no compact rows
+    assert out.filter("op = '-D'").count() == 1
+    assert {r.sensor_id for r in out.filter("op = '-D'").collect()} == {7}
+    # the stream covers exactly the table's key history: live keys plus
+    # the deleted one; the batch merge agrees
+    live = {r.sensor_id for r in t.read(spark).collect()}
+    assert 7 not in live and len(live) == 7
+    assert {r.sensor_id for r in out.collect()} == live | {7}
