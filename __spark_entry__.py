@@ -38,6 +38,8 @@ _ORDER = [
     # re-score on the new code
     "q25_json_extract", "x03_dedup_minhash_lsh", "x05_ngram_jaccard_join",
     "x11_embedding_topk_lsh", "x07_dup_clusters", "x01_dedup_exact",
+    # NEW in round 4 — no driver row exists yet, must be in the window
+    "x13_semantic_dedup", "x28_repetition_filter",
     # rows-only-by-design entries stay inside the window so the driver
     # records the declared no-oracle status each round (q16 HLL sketch;
     # x30/x31 stubbed decoders have value-hash oracles)
@@ -49,11 +51,11 @@ _ORDER = [
     "x04_dedup_simhash", "x06_dedup_embedding_cosine",
     "x10_embedding_topk", "x12_embedding_topk_ivf",
     "x20_text_stats", "x24_winnow_fingerprint", "x25_heavy_hitter_bigrams",
-    "x40_corpus_curation", "x41_decontaminate", "x42_hash_sample",
-    "x43_stratified_cap",
+    "x40_corpus_curation", "x41_decontaminate",
     # overflow past the 50-entry cap — ALL green in CORRECTNESS_r03.json
     # (rows+schema+hash true), so their driver evidence is exactly one
     # round old at round-4 judging
+    "x42_hash_sample", "x43_stratified_cap",
     "q07_computed_column", "q08_join_inner_broadcast", "q09_join_left",
     "q12_join_multi_chain", "q13_agg_global", "q14_agg_grouped",
     "q17_rollup", "q24_scalar_datetime", "q27_having",

@@ -236,6 +236,80 @@ def x12_embedding_topk_ivf(spark, sf_dir):
     )
 
 
+# ----------------------------------------------------------------------
+# x13: semantic dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540) —
+# the cluster-then-dedup-within-cluster pattern LLM corpus pipelines use
+# to drop semantically redundant documents: k-means-style cells bound the
+# pair search to O(Σ|cell|²) ≪ O(n²), then one representative (min id)
+# survives per within-cell duplicate group.
+# ----------------------------------------------------------------------
+SEMDEDUP_THRESHOLD = 0.35  # sits at the testdata's planted-dup margin (x06)
+
+_SQL_SEMDEDUP = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+cent AS (
+    SELECT vec_id AS cid, cv AS cent_v
+    FROM v WHERE vec_id % 61 = 7 ORDER BY vec_id LIMIT {IVF_CENTROIDS}
+),
+corpus_assign AS (
+    SELECT vec_id, cv, cid FROM (
+        SELECT c.vec_id, c.cv, cent.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.vec_id
+                   ORDER BY {_COS.format(a='c.cv', b='cent.cent_v')} DESC, cent.cid ASC
+               ) AS r
+        FROM v c CROSS JOIN cent
+    ) WHERE r = 1
+),
+dups AS (
+    SELECT DISTINCT a.vec_id
+    FROM corpus_assign a JOIN corpus_assign b
+      ON a.cid = b.cid AND b.vec_id < a.vec_id
+    WHERE {_COS.format(a='a.cv', b='b.cv')} >= {SEMDEDUP_THRESHOLD}
+)
+SELECT vec_id, cid AS cluster FROM corpus_assign
+WHERE vec_id NOT IN (SELECT vec_id FROM dups)
+"""
+
+
+@query("x13_semantic_dedup", oracle=_SQL_SEMDEDUP)
+def x13_semantic_dedup(spark, sf_dir):
+    """SemDeDup: assign every embedding to its nearest of C literal
+    centroids (map-only, shuffle-free — same deterministic pick as
+    x12), then dedup WITHIN cells only: a vector is dropped when a
+    smaller-id vector in ITS cell is ≥ SEMDEDUP_THRESHOLD cosine.
+    Returns the surviving corpus (vec_id, cluster).
+
+    Scale shape — the reason SemDeDup exists: the pair join keys on the
+    cell id, so candidate pairs are O(Σ|cell|²) with |cell| ≈ n/C and C
+    grown ~sqrt(n); x06's exact all-pairs block join is the fallback
+    when no clustering margin exists. Everything is deterministic
+    (hash-picked centroids, id tiebreaks), so DuckDB replays the cells,
+    the pair set, and the survivor set exactly."""
+    e = T(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("cv"))
+    cent_rows = (
+        v.filter(F.pmod(F.col("vec_id"), F.lit(61)) == 7)
+        .orderBy("vec_id").limit(IVF_CENTROIDS).collect()
+    )
+    centroids = [(int(r.vec_id), list(r.cv)) for r in cent_rows]
+    assigned = ivf_assign(fan_out(v, heavy=True), centroids, nprobe=1)
+    a = assigned.select(
+        F.col("vec_id"), F.col("cv"), F.col("cluster"), _norm("cv").alias("nv")
+    )
+    b = a.select(
+        F.col("vec_id").alias("b_id"), F.col("cv").alias("bv"),
+        F.col("cluster"), F.col("nv").alias("bnv"),
+    )
+    dup_ids = (
+        a.join(b, "cluster")
+        .filter(F.col("b_id") < F.col("vec_id"))
+        .filter(_dot("cv", "bv") / (F.col("nv") * F.col("bnv")) >= SEMDEDUP_THRESHOLD)
+        .select("vec_id").distinct()
+    )
+    return assigned.join(dup_ids, "vec_id", "left_anti").select("vec_id", "cluster")
+
+
 EMB_DIM = 64  # testdata embedding width (TESTDATA.md)
 _LSH_BASIS = None  # EMB_DIM × LSH_PLANES Gaussian matrix, lazy singleton
 

@@ -386,3 +386,89 @@ def x27_pii_redact(spark, sf_dir):
             F.regexp_replace("contact", email, "<EMAIL>"), nums, "<NUM>"
         ).alias("redacted"),
     )
+
+
+# ----------------------------------------------------------------------
+# x28: repetition-based quality filter — the Gopher rules (Rae et al.
+# 2021, arXiv:2112.11446 table A1) adapted token-weighted to this
+# corpus (no newlines → no line-based rules): a document is dropped
+# when any single token or bigram dominates it, the strongest cheap
+# signal for degenerate/boilerplate text in pretraining pipelines.
+# Thresholds sit at the testdata's ~p90 so the filter visibly splits.
+# ----------------------------------------------------------------------
+REP_TOP_TOKEN_MAX = 0.14
+REP_DUP_BIGRAM_MAX = 0.13
+
+_SQL_REPETITION = f"""
+WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+tok AS (SELECT doc_id, unnest(w) AS t FROM s),
+tc AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+per_tok AS (
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+           MAX(c) * 1.0 / SUM(c) AS top_token_frac
+    FROM tc GROUP BY 1
+),
+bg AS (
+    SELECT doc_id, unnest([w[i] || ' ' || w[i + 1] for i in range(1, len(w))]) AS b
+    FROM s
+),
+bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+per_bg AS (
+    SELECT doc_id,
+           MAX(c) * 1.0 / SUM(c) AS top_bigram_frac,
+           SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) * 1.0 / SUM(c) AS dup_bigram_frac
+    FROM bc GROUP BY 1
+)
+SELECT doc_id, n_tokens, top_token_frac, top_bigram_frac, dup_bigram_frac,
+       (top_token_frac <= {REP_TOP_TOKEN_MAX}
+        AND dup_bigram_frac <= {REP_DUP_BIGRAM_MAX}) AS keep
+FROM per_tok JOIN per_bg USING (doc_id)
+"""
+
+
+@query("x28_repetition_filter", oracle=_SQL_REPETITION)
+def x28_repetition_filter(spark, sf_dir):
+    """Per-doc repetition metrics + keep flag, entirely ROW-LOCAL: the
+    frequency tables are higher-order-function folds over the token
+    array (O(distinct·n) per row, ~3k ops on this corpus), so the whole
+    filter is scan → project with ZERO shuffles — at 100 TB this is the
+    difference between a map-only pass and exploding every corpus token
+    through a groupBy. The DuckDB twin counts via explode + GROUP BY;
+    identical integer counts and identical double divisions make it
+    hash-exact."""
+    d = fan_out(T(spark, sf_dir, "documents"), heavy=True)
+    w = d.select("doc_id", _tokens().alias("w"))
+    expr = w.select(
+        "doc_id",
+        F.size("w").alias("n_tokens"),
+        F.expr("transform(array_distinct(w), t -> size(filter(w, x -> x = t)))").alias("tc"),
+        F.expr(
+            "transform(sequence(0, size(w) - 2),"
+            " i -> concat(element_at(w, i + 1), ' ', element_at(w, i + 2)))"
+        ).alias("bg"),
+    )
+    expr = expr.select(
+        "doc_id",
+        "n_tokens",
+        (F.array_max("tc").cast("double") / F.col("n_tokens")).alias("top_token_frac"),
+        F.expr("transform(array_distinct(bg), b -> size(filter(bg, x -> x = b)))").alias("bc"),
+        F.size("bg").alias("n_bg"),
+    )
+    top_bg = F.when(F.col("n_bg") == 0, F.lit(0.0)).otherwise(
+        F.array_max("bc").cast("double") / F.col("n_bg")
+    )
+    dup_bg = F.when(F.col("n_bg") == 0, F.lit(0.0)).otherwise(
+        F.expr("aggregate(bc, 0, (a, c) -> a + IF(c >= 2, c, 0))").cast("double")
+        / F.col("n_bg")
+    )
+    return expr.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "top_token_frac",
+        top_bg.alias("top_bigram_frac"),
+        dup_bg.alias("dup_bigram_frac"),
+        (
+            (F.col("top_token_frac") <= REP_TOP_TOKEN_MAX)
+            & (dup_bg <= REP_DUP_BIGRAM_MAX)
+        ).alias("keep"),
+    )

@@ -47,7 +47,9 @@ HEADLINE = [
     "x06_dedup_embedding_cosine",
     "x07_dup_clusters",
     "x10_embedding_topk",
+    "x13_semantic_dedup",
     "x20_text_stats",
+    "x28_repetition_filter",
     "x41_decontaminate",
     "x42_hash_sample",
     "x43_stratified_cap",

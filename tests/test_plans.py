@@ -245,3 +245,23 @@ def test_json_extract_single_exchange(spark):
     exchange carries pre-reduced per-group state."""
     plan = plan_of(spark, "q25_json_extract", mode="simple")
     assert plan.count("Exchange") == 1, plan
+
+
+def test_repetition_filter_is_map_only(spark):
+    """x28's whole frequency analysis is row-local higher-order
+    functions: the plan must contain no Exchange beyond fan_out's
+    parallelism repartition and no aggregate/join at all."""
+    plan = plan_of(spark, "x28_repetition_filter")
+    assert "HashAggregate" not in plan and "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" not in plan
+    # only the round-robin fan_out exchange, never a hash/range
+    # re-shuffle (formatted mode lists partitioning in the detail block)
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan, plan
+
+
+def test_semantic_dedup_joins_on_cluster_cells(spark):
+    """x13's pair search must key on the IVF cell (equi-join), never a
+    cartesian/BNL over the corpus — that is the SemDeDup scale
+    property."""
+    plan = plan_of(spark, "x13_semantic_dedup")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
