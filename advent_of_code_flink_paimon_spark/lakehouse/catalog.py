@@ -18,6 +18,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql.types import StructField, StructType
 
 from advent_of_code_flink_paimon_spark.lakehouse.meta import (
+    exclusive_write_json,
     TablePaths,
     atomic_write_json,
     now_millis,
@@ -46,12 +47,14 @@ class Catalog:
         if isinstance(opts.get("primary-key"), str):
             opts["primary-key"] = [c.strip() for c in opts["primary-key"].split(",")]
         paths = TablePaths(self.warehouse, self.db, name)
-        if os.path.exists(paths.schema_path(0)):
-            raise ValueError(f"table {name} already exists")
-        atomic_write_json(
+        # create-if-absent on schema-0 is the existence arbiter: two
+        # racing CREATEs get exactly one winner (same primitive as the
+        # snapshot commit), never an interleaved half-created table
+        if not exclusive_write_json(
             paths.schema_path(0),
             {"version": 0, "schema": schema.jsonValue(), "options": opts, "created_ms": now_millis()},
-        )
+        ):
+            raise ValueError(f"table {name} already exists")
         return Table(self.warehouse, self.db, name)
 
     def alter_table(self, name: str, set_options: dict) -> Table:

@@ -43,6 +43,8 @@ class Pipeline:
         )
 
     def _sink(self, batch_df: DataFrame, batch_id: int) -> None:
+        from advent_of_code_flink_paimon_spark.lakehouse.table import CommitConflictError
+
         if self.transform is not None:
             batch_df = self.transform(batch_df)
         commit = {
@@ -50,7 +52,20 @@ class Pipeline:
             "upsert": self.target.upsert,
             "overwrite": self.target.overwrite,
         }[self.mode]
-        commit(batch_df, commit_identifier=batch_id)
+        # Concurrent-writer resilience: plain appends rebase inside
+        # _commit; upsert/overwrite losers raise CommitConflictError and
+        # are RETRIED here against the new snapshot — safe because the
+        # whole micro-batch re-runs under the same commit_identifier, so
+        # a half-replayed batch can never double-commit. A real Paimon
+        # deployment resolves the same race with commit retries in the
+        # committer operator.
+        for attempt in range(4):
+            try:
+                commit(batch_df, commit_identifier=batch_id)
+                return
+            except CommitConflictError:
+                if attempt == 3:
+                    raise
 
     def start(self) -> StreamingQuery:
         writer = (

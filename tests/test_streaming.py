@@ -362,3 +362,37 @@ def test_stream_table_upsert_without_changelog(spark, catalog, tmp_path):
     live = {r.sensor_id for r in t.read(spark).collect()}
     assert 7 not in live and len(live) == 7
     assert {r.sensor_id for r in out.collect()} == live | {7}
+
+
+def test_pipeline_upsert_retries_commit_conflict(spark, catalog, tmp_path):
+    """A concurrent commit landing inside a pipeline's upsert batch must
+    not kill the streaming query: the sink retries the whole batch under
+    the same commit_identifier against the new snapshot."""
+    t = catalog.create_table("pcr", SENSOR_DDL, {"primary-key": "sensor_id"})
+    other = catalog.get_table("pcr")
+
+    orig = t._stage_write
+
+    def hooked(df):
+        staged = orig(df)
+        t._stage_write = orig  # fire once
+        other.upsert(sensor_info_static(spark, 2).withColumn("generation", F.lit(77)))
+        return staged
+
+    t._stage_write = hooked
+    srcdir = str(tmp_path / "pcr-src")
+    spark.range(6).selectExpr(
+        "id AS sensor_id", "CAST(id AS DOUBLE) AS latitude",
+        "CAST(id AS DOUBLE) AS longitude", "CAST(id AS INT) AS generation",
+        "current_timestamp() AS updated_at",
+    ).write.parquet(srcdir)
+    src = spark.readStream.schema(SENSOR_DDL).parquet(srcdir)
+    pipe = Pipeline("pcr-pipe", src, t, mode="upsert", available_now=True,
+                    checkpoint_dir=str(tmp_path / "pcr-ckpt"))
+    q = pipe.start()
+    q.awaitTermination(60)
+    rows = {r.sensor_id: r.generation for r in t.read(spark).collect()}
+    # the retried batch re-upserted all 6 keys AFTER the interloper, so
+    # the batch's generations win for its keys (last-write-wins by seq)
+    assert set(rows) >= {0, 1, 2, 3, 4, 5}
+    assert rows[3] == 3 and rows[5] == 5
