@@ -248,6 +248,7 @@ class Catalog:
             t.schemas_table(spark).createOrReplaceTempView(f"{name}__schemas")
             t.tags_table(spark).createOrReplaceTempView(f"{name}__tags")
             t.partitions_table(spark).createOrReplaceTempView(f"{name}__partitions")
+            t.manifests_table(spark).createOrReplaceTempView(f"{name}__manifests")
 
     def sql(self, spark: SparkSession, query: str):
         """Run SQL against the catalog; supports the reference's
@@ -260,7 +261,9 @@ class Catalog:
 
         idents = set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", query))
         self.register_views(spark, only=idents)
-        rewritten = re.sub(r"(\w+)\$(files|snapshots|schemas|tags|partitions)", r"\1__\2", query)
+        rewritten = re.sub(
+            r"(\w+)\$(files|snapshots|schemas|tags|partitions|manifests)", r"\1__\2", query
+        )
 
         def tt(m):
             name, ref = m.group(1), m.group(2).strip("'\"")

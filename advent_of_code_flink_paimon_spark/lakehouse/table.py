@@ -1273,6 +1273,34 @@ class Table:
         )
         return spark.createDataFrame(rows, schema)
 
+    def manifests_table(self, spark: SparkSession) -> DataFrame:
+        """$manifests: one row per snapshot's manifest document —
+        exposes the incremental-manifest shape (full image vs delta,
+        base chain, added/removed counts, on-disk bytes) so operators
+        can see commit metadata cost directly (Paimon's $manifests
+        analogue over this layout's one-document-per-snapshot form)."""
+        rows = []
+        for s in self.snapshots():
+            sid = s["id"]
+            path = self.paths.manifest_path(sid)
+            doc = read_json(path)
+            full = "files" in doc
+            rows.append(
+                (
+                    sid,
+                    "full" if full else "delta",
+                    None if full else doc["base_snapshot"],
+                    len(doc["files"]) if full else len(doc["added"]),
+                    0 if full else len(doc.get("removed", ())),
+                    os.path.getsize(path),
+                )
+            )
+        schema = (
+            "snapshot_id long, kind string, base_snapshot long, "
+            "added_or_total_files long, removed_files long, manifest_bytes long"
+        )
+        return spark.createDataFrame(rows, schema)
+
 
 # ----------------------------------------------------------------------
 # manifest stats + pruning

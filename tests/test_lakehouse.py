@@ -872,3 +872,24 @@ def test_incremental_read_uses_delta_manifests(spark, catalog):
     assert t._delta_added_paths(5, 8) is None
     got = {r.k for r in t.incremental_read(spark, 7, 8).collect()}
     assert got == {60}
+
+
+def test_manifests_system_table(spark, catalog):
+    """$manifests exposes the incremental-manifest shape: full vs delta,
+    base chain, per-commit added counts, manifest bytes."""
+    t = catalog.create_table("msys", "k long, v string", {})
+    for i in range(3):
+        t.append(spark.createDataFrame([(i, "x")], "k long, v string"))
+    t.compact()
+    rows = {r.snapshot_id: r for r in t.manifests_table(spark).collect()}
+    assert rows[1].kind == "full" and rows[1].base_snapshot is None
+    assert rows[2].kind == "delta" and rows[2].base_snapshot == 1
+    assert rows[2].added_or_total_files == 1 and rows[2].removed_files == 0
+    assert rows[4].kind == "full"  # compact rewrites the image
+    assert all(r.manifest_bytes > 0 for r in rows.values())
+    # delta manifests stay O(commit): the 3rd delta (table holds 3
+    # files) is the same ~one-entry size as the 2nd, not cumulative
+    assert rows[3].manifest_bytes < rows[2].manifest_bytes * 1.5
+    # SQL spelling through the catalog
+    out = catalog.sql(spark, "SELECT COUNT(*) AS c FROM msys$manifests").collect()
+    assert out[0].c == 4
