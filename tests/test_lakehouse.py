@@ -893,3 +893,19 @@ def test_manifests_system_table(spark, catalog):
     # SQL spelling through the catalog
     out = catalog.sql(spark, "SELECT COUNT(*) AS c FROM msys$manifests").collect()
     assert out[0].c == 4
+
+
+def test_delta_manifests_preserve_schema_evolution(spark, catalog):
+    """Entries written before ADD/RENAME COLUMN carry their schema_id
+    through delta-manifest reconstruction, so evolution-aware reads keep
+    mapping old files correctly across a delta chain."""
+    t = catalog.create_table("dmev", "k long, v string", {})
+    t.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    t = catalog.add_column("dmev", "w int")
+    t.append(spark.createDataFrame([(2, "b", 20)], "k long, v string, w int"))
+    t = catalog.rename_column("dmev", "v", "label")
+    t.append(spark.createDataFrame([(3, "c", 30)], "k long, label string, w int"))
+    sids = {e["file_path"]: e["schema_id"] for e in t.manifest()}
+    assert sorted(sids.values()) == [0, 1, 2]
+    rows = {r.k: (r.label, r.w) for r in t.read(spark).collect()}
+    assert rows == {1: ("a", None), 2: ("b", 20), 3: ("c", 30)}
