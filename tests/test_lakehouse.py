@@ -909,3 +909,35 @@ def test_delta_manifests_preserve_schema_evolution(spark, catalog):
     assert sorted(sids.values()) == [0, 1, 2]
     rows = {r.k: (r.label, r.w) for r in t.read(spark).collect()}
     assert rows == {1: ("a", None), 2: ("b", 20), 3: ("c", 30)}
+
+
+def test_zorder_clustering_prunes_on_both_columns(spark, catalog):
+    """'sort-by' = 'zorder(a,b)' interleaves quantile-rank bits so BOTH
+    columns get tight per-file ranges: range predicates on either column
+    prune files, where a lexicographic sort only prunes its prefix."""
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "250")
+    try:
+        data = spark.createDataFrame(
+            [((i * 7919) % 1000, (i * 104729) % 1000) for i in range(2000)],
+            "a long, b long",
+        )
+        lex = catalog.create_table("zlex", "a long, b long", {"bucket": "1", "sort-by": "a"})
+        lex.append(data)
+        zt = catalog.create_table(
+            "zt", "a long, b long", {"bucket": "1", "sort-by": "zorder(a,b)"}
+        )
+        zt.append(data)
+        n_lex, n_z = len(lex._live_files()), len(zt._live_files())
+        assert n_lex >= 8 and n_z >= 8
+        pa, pb = "a >= 100 AND a <= 150", "b >= 100 AND b <= 150"
+        # lexicographic: prunes on the prefix, blind on b
+        assert len(lex._live_files(where=pa)) < n_lex
+        assert len(lex._live_files(where=pb)) == n_lex
+        # zorder: prunes on BOTH axes
+        assert len(zt._live_files(where=pa)) < n_z
+        assert len(zt._live_files(where=pb)) < n_z
+        # correctness unaffected
+        for pred in (pa, pb):
+            assert zt.read(spark, where=pred).count() == lex.read(spark, where=pred).count()
+    finally:
+        spark.conf.unset("spark.sql.files.maxRecordsPerFile")
