@@ -277,4 +277,20 @@ class Catalog:
         rewritten = re.sub(
             r"(\w+)\s+VERSION\s+AS\s+OF\s+(\d+|'[^']+'|\"[^\"]+\")", tt, rewritten, flags=re.I
         )
+
+        def tt_ts(m):
+            name, raw = m.group(1), m.group(2).strip("'\"")
+            t = self.get_table(name)
+            sid = t.snapshot_as_of_timestamp(raw)
+            view = f"{name}__v{sid}"
+            t.read(spark, snapshot_id=sid).createOrReplaceTempView(view)
+            return view
+
+        # TIMESTAMP AS OF <epoch-millis> | '<iso wall clock, UTC>'
+        rewritten = re.sub(
+            r"(\w+)\s+TIMESTAMP\s+AS\s+OF\s+(\d+|'[^']+'|\"[^\"]+\")",
+            tt_ts,
+            rewritten,
+            flags=re.I,
+        )
         return spark.sql(rewritten)

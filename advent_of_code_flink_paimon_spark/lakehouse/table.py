@@ -230,6 +230,27 @@ class Table:
         assert tag is not None, f"{self.name}: no tag '{ref}'"
         return tag["snapshot_id"]
 
+    def snapshot_as_of_timestamp(self, ts: int | str) -> int:
+        """`TIMESTAMP AS OF` resolution (Paimon scan.timestamp-millis):
+        the LAST snapshot committed at or before ``ts`` — epoch millis,
+        a digit string of millis, or an ISO 'YYYY-MM-DD HH:MM:SS[.fff]'
+        wall-clock read as UTC (snapshots are stamped with UTC epoch
+        millis)."""
+        if isinstance(ts, str) and not ts.isdigit():
+            import datetime
+
+            ms = int(
+                datetime.datetime.fromisoformat(ts)
+                .replace(tzinfo=datetime.timezone.utc)
+                .timestamp()
+                * 1000
+            )
+        else:
+            ms = int(ts)
+        cands = [s["id"] for s in self.snapshots() if s["timestamp_ms"] <= ms]
+        assert cands, f"{self.name}: no snapshot at or before {ts}"
+        return max(cands)
+
     def rollback_to(self, ref: int | str) -> int:
         """Roll the table back to an earlier snapshot (Paimon's
         rollback action): snapshots after the target are deleted, along

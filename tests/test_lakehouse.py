@@ -941,3 +941,31 @@ def test_zorder_clustering_prunes_on_both_columns(spark, catalog):
             assert zt.read(spark, where=pred).count() == lex.read(spark, where=pred).count()
     finally:
         spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+
+
+def test_timestamp_as_of_time_travel(spark, catalog):
+    import time
+
+    t = catalog.create_table("tts", "k long, v string", {})
+    for i in range(3):
+        t.append(spark.createDataFrame([(i, "x")], "k long, v string"))
+        time.sleep(0.01)  # distinct commit timestamps
+    snaps = {s["id"]: s["timestamp_ms"] for s in t.snapshots()}
+    assert t.snapshot_as_of_timestamp(snaps[2]) == 2
+    assert t.snapshot_as_of_timestamp(str(snaps[3])) == 3
+    with pytest.raises(AssertionError):
+        t.snapshot_as_of_timestamp(snaps[1] - 1)
+    # SQL spelling, both millis and ISO wall-clock forms
+    n = catalog.sql(
+        spark, f"SELECT COUNT(*) AS c FROM tts TIMESTAMP AS OF {snaps[2]}"
+    ).collect()[0].c
+    assert n == 2
+    import datetime
+
+    iso = datetime.datetime.fromtimestamp(
+        snaps[1] / 1000.0, tz=datetime.timezone.utc
+    ).replace(tzinfo=None).isoformat(sep=" ", timespec="milliseconds")
+    n1 = catalog.sql(
+        spark, f"SELECT COUNT(*) AS c FROM tts TIMESTAMP AS OF '{iso}'"
+    ).collect()[0].c
+    assert n1 == 1
