@@ -1366,6 +1366,8 @@ def _zorder_key(df: DataFrame, cols: list[str], bits: int = _ZORDER_BITS) -> F.C
 
     z = F.lit(0).cast("long")
     for ci, (c, bounds) in enumerate(zip(cols, qs)):
+        if not bounds:  # empty batch / all-null column: no boundaries
+            continue
         bucket = _bucket(c, F.array(*[F.lit(float(b)) for b in bounds]))
         for i in range(bits):
             z = z + F.shiftleft(
