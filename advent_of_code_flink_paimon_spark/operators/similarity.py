@@ -293,6 +293,9 @@ def x13_semantic_dedup(spark, sf_dir):
         .orderBy("vec_id").limit(IVF_CENTROIDS).collect()
     )
     centroids = [(int(r.vec_id), list(r.cv)) for r in cent_rows]
+    # (a persist() here measured NO gain at sf0.1 — the three uses of
+    # the assignment share one scan via plan reuse, and the literal
+    # fold is map-side cheap; don't pay the cache memory)
     assigned = ivf_assign(fan_out(v, heavy=True), centroids, nprobe=1)
     a = assigned.select(
         F.col("vec_id"), F.col("cv"), F.col("cluster"), _norm("cv").alias("nv")
@@ -307,7 +310,10 @@ def x13_semantic_dedup(spark, sf_dir):
         .filter(_dot("cv", "bv") / (F.col("nv") * F.col("bnv")) >= SEMDEDUP_THRESHOLD)
         .select("vec_id").distinct()
     )
-    return assigned.join(dup_ids, "vec_id", "left_anti").select("vec_id", "cluster")
+    # anti-join against `a` (not a fresh `assigned` branch): the big
+    # literal-centroid expression then appears in two plan branches
+    # instead of three — measurably less codegen per run
+    return a.join(dup_ids, "vec_id", "left_anti").select("vec_id", "cluster")
 
 
 EMB_DIM = 64  # testdata embedding width (TESTDATA.md)
