@@ -948,7 +948,63 @@ class Table:
             _, entries = self._stage_write(self._raw(spark))
         for e in entries:
             e["level"] = COMPACT_LEVEL
-        return self._commit(entries, "COMPACT", replaced=old, expected_latest=latest)
+        sid = self._commit(entries, "COMPACT", replaced=old, expected_latest=latest)
+        if self.primary_key and self.options.get("changelog-producer") == "full-compaction":
+            self._write_compaction_changelog(spark, latest, sid)
+        return sid
+
+    def _write_compaction_changelog(self, spark: SparkSession, latest: int, sid: int) -> None:
+        """changelog-producer=full-compaction (Paimon's third producer
+        mode): upserts write NO per-commit changelog; each full
+        compaction emits the NET key-wise changes since the previous
+        compaction — +I for new keys, -U/+U for changed values, -D for
+        deletes. The diff is one key-wise full-outer join of two merged
+        images; consumers trade per-commit latency for the cheapest
+        possible write path (the mode streaming-lax pipelines pick when
+        the sink is compaction-driven anyway)."""
+        compacts = [
+            s["id"]
+            for s in self.snapshots()
+            if s["commit_kind"] == "COMPACT" and s["id"] <= latest
+        ]
+        prev_compact = max(compacts, default=None)
+        after = self._merged(spark, snapshot_id=latest)
+        cols = [f.name for f in self.schema.fields]
+        pk = self.primary_key
+        vals = [c for c in cols if c not in pk]
+        if prev_compact is None:
+            changelog = after.withColumn("_change_type", F.lit("+I"))
+        else:
+            before = self._merged(spark, snapshot_id=prev_compact)
+            b = before.select(
+                *pk,
+                F.lit(True).alias("__had_pre"),
+                *[F.col(c).alias(f"__pre_{c}") for c in vals],
+            )
+            j = after.withColumn("__in_after", F.lit(True)).join(b, on=pk, how="full")
+            in_after = F.coalesce(F.col("__in_after"), F.lit(False))
+            had_pre = F.coalesce(F.col("__had_pre"), F.lit(False))
+            same = F.lit(True)
+            for c in vals:
+                same = same & F.col(c).eqNullSafe(F.col(f"__pre_{c}"))
+            inserts = j.filter(in_after & ~had_pre).select(*cols).withColumn(
+                "_change_type", F.lit("+I")
+            )
+            changed = j.filter(in_after & had_pre & ~same)
+            pre_rows = changed.select(
+                *pk, *[F.col(f"__pre_{c}").alias(c) for c in vals]
+            ).withColumn("_change_type", F.lit("-U"))
+            post_rows = changed.select(*cols).withColumn("_change_type", F.lit("+U"))
+            gone = j.filter(~in_after & had_pre).select(
+                *pk, *[F.col(f"__pre_{c}").alias(c) for c in vals]
+            ).withColumn("_change_type", F.lit("-D"))
+            changelog = (
+                inserts.unionByName(pre_rows).unionByName(post_rows).unionByName(gone)
+            )
+        seq = self.snapshot(sid)["sequence_number"]
+        changelog.select(*cols, "_change_type").write.mode("overwrite").parquet(
+            self.paths.changelog_dir(seq)
+        )
 
     # ------------------------------------------------------------------
     # row-level DML (DELETE / UPDATE)

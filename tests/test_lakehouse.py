@@ -969,3 +969,38 @@ def test_timestamp_as_of_time_travel(spark, catalog):
         spark, f"SELECT COUNT(*) AS c FROM tts TIMESTAMP AS OF '{iso}'"
     ).collect()[0].c
     assert n1 == 1
+
+
+def test_changelog_producer_full_compaction(spark, catalog):
+    """Paimon's third producer mode: upserts write NO per-commit
+    changelog; each full compaction emits the NET key-wise changes
+    since the previous compaction (+I / -U,+U / -D)."""
+    t = catalog.create_table(
+        "fc", "k long, v string",
+        {"primary-key": "k", "changelog-producer": "full-compaction"},
+    )
+    t.upsert(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    t.upsert(spark.createDataFrame([(2, "B")], "k long, v string"))
+    assert t.read_changelog(spark).count() == 0  # nothing until compaction
+    t.compact()
+    first = sorted((r.k, r.v, r._change_type) for r in t.read_changelog(spark).collect())
+    # first compaction: whole image as +I (net of the intermediate 2→B churn)
+    assert first == [(1, "a", "+I"), (2, "B", "+I")]
+    # second window: update 1, delete 2, insert 3 → net -U/+U, -D, +I
+    t.upsert(spark.createDataFrame([(1, "A")], "k long, v string"))
+    t.upsert(
+        spark.createDataFrame([(2, "B")], "k long, v string").withColumn("__op", F.lit("D"))
+    )
+    t.upsert(spark.createDataFrame([(3, "c")], "k long, v string"))
+    prev_count = t.read_changelog(spark).count()
+    t.compact()
+    rows = sorted((r.k, r.v, r._change_type) for r in t.read_changelog(spark).collect())
+    assert rows == [
+        (1, "A", "+U"), (1, "a", "+I"), (1, "a", "-U"),
+        (2, "B", "+I"), (2, "B", "-D"), (3, "c", "+I"),
+    ]
+    assert len(rows) == prev_count + 4
+    # streaming read accepts the mode
+    from advent_of_code_flink_paimon_spark.streaming import stream_table_changelog
+
+    assert stream_table_changelog(spark, t).isStreaming
