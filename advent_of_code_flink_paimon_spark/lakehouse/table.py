@@ -630,7 +630,14 @@ class Table:
         batch = deduped.select(*cols, "__op").withColumn("__seq", F.lit(seq).cast("long"))
 
         pending_changelog = None
-        if self.options.get("changelog-producer") == "input":
+        # 'input' and 'lookup' share this implementation: the changelog
+        # is DERIVED per commit by looking up the batch keys' pre-images
+        # (bucket-pruned, key-semi-joined — _pre_image_for), which is
+        # Paimon's lookup-mode derivation; Paimon's literal input mode
+        # instead trusts the source stream to carry complete retractions,
+        # and this engine's sinks always derive, so both spellings give
+        # the same (correct) rows here.
+        if self.options.get("changelog-producer") in ("input", "lookup"):
             # stage pre-commit (the pre-image must reflect the table
             # BEFORE this batch), publish only after the commit wins
             pending_changelog = os.path.join(

@@ -143,10 +143,10 @@ def stream_table_changelog(spark: SparkSession, table: Table) -> DataFrame:
     queries consume retractions directly instead of diffing snapshots —
     the reference's 'skip changelog-normalize' fast path as a live
     stream. Schema = table schema + ``_change_type`` string."""
-    if table.options.get("changelog-producer") not in ("input", "full-compaction"):
+    if table.options.get("changelog-producer") not in ("input", "lookup", "full-compaction"):
         raise ValueError(
             f"table {table.name} has no stored changelog (set "
-            "'changelog-producer'='input' or 'full-compaction' at CREATE TABLE)"
+            "'changelog-producer'='input'/'lookup'/'full-compaction' at CREATE TABLE)"
         )
     from pyspark.sql.types import StringType, StructField, StructType
 

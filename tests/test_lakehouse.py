@@ -1004,3 +1004,15 @@ def test_changelog_producer_full_compaction(spark, catalog):
     from advent_of_code_flink_paimon_spark.streaming import stream_table_changelog
 
     assert stream_table_changelog(spark, t).isStreaming
+
+
+def test_changelog_producer_lookup_alias(spark, catalog):
+    """'lookup' spells the same derived-changelog implementation as
+    'input' here (pre-images are always looked up per commit)."""
+    t = catalog.create_table(
+        "lkp", "k long, v string", {"primary-key": "k", "changelog-producer": "lookup"}
+    )
+    t.upsert(spark.createDataFrame([(1, "a")], "k long, v string"))
+    t.upsert(spark.createDataFrame([(1, "b")], "k long, v string"))
+    kinds = sorted((r.k, r._change_type) for r in t.read_changelog(spark).collect())
+    assert kinds == [(1, "+I"), (1, "+U"), (1, "-U")]
