@@ -46,6 +46,21 @@ class Catalog:
         opts = dict(options or {})
         if isinstance(opts.get("primary-key"), str):
             opts["primary-key"] = [c.strip() for c in opts["primary-key"].split(",")]
+        engine = opts.get("merge-engine", "deduplicate")
+        if engine not in ("deduplicate", "partial-update", "aggregation"):
+            raise ValueError(f"unknown merge-engine {engine!r}")
+        if engine != "deduplicate":
+            if not opts.get("primary-key"):
+                raise ValueError(f"merge-engine '{engine}' requires a primary key")
+            if opts.get("changelog-producer") in ("input", "lookup"):
+                # per-commit pre-image derivation assumes last-write-wins
+                # rows; these engines combine columns across commits —
+                # Paimon 0.5 has the same restriction (use
+                # 'full-compaction', which diffs merged images)
+                raise ValueError(
+                    f"merge-engine '{engine}' cannot produce a per-commit "
+                    "changelog; use changelog-producer='full-compaction'"
+                )
         paths = TablePaths(self.warehouse, self.db, name)
         # create-if-absent on schema-0 is the existence arbiter: two
         # racing CREATEs get exactly one winner (same primitive as the

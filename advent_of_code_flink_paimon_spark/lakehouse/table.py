@@ -610,23 +610,39 @@ class Table:
         seq = (self.snapshot(latest)["sequence_number"] + 1) if latest else 1
 
         cols = [f.name for f in self.schema.fields]
-        if "__op" not in df.columns:
-            df = df.withColumn("__op", F.lit("U"))
-        # batch-local dedup: LAST INPUT ROW per key wins (Paimon sequence
-        # semantics) — the ordinal is captured before the window so a
-        # batch holding both an update and a delete for one key resolves
-        # by arrival order, never by value comparison (a D row with NULL
-        # values must beat an earlier U row). The ordinal is
-        # (partition, offset)-ordered; callers needing a total order
-        # across shuffled multi-partition batches should carry a real
-        # sequence column and pre-dedup upstream.
-        w = Window.partitionBy(*pk).orderBy(F.desc("__ord"))
-        deduped = (
-            df.withColumn("__ord", F.monotonically_increasing_id())
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn", "__ord")
-        )
+        if self.merge_engine != "deduplicate":
+            # Paimon 0.5 parity: partial-update/aggregation accept
+            # insert/update images only — a caller-supplied __op column
+            # (retractions; delete_where's D rows) has no defined merge
+            if "__op" in df.columns:
+                raise ValueError(
+                    f"{self.name}: merge-engine '{self.merge_engine}' does not "
+                    "accept retraction (__op) inputs; replace rows via "
+                    "overwrite() instead"
+                )
+            combined = self._merge_combine(
+                df.withColumn("__ord", F.monotonically_increasing_id()), "__ord"
+            )
+            deduped = combined.withColumn("__op", F.lit("U"))
+        else:
+            if "__op" not in df.columns:
+                df = df.withColumn("__op", F.lit("U"))
+            # batch-local dedup: LAST INPUT ROW per key wins (Paimon
+            # sequence semantics) — the ordinal is captured before the
+            # window so a batch holding both an update and a delete for
+            # one key resolves by arrival order, never by value
+            # comparison (a D row with NULL values must beat an earlier
+            # U row). The ordinal is (partition, offset)-ordered;
+            # callers needing a total order across shuffled
+            # multi-partition batches should carry a real sequence
+            # column and pre-dedup upstream.
+            w = Window.partitionBy(*pk).orderBy(F.desc("__ord"))
+            deduped = (
+                df.withColumn("__ord", F.monotonically_increasing_id())
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn", "__ord")
+            )
         batch = deduped.select(*cols, "__op").withColumn("__seq", F.lit(seq).cast("long"))
 
         pending_changelog = None
@@ -834,14 +850,77 @@ class Table:
             entries = prune_entries(entries, where)
         return self._read_entries(spark, entries)
 
+    @property
+    def merge_engine(self) -> str:
+        """'merge-engine' option: 'deduplicate' (default, last-write-
+        wins), 'partial-update' (per-column last NON-NULL wins), or
+        'aggregation' (per-column aggregate across writes, from
+        'fields.<col>.aggregate-function' ∈ {sum,max,min,
+        last_non_null}) — Paimon 0.5's three merge engines."""
+        return self.options.get("merge-engine", "deduplicate")
+
+    def _merge_combine(self, df: DataFrame, order_col: str) -> DataFrame:
+        """One row per key under the non-default merge engines, from
+        rows ordered by ``order_col`` (input ordinal within a batch,
+        commit sequence across commits — the SAME combine both places,
+        so in-batch and merge-on-read semantics cannot drift).
+        Everything is window projections over the key partitioning:
+        one shuffle, no join."""
+        engine = self.merge_engine
+        pk = self.primary_key
+        cols = [f.name for f in self.schema.fields]
+        vals = [c for c in cols if c not in pk]
+        fields = {f.name: f for f in self.schema.fields}
+        w_ord = (
+            Window.partitionBy(*pk)
+            .orderBy(F.col(order_col).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_all = Window.partitionBy(*pk)
+        proj = []
+        for c in vals:
+            if engine == "partial-update":
+                spec = "last_non_null"
+            else:
+                spec = self.options.get(f"fields.{c}.aggregate-function", "last_non_null")
+            if spec == "last_non_null":
+                e = F.last(c, ignorenulls=True).over(w_ord)
+            elif spec == "sum":
+                # cast back to the declared type: SUM widens (int→long,
+                # decimal precision) and schema-pinned writes reject it
+                e = F.sum(c).over(w_all).cast(fields[c].dataType)
+            elif spec == "max":
+                e = F.max(c).over(w_all)
+            elif spec == "min":
+                e = F.min(c).over(w_all)
+            else:
+                raise ValueError(
+                    f"{self.name}: unsupported fields.{c}.aggregate-function {spec!r}"
+                )
+            proj.append(e.alias(c))
+        w_last = Window.partitionBy(*pk).orderBy(F.col(order_col).desc())
+        return (
+            df.select(*pk, *proj, F.row_number().over(w_last).alias("__rn"))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .select(*cols)
+        )
+
     def _merged(self, spark: SparkSession, snapshot_id: int | None = None, where: str | None = None):
         """Merge-on-read for PK tables: latest row per key by commit
-        sequence, deletes dropped. None if the table is empty."""
+        sequence, deletes dropped (deduplicate engine); the
+        partial-update / aggregation engines combine per column via
+        :meth:`_merge_combine`. None if the table is empty."""
         if self.latest_snapshot_id() is None:
             return None
         raw = self._raw(spark, snapshot_id)
         pk = self.primary_key
         cols = [f.name for f in self.schema.fields]
+        if self.merge_engine != "deduplicate":
+            # retraction rows are rejected at write time for these
+            # engines, so the raw stream is insert/update images only
+            merged = self._merge_combine(raw, "__seq")
+            return merged.filter(where) if where else merged
         w = Window.partitionBy(*pk).orderBy(F.col("__seq").desc())
         merged = (
             raw.withColumn("__rn", F.row_number().over(w))
@@ -1027,6 +1106,12 @@ class Table:
         100 TB a selective predicate rewrites a handful of files, never
         the table."""
         if self.primary_key:
+            if self.merge_engine != "deduplicate":
+                raise ValueError(
+                    f"{self.name}: DELETE is undefined under merge-engine "
+                    f"'{self.merge_engine}' (no retraction semantics); "
+                    "rewrite via overwrite()"
+                )
             victims = self.read(spark, where=predicate)
             if victims.isEmpty():
                 return None
@@ -1068,6 +1153,12 @@ class Table:
 
         fields = {f.name: f for f in self.schema.fields}
         if self.primary_key:
+            if self.merge_engine == "aggregation":
+                raise ValueError(
+                    f"{self.name}: UPDATE under merge-engine 'aggregation' "
+                    "would re-aggregate the updated image into itself; "
+                    "rewrite via overwrite()"
+                )
             updated = self.read(spark, where=predicate)
             if updated.isEmpty():
                 return None

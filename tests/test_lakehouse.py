@@ -1016,3 +1016,86 @@ def test_changelog_producer_lookup_alias(spark, catalog):
     t.upsert(spark.createDataFrame([(1, "b")], "k long, v string"))
     kinds = sorted((r.k, r._change_type) for r in t.read_changelog(spark).collect())
     assert kinds == [(1, "+I"), (1, "+U"), (1, "-U")]
+
+
+# ----------------------------------------------------------------------
+# Merge engines beyond deduplicate (Paimon 0.5: partial-update,
+# aggregation) — per-column combine at read AND within each batch.
+# ----------------------------------------------------------------------
+def test_merge_engine_partial_update(spark, catalog):
+    t = catalog.create_table(
+        "pu", "k long, a string, b string",
+        {"primary-key": "k", "merge-engine": "partial-update"},
+    )
+    # within ONE batch: later non-nulls fill, earlier non-nulls survive
+    t.upsert(
+        spark.createDataFrame(
+            [(1, "a1", None), (1, None, "b1"), (2, "a2", None)],
+            "k long, a string, b string",
+        ).coalesce(1)
+    )
+    assert sorted(tuple(r) for r in t.read(spark).collect()) == [
+        (1, "a1", "b1"), (2, "a2", None)
+    ]
+    # across commits: new non-null overrides, NULL leaves the old value
+    t.upsert(spark.createDataFrame([(1, None, "b2"), (2, None, "bb")], "k long, a string, b string"))
+    assert sorted(tuple(r) for r in t.read(spark).collect()) == [
+        (1, "a1", "b2"), (2, "a2", "bb")
+    ]
+    # time travel sees the old fill; compaction preserves the image
+    assert sorted(tuple(r) for r in t.read(spark, snapshot_id=1).collect())[0] == (1, "a1", "b1")
+    t.compact()
+    assert sorted(tuple(r) for r in t.read(spark).collect()) == [
+        (1, "a1", "b2"), (2, "a2", "bb")
+    ]
+    t.upsert(spark.createDataFrame([(1, "a3", None)], "k long, a string, b string"))
+    assert sorted(tuple(r) for r in t.read(spark).collect())[0] == (1, "a3", "b2")
+
+
+def test_merge_engine_aggregation(spark, catalog):
+    t = catalog.create_table(
+        "ag", "k long, total long, peak long, note string",
+        {
+            "primary-key": "k", "merge-engine": "aggregation",
+            "fields.total.aggregate-function": "sum",
+            "fields.peak.aggregate-function": "max",
+            # note: default last_non_null
+        },
+    )
+    t.upsert(spark.createDataFrame(
+        [(1, 10, 5, "x"), (1, 15, 9, None), (2, 1, 1, "y")],
+        "k long, total long, peak long, note string").coalesce(1))
+    assert sorted(tuple(r) for r in t.read(spark).collect()) == [
+        (1, 25, 9, "x"), (2, 1, 1, "y")
+    ]
+    t.upsert(spark.createDataFrame([(1, 5, 7, "z")], "k long, total long, peak long, note string"))
+    assert sorted(tuple(r) for r in t.read(spark).collect()) == [
+        (1, 30, 9, "z"), (2, 1, 1, "y")
+    ]
+    # compaction collapses to the aggregate, further writes keep adding
+    t.compact()
+    t.upsert(spark.createDataFrame([(2, 4, 8, None)], "k long, total long, peak long, note string"))
+    assert sorted(tuple(r) for r in t.read(spark).collect()) == [
+        (1, 30, 9, "z"), (2, 5, 8, "y")
+    ]
+
+
+def test_merge_engine_guards(spark, catalog):
+    with pytest.raises(ValueError, match="requires a primary key"):
+        catalog.create_table("g1", "k long", {"merge-engine": "partial-update"})
+    with pytest.raises(ValueError, match="full-compaction"):
+        catalog.create_table(
+            "g2", "k long, v string",
+            {"primary-key": "k", "merge-engine": "aggregation",
+             "changelog-producer": "input"},
+        )
+    t = catalog.create_table(
+        "g3", "k long, v string", {"primary-key": "k", "merge-engine": "partial-update"}
+    )
+    t.upsert(spark.createDataFrame([(1, "a")], "k long, v string"))
+    with pytest.raises(ValueError, match="retraction"):
+        t.upsert(
+            spark.createDataFrame([(1, "a")], "k long, v string").withColumn("__op", F.lit("D"))
+        )
+    with pytest.raises(ValueError, match="DELETE"):
+        t.delete_where(spark, "k = 1")
