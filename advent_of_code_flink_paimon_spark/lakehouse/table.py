@@ -436,6 +436,7 @@ class Table:
         commit_identifier: int | None = None,
         sequence_number: int | None = None,
         expected_latest: int | None | object = _UNSET,
+        snapshot_extra: dict | None = None,
     ) -> int:
         """Optimistic snapshot publish (the 'Global Committer').
 
@@ -528,6 +529,7 @@ class Table:
                 "added_files": len(new_entries),
                 "total_files": total_files,
                 "total_record_count": total_records,
+                **(snapshot_extra or {}),
             },
         )
         os.makedirs(self.paths.snapshot_dir(), exist_ok=True)
@@ -1034,7 +1036,10 @@ class Table:
             _, entries = self._stage_write(self._raw(spark))
         for e in entries:
             e["level"] = COMPACT_LEVEL
-        sid = self._commit(entries, "COMPACT", replaced=old, expected_latest=latest)
+        sid = self._commit(
+            entries, "COMPACT", replaced=old, expected_latest=latest,
+            snapshot_extra={"compaction": "full"},
+        )
         if self.primary_key and self.options.get("changelog-producer") == "full-compaction":
             self._write_compaction_changelog(spark, latest, sid)
         return sid
@@ -1048,10 +1053,26 @@ class Table:
         images; consumers trade per-commit latency for the cheapest
         possible write path (the mode streaming-lax pipelines pick when
         the sink is compaction-driven anyway)."""
+        def _is_full_compaction(s: dict) -> bool:
+            # Only FULL compactions emit a changelog, so only they can
+            # serve as the diff baseline. A minor (L0) compaction also
+            # commits kind=COMPACT but emits nothing — baselining on it
+            # would silently drop every upsert between the last full
+            # compaction and the minor one from the next emitted diff.
+            # Snapshots carry a 'compaction' marker (full|minor); for
+            # legacy snapshots without it, fall back to whether that
+            # snapshot actually has a changelog directory on disk.
+            marker = s.get("compaction")
+            if marker is not None:
+                return marker == "full"
+            return os.path.isdir(self.paths.changelog_dir(s["sequence_number"]))
+
         compacts = [
             s["id"]
             for s in self.snapshots()
-            if s["commit_kind"] == "COMPACT" and s["id"] <= latest
+            if s["commit_kind"] == "COMPACT"
+            and s["id"] <= latest
+            and _is_full_compaction(s)
         ]
         prev_compact = max(compacts, default=None)
         after = self._merged(spark, snapshot_id=latest)
@@ -1207,9 +1228,11 @@ class Table:
             return self._commit(
                 entries, "COMPACT", replaced={e["file_path"] for e in l0},
                 sequence_number=seq, expected_latest=latest,
+                snapshot_extra={"compaction": "minor"},
             )
         return self._commit(
-            entries, "COMPACT", replaced={e["file_path"] for e in l0}, expected_latest=latest
+            entries, "COMPACT", replaced={e["file_path"] for e in l0},
+            expected_latest=latest, snapshot_extra={"compaction": "minor"},
         )
 
     def _maybe_auto_compact(self) -> None:
