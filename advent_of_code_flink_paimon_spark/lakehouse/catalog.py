@@ -46,6 +46,25 @@ class Catalog:
         opts = dict(options or {})
         if isinstance(opts.get("primary-key"), str):
             opts["primary-key"] = [c.strip() for c in opts["primary-key"].split(",")]
+        self._validate_options(opts)
+        paths = TablePaths(self.warehouse, self.db, name)
+        # create-if-absent on schema-0 is the existence arbiter: two
+        # racing CREATEs get exactly one winner (same primitive as the
+        # snapshot commit), never an interleaved half-created table
+        if not exclusive_write_json(
+            paths.schema_path(0),
+            {"version": 0, "schema": schema.jsonValue(), "options": opts, "created_ms": now_millis()},
+        ):
+            raise ValueError(f"table {name} already exists")
+        return Table(self.warehouse, self.db, name)
+
+    @staticmethod
+    def _validate_options(opts: dict) -> None:
+        """Option-set invariants shared by CREATE TABLE and ALTER TABLE
+        SET — ALTER merges into the existing options, so the merged set
+        must satisfy the same rules or an illegal combination (e.g.
+        merge-engine=aggregation + changelog-producer=input) could be
+        introduced post-create."""
         engine = opts.get("merge-engine", "deduplicate")
         if engine not in ("deduplicate", "partial-update", "aggregation"):
             raise ValueError(f"unknown merge-engine {engine!r}")
@@ -61,16 +80,6 @@ class Catalog:
                     f"merge-engine '{engine}' cannot produce a per-commit "
                     "changelog; use changelog-producer='full-compaction'"
                 )
-        paths = TablePaths(self.warehouse, self.db, name)
-        # create-if-absent on schema-0 is the existence arbiter: two
-        # racing CREATEs get exactly one winner (same primitive as the
-        # snapshot commit), never an interleaved half-created table
-        if not exclusive_write_json(
-            paths.schema_path(0),
-            {"version": 0, "schema": schema.jsonValue(), "options": opts, "created_ms": now_millis()},
-        ):
-            raise ValueError(f"table {name} already exists")
-        return Table(self.warehouse, self.db, name)
 
     def alter_table(self, name: str, set_options: dict) -> Table:
         """ALTER TABLE SET (props) → new schema version
@@ -81,6 +90,17 @@ class Catalog:
         new_opts.update(set_options)
         if isinstance(new_opts.get("primary-key"), str):
             new_opts["primary-key"] = [c.strip() for c in new_opts["primary-key"].split(",")]
+        old_engine = doc["options"].get("merge-engine", "deduplicate")
+        new_engine = new_opts.get("merge-engine", "deduplicate")
+        if new_engine != old_engine:
+            # Paimon treats merge-engine as immutable: rows already on
+            # disk were written under the old engine's __op semantics,
+            # so switching re-interprets them undefinedly
+            raise ValueError(
+                f"merge-engine is immutable after CREATE TABLE "
+                f"(table has {old_engine!r}, ALTER sets {new_engine!r})"
+            )
+        self._validate_options(new_opts)
         v = t.schema_version + 1
         atomic_write_json(
             t.paths.schema_path(v),

@@ -24,6 +24,7 @@ from __future__ import annotations
 import glob
 import os
 import shutil
+import uuid
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -361,7 +362,9 @@ class Table:
         Partition dirs are staged from ``__pt_*`` COPIES of the
         partition columns so the originals stay in the data files
         (partitionBy drops its columns from file contents)."""
-        staging = os.path.join(self.paths.root, f".staging-{now_millis()}-{os.getpid()}")
+        staging = os.path.join(
+            self.paths.root, f".staging-{now_millis()}-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        )
         pcols = self.partition_keys
         staged = self._with_bucket(df)
         for c in pcols:
@@ -658,8 +661,11 @@ class Table:
         if self.options.get("changelog-producer") in ("input", "lookup"):
             # stage pre-commit (the pre-image must reflect the table
             # BEFORE this batch), publish only after the commit wins
+            # uuid component: two threads of one process can commit in
+            # the same millisecond, and millis+pid alone would collide
             pending_changelog = os.path.join(
-                self.paths.root, "changelog", f".staging-{now_millis()}-{os.getpid()}"
+                self.paths.root, "changelog",
+                f".staging-{now_millis()}-{os.getpid()}-{uuid.uuid4().hex[:8]}",
             )
             self._write_changelog(batch, seq, target_dir=pending_changelog)
 
@@ -1283,11 +1289,14 @@ class Table:
             if rel not in referenced and os.path.getmtime(f) * 1000 < cutoff:
                 os.unlink(f)
                 removed.append(rel)
-        # abandoned staging dirs are orphans too
-        for d in glob.glob(os.path.join(self.paths.root, ".staging-*")):
-            if os.path.getmtime(d) * 1000 < cutoff:
-                shutil.rmtree(d, ignore_errors=True)
-                removed.append(os.path.relpath(d, self.paths.root))
+        # abandoned staging dirs are orphans too — both the data staging
+        # at the root and changelog staging left by a crashed upsert
+        # writer (its pending dir is renamed into place only post-commit)
+        for pat in (".staging-*", os.path.join("changelog", ".staging-*")):
+            for d in glob.glob(os.path.join(self.paths.root, pat)):
+                if os.path.getmtime(d) * 1000 < cutoff:
+                    shutil.rmtree(d, ignore_errors=True)
+                    removed.append(os.path.relpath(d, self.paths.root))
         return removed
 
     def expire_snapshots(

@@ -500,11 +500,23 @@ def _cc_star(pairs: DataFrame, truncate) -> DataFrame:
     connected_components.last_rounds = rounds
     # star forest: every non-root points at its root; a root's
     # neighbors are all larger, so least(u, min Γ) is the root itself
-    return (
+    labeled = (
         edges.groupBy("u")
         .agg(F.min("v").alias("mn"))
         .select(F.col("u").alias("node"), F.least("u", "mn").alias("label"))
     )
+    # the i != j pre-filter drops nodes whose ONLY pair is a self-pair;
+    # the min-label path labels them (node, node) — honor the same
+    # 'label for every endpoint' contract by unioning them back
+    all_nodes = (
+        pairs.select(F.col("i").alias("node"))
+        .unionByName(pairs.select(F.col("j").alias("node")))
+        .distinct()
+    )
+    singletons = all_nodes.join(labeled, "node", "left_anti").select(
+        "node", F.col("node").alias("label")
+    )
+    return labeled.unionByName(singletons)
 
 
 # DuckDB twin of the simhash pipeline: md5's first 8 bytes parsed

@@ -117,6 +117,19 @@ def stream_table_upsert(spark: SparkSession, table: Table) -> DataFrame:
     reads."""
     if not table.primary_key:
         raise ValueError(f"table {table.name} has no primary key — use stream_table_files")
+    if table.merge_engine != "deduplicate":
+        # Under partial-update/aggregation the staged rows are
+        # batch-local PARTIAL images (e.g. per-batch sums), not
+        # post-images; surfacing them as '+U' would feed a downstream
+        # keyed-state normalizer wrong values. Mirrors delete_where's
+        # merge-engine guard.
+        raise ValueError(
+            f"table {table.name} uses merge-engine={table.merge_engine!r}: staged "
+            "rows are per-batch partial images, not post-images — "
+            "stream_table_upsert would mislabel them '+U'. Read the merged "
+            "snapshot, or use changelog-producer=full-compaction with "
+            "stream_table_changelog."
+        )
     from pyspark.sql import functions as F
     from pyspark.sql.types import StringType, StructField, StructType
 

@@ -390,11 +390,17 @@ def test_remove_orphan_files(spark, catalog):
     with open(orphan, "wb") as f:
         f.write(b"not really parquet")
 
+    # a crashed upsert writer's changelog staging dir is an orphan too
+    cl_staging = os.path.join(t.paths.root, "changelog", ".staging-crashed-456")
+    os.makedirs(cl_staging, exist_ok=True)
+
     future = int(_time.time() * 1000) + 60_000  # everything is "old enough"
     removed = t.remove_orphan_files(older_than_ms=future)
     assert any("data-orphan" in r for r in removed)
-    assert any(".staging-crashed" in r for r in removed)
+    assert any(".staging-crashed-123" in r for r in removed)
+    assert any(".staging-crashed-456" in r for r in removed)
     assert not os.path.exists(orphan)
+    assert not os.path.exists(cl_staging)
     # live data intact
     assert t.read(spark).count() == 2
 
@@ -1125,3 +1131,21 @@ def test_merge_engine_guards(spark, catalog):
         )
     with pytest.raises(ValueError, match="DELETE"):
         t.delete_where(spark, "k = 1")
+
+
+def test_alter_table_revalidates_options(spark, catalog):
+    """ALTER TABLE SET merges into the existing options — the merged
+    set must pass CREATE TABLE's validation, and merge-engine is
+    immutable (Paimon semantics: on-disk __op rows were written under
+    the declared engine)."""
+    catalog.create_table("av", "k long, v string", {"primary-key": "k"})
+    with pytest.raises(ValueError, match="immutable"):
+        catalog.alter_table("av", {"merge-engine": "aggregation"})
+    catalog.create_table(
+        "av2", "k long, v string", {"primary-key": "k", "merge-engine": "partial-update"}
+    )
+    with pytest.raises(ValueError, match="full-compaction"):
+        catalog.alter_table("av2", {"changelog-producer": "input"})
+    # a legal SET still lands as schema-N+1
+    t = catalog.alter_table("av", {"snapshot.num-retained.min": "1"})
+    assert t.schema_version == 1

@@ -326,6 +326,20 @@ def test_pointer_doubling_cc_is_logarithmic_on_deep_chain(spark):
     assert rounds <= math.ceil(math.log2(d)) + 3, rounds
 
 
+def test_pointer_doubling_cc_labels_self_pair_only_nodes(spark):
+    """A node whose ONLY pair is a self-pair must still get a label
+    (node, node) — the min-label path emits it, and the star path's
+    i != j pre-filter used to drop it (round-4 advice, low)."""
+    from advent_of_code_flink_paimon_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame([(5, 5), (1, 2)], "i long, j long")
+    got = {
+        r.node: r.label
+        for r in connected_components(df, algorithm="pointer-doubling").collect()
+    }
+    assert got == {5: 5, 1: 1, 2: 1}
+
+
 def test_scoring_order_covers_registry_exactly():
     """__spark_entry__._ORDER must list every registered query exactly
     once — a typo or a new query missing from the list silently lands

@@ -329,6 +329,19 @@ def test_stream_table_files_ignores_compaction(spark, catalog, tmp_path):
     assert sorted((r.k, r.v) for r in rows) == [(0, 0), (1, 10), (2, 20), (99, 990)]
 
 
+def test_stream_table_upsert_rejects_non_default_merge_engine(spark, catalog):
+    """Under partial-update/aggregation the staged rows are per-batch
+    PARTIAL images; labeling them '+U' would corrupt a downstream
+    keyed-state normalizer (round-4 advice, medium)."""
+    from advent_of_code_flink_paimon_spark.streaming import stream_table_upsert
+
+    t = catalog.create_table(
+        "sme", "k long, v string", {"primary-key": "k", "merge-engine": "partial-update"}
+    )
+    with pytest.raises(ValueError, match="partial-update"):
+        stream_table_upsert(spark, t)
+
+
 def test_stream_table_upsert_without_changelog(spark, catalog, tmp_path):
     """PK table with NO stored changelog still streams (SURVEY §7
     watch-list closure): each upsert commit's post-image rows arrive
