@@ -384,16 +384,40 @@ def q15_agg_distinct(spark, sf_dir):
     )
 
 
-@query("q16_agg_approx_distinct")  # no oracle: HLL sketch values are engine-specific
+@query(
+    "q16_agg_approx_distinct",
+    oracle="""
+    SELECT COUNT(DISTINCT l_orderkey) AS exact_orders,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS orders_within_bound,
+           TRUE AS parts_within_bound
+    FROM lineitem
+    """,
+)
 def q16_agg_approx_distinct(spark, sf_dir):
-    """approx_count_distinct — declared in SURVEY.md §2.4. The sketch
-    estimate differs across engines by design → rows-only check;
-    tests/test_extensions.py bounds the estimates within ±5% of exact
-    (rsd=0.02 → the 5% bound is ±2.5 sigma)."""
+    """approx_count_distinct — declared in SURVEY.md §2.4. The raw HLL
+    sketch estimate differs across engines by design, so the ORACLED
+    output is (exact counts, |approx − exact| ≤ 0.05·exact booleans):
+    DuckDB computes the exact side and literal TRUEs, making the entry
+    hash-checkable without pretending sketch internals match (round-4
+    verdict ask #2; rsd=0.02 → the 5% bound is ±2.5 sigma). The approx
+    values themselves stay bounded by
+    tests/test_extensions.py::test_q16_approx_distinct_within_error_bound."""
     l = T(spark, sf_dir, "lineitem")
-    return l.agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+    agg = l.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("__approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("__approx_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    within = lambda a, e: (  # noqa: E731
+        F.abs(F.col(a) - F.col(e)) <= F.lit(0.05) * F.col(e)
+    )
+    return agg.select(
+        "exact_orders",
+        "exact_parts",
+        within("__approx_orders", "exact_orders").alias("orders_within_bound"),
+        within("__approx_parts", "exact_parts").alias("parts_within_bound"),
     )
 
 

@@ -237,9 +237,10 @@ def test_shingles_and_bigrams_handle_short_docs(spark):
 
 
 def test_q16_approx_distinct_within_error_bound(spark):
-    """HLL sketch values are engine-specific (hence rows-only for the
-    driver), but the estimates must stay within ±5% of exact — the
-    default rsd=0.05 contract of approx_count_distinct."""
+    """HLL sketch values are engine-specific, so q16's oracled output is
+    (exact counts, within-±5% booleans). Check the booleans come out
+    TRUE and the exact columns match an independent recount — plus the
+    raw estimates themselves against the same bound."""
     from advent_of_code_flink_paimon_spark.operators.registry import T
 
     import advent_of_code_flink_paimon_spark.operators.relational  # noqa: F401
@@ -250,8 +251,14 @@ def test_q16_approx_distinct_within_error_bound(spark):
         F.countDistinct("l_orderkey").alias("o"),
         F.countDistinct("l_partkey").alias("p"),
     ).collect()[0]
-    assert abs(got.approx_orders - exact.o) <= 0.05 * exact.o, (got, exact)
-    assert abs(got.approx_parts - exact.p) <= 0.05 * exact.p, (got, exact)
+    assert (got.exact_orders, got.exact_parts) == (exact.o, exact.p)
+    assert got.orders_within_bound and got.parts_within_bound, got
+    approx = l.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("o"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("p"),
+    ).collect()[0]
+    assert abs(approx.o - exact.o) <= 0.05 * exact.o, (approx, exact)
+    assert abs(approx.p - exact.p) <= 0.05 * exact.p, (approx, exact)
 
 
 def test_lsh_band_cap_bounds_hot_band_candidates(spark):
