@@ -284,6 +284,7 @@ class Catalog:
             t.tags_table(spark).createOrReplaceTempView(f"{name}__tags")
             t.partitions_table(spark).createOrReplaceTempView(f"{name}__partitions")
             t.manifests_table(spark).createOrReplaceTempView(f"{name}__manifests")
+            t.consumers_table(spark).createOrReplaceTempView(f"{name}__consumers")
 
     def sql(self, spark: SparkSession, query: str):
         """Run SQL against the catalog; supports the reference's
@@ -297,7 +298,9 @@ class Catalog:
         idents = set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", query))
         self.register_views(spark, only=idents)
         rewritten = re.sub(
-            r"(\w+)\$(files|snapshots|schemas|tags|partitions|manifests)", r"\1__\2", query
+            r"(\w+)\$(files|snapshots|schemas|tags|partitions|manifests|consumers)",
+            r"\1__\2",
+            query,
         )
 
         def tt(m):

@@ -111,6 +111,12 @@ class TablePaths:
     def tag_path(self, name: str) -> str:
         return os.path.join(self.root, "tag", f"tag-{name}")
 
+    def consumer_dir(self) -> str:
+        return os.path.join(self.root, "consumer")
+
+    def consumer_path(self, consumer_id: str) -> str:
+        return os.path.join(self.root, "consumer", f"consumer-{consumer_id}")
+
     def read_pointer(self, name: str) -> int | None:
         p = self.pointer_path(name)
         if not os.path.exists(p):

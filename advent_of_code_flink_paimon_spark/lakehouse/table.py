@@ -219,6 +219,44 @@ class Table:
             out[doc["tag_name"]] = doc
         return out
 
+    # ------------------------------------------------------------------
+    # consumers (Paimon consumer-id surface: a streaming subscriber
+    # registers its read progress table-side, and expire_snapshots will
+    # not expire its unconsumed window — guide.md:181-183's 20 s
+    # retention would otherwise outrun any briefly-stalled reader)
+    # ------------------------------------------------------------------
+    def register_consumer(self, consumer_id: str, next_snapshot_id: int | None = None) -> int:
+        """Record that ``consumer_id`` has consumed everything BEFORE
+        ``next_snapshot_id`` (Paimon's consumer file stores the next
+        snapshot the subscriber will read). Re-registering advances the
+        progress — unlike tags, consumers are mutable bookmarks. The
+        default is the current LATEST + 1, i.e. 'caught up; protect
+        only what comes next'."""
+        if next_snapshot_id is None:
+            next_snapshot_id = (self.latest_snapshot_id() or 0) + 1
+        os.makedirs(self.paths.consumer_dir(), exist_ok=True)
+        atomic_write_json(
+            self.paths.consumer_path(consumer_id),
+            {
+                "consumer_id": consumer_id,
+                "next_snapshot_id": next_snapshot_id,
+                "update_time_ms": now_millis(),
+            },
+        )
+        return next_snapshot_id
+
+    def drop_consumer(self, consumer_id: str) -> None:
+        p = self.paths.consumer_path(consumer_id)
+        if os.path.exists(p):
+            os.unlink(p)
+
+    def consumers(self) -> dict[str, dict]:
+        out = {}
+        for p in glob.glob(os.path.join(self.paths.consumer_dir(), "consumer-*")):
+            doc = read_json(p)
+            out[doc["consumer_id"]] = doc
+        return out
+
     def resolve_ref(self, ref: int | str | None) -> int | None:
         """Snapshot id (int / digit-string) or tag name → snapshot id."""
         if ref is None:
@@ -1324,6 +1362,14 @@ class Table:
         # tagged snapshots are pinned: a tag is a promise the snapshot
         # stays readable (Paimon tag semantics)
         keep |= {t["snapshot_id"] for t in self.tags().values() if t["snapshot_id"] in set(ids)}
+        # registered consumers pin their unconsumed window: every
+        # snapshot at or past the slowest consumer's next-to-read id
+        # survives, so aggressive time-retention (guide.md:181-183,
+        # snapshot.time-retained='20s') cannot outrun a stalled reader
+        nexts = [c["next_snapshot_id"] for c in self.consumers().values()]
+        if nexts:
+            floor = min(nexts)
+            keep |= {sid for sid in ids if sid >= floor}
         expired = [sid for sid in ids if sid not in keep]
         if not expired:
             return []
@@ -1432,6 +1478,24 @@ class Table:
             rows,
             "tag_name string, snapshot_id long, schema_id long, "
             "create_time timestamp, record_count long",
+        )
+
+    def consumers_table(self, spark: SparkSession) -> DataFrame:
+        """$consumers: one row per registered streaming consumer
+        (Paimon's consumers system table) — the bookmark that pins its
+        unconsumed snapshot window against expiry."""
+        import datetime
+
+        rows = [
+            (
+                doc["consumer_id"],
+                doc["next_snapshot_id"],
+                datetime.datetime.fromtimestamp(doc["update_time_ms"] / 1000.0),
+            )
+            for doc in sorted(self.consumers().values(), key=lambda d: d["consumer_id"])
+        ]
+        return spark.createDataFrame(
+            rows, "consumer_id string, next_snapshot_id long, update_time timestamp"
         )
 
     def partitions_table(self, spark: SparkSession) -> DataFrame:

@@ -259,6 +259,33 @@ def test_expire_snapshots(spark, catalog):
         t.snapshot(1)
 
 
+def test_registered_consumer_protects_snapshots_from_expiry(spark, catalog):
+    """Paimon consumer-id semantics: a registered streaming reader's
+    unconsumed snapshot window survives expire_snapshots even under the
+    reference's aggressive retention (snapshot.time-retained='20s',
+    tutorial/guide.md:181-183); unregistered tables expire as before."""
+    t = catalog.create_table("mc", "sensor_id long, reading decimal(5,1), event_time timestamp")
+    for i in range(4):
+        t.append(_measurements(spark, 10, start=i * 10))
+    # a reader that has consumed snapshot 1 and will read 2 next
+    t.register_consumer("job-a", next_snapshot_id=2)
+    # time-based retention that would otherwise drop everything but LATEST
+    future = int(__import__("time").time() * 1000) + 60_000
+    expired = t.expire_snapshots(retain_min=1, older_than_ms=future)
+    assert expired == [1]  # 2,3 pinned by the consumer, 4 is LATEST
+    assert {s["id"] for s in t.snapshots()} == {2, 3, 4}
+    # $consumers system table (and the $ SQL spelling) exposes the bookmark
+    rows = catalog.sql(
+        spark, "SELECT consumer_id, next_snapshot_id FROM mc$consumers"
+    ).collect()
+    assert [(r.consumer_id, r.next_snapshot_id) for r in rows] == [("job-a", 2)]
+    # progress advances; dropping the consumer releases the pin
+    t.register_consumer("job-a", next_snapshot_id=4)
+    assert t.expire_snapshots(retain_min=1, older_than_ms=future) == [2, 3]
+    t.drop_consumer("job-a")
+    assert t.consumers() == {}
+
+
 def test_alter_table_bumps_schema_version(spark, catalog):
     catalog.create_table("m", "k long, v string", {"bucket": "1"})
     t = catalog.get_table("m")
