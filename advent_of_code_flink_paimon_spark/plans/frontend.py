@@ -220,6 +220,32 @@ class Engine:
             t = self.catalog.get_table(name)
             rows = [(f.name, f.dataType.simpleString()) for f in t.schema.fields]
             return self.spark.createDataFrame(rows, "col_name string, data_type string")
+        if u.startswith("EXPLAIN"):
+            # EXPLAIN [PLAN FOR] [SIMPLE|EXTENDED|FORMATTED|CODEGEN|COST]
+            # <query> — plan inspection is the first thing a user of the
+            # reference's interactive SQL client reaches for when a query
+            # is slow (Readme.md:38-46). The inner query runs through the
+            # same dialect bridge ($files, time travel, TVF rewrites) and
+            # the Spark plan text comes back as a one-row relation.
+            m = re.match(
+                r"EXPLAIN\s+(?:PLAN\s+FOR\s+)?"
+                r"(?:(SIMPLE|EXTENDED|FORMATTED|CODEGEN|COST)\s+)?(.+)$",
+                s, re.I | re.S,
+            )
+            mode = (m.group(1) or "formatted").lower()
+            inner_sql = m.group(2).strip()
+            # only query-shaped statements: dispatching a DDL/DML inner
+            # through self.sql would EXECUTE it, not explain it
+            if not re.match(r"(SELECT|WITH|VALUES|TABLE)\b", inner_sql, re.I):
+                raise ValueError("EXPLAIN expects a query, got a statement")
+            inner = self.sql(inner_sql, _internal=True)
+            import contextlib
+            import io
+
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                inner.explain(mode)
+            return self.spark.createDataFrame([(buf.getvalue(),)], "plan string")
         if u.startswith("CREATE TABLE"):
             return self._create_table(s)
         if u.startswith("ALTER TABLE"):

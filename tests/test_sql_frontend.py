@@ -932,3 +932,33 @@ def test_streaming_tvf_dequalify_skips_string_literals(engine, spark):
     )
     assert df is not None and df.isStreaming
     assert df.columns == ["window_start", "labeled"]
+
+
+def test_explain_statement(engine, spark):
+    """EXPLAIN <query> (round-4 verdict ask #4): plan text through the
+    same dialect bridge — the filter must reach the parquet scan as a
+    pushed filter, and $files / time-travel spellings must explain
+    without executing."""
+    engine.sql("CREATE TABLE ex (k BIGINT, v STRING) WITH ('bucket' = '1')")
+    engine.sql("INSERT INTO ex VALUES (CAST(1 AS BIGINT), 'a'), (CAST(2 AS BIGINT), 'b')")
+    engine.sql("INSERT INTO ex VALUES (CAST(3 AS BIGINT), 'c')")
+
+    plan = engine.sql("EXPLAIN SELECT k FROM ex WHERE k = 1").collect()[0].plan
+    assert "PushedFilters" in plan and "EqualTo(k,1)" in plan, plan
+    # column pruning: v must not be read for a k-only projection
+    assert "ReadSchema" in plan and "v:" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+    # time-travel inner query resolves through the snapshot log
+    tt = engine.sql("EXPLAIN SIMPLE SELECT * FROM ex VERSION AS OF 1").collect()[0].plan
+    assert "Physical Plan" in tt, tt
+
+    # $files system table explains through the same rewrite
+    sf = engine.sql("EXPLAIN SIMPLE SELECT file_path FROM ex$files").collect()[0].plan
+    assert "Physical Plan" in sf, sf
+
+    # Flink's EXPLAIN PLAN FOR spelling is tolerated
+    pf = engine.sql("EXPLAIN PLAN FOR SELECT COUNT(*) AS c FROM ex").collect()[0].plan
+    assert "Physical Plan" in pf, pf
+
+    with pytest.raises(ValueError, match="EXPLAIN expects a query"):
+        engine.sql("EXPLAIN SHOW TABLES")
