@@ -1067,14 +1067,26 @@ def test_full_compaction_changelog_survives_interleaved_minor_compact(spark, cat
 
 def test_changelog_producer_lookup_alias(spark, catalog):
     """'lookup' spells the same derived-changelog implementation as
-    'input' here (pre-images are always looked up per commit)."""
+    'input' here (pre-images are always looked up per commit). The
+    TIMING is pinned as a deliberate design decision (SURVEY §2.9,
+    round-5): emission happens at COMMIT time — changelog rows are
+    visible immediately after each upsert, with NO compaction — because
+    the per-commit derivation is already bucket-pruned and
+    batch-proportional, so Paimon's defer-to-compaction latency trade
+    buys nothing in this engine. Compaction-time emission is the
+    'full-compaction' producer's contract."""
     t = catalog.create_table(
         "lkp", "k long, v string", {"primary-key": "k", "changelog-producer": "lookup"}
     )
     t.upsert(spark.createDataFrame([(1, "a")], "k long, v string"))
+    # commit-time emission: the first upsert's +I is already readable
+    assert [(r.k, r._change_type) for r in t.read_changelog(spark).collect()] == [(1, "+I")]
     t.upsert(spark.createDataFrame([(1, "b")], "k long, v string"))
     kinds = sorted((r.k, r._change_type) for r in t.read_changelog(spark).collect())
     assert kinds == [(1, "+I"), (1, "+U"), (1, "-U")]
+    # and a later compaction re-emits nothing (no double counting)
+    t.compact()
+    assert t.read_changelog(spark).count() == 3
 
 
 # ----------------------------------------------------------------------
