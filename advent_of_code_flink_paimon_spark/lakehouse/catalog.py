@@ -46,7 +46,7 @@ class Catalog:
         opts = dict(options or {})
         if isinstance(opts.get("primary-key"), str):
             opts["primary-key"] = [c.strip() for c in opts["primary-key"].split(",")]
-        self._validate_options(opts)
+        self._validate_options(opts, field_names={f.name for f in schema.fields})
         paths = TablePaths(self.warehouse, self.db, name)
         # create-if-absent on schema-0 is the existence arbiter: two
         # racing CREATEs get exactly one winner (same primitive as the
@@ -59,7 +59,7 @@ class Catalog:
         return Table(self.warehouse, self.db, name)
 
     @staticmethod
-    def _validate_options(opts: dict) -> None:
+    def _validate_options(opts: dict, field_names: set[str] | None = None) -> None:
         """Option-set invariants shared by CREATE TABLE and ALTER TABLE
         SET — ALTER merges into the existing options, so the merged set
         must satisfy the same rules or an illegal combination (e.g.
@@ -80,6 +80,21 @@ class Catalog:
                     f"merge-engine '{engine}' cannot produce a per-commit "
                     "changelog; use changelog-producer='full-compaction'"
                 )
+        sf = opts.get("sequence.field")
+        if sf:
+            if not opts.get("primary-key"):
+                raise ValueError("sequence.field requires a primary key")
+            if engine != "deduplicate":
+                # the per-column combine engines fold in write order;
+                # reordering them by a data column is undefined (Paimon
+                # 0.5 scopes sequence.field to deduplicate as well)
+                raise ValueError(
+                    "sequence.field is only supported with merge-engine=deduplicate"
+                )
+            if sf in (opts.get("primary-key") or []):
+                raise ValueError("sequence.field cannot be a primary-key column")
+            if field_names is not None and sf not in field_names:
+                raise ValueError(f"sequence.field {sf!r} is not a table column")
 
     def alter_table(self, name: str, set_options: dict) -> Table:
         """ALTER TABLE SET (props) → new schema version
@@ -90,17 +105,21 @@ class Catalog:
         new_opts.update(set_options)
         if isinstance(new_opts.get("primary-key"), str):
             new_opts["primary-key"] = [c.strip() for c in new_opts["primary-key"].split(",")]
-        old_engine = doc["options"].get("merge-engine", "deduplicate")
-        new_engine = new_opts.get("merge-engine", "deduplicate")
-        if new_engine != old_engine:
-            # Paimon treats merge-engine as immutable: rows already on
-            # disk were written under the old engine's __op semantics,
-            # so switching re-interprets them undefinedly
-            raise ValueError(
-                f"merge-engine is immutable after CREATE TABLE "
-                f"(table has {old_engine!r}, ALTER sets {new_engine!r})"
-            )
-        self._validate_options(new_opts)
+        # Paimon treats these as immutable: rows already on disk were
+        # written (and batch-deduped) under the declared semantics, so
+        # switching re-interprets them undefinedly
+        for immutable, default in (("merge-engine", "deduplicate"), ("sequence.field", None)):
+            old_v = doc["options"].get(immutable, default)
+            new_v = new_opts.get(immutable, default)
+            if new_v != old_v:
+                raise ValueError(
+                    f"{immutable} is immutable after CREATE TABLE "
+                    f"(table has {old_v!r}, ALTER sets {new_v!r})"
+                )
+        self._validate_options(
+            new_opts,
+            field_names={f.name for f in StructType.fromJson(doc["schema"]).fields},
+        )
         v = t.schema_version + 1
         atomic_write_json(
             t.paths.schema_path(v),
@@ -185,6 +204,8 @@ class Catalog:
         protected = set(t.primary_key) | set(t.bucket_key) | set(t.partition_keys)
         if col in protected:
             raise ValueError(f"cannot drop key/partition column {col}")
+        if col == t.sequence_field:
+            raise ValueError(f"cannot drop sequence.field column {col}")
         fields = [f for f in StructType.fromJson(doc["schema"]).fields if f.name != col]
         if len(fields) == len(doc["schema"]["fields"]):
             raise ValueError(f"no such column: {col}")
@@ -235,6 +256,8 @@ class Catalog:
             sb = opts["sort-by"]
             lst = sb.split(",") if isinstance(sb, str) else list(sb)
             opts["sort-by"] = ",".join(new if c.strip() == old else c.strip() for c in lst)
+        if opts.get("sequence.field") == old:
+            opts["sequence.field"] = new
         v = t.schema_version + 1
         atomic_write_json(
             t.paths.schema_path(v),

@@ -677,9 +677,9 @@ class Table:
             # comparison (a D row with NULL values must beat an earlier
             # U row). The ordinal is (partition, offset)-ordered;
             # callers needing a total order across shuffled
-            # multi-partition batches should carry a real sequence
-            # column and pre-dedup upstream.
-            w = Window.partitionBy(*pk).orderBy(F.desc("__ord"))
+            # multi-partition batches declare 'sequence.field', which
+            # takes precedence over arrival order here and on read.
+            w = Window.partitionBy(*pk).orderBy(*self._merge_order("__ord"))
             deduped = (
                 df.withColumn("__ord", F.monotonically_increasing_id())
                 .withColumn("__rn", F.row_number().over(w))
@@ -753,7 +753,7 @@ class Table:
         raw = self._read_entries(spark, entries)
         raw = raw.join(batch.select(*pk).distinct(), on=pk, how="left_semi")
         cols = [f.name for f in self.schema.fields]
-        w = Window.partitionBy(*pk).orderBy(F.col("__seq").desc())
+        w = Window.partitionBy(*pk).orderBy(*self._merge_order("__seq"))
         return (
             raw.withColumn("__rn", F.row_number().over(w))
             .filter((F.col("__rn") == 1) & (F.col("__op") != "D"))
@@ -897,21 +897,48 @@ class Table:
         return self._read_entries(spark, entries)
 
     @property
+    def sequence_field(self) -> str | None:
+        """'sequence.field' option (Paimon): the upsert ORDER KEY comes
+        from this data column instead of commit order — the row with
+        the largest value wins merge-on-read, so out-of-order arrivals
+        (late retries, shuffled sources) resolve deterministically.
+        Commit sequence stays the tiebreak."""
+        return self.options.get("sequence.field")
+
+    def _merge_order(self, tiebreak: str) -> list:
+        """ORDER BY for every last-write-wins window (in-batch dedup,
+        merge-on-read, pre-image lookup — all three MUST agree or
+        in-batch and cross-commit semantics drift): sequence.field
+        first when declared (NULLs lose to any value), then the
+        arrival-order tiebreak column."""
+        sf = self.sequence_field
+        order = [F.col(sf).desc_nulls_last()] if sf else []
+        return order + [F.col(tiebreak).desc()]
+
+    @property
     def merge_engine(self) -> str:
         """'merge-engine' option: 'deduplicate' (default, last-write-
         wins), 'partial-update' (per-column last NON-NULL wins), or
         'aggregation' (per-column aggregate across writes, from
-        'fields.<col>.aggregate-function' ∈ {sum,max,min,
-        last_non_null}) — Paimon 0.5's three merge engines."""
+        'fields.<col>.aggregate-function' ∈ {sum,max,min,last_non_null,
+        count,bool_or,bool_and,listagg}) — Paimon 0.5's three merge
+        engines with its documented aggregate-function set."""
         return self.options.get("merge-engine", "deduplicate")
 
-    def _merge_combine(self, df: DataFrame, order_col: str) -> DataFrame:
+    def _merge_combine(self, df: DataFrame, order_col: str, stored: bool = False) -> DataFrame:
         """One row per key under the non-default merge engines, from
         rows ordered by ``order_col`` (input ordinal within a batch,
         commit sequence across commits — the SAME combine both places,
         so in-batch and merge-on-read semantics cannot drift).
         Everything is window projections over the key partitioning:
-        one shuffle, no join."""
+        one shuffle, no join.
+
+        ``stored=True`` marks rows that are already per-commit PARTIAL
+        aggregates (every committed row passed the in-batch combine).
+        All functions re-combine with themselves (sum of sums, max of
+        maxes, concat of concats) EXCEPT count, whose partials re-
+        combine by SUM — count-of-counts would collapse any stored
+        partial to 1."""
         engine = self.merge_engine
         pk = self.primary_key
         cols = [f.name for f in self.schema.fields]
@@ -939,6 +966,35 @@ class Table:
                 e = F.max(c).over(w_all)
             elif spec == "min":
                 e = F.min(c).over(w_all)
+            elif spec == "count":
+                # Paimon count agg: number of non-null inputs across
+                # writes. Fresh input rows contribute 1 per non-null
+                # value; stored rows are already partial counts and SUM
+                # (cast back: count/sum widen, column may be int)
+                agg = F.sum(c) if stored else F.count(c)
+                e = agg.over(w_all).cast(fields[c].dataType)
+            elif spec in ("bool_or", "bool_and"):
+                if fields[c].dataType.simpleString() != "boolean":
+                    raise ValueError(
+                        f"{self.name}: fields.{c}.aggregate-function {spec!r} "
+                        f"requires a BOOLEAN column, got {fields[c].dataType.simpleString()}"
+                    )
+                e = (F.bool_or(c) if spec == "bool_or" else F.bool_and(c)).over(w_all)
+            elif spec == "listagg":
+                if fields[c].dataType.simpleString() != "string":
+                    raise ValueError(
+                        f"{self.name}: fields.{c}.aggregate-function 'listagg' "
+                        f"requires a STRING column, got {fields[c].dataType.simpleString()}"
+                    )
+                # write-order concatenation, ',' delimiter (Paimon 0.5's
+                # fixed listagg delimiter); all-null input stays NULL
+                w_full = (
+                    Window.partitionBy(*pk)
+                    .orderBy(F.col(order_col).asc())
+                    .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+                )
+                lst = F.collect_list(c).over(w_full)
+                e = F.when(F.size(lst) > 0, F.array_join(lst, ",")).otherwise(F.lit(None))
             else:
                 raise ValueError(
                     f"{self.name}: unsupported fields.{c}.aggregate-function {spec!r}"
@@ -965,9 +1021,9 @@ class Table:
         if self.merge_engine != "deduplicate":
             # retraction rows are rejected at write time for these
             # engines, so the raw stream is insert/update images only
-            merged = self._merge_combine(raw, "__seq")
+            merged = self._merge_combine(raw, "__seq", stored=True)
             return merged.filter(where) if where else merged
-        w = Window.partitionBy(*pk).orderBy(F.col("__seq").desc())
+        w = Window.partitionBy(*pk).orderBy(*self._merge_order("__seq"))
         merged = (
             raw.withColumn("__rn", F.row_number().over(w))
             .filter((F.col("__rn") == 1) & (F.col("__op") != "D"))

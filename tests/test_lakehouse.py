@@ -1151,6 +1151,55 @@ def test_merge_engine_aggregation(spark, catalog):
     ]
 
 
+def test_merge_engine_aggregation_count_bool_listagg(spark, catalog):
+    """Paimon 0.5's remaining documented aggregate-functions: count
+    (non-null inputs across writes), bool_or/bool_and, listagg
+    (write-order ',' concatenation, all-null stays NULL)."""
+    ddl = "k long, hits int, seen boolean, every boolean, trail string"
+    t = catalog.create_table(
+        "agx", ddl,
+        {
+            "primary-key": "k", "merge-engine": "aggregation",
+            "fields.hits.aggregate-function": "count",
+            "fields.seen.aggregate-function": "bool_or",
+            "fields.every.aggregate-function": "bool_and",
+            "fields.trail.aggregate-function": "listagg",
+        },
+    )
+    t.upsert(spark.createDataFrame(
+        [(1, 7, True, True, "a"), (1, None, False, False, "b"), (2, 3, False, True, None)],
+        ddl).coalesce(1))
+    # count = non-null inputs (k=1 saw 7 and NULL → 1); listagg in write order
+    assert sorted(tuple(r) for r in t.read(spark).collect()) == [
+        (1, 1, True, False, "a,b"), (2, 1, False, True, None)
+    ]
+    t.upsert(spark.createDataFrame([(2, 9, True, True, "z")], ddl))
+    # stored partial counts re-combine by SUM, not count-of-counts
+    assert sorted(tuple(r) for r in t.read(spark).collect()) == [
+        (1, 1, True, False, "a,b"), (2, 2, True, True, "z")
+    ]
+    # compaction collapses to the aggregate; further writes keep folding
+    t.compact()
+    t.upsert(spark.createDataFrame([(1, 25, None, None, "c")], ddl))
+    # a fresh input row adds 1 (its VALUE 25 must not leak into count)
+    assert sorted(tuple(r) for r in t.read(spark).collect()) == [
+        (1, 2, True, False, "a,b,c"), (2, 2, True, True, "z")
+    ]
+    # type guards
+    with pytest.raises(ValueError, match="BOOLEAN"):
+        catalog.create_table(
+            "agb", "k long, v string",
+            {"primary-key": "k", "merge-engine": "aggregation",
+             "fields.v.aggregate-function": "bool_or"},
+        ).upsert(spark.createDataFrame([(1, "a")], "k long, v string"))
+    with pytest.raises(ValueError, match="STRING"):
+        catalog.create_table(
+            "agl", "k long, v long",
+            {"primary-key": "k", "merge-engine": "aggregation",
+             "fields.v.aggregate-function": "listagg"},
+        ).upsert(spark.createDataFrame([(1, 1)], "k long, v long"))
+
+
 def test_merge_engine_guards(spark, catalog):
     with pytest.raises(ValueError, match="requires a primary key"):
         catalog.create_table("g1", "k long", {"merge-engine": "partial-update"})
@@ -1170,6 +1219,70 @@ def test_merge_engine_guards(spark, catalog):
         )
     with pytest.raises(ValueError, match="DELETE"):
         t.delete_where(spark, "k = 1")
+
+
+def test_sequence_field_orders_upserts(spark, catalog):
+    """Paimon 'sequence.field': the upsert order key comes from a data
+    column — the row with the largest value wins regardless of commit
+    order, so out-of-order arrivals resolve deterministically (round-4
+    verdict stretch #7)."""
+    ddl = "k long, v string, ver long"
+    t = catalog.create_table(
+        "sqf", ddl, {"primary-key": "k", "sequence.field": "ver"}
+    )
+    # cross-commit: the LOWER-versioned row arrives LAST and must lose
+    t.upsert(spark.createDataFrame([(1, "new", 5)], ddl))
+    t.upsert(spark.createDataFrame([(1, "stale", 3)], ddl))
+    # in-batch: higher version wins within one commit too
+    t.upsert(spark.createDataFrame([(2, "b", 6), (2, "a", 7)], ddl))
+    got = sorted((r.k, r.v, r.ver) for r in t.read(spark).collect())
+    assert got == [(1, "new", 5), (2, "a", 7)]
+    # a delete carrying a LOWER version than the live row is ignored...
+    t.upsert(
+        spark.createDataFrame([(1, "x", 4)], ddl).withColumn("__op", F.lit("D"))
+    )
+    assert [(r.k, r.v) for r in t.read(spark).filter("k = 1").collect()] == [(1, "new")]
+    # ...and one carrying a HIGHER version deletes
+    t.upsert(
+        spark.createDataFrame([(1, "x", 9)], ddl).withColumn("__op", F.lit("D"))
+    )
+    assert t.read(spark).filter("k = 1").count() == 0
+    # NULL sequence values lose to any concrete value
+    t.upsert(spark.createDataFrame([(2, "nullver", None)], ddl))
+    assert [(r.v) for r in t.read(spark).filter("k = 2").collect()] == ["a"]
+    # the ordering survives compaction (sequence data rides in the rows)
+    t.compact()
+    t.upsert(spark.createDataFrame([(2, "older", 1)], ddl))
+    assert [(r.v) for r in t.read(spark).filter("k = 2").collect()] == ["a"]
+
+
+def test_sequence_field_guards(spark, catalog):
+    with pytest.raises(ValueError, match="requires a primary key"):
+        catalog.create_table("sg1", "k long, ver long", {"sequence.field": "ver"})
+    with pytest.raises(ValueError, match="not a table column"):
+        catalog.create_table(
+            "sg2", "k long, v string", {"primary-key": "k", "sequence.field": "nope"}
+        )
+    with pytest.raises(ValueError, match="primary-key column"):
+        catalog.create_table(
+            "sg3", "k long, v string", {"primary-key": "k", "sequence.field": "k"}
+        )
+    with pytest.raises(ValueError, match="deduplicate"):
+        catalog.create_table(
+            "sg4", "k long, v long",
+            {"primary-key": "k", "merge-engine": "aggregation",
+             "fields.v.aggregate-function": "sum", "sequence.field": "v"},
+        )
+    catalog.create_table(
+        "sg5", "k long, v string, ver long", {"primary-key": "k", "sequence.field": "ver"}
+    )
+    with pytest.raises(ValueError, match="immutable"):
+        catalog.alter_table("sg5", {"sequence.field": "v"})
+    with pytest.raises(ValueError, match="sequence.field"):
+        catalog.drop_column("sg5", "ver")
+    # rename follows the option reference
+    catalog.rename_column("sg5", "ver", "version")
+    assert catalog.get_table("sg5").sequence_field == "version"
 
 
 def test_alter_table_revalidates_options(spark, catalog):
