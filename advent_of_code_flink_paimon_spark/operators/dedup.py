@@ -311,7 +311,7 @@ def x05_ngram_jaccard_join(spark, sf_dir):
 # Spark side runs iterative min-label propagation (the standard
 # massive-graph pattern: each round is one distributed join+min-agg,
 # converging in O(log diameter) rounds — never a driver-side graph).
-_SQL_DUP_CLUSTERS = f"""
+_SQL_CLUSTER_CTES = f"""
 WITH RECURSIVE base AS ({_SQL_EXHAUSTIVE_JACCARD}),
 edges AS (
     SELECT i AS u, j AS v FROM base
@@ -322,10 +322,14 @@ reach(u, v) AS (
     SELECT u, v FROM edges
     UNION
     SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+clusters AS (
+    SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+    FROM reach GROUP BY u
 )
-SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
-FROM reach GROUP BY u
 """
+
+_SQL_DUP_CLUSTERS = _SQL_CLUSTER_CTES + "SELECT doc_id, cluster_id FROM clusters"
 
 
 @query("x07_dup_clusters", oracle=_SQL_DUP_CLUSTERS)
@@ -347,6 +351,62 @@ def x07_dup_clusters(spark, sf_dir):
     pairs = x03_dedup_minhash_lsh(spark, sf_dir).select("i", "j")
     return connected_components(pairs).select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+# Canonical-doc selection: the step AFTER clustering in a real corpus
+# dedup — each near-dup cluster keeps exactly one survivor, chosen by
+# quality, not arbitrarily (SemDeDup/FineWeb pipelines keep the
+# highest-quality member; min-id is the naive fallback).
+_SQL_KEEP_BEST = _SQL_CLUSTER_CTES + """
+, feat AS (
+    SELECT doc_id,
+           len(list_distinct(string_split(text, ' '))) * 1.0
+               / len(string_split(text, ' ')) AS ttr
+    FROM documents
+),
+ranked AS (
+    SELECT c.cluster_id, c.doc_id, f.ttr,
+           ROW_NUMBER() OVER (
+               PARTITION BY c.cluster_id ORDER BY f.ttr DESC, c.doc_id
+           ) AS rnk,
+           COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members
+    FROM clusters c JOIN feat f USING (doc_id)
+)
+SELECT cluster_id, doc_id AS keep_doc_id, n_members, ttr AS keep_ttr
+FROM ranked WHERE rnk = 1
+"""
+
+
+@query("x34_cluster_keep_best", oracle=_SQL_KEEP_BEST)
+def x34_cluster_keep_best(spark, sf_dir):
+    """One survivor per near-dup cluster, highest type-token ratio wins
+    (doc_id breaks ties deterministically).
+
+    Scale shape: rides x07's cluster output (pair-graph-sized, ≪
+    corpus); the quality feature is a row-local projection joined on
+    doc_id, and survivor selection is one ranking window over the
+    cluster partitioning — the same key the cluster table is already
+    hashed on. The ttr comparison is a single exact division on both
+    engines, so ordering (and the hash check) is bit-stable."""
+    clusters = x07_dup_clusters(spark, sf_dir)
+    d = T(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    feat = d.select(
+        "doc_id", (F.size(F.array_distinct(toks)) / F.size(toks)).alias("ttr")
+    )
+    j = clusters.join(feat, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("ttr"), F.asc("doc_id"))
+    return (
+        j.withColumn("rnk", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(Window.partitionBy("cluster_id")))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keep_doc_id"),
+            "n_members",
+            F.col("ttr").alias("keep_ttr"),
+        )
     )
 
 

@@ -82,3 +82,68 @@ def x43_stratified_cap(spark, sf_dir):
         .groupBy("lang", "source")
         .agg(F.max("n_total").alias("n_total"), F.count("*").alias("n_kept"))
     )
+
+
+# ----------------------------------------------------------------------
+# x35: token-budget sequence packing — the concat-and-chunk step that
+# turns filtered documents into fixed-width training sequences (every
+# LLM data pipeline ends with it). Pure integer window arithmetic →
+# bit-exact oracle.
+# ----------------------------------------------------------------------
+PACK_BUDGET = 2048
+PACK_SHARDS = 8
+
+_SQL_TOKEN_PACK = f"""
+WITH t AS (
+    SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+           len(string_split(text, ' ')) AS n_tokens
+    FROM documents
+),
+c AS (
+    SELECT doc_id, shard, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_tok
+    FROM t
+)
+SELECT doc_id, shard, n_tokens,
+       start_tok // {PACK_BUDGET} AS pack_id,
+       start_tok % {PACK_BUDGET} AS pack_offset
+FROM c
+"""
+
+
+@query("x35_token_pack", oracle=_SQL_TOKEN_PACK)
+def x35_token_pack(spark, sf_dir):
+    """Greedy sequential packing: within each shard, documents are laid
+    end-to-end in doc_id order and assigned the 2048-token window their
+    first token lands in (a doc may straddle two packs; training-side
+    chunking splits it — this operator owns the layout, which is the
+    deterministic part).
+
+    Scale shape: a GLOBAL packing order would be a single-partition
+    window sort — the classic scale killer — so packing is SHARDED
+    (doc_id % 8 here; a real pipeline shards by source/path prefix):
+    each shard's running sum is an independent hash-partitioned window,
+    all shards pack in parallel, and sequence ids are (shard, pack_id)
+    pairs. One shuffle on the slim (doc_id, n_tokens) projection."""
+    d = T(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.withColumn(
+        "start_tok", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    )
+    return c.select(
+        "doc_id", "shard", "n_tokens",
+        F.floor(F.col("start_tok") / PACK_BUDGET).alias("pack_id"),
+        (F.col("start_tok") % PACK_BUDGET).alias("pack_offset"),
+    )

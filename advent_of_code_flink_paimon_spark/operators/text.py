@@ -472,3 +472,136 @@ def x28_repetition_filter(spark, sf_dir):
             & (dup_bg <= REP_DUP_BIGRAM_MAX)
         ).alias("keep"),
     )
+
+
+# ----------------------------------------------------------------------
+# x32: unigram-LM quality scoring — the CCNet signal (Wenzek et al.
+# 2020, arXiv:1911.00359): score each document by its cross-entropy
+# under a unigram LM trained on the corpus itself; degenerate text full
+# of rare tokens scores high. Threshold at the testdata's ~p90
+# (measured 3.41) so the keep flag visibly splits.
+# ----------------------------------------------------------------------
+X32_XENT_MAX = 3.41
+
+_SQL_UNIGRAM_LM = f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+freq AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM freq),
+per AS (
+    SELECT t.doc_id, COUNT(*) AS n_tokens,
+           ROUND(-SUM(ln(f.cnt * 1.0 / tot.tot)) / COUNT(*), 4) AS xent
+    FROM tok t JOIN freq f USING (term) CROSS JOIN tot
+    GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens, xent, xent <= {X32_XENT_MAX} AS keep FROM per
+"""
+
+
+@query("x32_unigram_lm_score", oracle=_SQL_UNIGRAM_LM)
+def x32_unigram_lm_score(spark, sf_dir):
+    """Per-document cross-entropy under a corpus-trained unigram LM.
+
+    Scale shape: the LM "training" is one token-frequency aggregation;
+    its output is vocabulary-sized (≪ corpus — ~1M types even at
+    100 TB), so it BROADCASTS back onto the exploded token stream and
+    the scoring pass is map-side join + one per-doc aggregation — two
+    shuffles total (vocab agg, doc agg), both on slim columns. The
+    rounded mean keeps the float sum order-insensitive for the oracle
+    hash (sum reorder error ~1e-13 vs the 5e-5 rounding quantum)."""
+    d = T(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens()).alias("term"))
+    freq = tok.groupBy("term").agg(F.count("*").alias("cnt"))
+    tot = freq.agg(F.sum("cnt").cast("long").alias("tot"))
+    scored = tok.join(F.broadcast(freq), "term").crossJoin(F.broadcast(tot))
+    per = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(
+            -F.sum(F.log(F.col("cnt") * 1.0 / F.col("tot"))) / F.count("*"), 4
+        ).alias("xent"),
+    )
+    return per.select(
+        "doc_id", "n_tokens", "xent", (F.col("xent") <= X32_XENT_MAX).alias("keep")
+    )
+
+
+# ----------------------------------------------------------------------
+# x33: DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
+# log p_target(x) - log p_raw(x) over HASHED bigram features with add-1
+# smoothing — the data-selection score for matching a raw corpus to a
+# target domain (here: the 'en'-labelled slice). md5-derived buckets so
+# both engines hash identically (the x04 parity trick).
+# ----------------------------------------------------------------------
+X33_BUCKETS = 64
+
+_SQL_DSIR = f"""
+WITH s AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+bg AS (
+    SELECT doc_id, lang,
+           CAST(('0x' || left(md5(unnest([w[i] || ' ' || w[i + 1] for i in range(1, len(w))])), 4)) AS BIGINT)
+               % {X33_BUCKETS} AS bucket
+    FROM s
+),
+raw AS (SELECT bucket, COUNT(*) AS r_cnt FROM bg GROUP BY bucket),
+tgt AS (SELECT bucket, COUNT(*) AS t_cnt FROM bg WHERE lang = 'en' GROUP BY bucket),
+tots AS (
+    SELECT CAST(SUM(r_cnt) AS BIGINT) AS r_tot,
+           (SELECT CAST(COALESCE(SUM(t_cnt), 0) AS BIGINT) FROM tgt) AS t_tot
+    FROM raw
+),
+wts AS (
+    SELECT raw.bucket,
+           ln((COALESCE(tgt.t_cnt, 0) + 1) * 1.0 / (tots.t_tot + {X33_BUCKETS}))
+             - ln((raw.r_cnt + 1) * 1.0 / (tots.r_tot + {X33_BUCKETS})) AS logw
+    FROM raw LEFT JOIN tgt USING (bucket) CROSS JOIN tots
+)
+SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+       ROUND(SUM(wts.logw), 4) AS dsir_logw
+FROM bg JOIN wts USING (bucket)
+GROUP BY bg.doc_id
+"""
+
+
+@query("x33_dsir_importance", oracle=_SQL_DSIR)
+def x33_dsir_importance(spark, sf_dir):
+    """Hashed-n-gram importance weight per document.
+
+    Scale shape: the feature space is FIXED at 64 buckets, so both
+    "models" (raw and target bucket counts) are 64-row tables — the
+    weight table broadcasts, and the per-doc score is a map-side join +
+    one doc-keyed aggregation, independent of corpus size. Docs with
+    fewer than 2 tokens have no bigrams and drop out (both engines,
+    inner-join semantics)."""
+    d = T(spark, sf_dir, "documents")
+    bigrams = F.expr(
+        "transform(sequence(0, size(split(text, ' ')) - 2),"
+        " i -> concat(element_at(split(text, ' '), i + 1), ' ',"
+        " element_at(split(text, ' '), i + 2)))"
+    )
+    bg = d.select("doc_id", "lang", F.explode(bigrams).alias("b")).select(
+        "doc_id", "lang",
+        (F.conv(F.substring(F.md5("b"), 1, 4), 16, 10).cast("long") % X33_BUCKETS).alias("bucket"),
+    )
+    raw = bg.groupBy("bucket").agg(F.count("*").alias("r_cnt"))
+    tgt = bg.filter(F.col("lang") == "en").groupBy("bucket").agg(F.count("*").alias("t_cnt"))
+    tots = raw.agg(F.sum("r_cnt").cast("long").alias("r_tot")).crossJoin(
+        tgt.agg(F.coalesce(F.sum("t_cnt"), F.lit(0)).cast("long").alias("t_tot"))
+    )
+    wts = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "bucket",
+            (
+                F.log((F.coalesce(F.col("t_cnt"), F.lit(0)) + 1) * 1.0 / (F.col("t_tot") + X33_BUCKETS))
+                - F.log((F.col("r_cnt") + 1) * 1.0 / (F.col("r_tot") + X33_BUCKETS))
+            ).alias("logw"),
+        )
+    )
+    return (
+        bg.join(F.broadcast(wts), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.sum("logw"), 4).alias("dsir_logw"),
+        )
+    )
