@@ -308,6 +308,8 @@ class Catalog:
             t.partitions_table(spark).createOrReplaceTempView(f"{name}__partitions")
             t.manifests_table(spark).createOrReplaceTempView(f"{name}__manifests")
             t.consumers_table(spark).createOrReplaceTempView(f"{name}__consumers")
+            t.options_table(spark).createOrReplaceTempView(f"{name}__options")
+            t.audit_log_table(spark).createOrReplaceTempView(f"{name}__audit_log")
 
     def sql(self, spark: SparkSession, query: str):
         """Run SQL against the catalog; supports the reference's
@@ -321,7 +323,7 @@ class Catalog:
         idents = set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", query))
         self.register_views(spark, only=idents)
         rewritten = re.sub(
-            r"(\w+)\$(files|snapshots|schemas|tags|partitions|manifests|consumers)",
+            r"(\w+)\$(files|snapshots|schemas|tags|partitions|manifests|consumers|options|audit_log)",
             r"\1__\2",
             query,
         )

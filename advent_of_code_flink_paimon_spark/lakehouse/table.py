@@ -1536,6 +1536,23 @@ class Table:
             "create_time timestamp, record_count long",
         )
 
+    def options_table(self, spark: SparkSession) -> DataFrame:
+        """$options: the table's option set as (key, value) rows —
+        Paimon's options system table (list-typed values render in
+        their canonical csv spelling)."""
+        rows = [
+            (k, ",".join(v) if isinstance(v, list) else str(v))
+            for k, v in sorted(self.options.items())
+        ]
+        return spark.createDataFrame(rows, "key string, value string")
+
+    def audit_log_table(self, spark: SparkSession) -> DataFrame:
+        """$audit_log: the stored changelog with Paimon's ``rowkind``
+        column name (+I/-U/+U/-D) — the batch-queryable audit trail of
+        a changelog-producing PK table. Empty (correct schema) when no
+        changelog exists."""
+        return self.read_changelog(spark).withColumnRenamed("_change_type", "rowkind")
+
     def consumers_table(self, spark: SparkSession) -> DataFrame:
         """$consumers: one row per registered streaming consumer
         (Paimon's consumers system table) — the bookmark that pins its

@@ -691,6 +691,14 @@ class Engine:
                 older_than_ms=int(args[1]) if len(args) > 1 else None
             )
             return StatementResult("OK", f"removed {len(removed)} orphan files")
+        if proc == "register_consumer":
+            nxt = t.register_consumer(
+                args[1], int(args[2]) if len(args) > 2 else None
+            )
+            return StatementResult("OK", f"consumer {args[1]} -> next snapshot {nxt}")
+        if proc == "drop_consumer":
+            t.drop_consumer(args[1])
+            return StatementResult("OK", f"dropped consumer {args[1]}")
         raise ValueError(f"unknown procedure: {proc}")
 
     # -- DDL -------------------------------------------------------------

@@ -149,13 +149,29 @@ def stream_table_upsert(spark: SparkSession, table: Table) -> DataFrame:
     )
 
 
-def stream_table_changelog(spark: SparkSession, table: Table) -> DataFrame:
+def stream_table_changelog(
+    spark: SparkSession, table: Table, consumer_id: str | None = None
+) -> DataFrame:
     """Streaming changelog read of a PK table with
     ``changelog-producer=input`` (tutorial/guide.md:69-74): every upsert
     commit's +I/-U/+U/-D rows arrive as a micro-batch, so downstream
     queries consume retractions directly instead of diffing snapshots —
     the reference's 'skip changelog-normalize' fast path as a live
-    stream. Schema = table schema + ``_change_type`` string."""
+    stream. Schema = table schema + ``_change_type`` string.
+
+    ``consumer_id`` registers the subscriber table-side (Paimon
+    consumer-id): from this point on, expire_snapshots keeps the
+    reader's unconsumed window alive even under the reference's 20 s
+    retention. Spark's checkpoint still owns RESUME position; advancing
+    the table-side bookmark (``table.register_consumer``) is the
+    subscriber's act of releasing consumed snapshots for expiry."""
+    if consumer_id is not None:
+        # protect everything from the current LATEST onward — the
+        # subscriber hasn't consumed anything yet as far as the table
+        # knows; it advances the bookmark as its batches commit
+        table.register_consumer(
+            consumer_id, next_snapshot_id=table.latest_snapshot_id() or 1
+        )
     if table.options.get("changelog-producer") not in ("input", "lookup", "full-compaction"):
         raise ValueError(
             f"table {table.name} has no stored changelog (set "

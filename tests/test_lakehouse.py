@@ -286,6 +286,32 @@ def test_registered_consumer_protects_snapshots_from_expiry(spark, catalog):
     assert t.consumers() == {}
 
 
+def test_options_and_audit_log_system_tables(spark, catalog):
+    """$options lists the option set as key/value rows; $audit_log is
+    the stored changelog with Paimon's rowkind column name."""
+    t = catalog.create_table(
+        "oa", "k long, v string",
+        {"primary-key": "k", "changelog-producer": "input", "bucket": "2"},
+    )
+    opts = {
+        r.key: r.value
+        for r in catalog.sql(spark, "SELECT * FROM oa$options").collect()
+    }
+    assert opts["changelog-producer"] == "input"
+    assert opts["primary-key"] == "k"  # list renders as csv
+    t.upsert(spark.createDataFrame([(1, "a")], "k long, v string"))
+    t.upsert(spark.createDataFrame([(1, "b")], "k long, v string"))
+    rows = catalog.sql(
+        spark, "SELECT k, v, rowkind FROM oa$audit_log ORDER BY rowkind"
+    ).collect()
+    assert [(r.k, r.v, r.rowkind) for r in rows] == [
+        (1, "a", "+I"), (1, "b", "+U"), (1, "a", "-U")
+    ]
+    # empty-but-typed for tables without a stored changelog
+    catalog.create_table("oa2", "k long")
+    assert catalog.sql(spark, "SELECT * FROM oa2$audit_log").count() == 0
+
+
 def test_alter_table_bumps_schema_version(spark, catalog):
     catalog.create_table("m", "k long, v string", {"bucket": "1"})
     t = catalog.get_table("m")

@@ -354,6 +354,13 @@ def test_call_procedures(engine, spark):
 
     r = engine.sql("CALL sys.remove_orphan_files('default.m', 0)")
     assert r.kind == "OK"
+
+    engine.sql("CALL sys.register_consumer('default.m', 'job-a', 1)")
+    rows = engine.sql("SELECT * FROM m$consumers").collect()
+    assert [(r.consumer_id, r.next_snapshot_id) for r in rows] == [("job-a", 1)]
+    engine.sql("CALL sys.drop_consumer('default.m', 'job-a')")
+    assert engine.sql("SELECT * FROM m$consumers").count() == 0
+
     with pytest.raises(ValueError):
         engine.sql("CALL sys.nonexistent('m')")
 

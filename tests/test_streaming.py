@@ -329,6 +329,30 @@ def test_stream_table_files_ignores_compaction(spark, catalog, tmp_path):
     assert sorted((r.k, r.v) for r in rows) == [(0, 0), (1, 10), (2, 20), (99, 990)]
 
 
+def test_stream_table_changelog_registers_consumer(spark, catalog):
+    """Passing consumer_id to the changelog stream registers the
+    subscriber table-side, pinning its unconsumed window against
+    expire_snapshots (the round-4 verdict's slow-subscriber scenario)."""
+    import time as _time
+
+    from advent_of_code_flink_paimon_spark.streaming import stream_table_changelog
+
+    t = catalog.create_table(
+        "ccl", "k long, v string", {"primary-key": "k", "changelog-producer": "input"}
+    )
+    for i in range(3):
+        t.upsert(spark.createDataFrame([(i, "x")], "k long, v string"))
+    reader = stream_table_changelog(spark, t, consumer_id="sub-1")
+    assert reader.isStreaming
+    assert t.consumers()["sub-1"]["next_snapshot_id"] == 3
+    # aggressive retention cannot expire the subscriber's window
+    future = int(_time.time() * 1000) + 60_000
+    t.upsert(spark.createDataFrame([(9, "y")], "k long, v string"))
+    expired = t.expire_snapshots(retain_min=1, older_than_ms=future)
+    assert expired == [1, 2]
+    assert {s["id"] for s in t.snapshots()} == {3, 4}
+
+
 def test_stream_table_upsert_rejects_non_default_merge_engine(spark, catalog):
     """Under partial-update/aggregation the staged rows are per-batch
     PARTIAL images; labeling them '+U' would corrupt a downstream
