@@ -920,7 +920,8 @@ class Table:
         """'merge-engine' option: 'deduplicate' (default, last-write-
         wins), 'partial-update' (per-column last NON-NULL wins), or
         'aggregation' (per-column aggregate across writes, from
-        'fields.<col>.aggregate-function' ∈ {sum,max,min,last_non_null,
+        'fields.<col>.aggregate-function' ∈ {sum,max,min,last_non_null/
+        last_non_null_value,last_value,first_value,first_non_null_value,
         count,bool_or,bool_and,listagg}) — Paimon 0.5's three merge
         engines with its documented aggregate-function set."""
         return self.options.get("merge-engine", "deduplicate")
@@ -956,8 +957,19 @@ class Table:
                 spec = "last_non_null"
             else:
                 spec = self.options.get(f"fields.{c}.aggregate-function", "last_non_null")
-            if spec == "last_non_null":
+            if spec in ("last_non_null", "last_non_null_value"):
                 e = F.last(c, ignorenulls=True).over(w_ord)
+            elif spec == "last_value":
+                e = F.last(c, ignorenulls=False).over(w_ord)
+            elif spec in ("first_value", "first_non_null_value"):
+                # first-in-write-order: frame anchored at the partition
+                # start so every row sees the same answer
+                w_first = (
+                    Window.partitionBy(*pk)
+                    .orderBy(F.col(order_col).asc())
+                    .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+                )
+                e = F.first(c, ignorenulls=spec == "first_non_null_value").over(w_first)
             elif spec == "sum":
                 # cast back to the declared type: SUM widens (int→long,
                 # decimal precision) and schema-pinned writes reject it

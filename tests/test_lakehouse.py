@@ -1211,6 +1211,25 @@ def test_merge_engine_aggregation_count_bool_listagg(spark, catalog):
     assert sorted(tuple(r) for r in t.read(spark).collect()) == [
         (1, 2, True, False, "a,b,c"), (2, 2, True, True, "z")
     ]
+    # first/last value pack (Paimon aliases): first_value pins the
+    # first write, first_non_null_value skips leading NULLs, last_value
+    # keeps a trailing NULL
+    ddl2 = "k long, fv string, fnn string, lv string"
+    t2 = catalog.create_table(
+        "agf", ddl2,
+        {
+            "primary-key": "k", "merge-engine": "aggregation",
+            "fields.fv.aggregate-function": "first_value",
+            "fields.fnn.aggregate-function": "first_non_null_value",
+            "fields.lv.aggregate-function": "last_value",
+        },
+    )
+    t2.upsert(spark.createDataFrame([(1, None, None, "a")], ddl2))
+    t2.upsert(spark.createDataFrame([(1, "x", "x", None)], ddl2))
+    assert [tuple(r) for r in t2.read(spark).collect()] == [(1, None, "x", None)]
+    t2.compact()
+    t2.upsert(spark.createDataFrame([(1, "y", "y", "z")], ddl2))
+    assert [tuple(r) for r in t2.read(spark).collect()] == [(1, None, "x", "z")]
     # type guards
     with pytest.raises(ValueError, match="BOOLEAN"):
         catalog.create_table(
