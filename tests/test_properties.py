@@ -53,6 +53,44 @@ def test_upsert_matches_dict_model(spark, tmp_path_factory, batches):
     assert got == model
 
 
+# rows (key, value, seq): seq values are distinct per key by
+# construction (the strategy draws unique (k, seq) pairs) so the
+# permutation-invariance claim is exact
+seqfield_strategy = st.lists(
+    st.tuples(st.integers(0, 4), st.integers(0, 50)), min_size=1, max_size=12, unique=True
+).flatmap(
+    lambda ks: st.permutations(
+        [(k, seq * 7 + k, seq) for k, seq in ks]  # v derived → deterministic
+    ).map(lambda perm: (ks, list(perm)))
+)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(data=seqfield_strategy)
+def test_sequence_field_is_arrival_order_invariant(spark, tmp_path_factory, data):
+    """With 'sequence.field', the merged image is a pure function of
+    the row SET — any arrival permutation, any batch split — because
+    the declared column, not commit order, is the merge key. The model
+    keeps max-seq per key."""
+    ks, rows = data
+    wh = tmp_path_factory.mktemp("wh-seqf")
+    cat = Catalog(str(wh))
+    t = cat.create_table(
+        "t", "k long, v long, seq long", {"primary-key": "k", "sequence.field": "seq"}
+    )
+    # split the permuted rows into two commits at an arbitrary point
+    cut = len(rows) // 2
+    for chunk in (rows[:cut], rows[cut:]):
+        if chunk:
+            t.upsert(spark.createDataFrame(chunk, "k long, v long, seq long"))
+    model: dict[int, tuple[int, int]] = {}
+    for k, v, seq in rows:
+        if k not in model or seq > model[k][1]:
+            model[k] = (v, seq)
+    got = {r.k: (r.v, r.seq) for r in t.read(spark).collect()}
+    assert got == model
+
+
 def test_replayed_commit_identifier_is_noop(spark, tmp_path):
     """Micro-batch replay (same commit_identifier) must not double-write —
     the exactly-once contract of the snapshot log (SURVEY.md §7)."""
