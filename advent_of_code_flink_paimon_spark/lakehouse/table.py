@@ -391,7 +391,9 @@ class Table:
             "__bucket", F.pmod(F.xxhash64(*key), F.lit(self.num_buckets)).cast("int")
         )
 
-    def _stage_write(self, df: DataFrame) -> tuple[str, list[dict]]:
+    def _stage_write(
+        self, df: DataFrame, sort_by_override: str | None = None
+    ) -> tuple[str, list[dict]]:
         """Executors write parquet partitioned by (partitions, bucket)
         into a staging dir; driver moves files into
         [<p>=<v>/...]bucket-N/ and reads footers for manifest stats
@@ -416,7 +418,7 @@ class Table:
         #   'sort-by' = 'zorder(a,b)'  Z-order curve (prunes on EVERY
         #                              listed column — Paimon's
         #                              sort-compact zorder strategy)
-        sort_by = self.options.get("sort-by")
+        sort_by = sort_by_override if sort_by_override is not None else self.options.get("sort-by")
         if isinstance(sort_by, str) and sort_by.strip().lower().startswith("zorder("):
             zcols = [c.strip() for c in sort_by.strip()[7:-1].split(",")]
             writer = (
@@ -1125,12 +1127,19 @@ class Table:
     # ------------------------------------------------------------------
     # operations: compaction, expiry (tutorial/guide.md:172-185,236-272)
     # ------------------------------------------------------------------
-    def compact(self) -> int | None:
+    def compact(self, cluster_by: str | None = None) -> int | None:
         """Full compaction: rewrite all live files into one file per
         bucket at COMPACT_LEVEL. Append tables preserve exact row counts
         (the reference's invariant, tutorial/guide.md:212-231 vs
         255-261); PK tables collapse to the merged image with the
-        current max sequence retained."""
+        current max sequence retained.
+
+        ``cluster_by`` is Paimon's SORT COMPACT (the action jar's
+        order/zorder strategies): the rewrite clusters rows by the
+        given spec — ``'a,b'`` lexicographic or ``'zorder(a,b)'`` —
+        without changing the table's standing 'sort-by' option, so a
+        one-off re-cluster of historical data doesn't commit future
+        writes to the same order."""
         spark = SparkSession.getActiveSession()
         latest = self.latest_snapshot_id()
         if latest is None:
@@ -1143,9 +1152,9 @@ class Table:
             merged = self._merged(spark).withColumn("__op", F.lit("U")).withColumn(
                 "__seq", F.lit(seq).cast("long")
             )
-            _, entries = self._stage_write(merged)
+            _, entries = self._stage_write(merged, sort_by_override=cluster_by)
         else:
-            _, entries = self._stage_write(self._raw(spark))
+            _, entries = self._stage_write(self._raw(spark), sort_by_override=cluster_by)
         for e in entries:
             e["level"] = COMPACT_LEVEL
         sid = self._commit(

@@ -656,7 +656,9 @@ class Engine:
             raise ValueError(f"CALL {proc}: missing table argument")
         t = self.catalog.get_table(args[0].split(".")[-1])
         if proc == "compact":
-            sid = t.compact()
+            # CALL sys.compact('t' [, 'zorder(a,b)' | 'a,b']) — the
+            # optional second arg is Paimon's sort-compact order spec
+            sid = t.compact(cluster_by=args[1] if len(args) > 1 else None)
             return StatementResult("OK", f"compacted {t.name} (snapshot {sid})")
         if proc == "compact_minor":
             sid = t.compact_minor()

@@ -1002,6 +1002,33 @@ def test_zorder_clustering_prunes_on_both_columns(spark, catalog):
         spark.conf.unset("spark.sql.files.maxRecordsPerFile")
 
 
+def test_sort_compact_reclusters_without_changing_options(spark, catalog):
+    """compact(cluster_by=…) is Paimon's SORT COMPACT: a one-off
+    zorder/lexicographic re-cluster of historical data during the full
+    rewrite, leaving the standing 'sort-by' option untouched."""
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "250")
+    try:
+        data = spark.createDataFrame(
+            [((i * 7919) % 1000, (i * 104729) % 1000) for i in range(2000)],
+            "a long, b long",
+        )
+        t = catalog.create_table("sc", "a long, b long", {"bucket": "1"})
+        t.append(data)
+        n_before = len(t._live_files())
+        pb = "b >= 100 AND b <= 150"
+        # unsorted: footer ranges overlap, b-predicates prune nothing
+        assert len(t._live_files(where=pb)) == n_before
+        t.compact(cluster_by="zorder(a,b)")
+        n_after = len(t._live_files())
+        assert n_after >= 8
+        assert len(t._live_files(where=pb)) < n_after
+        assert len(t._live_files(where="a >= 100 AND a <= 150")) < n_after
+        assert t.read(spark).count() == 2000  # append compaction row invariant
+        assert "sort-by" not in t.options  # one-off, not a standing option
+    finally:
+        spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+
+
 def test_timestamp_as_of_time_travel(spark, catalog):
     import time
 
