@@ -1096,14 +1096,20 @@ class Table:
         return added
 
     def incremental_read(
-        self, spark: SparkSession, from_snapshot: int, to_snapshot: int | None = None
+        self,
+        spark: SparkSession,
+        from_snapshot: int | str,
+        to_snapshot: int | str | None = None,
     ) -> DataFrame:
         """Files added in (from_snapshot, to_snapshot] — the batch
         equivalent of one streaming micro-batch over the snapshot log.
-        Pure-append ranges are answered from the delta manifests alone
-        (the per-trigger hot path for changelog subscribers: O(batch)
+        Accepts snapshot ids or tag names (Paimon's
+        ``incremental-between('tag1','tag2')`` spelling). Pure-append
+        ranges are answered from the delta manifests alone (the
+        per-trigger hot path for changelog subscribers: O(batch)
         metadata, independent of table size)."""
-        to_snapshot = to_snapshot or self.latest_snapshot_id()
+        from_snapshot = self.resolve_ref(from_snapshot)
+        to_snapshot = self.resolve_ref(to_snapshot) or self.latest_snapshot_id()
         added = (
             self._delta_added_paths(from_snapshot, to_snapshot)
             if from_snapshot

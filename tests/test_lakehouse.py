@@ -931,6 +931,10 @@ def test_incremental_read_uses_delta_manifests(spark, catalog):
     assert t._delta_added_paths(5, 8) is None
     got = {r.k for r in t.incremental_read(spark, 7, 8).collect()}
     assert got == {60}
+    # tag names resolve on both ends (Paimon incremental-between tags)
+    t.create_tag("start", 2)
+    t.create_tag("stop", 5)
+    assert {r.k for r in t.incremental_read(spark, "start", "stop").collect()} == {2, 3, 4}
 
 
 def test_manifests_system_table(spark, catalog):
