@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import glob
 import os
+import re
 import shutil
 import uuid
 
@@ -602,6 +603,7 @@ class Table:
                     except OSError:
                         shutil.copy2(src, dst)
         self._maybe_auto_compact()
+        self._maybe_auto_expire()
         return sid
 
     def append(self, df: DataFrame, commit_identifier: int | None = None) -> int | None:
@@ -1360,6 +1362,43 @@ class Table:
         return self._commit(
             entries, "COMPACT", replaced={e["file_path"] for e in l0},
             expected_latest=latest, snapshot_extra={"compaction": "minor"},
+        )
+
+    _DURATION_UNITS = {
+        "ms": 1, "s": 1000, "sec": 1000, "second": 1000, "seconds": 1000,
+        "m": 60_000, "min": 60_000, "minute": 60_000, "minutes": 60_000,
+        "h": 3_600_000, "hour": 3_600_000, "hours": 3_600_000,
+        "d": 86_400_000, "day": 86_400_000, "days": 86_400_000,
+    }
+
+    @classmethod
+    def _parse_duration_ms(cls, spec: str) -> int:
+        """Flink duration spelling: '20s', '20 s', '1 h', '30 min'…"""
+        m = re.match(r"^\s*(\d+)\s*([a-zA-Z]+)\s*$", str(spec))
+        if not m or m.group(2).lower() not in cls._DURATION_UNITS:
+            raise ValueError(f"unparseable duration {spec!r}")
+        return int(m.group(1)) * cls._DURATION_UNITS[m.group(2).lower()]
+
+    def _maybe_auto_expire(self) -> None:
+        """Honor 'snapshot.num-retained.max' / 'snapshot.time-retained'
+        at commit time — Paimon expires snapshots automatically as part
+        of every commit, and the reference tutorial RELIES on that
+        (ALTER TABLE SET time-retained='20s' then watches old snapshots
+        disappear, tutorial/guide.md:181-183,266-268). Explicit
+        expire_snapshots() remains available; consumer/tag pins apply
+        to both paths."""
+        o = self.options
+        rmax = o.get("snapshot.num-retained.max")
+        tret = o.get("snapshot.time-retained")
+        if rmax is None and tret is None:
+            return
+        rmin = o.get("snapshot.num-retained.min")
+        self.expire_snapshots(
+            retain_min=int(rmin) if rmin else 1,
+            retain_max=int(rmax) if rmax else None,
+            older_than_ms=(
+                now_millis() - self._parse_duration_ms(tret) if tret else None
+            ),
         )
 
     def _maybe_auto_compact(self) -> None:

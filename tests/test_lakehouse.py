@@ -259,6 +259,32 @@ def test_expire_snapshots(spark, catalog):
         t.snapshot(1)
 
 
+def test_auto_expiry_honors_retention_options(spark, catalog):
+    """Paimon expires snapshots automatically at commit time from the
+    table's retention options — the tutorial sets
+    snapshot.time-retained='20s' via ALTER and relies on old snapshots
+    disappearing on their own (guide.md:181-183,266-268)."""
+    t = catalog.create_table(
+        "ae", "k long", {"snapshot.num-retained.max": "3", "snapshot.num-retained.min": "2"}
+    )
+    for i in range(6):
+        t.append(spark.createDataFrame([(i,)], "k long"))
+    assert [s["id"] for s in t.snapshots()] == [4, 5, 6]
+    assert t.read(spark).count() == 6  # data untouched, history trimmed
+    # time-retained kicks in via ALTER, exactly the tutorial's flow
+    t2 = catalog.create_table("ae2", "k long")
+    for i in range(3):
+        t2.append(spark.createDataFrame([(i,)], "k long"))
+    assert len(t2.snapshots()) == 3  # no options -> no auto-expiry
+    catalog.alter_table("ae2", {"snapshot.time-retained": "0 s"})
+    t2 = catalog.get_table("ae2")
+    t2.append(spark.createDataFrame([(9,)], "k long"))
+    assert [s["id"] for s in t2.snapshots()] == [4]  # only the fresh commit survives
+    # malformed duration is a clean error
+    with pytest.raises(ValueError, match="duration"):
+        t2._parse_duration_ms("soon")
+
+
 def test_registered_consumer_protects_snapshots_from_expiry(spark, catalog):
     """Paimon consumer-id semantics: a registered streaming reader's
     unconsumed snapshot window survives expire_snapshots even under the
@@ -767,8 +793,8 @@ def _interleave(table, other_commit):
     deterministically."""
     orig = table._stage_write
 
-    def hooked(df):
-        staged = orig(df)
+    def hooked(df, **kwargs):
+        staged = orig(df, **kwargs)
         table._stage_write = orig  # fire once
         other_commit()
         return staged
