@@ -541,23 +541,29 @@ bg AS (
                % {X33_BUCKETS} AS bucket
     FROM s
 ),
-raw AS (SELECT bucket, COUNT(*) AS r_cnt FROM bg GROUP BY bucket),
-tgt AS (SELECT bucket, COUNT(*) AS t_cnt FROM bg WHERE lang = 'en' GROUP BY bucket),
+db AS (
+    SELECT doc_id, lang, bucket, COUNT(*) AS n FROM bg GROUP BY 1, 2, 3
+),
+raw AS (
+    SELECT bucket, CAST(SUM(n) AS BIGINT) AS r_cnt,
+           CAST(SUM(CASE WHEN lang = 'en' THEN n ELSE 0 END) AS BIGINT) AS t_cnt
+    FROM db GROUP BY bucket
+),
 tots AS (
     SELECT CAST(SUM(r_cnt) AS BIGINT) AS r_tot,
-           (SELECT CAST(COALESCE(SUM(t_cnt), 0) AS BIGINT) FROM tgt) AS t_tot
+           CAST(SUM(t_cnt) AS BIGINT) AS t_tot
     FROM raw
 ),
 wts AS (
     SELECT raw.bucket,
-           ln((COALESCE(tgt.t_cnt, 0) + 1) * 1.0 / (tots.t_tot + {X33_BUCKETS}))
+           ln((raw.t_cnt + 1) * 1.0 / (tots.t_tot + {X33_BUCKETS}))
              - ln((raw.r_cnt + 1) * 1.0 / (tots.r_tot + {X33_BUCKETS})) AS logw
-    FROM raw LEFT JOIN tgt USING (bucket) CROSS JOIN tots
+    FROM raw CROSS JOIN tots
 )
-SELECT bg.doc_id, COUNT(*) AS n_bigrams,
-       ROUND(SUM(wts.logw), 4) AS dsir_logw
-FROM bg JOIN wts USING (bucket)
-GROUP BY bg.doc_id
+SELECT db.doc_id, CAST(SUM(db.n) AS BIGINT) AS n_bigrams,
+       ROUND(SUM(db.n * wts.logw), 4) AS dsir_logw
+FROM db JOIN wts USING (bucket)
+GROUP BY db.doc_id
 """
 
 
@@ -571,37 +577,48 @@ def x33_dsir_importance(spark, sf_dir):
     one doc-keyed aggregation, independent of corpus size. Docs with
     fewer than 2 tokens have no bigrams and drop out (both engines,
     inner-join semantics)."""
-    d = T(spark, sf_dir, "documents")
+    d = fan_out(T(spark, sf_dir, "documents"), heavy=True)
+    # split ONCE into an array column; building bigrams from `split(text)`
+    # inline would re-split the text for every element (O(n²) per doc —
+    # measured 6.1 s → 0.7 s at sf0.1 for this projection alone)
+    toks = d.select("doc_id", "lang", _tokens().alias("w"))
     bigrams = F.expr(
-        "transform(sequence(0, size(split(text, ' ')) - 2),"
-        " i -> concat(element_at(split(text, ' '), i + 1), ' ',"
-        " element_at(split(text, ' '), i + 2)))"
+        "transform(sequence(0, size(w) - 2),"
+        " i -> concat(element_at(w, i + 1), ' ', element_at(w, i + 2)))"
     )
-    bg = d.select("doc_id", "lang", F.explode(bigrams).alias("b")).select(
+    bg = toks.select("doc_id", "lang", F.explode(bigrams).alias("b")).select(
         "doc_id", "lang",
         (F.conv(F.substring(F.md5("b"), 1, 4), 16, 10).cast("long") % X33_BUCKETS).alias("bucket"),
     )
-    raw = bg.groupBy("bucket").agg(F.count("*").alias("r_cnt"))
-    tgt = bg.filter(F.col("lang") == "en").groupBy("bucket").agg(F.count("*").alias("t_cnt"))
-    tots = raw.agg(F.sum("r_cnt").cast("long").alias("r_tot")).crossJoin(
-        tgt.agg(F.coalesce(F.sum("t_cnt"), F.lit(0)).cast("long").alias("t_tot"))
+    # ONE pass over the bigram stream: pre-aggregate to (doc, bucket)
+    # counts (≤ 64 rows per doc), then everything downstream — both
+    # "models", the weight table, and the per-doc score — runs on that
+    # small relation; persist() stops Spark recomputing the explode+md5
+    # chain for the second consumer
+    db = (
+        bg.groupBy("doc_id", "lang", "bucket").agg(F.count("*").alias("n")).persist()
     )
-    wts = (
-        raw.join(tgt, "bucket", "left")
-        .crossJoin(F.broadcast(tots))
-        .select(
-            "bucket",
-            (
-                F.log((F.coalesce(F.col("t_cnt"), F.lit(0)) + 1) * 1.0 / (F.col("t_tot") + X33_BUCKETS))
-                - F.log((F.col("r_cnt") + 1) * 1.0 / (F.col("r_tot") + X33_BUCKETS))
-            ).alias("logw"),
-        )
+    raw = db.groupBy("bucket").agg(
+        F.sum("n").cast("long").alias("r_cnt"),
+        F.sum(F.when(F.col("lang") == "en", F.col("n")).otherwise(F.lit(0)))
+        .cast("long").alias("t_cnt"),
+    )
+    tots = raw.agg(
+        F.sum("r_cnt").cast("long").alias("r_tot"),
+        F.sum("t_cnt").cast("long").alias("t_tot"),
+    )
+    wts = raw.crossJoin(F.broadcast(tots)).select(
+        "bucket",
+        (
+            F.log((F.col("t_cnt") + 1) * 1.0 / (F.col("t_tot") + X33_BUCKETS))
+            - F.log((F.col("r_cnt") + 1) * 1.0 / (F.col("r_tot") + X33_BUCKETS))
+        ).alias("logw"),
     )
     return (
-        bg.join(F.broadcast(wts), "bucket")
+        db.join(F.broadcast(wts), "bucket")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_bigrams"),
-            F.round(F.sum("logw"), 4).alias("dsir_logw"),
+            F.sum("n").cast("long").alias("n_bigrams"),
+            F.round(F.sum(F.col("n") * F.col("logw")), 4).alias("dsir_logw"),
         )
     )

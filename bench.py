@@ -50,6 +50,10 @@ HEADLINE = [
     "x13_semantic_dedup",
     "x20_text_stats",
     "x28_repetition_filter",
+    "x32_unigram_lm_score",
+    "x33_dsir_importance",
+    "x34_cluster_keep_best",
+    "x35_token_pack",
     "x41_decontaminate",
     "x42_hash_sample",
     "x43_stratified_cap",
