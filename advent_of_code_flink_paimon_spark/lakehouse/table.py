@@ -604,6 +604,7 @@ class Table:
                         shutil.copy2(src, dst)
         self._maybe_auto_compact()
         self._maybe_auto_expire()
+        self._maybe_auto_expire_partitions()
         return sid
 
     def append(self, df: DataFrame, commit_identifier: int | None = None) -> int | None:
@@ -1400,6 +1401,56 @@ class Table:
                 now_millis() - self._parse_duration_ms(tret) if tret else None
             ),
         )
+
+    def _maybe_auto_expire_partitions(self) -> None:
+        """Honor 'partition.expiration-time' (+ optional
+        'partition.timestamp-formatter', default '%Y-%m-%d'): partitions
+        whose FORMATTED-DATE value falls before now - expiration are
+        dropped at commit time (Paimon's automatic partition expiry).
+        The check is metadata-only (manifest partition values); a
+        delete commit happens only when something actually expired, so
+        steady-state commits pay one manifest scan and nothing else."""
+        spec = self.options.get("partition.expiration-time")
+        if not spec or not self.partition_keys:
+            return
+        import datetime
+
+        fmt = self.options.get("partition.timestamp-formatter", "%Y-%m-%d")
+        pcol = self.partition_keys[0]
+        cutoff_dt = datetime.datetime.utcfromtimestamp(
+            (now_millis() - self._parse_duration_ms(spec)) / 1000.0
+        )
+        cutoff = cutoff_dt.strftime(fmt)
+        latest = self.latest_snapshot_id()
+        if latest is None:
+            return
+        live = {
+            str(e.get("partition", {}).get(pcol))
+            for e in self.manifest(latest)
+            if e.get("partition")
+        }
+
+        def _expired(v: str) -> bool:
+            try:
+                return datetime.datetime.strptime(v, fmt) < cutoff_dt
+            except ValueError:
+                return False  # unparseable partition values never expire
+
+        if any(_expired(v) for v in live):
+            # reentrancy guard: the delete's own commit re-enters this
+            # hook, and on PK tables the retraction files keep the old
+            # partition value in the manifest until compaction
+            if getattr(self, "_expiring_partitions", False):
+                return
+            self._expiring_partitions = True
+            try:
+                spark = SparkSession.getActiveSession()
+                # string comparison matches date order for the supported
+                # zero-padded formatter family; the predicate rides the
+                # manifest pruner so only expired partitions' files rewrite
+                self.delete_where(spark, f"{pcol} < '{cutoff}'")
+            finally:
+                self._expiring_partitions = False
 
     def _maybe_auto_compact(self) -> None:
         """Honor 'full-compaction.delta-commits' (full rewrite every N

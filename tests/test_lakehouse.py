@@ -285,6 +285,32 @@ def test_auto_expiry_honors_retention_options(spark, catalog):
         t2._parse_duration_ms("soon")
 
 
+def test_auto_partition_expiry(spark, catalog):
+    """'partition.expiration-time': partitions whose date value falls
+    outside the retention window are dropped automatically at commit
+    time (Paimon's partition expiry); fresh partitions and unparseable
+    values survive."""
+    t = catalog.create_table(
+        "pe", "day string, k long",
+        {"partition-by": "day", "bucket": "1",
+         "partition.expiration-time": "7 d"},
+    )
+    import datetime
+
+    today = datetime.datetime.utcnow().strftime("%Y-%m-%d")
+    old = (datetime.datetime.utcnow() - datetime.timedelta(days=30)).strftime("%Y-%m-%d")
+    t.append(spark.createDataFrame([(old, 1), (old, 2)], "day string, k long"))
+    # the stale partition is gone after the NEXT commit triggers expiry
+    t.append(spark.createDataFrame([(today, 3)], "day string, k long"))
+    got = [(r.day, r.k) for r in t.read(spark).collect()]
+    assert got == [(today, 3)], got
+    # steady state: another commit doesn't thrash (no expired partitions)
+    sid_before = t.latest_snapshot_id()
+    t.append(spark.createDataFrame([(today, 4)], "day string, k long"))
+    assert t.latest_snapshot_id() == sid_before + 1  # exactly one commit
+    assert t.read(spark).count() == 2
+
+
 def test_registered_consumer_protects_snapshots_from_expiry(spark, catalog):
     """Paimon consumer-id semantics: a registered streaming reader's
     unconsumed snapshot window survives expire_snapshots even under the
