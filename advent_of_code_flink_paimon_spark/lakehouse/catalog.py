@@ -270,6 +270,19 @@ class Catalog:
         paths = TablePaths(self.warehouse, self.db, name)
         shutil.rmtree(paths.root, ignore_errors=True)
 
+    def rename_table(self, old: str, new: str) -> Table:
+        """ALTER TABLE … RENAME TO … — one directory rename (all table
+        state lives under the table root, so snapshots/tags/consumers
+        ride along); refuses to clobber an existing table."""
+        src = TablePaths(self.warehouse, self.db, old)
+        if not os.path.exists(src.schema_path(0)):
+            raise KeyError(f"table {old} does not exist")
+        dst = TablePaths(self.warehouse, self.db, new)
+        if os.path.exists(dst.root):
+            raise ValueError(f"table {new} already exists")
+        os.rename(src.root, dst.root)
+        return Table(self.warehouse, self.db, new)
+
     def get_table(self, name: str) -> Table:
         paths = TablePaths(self.warehouse, self.db, name)
         if not os.path.exists(paths.schema_path(0)):

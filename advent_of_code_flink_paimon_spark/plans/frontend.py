@@ -249,6 +249,16 @@ class Engine:
         if u.startswith("CREATE TABLE"):
             return self._create_table(s)
         if u.startswith("ALTER TABLE"):
+            m = re.match(r"ALTER\s+TABLE\s+(\S+)\s+RENAME\s+TO\s+(\S+)\s*$", s, re.I)
+            if m:
+                old, new = m.group(1).split(".")[-1], m.group(2).split(".")[-1]
+                self.catalog.rename_table(old, new)
+                # the old name's temp views are stale now
+                for suffix in ("", "__files", "__snapshots", "__schemas", "__tags",
+                               "__partitions", "__manifests", "__consumers",
+                               "__options", "__audit_log"):
+                    self.spark.catalog.dropTempView(f"{old}{suffix}")
+                return StatementResult("OK", f"renamed {old} to {new}")
             m = re.match(r"ALTER\s+TABLE\s+(\S+)\s+SET\s*\((.*)\)\s*$", s, re.I | re.S)
             if m:
                 self.catalog.alter_table(m.group(1), _parse_with_options(m.group(2)))

@@ -941,6 +941,26 @@ def test_streaming_tvf_dequalify_skips_string_literals(engine, spark):
     assert df.columns == ["window_start", "labeled"]
 
 
+def test_rename_table(engine, spark):
+    """ALTER TABLE … RENAME TO: one directory rename — snapshots, tags
+    and data ride along; the old name stops resolving, column-rename
+    forms are untouched."""
+    engine.sql("CREATE TABLE rt (k BIGINT, v STRING) WITH ('bucket' = '1')")
+    engine.sql("INSERT INTO rt VALUES (CAST(1 AS BIGINT), 'a')")
+    engine.catalog.get_table("rt").create_tag("v1")
+    engine.sql("ALTER TABLE rt RENAME TO rt2")
+    assert engine.sql("SELECT COUNT(*) AS c FROM rt2").collect()[0].c == 1
+    assert engine.sql("SELECT * FROM rt2$tags").collect()[0].tag_name == "v1"
+    with pytest.raises(KeyError):
+        engine.catalog.get_table("rt")
+    engine.sql("CREATE TABLE x (k BIGINT)")
+    with pytest.raises(ValueError, match="already exists"):
+        engine.catalog.rename_table("x", "rt2")
+    # column rename still routes to the column form
+    engine.sql("ALTER TABLE rt2 RENAME COLUMN v TO w")
+    assert [f.name for f in engine.catalog.get_table("rt2").schema.fields] == ["k", "w"]
+
+
 def test_explain_statement(engine, spark):
     """EXPLAIN <query> (round-4 verdict ask #4): plan text through the
     same dialect bridge — the filter must reach the parquet scan as a
