@@ -82,10 +82,34 @@ def test_no_python_in_jvm_only_pipelines(spark):
         "x06_dedup_embedding_cosine",
         "x20_text_stats",
         "x22_token_count",
+        "x32_unigram_lm_score",
+        "x33_dsir_importance",
+        "x34_cluster_keep_best",
+        "x35_token_pack",
     ]
     for q in jvm_only:
         plan = plan_of(spark, q, mode="simple")
         assert "EvalPython" not in plan, f"{q} has a Python eval node\n{plan}"
+
+
+def test_token_pack_is_sharded_not_global_sort(spark):
+    """x35's packing windows must partition by shard — a global
+    packing order would be a single-partition range sort, the classic
+    scale killer the docstring promises to avoid."""
+    plan = plan_of(spark, "x35_token_pack", mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_lm_and_dsir_models_broadcast(spark):
+    """x32's vocabulary LM and x33's 64-bucket weight tables must reach
+    the scoring join as broadcasts — a shuffle join there would
+    re-partition the full token/bigram stream against a tiny model."""
+    for q in ("x32_unigram_lm_score", "x33_dsir_importance"):
+        plan = plan_of(spark, q, mode="simple")
+        assert "BroadcastExchange" in plan, f"{q}\n{plan[:1500]}"
+        assert "SortMergeJoin" not in plan, f"{q} shuffle-joins its model\n{plan[:1500]}"
 
 
 def test_whole_stage_codegen_covers_flagship(spark):
