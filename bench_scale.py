@@ -28,7 +28,9 @@ ROOT = os.path.dirname(os.path.abspath(__file__))
 SCALE_DIR = os.path.join(ROOT, ".scale-data", "sf0.5")
 M = 5  # row-count multiple vs sf0.1
 QUERIES = ["x07_dup_clusters", "x13_semantic_dedup", "x03_dedup_minhash_lsh",
-           "x06_dedup_embedding_cosine", "q28_enrichment_join"]
+           "x06_dedup_embedding_cosine", "q28_enrichment_join",
+           # round-5 operators with corpus-wide aggregations
+           "x32_unigram_lm_score", "x33_dsir_importance", "x34_cluster_keep_best"]
 REPEATS = 3
 
 
@@ -151,8 +153,15 @@ def main() -> None:
         fn = qs[name]
         med = {}
         for tag, sf_dir in (("base", BASE), ("scale", SCALE_DIR)):
+            # warmup (untimed): codegen + parquet footers; then each
+            # timed run starts cache-cold so persists inside operators
+            # (x03/x33) can't turn later repeats into cache reads and
+            # distort the growth ratio
+            spark.catalog.clearCache()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             times = []
             for _ in range(REPEATS):
+                spark.catalog.clearCache()
                 t0 = time.monotonic()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 times.append(time.monotonic() - t0)
