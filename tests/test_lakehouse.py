@@ -1328,6 +1328,32 @@ def test_merge_engine_aggregation_count_bool_listagg(spark, catalog):
         ).upsert(spark.createDataFrame([(1, 1)], "k long, v long"))
 
 
+def test_merge_engine_aggregation_with_full_compaction_changelog(spark, catalog):
+    """The documented consumer path for non-default merge engines (the
+    upsert-stream guard points here): full-compaction diffs the MERGED
+    images, so the emitted rows carry fully-aggregated values, never
+    per-batch partials."""
+    ddl = "k long, total long"
+    t = catalog.create_table(
+        "agc", ddl,
+        {"primary-key": "k", "merge-engine": "aggregation",
+         "fields.total.aggregate-function": "sum",
+         "changelog-producer": "full-compaction"},
+    )
+    t.upsert(spark.createDataFrame([(1, 10)], ddl))
+    t.upsert(spark.createDataFrame([(1, 5)], ddl))
+    t.compact()
+    assert [(r.k, r.total, r._change_type) for r in t.read_changelog(spark).collect()] == [
+        (1, 15, "+I")
+    ]
+    t.upsert(spark.createDataFrame([(1, 2)], ddl))
+    t.compact()
+    rows = sorted(
+        (r.k, r.total, r._change_type) for r in t.read_changelog(spark).collect()
+    )
+    assert rows == [(1, 15, "+I"), (1, 15, "-U"), (1, 17, "+U")]
+
+
 def test_merge_engine_guards(spark, catalog):
     with pytest.raises(ValueError, match="requires a primary key"):
         catalog.create_table("g1", "k long", {"merge-engine": "partial-update"})
