@@ -66,16 +66,20 @@ class Catalog:
         merge-engine=aggregation + changelog-producer=input) could be
         introduced post-create."""
         engine = opts.get("merge-engine", "deduplicate")
-        if engine not in ("deduplicate", "partial-update", "aggregation"):
+        if engine not in ("deduplicate", "partial-update", "aggregation", "first-row"):
             raise ValueError(f"unknown merge-engine {engine!r}")
         if engine != "deduplicate":
             if not opts.get("primary-key"):
                 raise ValueError(f"merge-engine '{engine}' requires a primary key")
-            if opts.get("changelog-producer") in ("input", "lookup"):
+            if engine != "first-row" and opts.get("changelog-producer") in ("input", "lookup"):
                 # per-commit pre-image derivation assumes last-write-wins
                 # rows; these engines combine columns across commits —
                 # Paimon 0.5 has the same restriction (use
-                # 'full-compaction', which diffs merged images)
+                # 'full-compaction', which diffs merged images).
+                # first-row is EXEMPT: its changelog is insert-only
+                # (first write per key → +I, later writes → nothing),
+                # which the per-commit derivation expresses exactly —
+                # Paimon in fact REQUIRES lookup for first-row streams
                 raise ValueError(
                     f"merge-engine '{engine}' cannot produce a per-commit "
                     "changelog; use changelog-producer='full-compaction'"

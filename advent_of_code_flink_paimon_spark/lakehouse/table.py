@@ -777,6 +777,20 @@ class Table:
         cols = [f.name for f in self.schema.fields]
         sid_dir = target_dir or self.paths.changelog_dir(seq)
         pre = self._pre_image_for(batch)
+        if self.merge_engine == "first-row":
+            # first-row changelog is INSERT-ONLY: the first write per
+            # key emits +I, later writes are dropped by the merge so
+            # they emit nothing (Paimon's first-row + lookup contract —
+            # no -U/+U/-D can exist; retractions were rejected upstream)
+            fresh = (
+                batch
+                if pre is None
+                else batch.join(pre.select(*pk), on=pk, how="left_anti")
+            )
+            fresh.withColumn("_change_type", F.lit("+I")).select(
+                *cols, "_change_type"
+            ).write.mode("overwrite").parquet(sid_dir)
+            return
         if pre is None:
             changelog = batch.withColumn(
                 "_change_type", F.when(F.col("__op") == "D", "-D").otherwise("+I")
@@ -923,12 +937,13 @@ class Table:
     @property
     def merge_engine(self) -> str:
         """'merge-engine' option: 'deduplicate' (default, last-write-
-        wins), 'partial-update' (per-column last NON-NULL wins), or
+        wins), 'partial-update' (per-column last NON-NULL wins),
         'aggregation' (per-column aggregate across writes, from
         'fields.<col>.aggregate-function' ∈ {sum,max,min,last_non_null/
         last_non_null_value,last_value,first_value,first_non_null_value,
-        count,bool_or,bool_and,listagg}) — Paimon 0.5's three merge
-        engines with its documented aggregate-function set."""
+        count,bool_or,bool_and,listagg}), or 'first-row' (FIRST row per
+        key wins; later writes are ignored) — Paimon 0.5's merge
+        engines with the documented aggregate-function set."""
         return self.options.get("merge-engine", "deduplicate")
 
     def _merge_combine(self, df: DataFrame, order_col: str, stored: bool = False) -> DataFrame:
@@ -948,6 +963,18 @@ class Table:
         engine = self.merge_engine
         pk = self.primary_key
         cols = [f.name for f in self.schema.fields]
+        if engine == "first-row":
+            # Paimon first-row: the FIRST row per key wins and every
+            # later write is ignored. Stored rows are already per-commit
+            # firsts, so first-of-firsts by commit order is the same
+            # combine in-batch and at merge-on-read — no stored split.
+            w_first_row = Window.partitionBy(*pk).orderBy(F.col(order_col).asc())
+            return (
+                df.withColumn("__rn", F.row_number().over(w_first_row))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+                .select(*cols)
+            )
         vals = [c for c in cols if c not in pk]
         fields = {f.name: f for f in self.schema.fields}
         w_ord = (
@@ -1309,6 +1336,14 @@ class Table:
                     f"{self.name}: UPDATE under merge-engine 'aggregation' "
                     "would re-aggregate the updated image into itself; "
                     "rewrite via overwrite()"
+                )
+            if self.merge_engine == "first-row":
+                # the updated image would be a LATER row per key, which
+                # first-wins silently ignores — refuse rather than no-op
+                raise ValueError(
+                    f"{self.name}: UPDATE under merge-engine 'first-row' "
+                    "is ignored by the first-wins merge; rewrite via "
+                    "overwrite()"
                 )
             updated = self.read(spark, where=predicate)
             if updated.isEmpty():

@@ -1354,6 +1354,81 @@ def test_merge_engine_aggregation_with_full_compaction_changelog(spark, catalog)
     assert rows == [(1, 15, "+I"), (1, 15, "-U"), (1, 17, "+U")]
 
 
+def test_merge_engine_first_row(spark, catalog):
+    """Paimon 0.5 'first-row': the FIRST row per key wins — in-batch,
+    across commits, and through compaction; later writes are ignored."""
+    ddl = "k long, v string"
+    t = catalog.create_table(
+        "fr", ddl, {"primary-key": "k", "merge-engine": "first-row"}
+    )
+    # in-batch: the first INPUT row per key wins
+    t.upsert(spark.createDataFrame([(1, "first"), (1, "second"), (2, "b")], ddl).coalesce(1))
+    assert sorted(tuple(r) for r in t.read(spark).collect()) == [
+        (1, "first"), (2, "b")
+    ]
+    # cross-commit: a later upsert of an existing key is ignored;
+    # genuinely-new keys land
+    t.upsert(spark.createDataFrame([(1, "later"), (3, "c")], ddl))
+    assert sorted(tuple(r) for r in t.read(spark).collect()) == [
+        (1, "first"), (2, "b"), (3, "c")
+    ]
+    # time travel sees the same first rows; compaction preserves them
+    assert sorted(tuple(r) for r in t.read(spark, snapshot_id=1).collect()) == [
+        (1, "first"), (2, "b")
+    ]
+    t.compact()
+    t.upsert(spark.createDataFrame([(2, "post-compact"), (4, "d")], ddl))
+    assert sorted(tuple(r) for r in t.read(spark).collect()) == [
+        (1, "first"), (2, "b"), (3, "c"), (4, "d")
+    ]
+
+
+def test_merge_engine_first_row_insert_only_changelog(spark, catalog):
+    """first-row is the one non-default engine ALLOWED a per-commit
+    changelog (Paimon requires 'lookup' for first-row streams): the
+    emitted rows are insert-only — +I when a key first appears, nothing
+    for later writes to the same key."""
+    ddl = "k long, v string"
+    t = catalog.create_table(
+        "frc", ddl,
+        {"primary-key": "k", "merge-engine": "first-row",
+         "changelog-producer": "lookup"},
+    )
+    t.upsert(spark.createDataFrame([(1, "a"), (2, "b")], ddl))
+    assert sorted((r.k, r.v, r._change_type) for r in t.read_changelog(spark).collect()) == [
+        (1, "a", "+I"), (2, "b", "+I")
+    ]
+    # existing key → no event at all; new key → +I with ITS first value
+    t.upsert(spark.createDataFrame([(1, "ignored"), (3, "c")], ddl))
+    rows = sorted((r.k, r.v, r._change_type) for r in t.read_changelog(spark).collect())
+    assert rows == [(1, "a", "+I"), (2, "b", "+I"), (3, "c", "+I")]
+
+
+def test_merge_engine_first_row_guards(spark, catalog):
+    with pytest.raises(ValueError, match="requires a primary key"):
+        catalog.create_table("frg1", "k long", {"merge-engine": "first-row"})
+    with pytest.raises(ValueError, match="merge-engine=deduplicate"):
+        catalog.create_table(
+            "frg2", "k long, v string, ver long",
+            {"primary-key": "k", "merge-engine": "first-row",
+             "sequence.field": "ver"},
+        )
+    t = catalog.create_table(
+        "frg3", "k long, v string", {"primary-key": "k", "merge-engine": "first-row"}
+    )
+    t.upsert(spark.createDataFrame([(1, "a")], "k long, v string"))
+    with pytest.raises(ValueError, match="retraction"):
+        t.upsert(
+            spark.createDataFrame([(1, "a")], "k long, v string").withColumn("__op", F.lit("D"))
+        )
+    with pytest.raises(ValueError, match="DELETE"):
+        t.delete_where(spark, "k = 1")
+    with pytest.raises(ValueError, match="first-row"):
+        t.update_where(spark, {"v": "'x'"}, "k = 1")
+    # still the first image after all the refused operations
+    assert [(r.k, r.v) for r in t.read(spark).collect()] == [(1, "a")]
+
+
 def test_merge_engine_guards(spark, catalog):
     with pytest.raises(ValueError, match="requires a primary key"):
         catalog.create_table("g1", "k long", {"merge-engine": "partial-update"})
