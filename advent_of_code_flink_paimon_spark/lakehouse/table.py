@@ -384,6 +384,24 @@ class Table:
     # ------------------------------------------------------------------
     # write path
     # ------------------------------------------------------------------
+    def _check_bucket_rescale(self) -> None:
+        """Refuse incremental writes while the table holds files hashed
+        under a DIFFERENT bucket count than the current 'bucket' option
+        (i.e. after ALTER TABLE SET ('bucket'='N') but before the
+        rescaling rewrite). Mixing moduli would route a key's new rows
+        to a bucket its old rows aren't in, breaking bucket-pruned
+        pre-image lookups and co-located reads. Paimon has the same
+        contract: rescale via INSERT OVERWRITE (here: overwrite() or
+        compact()) before writing again."""
+        cur = self.num_buckets
+        stale = {e.get("total_buckets", cur) for e in self.manifest()} - {cur}
+        if stale:
+            raise ValueError(
+                f"{self.name}: bucket count changed to {cur} but live files "
+                f"were written under bucket={sorted(stale)}; rescale with "
+                "compact() or INSERT OVERWRITE before further writes"
+            )
+
     def _with_bucket(self, df: DataFrame) -> DataFrame:
         key = self.bucket_key
         if not key or self.num_buckets <= 1:
@@ -461,6 +479,13 @@ class Table:
                     {
                         "file_path": os.path.relpath(dest, self.paths.root),
                         "bucket": bucket,
+                        # the bucket COUNT this file was hashed under —
+                        # after ALTER ('bucket'='N') old files keep their
+                        # old-modulus assignment, so writers must refuse
+                        # until a full rewrite rescales (Paimon's
+                        # rescale-bucket contract) and the pre-image
+                        # pruner must not hash-prune mixed-modulus sets
+                        "total_buckets": self.num_buckets,
                         "partition": partition,
                         "record_count": meta.num_rows,
                         "file_size_in_bytes": os.path.getsize(dest),
@@ -613,6 +638,7 @@ class Table:
             return None  # replayed micro-batch → no-op (exactly-once)
         if self.primary_key:
             return self.upsert(df, commit_identifier=commit_identifier)
+        self._check_bucket_rescale()
         expected = self.latest_snapshot_id()
         _, entries = self._stage_write(df.select(*[f.name for f in self.schema.fields]))
         return self._commit(
@@ -654,6 +680,7 @@ class Table:
             return None
         pk = self.primary_key
         assert pk, f"{self.name} has no primary key"
+        self._check_bucket_rescale()
         latest = self.latest_snapshot_id()
         seq = (self.snapshot(latest)["sequence_number"] + 1) if latest else 1
 
@@ -747,7 +774,10 @@ class Table:
         spark = batch.sparkSession
         pk = self.primary_key
         entries = self.manifest()
-        if self.num_buckets > 1 and set(self.bucket_key) <= set(pk):
+        same_modulus = all(
+            e.get("total_buckets", self.num_buckets) == self.num_buckets for e in entries
+        )
+        if self.num_buckets > 1 and same_modulus and set(self.bucket_key) <= set(pk):
             hit = {
                 r["__bucket"]
                 for r in self._with_bucket(batch).select("__bucket").distinct().collect()
@@ -1376,6 +1406,11 @@ class Table:
         latest = self.latest_snapshot_id()
         if latest is None:
             return None
+        # a minor pass rewrites only a SUBSET of files — during a
+        # pending bucket rescale that would re-hash the subset under the
+        # new modulus while the rest keeps the old one; only the full
+        # rewrite (compact / INSERT OVERWRITE) may rescale
+        self._check_bucket_rescale()
         l0 = [e for e in self.manifest(latest) if e["level"] == 0]
         if len(l0) <= 1:
             return None

@@ -1354,6 +1354,42 @@ def test_merge_engine_aggregation_with_full_compaction_changelog(spark, catalog)
     assert rows == [(1, 15, "+I"), (1, 15, "-U"), (1, 17, "+U")]
 
 
+def test_bucket_rescale_requires_full_rewrite(spark, catalog):
+    """Paimon's rescale-bucket contract: ALTER ('bucket'='N') alone
+    leaves old files hashed under the old modulus, so incremental
+    writes (and minor compaction) are refused until a full rewrite —
+    compact() or INSERT OVERWRITE — rescales; afterwards writes resume
+    and bucket-pruned changelog pre-images stay correct."""
+    ddl = "k long, v string"
+    t = catalog.create_table(
+        "rsc", ddl,
+        {"primary-key": "k", "bucket": "2", "changelog-producer": "input"},
+    )
+    t.upsert(spark.createDataFrame([(i, f"v{i}") for i in range(20)], ddl))
+    catalog.alter_table("rsc", {"bucket": "4"})
+    t = catalog.get_table("rsc")
+    # reads keep working mid-rescale (merge-on-read is modulus-blind)
+    assert t.read(spark).count() == 20
+    # incremental writes and minor compaction are refused
+    with pytest.raises(ValueError, match="rescale"):
+        t.upsert(spark.createDataFrame([(1, "x")], ddl))
+    with pytest.raises(ValueError, match="rescale"):
+        t.compact_minor()
+    # full compaction IS the rescale
+    t.compact()
+    buckets = {e["bucket"] for e in t.manifest()}
+    assert buckets <= set(range(4)) and len(buckets) > 2
+    assert all(e["total_buckets"] == 4 for e in t.manifest())
+    assert t.read(spark).count() == 20
+    # writes resume; the bucket-pruned pre-image lookup uses the new
+    # modulus, so the changelog still sees the old image (-U carries it)
+    t.upsert(spark.createDataFrame([(1, "new")], ddl))
+    rows = {(r.k, r.v, r._change_type) for r in t.read_changelog(spark).collect()}
+    assert (1, "v1", "-U") in rows and (1, "new", "+U") in rows
+    # time travel to the pre-rescale snapshot still reads old-modulus files
+    assert t.read(spark, snapshot_id=1).count() == 20
+
+
 def test_merge_engine_first_row(spark, catalog):
     """Paimon 0.5 'first-row': the FIRST row per key wins — in-batch,
     across commits, and through compaction; later writes are ignored."""
