@@ -764,3 +764,135 @@ def x06_dedup_embedding_cosine(spark, sf_dir):
         )
         .filter(F.col("cosine") >= _COSINE_DUP_THRESHOLD)
     )
+
+
+# ---------------------------------------------------------------------------
+# x36: chunk-level exact dedup (FineWeb/RefinedWeb-style paragraph dedup)
+# ---------------------------------------------------------------------------
+
+_CHUNK_TOKENS = 10
+
+_SQL_CHUNK_DEDUP = f"""
+WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+ch AS (
+  SELECT doc_id, unnest([{{'idx': i,
+        'h': md5(array_to_string(w[(i*{_CHUNK_TOKENS}+1):(i*{_CHUNK_TOKENS}+{_CHUNK_TOKENS})], ' ')),
+        'n_tok': len(w[(i*{_CHUNK_TOKENS}+1):(i*{_CHUNK_TOKENS}+{_CHUNK_TOKENS})])}}
+       for i in range(0, CAST(ceil(len(w) / {_CHUNK_TOKENS}.0) AS BIGINT))]) AS u
+  FROM s
+),
+fl AS (SELECT doc_id, u.idx AS idx, u.h AS h, u.n_tok AS n_tok FROM ch),
+rk AS (SELECT doc_id, idx, n_tok,
+              row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) AS rn
+       FROM fl)
+SELECT doc_id, COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       CAST(SUM(CASE WHEN rn = 1 THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens
+FROM rk GROUP BY doc_id
+"""
+
+
+@query("x36_chunk_dedup", oracle=_SQL_CHUNK_DEDUP)
+def x36_chunk_dedup(spark, sf_dir):
+    """Corpus-wide exact dedup of fixed-width token chunks — the
+    paragraph/line-level dedup of the FineWeb / RefinedWeb pipelines
+    (Penedo et al. 2023/2024), adapted to the newline-free testdata by
+    chunking every document into consecutive 10-token segments. The
+    FIRST occurrence corpus-wide (by doc_id, then chunk position) is
+    kept; repeats are flagged dup.
+
+    Scale shape: one shuffle on the chunk hash (32-char md5 keys, rows
+    ∝ corpus tokens / 10) for the keep-first window, one on doc_id for
+    the per-doc rollup — the exact shape FineWeb's line-dedup runs at
+    web scale. No all-pairs, no driver state; empty docs produce no
+    chunks on either engine (the n_tok > 0 filter is the Spark-side
+    guard for sequence()'s descending-range edge)."""
+    d = fan_out(T(spark, sf_dir, "documents"), heavy=True)
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    ck = _CHUNK_TOKENS
+    chunks = F.expr(
+        f"filter(transform(sequence(0, greatest(cast(ceil(size(w) / {ck}.0) as int) - 1, 0)),"
+        f" i -> named_struct("
+        f"   'idx', i,"
+        f"   'h', md5(array_join(slice(w, i*{ck}+1, {ck}), ' ')),"
+        f"   'n_tok', size(slice(w, i*{ck}+1, {ck})))),"
+        f" c -> c.n_tok > 0)"
+    )
+    ex = toks.select("doc_id", F.explode(chunks).alias("c")).select(
+        "doc_id",
+        F.col("c.idx").alias("idx"),
+        F.col("c.h").alias("h"),
+        F.col("c.n_tok").alias("n_tok"),
+    )
+    w_first = Window.partitionBy("h").orderBy(F.col("doc_id").asc(), F.col("idx").asc())
+    rk = ex.withColumn("rn", F.row_number().over(w_first))
+    return rk.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).cast("long").alias("n_dup_chunks"),
+        F.sum(F.when(F.col("rn") == 1, F.col("n_tok")).otherwise(0)).cast("long").alias("kept_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x37: Bloom-filter membership dedup (sketch-based cross-corpus check)
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 2048  # bits; k=3 hash slices of one md5
+_BLOOM_K = 3
+
+_SQL_BLOOM_DEDUP = f"""
+WITH pos AS (
+  SELECT doc_id, doc_id % 2 = 0 AS in_filter,
+         [CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % {_BLOOM_M},
+          CAST(('0x' || substr(md5(text), 9, 8)) AS BIGINT) % {_BLOOM_M},
+          CAST(('0x' || substr(md5(text), 17, 8)) AS BIGINT) % {_BLOOM_M}] AS ps
+  FROM documents),
+bits AS (SELECT DISTINCT unnest(ps) AS bit FROM pos WHERE in_filter),
+probe AS (SELECT doc_id, in_filter, unnest(ps) AS bit FROM pos)
+SELECT p.doc_id, any_value(p.in_filter) AS in_filter,
+       COUNT(b.bit) = {_BLOOM_K} AS bloom_hit
+FROM probe p LEFT JOIN bits b ON p.bit = b.bit
+GROUP BY p.doc_id
+"""
+
+
+@query("x37_bloom_dedup", oracle=_SQL_BLOOM_DEDUP)
+def x37_bloom_dedup(spark, sf_dir):
+    """Bloom-filter membership dedup: build a bit-set sketch over the
+    reference half of the corpus (doc_id even), then probe EVERY doc's
+    k=3 bit positions against it. Every reference doc hits (a Bloom
+    filter has no false negatives); a measurable handful of non-
+    reference docs hit too (false positives — 5 of 250 at sf0.01 with
+    m=2048, k=3), which is the sketch's documented trade.
+
+    This is the 100 TB shape for "is this doc already in the corpus":
+    the filter materializes as a ≤ m-row bit relation (broadcast,
+    bytes), the probe is a map-side broadcast join + per-doc count —
+    no join against the reference corpus itself, whose size only
+    affects filter BUILD (one distinct over k·n ints). k positions
+    come from disjoint 32-bit slices of one md5, the engine-portable
+    hashing used across x04/x33."""
+    d = fan_out(T(spark, sf_dir, "documents"))
+    md5 = F.md5(F.col("text"))
+    ps = F.array(
+        *[
+            F.conv(F.substring(md5, 1 + 8 * j, 8), 16, 10).cast("long") % _BLOOM_M
+            for j in range(_BLOOM_K)
+        ]
+    )
+    pos = d.select(
+        "doc_id", (F.col("doc_id") % 2 == 0).alias("in_filter"), ps.alias("ps")
+    )
+    bits = (
+        pos.filter("in_filter")
+        .select(F.explode("ps").alias("bit"))
+        .distinct()
+        .withColumn("__set", F.lit(1))
+    )
+    probe = pos.select("doc_id", "in_filter", F.explode("ps").alias("bit"))
+    return (
+        probe.join(F.broadcast(bits), "bit", "left")
+        .groupBy("doc_id", "in_filter")
+        .agg((F.count("__set") == _BLOOM_K).alias("bloom_hit"))
+        .select("doc_id", "in_filter", "bloom_hit")
+    )

@@ -446,3 +446,67 @@ def x11_embedding_topk_lsh(spark, sf_dir):
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# x38: int8 scalar quantization of the embedding column
+# ---------------------------------------------------------------------------
+
+_SQL_QUANTIZE = """
+WITH q AS (SELECT vec_id, embedding,
+                  CASE WHEN list_max(list_transform(embedding, x -> abs(x))) = 0 THEN 1.0
+                       ELSE CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+                  END AS amax
+           FROM embeddings)
+SELECT vec_id, ROUND(amax, 6) AS amax_r,
+  CAST(list_sum([CAST(floor(CAST(embedding[i] AS DOUBLE) / amax * 127 + 0.5) AS BIGINT)
+                 for i in range(1, len(embedding)+1)]) AS BIGINT) AS q_sum,
+  CAST(list_sum([abs(CAST(floor(CAST(embedding[i] AS DOUBLE) / amax * 127 + 0.5) AS BIGINT))
+                 for i in range(1, len(embedding)+1)]) AS BIGINT) AS q_l1,
+  ROUND(list_sum([pow(CAST(embedding[i] AS DOUBLE)
+                        - CAST(floor(CAST(embedding[i] AS DOUBLE) / amax * 127 + 0.5) AS BIGINT) * amax / 127, 2)
+                  for i in range(1, len(embedding)+1)]) / len(embedding), 8) AS mse
+FROM q
+"""
+
+
+@query("x38_embedding_quantize", oracle=_SQL_QUANTIZE)
+def x38_embedding_quantize(spark, sf_dir):
+    """Symmetric int8 scalar quantization of the embedding column —
+    the storage/ANN compression pass (4× over float32, 16× over the
+    double intermediates) a 100 TB embedding store runs before
+    indexing. Per vector: scale = max|x|/127, q_i = round-half-up of
+    x_i·127/scale ∈ [-127,127], plus the reconstruction MSE so the
+    quality loss is measured, not assumed.
+
+    Scale shape: map-only — one projection of JVM array folds
+    (transform/zip_with/aggregate), zero shuffles, no UDFs; the plan is
+    scan → project, so it scales linearly with the store and pipelines
+    into any downstream index build. Determinism: floor(x + 0.5)
+    round-half-up and left-to-right fold order match DuckDB's
+    comprehension replay bit-for-bit; outputs are rounded ints + a
+    ROUND(…,8) MSE so both engines hash identically. All-zero vectors
+    take scale 1 (q = 0, mse = 0) on both sides."""
+    emb = fan_out(T(spark, sf_dir, "embeddings"))
+    raw_amax = F.array_max(F.transform(F.col("embedding"), F.abs)).cast("double")
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select(
+        "vec_id",
+        vd.alias("v"),
+        F.when(raw_amax == 0, F.lit(1.0)).otherwise(raw_amax).alias("amax"),
+    )
+    qv = F.transform(F.col("v"), lambda x: F.floor(x / F.col("amax") * 127 + F.lit(0.5)))
+    staged = base.select("vec_id", "v", "amax", qv.alias("q"))
+    err2 = F.zip_with(
+        "v", "q", lambda x, qi: F.pow(x - qi * F.col("amax") / 127, F.lit(2))
+    )
+    zero_l = F.lit(0).cast("long")
+    return staged.select(
+        "vec_id",
+        F.round(F.col("amax"), 6).alias("amax_r"),
+        F.aggregate("q", zero_l, lambda a, x: a + x).alias("q_sum"),
+        F.aggregate(F.transform("q", F.abs), zero_l, lambda a, x: a + x).alias("q_l1"),
+        F.round(
+            F.aggregate(err2, F.lit(0.0), lambda a, x: a + x) / F.size("v"), 8
+        ).alias("mse"),
+    )

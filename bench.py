@@ -54,6 +54,8 @@ HEADLINE = [
     "x33_dsir_importance",
     "x34_cluster_keep_best",
     "x35_token_pack",
+    "x36_chunk_dedup",
+    "x38_embedding_quantize",
     "x41_decontaminate",
     "x42_hash_sample",
     "x43_stratified_cap",
