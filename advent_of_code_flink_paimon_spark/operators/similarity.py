@@ -510,3 +510,133 @@ def x38_embedding_quantize(spark, sf_dir):
             F.aggregate(err2, F.lit(0.0), lambda a, x: a + x) / F.size("v"), 8
         ).alias("mse"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x39: distributed k-means (Lloyd's algorithm, fixed 2 iterations)
+# ---------------------------------------------------------------------------
+
+KM_K = 8  # clusters; seeds are hash-sampled corpus vectors (x12 technique)
+_KM_ROUND = 6  # centroid coordinates round here → cross-engine stability
+
+
+def _l2_to_literal(col: str, vec: list[float]):
+    """Squared L2 distance to a constant vector as a pure codegen fold —
+    same left-to-right order as the DuckDB comprehension replay."""
+    lit_v = F.array(*[F.lit(float(x)) for x in vec])
+    return F.aggregate(
+        F.zip_with(col, lit_v, lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+
+
+def kmeans_assign(vectors: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
+    """Map-only Lloyd assignment: nearest centroid by squared L2 with
+    cid tiebreak, centroids inlined as literals (K × dim doubles) so the
+    plan is scan → project — zero shuffles, zero joins (the ivf_assign
+    property, reused for clustering)."""
+    arr = F.array(
+        *[
+            F.struct(_l2_to_literal("cv", vec).alias("d2"), F.lit(cid).alias("cid"))
+            for cid, vec in centroids
+        ]
+    )
+    best = F.array_sort(arr).getItem(0)
+    return vectors.withColumn("cid", best.getField("cid")).withColumn(
+        "d2", best.getField("d2")
+    )
+
+
+def kmeans_update(assigned: DataFrame) -> list[tuple[int, list[float]]]:
+    """One Lloyd centroid update: per-(cluster, dim) means via a
+    partial-agg-friendly (K·dim)-key aggregation, collected to the
+    driver as K rows — the SAME driver round-trip Spark MLlib's KMeans
+    performs every iteration (K × dim scalars, never data rows).
+    Coordinates round to 6 decimals so the unordered float sum's
+    last-ulp noise can't leak into the next assignment (and so DuckDB's
+    replay computes identical centroids)."""
+    means = (
+        assigned.select("cid", F.posexplode("cv").alias("pos", "x"))
+        .groupBy("cid", "pos")
+        .agg(F.round(F.avg("x"), _KM_ROUND).alias("m"))
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
+            ).alias("cent")
+        )
+        .collect()
+    )
+    return sorted((int(r.cid), list(r.cent)) for r in means)
+
+
+_SQL_KMEANS = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+seed AS (SELECT vec_id AS cid, cv AS cent FROM v WHERE vec_id % 53 = 11 ORDER BY vec_id LIMIT {KM_K}),
+a1 AS (
+  SELECT vec_id, cv, cid FROM (
+    SELECT v.vec_id, v.cv, seed.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_sum([(v.cv[i] - seed.cent[i]) * (v.cv[i] - seed.cent[i])
+                                for i in range(1, len(v.cv)+1)]) ASC, seed.cid ASC) AS r
+    FROM v CROSS JOIN seed) WHERE r = 1
+),
+dims AS (
+  SELECT cid, unnest([{{'pos': i, 'x': cv[i]}} for i in range(1, len(cv)+1)]) AS u FROM a1
+),
+c1 AS (
+  SELECT cid, list(m ORDER BY pos) AS cent FROM (
+    SELECT cid, u.pos AS pos, ROUND(AVG(u.x), {_KM_ROUND}) AS m FROM dims GROUP BY cid, u.pos
+  ) GROUP BY cid
+),
+a2 AS (
+  SELECT vec_id, cid, d2 FROM (
+    SELECT v.vec_id, c1.cid,
+           list_sum([(v.cv[i] - c1.cent[i]) * (v.cv[i] - c1.cent[i])
+                     for i in range(1, len(v.cv)+1)]) AS d2,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_sum([(v.cv[i] - c1.cent[i]) * (v.cv[i] - c1.cent[i])
+                                for i in range(1, len(v.cv)+1)]) ASC, c1.cid ASC) AS r
+    FROM v CROSS JOIN c1) WHERE r = 1
+)
+SELECT cid AS cluster_id, COUNT(*) AS n_members,
+       ROUND(AVG(d2), {_KM_ROUND}) AS avg_d2
+FROM a2 GROUP BY cid
+"""
+
+
+@query("x39_kmeans", oracle=_SQL_KMEANS)
+def x39_kmeans(spark, sf_dir):
+    """Distributed k-means over the embedding column: 2 Lloyd
+    iterations from hash-sampled seeds (assign → update → assign),
+    reporting per-cluster size and mean squared distance.
+
+    Scale shape — the Spark MLlib KMeans shape exactly: every
+    assignment is a map-only literal-centroid projection (zero
+    shuffles); the update is ONE (K·dim)-key aggregation with map-side
+    partials; the only driver traffic is K centroid rows per iteration
+    (K·dim scalars — never data). Determinism: centroid coordinates
+    round to 6 decimals each update, so the unordered aggregation's
+    float noise can't flip a later assignment, and DuckDB replays the
+    whole trajectory (seeds → a1 → c1 → a2) bit-for-bit."""
+    e = T(spark, sf_dir, "embeddings")
+    v = fan_out(e, heavy=True).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("cv")
+    )
+    seed_rows = (
+        v.filter(F.pmod(F.col("vec_id"), F.lit(53)) == 11)
+        .orderBy("vec_id")
+        .limit(KM_K)
+        .collect()
+    )
+    seeds = [(int(r.vec_id), list(r.cv)) for r in seed_rows]
+    a1 = kmeans_assign(v, seeds)
+    c1 = kmeans_update(a1)
+    a2 = kmeans_assign(v, c1)
+    return a2.groupBy(F.col("cid").alias("cluster_id")).agg(
+        F.count("*").alias("n_members"),
+        F.round(F.avg("d2"), _KM_ROUND).alias("avg_d2"),
+    )

@@ -56,6 +56,7 @@ HEADLINE = [
     "x35_token_pack",
     "x36_chunk_dedup",
     "x38_embedding_quantize",
+    "x39_kmeans",
     "x41_decontaminate",
     "x42_hash_sample",
     "x43_stratified_cap",
