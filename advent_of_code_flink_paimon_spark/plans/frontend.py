@@ -205,6 +205,22 @@ class Engine:
                 self.session_conf[m.group(1)] = m.group(2)
                 return StatementResult("OK", f"set {m.group(1)}")
             return StatementResult("OK")
+        if u.startswith("SHOW PARTITIONS"):
+            # Flink: SHOW PARTITIONS t → one spec string per partition
+            # (k1=v1/k2=v2, key order = table's declared partition keys);
+            # derived from the same manifest rollup as $partitions
+            name = s.split()[-1]
+            t = self.catalog.get_table(name)
+            pkeys = t.partition_keys
+            if not pkeys:
+                raise ValueError(f"table {name} is not partitioned")
+            specs = sorted(
+                {
+                    "/".join(f"{k}={(e.get('partition') or {}).get(k)}" for k in pkeys)
+                    for e in t.manifest()
+                }
+            )
+            return self.spark.createDataFrame([(p,) for p in specs], "partition string")
         if u.startswith("SHOW TABLES"):
             return self.spark.createDataFrame(
                 [(t,) for t in self.catalog.list_tables()], "table_name string"

@@ -551,6 +551,23 @@ def test_call_expire_partitions(engine, spark):
     assert len(rows) == 5 and all(r.day == "2024-02-01" for r in rows)
 
 
+def test_show_partitions(engine, spark):
+    """SHOW PARTITIONS t → one Flink-style spec string per live
+    partition, from the same manifest rollup as $partitions."""
+    engine.sql(
+        "CREATE TABLE sp (day STRING, k BIGINT) PARTITIONED BY (day) WITH ('bucket' = '1')"
+    )
+    engine.sql(
+        "INSERT INTO sp SELECT CASE WHEN id < 5 THEN '2024-01-01' ELSE '2024-02-01' END AS day, "
+        "CAST(id AS BIGINT) AS k FROM range(10)"
+    )
+    rows = [r.partition for r in engine.sql("SHOW PARTITIONS sp").collect()]
+    assert rows == ["day=2024-01-01", "day=2024-02-01"]
+    with pytest.raises(ValueError, match="not partitioned"):
+        engine.sql("CREATE TABLE spu (k BIGINT)")
+        engine.sql("SHOW PARTITIONS spu")
+
+
 def test_streaming_windowed_tvf_insert_pipeline(engine, spark):
     """INSERT INTO ... SELECT over TABLE(TUMBLE(TABLE <stream>, ...))
     becomes a continuous watermarked windowed-aggregate pipeline: closed
