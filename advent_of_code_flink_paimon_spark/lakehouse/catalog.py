@@ -65,6 +65,17 @@ class Catalog:
         must satisfy the same rules or an illegal combination (e.g.
         merge-engine=aggregation + changelog-producer=input) could be
         introduced post-create."""
+        if int(opts.get("bucket", "1")) == -1:
+            # Paimon dynamic bucket mode: keys are routed by a persisted
+            # key→bucket index, so it needs a PK to index on, and an
+            # explicit bucket-key is meaningless (routing is not a hash)
+            if not opts.get("primary-key"):
+                raise ValueError("dynamic bucket mode ('bucket'='-1') requires a primary key")
+            if opts.get("bucket-key"):
+                raise ValueError(
+                    "dynamic bucket mode ('bucket'='-1') routes by the key index; "
+                    "'bucket-key' cannot be set"
+                )
         engine = opts.get("merge-engine", "deduplicate")
         if engine not in ("deduplicate", "partial-update", "aggregation", "first-row"):
             raise ValueError(f"unknown merge-engine {engine!r}")
@@ -120,6 +131,17 @@ class Catalog:
                     f"{immutable} is immutable after CREATE TABLE "
                     f"(table has {old_v!r}, ALTER sets {new_v!r})"
                 )
+        # fixed→fixed bucket rescale is allowed (guarded table-side until
+        # the rewrite); crossing between fixed and dynamic is not — the
+        # key index only exists/means anything in dynamic mode
+        old_dyn = int(doc["options"].get("bucket", "1")) == -1
+        new_dyn = int(new_opts.get("bucket", "1")) == -1
+        if old_dyn != new_dyn:
+            raise ValueError(
+                "cannot ALTER between fixed and dynamic bucket modes "
+                f"(table has bucket={doc['options'].get('bucket', '1')!r}, "
+                f"ALTER sets {new_opts.get('bucket', '1')!r})"
+            )
         self._validate_options(
             new_opts,
             field_names={f.name for f in StructType.fromJson(doc["schema"]).fields},

@@ -96,6 +96,15 @@ class Table:
         return int(self.options.get("bucket", "1"))
 
     @property
+    def is_dynamic_bucket(self) -> bool:
+        """'bucket' = '-1' (Paimon dynamic bucket mode): rows are routed
+        by a persisted key→bucket index instead of a fixed hash modulus;
+        new keys are assigned by deterministic per-task bucket filling
+        ('dynamic-bucket.target-row-num' keys per bucket,
+        'dynamic-bucket.assigner-parallelism' concurrent assigners)."""
+        return self.num_buckets == -1
+
+    @property
     def bucket_key(self) -> list[str]:
         bk = self.options.get("bucket-key")
         if bk:
@@ -403,12 +412,94 @@ class Table:
             )
 
     def _with_bucket(self, df: DataFrame) -> DataFrame:
+        if "__bucket" in df.columns:
+            return df  # caller pre-assigned (dynamic re-stage paths)
+        if self.is_dynamic_bucket:
+            return self._assign_dynamic_buckets(df)
         key = self.bucket_key
         if not key or self.num_buckets <= 1:
             return df.withColumn("__bucket", F.lit(0))
         return df.withColumn(
             "__bucket", F.pmod(F.xxhash64(*key), F.lit(self.num_buckets)).cast("int")
         )
+
+    # ------------------------------------------------------------------
+    # dynamic bucket mode ('bucket' = '-1')
+    # ------------------------------------------------------------------
+    def _index_dir(self) -> str:
+        return os.path.join(self.paths.root, "index")
+
+    def _read_index(self, spark: SparkSession):
+        """The key→bucket index: union of per-commit delta files under
+        index/ (executor-side parquet scan — the index is DATA, never
+        driver state). Rows: (__khash long, __bucket int)."""
+        files = sorted(glob.glob(os.path.join(self._index_dir(), "*.parquet")))
+        schema = "__khash long, __bucket int"
+        if not files:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(StructType.fromDDL(schema)).parquet(*files)
+
+    def _assign_dynamic_buckets(self, df: DataFrame) -> DataFrame:
+        """Route each row through the key index; assign NEW keys by
+        Paimon's HashBucketAssigner scheme — assigner task
+        t = hash(key) % A owns buckets {t, t+A, t+2A, …} and fills its
+        current bucket to 'dynamic-bucket.target-row-num' keys before
+        opening the next, so assignment is deterministic AND parallel
+        (no global sequence — the classic scale killer this scheme
+        exists to avoid).
+
+        New assignments are appended to index/ as one parquet delta per
+        call, EAGERLY (before the data commit). Paimon commits index
+        files inside the snapshot; here an orphaned assignment (its
+        commit lost a conflict race) is harmless by construction:
+        routing correctness derives from the index itself — whatever it
+        says, a key's rows all land where it points and the pre-image
+        pruner looks there — so a stale entry costs only bucket-capacity
+        skew, never wrong results. Index files grow O(keys); GC via a
+        full index rewrite is future work (Paimon compacts index files
+        during compaction)."""
+        spark = df.sparkSession
+        pk = self.primary_key
+        a_par = int(self.options.get("dynamic-bucket.assigner-parallelism", "4"))
+        target = int(self.options.get("dynamic-bucket.target-row-num", "2000000"))
+        idx = self._read_index(spark)
+        with_hash = df.withColumn("__khash", F.xxhash64(*pk))
+        joined = with_hash.join(idx, "__khash", "left")
+        known = joined.filter(F.col("__bucket").isNotNull())
+        new = joined.filter(F.col("__bucket").isNull()).drop("__bucket")
+        if new.isEmpty():
+            return known.drop("__khash")
+        # per-task fill levels from the index (A scalars to the driver —
+        # bounded by assigner parallelism, never by key count)
+        fill = {
+            int(r.t): int(r.n)
+            for r in idx.groupBy(F.pmod("__bucket", F.lit(a_par)).alias("t"))
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        fill_df = spark.createDataFrame(
+            [(t, fill.get(t, 0)) for t in range(a_par)], "__task int, __fill long"
+        )
+        w = Window.partitionBy("__task").orderBy("__khash", *pk)
+        assigned_new = (
+            new.withColumn("__task", F.pmod(F.col("__khash"), F.lit(a_par)).cast("int"))
+            .join(F.broadcast(fill_df), "__task")
+            .withColumn("__slot", F.col("__fill") + F.row_number().over(w) - 1)
+            .withColumn(
+                "__bucket",
+                (F.col("__task") + a_par * F.floor(F.col("__slot") / target)).cast("int"),
+            )
+            .drop("__slot", "__fill", "__task")
+        )
+        os.makedirs(self._index_dir(), exist_ok=True)
+        delta = os.path.join(
+            self._index_dir(), f".staging-{now_millis()}-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        )
+        assigned_new.select("__khash", "__bucket").write.mode("overwrite").parquet(delta)
+        for f in glob.glob(os.path.join(delta, "*.parquet")):
+            shutil.move(f, os.path.join(self._index_dir(), f"index-{uuid.uuid4().hex}.parquet"))
+        shutil.rmtree(delta, ignore_errors=True)
+        return known.unionByName(assigned_new).drop("__khash")
 
     def _stage_write(
         self, df: DataFrame, sort_by_override: str | None = None
@@ -774,15 +865,33 @@ class Table:
         spark = batch.sparkSession
         pk = self.primary_key
         entries = self.manifest()
-        same_modulus = all(
-            e.get("total_buckets", self.num_buckets) == self.num_buckets for e in entries
-        )
-        if self.num_buckets > 1 and same_modulus and set(self.bucket_key) <= set(pk):
+        if self.is_dynamic_bucket:
+            # dynamic mode prunes through the key INDEX, not a hash: the
+            # batch keys' index entries name the only buckets whose files
+            # can hold their pre-images (collect is bounded by the
+            # number of live buckets, ~keys/target-row-num)
+            idx = self._read_index(spark)
             hit = {
                 r["__bucket"]
-                for r in self._with_bucket(batch).select("__bucket").distinct().collect()
+                for r in batch.select(F.xxhash64(*pk).alias("__khash"))
+                .distinct()
+                .join(idx, "__khash")
+                .select("__bucket")
+                .distinct()
+                .collect()
             }
             entries = [e for e in entries if e["bucket"] in hit]
+        else:
+            same_modulus = all(
+                e.get("total_buckets", self.num_buckets) == self.num_buckets
+                for e in entries
+            )
+            if self.num_buckets > 1 and same_modulus and set(self.bucket_key) <= set(pk):
+                hit = {
+                    r["__bucket"]
+                    for r in self._with_bucket(batch).select("__bucket").distinct().collect()
+                }
+                entries = [e for e in entries if e["bucket"] in hit]
         if not entries:
             return None
         raw = self._read_entries(spark, entries)
@@ -1573,7 +1682,11 @@ class Table:
         # abandoned staging dirs are orphans too — both the data staging
         # at the root and changelog staging left by a crashed upsert
         # writer (its pending dir is renamed into place only post-commit)
-        for pat in (".staging-*", os.path.join("changelog", ".staging-*")):
+        for pat in (
+            ".staging-*",
+            os.path.join("changelog", ".staging-*"),
+            os.path.join("index", ".staging-*"),
+        ):
             for d in glob.glob(os.path.join(self.paths.root, pat)):
                 if os.path.getmtime(d) * 1000 < cutoff:
                     shutil.rmtree(d, ignore_errors=True)

@@ -1354,6 +1354,84 @@ def test_merge_engine_aggregation_with_full_compaction_changelog(spark, catalog)
     assert rows == [(1, 15, "+I"), (1, 15, "-U"), (1, 17, "+U")]
 
 
+def test_dynamic_bucket_assignment(spark, catalog):
+    """'bucket' = '-1' (Paimon dynamic bucket mode): keys route through
+    a persisted key→bucket index; new keys fill each assigner task's
+    buckets to 'dynamic-bucket.target-row-num' before the task opens its
+    next bucket (task t owns buckets t, t+A, t+2A, …)."""
+    ddl = "k long, v string"
+    t = catalog.create_table(
+        "dyn", ddl,
+        {"primary-key": "k", "bucket": "-1",
+         "dynamic-bucket.target-row-num": "5",
+         "dynamic-bucket.assigner-parallelism": "2"},
+    )
+    t.upsert(spark.createDataFrame([(i, f"v{i}") for i in range(20)], ddl))
+    assert t.read(spark).count() == 20
+    # per-bucket NEW-key loads respect the target; task residue classes hold
+    import collections
+    idx = {r["__khash"]: r["__bucket"] for r in t._read_index(spark).collect()}
+    assert len(idx) == 20
+    loads = collections.Counter(idx.values())
+    assert all(n <= 5 for n in loads.values())
+    assert len(loads) >= 4  # 20 keys / target 5 needs ≥4 buckets
+    # updating existing keys must NOT move them or open new buckets
+    t.upsert(spark.createDataFrame([(i, "upd") for i in range(20)], ddl))
+    idx2 = {r["__khash"]: r["__bucket"] for r in t._read_index(spark).collect()}
+    assert idx2 == idx
+    rows = {r.k: r.v for r in t.read(spark).collect()}
+    assert rows == {i: "upd" for i in range(20)}
+    # new keys open FURTHER buckets in the same residue classes
+    t.upsert(spark.createDataFrame([(100 + i, "n") for i in range(10)], ddl))
+    idx3 = t._read_index(spark).collect()
+    assert len(idx3) == 30
+    assert all(n <= 5 for n in collections.Counter(r["__bucket"] for r in idx3).values())
+    # every key's rows live where its index entry points (file layout)
+    by_bucket = {e["bucket"] for e in t.manifest()}
+    assert by_bucket <= {r["__bucket"] for r in idx3}
+    # compaction preserves routing and data
+    t.compact()
+    assert t.read(spark).count() == 30
+    assert {r["__khash"]: r["__bucket"] for r in t._read_index(spark).collect()} == {
+        r["__khash"]: r["__bucket"] for r in idx3
+    }
+
+
+def test_dynamic_bucket_changelog_pre_images(spark, catalog):
+    """Pre-image derivation under dynamic bucket prunes via the key
+    index (not a hash modulus): updates still emit exact -U/+U pairs."""
+    ddl = "k long, v string"
+    t = catalog.create_table(
+        "dyncl", ddl,
+        {"primary-key": "k", "bucket": "-1", "changelog-producer": "input",
+         "dynamic-bucket.target-row-num": "3"},
+    )
+    t.upsert(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c"), (4, "d")], ddl))
+    t.upsert(spark.createDataFrame([(2, "B"), (9, "new")], ddl))
+    rows = sorted((r.k, r.v, r._change_type) for r in t.read_changelog(spark).collect())
+    assert (2, "b", "-U") in rows and (2, "B", "+U") in rows and (9, "new", "+I") in rows
+    assert (1, "a", "+I") in rows and len(rows) == 7
+    # delete routes through the index too
+    t.delete_where(spark, "k = 3")
+    assert sorted(r.k for r in t.read(spark).collect()) == [1, 2, 4, 9]
+
+
+def test_dynamic_bucket_guards(spark, catalog):
+    with pytest.raises(ValueError, match="requires a primary key"):
+        catalog.create_table("dg1", "k long", {"bucket": "-1"})
+    with pytest.raises(ValueError, match="bucket-key"):
+        catalog.create_table(
+            "dg2", "k long, v string",
+            {"primary-key": "k", "bucket": "-1", "bucket-key": "v"},
+        )
+    catalog.create_table("dg3", "k long, v string", {"primary-key": "k", "bucket": "-1"})
+    with pytest.raises(ValueError, match="fixed and dynamic"):
+        catalog.alter_table("dg3", {"bucket": "4"})
+    catalog.create_table("dg4", "k long, v string", {"primary-key": "k", "bucket": "2"})
+    with pytest.raises(ValueError, match="fixed and dynamic"):
+        catalog.alter_table("dg4", {"bucket": "-1"})
+
+
 def test_bucket_rescale_requires_full_rewrite(spark, catalog):
     """Paimon's rescale-bucket contract: ALTER ('bucket'='N') alone
     leaves old files hashed under the old modulus, so incremental
