@@ -462,7 +462,14 @@ class Table:
         pk = self.primary_key
         a_par = int(self.options.get("dynamic-bucket.assigner-parallelism", "4"))
         target = int(self.options.get("dynamic-bucket.target-row-num", "2000000"))
-        idx = self._read_index(spark)
+        # canonical route = MIN bucket per key: the raw index can hold
+        # two buckets for one key (two racing writers both rebase-commit
+        # an assignment for it) — new rows must route to ONE of them
+        # deterministically, while the pre-image pruner keeps using the
+        # raw multi-bucket view so the other bucket's rows stay visible
+        idx = self._read_index(spark).groupBy("__khash").agg(
+            F.min("__bucket").alias("__bucket")
+        )
         with_hash = df.withColumn("__khash", F.xxhash64(*pk))
         joined = with_hash.join(idx, "__khash", "left")
         known = joined.filter(F.col("__bucket").isNotNull())
@@ -500,6 +507,46 @@ class Table:
             shutil.move(f, os.path.join(self._index_dir(), f"index-{uuid.uuid4().hex}.parquet"))
         shutil.rmtree(delta, ignore_errors=True)
         return known.unionByName(assigned_new).drop("__khash")
+
+    def _compact_index(self, spark: SparkSession) -> None:
+        """Index GC, run after a successful full compaction (Paimon
+        compacts its index files the same way): fold every index delta
+        into ONE file, dropping entries whose key no longer exists in
+        the merged image (deleted keys would otherwise hold bucket
+        capacity forever). Only the delta files READ are deleted, so an
+        assignment published concurrently by a racing writer survives
+        the sweep untouched. A key whose entry is dropped and later
+        re-upserted simply gets a fresh assignment — routing correctness
+        always derives from whatever the index currently says."""
+        files = sorted(glob.glob(os.path.join(self._index_dir(), "*.parquet")))
+        if not files:
+            return
+        idx = spark.read.schema(StructType.fromDDL("__khash long, __bucket int")).parquet(*files)
+        merged = self._merged(spark)
+        if merged is None:
+            compacted = idx.limit(0)
+        else:
+            live = merged.select(F.xxhash64(*self.primary_key).alias("__khash")).distinct()
+            # distinct PAIRS, never one-per-key: a key racing writers
+            # left in two buckets keeps both entries so pre-image
+            # pruning still sees every bucket its rows can live in
+            compacted = idx.join(live, "__khash", "left_semi").distinct()
+        staging = os.path.join(
+            self._index_dir(), f".staging-{now_millis()}-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        )
+        # one file locally; a cluster deployment would keep this
+        # partitioned (Paimon: one index file per bucket) — the fold is
+        # executor-side either way
+        compacted.coalesce(1).write.mode("overwrite").parquet(staging)
+        moved = []
+        for f in glob.glob(os.path.join(staging, "*.parquet")):
+            dest = os.path.join(self._index_dir(), f"index-compact-{uuid.uuid4().hex}.parquet")
+            shutil.move(f, dest)
+            moved.append(dest)
+        shutil.rmtree(staging, ignore_errors=True)
+        for f in files:
+            if f not in moved:
+                os.unlink(f)
 
     def _stage_write(
         self, df: DataFrame, sort_by_override: str | None = None
@@ -1338,6 +1385,8 @@ class Table:
         )
         if self.primary_key and self.options.get("changelog-producer") == "full-compaction":
             self._write_compaction_changelog(spark, latest, sid)
+        if self.is_dynamic_bucket:
+            self._compact_index(spark)
         return sid
 
     def _write_compaction_changelog(self, spark: SparkSession, latest: int, sid: int) -> None:

@@ -1414,6 +1414,22 @@ def test_dynamic_bucket_changelog_pre_images(spark, catalog):
     # delete routes through the index too
     t.delete_where(spark, "k = 3")
     assert sorted(r.k for r in t.read(spark).collect()) == [1, 2, 4, 9]
+    # full compaction also compacts the index: deltas fold to one file
+    # and the deleted key's entry is dropped (it held bucket capacity)
+    import glob as _glob
+    import os as _os
+    assert len(_glob.glob(_os.path.join(t._index_dir(), "*.parquet"))) > 1
+    t.compact()
+    files = _glob.glob(_os.path.join(t._index_dir(), "*.parquet"))
+    assert len(files) == 1
+    idx = t._read_index(spark).collect()
+    assert len(idx) == 4  # keys 1, 2, 4, 9 — k=3's entry is gone
+    # routing still stable after index GC: update stays in place
+    before = {r["__khash"]: r["__bucket"] for r in idx}
+    t.upsert(spark.createDataFrame([(2, "B2")], ddl))
+    after = {r["__khash"]: r["__bucket"] for r in t._read_index(spark).collect()}
+    assert after == before
+    assert {r.v for r in t.read(spark).filter("k = 2").collect()} == {"B2"}
 
 
 def test_dynamic_bucket_guards(spark, catalog):
