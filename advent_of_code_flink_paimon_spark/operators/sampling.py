@@ -147,3 +147,65 @@ def x35_token_pack(spark, sf_dir):
         F.floor(F.col("start_tok") / PACK_BUDGET).alias("pack_id"),
         (F.col("start_tok") % PACK_BUDGET).alias("pack_offset"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x44: mixture resampling toward a target source distribution (DoReMi-ish)
+# ---------------------------------------------------------------------------
+
+# target MASS per source: boosted sources get 3× the weight of the rest
+# (DoReMi, Xie et al. 2023, arXiv:2305.10429 — domain reweighting; the
+# weights here are literals standing in for its learned mixture)
+_MIX_BOOSTED = ("src0", "src1", "src2", "src3", "src4")
+_MIX_BOOST_W = 3
+_MIX_BASE_W = 1
+_MIX_T = _MIX_BOOST_W * len(_MIX_BOOSTED) + _MIX_BASE_W * 15  # Σ target mass
+
+_SQL_MIXTURE = f"""
+WITH c AS (
+    SELECT doc_id, source,
+           (doc_id * {_KNUTH}) % {_BUCKETS} AS u,
+           COUNT(*) OVER (PARTITION BY source) AS n_s,
+           COUNT(*) OVER () AS n,
+           CASE WHEN source IN {_MIX_BOOSTED} THEN {_MIX_BOOST_W}
+                ELSE {_MIX_BASE_W} END AS t_s
+    FROM documents
+)
+SELECT doc_id, source,
+       u * {_MIX_T} * n_s < t_s * n * {_BUCKETS} AS keep
+FROM c
+"""
+
+
+@query("x44_mixture_resample", oracle=_SQL_MIXTURE)
+def x44_mixture_resample(spark, sf_dir):
+    """Resample the corpus toward a TARGET source mixture (the DoReMi
+    domain-reweighting step): per-source acceptance rate = target share
+    / actual share (capped at 1 by construction of the comparison), and
+    each doc's accept decision is the same multiplicative-hash
+    uniform draw x42 uses — a pure function of the row, stable across
+    partitionings, retries, and engines.
+
+    The comparison is kept in INT64 (u·T·n_s < t_s·n·buckets; maxima
+    ~1e13 ≪ 2^63), so both engines decide identically — no float rate
+    ever materializes. Scale shape: the source histogram is a
+    partial-aggregated groupBy broadcast back onto the scan (sources ≪
+    rows; a window over the full corpus — one task per source, one
+    GLOBAL single-partition count — is exactly the shape this avoids),
+    then the decision is a scan-side predicate; no collect, no UDFs."""
+    d = T(spark, sf_dir, "documents")
+    u = (F.col("doc_id") * F.lit(_KNUTH)) % F.lit(_BUCKETS)
+    t_s = F.when(F.col("source").isin(*_MIX_BOOSTED), F.lit(_MIX_BOOST_W)).otherwise(
+        F.lit(_MIX_BASE_W)
+    )
+    hist = d.groupBy("source").agg(F.count("*").alias("n_s"))
+    total = d.agg(F.count("*").alias("n"))
+    c = (
+        d.select("doc_id", "source", u.alias("u"), t_s.alias("t_s"))
+        .join(F.broadcast(hist), "source")
+        .crossJoin(F.broadcast(total))
+    )
+    return c.select(
+        "doc_id", "source",
+        (F.col("u") * _MIX_T * F.col("n_s") < F.col("t_s") * F.col("n") * _BUCKETS).alias("keep"),
+    )

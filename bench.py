@@ -60,6 +60,7 @@ HEADLINE = [
     "x41_decontaminate",
     "x42_hash_sample",
     "x43_stratified_cap",
+    "x44_mixture_resample",
 ]
 
 
