@@ -86,6 +86,11 @@ def test_no_python_in_jvm_only_pipelines(spark):
         "x33_dsir_importance",
         "x34_cluster_keep_best",
         "x35_token_pack",
+        "x36_chunk_dedup",
+        "x37_bloom_dedup",
+        "x38_embedding_quantize",
+        "x39_kmeans",
+        "x44_mixture_resample",
     ]
     for q in jvm_only:
         plan = plan_of(spark, q, mode="simple")
@@ -110,6 +115,50 @@ def test_lm_and_dsir_models_broadcast(spark):
         plan = plan_of(spark, q, mode="simple")
         assert "BroadcastExchange" in plan, f"{q}\n{plan[:1500]}"
         assert "SortMergeJoin" not in plan, f"{q} shuffle-joins its model\n{plan[:1500]}"
+
+
+def test_chunk_dedup_two_exchanges(spark):
+    """x36 is exactly the FineWeb line-dedup shape: one hash exchange on
+    the chunk hash (keep-first window) + one on doc_id (rollup) — never
+    a global sort or a third shuffle."""
+    plan = plan_of(spark, "x36_chunk_dedup", mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_bloom_bits_broadcast(spark):
+    """x37's bit relation (≤ m rows) must broadcast into the probe —
+    shuffle-joining it would repartition the whole probe corpus against
+    a table of a few KB."""
+    plan = plan_of(spark, "x37_bloom_dedup", mode="simple")
+    assert "BroadcastExchange" in plan, plan[:1500]
+    assert "SortMergeJoin" not in plan, plan[:1500]
+
+
+def test_quantize_is_map_only(spark):
+    """x38 must be scan → project: zero exchanges of any kind."""
+    plan = plan_of(spark, "x38_embedding_quantize", mode="simple")
+    assert "Exchange" not in plan, plan
+
+
+def test_kmeans_assignment_map_only(spark):
+    """x39's FINAL plan (post-update assignment + per-cluster rollup)
+    carries only the rollup's aggregation exchange — assignment itself
+    is a literal-centroid projection with no join and no extra
+    shuffle."""
+    plan = plan_of(spark, "x39_kmeans", mode="simple")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_mixture_histogram_broadcasts(spark):
+    """x44's source histogram and total must broadcast back onto the
+    scan; a sort-merge join would shuffle the corpus against a
+    20-row histogram."""
+    plan = plan_of(spark, "x44_mixture_resample", mode="simple")
+    assert "BroadcastExchange" in plan, plan[:1500]
+    assert "SortMergeJoin" not in plan, plan[:1500]
 
 
 def test_whole_stage_codegen_covers_flagship(spark):

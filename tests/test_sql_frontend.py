@@ -551,6 +551,28 @@ def test_call_expire_partitions(engine, spark):
     assert len(rows) == 5 and all(r.day == "2024-02-01" for r in rows)
 
 
+def test_dynamic_bucket_through_sql(engine, spark):
+    """CREATE TABLE WITH ('bucket'='-1') + INSERT + streaming SELECT:
+    dynamic-bucket routing is invisible to the SQL surface — upserts
+    merge, and the changelog carries exact -U/+U pre/post images."""
+    engine.sql(
+        "CREATE TABLE dt (k BIGINT, v STRING, PRIMARY KEY (k) NOT ENFORCED) "
+        "WITH ('bucket' = '-1', 'dynamic-bucket.target-row-num' = '5', "
+        "'changelog-producer' = 'input')"
+    )
+    engine.sql("INSERT INTO dt SELECT CAST(id AS BIGINT) AS k, concat('v', id) AS v FROM range(12)")
+    engine.sql("INSERT INTO dt VALUES (CAST(3 AS BIGINT), 'X')")
+    assert engine.sql("SELECT count(*) AS n FROM dt").collect()[0].n == 12
+    engine.sql("SET 'execution.runtime-mode' = 'streaming'")
+    try:
+        ops = sorted(
+            (r.op, r.v) for r in engine.sql("SELECT * FROM dt").collect() if r.k == 3
+        )
+        assert ops == [("+I", "v3"), ("+U", "X"), ("-U", "v3")]
+    finally:
+        engine.sql("SET 'execution.runtime-mode' = 'batch'")
+
+
 def test_show_partitions(engine, spark):
     """SHOW PARTITIONS t → one Flink-style spec string per live
     partition, from the same manifest rollup as $partitions."""
