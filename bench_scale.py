@@ -30,7 +30,9 @@ M = 5  # row-count multiple vs sf0.1
 QUERIES = ["x07_dup_clusters", "x13_semantic_dedup", "x03_dedup_minhash_lsh",
            "x06_dedup_embedding_cosine", "q28_enrichment_join",
            # round-5 operators with corpus-wide aggregations
-           "x32_unigram_lm_score", "x33_dsir_importance", "x34_cluster_keep_best"]
+           "x32_unigram_lm_score", "x33_dsir_importance", "x34_cluster_keep_best",
+           # round-5 late additions: corpus-wide chunk-hash shuffle + Lloyd iterations
+           "x36_chunk_dedup", "x39_kmeans"]
 REPEATS = 3
 
 
