@@ -53,6 +53,34 @@ def test_upsert_matches_dict_model(spark, tmp_path_factory, batches):
     assert got == model
 
 
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(batches=batch_strategy)
+def test_dynamic_bucket_preserves_upsert_semantics(spark, tmp_path_factory, batches):
+    """Routing keys through the dynamic-bucket index instead of a fixed
+    hash modulus must be INVISIBLE to merge semantics: after any batch
+    sequence, a 'bucket'='-1' table equals the same dict model as a
+    fixed-bucket table, and every key's rows sit in the single bucket
+    its index entry names."""
+    wh = tmp_path_factory.mktemp("wh-dyn")
+    cat = Catalog(str(wh))
+    t = cat.create_table(
+        "t", DDL,
+        {"primary-key": "k", "bucket": "-1", "dynamic-bucket.target-row-num": "3"},
+    )
+    model: dict[int, int] = {}
+    for batch in batches:
+        t.upsert(spark.createDataFrame(batch, DDL))
+        for k, v in batch:
+            model[k] = v
+    got = {r.k: r.v for r in t.read(spark).collect()}
+    assert got == model
+    # one index entry per key, and per-bucket key loads respect the target
+    idx = t._read_index(spark).collect()
+    assert len({r["__khash"] for r in idx}) == len(idx) == len(model)
+    from collections import Counter
+    assert all(n <= 3 for n in Counter(r["__bucket"] for r in idx).values())
+
+
 # rows (key, value, seq): seq values are distinct per key by
 # construction (the strategy draws unique (k, seq) pairs) so the
 # permutation-invariance claim is exact
