@@ -896,3 +896,84 @@ def x37_bloom_dedup(spark, sf_dir):
         .agg((F.count("__set") == _BLOOM_K).alias("bloom_hit"))
         .select("doc_id", "in_filter", "bloom_hit")
     )
+
+
+# ---------------------------------------------------------------------------
+# x45: exact-substring dedup coverage (ExactSubstr, Lee et al. 2021)
+# ---------------------------------------------------------------------------
+
+_SUBSTR_N = 8  # tokens per gram (Lee et al. use 50 BPE tokens; scaled to data)
+
+_SQL_SUBSTR = f"""
+WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (SELECT doc_id,
+             unnest([{{'pos': i, 'h': md5(array_to_string(w[i:(i+{_SUBSTR_N - 1})], ' '))}}
+                     for i in range(1, greatest(len(w) - {_SUBSTR_N - 2}, 1))]) AS u
+      FROM s),
+fl AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM g),
+dup AS (SELECT h FROM fl GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1),
+cov AS (SELECT DISTINCT f.doc_id, f.pos + o.o AS cpos
+        FROM fl f JOIN dup USING (h), (SELECT unnest(range(0, {_SUBSTR_N})) AS o) o),
+per AS (SELECT doc_id, COUNT(*) AS dup_tokens FROM cov GROUP BY doc_id),
+tot AS (SELECT doc_id, len(w) AS n_tokens FROM s)
+SELECT tot.doc_id, tot.n_tokens,
+       CAST(COALESCE(per.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       COALESCE(per.dup_tokens, 0) * 1.0 / tot.n_tokens AS dup_frac
+FROM tot LEFT JOIN per USING (doc_id)
+"""
+
+
+@query("x45_substr_dedup", oracle=_SQL_SUBSTR)
+def x45_substr_dedup(spark, sf_dir):
+    """Exact-substring duplication coverage — the ExactSubstr dedup of
+    Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499) at sliding 8-token-gram granularity:
+    for every document, how many of its token positions are covered by
+    an 8-gram that also occurs in ANOTHER document. Lee et al. build a
+    suffix array; the distributed equivalent is the gram-hash shuffle
+    below — same duplicated-span answer at gram resolution, no global
+    index structure.
+
+    Scale shape: grams are synthesized row-locally (codegen transform,
+    no re-split), the duplicate set is one gram-hash aggregation, and
+    coverage is an 8× position explode over DUPLICATED occurrences only
+    (≪ corpus grams in clean data) followed by a distinct + doc rollup.
+    Shuffle keys are gram hashes and doc ids — never pairs. Within-doc
+    repeats deliberately don't count (that axis is x28's); cross-doc
+    spans are what ExactSubstr cuts."""
+    d = fan_out(T(spark, sf_dir, "documents"), heavy=True)
+    n = _SUBSTR_N
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    grams_expr = F.expr(
+        f"filter(transform(sequence(1, greatest(size(w) - {n - 1}, 1)),"
+        f" i -> named_struct('pos', i, 'h', md5(array_join(slice(w, i, {n}), ' ')))),"
+        f" c -> c.pos <= size(w) - {n - 1})"
+    )
+    gr = toks.select("doc_id", F.explode(grams_expr).alias("c")).select(
+        "doc_id", F.col("c.pos").alias("pos"), F.col("c.h").alias("h")
+    )
+    dup_h = (
+        gr.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("h")
+    )
+    cov = (
+        gr.join(dup_h, "h")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias("cpos"),
+        )
+        .distinct()
+    )
+    per = cov.groupBy("doc_id").agg(F.count("*").alias("dup_tokens"))
+    totals = toks.select("doc_id", F.size("w").alias("n_tokens"))
+    return (
+        totals.join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        )
+        .withColumn("dup_frac", F.col("dup_tokens") * 1.0 / F.col("n_tokens"))
+    )

@@ -58,6 +58,7 @@ HEADLINE = [
     "x38_embedding_quantize",
     "x39_kmeans",
     "x41_decontaminate",
+    "x45_substr_dedup",
     "x42_hash_sample",
     "x43_stratified_cap",
     "x44_mixture_resample",
