@@ -1559,6 +1559,53 @@ def test_merge_engine_first_row_guards(spark, catalog):
     assert [(r.k, r.v) for r in t.read(spark).collect()] == [(1, "a")]
 
 
+def test_merge_engine_first_row_with_full_compaction_changelog(spark, catalog):
+    """first-row also composes with the full-compaction producer: the
+    compaction diff of first-wins images is insert-only by construction
+    (an existing key's image can never change)."""
+    ddl = "k long, v string"
+    t = catalog.create_table(
+        "frfc", ddl,
+        {"primary-key": "k", "merge-engine": "first-row",
+         "changelog-producer": "full-compaction"},
+    )
+    t.upsert(spark.createDataFrame([(1, "a")], ddl))
+    t.upsert(spark.createDataFrame([(1, "ignored"), (2, "b")], ddl))
+    t.compact()
+    rows = sorted((r.k, r.v, r._change_type) for r in t.read_changelog(spark).collect())
+    assert rows == [(1, "a", "+I"), (2, "b", "+I")]
+    t.upsert(spark.createDataFrame([(1, "late"), (3, "c")], ddl))
+    t.compact()
+    rows = sorted((r.k, r.v, r._change_type) for r in t.read_changelog(spark).collect())
+    assert rows == [(1, "a", "+I"), (2, "b", "+I"), (3, "c", "+I")]
+
+
+def test_dynamic_bucket_partitioned_table(spark, catalog):
+    """Dynamic bucket under a partitioned layout: partition dirs sit
+    above the index-routed bucket dirs, partition pruning still works,
+    and a key's bucket is stable across partitions' commits."""
+    ddl = "day string, k long, v string"
+    t = catalog.create_table(
+        "dynpt", ddl,
+        {"primary-key": "k", "bucket": "-1", "partition-by": "day",
+         "dynamic-bucket.target-row-num": "4"},
+    )
+    t.upsert(spark.createDataFrame(
+        [("2024-01-01", i, f"a{i}") for i in range(6)]
+        + [("2024-01-02", 100 + i, f"b{i}") for i in range(6)], ddl))
+    assert t.read(spark).count() == 12
+    # partition pruning still prunes whole files
+    all_files = t._live_files()
+    jan1 = t._live_files(where="day = '2024-01-01'")
+    assert 0 < len(jan1) < len(all_files)
+    # updates keep keys in place (same index entry, same bucket dir)
+    before = {r["__khash"]: r["__bucket"] for r in t._read_index(spark).collect()}
+    t.upsert(spark.createDataFrame([("2024-01-01", 3, "upd")], ddl))
+    after = {r["__khash"]: r["__bucket"] for r in t._read_index(spark).collect()}
+    assert after == before
+    assert [r.v for r in t.read(spark).filter("k = 3").collect()] == ["upd"]
+
+
 def test_merge_engine_guards(spark, catalog):
     with pytest.raises(ValueError, match="requires a primary key"):
         catalog.create_table("g1", "k long", {"merge-engine": "partial-update"})

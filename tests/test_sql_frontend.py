@@ -551,6 +551,24 @@ def test_call_expire_partitions(engine, spark):
     assert len(rows) == 5 and all(r.day == "2024-02-01" for r in rows)
 
 
+def test_rescale_bucket_through_sql(engine, spark):
+    """The documented SQL rescale flow: ALTER TABLE SET ('bucket'='N'),
+    then INSERT OVERWRITE t SELECT * FROM t performs the rewrite and
+    unblocks further writes."""
+    engine.sql(
+        "CREATE TABLE rs (k BIGINT, v STRING, PRIMARY KEY (k) NOT ENFORCED) "
+        "WITH ('bucket' = '2')"
+    )
+    engine.sql("INSERT INTO rs SELECT CAST(id AS BIGINT) AS k, concat('v', id) AS v FROM range(20)")
+    engine.sql("ALTER TABLE rs SET ('bucket' = '4')")
+    with pytest.raises(ValueError, match="rescale"):
+        engine.sql("INSERT INTO rs VALUES (CAST(1 AS BIGINT), 'x')")
+    engine.sql("INSERT OVERWRITE rs SELECT * FROM rs")
+    engine.sql("INSERT INTO rs VALUES (CAST(1 AS BIGINT), 'x')")
+    assert engine.sql("SELECT count(*) AS n FROM rs").collect()[0].n == 20
+    assert engine.sql("SELECT v FROM rs WHERE k = 1").collect()[0].v == "x"
+
+
 def test_dynamic_bucket_through_sql(engine, spark):
     """CREATE TABLE WITH ('bucket'='-1') + INSERT + streaming SELECT:
     dynamic-bucket routing is invisible to the SQL surface — upserts
