@@ -55,6 +55,25 @@ def test_upsert_matches_dict_model(spark, tmp_path_factory, batches):
 
 @settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
 @given(batches=batch_strategy)
+def test_first_row_matches_dict_model(spark, tmp_path_factory, batches):
+    """merge-engine=first-row against the mirror-image dict model: the
+    FIRST value ever seen per key survives any batch sequence (within a
+    batch, the first INPUT row; across batches, the earliest commit)."""
+    wh = tmp_path_factory.mktemp("wh-fr")
+    cat = Catalog(str(wh))
+    t = cat.create_table("t", DDL, {"primary-key": "k", "merge-engine": "first-row"})
+    model: dict[int, int] = {}
+    for batch in batches:
+        # single partition → the in-batch input order is the row order
+        t.upsert(spark.createDataFrame(batch, DDL).coalesce(1))
+        for k, v in batch:
+            model.setdefault(k, v)
+    got = {r.k: r.v for r in t.read(spark).collect()}
+    assert got == model
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(batches=batch_strategy)
 def test_dynamic_bucket_preserves_upsert_semantics(spark, tmp_path_factory, batches):
     """Routing keys through the dynamic-bucket index instead of a fixed
     hash modulus must be INVISIBLE to merge semantics: after any batch
