@@ -1346,6 +1346,23 @@ class Table:
             return self._raw(spark, to_snapshot).limit(0)
         return spark.read.parquet(*[os.path.join(self.paths.root, p) for p in added])
 
+    def incremental_read_between_timestamps(
+        self, spark: SparkSession, from_ts: int | str, to_ts: int | str
+    ) -> DataFrame:
+        """Paimon's ``incremental-between-timestamp('t1','t2')``: files
+        added by snapshots whose commit time falls in (t1, t2] — both
+        ends accept epoch millis or the ISO wall-clock spelling
+        ``snapshot_as_of_timestamp`` takes. A t1 before the first
+        snapshot means "from the beginning"; resolution is snapshot-
+        granular, exactly as the id/tag spelling."""
+        try:
+            from_id = self.snapshot_as_of_timestamp(from_ts)
+        except AssertionError:
+            from_id = 0  # no snapshot at or before t1 → read from genesis
+        return self.incremental_read(
+            spark, from_id, self.snapshot_as_of_timestamp(to_ts)
+        )
+
     # ------------------------------------------------------------------
     # operations: compaction, expiry (tutorial/guide.md:172-185,236-272)
     # ------------------------------------------------------------------

@@ -987,6 +987,13 @@ def test_incremental_read_uses_delta_manifests(spark, catalog):
     t.create_tag("start", 2)
     t.create_tag("stop", 5)
     assert {r.k for r in t.incremental_read(spark, "start", "stop").collect()} == {2, 3, 4}
+    # wall-clock spelling (Paimon incremental-between-timestamp): both
+    # ends resolve to the last snapshot committed at or before them
+    ts2 = t.snapshot(2)["timestamp_ms"]
+    ts5 = t.snapshot(5)["timestamp_ms"]
+    assert {r.k for r in t.incremental_read_between_timestamps(spark, ts2, ts5).collect()} == {2, 3, 4}
+    # a from-timestamp before the first snapshot reads from genesis
+    assert {r.k for r in t.incremental_read_between_timestamps(spark, 0, ts2).collect()} == {0, 1}
 
 
 def test_manifests_system_table(spark, catalog):
