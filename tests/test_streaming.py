@@ -135,6 +135,46 @@ def test_upsert_pipeline_invariant(spark, catalog, tmp_path):
     assert n == d <= 500
 
 
+def test_upsert_pipeline_into_dynamic_bucket_table(spark, catalog, tmp_path):
+    """A continuous upsert pipeline into a 'bucket'='-1' table: the
+    per-micro-batch dynamic assignment keeps the PK invariant, routes
+    every key consistently (one index entry per key), and respects the
+    bucket fill target for new keys."""
+    t = catalog.create_table(
+        "sensor_info", SENSOR_DDL,
+        {"primary-key": "sensor_id", "bucket": "-1",
+         "dynamic-bucket.target-row-num": "100"},
+    )
+    stream = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 300)
+        .load()
+        .select((F.pmod(F.col("value"), F.lit(500)) + 1).alias("sensor_id"), F.col("timestamp"))
+        .select(
+            "sensor_id",
+            (F.col("sensor_id") * 0.1).alias("latitude"),
+            (F.col("sensor_id") * 0.2).alias("longitude"),
+            F.lit(0).alias("generation"),
+            F.col("timestamp").alias("updated_at"),
+        )
+    )
+    pipe = Pipeline("dyn_upsert", stream, t, mode="upsert", trigger_seconds=None,
+                    checkpoint_dir=str(tmp_path / "cdyn"))
+    q = pipe.start()
+    try:
+        assert _wait(lambda: (t.latest_snapshot_id() or 0) >= 3, timeout=90)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    out = t.read(spark)
+    n, d = out.count(), out.select("sensor_id").distinct().count()
+    assert n == d <= 500
+    idx = t._read_index(spark).collect()
+    assert len({r["__khash"] for r in idx}) == len(idx) == n  # one entry per key
+    from collections import Counter
+    assert all(c <= 100 for c in Counter(r["__bucket"] for r in idx).values())
+
+
 def test_lookup_join_enrichment_with_retry(spark, catalog, tmp_path):
     """The tutorial's enrichment pipeline (tutorial/guide.md:119-141):
     matches enrich immediately; misses wait in the retry queue and join
