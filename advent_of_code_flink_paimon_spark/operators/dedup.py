@@ -128,18 +128,16 @@ def minhash_signatures(sharr: DataFrame, k: int = MINHASH_K) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(signatures: DataFrame, band_cap: int = LSH_BAND_CAP) -> DataFrame:
-    """Band the ``sig`` array, equi-join on (band, band_hash) → (i, j)
-    pairs. The self-join shuffles on the band hash — candidate
-    generation is linear in (docs × bands), never quadratic in docs.
+def band_rows(signatures: DataFrame, band_cap: int | None = LSH_BAND_CAP) -> DataFrame:
+    """doc_id → one (band, bh) row per LSH band, hot bands capped.
 
     ``band_cap`` drops bands with more than that many members BEFORE
-    the self-join (see LSH_BAND_CAP): per-band pair cost is |band|²,
+    any join (see LSH_BAND_CAP): per-band pair cost is |band|²,
     so one boilerplate band at 10⁶ members would otherwise put 5·10¹¹
     pairs in a single task. The member count is a window count over the
-    same (band, bh) hash partitioning the join shuffles on, so the cap
-    adds no extra exchange — Catalyst reuses the partitioning for both
-    join sides."""
+    same (band, bh) hash partitioning the downstream join shuffles on,
+    so the cap adds no extra exchange — Catalyst reuses the
+    partitioning for both join sides."""
     bands = F.array(
         *[
             F.struct(
@@ -161,6 +159,14 @@ def lsh_candidate_pairs(signatures: DataFrame, band_cap: int = LSH_BAND_CAP) -> 
             .filter(F.col("__bsz") <= band_cap)
             .drop("__bsz")
         )
+    return banded
+
+
+def lsh_candidate_pairs(signatures: DataFrame, band_cap: int = LSH_BAND_CAP) -> DataFrame:
+    """Band the ``sig`` array, equi-join on (band, band_hash) → (i, j)
+    pairs. The self-join shuffles on the band hash — candidate
+    generation is linear in (docs × bands), never quadratic in docs."""
+    banded = band_rows(signatures, band_cap)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")))
@@ -977,3 +983,57 @@ def x45_substr_dedup(spark, sf_dir):
         )
         .withColumn("dup_frac", F.col("dup_tokens") * 1.0 / F.col("n_tokens"))
     )
+
+
+# ---------------------------------------------------------------------------
+# x46: incremental near-dedup — incoming batch vs existing corpus
+# ---------------------------------------------------------------------------
+
+_SQL_INCREMENTAL_DEDUP = f"""
+WITH sh AS (
+    SELECT doc_id, unnest(list_distinct(
+        [s[i] || ' ' || s[i+1] || ' ' || s[i+2] for i in range(1, len(s) - 1)]
+    )) AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+    FROM sh a JOIN sh b ON a.shingle = b.shingle
+    WHERE a.doc_id % 10 < 2 AND b.doc_id % 10 >= 2
+    GROUP BY 1, 2
+)
+SELECT i, j, c * 1.0 / (sa.n + sb.n - c) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
+WHERE c * 1.0 / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
+"""
+
+
+@query("x46_incremental_dedup", oracle=_SQL_INCREMENTAL_DEDUP)
+def x46_incremental_dedup(spark, sf_dir):
+    """Incremental near-dedup: an INCOMING batch (doc_id % 10 < 2, the
+    stand-in for today's crawl) LSH-checked against the EXISTING corpus
+    — the continuous-ingestion shape of x03, where the self-join becomes
+    a batch×corpus band join. This is how a 100 TB pipeline actually
+    runs near-dedup day to day: candidates cost |batch|·bands shuffle
+    rows against the corpus's banded index, NOT a corpus self-join per
+    ingest; the banded corpus side is exactly the kind of relation a
+    production pipeline persists between runs (here it's derived
+    inline so the oracle replays end-to-end).
+
+    Output orientation: i = batch doc, j = its corpus near-match.
+    Verification is the same exact-jaccard pass as x03, so precision is
+    exact; recall at the data's similarity margin coincides with the
+    exhaustive oracle (x03's argument)."""
+    docs = fan_out(T(spark, sf_dir, "documents"), heavy=True)
+    sharr = shingle_hash_arrays(docs).persist()
+    banded = band_rows(minhash_signatures(sharr))
+    is_batch = F.pmod(F.col("doc_id"), F.lit(10)) < 2
+    bb = banded.filter(is_batch).alias("a")
+    cb = banded.filter(~is_batch).alias("b")
+    pairs = (
+        bb.join(cb, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")))
+        .select(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        .distinct()
+    )
+    return exact_jaccard(pairs, sharr).filter(F.col("jaccard") >= JACCARD_THRESHOLD)

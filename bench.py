@@ -59,6 +59,7 @@ HEADLINE = [
     "x39_kmeans",
     "x41_decontaminate",
     "x45_substr_dedup",
+    "x46_incremental_dedup",
     "x42_hash_sample",
     "x43_stratified_cap",
     "x44_mixture_resample",

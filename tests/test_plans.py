@@ -92,6 +92,7 @@ def test_no_python_in_jvm_only_pipelines(spark):
         "x39_kmeans",
         "x44_mixture_resample",
         "x45_substr_dedup",
+        "x46_incremental_dedup",
     ]
     for q in jvm_only:
         plan = plan_of(spark, q, mode="simple")
