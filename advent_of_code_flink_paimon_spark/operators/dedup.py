@@ -20,6 +20,15 @@ string-similarity; no O(n²) all-pairs anywhere):
                        the O(n²) comparison distributes through equi-
                        joins (no BNL/cartesian node); the approximate
                        LSH scale path lives in operators/similarity.py.
+- chunk dedup (x36)  → FineWeb/RefinedWeb line-dedup shape: 10-token
+                       segments, keep-first corpus-wide via one
+                       chunk-hash window.
+- bloom dedup (x37)  → membership sketch vs a reference corpus: the
+                       filter is a ≤ m-row broadcastable bit relation.
+- substr cover (x45) → ExactSubstr (Lee et al. 2021) at 8-gram
+                       granularity: per-doc duplicated-span coverage.
+- incremental (x46)  → batch×corpus band join: continuous-ingestion
+                       near-dedup without a corpus self-join per run.
 
 MinHash parameters: K=32 hashes, 16 bands × 2 rows. P[detect] at the
 declared jaccard-0.5 threshold = 1-(1-.5²)¹⁶ ≈ .99 (the earlier

@@ -8,6 +8,13 @@ streaming time-series similarity, EDBT 2020 incremental top-k).
   generation by band equi-join, exact re-rank within candidates. The
   100 TB path: shuffle keys are band hashes, never all-pairs. Recall
   vs x10 is asserted by tests/test_extensions.py.
+- x12/x13: literal-centroid IVF assignment (map-only) and SemDeDup
+  semantic dedup over the same cell structure.
+- x38: symmetric int8 scalar quantization + reconstruction MSE —
+  map-only JVM folds, the storage/ANN compression pass.
+- x39: distributed k-means (Lloyd) — literal-centroid assignment,
+  (K·dim)-key mean updates, K rows to the driver per iteration;
+  6-decimal centroid rounding makes the trajectory engine-replayable.
 
 All dot products run JVM-side (zip_with + aggregate over
 array<double>) — no Python anywhere in these pipelines. x11's
