@@ -1700,7 +1700,14 @@ class Table:
     def _maybe_auto_compact(self) -> None:
         """Honor 'full-compaction.delta-commits' (full rewrite every N
         commits) and 'compaction.max.file-num' (minor L0 merge when the
-        fresh-file count exceeds the bound) — tutorial/guide.md:269-270."""
+        fresh-file count exceeds the bound) — tutorial/guide.md:269-270.
+
+        'write-only' = 'true' (Paimon 0.5): the writer skips ALL
+        automatic compaction so ingest latency never pays a rewrite —
+        the deployment pairs it with a dedicated compactor job (here:
+        explicit compact()/compact_minor() calls or CALL sys.compact)."""
+        if str(self.options.get("write-only", "false")).lower() == "true":
+            return
         delta = self.options.get("full-compaction.delta-commits")
         if delta:
             snaps = self.snapshots()

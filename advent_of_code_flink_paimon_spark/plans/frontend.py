@@ -719,6 +719,13 @@ class Engine:
                 older_than_ms=int(args[1]) if len(args) > 1 else None
             )
             return StatementResult("OK", f"removed {len(removed)} orphan files")
+        if proc == "reset_consumer":
+            # Paimon's reset_consumer: move (or create) a consumer's
+            # bookmark — registration with an explicit id IS the reset
+            nxt = t.register_consumer(
+                args[1], int(args[2]) if len(args) > 2 else None
+            )
+            return StatementResult("OK", f"consumer {args[1]} reset -> next snapshot {nxt}")
         if proc == "register_consumer":
             nxt = t.register_consumer(
                 args[1], int(args[2]) if len(args) > 2 else None

@@ -1361,6 +1361,26 @@ def test_merge_engine_aggregation_with_full_compaction_changelog(spark, catalog)
     assert rows == [(1, 15, "+I"), (1, 15, "-U"), (1, 17, "+U")]
 
 
+def test_write_only_skips_auto_compaction(spark, catalog):
+    """'write-only' = 'true' (Paimon): the writer never auto-compacts,
+    even when compaction triggers are configured — ingest latency is
+    protected and a dedicated compactor (explicit compact()) does the
+    rewrites."""
+    t = catalog.create_table(
+        "wo", "k long, v string",
+        {"bucket": "1", "compaction.max.file-num": "2",
+         "full-compaction.delta-commits": "2", "write-only": "true"},
+    )
+    for i in range(5):
+        t.append(spark.createDataFrame([(i, "x")], "k long, v string"))
+    kinds = {s["commit_kind"] for s in t.snapshots()}
+    assert kinds == {"APPEND"}  # no COMPACT despite both triggers
+    # the dedicated-compactor path still works
+    t.compact()
+    assert t.snapshots()[-1]["commit_kind"] == "COMPACT"
+    assert t.read(spark).count() == 5
+
+
 def test_dynamic_bucket_assignment(spark, catalog):
     """'bucket' = '-1' (Paimon dynamic bucket mode): keys route through
     a persisted key→bucket index; new keys fill each assigner task's

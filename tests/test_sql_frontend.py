@@ -358,6 +358,9 @@ def test_call_procedures(engine, spark):
     engine.sql("CALL sys.register_consumer('default.m', 'job-a', 1)")
     rows = engine.sql("SELECT * FROM m$consumers").collect()
     assert [(r.consumer_id, r.next_snapshot_id) for r in rows] == [("job-a", 1)]
+    engine.sql("CALL sys.reset_consumer('default.m', 'job-a', 2)")
+    rows = engine.sql("SELECT * FROM m$consumers").collect()
+    assert [(r.consumer_id, r.next_snapshot_id) for r in rows] == [("job-a", 2)]
     engine.sql("CALL sys.drop_consumer('default.m', 'job-a')")
     assert engine.sql("SELECT * FROM m$consumers").count() == 0
 
