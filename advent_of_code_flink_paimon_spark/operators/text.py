@@ -622,3 +622,59 @@ def x33_dsir_importance(spark, sf_dir):
             F.round(F.sum(F.col("n") * F.col("logw")), 4).alias("dsir_logw"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x47: token-entropy quality scoring
+# ---------------------------------------------------------------------------
+
+_SQL_ENTROPY = """
+WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+e AS (SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_types,
+        ROUND(-list_sum([ (len(list_filter(w, x -> x = t)) * 1.0 / len(w))
+                            * ln(len(list_filter(w, x -> x = t)) * 1.0 / len(w))
+                          for t in list_distinct(w)]), 6) AS token_entropy
+      FROM s)
+SELECT doc_id, n_tokens, n_types, token_entropy,
+  CASE WHEN n_types = 1 THEN 0.0
+       ELSE ROUND(token_entropy / ln(n_types), 6) END AS norm_entropy
+FROM e
+"""
+
+
+@query("x47_token_entropy", oracle=_SQL_ENTROPY)
+def x47_token_entropy(spark, sf_dir):
+    """Shannon entropy of each document's token distribution, raw and
+    normalized by ln(n_types) — the diversity signal heuristic quality
+    filters use beside x20's type-token ratio and x28's repetition
+    fractions (a boilerplate or keyword-stuffed page scores low even
+    when its TTR looks healthy, because entropy weighs HOW skewed the
+    repeats are, not just how many types exist).
+
+    Scale shape: entirely row-local higher-order-function folds
+    (O(types·tokens) per row inside codegen — no explode, no shuffle;
+    the plan is scan → project). Determinism: the per-type sum is a
+    fold over array_distinct's first-occurrence order; ROUND(…,6) on
+    both engines absorbs any ordering difference in the ~1e-15 float
+    tail, and norm_entropy divides the ROUNDED value so the two stages
+    can't disagree."""
+    d = fan_out(T(spark, sf_dir, "documents"), heavy=True)
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    ent = F.expr(
+        "round(-aggregate(transform(array_distinct(w),"
+        " t -> (size(filter(w, x -> x = t)) * 1.0 / size(w))"
+        "      * ln(size(filter(w, x -> x = t)) * 1.0 / size(w))),"
+        " cast(0.0 as double), (a, x) -> a + x), 6)"
+    )
+    e = toks.select(
+        "doc_id",
+        F.size("w").alias("n_tokens"),
+        F.size(F.array_distinct("w")).alias("n_types"),
+        ent.alias("token_entropy"),
+    )
+    return e.withColumn(
+        "norm_entropy",
+        F.when(F.col("n_types") == 1, F.lit(0.0)).otherwise(
+            F.round(F.col("token_entropy") / F.log(F.col("n_types").cast("double")), 6)
+        ),
+    )

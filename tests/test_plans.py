@@ -93,6 +93,7 @@ def test_no_python_in_jvm_only_pipelines(spark):
         "x44_mixture_resample",
         "x45_substr_dedup",
         "x46_incremental_dedup",
+        "x47_token_entropy",
     ]
     for q in jvm_only:
         plan = plan_of(spark, q, mode="simple")
