@@ -367,6 +367,40 @@ class Catalog:
             query,
         )
 
+        def opts_hint(m):
+            # Flink/Paimon dynamic-table scan hints:
+            #   FROM t /*+ OPTIONS('incremental-between'='3,5') */
+            # Supported keys map to the table API (ids/tags, wall-clock
+            # bounds, pinned snapshot); anything else is advisory and
+            # tolerated, matching Flink's treatment of unknown options.
+            name, body = m.group(1), m.group(2)
+            kv = dict(re.findall(r"'([^']+)'\s*=\s*'([^']*)'", body))
+            t = self.get_table(name)
+            data_cols = [f.name for f in t.schema.fields]
+            if "incremental-between" in kv:
+                a, b = [x.strip() for x in kv["incremental-between"].split(",")]
+                df = t.incremental_read(spark, a, b)
+            elif "incremental-between-timestamp" in kv:
+                a, b = [x.strip() for x in kv["incremental-between-timestamp"].split(",")]
+                df = t.incremental_read_between_timestamps(spark, a, b)
+            elif "scan.snapshot-id" in kv:
+                df = t.read(spark, snapshot_id=int(kv["scan.snapshot-id"]))
+            else:
+                return name
+            # raw incremental reads carry the PK merge metadata; the SQL
+            # surface exposes data columns only
+            df = df.select(*[c for c in df.columns if c in data_cols])
+            view = f"{name}__hint_{re.sub(r'[^A-Za-z0-9]', '_', '_'.join(sorted(kv.values())))}"
+            df.createOrReplaceTempView(view)
+            return view
+
+        rewritten = re.sub(
+            r"(\w+)\s*/\*\+\s*OPTIONS\s*\(([^)]*)\)\s*\*/",
+            opts_hint,
+            rewritten,
+            flags=re.I,
+        )
+
         def tt(m):
             name, ref = m.group(1), m.group(2).strip("'\"")
             t = self.get_table(name)

@@ -177,7 +177,10 @@ class Engine:
         # analog), and `FOR SYSTEM_TIME AS OF <proctime>` IS the batch
         # join against the dimension's latest snapshot, which is exactly
         # what the rewritten query does.
-        s = re.sub(r"/\*\+.*?\*/", " ", s, flags=re.S)
+        # ...EXCEPT /*+ OPTIONS(...) */ — Paimon's dynamic-table scan
+        # hints (incremental-between, scan.snapshot-id) are semantic,
+        # not advisory, and Catalog.sql rewrites them into reads
+        s = re.sub(r"/\*\+(?!\s*OPTIONS\s*\().*?\*/", " ", s, flags=re.S | re.I)
         s = re.sub(r"\bFOR\s+SYSTEM_TIME\s+AS\s+OF\s+[\w.$]+", " ", s, flags=re.I)
         u = s.upper()
 

@@ -554,6 +554,39 @@ def test_call_expire_partitions(engine, spark):
     assert len(rows) == 5 and all(r.day == "2024-02-01" for r in rows)
 
 
+def test_options_scan_hints(engine, spark):
+    """Paimon's dynamic-table scan hints: /*+ OPTIONS(...) */ after a
+    table reference — incremental-between (ids or tags), the wall-clock
+    spelling, and scan.snapshot-id; unknown options stay advisory."""
+    engine.sql("CREATE TABLE oh (k BIGINT)")
+    for i in range(4):
+        engine.sql(f"INSERT INTO oh SELECT CAST({i} AS BIGINT) AS k")
+    rows = engine.sql(
+        "SELECT k FROM oh /*+ OPTIONS('incremental-between'='1,3') */ ORDER BY k"
+    ).collect()
+    assert [r.k for r in rows] == [1, 2]
+    t = engine.catalog.get_table("oh")
+    t.create_tag("a", 1)
+    t.create_tag("b", 3)
+    rows = engine.sql(
+        "SELECT k FROM oh /*+ OPTIONS('incremental-between'='a,b') */ ORDER BY k"
+    ).collect()
+    assert [r.k for r in rows] == [1, 2]
+    assert engine.sql(
+        "SELECT count(*) AS n FROM oh /*+ OPTIONS('scan.snapshot-id'='2') */"
+    ).collect()[0].n == 2
+    # advisory unknown hint: full scan, no error
+    assert engine.sql(
+        "SELECT count(*) AS n FROM oh /*+ OPTIONS('scan.parallelism'='4') */"
+    ).collect()[0].n == 4
+    ts1 = t.snapshot(1)["timestamp_ms"]
+    ts3 = t.snapshot(3)["timestamp_ms"]
+    rows = engine.sql(
+        f"SELECT k FROM oh /*+ OPTIONS('incremental-between-timestamp'='{ts1},{ts3}') */ ORDER BY k"
+    ).collect()
+    assert [r.k for r in rows] == [1, 2]
+
+
 def test_rescale_bucket_through_sql(engine, spark):
     """The documented SQL rescale flow: ALTER TABLE SET ('bucket'='N'),
     then INSERT OVERWRITE t SELECT * FROM t performs the rewrite and
