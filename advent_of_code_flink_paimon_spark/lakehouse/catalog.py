@@ -373,10 +373,10 @@ class Catalog:
             # Supported keys map to the table API (ids/tags, wall-clock
             # bounds, pinned snapshot); anything else is advisory and
             # tolerated, matching Flink's treatment of unknown options.
-            name, body = m.group(1), m.group(2)
+            qual, body = m.group(1), m.group(2)
+            name = qual.split(".")[-1]  # db-qualified refs resolve here
             kv = dict(re.findall(r"'([^']+)'\s*=\s*'([^']*)'", body))
             t = self.get_table(name)
-            data_cols = [f.name for f in t.schema.fields]
             if "incremental-between" in kv:
                 a, b = [x.strip() for x in kv["incremental-between"].split(",")]
                 df = t.incremental_read(spark, a, b)
@@ -386,16 +386,23 @@ class Catalog:
             elif "scan.snapshot-id" in kv:
                 df = t.read(spark, snapshot_id=int(kv["scan.snapshot-id"]))
             else:
-                return name
-            # raw incremental reads carry the PK merge metadata; the SQL
-            # surface exposes data columns only
-            df = df.select(*[c for c in df.columns if c in data_cols])
-            view = f"{name}__hint_{re.sub(r'[^A-Za-z0-9]', '_', '_'.join(sorted(kv.values())))}"
+                return name  # advisory hint: plain (unqualified) view
+            # Paimon's batch incremental read returns the MERGED delta
+            # per changed key — deletes filtered, duplicates collapsed —
+            # never raw tombstones (merge_raw also drops __op/__seq)
+            df = t.merge_raw(df)
+            # keys AND values name the view: two hints with equal values
+            # but different keys must not collide on one temp view
+            tag = re.sub(
+                r"[^A-Za-z0-9]", "_",
+                "_".join(f"{k}_{v}" for k, v in sorted(kv.items())),
+            )
+            view = f"{name}__hint_{tag}"
             df.createOrReplaceTempView(view)
             return view
 
         rewritten = re.sub(
-            r"(\w+)\s*/\*\+\s*OPTIONS\s*\(([^)]*)\)\s*\*/",
+            r"([\w.]+)\s*/\*\+\s*OPTIONS\s*\(([^)]*)\)\s*\*/",
             opts_hint,
             rewritten,
             flags=re.I,

@@ -63,6 +63,9 @@ class Table:
     def __init__(self, warehouse: str, db: str, name: str):
         self.warehouse, self.db, self.name = warehouse, db, name
         self.paths = TablePaths(warehouse, db, name)
+        # dynamic-bucket assignment persists its batch×index join until
+        # the staging write materializes it (then _stage_write unpins)
+        self._assign_persists: list = []
 
     # ------------------------------------------------------------------
     # schema / options
@@ -297,7 +300,10 @@ class Table:
         else:
             ms = int(ts)
         cands = [s["id"] for s in self.snapshots() if s["timestamp_ms"] <= ms]
-        assert cands, f"{self.name}: no snapshot at or before {ts}"
+        if not cands:
+            # a real error, not an assert: callers catch it (the
+            # from-genesis fallback) and -O must not change behavior
+            raise ValueError(f"{self.name}: no snapshot at or before {ts}")
         return max(cands)
 
     def rollback_to(self, ref: int | str) -> int:
@@ -471,7 +477,12 @@ class Table:
             F.min("__bucket").alias("__bucket")
         )
         with_hash = df.withColumn("__khash", F.xxhash64(*pk))
-        joined = with_hash.join(idx, "__khash", "left")
+        # the batch×index join is the dominant cost and would otherwise
+        # run 3× per write (isEmpty probe, index-delta write, staged
+        # data write); persist and let _stage_write unpersist after the
+        # staging action materializes
+        joined = with_hash.join(idx, "__khash", "left").persist()
+        self._assign_persists.append(joined)
         known = joined.filter(F.col("__bucket").isNotNull())
         new = joined.filter(F.col("__bucket").isNull()).drop("__bucket")
         if new.isEmpty():
@@ -591,6 +602,9 @@ class Table:
             .mode("overwrite")
             .parquet(staging)
         )
+        # staging is materialized: release any pinned assignment joins
+        while self._assign_persists:
+            self._assign_persists.pop().unpersist()
         import pyarrow.parquet as pq
 
         entries = []
@@ -1353,14 +1367,33 @@ class Table:
         added by snapshots whose commit time falls in (t1, t2] — both
         ends accept epoch millis or the ISO wall-clock spelling
         ``snapshot_as_of_timestamp`` takes. A t1 before the first
-        snapshot means "from the beginning"; resolution is snapshot-
-        granular, exactly as the id/tag spelling."""
+        snapshot means "from the beginning" (a t2 before it is an
+        error); resolution is snapshot-granular, exactly as the id/tag
+        spelling."""
         try:
             from_id = self.snapshot_as_of_timestamp(from_ts)
-        except AssertionError:
+        except ValueError:
             from_id = 0  # no snapshot at or before t1 → read from genesis
         return self.incremental_read(
             spark, from_id, self.snapshot_as_of_timestamp(to_ts)
+        )
+
+    def merge_raw(self, df: DataFrame) -> DataFrame:
+        """Collapse RAW rows (carrying __op/__seq) to their merged
+        image under this table's merge engine — the per-key semantics of
+        :meth:`_merged`, applicable to any raw subset (e.g. an
+        incremental range, where Paimon's batch read returns the merged
+        delta per changed key with deletes filtered, never tombstones)."""
+        cols = [f.name for f in self.schema.fields]
+        if "__op" not in df.columns:
+            return df.select(*[c for c in df.columns if c in cols])
+        if self.merge_engine != "deduplicate":
+            return self._merge_combine(df, "__seq", stored=True)
+        w = Window.partitionBy(*self.primary_key).orderBy(*self._merge_order("__seq"))
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter((F.col("__rn") == 1) & (F.col("__op") != "D"))
+            .select(*cols)
         )
 
     # ------------------------------------------------------------------
@@ -1634,6 +1667,12 @@ class Table:
         expire_snapshots() remains available; consumer/tag pins apply
         to both paths."""
         o = self.options
+        # write-only writers skip automatic expiration too (Paimon's
+        # write-only contract covers compaction AND snapshot expiry):
+        # the ingest job must not expire snapshots out from under the
+        # dedicated compactor or changelog/incremental consumers
+        if str(o.get("write-only", "false")).lower() == "true":
+            return
         rmax = o.get("snapshot.num-retained.max")
         tret = o.get("snapshot.time-retained")
         if rmax is None and tret is None:
@@ -1658,6 +1697,8 @@ class Table:
         spec = self.options.get("partition.expiration-time")
         if not spec or not self.partition_keys:
             return
+        if str(self.options.get("write-only", "false")).lower() == "true":
+            return  # write-only: no automatic maintenance of any kind
         import datetime
 
         fmt = self.options.get("partition.timestamp-formatter", "%Y-%m-%d")

@@ -723,12 +723,17 @@ class Engine:
             )
             return StatementResult("OK", f"removed {len(removed)} orphan files")
         if proc == "reset_consumer":
-            # Paimon's reset_consumer: move (or create) a consumer's
-            # bookmark — registration with an explicit id IS the reset
-            nxt = t.register_consumer(
-                args[1], int(args[2]) if len(args) > 2 else None
-            )
-            return StatementResult("OK", f"consumer {args[1]} reset -> next snapshot {nxt}")
+            # Paimon's reset_consumer: WITH a nextSnapshotId the
+            # bookmark moves there; WITHOUT one the consumer is DELETED
+            # (Paimon's documented no-id behavior), releasing its
+            # expire-snapshots pin
+            if len(args) > 2:
+                nxt = t.register_consumer(args[1], int(args[2]))
+                return StatementResult(
+                    "OK", f"consumer {args[1]} reset -> next snapshot {nxt}"
+                )
+            t.drop_consumer(args[1])
+            return StatementResult("OK", f"consumer {args[1]} deleted")
         if proc == "register_consumer":
             nxt = t.register_consumer(
                 args[1], int(args[2]) if len(args) > 2 else None

@@ -1102,7 +1102,7 @@ def test_timestamp_as_of_time_travel(spark, catalog):
     snaps = {s["id"]: s["timestamp_ms"] for s in t.snapshots()}
     assert t.snapshot_as_of_timestamp(snaps[2]) == 2
     assert t.snapshot_as_of_timestamp(str(snaps[3])) == 3
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError, match="no snapshot at or before"):
         t.snapshot_as_of_timestamp(snaps[1] - 1)
     # SQL spelling, both millis and ISO wall-clock forms
     n = catalog.sql(
@@ -1369,12 +1369,16 @@ def test_write_only_skips_auto_compaction(spark, catalog):
     t = catalog.create_table(
         "wo", "k long, v string",
         {"bucket": "1", "compaction.max.file-num": "2",
-         "full-compaction.delta-commits": "2", "write-only": "true"},
+         "full-compaction.delta-commits": "2", "write-only": "true",
+         "snapshot.num-retained.max": "2"},
     )
     for i in range(5):
         t.append(spark.createDataFrame([(i, "x")], "k long, v string"))
     kinds = {s["commit_kind"] for s in t.snapshots()}
     assert kinds == {"APPEND"}  # no COMPACT despite both triggers
+    # ...and no automatic snapshot expiry either (Paimon's write-only
+    # covers all commit-time maintenance) — all 5 snapshots survive
+    assert len(t.snapshots()) == 5
     # the dedicated-compactor path still works
     t.compact()
     assert t.snapshots()[-1]["commit_kind"] == "COMPACT"

@@ -361,7 +361,8 @@ def test_call_procedures(engine, spark):
     engine.sql("CALL sys.reset_consumer('default.m', 'job-a', 2)")
     rows = engine.sql("SELECT * FROM m$consumers").collect()
     assert [(r.consumer_id, r.next_snapshot_id) for r in rows] == [("job-a", 2)]
-    engine.sql("CALL sys.drop_consumer('default.m', 'job-a')")
+    # reset WITHOUT a snapshot id deletes the consumer (Paimon semantics)
+    engine.sql("CALL sys.reset_consumer('default.m', 'job-a')")
     assert engine.sql("SELECT * FROM m$consumers").count() == 0
 
     with pytest.raises(ValueError):
@@ -585,6 +586,37 @@ def test_options_scan_hints(engine, spark):
         f"SELECT k FROM oh /*+ OPTIONS('incremental-between-timestamp'='{ts1},{ts3}') */ ORDER BY k"
     ).collect()
     assert [r.k for r in rows] == [1, 2]
+    # two hints with EQUAL values but different keys must not collide
+    # on one temp view (regression: view names once used values only)
+    rows = engine.sql(
+        "SELECT count(*) AS n FROM oh /*+ OPTIONS('incremental-between'='1,3') */ a "
+        "CROSS JOIN oh /*+ OPTIONS('scan.snapshot-id'='1') */ b"
+    ).collect()
+    assert rows[0].n == 2  # 2 incremental rows x 1 pinned-snapshot row
+    # db-qualified reference with a hint resolves too
+    assert engine.sql(
+        "SELECT count(*) AS n FROM default.oh /*+ OPTIONS('scan.snapshot-id'='2') */"
+    ).collect()[0].n == 2
+
+
+def test_options_hint_pk_incremental_is_merged_delta(engine, spark):
+    """Paimon's batch incremental read over a PK table returns the
+    MERGED delta per changed key — deletes filtered, superseded
+    versions collapsed — never raw tombstones."""
+    engine.sql(
+        "CREATE TABLE pki (k BIGINT, v STRING, PRIMARY KEY (k) NOT ENFORCED)"
+    )
+    engine.sql("INSERT INTO pki VALUES (CAST(1 AS BIGINT), 'a'), (CAST(2 AS BIGINT), 'b')")
+    engine.sql("INSERT INTO pki VALUES (CAST(1 AS BIGINT), 'a2')")      # snapshot 2
+    engine.sql("DELETE FROM pki WHERE k = 2")                           # snapshot 3
+    rows = sorted(
+        (r.k, r.v)
+        for r in engine.sql(
+            "SELECT k, v FROM pki /*+ OPTIONS('incremental-between'='1,3') */"
+        ).collect()
+    )
+    # k=1: only the latest image in range; k=2: delete tombstone filtered
+    assert rows == [(1, "a2")]
 
 
 def test_rescale_bucket_through_sql(engine, spark):
