@@ -65,6 +65,13 @@ class Catalog:
         must satisfy the same rules or an illegal combination (e.g.
         merge-engine=aggregation + changelog-producer=input) could be
         introduced post-create."""
+        fmt = opts.get("file.format", "parquet")
+        if fmt not in ("parquet", "orc"):
+            # silently ignoring an unsupported format would write
+            # parquet under a false label — refuse instead (Paimon 0.5
+            # supports orc/parquet/avro; avro has no Spark-native
+            # schema-pinned reader here)
+            raise ValueError(f"unsupported file.format {fmt!r} (parquet or orc)")
         if int(opts.get("bucket", "1")) == -1:
             # Paimon dynamic bucket mode: keys are routed by a persisted
             # key→bucket index, so it needs a PK to index on, and an
@@ -123,7 +130,14 @@ class Catalog:
         # Paimon treats these as immutable: rows already on disk were
         # written (and batch-deduped) under the declared semantics, so
         # switching re-interprets them undefinedly
-        for immutable, default in (("merge-engine", "deduplicate"), ("sequence.field", None)):
+        for immutable, default in (
+            ("merge-engine", "deduplicate"),
+            ("sequence.field", None),
+            # changing the data format mid-life would mix orc and
+            # parquet files under one table; a format migration is a
+            # rewrite, not an option flip
+            ("file.format", "parquet"),
+        ):
             old_v = doc["options"].get(immutable, default)
             new_v = new_opts.get(immutable, default)
             if new_v != old_v:

@@ -69,8 +69,8 @@ def read_json(path: str) -> dict:
         return json.load(f)
 
 
-def new_file_name() -> str:
-    return f"data-{uuid.uuid4().hex}.parquet"
+def new_file_name(ext: str = "parquet") -> str:
+    return f"data-{uuid.uuid4().hex}.{ext}"
 
 
 def now_millis() -> int:

@@ -99,6 +99,18 @@ class Table:
         return int(self.options.get("bucket", "1"))
 
     @property
+    def data_format(self) -> str:
+        """'file.format' option (tutorial/guide.md:30): the DATA file
+        format — 'parquet' (default) or 'orc', both written/read by
+        Spark's native sources. Metadata artifacts (manifests,
+        changelog, dynamic-bucket index) stay parquet regardless — they
+        are engine-internal, not user data. ORC trade documented at
+        _stage_write: pyarrow's ORC reader exposes row counts but not
+        per-column min/max, so ORC tables skip manifest stats pruning
+        (partition pruning still applies); immutable post-create."""
+        return self.options.get("file.format", "parquet")
+
+    @property
     def is_dynamic_bucket(self) -> bool:
         """'bucket' = '-1' (Paimon dynamic bucket mode): rows are routed
         by a persisted key→bucket index instead of a fixed hash modulus;
@@ -597,10 +609,12 @@ class Table:
         elif sort_by:
             cols = sort_by.split(",") if isinstance(sort_by, str) else list(sort_by)
             writer = writer.sortWithinPartitions(*part_by, *cols)
+        fmt = self.data_format
         (
             writer.write.partitionBy(*part_by)
             .mode("overwrite")
-            .parquet(staging)
+            .format(fmt)
+            .save(staging)
         )
         # staging is materialized: release any pinned assignment joins
         while self._assign_persists:
@@ -621,11 +635,21 @@ class Table:
                 f"bucket-{bucket}",
             )
             os.makedirs(dest_dir, exist_ok=True)
-            for fpath in sorted(glob.glob(os.path.join(part_dir, "*.parquet"))):
-                meta = pq.ParquetFile(fpath).metadata
-                if meta.num_rows == 0:
+            for fpath in sorted(glob.glob(os.path.join(part_dir, f"*.{fmt}"))):
+                if fmt == "orc":
+                    # pyarrow's ORC API exposes row counts but not
+                    # per-column min/max → ORC entries carry no stats
+                    # (prune_entries keeps stats-less files; partition
+                    # pruning is unaffected)
+                    from pyarrow import orc as _orc
+
+                    num_rows, stats = _orc.ORCFile(fpath).nrows, {}
+                else:
+                    meta = pq.ParquetFile(fpath).metadata
+                    num_rows, stats = meta.num_rows, _footer_stats(meta)
+                if num_rows == 0:
                     continue
-                dest = os.path.join(dest_dir, new_file_name())
+                dest = os.path.join(dest_dir, new_file_name(fmt))
                 shutil.move(fpath, dest)
                 entries.append(
                     {
@@ -639,10 +663,10 @@ class Table:
                         # pruner must not hash-prune mixed-modulus sets
                         "total_buckets": self.num_buckets,
                         "partition": partition,
-                        "record_count": meta.num_rows,
+                        "record_count": num_rows,
                         "file_size_in_bytes": os.path.getsize(dest),
                         "level": 0,
-                        "stats": _footer_stats(meta),
+                        "stats": stats,
                         "creation_time": now_millis(),
                     }
                 )
@@ -1083,7 +1107,9 @@ class Table:
         parts = []
         for v, files in sorted(groups.items()):
             if v == cur:
-                parts.append(spark.read.schema(out_schema).parquet(*files))
+                parts.append(
+                    spark.read.schema(out_schema).format(self.data_format).load(list(files))
+                )
                 continue
             at_v = {
                 f["name"]: StructField.fromJson(f).dataType
@@ -1097,7 +1123,7 @@ class Table:
                 [StructField(phys, at_v[phys], True) for phys, f in present]
                 + list(meta_fields)
             )
-            df = spark.read.schema(read_schema).parquet(*files)
+            df = spark.read.schema(read_schema).format(self.data_format).load(list(files))
             df = df.select(
                 *[F.col(phys).cast(f.dataType).alias(f.name) for phys, f in present],
                 *[F.lit(None).cast(f.dataType).alias(f.name) for _, f in absent],
@@ -1358,7 +1384,9 @@ class Table:
             ]
         if not added:
             return self._raw(spark, to_snapshot).limit(0)
-        return spark.read.parquet(*[os.path.join(self.paths.root, p) for p in added])
+        return spark.read.format(self.data_format).load(
+            [os.path.join(self.paths.root, p) for p in added]
+        )
 
     def incremental_read_between_timestamps(
         self, spark: SparkSession, from_ts: int | str, to_ts: int | str
@@ -1788,11 +1816,14 @@ class Table:
             referenced |= {e["file_path"] for e in self.manifest(s["id"])}
         removed = []
         pdirs = ["*"] * len(self.partition_keys)
-        for f in glob.glob(os.path.join(self.paths.root, *pdirs, "bucket-*", "*.parquet")):
-            rel = os.path.relpath(f, self.paths.root)
-            if rel not in referenced and os.path.getmtime(f) * 1000 < cutoff:
-                os.unlink(f)
-                removed.append(rel)
+        for ext in ("parquet", "orc"):
+            for f in glob.glob(
+                os.path.join(self.paths.root, *pdirs, "bucket-*", f"*.{ext}")
+            ):
+                rel = os.path.relpath(f, self.paths.root)
+                if rel not in referenced and os.path.getmtime(f) * 1000 < cutoff:
+                    os.unlink(f)
+                    removed.append(rel)
         # abandoned staging dirs are orphans too — both the data staging
         # at the root and changelog staging left by a crashed upsert
         # writer (its pending dir is renamed into place only post-commit)
@@ -2174,7 +2205,21 @@ def prune_entries(entries: list[dict], where: str) -> list[dict]:
 
     def keep(entry: dict) -> bool:
         for col, op, value in conds:
-            st = entry.get("stats", {}).get(col)
+            # partition values prune from the MANIFEST entry itself —
+            # metadata-only, independent of footer stats, so formats
+            # without column stats (ORC) still get partition pruning
+            pval = (entry.get("partition") or {}).get(col)
+            if pval is not None:
+                if isinstance(value, float):
+                    try:
+                        pnum = float(pval)
+                    except (TypeError, ValueError):
+                        continue
+                    st = {"min": pnum, "max": pnum}
+                else:
+                    st = {"min": str(pval), "max": str(pval)}
+            else:
+                st = entry.get("stats", {}).get(col)
             if st is None:
                 continue
             mn, mx = st["min"], st["max"]

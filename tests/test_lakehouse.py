@@ -1361,6 +1361,48 @@ def test_merge_engine_aggregation_with_full_compaction_changelog(spark, catalog)
     assert rows == [(1, 15, "+I"), (1, 15, "-U"), (1, 17, "+U")]
 
 
+def test_file_format_orc(spark, catalog):
+    """'file.format' = 'orc' (tutorial/guide.md:30 option surface):
+    data files are written and read as ORC through the full table
+    lifecycle — PK upserts, merge-on-read, time travel, compaction.
+    ORC entries carry no column stats (pyarrow exposes no ORC min/max),
+    so predicate reads still answer correctly via the post-scan filter;
+    partition pruning is unaffected. Format is immutable post-create,
+    and unsupported formats are refused rather than silently ignored."""
+    ddl = "k long, v string"
+    t = catalog.create_table(
+        "orct", ddl, {"primary-key": "k", "file.format": "orc"}
+    )
+    t.upsert(spark.createDataFrame([(1, "a"), (2, "b")], ddl))
+    t.upsert(spark.createDataFrame([(1, "a2"), (3, "c")], ddl))
+    import glob as _glob
+    import os as _os
+    files = _glob.glob(_os.path.join(t.paths.root, "bucket-*", "*"))
+    assert files and all(f.endswith(".orc") for f in files)
+    assert sorted(tuple(r) for r in t.read(spark).collect()) == [
+        (1, "a2"), (2, "b"), (3, "c")
+    ]
+    assert [r.v for r in t.read(spark, where="k = 2").collect()] == ["b"]
+    assert sorted(r.k for r in t.read(spark, snapshot_id=1).collect()) == [1, 2]
+    t.compact()
+    assert sorted(tuple(r) for r in t.read(spark).collect()) == [
+        (1, "a2"), (2, "b"), (3, "c")
+    ]
+    # partitioned + orc: partition pruning still prunes whole files
+    pt = catalog.create_table(
+        "orcpt", "day string, k long",
+        {"partition-by": "day", "file.format": "orc"},
+    )
+    pt.append(spark.createDataFrame(
+        [("2024-01-01", 1), ("2024-01-02", 2)], "day string, k long"))
+    assert len(pt._live_files(where="day = '2024-01-01'")) < len(pt._live_files())
+    # guards
+    with pytest.raises(ValueError, match="unsupported file.format"):
+        catalog.create_table("orcbad", ddl, {"file.format": "avro"})
+    with pytest.raises(ValueError, match="immutable"):
+        catalog.alter_table("orct", {"file.format": "parquet"})
+
+
 def test_write_only_skips_auto_compaction(spark, catalog):
     """'write-only' = 'true' (Paimon): the writer never auto-compacts,
     even when compaction triggers are configured — ingest latency is
