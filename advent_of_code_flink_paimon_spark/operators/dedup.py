@@ -1046,3 +1046,47 @@ def x46_incremental_dedup(spark, sf_dir):
         .distinct()
     )
     return exact_jaccard(pairs, sharr).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# x48: leakage-free train/valid/test split assignment
+# ---------------------------------------------------------------------------
+
+_SPLIT_KNUTH = 2654435761  # x42's multiplicative-hash constant
+
+_SQL_SPLIT_ASSIGN = _SQL_CLUSTER_CTES + f"""
+SELECT d.doc_id,
+       CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+       CASE WHEN (COALESCE(c.cluster_id, d.doc_id) * {_SPLIT_KNUTH}) % 10 < 8 THEN 'train'
+            WHEN (COALESCE(c.cluster_id, d.doc_id) * {_SPLIT_KNUTH}) % 10 = 8 THEN 'valid'
+            ELSE 'test' END AS split
+FROM documents d LEFT JOIN clusters c USING (doc_id)
+"""
+
+
+@query("x48_split_assign", oracle=_SQL_SPLIT_ASSIGN)
+def x48_split_assign(spark, sf_dir):
+    """Leakage-free train/valid/test assignment: the split decision
+    hashes the near-dup CLUSTER id, not the document id, so two
+    near-duplicate documents can never land on opposite sides of a
+    train/eval boundary (the classic contamination path random splits
+    leave open — near-dups of training docs in the test set inflate
+    eval). Docs outside any near-dup cluster are their own singleton
+    cluster. 80/10/10 via the x42 multiplicative hash — deterministic,
+    engine-portable, stable under repartitioning.
+
+    Scale shape: x07's cluster relation is pair-graph-sized (≪ corpus);
+    the corpus-wide step is one left join on doc_id plus a scan-side
+    hash expression — no new shuffles beyond the join, no collect."""
+    docs = T(spark, sf_dir, "documents").select("doc_id")
+    clusters = x07_dup_clusters(spark, sf_dir)
+    with_cluster = docs.join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").cast("long").alias("cluster_id"),
+    )
+    h = (F.col("cluster_id") * F.lit(_SPLIT_KNUTH)) % 10
+    return with_cluster.select(
+        "doc_id",
+        "cluster_id",
+        F.when(h < 8, "train").when(h == 8, "valid").otherwise("test").alias("split"),
+    )

@@ -60,6 +60,7 @@ HEADLINE = [
     "x41_decontaminate",
     "x45_substr_dedup",
     "x46_incremental_dedup",
+    "x48_split_assign",
     "x42_hash_sample",
     "x43_stratified_cap",
     "x44_mixture_resample",

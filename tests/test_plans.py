@@ -94,6 +94,7 @@ def test_no_python_in_jvm_only_pipelines(spark):
         "x45_substr_dedup",
         "x46_incremental_dedup",
         "x47_token_entropy",
+        "x48_split_assign",
     ]
     for q in jvm_only:
         plan = plan_of(spark, q, mode="simple")
