@@ -285,3 +285,44 @@ def test_lsh_band_cap_bounds_hot_band_candidates(spark):
     assert "__bsz" in plan
     # sanity: uncapped, the hot band really is quadratic
     assert lsh_candidate_pairs(sigs, band_cap=None).count() == 19900 + 10
+
+
+def test_bloom_dedup_no_false_negatives(spark):
+    """The Bloom filter's structural guarantee, asserted directly:
+    EVERY reference-side (in_filter) document hits — a false negative
+    is impossible by construction — while hits outside the reference
+    side are the sketch's measured false positives (a handful at m=2048,
+    never the majority)."""
+    from advent_of_code_flink_paimon_spark.operators.dedup import x37_bloom_dedup
+    from tests.conftest import SF_ORACLE
+
+    rows = x37_bloom_dedup(spark, SF_ORACLE).collect()
+    member = [r for r in rows if r.in_filter]
+    probe = [r for r in rows if not r.in_filter]
+    assert member and all(r.bloom_hit for r in member)  # no false negatives
+    fp = sum(1 for r in probe if r.bloom_hit)
+    assert fp < len(probe) * 0.2  # FPs exist by design but stay rare
+
+
+def test_kmeans_cluster_invariants(spark):
+    """x39's output must partition the corpus: member counts sum to the
+    corpus size, at most K clusters, every cluster id is a seed vector
+    id (assignment can only target the literal centroids)."""
+    import duckdb
+
+    from advent_of_code_flink_paimon_spark.operators.similarity import KM_K, x39_kmeans
+    from tests.conftest import SF_ORACLE
+
+    rows = x39_kmeans(spark, SF_ORACLE).collect()
+    n = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{SF_ORACLE}/embeddings.parquet')"
+    ).fetchone()[0]
+    assert sum(r.n_members for r in rows) == n
+    assert 1 <= len(rows) <= KM_K
+    seeds = {
+        r[0] for r in duckdb.sql(
+            f"SELECT vec_id FROM read_parquet('{SF_ORACLE}/embeddings.parquet') "
+            f"WHERE vec_id % 53 = 11 ORDER BY vec_id LIMIT {KM_K}"
+        ).fetchall()
+    }
+    assert {r.cluster_id for r in rows} <= seeds
