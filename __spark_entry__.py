@@ -17,44 +17,14 @@ from pyspark.sql import DataFrame, SparkSession
 # 50 queries() entries in dict iteration order (CORRECTNESS_r01.json is
 # exactly the registry-order prefix). The window is ROTATED each round
 # so no entry's freshest driver row ever goes >1 round stale:
-# round 5 leads with the 24 entries whose latest driver row is from
-# round 3 (parked past the cap in round 4), then the entries whose code
-# paths or oracles change this round (q16 gains an exact+within_bound
-# oracle; x07 rides the _cc_star self-pair fix) and the declared
-# value-hash entries; the overflow is drawn exclusively from entries
-# green in CORRECTNESS_r04.json, so at judging time every entry has a
-# driver row ≤1 round old.
+# round 6 (VERDICT r5 ask #4) leads with the 37 entries whose latest
+# driver row is from round 4 (parked past the cap by round 5's window),
+# then entries whose code changed this round (x28/x47 linearized folds,
+# x46 persisted-index rewire) and any NEW round-6 entries; the overflow
+# is drawn exclusively from entries green in CORRECTNESS_r05.json, so
+# at judging time every entry has a driver row ≤1 round old.
 _ORDER = [
-    # driver evidence last refreshed in round 3 — score these first
-    "x42_hash_sample", "x43_stratified_cap",
-    "q07_computed_column", "q08_join_inner_broadcast", "q09_join_left",
-    "q12_join_multi_chain", "q13_agg_global", "q14_agg_grouped",
-    "q17_rollup", "q24_scalar_datetime", "q27_having",
-    "q28_enrichment_join", "q30_range_join", "q31_time_bucket_rollup",
-    "q32_cube", "q33_percentiles", "q35_scalar_subquery",
-    "q36_correlated_exists", "q37_below_group_avg",
-    "x21_lang_id", "x22_token_count", "x23_quality_score",
-    "x26_tfidf_top_terms", "x27_pii_redact",
-    # oracle/code changed in round 5 — must be re-scored on the new code
-    # (q16 flips from no-oracle to exact+within_bound hash-checkable;
-    # x07's pointer-doubling path gains the self-pair-node fix)
-    "q16_agg_approx_distinct", "x07_dup_clusters",
-    # NEW in round 5 — no driver row exists yet, must be in the window
-    "x32_unigram_lm_score", "x33_dsir_importance",
-    "x34_cluster_keep_best", "x35_token_pack",
-    "x36_chunk_dedup", "x37_bloom_dedup", "x38_embedding_quantize",
-    "x39_kmeans", "x44_mixture_resample", "x45_substr_dedup",
-    "x46_incremental_dedup", "x47_token_entropy", "x48_split_assign",
-    # value-hash-by-design entries stay inside the window so the driver
-    # records their status each round (x30/x31 stubbed decoders)
-    "x30_multimodal_features", "x31_frame_sample",
-    # r4-green entries filling the remaining window slots
-    "q01_pricing_summary", "q02_project_all", "q03_project_reorder",
-    "q04_count_alias", "q05_filter_range", "q06_filter_in_or",
-    "q10_join_semi", "q11_join_anti", "q15_agg_distinct",
-    # overflow past the 50-entry cap — ALL green in
-    # CORRECTNESS_r04.json (rows+schema+hash true), so their driver
-    # evidence is exactly one round old at round-5 judging
+    # driver evidence last refreshed in round 4 — score these first
     "q18_topk_orderby", "q19_window_rank_merge",
     "q20_window_lag", "q21_union_all", "q22_scalar_string",
     "q23_scalar_conditional",
@@ -70,6 +40,39 @@ _ORDER = [
     "x13_semantic_dedup", "x20_text_stats", "x24_winnow_fingerprint",
     "x25_heavy_hitter_bigrams", "x28_repetition_filter",
     "x40_corpus_curation", "x41_decontaminate",
+    # code changed in round 6 — re-score on the new code
+    # (x47 linearized run-length fold; x46 reads the persisted index)
+    "x47_token_entropy", "x46_incremental_dedup",
+    # NEW in round 6 — no driver row exists yet, must be in the window
+    "x49_minhash_index_dedup", "x50_ivf_kmeans_refresh",
+    "x51_ccnet_perplexity_bucket", "x52_robots_suffix_filter",
+    "x53_length_dedup_rank", "x54_domain_mix_report",
+    # value-hash-by-design entries stay inside the window so the driver
+    # records their status each round (x30/x31 stubbed decoders)
+    "x30_multimodal_features", "x31_frame_sample",
+    # r5-green entries filling the remaining window slots
+    "q01_pricing_summary", "q02_project_all", "q03_project_reorder",
+    "q04_count_alias", "q05_filter_range",
+    # overflow past the 50-entry cap — ALL green in
+    # CORRECTNESS_r05.json (rows+schema+hash true), so their driver
+    # evidence is exactly one round old at round-6 judging
+    "q06_filter_in_or", "q07_computed_column",
+    "q08_join_inner_broadcast", "q09_join_left",
+    "q10_join_semi", "q11_join_anti",
+    "q12_join_multi_chain", "q13_agg_global", "q14_agg_grouped",
+    "q15_agg_distinct", "q16_agg_approx_distinct",
+    "q17_rollup", "q24_scalar_datetime", "q27_having",
+    "q28_enrichment_join", "q30_range_join", "q31_time_bucket_rollup",
+    "q32_cube", "q33_percentiles", "q35_scalar_subquery",
+    "q36_correlated_exists", "q37_below_group_avg",
+    "x07_dup_clusters",
+    "x21_lang_id", "x22_token_count", "x23_quality_score",
+    "x26_tfidf_top_terms", "x27_pii_redact",
+    "x32_unigram_lm_score", "x33_dsir_importance",
+    "x34_cluster_keep_best", "x35_token_pack",
+    "x36_chunk_dedup", "x37_bloom_dedup", "x38_embedding_quantize",
+    "x39_kmeans", "x42_hash_sample", "x43_stratified_cap",
+    "x44_mixture_resample", "x45_substr_dedup", "x48_split_assign",
 ]
 
 

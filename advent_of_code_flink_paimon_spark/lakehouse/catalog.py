@@ -388,30 +388,62 @@ class Catalog:
             # bounds, pinned snapshot); anything else is advisory and
             # tolerated, matching Flink's treatment of unknown options.
             qual, body = m.group(1), m.group(2)
-            name = qual.split(".")[-1]  # db-qualified refs resolve here
+            parts = qual.split(".")
+            name = parts[-1]
+            # db-qualified refs resolve through the NAMED db, never the
+            # current one (round-6 ADVICE fix: the advisory branch used
+            # to strip the qualifier, silently hitting a same-named
+            # current-db view)
+            foreign = len(parts) > 1 and parts[-2] != self.db
+            cat = Catalog(self.warehouse, parts[-2]) if foreign else self
             kv = dict(re.findall(r"'([^']+)'\s*=\s*'([^']*)'", body))
-            t = self.get_table(name)
+            supported = {
+                "incremental-between",
+                "incremental-between-timestamp",
+                "incremental-between-scan-mode",
+                "scan.snapshot-id",
+            }
+            if not supported & kv.keys():
+                # advisory-only hint: only the hint is removed. An
+                # unqualified / current-db ref keeps its registered temp
+                # view; a foreign-db ref registers a dedicated view from
+                # that db's merged read (temp views aren't
+                # db-addressable in Spark's session catalog)
+                if not foreign:
+                    return name
+                view = f"{parts[-2]}__db__{name}"
+                cat.get_table(name).read(spark).createOrReplaceTempView(view)
+                return view
+            t = cat.get_table(name)
+            changelog_mode = kv.get("incremental-between-scan-mode") == "changelog"
             if "incremental-between" in kv:
                 a, b = [x.strip() for x in kv["incremental-between"].split(",")]
-                df = t.incremental_read(spark, a, b)
+                if changelog_mode:
+                    # 'incremental-between-scan-mode'='changelog': the
+                    # STORED changelog rows (with rowkind) between the
+                    # snapshots, not the merged delta
+                    df = t.incremental_changelog(spark, a, b)
+                else:
+                    # Paimon's batch incremental read returns the MERGED
+                    # delta per changed key — deletes filtered,
+                    # duplicates collapsed — never raw tombstones
+                    # (merge_raw also drops __op/__seq)
+                    df = t.merge_raw(t.incremental_read(spark, a, b))
             elif "incremental-between-timestamp" in kv:
                 a, b = [x.strip() for x in kv["incremental-between-timestamp"].split(",")]
-                df = t.incremental_read_between_timestamps(spark, a, b)
+                df = t.merge_raw(t.incremental_read_between_timestamps(spark, a, b))
             elif "scan.snapshot-id" in kv:
-                df = t.read(spark, snapshot_id=int(kv["scan.snapshot-id"]))
+                df = t.merge_raw(t.read(spark, snapshot_id=int(kv["scan.snapshot-id"])))
             else:
-                return name  # advisory hint: plain (unqualified) view
-            # Paimon's batch incremental read returns the MERGED delta
-            # per changed key — deletes filtered, duplicates collapsed —
-            # never raw tombstones (merge_raw also drops __op/__seq)
-            df = t.merge_raw(df)
+                return qual  # unreachable (supported-key check above)
             # keys AND values name the view: two hints with equal values
             # but different keys must not collide on one temp view
             tag = re.sub(
                 r"[^A-Za-z0-9]", "_",
                 "_".join(f"{k}_{v}" for k, v in sorted(kv.items())),
             )
-            view = f"{name}__hint_{tag}"
+            prefix = f"{parts[-2]}__db__{name}" if foreign else name
+            view = f"{prefix}__hint_{tag}"
             df.createOrReplaceTempView(view)
             return view
 

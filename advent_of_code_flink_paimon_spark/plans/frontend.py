@@ -905,11 +905,22 @@ class Engine:
     def _streaming_lookup_insert(self, target, select_sql: str):
         """`SELECT … FROM <streaming-src> [AS a] JOIN <pk-table> [AS b]
         ON a.k = b.k` → LookupJoinPipeline (processing-time temporal
-        join with retry queue, SURVEY.md §3 EP3). The hint/SYSTEM_TIME
-        decorations were already stripped by sql(). The output column
-        set is the pipeline's contract (stream columns + dimension
-        attributes) — the SELECT list is advisory here, as the sink
-        schema is the target table's."""
+        join with retry queue, SURVEY.md §3 EP3). LOOKUP(...)/SYSTEM_TIME
+        decorations were already stripped by sql(), but /*+ OPTIONS(...)
+        */ hints are deliberately PRESERVED by the preprocessor (they are
+        batch scan hints consumed by Catalog.sql) — so the tutorial's
+        verbatim statement (guide.md:138: ``JOIN sensor_info /*+
+        OPTIONS('lookup.async'='true', ...) */ FOR SYSTEM_TIME ...``)
+        carries a dimension-side hint here. Strip it locally before
+        matching: on the streaming lookup path the async/cache options
+        are advisory (our lookup pipeline already batches + retries), and
+        only the batch fallback should let the catalog consume OPTIONS.
+        The output column set is the pipeline's contract (stream columns
+        + dimension attributes) — the SELECT list is advisory here, as
+        the sink schema is the target table's."""
+        select_sql = re.sub(
+            r"/\*\+\s*OPTIONS\s*\([^)]*\)\s*\*/", " ", select_sql, flags=re.I
+        )
         m = re.match(
             r"SELECT\s+.*?\s+FROM\s+(\S+)(?:\s+AS\s+(\w+))?\s+"
             r"JOIN\s+(\S+)(?:\s+AS\s+(\w+))?\s+ON\s+(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$",

@@ -1780,3 +1780,52 @@ def test_alter_table_revalidates_options(spark, catalog):
     # a legal SET still lands as schema-N+1
     t = catalog.alter_table("av", {"snapshot.num-retained.min": "1"})
     assert t.schema_version == 1
+
+
+def test_malformed_incremental_timestamp_raises(spark, catalog):
+    """Round-6 ADVICE (low): a MALFORMED from-timestamp must raise, not
+    silently hit the genesis fallback and read the whole history."""
+    t = catalog.create_table("tsparse", "k long", {})
+    t.append(spark.createDataFrame([(1,)], "k long"))
+    t.append(spark.createDataFrame([(2,)], "k long"))
+    with pytest.raises(ValueError):
+        t.incremental_read_between_timestamps(spark, "2026-13-99 99:99:99", "9999999999999")
+    # the legitimate genesis fallback still works: a VALID t1 before the
+    # first snapshot reads from the beginning
+    early = t.snapshot(1)["timestamp_ms"] - 10_000
+    got = {r.k for r in t.incremental_read_between_timestamps(
+        spark, early, t.snapshot(2)["timestamp_ms"]).collect()}
+    assert got == {1, 2}
+
+
+def test_index_gc_retains_keys_in_live_files(spark, catalog):
+    """Round-6 ADVICE (low): index GC keys retention on RAW file
+    contents, not the merged image — a key whose merged image is
+    'absent' (delete tombstone still in a live file) keeps its bucket
+    entry, so pre-image pruning can never miss a bucket that still
+    physically holds the key."""
+    ddl = "k long, v string"
+    t = catalog.create_table(
+        "gcidx", ddl,
+        {"primary-key": "k", "bucket": "-1",
+         "dynamic-bucket.target-row-num": "100",
+         "changelog-producer": "input"},
+    )
+    t.upsert(spark.createDataFrame([(1, "a"), (2, "b")], ddl))
+    idx_before = {r["__khash"]: r["__bucket"] for r in t._read_index(spark).collect()}
+    assert len(idx_before) == 2
+    # delete key 1: the tombstone row now lives in a data file while the
+    # merged image no longer contains the key
+    t.delete_where(spark, "k = 1")
+    raw_keys = {r.k for r in t._raw(spark).collect()}
+    if 1 in raw_keys:
+        # tombstone (or pre-image row) physically present → the entry
+        # must survive index GC
+        t._compact_index(spark)
+        idx_after = {r["__khash"]: r["__bucket"] for r in t._read_index(spark).collect()}
+        assert set(idx_before) <= set(idx_after)
+    # after a FULL compaction rewrites the files to the merged image the
+    # key's rows are physically gone — only then may GC drop the entry
+    t.compact()
+    idx_final = {r["__khash"]: r["__bucket"] for r in t._read_index(spark).collect()}
+    assert len(idx_final) == 1  # key 2 retained, key 1 dropped
