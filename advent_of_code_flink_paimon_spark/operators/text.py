@@ -426,12 +426,41 @@ FROM per_tok JOIN per_bg USING (doc_id)
 """
 
 
+# Sorted run-length fold (round-6 VERDICT ask #6): sort the array once,
+# then one linear pass tracks the current run length and folds it into
+# the wanted statistics — O(n log n) per row where the old
+# transform(array_distinct(w), t -> size(filter(w, x -> x = t))) shape
+# was O(types·tokens): a single 100k-token web document cost ~10⁹
+# comparisons in one task; now ~1.7M. `run` counts the streak of the
+# current value; `mx` is the max streak seen; `dup` accumulates streak
+# lengths ≥2 incrementally (+2 when a run reaches 2 — counting both
+# occurrences — then +1 per extension), so no finalize step is needed.
+_RUN_MAX = (
+    "aggregate(array_sort({col}),"
+    " named_struct('prev', cast(null as string), 'run', 0, 'mx', 0),"
+    " (a, x) -> named_struct('prev', x,"
+    "   'run', if(a.prev <=> x, a.run + 1, 1),"
+    "   'mx', greatest(a.mx, if(a.prev <=> x, a.run + 1, 1))),"
+    " a -> a.mx)"
+)
+_RUN_MAX_DUP = (
+    "aggregate(array_sort({col}),"
+    " named_struct('prev', cast(null as string), 'run', 0, 'mx', 0, 'dup', 0),"
+    " (a, x) -> named_struct('prev', x,"
+    "   'run', if(a.prev <=> x, a.run + 1, 1),"
+    "   'mx', greatest(a.mx, if(a.prev <=> x, a.run + 1, 1)),"
+    "   'dup', a.dup + if(a.prev <=> x, if(a.run = 1, 2, 1), 0)),"
+    " a -> named_struct('mx', a.mx, 'dup', a.dup))"
+)
+
+
 @query("x28_repetition_filter", oracle=_SQL_REPETITION)
 def x28_repetition_filter(spark, sf_dir):
     """Per-doc repetition metrics + keep flag, entirely ROW-LOCAL: the
-    frequency tables are higher-order-function folds over the token
-    array (O(distinct·n) per row, ~3k ops on this corpus), so the whole
-    filter is scan → project with ZERO shuffles — at 100 TB this is the
+    frequency statistics come from sort-once run-length folds over the
+    token/bigram arrays (O(n log n) per row — round-6 linearization of
+    the O(types·tokens) distinct×filter shape), so the whole filter is
+    scan → project with ZERO shuffles — at 100 TB this is the
     difference between a map-only pass and exploding every corpus token
     through a groupBy. The DuckDB twin counts via explode + GROUP BY;
     identical integer counts and identical double divisions make it
@@ -441,7 +470,7 @@ def x28_repetition_filter(spark, sf_dir):
     expr = w.select(
         "doc_id",
         F.size("w").alias("n_tokens"),
-        F.expr("transform(array_distinct(w), t -> size(filter(w, x -> x = t)))").alias("tc"),
+        F.expr(_RUN_MAX.format(col="w")).alias("top_tc"),
         F.expr(
             "transform(sequence(0, size(w) - 2),"
             " i -> concat(element_at(w, i + 1), ' ', element_at(w, i + 2)))"
@@ -450,16 +479,15 @@ def x28_repetition_filter(spark, sf_dir):
     expr = expr.select(
         "doc_id",
         "n_tokens",
-        (F.array_max("tc").cast("double") / F.col("n_tokens")).alias("top_token_frac"),
-        F.expr("transform(array_distinct(bg), b -> size(filter(bg, x -> x = b)))").alias("bc"),
+        (F.col("top_tc").cast("double") / F.col("n_tokens")).alias("top_token_frac"),
+        F.expr(_RUN_MAX_DUP.format(col="bg")).alias("bgs"),
         F.size("bg").alias("n_bg"),
     )
     top_bg = F.when(F.col("n_bg") == 0, F.lit(0.0)).otherwise(
-        F.array_max("bc").cast("double") / F.col("n_bg")
+        F.col("bgs.mx").cast("double") / F.col("n_bg")
     )
     dup_bg = F.when(F.col("n_bg") == 0, F.lit(0.0)).otherwise(
-        F.expr("aggregate(bc, 0, (a, c) -> a + IF(c >= 2, c, 0))").cast("double")
-        / F.col("n_bg")
+        F.col("bgs.dup").cast("double") / F.col("n_bg")
     )
     return expr.select(
         "doc_id",
@@ -651,20 +679,28 @@ def x47_token_entropy(spark, sf_dir):
     when its TTR looks healthy, because entropy weighs HOW skewed the
     repeats are, not just how many types exist).
 
-    Scale shape: entirely row-local higher-order-function folds
-    (O(types·tokens) per row inside codegen — no explode, no shuffle;
-    the plan is scan → project). Determinism: the per-type sum is a
-    fold over array_distinct's first-occurrence order; ROUND(…,6) on
-    both engines absorbs any ordering difference in the ~1e-15 float
-    tail, and norm_entropy divides the ROUNDED value so the two stages
-    can't disagree."""
+    Scale shape: entirely row-local — a sort-once run-length fold
+    (O(n log n) per row inside codegen, round-6 linearization of the
+    O(types·tokens) distinct×filter shape — a 100k-token document now
+    costs ~1.7M ops in its task, not ~10⁹); no explode, no shuffle;
+    the plan is scan → project. Determinism: the per-type sum now runs
+    in SORTED-type order (vs the oracle's first-occurrence order);
+    ROUND(…,6) on both engines absorbs the ordering difference in the
+    ~1e-15 float tail, and norm_entropy divides the ROUNDED value so
+    the two stages can't disagree. Each run's p·ln(p) term is folded in
+    when the run ENDS (value changes); the finish lambda folds the last
+    run and negates/rounds."""
     d = fan_out(T(spark, sf_dir, "documents"), heavy=True)
     toks = d.select("doc_id", F.split(F.col("text"), " ").alias("w"))
     ent = F.expr(
-        "round(-aggregate(transform(array_distinct(w),"
-        " t -> (size(filter(w, x -> x = t)) * 1.0 / size(w))"
-        "      * ln(size(filter(w, x -> x = t)) * 1.0 / size(w))),"
-        " cast(0.0 as double), (a, x) -> a + x), 6)"
+        "round(-aggregate(array_sort(w),"
+        " named_struct('prev', cast(null as string), 'run', 0,"
+        "              'acc', cast(0.0 as double)),"
+        " (a, x) -> named_struct('prev', x,"
+        "   'run', if(a.prev <=> x, a.run + 1, 1),"
+        "   'acc', a.acc + if(a.prev <=> x or a.run = 0, cast(0.0 as double),"
+        "     (a.run * 1.0 / size(w)) * ln(a.run * 1.0 / size(w)))),"
+        " a -> a.acc + (a.run * 1.0 / size(w)) * ln(a.run * 1.0 / size(w))), 6)"
     )
     e = toks.select(
         "doc_id",
