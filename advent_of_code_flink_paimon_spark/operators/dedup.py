@@ -1018,34 +1018,183 @@ WHERE c * 1.0 / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
 """
 
 
+# -- Persisted MinHash/LSH band index (round-6 VERDICT ask #2) --------
+# The banded corpus relation x46 used to derive inline is exactly what
+# a production continuous-ingestion pipeline persists between runs.
+# These helpers materialize it as a lakehouse APPEND table bucketed on
+# the band hash (the join key), maintained INCREMENTALLY: a consumer
+# bookmark on the docs table records the last indexed snapshot, each
+# refresh bands only the docs committed since (incremental_read — O(new
+# commits) metadata + O(new docs) compute, independent of corpus size),
+# and the bookmark doubles as an expiry guard (registered consumers pin
+# their unconsumed snapshot window). For a PK docs table whose rows get
+# UPDATED, the old text's bands stay in the index (append-only, the
+# standard LSH-index trade-off): stale bands only create extra
+# candidates, and the exact-jaccard verify pass keeps precision exact.
+
+MINHASH_INDEX_SCHEMA = "band int, bh long, doc_id long"
+_MINHASH_CONSUMER_PREFIX = "minhash-index"
+
+
+def minhash_index_name(docs_table: str) -> str:
+    return f"{docs_table}_minhash_idx"
+
+
+def refresh_minhash_index(
+    spark, catalog, docs_table: str, index_table: str | None = None
+) -> int:
+    """Create the band-index table if needed, band the docs committed
+    since the last refresh, append them, and advance the bookmark.
+    Returns the number of newly indexed docs (0 = already caught up).
+    The index write shuffles (bucket-key = bh) into the same hash
+    layout the dedup join probes, so at query time the corpus side is
+    pre-bucketed on the join key."""
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog  # noqa: F401
+
+    docs_t = catalog.get_table(docs_table)
+    index_table = index_table or minhash_index_name(docs_table)
+    if not catalog.has_table(index_table):
+        catalog.create_table(
+            index_table, MINHASH_INDEX_SCHEMA, {"bucket": "8", "bucket-key": "bh"}
+        )
+    idx_t = catalog.get_table(index_table)
+    consumer_id = f"{_MINHASH_CONSUMER_PREFIX}-{index_table}"
+    nxt = docs_t.consumers().get(consumer_id, {}).get("next_snapshot_id", 1)
+    latest = docs_t.latest_snapshot_id() or 0
+    if latest < nxt:
+        return 0
+    fresh = docs_t.merge_raw(docs_t.incremental_read(spark, nxt - 1, latest))
+    n = fresh.count()
+    if n:
+        # build-time banding is UNCAPPED: an increment can't see global
+        # band sizes, so the hot-band guard moves to query time
+        # (capped_index) where the count rides the join's partitioning
+        banded = band_rows(minhash_signatures(shingle_hash_arrays(fresh)), band_cap=None)
+        idx_t.append(
+            banded.select(
+                F.col("band").cast("int").alias("band"),
+                F.col("bh").cast("long").alias("bh"),
+                F.col("doc_id").cast("long").alias("doc_id"),
+            )
+        )
+    docs_t.register_consumer(consumer_id, latest + 1)
+    return n
+
+
+def capped_index(idx: DataFrame, band_cap: int | None = LSH_BAND_CAP) -> DataFrame:
+    """Query-time hot-band guard for a persisted index: drop (band, bh)
+    groups larger than the cap. The window count partitions on exactly
+    the (band, bh) keys the dedup join shuffles on, so Catalyst reuses
+    one exchange for both."""
+    if band_cap is None:
+        return idx
+    wb = Window.partitionBy("band", "bh")
+    return (
+        idx.withColumn("__bsz", F.count(F.lit(1)).over(wb))
+        .filter(F.col("__bsz") <= band_cap)
+        .drop("__bsz")
+    )
+
+
+def dedup_batch_against_index(batch_docs: DataFrame, idx: DataFrame, sharr: DataFrame) -> DataFrame:
+    """Band the incoming batch (row-local) and probe the persisted
+    corpus index — candidates cost |batch|·bands rows against the
+    index's bucketed layout, never a corpus self-join — then verify
+    with exact jaccard over the shingle-hash arrays. Output: (i = batch
+    doc, j = corpus near-match, jaccard)."""
+    batch_banded = band_rows(minhash_signatures(shingle_hash_arrays(batch_docs)))
+    pairs = (
+        batch_banded.alias("a")
+        .join(
+            capped_index(idx).alias("b"),
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")),
+        )
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        .distinct()
+    )
+    return exact_jaccard(pairs, sharr).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+def _mhidx_warehouse(tag: str, sf_dir: str) -> str:
+    """Deterministic per-(query, sf) scratch warehouse, wiped and
+    rebuilt each call so bench repeats don't accumulate state."""
+    import os
+    import shutil
+    import tempfile
+
+    wh = os.path.join(
+        tempfile.gettempdir(),
+        f"spark-graft-{tag}-{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(wh, ignore_errors=True)
+    return wh
+
+
 @query("x46_incremental_dedup", oracle=_SQL_INCREMENTAL_DEDUP)
 def x46_incremental_dedup(spark, sf_dir):
     """Incremental near-dedup: an INCOMING batch (doc_id % 10 < 2, the
     stand-in for today's crawl) LSH-checked against the EXISTING corpus
     — the continuous-ingestion shape of x03, where the self-join becomes
-    a batch×corpus band join. This is how a 100 TB pipeline actually
-    runs near-dedup day to day: candidates cost |batch|·bands shuffle
-    rows against the corpus's banded index, NOT a corpus self-join per
-    ingest; the banded corpus side is exactly the kind of relation a
-    production pipeline persists between runs (here it's derived
-    inline so the oracle replays end-to-end).
+    a batch×corpus band join. Round 6: the corpus side now READS THE
+    PERSISTED INDEX — the corpus docs are committed to a lakehouse
+    table, refresh_minhash_index materializes their (band, bh, doc_id)
+    rows into a bucketed index table, and the dedup probes that table.
+    This is how a 100 TB pipeline actually runs near-dedup day to day:
+    candidates cost |batch|·bands shuffle rows against the persisted
+    banded index, NOT a corpus self-join (or even a corpus re-band) per
+    ingest.
 
     Output orientation: i = batch doc, j = its corpus near-match.
     Verification is the same exact-jaccard pass as x03, so precision is
     exact; recall at the data's similarity margin coincides with the
     exhaustive oracle (x03's argument)."""
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+
     docs = fan_out(T(spark, sf_dir, "documents"), heavy=True)
-    sharr = shingle_hash_arrays(docs).persist()
-    banded = band_rows(minhash_signatures(sharr))
     is_batch = F.pmod(F.col("doc_id"), F.lit(10)) < 2
-    bb = banded.filter(is_batch).alias("a")
-    cb = banded.filter(~is_batch).alias("b")
-    pairs = (
-        bb.join(cb, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")))
-        .select(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
-        .distinct()
-    )
-    return exact_jaccard(pairs, sharr).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+    catalog = Catalog(_mhidx_warehouse("mhidx46", sf_dir), "default")
+    docs_t = catalog.create_table("corpus_docs", "doc_id long, text string", {})
+    docs_t.append(docs.filter(~is_batch).select("doc_id", "text"))
+    refresh_minhash_index(spark, catalog, "corpus_docs")
+    idx = catalog.get_table(minhash_index_name("corpus_docs")).read(spark)
+
+    sharr = shingle_hash_arrays(docs).persist()
+    return dedup_batch_against_index(docs.filter(is_batch), idx, sharr)
+
+
+@query("x49_minhash_index_dedup", oracle=_SQL_INCREMENTAL_DEDUP)
+def x49_minhash_index_dedup(spark, sf_dir):
+    """The persisted-index LIFECYCLE as one oracled query (round-6
+    VERDICT ask #2): commit 1 writes the corpus to a lakehouse docs
+    table and refresh_minhash_index builds the band index from it;
+    commit 2 appends today's batch to the SAME docs table; the batch is
+    then read INCREMENTALLY off the snapshot log (commit 2 only) and
+    deduped against the index AS BUILT AT COMMIT 1 — the corpus is
+    never re-banded, its bands come off the index table's parquet. The
+    final relation is identical to x46's (same batch, same corpus, same
+    verify), so the same exhaustive DuckDB oracle hashes it.
+
+    The consumer bookmark that refresh leaves on the docs table both
+    records the resume point for the NEXT refresh and pins the
+    unconsumed snapshots against expiry — the maintenance path is a
+    changelog subscriber like any other."""
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+
+    docs = fan_out(T(spark, sf_dir, "documents"), heavy=True)
+    is_batch = F.pmod(F.col("doc_id"), F.lit(10)) < 2
+
+    catalog = Catalog(_mhidx_warehouse("mhidx49", sf_dir), "default")
+    docs_t = catalog.create_table("docs", "doc_id long, text string", {})
+    docs_t.append(docs.filter(~is_batch).select("doc_id", "text"))  # commit 1
+    refresh_minhash_index(spark, catalog, "docs")  # index ← corpus bands
+    docs_t.append(docs.filter(is_batch).select("doc_id", "text"))  # commit 2
+
+    batch = docs_t.merge_raw(docs_t.incremental_read(spark, 1, 2))
+    idx = catalog.get_table(minhash_index_name("docs")).read(spark)
+    sharr = shingle_hash_arrays(docs_t.read(spark)).persist()
+    return dedup_batch_against_index(batch, idx, sharr)
 
 
 # ---------------------------------------------------------------------------

@@ -61,6 +61,7 @@ HEADLINE = [
     "x45_substr_dedup",
     "x46_incremental_dedup",
     "x48_split_assign",
+    "x49_minhash_index_dedup",
     "x42_hash_sample",
     "x43_stratified_cap",
     "x44_mixture_resample",
