@@ -348,7 +348,7 @@ class Table:
         # that no longer exist. Diff each rolled-back APPEND manifest
         # against its predecessor BEFORE the deletion loop below
         # destroys the predecessor manifests.
-        rolled_back_appends: set[str] = set()
+        rolled_back_appends: set[tuple[int, str]] = set()
         for sid in range(target + 1, latest + 1):
             if not os.path.exists(self.paths.snapshot_path(sid)):
                 continue
@@ -359,12 +359,17 @@ class Table:
                 if os.path.exists(self.paths.manifest_path(sid - 1))
                 else set()
             )
-            rolled_back_appends |= {e["file_path"] for e in self.manifest(sid)} - prev
+            rolled_back_appends |= {
+                (sid, fp)
+                for fp in {e["file_path"] for e in self.manifest(sid)} - prev
+            }
         sdir = os.path.join(self.paths.root, "stream")
-        for fp in rolled_back_appends:
-            sp = os.path.join(sdir, os.path.basename(fp))
-            if os.path.exists(sp):
-                os.unlink(sp)
+        for sid, fp in rolled_back_appends:
+            base = os.path.basename(fp)
+            for name in (f"snapshot-{sid:06d}__{base}", base):
+                sp = os.path.join(sdir, name)
+                if os.path.exists(sp):
+                    os.unlink(sp)
         # materialize every doomed snapshot's file list BEFORE deleting
         # any manifest: a delta manifest reconstructs through a base
         # that may be earlier in the deletion order
@@ -806,11 +811,17 @@ class Table:
             # rewrites are never linked, so a file-source subscriber
             # (streaming/pipelines.stream_table_files) sees each row once
             # — the 'streaming read skips compaction snapshots' semantic.
+            # The link name carries the COMMITTING snapshot id
+            # (snapshot-NNNNNN__<basename>) so streaming scan start
+            # modes (Paimon 'scan.mode', round-6 ask #3) can open the
+            # stream at a snapshot boundary by file-path filter alone.
             sdir = os.path.join(self.paths.root, "stream")
             os.makedirs(sdir, exist_ok=True)
             for e in new_entries:
                 src = os.path.join(self.paths.root, e["file_path"])
-                dst = os.path.join(sdir, os.path.basename(e["file_path"]))
+                dst = os.path.join(
+                    sdir, f"snapshot-{sid:06d}__{os.path.basename(e['file_path'])}"
+                )
                 if not os.path.exists(dst):
                     try:
                         os.link(src, dst)

@@ -794,7 +794,7 @@ def test_rollback_unlinks_stream_mirror_of_rolled_back_appends(spark, catalog):
     sdir = os.path.join(t.paths.root, "stream")
     assert len(os.listdir(sdir)) == 3
     survivors = {
-        os.path.basename(e["file_path"]) for e in t.manifest(1)
+        f"snapshot-000001__{os.path.basename(e['file_path'])}" for e in t.manifest(1)
     }
     t.rollback_to(1)
     assert set(os.listdir(sdir)) == survivors

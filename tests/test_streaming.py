@@ -473,3 +473,158 @@ def test_pipeline_upsert_retries_commit_conflict(spark, catalog, tmp_path):
     # the batch's generations win for its keys (last-write-wins by seq)
     assert set(rows) >= {0, 1, 2, 3, 4, 5}
     assert rows[3] == 3 and rows[5] == 5
+
+
+def _drain(df, tmp_path, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"{name}-ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+
+
+def test_changelog_scan_mode_from_snapshot_and_latest(spark, catalog, tmp_path):
+    """Round-6 VERDICT ask #3: a subscriber attaching to an EXISTING
+    changelog table picks its start position. from-snapshot=N sees
+    exactly the changes of commits ≥ N (so a consumer holding snapshot
+    N's image passes N+1 and sees exactly commits > N); 'latest' sees
+    only post-subscription commits."""
+    from advent_of_code_flink_paimon_spark.streaming import stream_table_changelog
+
+    ddl = "k long, v string"
+    t = catalog.create_table(
+        "sm", ddl, {"primary-key": "k", "changelog-producer": "input"}
+    )
+    t.upsert(spark.createDataFrame([(1, "a")], ddl))           # snapshot 1
+    t.upsert(spark.createDataFrame([(2, "b")], ddl))           # snapshot 2
+    t.upsert(spark.createDataFrame([(1, "a2"), (3, "c")], ddl))  # snapshot 3
+
+    # from-snapshot=2: changes of commits 2 and 3 only
+    _drain(
+        stream_table_changelog(spark, t, scan_mode="from-snapshot", from_snapshot=2),
+        tmp_path, "sm_from2",
+    )
+    rows = {(r.k, r.v, r._change_type) for r in spark.sql("SELECT * FROM sm_from2").collect()}
+    assert rows == {(2, "b", "+I"), (1, "a", "-U"), (1, "a2", "+U"), (3, "c", "+I")}, rows
+
+    # a consumer holding snapshot 2's image passes 3 → sees exactly commits > 2
+    _drain(
+        stream_table_changelog(spark, t, scan_mode="from-snapshot", from_snapshot=3),
+        tmp_path, "sm_from3",
+    )
+    rows = {(r.k, r.v, r._change_type) for r in spark.sql("SELECT * FROM sm_from3").collect()}
+    assert rows == {(1, "a", "-U"), (1, "a2", "+U"), (3, "c", "+I")}, rows
+
+    # 'latest': nothing already committed; only post-subscription commits
+    latest_df = stream_table_changelog(spark, t, scan_mode="latest", consumer_id="late-sub")
+    t.upsert(spark.createDataFrame([(9, "z")], ddl))           # snapshot 4 (post-sub)
+    _drain(latest_df, tmp_path, "sm_latest")
+    rows = {(r.k, r.v, r._change_type) for r in spark.sql("SELECT * FROM sm_latest").collect()}
+    assert rows == {(9, "z", "+I")}, rows
+    # the 'latest' consumer bookmark does not pin the pre-subscription window
+    assert t.consumers()["late-sub"]["next_snapshot_id"] == 4
+
+    # from-timestamp: commits strictly after snapshot 2's wall clock
+    ts2 = t.snapshot(2)["timestamp_ms"]
+    _drain(
+        stream_table_changelog(spark, t, scan_mode="from-timestamp", from_timestamp=ts2),
+        tmp_path, "sm_fromts",
+    )
+    rows = {(r.k, r.v) for r in spark.sql("SELECT * FROM sm_fromts").collect()}
+    assert rows == {(1, "a"), (1, "a2"), (3, "c"), (9, "z")}, rows
+
+    # malformed timestamp raises instead of replaying everything
+    with pytest.raises(ValueError):
+        stream_table_changelog(
+            spark, t, scan_mode="from-timestamp", from_timestamp="20x6-99-99"
+        )
+    with pytest.raises(ValueError, match="unknown scan.mode"):
+        stream_table_changelog(spark, t, scan_mode="bogus")
+
+
+def test_changelog_scan_mode_compacted_full(spark, catalog, tmp_path):
+    """'compacted-full' opens with the last full-compaction's stored
+    baseline image (the merged +I rows that compaction's changelog
+    carries under changelog-producer=full-compaction), then later
+    changes — never the full per-commit history."""
+    from advent_of_code_flink_paimon_spark.streaming import stream_table_changelog
+
+    ddl = "k long, v string"
+    t = catalog.create_table(
+        "cf", ddl,
+        {"primary-key": "k", "changelog-producer": "full-compaction",
+         "full-compaction.delta-commits": "100"},  # no auto-compact mid-test
+    )
+    t.upsert(spark.createDataFrame([(1, "a"), (2, "b")], ddl))
+    t.upsert(spark.createDataFrame([(1, "a2")], ddl))
+    t.compact()  # baseline: merged image {1: a2, 2: b} as +I rows
+    t.upsert(spark.createDataFrame([(3, "c")], ddl))  # no changelog until...
+    t.compact()  # ...the next full compaction emits the net delta +I (3, c)
+
+    _drain(
+        stream_table_changelog(spark, t, scan_mode="compacted-full"),
+        tmp_path, "cf_out",
+    )
+    rows = {(r.k, r.v, r._change_type) for r in spark.sql("SELECT * FROM cf_out").collect()}
+    assert (1, "a2", "+I") in rows and (2, "b", "+I") in rows, rows
+    assert (3, "c", "+I") in rows, rows
+    # the pre-compaction per-key history ((1,'a') before its update) is
+    # never replayed — this producer stores baselines + net deltas only
+    assert (1, "a", "+I") not in rows
+
+    # input-producer tables have no stored baseline → explicit error
+    t2 = catalog.create_table(
+        "cf2", ddl, {"primary-key": "k", "changelog-producer": "input"}
+    )
+    t2.upsert(spark.createDataFrame([(1, "a")], ddl))
+    with pytest.raises(ValueError, match="compacted-full"):
+        stream_table_changelog(spark, t2, scan_mode="compacted-full")
+
+
+def test_append_stream_scan_modes(spark, catalog, tmp_path):
+    """scan.mode on append-table streams: the mirror file names carry
+    the committing snapshot id, so 'latest' / 'from-snapshot' open the
+    file source at a snapshot boundary."""
+    from advent_of_code_flink_paimon_spark.streaming import stream_table_files
+
+    ddl = "k long, v string"
+    t = catalog.create_table("af", ddl, {})
+    t.append(spark.createDataFrame([(1, "a")], ddl))  # snapshot 1
+    t.append(spark.createDataFrame([(2, "b")], ddl))  # snapshot 2
+
+    _drain(
+        stream_table_files(spark, t, scan_mode="from-snapshot", from_snapshot=2),
+        tmp_path, "af_from2",
+    )
+    assert {r.k for r in spark.sql("SELECT * FROM af_from2").collect()} == {2}
+
+    latest_df = stream_table_files(spark, t, scan_mode="latest")
+    t.append(spark.createDataFrame([(3, "c")], ddl))  # post-subscription
+    _drain(latest_df, tmp_path, "af_latest")
+    assert {r.k for r in spark.sql("SELECT * FROM af_latest").collect()} == {3}
+
+    with pytest.raises(ValueError, match="compacted-full"):
+        stream_table_files(spark, t, scan_mode="compacted-full")
+
+
+def test_upsert_stream_scan_mode(spark, catalog, tmp_path):
+    """scan.mode on changelog-less upsert streams (stream_table_upsert):
+    from-snapshot opens at a commit boundary of the staged-file
+    mirror."""
+    from advent_of_code_flink_paimon_spark.streaming import stream_table_upsert
+
+    ddl = "k long, v string"
+    t = catalog.create_table("uf", ddl, {"primary-key": "k"})
+    t.upsert(spark.createDataFrame([(1, "a")], ddl))   # snapshot 1
+    t.upsert(spark.createDataFrame([(1, "a2")], ddl))  # snapshot 2
+
+    _drain(
+        stream_table_upsert(spark, t, scan_mode="from-snapshot", from_snapshot=2),
+        tmp_path, "uf_from2",
+    )
+    rows = {(r.k, r.v, r.op) for r in spark.sql("SELECT * FROM uf_from2").collect()}
+    assert rows == {(1, "a2", "+U")}, rows
