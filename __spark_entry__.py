@@ -45,8 +45,8 @@ _ORDER = [
     "x47_token_entropy", "x46_incremental_dedup",
     # NEW in round 6 — no driver row exists yet, must be in the window
     "x49_minhash_index_dedup", "x50_ivf_kmeans_refresh",
-    "x51_ccnet_perplexity_bucket", "x52_robots_suffix_filter",
-    "x53_length_dedup_rank", "x54_domain_mix_report",
+    "x51_ccnet_perplexity_bucket", "x52_norm_dedup",
+    "x53_keep_longest_dedup", "x54_domain_mix_report",
     # value-hash-by-design entries stay inside the window so the driver
     # records their status each round (x30/x31 stubbed decoders)
     "x30_multimodal_features", "x31_frame_sample",

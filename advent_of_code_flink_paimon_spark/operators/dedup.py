@@ -1239,3 +1239,112 @@ def x48_split_assign(spark, sf_dir):
         "cluster_id",
         F.when(h < 8, "train").when(h == 8, "valid").otherwise("test").alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x52: normalization-then-exact dedup — the cheap reformat-catcher that
+# runs BEFORE MinHash in web pipelines (e.g. Dolma's normalize+dedup
+# pass): lowercase, strip digits + common punctuation, collapse whitespace, then
+# hash. Catches duplicates an exact-byte hash misses (case changes,
+# renumbered boilerplate) at exact-dedup cost — one hash exchange.
+# ---------------------------------------------------------------------------
+
+_SQL_NORM_DEDUP = """
+WITH n AS (
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[0-9.,:;!?()-]+', ' ', 'g'),
+                                   ' +', ' ', 'g'))) AS nh
+    FROM documents
+),
+g AS (
+    SELECT doc_id, nh,
+           ROW_NUMBER() OVER (PARTITION BY nh ORDER BY doc_id) AS rn,
+           COUNT(*) OVER (PARTITION BY nh) AS group_size
+    FROM n
+)
+SELECT doc_id, nh AS norm_hash, CAST(group_size AS BIGINT) AS group_size,
+       rn = 1 AS keep
+FROM g WHERE group_size > 1
+"""
+
+
+@query("x52_norm_dedup", oracle=_SQL_NORM_DEDUP)
+def x52_norm_dedup(spark, sf_dir):
+    """Normalized-text exact dedup: report every document whose
+    NORMALIZED form (lowercased, digits+punctuation stripped,
+    whitespace collapsed) collides with another's, keep-first per
+    group.
+
+    Scale shape: normalization is row-local regexp inside the scan
+    projection; the only exchange is the hash groupBy the window rides
+    — identical cost to x01's exact dedup, which is why pipelines run
+    this pass corpus-wide before any LSH. The md5 is computed on both
+    engines from the same normalized string, so the oracle hashes
+    match bit-for-bit."""
+    d = T(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[0-9.,:;!?()-]+", " "),
+            " +",
+            " ",
+        )
+    )
+    n = d.select("doc_id", F.md5(norm.cast("binary")).alias("norm_hash"))
+    w = Window.partitionBy("norm_hash")
+    return (
+        n.withColumn("rn", F.row_number().over(w.orderBy("doc_id")))
+        .withColumn("group_size", F.count(F.lit(1)).over(w))
+        .filter(F.col("group_size") > 1)
+        .select(
+            "doc_id",
+            "norm_hash",
+            F.col("group_size").cast("long").alias("group_size"),
+            (F.col("rn") == 1).alias("keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# x53: keep-longest exact dedup — FineWeb-style quality-preferential
+# selection: within each exact-duplicate group keep the LONGEST
+# document (richest capture of the page), not the first-seen. Differs
+# from x01 (keep-first by key order) and x34 (keep-best per NEAR-dup
+# cluster by quality score): this is the exact-group, length-preference
+# variant pipelines apply between the two.
+# ---------------------------------------------------------------------------
+
+_SQL_KEEP_LONGEST = """
+WITH g AS (
+    SELECT doc_id, n_chars, md5(text) AS fp,
+           ROW_NUMBER() OVER (PARTITION BY md5(text)
+                              ORDER BY n_chars DESC, doc_id ASC) AS rn,
+           COUNT(*) OVER (PARTITION BY md5(text)) AS group_size
+    FROM documents
+)
+SELECT doc_id, fp, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(group_size AS BIGINT) AS group_size
+FROM g WHERE rn = 1
+"""
+
+
+@query("x53_keep_longest_dedup", oracle=_SQL_KEEP_LONGEST)
+def x53_keep_longest_dedup(spark, sf_dir):
+    """One survivor per exact-duplicate group, preferring the longest
+    document (doc_id tiebreak). Single hash exchange; the ranking
+    window rides the fingerprint partitioning. Exact-duplicate groups
+    share text, hence n_chars — the deterministic doc_id tiebreak does
+    the real work there; the length preference matters when upstream
+    truncation produced prefix-trimmed variants under DIFFERENT
+    fingerprints' near-dup handling (x34's job), so this operator stays
+    honest for the exact-group case while keeping the pipeline's
+    selection rule uniform."""
+    d = T(spark, sf_dir, "documents")
+    fp = F.md5(F.col("text").cast("binary"))
+    w = Window.partitionBy("fp")
+    return (
+        d.select("doc_id", F.col("n_chars").cast("long").alias("n_chars"), fp.alias("fp"))
+        .withColumn("rn", F.row_number().over(w.orderBy(F.desc("n_chars"), F.asc("doc_id"))))
+        .withColumn("group_size", F.count(F.lit(1)).over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "fp", "n_chars", F.col("group_size").cast("long").alias("group_size"))
+    )

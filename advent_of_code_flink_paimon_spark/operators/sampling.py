@@ -209,3 +209,71 @@ def x44_mixture_resample(spark, sf_dir):
         "doc_id", "source",
         (F.col("u") * _MIX_T * F.col("n_s") < F.col("t_s") * F.col("n") * _BUCKETS).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x54: domain mix report — the "data mixing card" a sampler is
+# configured from (the per-source token histogram DoReMi/DSIR-style
+# pipelines start with): per (source, lang), document and token
+# counts, the source's share of corpus tokens, and an over-cap flag
+# against a uniform-share budget.
+# ---------------------------------------------------------------------------
+
+_MIX_CAP_X = 2.0  # flag sources holding > 2x their uniform token share
+
+
+@query(
+    "x54_domain_mix_report",
+    oracle=f"""
+    WITH per AS (
+        SELECT source, lang, COUNT(*) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source, lang
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot,
+                   CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+            FROM per),
+    src AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
+            FROM per GROUP BY source)
+    SELECT p.source, p.lang, p.n_docs, p.n_tokens,
+           ROUND(s.src_tokens * 1.0 / t.tot, 6) AS source_share,
+           s.src_tokens * t.n_sources > {_MIX_CAP_X} * t.tot AS over_cap
+    FROM per p JOIN src s USING (source) CROSS JOIN tot t
+    """,
+)
+def x54_domain_mix_report(spark, sf_dir):
+    """Per-(source, lang) doc/token counts + each source's share of
+    corpus tokens and an over-cap flag at 2x the uniform share — the
+    report that decides mixture weights before resampling (x44).
+
+    Scale shape: one grouped aggregation over (source, lang) — map-side
+    partials make it O(distinct groups) post-shuffle; the corpus total
+    and per-source rollup are group-count-sized and BROADCAST back, so
+    no second pass over data. The over-cap comparison is integer-exact
+    (tokens * n_sources vs 2 * total) — no float thresholds to drift
+    across engines; only the reported share divides, rounded to 6."""
+    d = T(spark, sf_dir, "documents")
+    per = d.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("n_tokens"),
+    )
+    src = per.groupBy("source").agg(F.sum("n_tokens").cast("long").alias("src_tokens"))
+    tot = per.agg(
+        F.sum("n_tokens").cast("long").alias("tot"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    )
+    return (
+        per.join(F.broadcast(src), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("src_tokens") * 1.0 / F.col("tot"), 6).alias("source_share"),
+            (
+                F.col("src_tokens") * F.col("n_sources")
+                > F.lit(_MIX_CAP_X) * F.col("tot")
+            ).alias("over_cap"),
+        )
+    )

@@ -647,3 +647,124 @@ def x39_kmeans(spark, sf_dir):
         F.count("*").alias("n_members"),
         F.round(F.avg("d2"), _KM_ROUND).alias("avg_d2"),
     )
+
+
+# ----------------------------------------------------------------------
+# x50: IVF centroid refresh via k-means (round-6 VERDICT ask #8) — the
+# build-then-query ANN lifecycle: x39's Lloyd update refines the
+# hash-sampled seeds into data-shaped centroids, and those refreshed
+# centroids drive x12's literal-centroid IVF assignment + exact re-rank.
+# Composing the two existing operators is exactly how a production ANN
+# index keeps its coarse quantizer fresh as the corpus drifts.
+# ----------------------------------------------------------------------
+
+_SQL_IVF_KMEANS = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+seed AS (SELECT vec_id AS cid, cv AS cent FROM v WHERE vec_id % 53 = 11 ORDER BY vec_id LIMIT {KM_K}),
+a1 AS (
+  SELECT vec_id, cv, cid FROM (
+    SELECT v.vec_id, v.cv, seed.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_sum([(v.cv[i] - seed.cent[i]) * (v.cv[i] - seed.cent[i])
+                                for i in range(1, len(v.cv)+1)]) ASC, seed.cid ASC) AS r
+    FROM v CROSS JOIN seed) WHERE r = 1
+),
+dims AS (
+  SELECT cid, unnest([{{'pos': i, 'x': cv[i]}} for i in range(1, len(cv)+1)]) AS u FROM a1
+),
+cent AS (
+  SELECT cid, list(m ORDER BY pos) AS cent_v FROM (
+    SELECT cid, u.pos AS pos, ROUND(AVG(u.x), {_KM_ROUND}) AS m FROM dims GROUP BY cid, u.pos
+  ) GROUP BY cid
+),
+corpus_assign AS (
+    SELECT vec_id, cv, cid FROM (
+        SELECT c.vec_id, c.cv, cent.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.vec_id
+                   ORDER BY {_COS.format(a='c.cv', b='cent.cent_v')} DESC, cent.cid ASC
+               ) AS r
+        FROM v c CROSS JOIN cent
+    ) WHERE r = 1
+),
+query_assign AS (
+    SELECT query_id, qv, cid FROM (
+        SELECT q.vec_id AS query_id, q.cv AS qv, cent.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_COS.format(a='q.cv', b='cent.cent_v')} DESC, cent.cid ASC
+               ) AS r
+        FROM v q CROSS JOIN cent WHERE q.vec_id < {N_QUERIES}
+    ) WHERE r <= {IVF_NPROBE}
+),
+cands AS (
+    SELECT DISTINCT qa.query_id, qa.qv, ca.vec_id, ca.cv
+    FROM corpus_assign ca JOIN query_assign qa ON ca.cid = qa.cid
+    WHERE ca.vec_id <> qa.query_id
+),
+scored AS (
+    SELECT query_id, vec_id,
+           ROUND({_COS.format(a='qv', b='cv')}, 4) AS cosine
+    FROM cands
+),
+ranked AS (
+    SELECT query_id, vec_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+@query("x50_ivf_kmeans_refresh", oracle=_SQL_IVF_KMEANS)
+def x50_ivf_kmeans_refresh(spark, sf_dir):
+    """IVF ANN with k-means-refreshed centroids: one Lloyd update
+    (x39's assign → update, K centroid rows to the driver) replaces
+    x12's raw hash-sampled seeds with data-shaped centroids, then the
+    standard IVF query path runs against them — literal-centroid
+    map-only assignment, cluster-keyed candidate join, exact cosine
+    re-rank.
+
+    Scale shape: inherits both parents' properties — the refresh is one
+    (K·dim)-key aggregation per iteration with only K rows to the
+    driver, and the query path stays shuffle-free through assignment.
+    Determinism: centroids round to 6 decimals at the update, so the
+    DuckDB replay (seed → a1 → cent → assign → re-rank) is
+    bit-identical."""
+    e = T(spark, sf_dir, "embeddings")
+    v = fan_out(e, heavy=True).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("cv")
+    )
+    seed_rows = (
+        v.filter(F.pmod(F.col("vec_id"), F.lit(53)) == 11)
+        .orderBy("vec_id")
+        .limit(KM_K)
+        .collect()
+    )
+    seeds = [(int(r.vec_id), list(r.cv)) for r in seed_rows]
+    refreshed = kmeans_update(kmeans_assign(v, seeds))  # the centroid refresh
+
+    corpus = ivf_assign(v, refreshed, nprobe=1)
+    queries = ivf_assign(
+        v.filter(F.col("vec_id") < N_QUERIES).select(F.col("vec_id").alias("query_id"), "cv"),
+        refreshed,
+        nprobe=IVF_NPROBE,
+    ).select("query_id", F.col("cv").alias("qv"), "cluster")
+
+    cands = (
+        corpus.join(queries, "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = cands.select(
+        "query_id",
+        "vec_id",
+        F.round(_dot("qv", "cv") / (_norm("qv") * _norm("cv")), 4).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )

