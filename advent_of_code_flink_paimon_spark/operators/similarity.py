@@ -768,3 +768,183 @@ def x50_ivf_kmeans_refresh(spark, sf_dir):
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+# ----------------------------------------------------------------------
+# x55: product quantization (Jégou et al. 2011, "Product Quantization
+# for Nearest Neighbor Search", IEEE TPAMI) — the embedding-store
+# compression behind IVF-PQ indexes: split each vector into M
+# subvectors, learn a K-centroid codebook PER SUBSPACE (one Lloyd
+# update from hash-sampled seeds, the x39 machinery), and encode every
+# vector as M small code digits + reconstruction MSE. 64 dims → M=4
+# subspaces of 16; K=4 codes per subspace (the corpus is small; real
+# deployments use M=8..64, K=256 — same plan shape).
+# ----------------------------------------------------------------------
+
+PQ_M = 4
+PQ_DSUB = 16  # 64 / PQ_M
+PQ_K = 4
+
+_SQL_PQ = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+seedv AS (
+  SELECT sid, cv, idx - 1 AS dense FROM (
+    SELECT vec_id AS sid, cv,
+           ROW_NUMBER() OVER (ORDER BY vec_id) AS idx
+    FROM v WHERE vec_id % 53 = 11 ORDER BY vec_id LIMIT {PQ_K})
+),
+subs AS (SELECT vec_id, cv, unnest([0, 1, 2, 3]) AS sub FROM v),
+sv AS (SELECT vec_id, sub, cv[sub*{PQ_DSUB}+1 : (sub+1)*{PQ_DSUB}] AS s FROM subs),
+seedsub AS (
+  SELECT s.sub, d.sid, d.dense, d.cv[s.sub*{PQ_DSUB}+1 : (s.sub+1)*{PQ_DSUB}] AS cs
+  FROM (SELECT DISTINCT sub FROM sv) s CROSS JOIN seedv d
+),
+a1 AS (
+  SELECT vec_id, sub, s, sid FROM (
+    SELECT sv.vec_id, sv.sub, sv.s, k.sid,
+           ROW_NUMBER() OVER (
+             PARTITION BY sv.vec_id, sv.sub
+             ORDER BY list_sum([(sv.s[i] - k.cs[i]) * (sv.s[i] - k.cs[i])
+                                for i in range(1, {PQ_DSUB}+1)]) ASC, k.sid ASC) AS r
+    FROM sv JOIN seedsub k USING (sub)) WHERE r = 1
+),
+dims AS (
+  SELECT sub, sid, unnest([{{'pos': i, 'x': s[i]}} for i in range(1, {PQ_DSUB}+1)]) AS u
+  FROM a1
+),
+cb AS (
+  SELECT sub, sid, list(m ORDER BY pos) AS cs FROM (
+    SELECT sub, sid, u.pos AS pos, ROUND(AVG(u.x), {_KM_ROUND}) AS m
+    FROM dims GROUP BY sub, sid, u.pos
+  ) GROUP BY sub, sid
+),
+a2 AS (
+  SELECT vec_id, sub, sid, d2 FROM (
+    SELECT sv.vec_id, sv.sub, c.sid,
+           list_sum([(sv.s[i] - c.cs[i]) * (sv.s[i] - c.cs[i])
+                     for i in range(1, {PQ_DSUB}+1)]) AS d2,
+           ROW_NUMBER() OVER (
+             PARTITION BY sv.vec_id, sv.sub
+             ORDER BY list_sum([(sv.s[i] - c.cs[i]) * (sv.s[i] - c.cs[i])
+                                for i in range(1, {PQ_DSUB}+1)]) ASC, c.sid ASC) AS r
+    FROM sv JOIN cb c USING (sub)) WHERE r = 1
+),
+coded AS (SELECT a2.vec_id, a2.sub, d.dense AS code, a2.d2
+          FROM a2 JOIN seedv d ON a2.sid = d.sid)
+SELECT vec_id,
+       CAST(MAX(CASE WHEN sub = 0 THEN code END) AS BIGINT) AS code0,
+       CAST(MAX(CASE WHEN sub = 1 THEN code END) AS BIGINT) AS code1,
+       CAST(MAX(CASE WHEN sub = 2 THEN code END) AS BIGINT) AS code2,
+       CAST(MAX(CASE WHEN sub = 3 THEN code END) AS BIGINT) AS code3,
+       ROUND(SUM(d2) / 64, {_KM_ROUND}) AS mse
+FROM coded GROUP BY vec_id
+"""
+
+
+def _l2_expr(col, vec: list[float]):
+    """Squared L2 between a Column (not just a name) and a constant."""
+    lit_v = F.array(*[F.lit(float(x)) for x in vec])
+    return F.aggregate(
+        F.zip_with(col, lit_v, lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+
+
+@query("x55_pq_quantize", oracle=_SQL_PQ)
+def x55_pq_quantize(spark, sf_dir):
+    """Product-quantization codebook build + encode: per-subspace
+    K-centroid codebooks from one Lloyd update (hash-sampled seeds),
+    then every vector encodes as M dense code digits + reconstruction
+    MSE (sum of per-subspace assignment distances / dim).
+
+    Scale shape: both assignment passes are LITERAL-codebook map-only
+    projections (M·K·d_sub doubles inlined — a few KB even at
+    K=256/M=64), so encoding is scan → project with zero shuffles; the
+    codebook update is one (M·K·d_sub)-key aggregation with only
+    M·K rows to the driver — the x39 k-means shape run per subspace.
+    Determinism: codebook coordinates round to 6 decimals, argmin
+    tiebreaks on seed id, codes are the seeds' dense rank — DuckDB
+    replays the whole build→encode trajectory."""
+    e = T(spark, sf_dir, "embeddings")
+    v = fan_out(e, heavy=True).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("cv")
+    )
+    seed_rows = (
+        v.filter(F.pmod(F.col("vec_id"), F.lit(53)) == 11)
+        .orderBy("vec_id")
+        .limit(PQ_K)
+        .collect()
+    )
+    # dense code digit = seed's rank in vec_id order (engine-portable)
+    seeds = [(int(r.vec_id), i, list(r.cv)) for i, r in enumerate(seed_rows)]
+
+    def sub_slice(vec, m):
+        return vec[m * PQ_DSUB : (m + 1) * PQ_DSUB]
+
+    def assign_struct(m, cents):
+        """cents: [(sid, dense, sub_centroid)] → struct(sv, cid, dense, d2)."""
+        sub_col = F.slice("cv", m * PQ_DSUB + 1, PQ_DSUB)
+        arr = F.array(
+            *[
+                F.struct(
+                    _l2_expr(sub_col, cs).alias("d2"),
+                    F.lit(sid).alias("sid"),
+                    F.lit(dense).alias("dense"),
+                )
+                for sid, dense, cs in cents
+            ]
+        )
+        best = F.array_sort(arr).getItem(0)
+        return F.struct(
+            F.lit(m).alias("sub"),
+            sub_col.alias("sv"),
+            best.getField("sid").alias("sid"),
+            best.getField("dense").alias("dense"),
+            best.getField("d2").alias("d2"),
+        )
+
+    # pass 1: assign to seed sub-centroids, long format for the update
+    seed_subs = {
+        m: [(sid, dense, sub_slice(cv, m)) for sid, dense, cv in seeds]
+        for m in range(PQ_M)
+    }
+    a1 = v.select(
+        "vec_id",
+        F.explode(F.array(*[assign_struct(m, seed_subs[m]) for m in range(PQ_M)])).alias("a"),
+    ).select("vec_id", "a.sub", "a.sv", "a.sid")
+
+    # codebook update: mean per (sub, sid, pos), rounded — M·K rows out
+    cb_rows = (
+        a1.select("sub", "sid", F.posexplode("sv").alias("pos", "x"))
+        .groupBy("sub", "sid", "pos")
+        .agg(F.round(F.avg("x"), _KM_ROUND).alias("m"))
+        .groupBy("sub", "sid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
+            ).alias("cs")
+        )
+        .collect()
+    )
+    dense_of = {sid: dense for sid, dense, _ in seeds}
+    codebook = {m: [] for m in range(PQ_M)}
+    for r in cb_rows:
+        codebook[int(r.sub)].append((int(r.sid), dense_of[int(r.sid)], list(r.cs)))
+    for m in codebook:
+        codebook[m].sort()
+
+    # pass 2: encode against the refreshed codebooks
+    a2 = v.select(
+        "vec_id",
+        F.explode(F.array(*[assign_struct(m, codebook[m]) for m in range(PQ_M)])).alias("a"),
+    ).select("vec_id", "a.sub", "a.dense", "a.d2")
+    return a2.groupBy("vec_id").agg(
+        *[
+            F.max(F.when(F.col("sub") == m, F.col("dense")))
+            .cast("long")
+            .alias(f"code{m}")
+            for m in range(PQ_M)
+        ],
+        F.round(F.sum("d2") / 64, _KM_ROUND).alias("mse"),
+    )

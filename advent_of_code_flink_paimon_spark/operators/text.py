@@ -601,20 +601,22 @@ def x51_ccnet_perplexity_bucket(spark, sf_dir):
     xent rounds to 4 before ranking; percent_rank is value-based so
     rounded ties agree across engines."""
     d = T(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(_tokens()).alias("term"))
+    # lang rides the token stream into the doc-keyed aggregation
+    # (same group cardinality as doc_id alone), so no corpus-side join
+    # is needed to recover it for the per-language window
+    tok = d.select("doc_id", "lang", F.explode(_tokens()).alias("term"))
     freq = tok.groupBy("term").agg(F.count("*").alias("cnt"))
     tot = freq.agg(F.sum("cnt").cast("long").alias("tot"))
-    per = (
+    scored = (
         tok.join(F.broadcast(freq), "term")
         .crossJoin(F.broadcast(tot))
-        .groupBy("doc_id")
+        .groupBy("doc_id", "lang")
         .agg(
             F.round(
                 -F.sum(F.log(F.col("cnt") * 1.0 / F.col("tot"))) / F.count("*"), 4
             ).alias("xent")
         )
     )
-    scored = d.select("doc_id", "lang").join(per, "doc_id")
     pr = F.percent_rank().over(Window.partitionBy("lang").orderBy("xent"))
     return scored.select(
         "doc_id",

@@ -66,6 +66,7 @@ HEADLINE = [
     "x51_ccnet_perplexity_bucket",
     "x52_norm_dedup",
     "x54_domain_mix_report",
+    "x55_pq_quantize",
     "x42_hash_sample",
     "x43_stratified_cap",
     "x44_mixture_resample",
