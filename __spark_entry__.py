@@ -47,7 +47,7 @@ _ORDER = [
     "x49_minhash_index_dedup", "x50_ivf_kmeans_refresh",
     "x51_ccnet_perplexity_bucket", "x52_norm_dedup",
     "x53_keep_longest_dedup", "x54_domain_mix_report",
-    "x55_pq_quantize",
+    "x55_pq_quantize", "x56_pq_adc_topk",
     # value-hash-by-design entries stay inside the window so the driver
     # records their status each round (x30/x31 stubbed decoders)
     "x30_multimodal_features", "x31_frame_sample",

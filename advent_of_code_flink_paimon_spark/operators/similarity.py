@@ -948,3 +948,180 @@ def x55_pq_quantize(spark, sf_dir):
         ],
         F.round(F.sum("d2") / 64, _KM_ROUND).alias("mse"),
     )
+
+
+# ----------------------------------------------------------------------
+# x56: ADC top-k over PQ codes (Jégou et al. 2011 §IV) — the QUERY path
+# of a PQ index: each query builds an M×K lookup table of squared
+# distances to every codebook entry, and a corpus vector's approximate
+# distance is the SUM of M table lookups on its code digits — the
+# corpus EMBEDDINGS are never read at query time, only the tiny code
+# tuples. This is what makes PQ indexes memory-resident at 10⁹ vectors.
+# ----------------------------------------------------------------------
+
+_SQL_PQ_BUILD = _SQL_PQ[: _SQL_PQ.rindex("SELECT vec_id,")]  # reuse CTEs through 'a2'/'coded'
+
+_SQL_ADC = _SQL_PQ_BUILD + f"""
+, qsv AS (
+  SELECT vec_id AS query_id, sub, s FROM sv WHERE vec_id < {N_QUERIES}
+),
+pd AS (
+  SELECT q.query_id, c.vec_id, c.sub,
+         list_sum([(q.s[i] - cb.cs[i]) * (q.s[i] - cb.cs[i])
+                   for i in range(1, {PQ_DSUB}+1)]) AS pd2
+  FROM a2 c
+  JOIN cb ON cb.sub = c.sub AND cb.sid = c.sid
+  JOIN qsv q ON q.sub = c.sub
+  WHERE c.vec_id <> q.query_id
+),
+sumd AS (
+  SELECT query_id, vec_id, ROUND(SUM(pd2), {_KM_ROUND}) AS adc_d2
+  FROM pd GROUP BY query_id, vec_id
+),
+rankedq AS (
+  SELECT query_id, vec_id, adc_d2,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc_d2 ASC, vec_id ASC) AS rank
+  FROM sumd
+)
+SELECT query_id, vec_id, adc_d2, rank FROM rankedq WHERE rank <= {TOP_K}
+"""
+
+
+@query("x56_pq_adc_topk", oracle=_SQL_ADC)
+def x56_pq_adc_topk(spark, sf_dir):
+    """Asymmetric-distance top-k over PQ codes: x55's codebook build +
+    corpus encoding, then each query's M×K distance lookup table is
+    inlined as LITERALS and a corpus row scores as M array-index
+    lookups summed — a pure codegen projection over the (vec_id,
+    code0..3) relation with the embeddings column untouched at query
+    time.
+
+    Scale shape: query-time cost is scan-of-codes → project → one
+    top-k window keyed by query_id; the LUTs are N_QUERIES·M·K doubles
+    (a few KB at production M=64/K=256 too). The only driver traffic is
+    the codebook (M·K rows, from the x55 build) and the N_QUERIES query
+    vectors (bounded by construction, the x10 broadcast-query
+    pattern). Determinism: per-subspace distances replay the rounded
+    codebook exactly; the SUMMED distance rounds to 6 BEFORE ranking so
+    last-ulp addition-order noise can't flip a rank on either engine;
+    ties break on vec_id."""
+    e = T(spark, sf_dir, "embeddings")
+    v = fan_out(e, heavy=True).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("cv")
+    )
+    seed_rows = (
+        v.filter(F.pmod(F.col("vec_id"), F.lit(53)) == 11)
+        .orderBy("vec_id")
+        .limit(PQ_K)
+        .collect()
+    )
+    seeds = [(int(r.vec_id), i, list(r.cv)) for i, r in enumerate(seed_rows)]
+
+    def sub_slice(vec, m):
+        return vec[m * PQ_DSUB : (m + 1) * PQ_DSUB]
+
+    def assign_struct(m, cents):
+        sub_col = F.slice("cv", m * PQ_DSUB + 1, PQ_DSUB)
+        arr = F.array(
+            *[
+                F.struct(
+                    _l2_expr(sub_col, cs).alias("d2"),
+                    F.lit(sid).alias("sid"),
+                    F.lit(dense).alias("dense"),
+                )
+                for sid, dense, cs in cents
+            ]
+        )
+        best = F.array_sort(arr).getItem(0)
+        return F.struct(
+            F.lit(m).alias("sub"),
+            sub_col.alias("sv"),
+            best.getField("sid").alias("sid"),
+            best.getField("dense").alias("dense"),
+        )
+
+    seed_subs = {
+        m: [(sid, dense, sub_slice(cv, m)) for sid, dense, cv in seeds]
+        for m in range(PQ_M)
+    }
+    a1 = v.select(
+        "vec_id",
+        F.explode(F.array(*[assign_struct(m, seed_subs[m]) for m in range(PQ_M)])).alias("a"),
+    ).select("vec_id", "a.sub", "a.sv", "a.sid")
+    cb_rows = (
+        a1.select("sub", "sid", F.posexplode("sv").alias("pos", "x"))
+        .groupBy("sub", "sid", "pos")
+        .agg(F.round(F.avg("x"), _KM_ROUND).alias("m"))
+        .groupBy("sub", "sid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
+            ).alias("cs")
+        )
+        .collect()
+    )
+    dense_of = {sid: dense for sid, dense, _ in seeds}
+    codebook: dict[int, list] = {m: [] for m in range(PQ_M)}
+    for r in cb_rows:
+        codebook[int(r.sub)].append((int(r.sid), dense_of[int(r.sid)], list(r.cs)))
+    for m in codebook:
+        codebook[m].sort(key=lambda t: t[1])  # dense order → LUT index order
+
+    # encode the corpus against the refreshed codebook (code digits only)
+    codes = v.select(
+        "vec_id",
+        *[
+            F.array_sort(
+                F.array(
+                    *[
+                        F.struct(
+                            _l2_expr(F.slice("cv", m * PQ_DSUB + 1, PQ_DSUB), cs).alias("d2"),
+                            F.lit(sid).alias("sid"),
+                            F.lit(dense).alias("dense"),
+                        )
+                        for sid, dense, cs in codebook[m]
+                    ]
+                )
+            )
+            .getItem(0)
+            .getField("dense")
+            .alias(f"code{m}")
+            for m in range(PQ_M)
+        ],
+    )
+
+    # query LUTs: N_QUERIES bounded driver collect (x10's pattern)
+    q_rows = v.filter(F.col("vec_id") < N_QUERIES).collect()
+
+    def l2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    per_query = []
+    for qr in q_rows:
+        qv = list(qr.cv)
+        luts = [
+            [l2(sub_slice(qv, m), cs) for _, _, cs in codebook[m]]
+            for m in range(PQ_M)
+        ]
+        adc = None
+        for m in range(PQ_M):
+            term = F.element_at(
+                F.array(*[F.lit(float(x)) for x in luts[m]]), F.col(f"code{m}") + 1
+            )
+            adc = term if adc is None else adc + term
+        per_query.append(
+            F.struct(F.lit(int(qr.vec_id)).alias("query_id"), F.round(adc, _KM_ROUND).alias("adc_d2"))
+        )
+
+    scored = (
+        codes.select("vec_id", F.explode(F.array(*per_query)).alias("q"))
+        .select(F.col("q.query_id").alias("query_id"), "vec_id", F.col("q.adc_d2").alias("adc_d2"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_d2").asc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "adc_d2", "rank")
+    )

@@ -67,6 +67,7 @@ HEADLINE = [
     "x52_norm_dedup",
     "x54_domain_mix_report",
     "x55_pq_quantize",
+    "x56_pq_adc_topk",
     "x42_hash_sample",
     "x43_stratified_cap",
     "x44_mixture_resample",
