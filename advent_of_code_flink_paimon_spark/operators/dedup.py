@@ -1052,8 +1052,13 @@ def _append_bands(idx_t, docs_df: DataFrame) -> None:
     """Band a docs relation (row-local) and append to the index table.
     Build-time banding is UNCAPPED: an increment can't see global band
     sizes, so the hot-band guard moves to query time (capped_index)
-    where the count rides the join's partitioning."""
-    banded = band_rows(minhash_signatures(shingle_hash_arrays(docs_df)), band_cap=None)
+    where the count rides the join's partitioning. fan_out first: a
+    lakehouse read often yields few big partitions (one per data file)
+    and the signature projection is the compute-heavy stage."""
+    banded = band_rows(
+        minhash_signatures(shingle_hash_arrays(fan_out(docs_df, heavy=True))),
+        band_cap=None,
+    )
     idx_t.append(
         banded.select(
             F.col("band").cast("int").alias("band"),
@@ -1111,7 +1116,9 @@ def dedup_batch_against_index(batch_docs: DataFrame, idx: DataFrame, sharr: Data
     index's bucketed layout, never a corpus self-join — then verify
     with exact jaccard over the shingle-hash arrays. Output: (i = batch
     doc, j = corpus near-match, jaccard)."""
-    batch_banded = band_rows(minhash_signatures(shingle_hash_arrays(batch_docs)))
+    batch_banded = band_rows(
+        minhash_signatures(shingle_hash_arrays(fan_out(batch_docs, heavy=True)))
+    )
     pairs = (
         batch_banded.alias("a")
         .join(
@@ -1203,7 +1210,9 @@ def x49_minhash_index_dedup(spark, sf_dir):
 
     batch = docs_t.merge_raw(docs_t.incremental_read(spark, 1, 2))
     idx = catalog.get_table(minhash_index_name("docs")).read(spark)
-    sharr = shingle_hash_arrays(docs_t.read(spark)).persist()
+    # lakehouse reads come back as one partition per data file — fan
+    # out before the shingle/verify compute stages
+    sharr = shingle_hash_arrays(fan_out(docs_t.read(spark), heavy=True)).persist()
     return dedup_batch_against_index(batch, idx, sharr)
 
 
