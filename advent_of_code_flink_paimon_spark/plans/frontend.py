@@ -506,15 +506,25 @@ class Engine:
             compacts = [
                 s["id"] for s in t.snapshots() if s.get("commit_kind") == "COMPACT"
             ]
+            image_at = None
             if kv.get("scan.mode") == "compacted-full" and compacts:
                 # Paimon compacted-full, literally: the merged image of
                 # the latest compaction as +I rows, then the stored
                 # changes committed after it — works for the 'input'
                 # producer too (its compactions store no changelog, so
                 # the image IS the skip-the-history opening)
-                last = max(compacts)
-                seq = t.snapshot(last).get("sequence_number", last)
-                image = t.read(self.spark, snapshot_id=last).withColumn(
+                image_at = max(compacts)
+            elif kv.get("scan.mode") == "from-snapshot-full":
+                # Paimon from-snapshot-full: the full image AT snapshot
+                # N, then the changes committed after it
+                if "scan.snapshot-id" not in kv:
+                    raise ValueError(
+                        "'scan.mode'='from-snapshot-full' needs 'scan.snapshot-id'"
+                    )
+                image_at = int(t.resolve_ref(kv["scan.snapshot-id"]))
+            if image_at is not None:
+                seq = t.snapshot(image_at).get("sequence_number", image_at)
+                image = t.read(self.spark, snapshot_id=image_at).withColumn(
                     "op", F.lit("+I")
                 )
                 changes = t.read_changelog(

@@ -1273,3 +1273,33 @@ def test_streaming_select_scan_mode_options(engine, spark):
         }
     finally:
         engine.sql("SET 'execution.runtime-mode' = 'batch'")
+
+
+def test_streaming_select_from_snapshot_full(engine, spark):
+    """Paimon 'from-snapshot-full': the full image AT snapshot N as +I
+    rows, then the stored changes committed after N."""
+    engine.sql(
+        "CREATE TABLE sff (k BIGINT, v STRING, PRIMARY KEY (k) NOT ENFORCED) "
+        "WITH ('changelog-producer' = 'input')"
+    )
+    engine.sql("INSERT INTO sff VALUES (CAST(1 AS BIGINT), 'a')")   # s1
+    engine.sql("INSERT INTO sff VALUES (CAST(2 AS BIGINT), 'b')")   # s2
+    engine.sql("INSERT INTO sff VALUES (CAST(1 AS BIGINT), 'a2')")  # s3
+
+    engine.sql("SET 'execution.runtime-mode' = 'streaming'")
+    try:
+        rows = engine.sql(
+            "SELECT * FROM sff /*+ OPTIONS('scan.mode'='from-snapshot-full', "
+            "'scan.snapshot-id'='2') */"
+        ).collect()
+        got = {(r.op, r.k, r.v) for r in rows}
+        # image at s2 = {1:a, 2:b}; changes after = s3's -U/+U pair
+        assert got == {
+            ("+I", 1, "a"), ("+I", 2, "b"), ("-U", 1, "a"), ("+U", 1, "a2")
+        }, got
+        with pytest.raises(ValueError, match="scan.snapshot-id"):
+            engine.sql(
+                "SELECT * FROM sff /*+ OPTIONS('scan.mode'='from-snapshot-full') */"
+            )
+    finally:
+        engine.sql("SET 'execution.runtime-mode' = 'batch'")
