@@ -277,3 +277,67 @@ def x54_domain_mix_report(spark, sf_dir):
             ).alias("over_cap"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x59: deterministic global shuffle -> training-shard manifest
+# ---------------------------------------------------------------------------
+
+_SHARDS = 16
+
+
+_SQL_SHARD_ASSIGN = f"""
+WITH d AS (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           (doc_id * {_KNUTH}) % {_BUCKETS} AS h
+    FROM documents
+),
+s AS (SELECT doc_id, n_tokens, h, h % {_SHARDS} AS shard FROM d)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT)
+           AS pos,
+       CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY shard ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_tok
+FROM s
+"""
+
+
+@query("x59_shard_assign", oracle=_SQL_SHARD_ASSIGN)
+def x59_shard_assign(spark, sf_dir):
+    """Deterministic global shuffle + shard manifest for a training
+    run: every document gets a pseudo-random position — shard =
+    hash % S, within-shard order by the hash itself — plus its token
+    offset inside the shard, i.e. exactly the (shard, pos, start_tok)
+    manifest a dataloader needs to stream shuffled, byte-addressable
+    epochs WITHOUT a runtime shuffle buffer. The multiplicative-hash
+    draw is the same pure-function-of-the-row idiom as x42/x44, so the
+    "shuffle" is reproducible across partitionings, retries, and
+    engines (df.orderBy(rand()) is none of those).
+
+    Scale shape: one slim (doc_id, n_tokens, h) projection into ONE
+    hash exchange on the shard key; position and offset are the same
+    per-shard window sort (rank + running sum share it — x35's sharded
+    running-sum pattern, never a single-partition global sort). S=16
+    here; a 100 TB run sizes S so a shard ~ one output file (S in the
+    tens of thousands), which WIDENS the exchange — per-task sort
+    stays ~corpus/S and spills graceful."""
+    d = T(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * F.lit(_KNUTH)) % F.lit(_BUCKETS)
+    s = d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        h.alias("h"),
+        (h % _SHARDS).alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return s.select(
+        "doc_id", "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+        F.coalesce(
+            F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("long").alias("start_tok"),
+    )

@@ -791,3 +791,129 @@ def x47_token_entropy(spark, sf_dir):
             F.round(F.col("token_entropy") / F.log(F.col("n_types").cast("double")), 6)
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# x57: BPE-style adjacent-pair counting (the tokenizer-training primitive)
+# ---------------------------------------------------------------------------
+
+_BPE_TOP = 20
+
+_SQL_BPE_PAIRS = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+p AS (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(w) - 1),
+                                 i -> w[i] || ' ' || w[i+1])) AS pair
+    FROM d WHERE len(w) >= 2
+)
+SELECT pair,
+       COUNT(*) AS n_occ,
+       COUNT(DISTINCT doc_id) AS n_docs
+FROM p GROUP BY pair
+ORDER BY n_occ DESC, pair
+LIMIT {_BPE_TOP}
+"""
+
+
+@query("x57_bpe_pair_counts", oracle=_SQL_BPE_PAIRS)
+def x57_bpe_pair_counts(spark, sf_dir):
+    """Corpus-wide adjacent-token-pair counts, top candidates first —
+    ONE iteration of byte-pair-encoding merge selection (Sennrich et
+    al. 2016, arXiv:1508.07909), the primitive a distributed tokenizer
+    trainer runs repeatedly (count pairs -> pick the argmax merge ->
+    re-tokenize -> repeat). Emits both occurrence and document
+    frequency so the picker can damp boilerplate-driven pairs.
+
+    Scale shape: the pair stream is generated row-locally inside the
+    scan projection (an indexed transform over the token array — no
+    self-join of adjacent positions), then ONE hash exchange on the
+    pair key with map-side partial aggregation; the top-K is a
+    TakeOrderedAndProject (per-partition heaps, K rows to the driver),
+    never a global sort. The (n_occ DESC, pair) order key is TOTAL, so
+    the K-boundary cut is deterministic on both engines. At tokenizer
+    scale the same plan holds with the pair space hash-partitioned;
+    count-distinct doc frequency partial-aggregates per pair before
+    the exchange."""
+    d = fan_out(T(spark, sf_dir, "documents"), heavy=True)
+    pairs = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1),"
+        " i -> concat(element_at(split(text, ' '), i), ' ',"
+        "             element_at(split(text, ' '), i + 1)))"
+    )
+    return (
+        d.filter(F.size(_tokens()) >= 2)
+        .select("doc_id", F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(
+            F.count("*").alias("n_occ"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occ").desc(), "pair")
+        .limit(_BPE_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# x58: vocabulary construction + corpus coverage (OOV accounting)
+# ---------------------------------------------------------------------------
+
+_VOCAB_SIZE = 64
+
+_SQL_VOCAB_COVERAGE = f"""
+WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+c AS (SELECT source, tok, COUNT(*) AS n FROM t GROUP BY source, tok),
+g AS (SELECT tok, SUM(n) AS tot FROM c GROUP BY tok),
+v AS (SELECT tok FROM g ORDER BY tot DESC, tok LIMIT {_VOCAB_SIZE})
+SELECT c.source,
+       CAST(SUM(c.n) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.tok IS NOT NULL THEN c.n ELSE 0 END) AS BIGINT)
+           AS n_covered,
+       ROUND(SUM(CASE WHEN v.tok IS NOT NULL THEN c.n ELSE 0 END) * 1.0
+             / SUM(c.n), 6) AS coverage
+FROM c LEFT JOIN v ON c.tok = v.tok
+GROUP BY c.source
+"""
+
+
+@query("x58_vocab_coverage", oracle=_SQL_VOCAB_COVERAGE)
+def x58_vocab_coverage(spark, sf_dir):
+    """Top-V vocabulary construction + per-source coverage/OOV rate —
+    the "will this tokenizer vocab cover that source" audit run before
+    committing to a vocabulary (fixed V here; ties broken by token so
+    the V-boundary is deterministic on both engines).
+
+    Scale shape: ONE explode feeding a (source, token) partial-
+    aggregated count — the only corpus-sized exchange — cached and
+    reused for both phases; the global token histogram re-aggregates
+    the (source, token) counts (rows = vocab cardinality, far smaller
+    than the corpus), the top-V is a TakeOrderedAndProject (V rows to
+    the driver's plan as a broadcast, never a sort), and coverage is a
+    broadcast left-join back onto the cached counts. No corpus-sized
+    driver traffic: V rows broadcast, sources-many rows out."""
+    d = fan_out(T(spark, sf_dir, "documents"), heavy=True)
+    c = (
+        d.select("source", F.explode(_tokens()).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("n"))
+        .persist()
+    )
+    vocab = (
+        c.groupBy("tok")
+        .agg(F.sum("n").alias("tot"))
+        .orderBy(F.col("tot").desc(), "tok")
+        .limit(_VOCAB_SIZE)
+        .select("tok", F.lit(True).alias("__in_vocab"))
+    )
+    covered = F.sum(
+        F.when(F.col("__in_vocab"), F.col("n")).otherwise(F.lit(0))
+    )
+    return (
+        c.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("n_tokens"),
+            covered.cast("long").alias("n_covered"),
+            F.round(covered * 1.0 / F.sum("n"), 6).alias("coverage"),
+        )
+    )

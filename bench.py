@@ -68,6 +68,9 @@ HEADLINE = [
     "x54_domain_mix_report",
     "x55_pq_quantize",
     "x56_pq_adc_topk",
+    "x57_bpe_pair_counts",
+    "x58_vocab_coverage",
+    "x59_shard_assign",
     "x42_hash_sample",
     "x43_stratified_cap",
     "x44_mixture_resample",
