@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import glob
 import os
+import re
 import shutil
 
 from pyspark.sql import SparkSession
@@ -117,6 +118,52 @@ class Catalog:
                 raise ValueError("sequence.field cannot be a primary-key column")
             if field_names is not None and sf not in field_names:
                 raise ValueError(f"sequence.field {sf!r} is not a table column")
+        # Paimon partial-update sequence groups:
+        # 'fields.<seq-col>.sequence-group'='colA,colB' — colA/colB only
+        # accept an update whose <seq-col> value is >= every previously
+        # seen one (per key); <seq-col> itself advances with its group.
+        groups: dict[str, str] = {}
+        pk_cols = set(opts.get("primary-key") or [])
+        for k, v in opts.items():
+            m = re.fullmatch(r"fields\.(.+)\.sequence-group", k)
+            if not m:
+                continue
+            if opts.get("merge-engine") != "partial-update":
+                raise ValueError(
+                    "fields.*.sequence-group requires merge-engine='partial-update'"
+                )
+            seq_col = m.group(1)
+            members = [c.strip() for c in str(v).split(",") if c.strip()]
+            if not members:
+                raise ValueError(f"{k} lists no columns")
+            for c in members + [seq_col]:
+                if field_names is not None and c not in field_names:
+                    raise ValueError(f"sequence-group column {c!r} is not a table column")
+                if c in pk_cols:
+                    raise ValueError(
+                        f"sequence-group column {c!r} cannot be a primary-key column"
+                    )
+            for c in members:
+                if c in groups and groups[c] != seq_col:
+                    raise ValueError(
+                        f"column {c!r} appears in two sequence groups "
+                        f"({groups[c]!r} and {seq_col!r})"
+                    )
+                if c != seq_col and f"fields.{c}.sequence-group" in opts:
+                    raise ValueError(
+                        f"column {c!r} is both a sequence column and a group member"
+                    )
+                groups[c] = seq_col
+        producer = opts.get("changelog-producer")
+        if str(opts.get("changelog-producer.row-deduplicate", "false")).lower() == "true":
+            # Paimon scopes row-deduplicate to the producers that derive
+            # the changelog from a pre-image ('input' trusts the source
+            # stream verbatim, so there is nothing to compare against)
+            if producer not in ("lookup", "full-compaction"):
+                raise ValueError(
+                    "changelog-producer.row-deduplicate requires "
+                    "changelog-producer='lookup' or 'full-compaction'"
+                )
 
     def alter_table(self, name: str, set_options: dict) -> Table:
         """ALTER TABLE SET (props) → new schema version

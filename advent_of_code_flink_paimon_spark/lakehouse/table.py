@@ -1056,6 +1056,20 @@ class Table:
         )
         joined = batch.join(pre_keys, on=pk, how="left")
         had_pre = F.coalesce(F.col("__had_pre"), F.lit(False))
+        if str(self.options.get("changelog-producer.row-deduplicate", "false")).lower() == "true":
+            # Paimon changelog-producer.row-deduplicate (lookup
+            # producer): an upsert whose values equal the pre-image
+            # emits NO -U/+U pair — downstream consumers skip no-op
+            # churn. One filter before emission covers both rows; +I
+            # (no pre-image) and -D pass through untouched. The
+            # full-compaction producer needs no flag here: its diff
+            # already drops unchanged keys (~same in
+            # _write_compaction_changelog).
+            same = F.lit(True)
+            for c in cols:
+                if c not in pk:
+                    same = same & F.col(c).eqNullSafe(F.col(f"__pre_{c}"))
+            joined = joined.filter(~(had_pre & (F.col("__op") != "D") & same))
         post = joined.withColumn(
             "_change_type",
             F.when(F.col("__op") == "D", F.lit("-D"))
@@ -1187,14 +1201,36 @@ class Table:
     @property
     def merge_engine(self) -> str:
         """'merge-engine' option: 'deduplicate' (default, last-write-
-        wins), 'partial-update' (per-column last NON-NULL wins),
-        'aggregation' (per-column aggregate across writes, from
+        wins), 'partial-update' (per-column last NON-NULL wins;
+        'fields.<seq>.sequence-group' gates listed columns on a data
+        sequence column), 'aggregation' (per-column aggregate across writes, from
         'fields.<col>.aggregate-function' ∈ {sum,max,min,last_non_null/
         last_non_null_value,last_value,first_value,first_non_null_value,
         count,bool_or,bool_and,listagg}), or 'first-row' (FIRST row per
         key wins; later writes are ignored) — Paimon 0.5's merge
         engines with the documented aggregate-function set."""
         return self.options.get("merge-engine", "deduplicate")
+
+    @property
+    def sequence_groups(self) -> dict[str, str]:
+        """Paimon partial-update sequence groups
+        ('fields.<seq>.sequence-group'='colA,colB'): maps every group
+        MEMBER — and the sequence column itself — to the group's
+        sequence column. An update's values for the group apply only
+        when its <seq> is >= every previously-seen <seq> for that key
+        (a NULL <seq> never applies); the non-null-wins rule still
+        holds within accepted updates, and <seq> itself advances with
+        its group. Columns in no group keep plain last-non-null."""
+        out: dict[str, str] = {}
+        for k, v in self.options.items():
+            m = re.fullmatch(r"fields\.(.+)\.sequence-group", k)
+            if m:
+                g = m.group(1)
+                out[g] = g
+                for c in str(v).split(","):
+                    if c.strip():
+                        out[c.strip()] = g
+        return out
 
     def _merge_combine(self, df: DataFrame, order_col: str, stored: bool = False) -> DataFrame:
         """One row per key under the non-default merge engines, from
@@ -1234,8 +1270,37 @@ class Table:
         )
         w_all = Window.partitionBy(*pk)
         proj = []
+        seq_groups = self.sequence_groups if engine == "partial-update" else {}
         for c in vals:
             if engine == "partial-update":
+                g = seq_groups.get(c)
+                if g == c:
+                    # the group's sequence column: it advances with
+                    # every ACCEPTED update, and the row carrying the
+                    # global max always accepts, so the final value is
+                    # the plain max (NULL-carrying rows never accept
+                    # and max() ignores them)
+                    proj.append(F.max(c).over(w_all).alias(c))
+                    continue
+                if g is not None:
+                    # sequential accept gate, not a sort by <seq>: a
+                    # row accepts iff its <seq> is >= all EARLIER rows'
+                    # (== the running max including itself) — matching
+                    # Paimon's fold in write order, where a stale
+                    # update is rejected wholesale (its column values
+                    # never enter the state, so a later-rejected
+                    # non-null can't resurrect past an accepted NULL
+                    # that a plain (<seq>, ord) sort would let win)
+                    run_max = F.max(F.col(g)).over(w_ord)
+                    applies = F.col(g).isNotNull() & (F.col(g) == run_max)
+                    w_full = (
+                        Window.partitionBy(*pk)
+                        .orderBy(F.col(order_col).asc())
+                        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+                    )
+                    e = F.last(F.when(applies, F.col(c)), ignorenulls=True).over(w_full)
+                    proj.append(e.alias(c))
+                    continue
                 spec = "last_non_null"
             else:
                 spec = self.options.get(f"fields.{c}.aggregate-function", "last_non_null")

@@ -1870,3 +1870,157 @@ def test_consumer_expiration_time(spark, catalog):
     atomic_write_json(p2, doc2)
     assert t2.expire_snapshots(retain_min=1, retain_max=1) == []
     assert "old" in t2.consumers()
+
+
+# ---------------------------------------------------------------------------
+# partial-update sequence groups (Paimon fields.<seq>.sequence-group)
+# ---------------------------------------------------------------------------
+
+def _seq_group_table(catalog, name="sg"):
+    return catalog.create_table(
+        name,
+        "id long, a string, b string, g1 long, c string, g2 long",
+        {
+            "primary-key": "id",
+            "merge-engine": "partial-update",
+            "fields.g1.sequence-group": "a,b",
+            "fields.g2.sequence-group": "c",
+        },
+    )
+
+
+def test_sequence_group_stale_update_rejected(spark, catalog):
+    """A stale group-sequence rejects the WHOLE group's update while
+    other groups on the same row still apply (Paimon sequence-group)."""
+    t = _seq_group_table(catalog)
+    t.upsert(spark.createDataFrame(
+        [(1, "a1", "b1", 10, "c1", 10)], t.schema))
+    # g1=5 < 10: a/b/g1 unchanged; g2=20 >= 10: c/g2 apply
+    t.upsert(spark.createDataFrame(
+        [(1, "a2", None, 5, "c2", 20)], t.schema))
+    [r] = t.read(spark).collect()
+    assert (r.a, r.b, r.g1) == ("a1", "b1", 10)
+    assert (r.c, r.g2) == ("c2", 20)
+
+
+def test_sequence_group_null_values_do_not_override(spark, catalog):
+    """Within an ACCEPTED update, partial-update's non-null rule still
+    holds: a newer-sequence row with a NULL member keeps the old value
+    while the group's sequence still advances."""
+    t = _seq_group_table(catalog)
+    t.upsert(spark.createDataFrame([(1, "a1", "b1", 10, "c1", 10)], t.schema))
+    t.upsert(spark.createDataFrame([(1, None, "b2", 20, None, 30)], t.schema))
+    [r] = t.read(spark).collect()
+    assert (r.a, r.b, r.g1) == ("a1", "b2", 20)
+    assert (r.c, r.g2) == ("c1", 30)
+
+
+def test_sequence_group_null_seq_never_applies(spark, catalog):
+    """A NULL sequence value cannot be compared, so the update is
+    rejected for that group even though the table was empty-keyed
+    before only in other groups."""
+    t = _seq_group_table(catalog)
+    t.upsert(spark.createDataFrame([(1, "a1", "b1", 10, "c1", 10)], t.schema))
+    t.upsert(spark.createDataFrame([(1, "a2", "b2", None, "c2", 20)], t.schema))
+    [r] = t.read(spark).collect()
+    assert (r.a, r.b, r.g1) == ("a1", "b1", 10)
+    assert (r.c, r.g2) == ("c2", 20)
+
+
+def test_sequence_group_stale_nonnull_cannot_resurrect_past_accepted_null(spark, catalog):
+    """The accept gate is SEQUENTIAL (fold in write order), not a sort
+    by sequence: after an accepted update with a NULL member, a later
+    REJECTED row's non-null value must not surface (a plain
+    (seq, ord)-sorted last-non-null would wrongly pick it)."""
+    t = _seq_group_table(catalog)
+    t.upsert(spark.createDataFrame([(1, None, "b1", 10, "c1", 1)], t.schema))
+    t.upsert(spark.createDataFrame([(1, "aX", "b2", 5, "c2", 2)], t.schema))
+    [r] = t.read(spark).collect()
+    assert (r.a, r.b, r.g1) == (None, "b1", 10)
+
+
+def test_sequence_group_in_batch_matches_cross_commit(spark, catalog):
+    """The same rows produce the same merged image whether they arrive
+    as one batch or as per-row commits — the stored/in-batch combine
+    consistency every merge engine in this table guarantees."""
+    rows = [
+        (1, "a1", "b1", 10, "c1", 10),
+        (1, "a2", None, 5, "c2", 20),
+        (1, None, "b3", 20, None, 15),
+        (2, "x", None, None, "y", 1),
+    ]
+    t1 = _seq_group_table(catalog, "sg_batch")
+    t1.upsert(spark.createDataFrame(rows, t1.schema))
+    t2 = _seq_group_table(catalog, "sg_commits")
+    for row in rows:
+        t2.upsert(spark.createDataFrame([row], t2.schema))
+    got1 = sorted(map(tuple, t1.read(spark).collect()))
+    got2 = sorted(map(tuple, t2.read(spark).collect()))
+    assert got1 == got2
+    assert got1[0] == (1, "a1", "b3", 20, "c2", 20)
+    # key 2's only row carries a NULL g1: the a-column update is
+    # rejected (no sequence to compare), g2=1 accepts y
+    assert got1[1] == (2, None, None, None, "y", 1)
+
+
+def test_sequence_group_validation(spark, catalog):
+    with pytest.raises(ValueError, match="partial-update"):
+        catalog.create_table(
+            "bad1", "id long, a string, g long",
+            {"primary-key": "id", "fields.g.sequence-group": "a"},
+        )
+    with pytest.raises(ValueError, match="not a table column"):
+        catalog.create_table(
+            "bad2", "id long, a string, g long",
+            {"primary-key": "id", "merge-engine": "partial-update",
+             "fields.g.sequence-group": "nope"},
+        )
+    with pytest.raises(ValueError, match="primary-key"):
+        catalog.create_table(
+            "bad3", "id long, a string, g long",
+            {"primary-key": "id", "merge-engine": "partial-update",
+             "fields.g.sequence-group": "id"},
+        )
+    with pytest.raises(ValueError, match="two sequence groups"):
+        catalog.create_table(
+            "bad4", "id long, a string, g long, h long",
+            {"primary-key": "id", "merge-engine": "partial-update",
+             "fields.g.sequence-group": "a", "fields.h.sequence-group": "a"},
+        )
+
+
+# ---------------------------------------------------------------------------
+# changelog-producer.row-deduplicate
+# ---------------------------------------------------------------------------
+
+def test_changelog_row_deduplicate(spark, catalog):
+    """With 'changelog-producer.row-deduplicate', an upsert that leaves
+    a key's values unchanged emits NO -U/+U pair; a real change still
+    emits both; +I is untouched (Paimon's lookup-producer option)."""
+    t = catalog.create_table(
+        "rd", "k long, v string",
+        {"primary-key": "k", "changelog-producer": "lookup",
+         "changelog-producer.row-deduplicate": "true"},
+    )
+    t.upsert(spark.createDataFrame([(1, "a")], t.schema))
+    t.upsert(spark.createDataFrame([(1, "a")], t.schema))   # no-op churn
+    t.upsert(spark.createDataFrame([(1, "b")], t.schema))   # real change
+    per_commit = {
+        seq: sorted(
+            r._change_type
+            for r in t.read_changelog(spark, from_seq=seq - 1, to_seq=seq).collect()
+        )
+        for seq in (1, 2, 3)
+    }
+    assert per_commit[1] == ["+I"]
+    assert per_commit[2] == []          # suppressed: values unchanged
+    assert per_commit[3] == ["+U", "-U"]
+
+
+def test_row_deduplicate_requires_lookup_or_full_compaction(spark, catalog):
+    with pytest.raises(ValueError, match="row-deduplicate"):
+        catalog.create_table(
+            "rd_bad", "k long, v string",
+            {"primary-key": "k", "changelog-producer": "input",
+             "changelog-producer.row-deduplicate": "true"},
+        )
