@@ -483,3 +483,46 @@ def test_scoring_window_overflow_not_stale():
         f"CORRECTNESS files ({[Path(p).name for p in files[-2:]]}) — driver "
         f"evidence would be >1 round old: {stale}"
     )
+
+
+# rows (key, value-or-None, seq-or-None): the fold model is sequential,
+# so the strategy just draws arbitrary rows and a batch cut point
+seqgroup_row = st.tuples(
+    st.integers(0, 3),
+    st.one_of(st.none(), st.integers(0, 9)),
+    st.one_of(st.none(), st.integers(0, 9)),
+)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(seqgroup_row, min_size=1, max_size=12),
+    cut=st.integers(0, 12),
+)
+def test_sequence_group_matches_sequential_fold_model(spark, tmp_path_factory, rows, cut):
+    """partial-update + fields.g.sequence-group against the sequential
+    Python fold Paimon's merge function performs: in write order, a row
+    applies its group (value update under the non-null rule, sequence
+    advance) iff its g is non-NULL and >= the current group sequence —
+    and the result must not depend on where the batch boundary falls."""
+    wh = tmp_path_factory.mktemp("wh-sg")
+    cat = Catalog(str(wh))
+    t = cat.create_table(
+        "t", "k long, v long, g long",
+        {"primary-key": "k", "merge-engine": "partial-update",
+         "fields.g.sequence-group": "v"},
+    )
+    cut = min(cut, len(rows))
+    for chunk in (rows[:cut], rows[cut:]):
+        if chunk:
+            # single partition → in-batch input order == row order
+            t.upsert(spark.createDataFrame(chunk, "k long, v long, g long").coalesce(1))
+    model: dict[int, tuple[int | None, int | None]] = {}
+    for k, v, g in rows:
+        cur_v, cur_g = model.get(k, (None, None))
+        if g is not None and (cur_g is None or g >= cur_g):
+            cur_v = v if v is not None else cur_v
+            cur_g = g
+        model[k] = (cur_v, cur_g)
+    got = {r.k: (r.v, r.g) for r in t.read(spark).collect()}
+    assert got == model
