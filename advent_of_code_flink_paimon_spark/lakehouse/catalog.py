@@ -154,6 +154,13 @@ class Catalog:
                         f"column {c!r} is both a sequence column and a group member"
                     )
                 groups[c] = seq_col
+        if (
+            str(opts.get("partial-update.ignore-delete", "false")).lower() == "true"
+            and opts.get("merge-engine") != "partial-update"
+        ):
+            raise ValueError(
+                "partial-update.ignore-delete requires merge-engine='partial-update'"
+            )
         producer = opts.get("changelog-producer")
         if str(opts.get("changelog-producer.row-deduplicate", "false")).lower() == "true":
             # Paimon scopes row-deduplicate to the producers that derive
@@ -449,6 +456,7 @@ class Catalog:
                 "incremental-between-timestamp",
                 "incremental-between-scan-mode",
                 "scan.snapshot-id",
+                "scan.mode",
             }
             if not supported & kv.keys():
                 # advisory-only hint: only the hint is removed. An
@@ -463,7 +471,41 @@ class Catalog:
                 return view
             t = cat.get_table(name)
             changelog_mode = kv.get("incremental-between-scan-mode") == "changelog"
-            if "incremental-between" in kv:
+            batch_mode = kv.get("scan.mode")
+            if batch_mode is not None and "incremental-between" not in kv:
+                # Paimon BATCH scan.mode (the streaming spellings live in
+                # plans.frontend's streaming-runtime SELECT): pin the read
+                # at the position the mode names. 'latest'/'latest-full'
+                # are the default merged read; 'compacted-full' pins at
+                # the newest COMPACT commit (full image, no post-compact
+                # writes); 'from-snapshot[-full]' is time travel by id;
+                # 'from-timestamp' resolves through the snapshot log.
+                if batch_mode in ("default", "latest", "latest-full"):
+                    df = t.read(spark)
+                elif batch_mode == "compacted-full":
+                    compacts = [
+                        s["id"] for s in t.snapshots()
+                        if s.get("commit_kind") == "COMPACT"
+                    ]
+                    df = t.read(spark, snapshot_id=max(compacts) if compacts else None)
+                elif batch_mode in ("from-snapshot", "from-snapshot-full"):
+                    if "scan.snapshot-id" not in kv:
+                        raise ValueError(
+                            f"'scan.mode'='{batch_mode}' needs 'scan.snapshot-id'"
+                        )
+                    df = t.read(spark, snapshot_id=int(kv["scan.snapshot-id"]))
+                elif batch_mode == "from-timestamp":
+                    if "scan.timestamp-millis" not in kv:
+                        raise ValueError(
+                            "'scan.mode'='from-timestamp' needs 'scan.timestamp-millis'"
+                        )
+                    df = t.read(
+                        spark,
+                        snapshot_id=t.snapshot_as_of_timestamp(kv["scan.timestamp-millis"]),
+                    )
+                else:
+                    raise ValueError(f"unknown batch scan.mode {batch_mode!r}")
+            elif "incremental-between" in kv:
                 a, b = [x.strip() for x in kv["incremental-between"].split(",")]
                 if changelog_mode:
                     # 'incremental-between-scan-mode'='changelog': the

@@ -890,11 +890,22 @@ class Table:
             # insert/update images only — a caller-supplied __op column
             # (retractions; delete_where's D rows) has no defined merge
             if "__op" in df.columns:
-                raise ValueError(
-                    f"{self.name}: merge-engine '{self.merge_engine}' does not "
-                    "accept retraction (__op) inputs; replace rows via "
-                    "overwrite() instead"
-                )
+                if (
+                    self.merge_engine == "partial-update"
+                    and str(self.options.get("partial-update.ignore-delete", "false")).lower()
+                    == "true"
+                ):
+                    # Paimon partial-update.ignore-delete: delete
+                    # records in the input stream are silently dropped
+                    # instead of rejected (a CDC source interleaving
+                    # retractions with partial columns keeps flowing)
+                    df = df.filter(F.col("__op") != "D").drop("__op")
+                else:
+                    raise ValueError(
+                        f"{self.name}: merge-engine '{self.merge_engine}' does not "
+                        "accept retraction (__op) inputs; replace rows via "
+                        "overwrite() instead"
+                    )
             combined = self._merge_combine(
                 df.withColumn("__ord", F.monotonically_increasing_id()), "__ord"
             )

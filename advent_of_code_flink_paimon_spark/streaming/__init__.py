@@ -9,6 +9,7 @@ from advent_of_code_flink_paimon_spark.streaming.pipelines import (
     stream_table_upsert,
 )
 from advent_of_code_flink_paimon_spark.streaming.windows import (
+    changelog_normalize,
     stream_stream_join,
     dedup_within_watermark,
     session_agg,
@@ -28,5 +29,6 @@ __all__ = [
     "session_agg",
     "dedup_within_watermark",
     "stateful_ewma",
+    "changelog_normalize",
     "stream_stream_join",
 ]

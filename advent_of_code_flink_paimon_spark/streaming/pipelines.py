@@ -201,6 +201,7 @@ def stream_table_upsert(
     scan_mode: str | None = None,
     from_snapshot: int | str | None = None,
     from_timestamp: int | str | None = None,
+    include_seq: bool = False,
 ) -> DataFrame:
     """Streaming read of a PK table WITHOUT a stored changelog
     (Paimon's changelog-producer=none): each upsert commit's POST-IMAGE
@@ -250,10 +251,16 @@ def stream_table_upsert(
     os.makedirs(sdir, exist_ok=True)
     raw = _filter_from_start(spark.readStream.schema(schema).parquet(sdir), start)
     cols = [f.name for f in table.schema.fields]
-    return raw.select(
+    out = [
         *cols,
         F.when(F.col("__op") == "D", "-D").otherwise("+U").alias("op"),
-    )
+    ]
+    if include_seq:
+        # commit order for downstream normalizers (changelog_normalize
+        # sorts each micro-batch group by it so two commits landing in
+        # one trigger fold in the right order)
+        out.append(F.col("__seq").alias("seq"))
+    return raw.select(*out)
 
 
 def stream_table_changelog(
@@ -306,7 +313,12 @@ def stream_table_changelog(
         # subscriber hasn't consumed anything yet as far as the table
         # knows; it advances the bookmark as its batches commit
         if start is None:
-            nxt = table.latest_snapshot_id() or 1  # genesis replay
+            # genesis replay: NOTHING is consumed yet, so the bookmark
+            # must sit at the earliest stored snapshot — registering at
+            # latest would leave the whole unread history (and its
+            # changelog dirs) expirable mid-replay
+            snaps = table.snapshots()
+            nxt = snaps[0]["id"] if snaps else 1
         else:
             nxt = max(1, min(start, (table.latest_snapshot_id() or 0) + 1))
         table.register_consumer(consumer_id, next_snapshot_id=nxt)

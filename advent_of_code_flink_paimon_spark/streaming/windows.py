@@ -172,3 +172,84 @@ def stateful_ewma(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def changelog_normalize(
+    df: DataFrame,
+    key_cols: list[str],
+    value_cols: list[str],
+    order_col: str | None = None,
+    row_deduplicate: bool = False,
+) -> DataFrame:
+    """Changelog-normalize: turn a POST-IMAGE upsert stream (op ∈
+    {'+U', '-D'}, no pre-images — exactly what ``stream_table_upsert``
+    emits for a changelog-less PK table) into a full +I/-U/+U/-D
+    changelog, via one last-known-row state per key
+    (applyInPandasWithState). This is the operator the reference's
+    planner inserts under upsert sources when no stored changelog
+    exists (the 'ChangelogNormalize' node SURVEY.md §2.9 cites;
+    tutorial/guide.md:69-74 motivates the stored-changelog fast path
+    precisely by the cost of this state), offered here as the explicit
+    escape hatch for consumers of changelog-less tables.
+
+    - first '+U' for a key -> '+I' (and the row becomes state)
+    - later '+U' -> '-U' with the REMEMBERED pre-image, then '+U'
+      (``row_deduplicate=True`` drops the pair when values are equal,
+      mirroring 'changelog-producer.row-deduplicate')
+    - '-D' -> '-D' carrying the remembered image; unknown-key deletes
+      emit nothing (the same no-op rule the table's own producer uses)
+
+    ``order_col`` (e.g. the commit sequence from
+    ``stream_table_upsert(..., include_seq=True)``) orders rows WITHIN
+    a micro-batch so two commits landing in one trigger fold in commit
+    order. State is O(live keys) like every normalize operator; at
+    100 TB the state store shards by the same key hash the groupBy
+    shuffles on."""
+    import json
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out_schema = ", ".join(
+        [f"{c} {fields[c]}" for c in key_cols + value_cols] + ["_change_type string"]
+    )
+    out_cols = key_cols + value_cols + ["_change_type"]
+
+    def fold(key, pdfs, state):
+        import pandas as pd
+
+        last = json.loads(state.get[0]) if state.exists else None
+        out = []
+        for pdf in pdfs:
+            if order_col:
+                pdf = pdf.sort_values(order_col, kind="stable")
+            for row in pdf.to_dict("records"):
+                vals = [
+                    None if pd.isna(v) else (v.item() if hasattr(v, "item") else v)
+                    for v in (row[c] for c in value_cols)
+                ]
+                if row["op"] == "-D":
+                    if last is not None:
+                        out.append(list(key) + last + ["-D"])
+                        last = None
+                else:
+                    if last is None:
+                        out.append(list(key) + vals + ["+I"])
+                    elif not (row_deduplicate and vals == last):
+                        out.append(list(key) + last + ["-U"])
+                        out.append(list(key) + vals + ["+U"])
+                    last = vals
+        if last is None:
+            if state.exists:
+                state.remove()
+        else:
+            state.update((json.dumps(last),))
+        yield pd.DataFrame(out, columns=out_cols)
+
+    return df.groupBy(*key_cols).applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType="last string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

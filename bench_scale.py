@@ -32,7 +32,12 @@ QUERIES = ["x07_dup_clusters", "x13_semantic_dedup", "x03_dedup_minhash_lsh",
            # round-5 operators with corpus-wide aggregations
            "x32_unigram_lm_score", "x33_dsir_importance", "x34_cluster_keep_best",
            # round-5 late additions: corpus-wide chunk-hash shuffle + Lloyd iterations
-           "x36_chunk_dedup", "x39_kmeans"]
+           "x36_chunk_dedup", "x39_kmeans",
+           # round-6: persisted-index lifecycle, per-language windows,
+           # PQ build/query, pair counting, vocab, shard-manifest window
+           "x49_minhash_index_dedup", "x51_ccnet_perplexity_bucket",
+           "x55_pq_quantize", "x56_pq_adc_topk", "x57_bpe_pair_counts",
+           "x58_vocab_coverage", "x59_shard_assign"]
 REPEATS = 3
 
 

@@ -2024,3 +2024,36 @@ def test_row_deduplicate_requires_lookup_or_full_compaction(spark, catalog):
             {"primary-key": "k", "changelog-producer": "input",
              "changelog-producer.row-deduplicate": "true"},
         )
+
+
+def test_partial_update_ignore_delete(spark, catalog):
+    """'partial-update.ignore-delete': retraction rows in the input are
+    silently dropped instead of rejected (Paimon's option for CDC
+    sources that interleave deletes with partial columns); without the
+    option the same input raises."""
+    t = catalog.create_table(
+        "pid", "k long, a string, b string",
+        {"primary-key": "k", "merge-engine": "partial-update",
+         "partial-update.ignore-delete": "true"},
+    )
+    t.upsert(spark.createDataFrame([(1, "a1", None)], t.schema))
+    # a delete arrives mid-stream: dropped; the partial update applies
+    mixed = spark.createDataFrame(
+        [(1, None, "b2", "D"), (1, None, "b9", "U")],
+        "k long, a string, b string, __op string",
+    )
+    t.upsert(mixed)
+    [r] = t.read(spark).collect()
+    assert (r.a, r.b) == ("a1", "b9")
+
+    strict = catalog.create_table(
+        "pid_strict", "k long, a string, b string",
+        {"primary-key": "k", "merge-engine": "partial-update"},
+    )
+    with pytest.raises(ValueError, match="retraction"):
+        strict.upsert(mixed)
+    with pytest.raises(ValueError, match="ignore-delete"):
+        catalog.create_table(
+            "pid_bad", "k long, v string",
+            {"primary-key": "k", "partial-update.ignore-delete": "true"},
+        )

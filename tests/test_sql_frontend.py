@@ -1303,3 +1303,37 @@ def test_streaming_select_from_snapshot_full(engine, spark):
             )
     finally:
         engine.sql("SET 'execution.runtime-mode' = 'batch'")
+
+
+def test_options_batch_scan_mode(engine, spark):
+    """Paimon BATCH 'scan.mode' as an OPTIONS hint: 'compacted-full'
+    pins the read at the newest COMPACT commit (post-compaction writes
+    invisible), 'from-snapshot' is time travel by id, 'from-timestamp'
+    resolves through the snapshot log, 'latest' is the default read;
+    an unknown mode raises instead of silently reading latest."""
+    import pytest as _pytest
+
+    engine.sql("CREATE TABLE bm (k BIGINT, v STRING, PRIMARY KEY (k) NOT ENFORCED)")
+    engine.sql("INSERT INTO bm VALUES (1, 'a')")
+    engine.sql("INSERT INTO bm VALUES (2, 'b')")
+    t = engine.catalog.get_table("bm")
+    t.compact()  # snapshot 3: COMPACT
+    engine.sql("INSERT INTO bm VALUES (3, 'c')")  # snapshot 4: after compaction
+
+    n = engine.sql(
+        "SELECT count(*) AS n FROM bm /*+ OPTIONS('scan.mode'='compacted-full') */"
+    ).collect()[0].n
+    assert n == 2  # k=3 committed after the compaction is invisible
+    n = engine.sql(
+        "SELECT count(*) AS n FROM bm /*+ OPTIONS('scan.mode'='latest') */"
+    ).collect()[0].n
+    assert n == 3
+    n = engine.sql(
+        "SELECT count(*) AS n FROM bm /*+ OPTIONS('scan.mode'='from-snapshot', "
+        "'scan.snapshot-id'='1') */"
+    ).collect()[0].n
+    assert n == 1
+    with _pytest.raises(ValueError, match="scan.mode"):
+        engine.sql("SELECT * FROM bm /*+ OPTIONS('scan.mode'='sideways') */")
+    with _pytest.raises(ValueError, match="scan.snapshot-id"):
+        engine.sql("SELECT * FROM bm /*+ OPTIONS('scan.mode'='from-snapshot') */")

@@ -384,10 +384,17 @@ def test_stream_table_changelog_registers_consumer(spark, catalog):
         t.upsert(spark.createDataFrame([(i, "x")], "k long, v string"))
     reader = stream_table_changelog(spark, t, consumer_id="sub-1")
     assert reader.isStreaming
-    assert t.consumers()["sub-1"]["next_snapshot_id"] == 3
+    # genesis replay: nothing consumed yet — the bookmark sits at the
+    # EARLIEST snapshot so the whole unread history stays pinned
+    assert t.consumers()["sub-1"]["next_snapshot_id"] == 1
     # aggressive retention cannot expire the subscriber's window
     future = int(_time.time() * 1000) + 60_000
     t.upsert(spark.createDataFrame([(9, "y")], "k long, v string"))
+    expired = t.expire_snapshots(retain_min=1, older_than_ms=future)
+    assert expired == []
+    # advancing the bookmark (the subscriber's act of releasing
+    # consumed snapshots) is what lets retention reclaim them
+    t.register_consumer("sub-1", next_snapshot_id=3)
     expired = t.expire_snapshots(retain_min=1, older_than_ms=future)
     assert expired == [1, 2]
     assert {s["id"] for s in t.snapshots()} == {3, 4}
@@ -628,3 +635,93 @@ def test_upsert_stream_scan_mode(spark, catalog, tmp_path):
     )
     rows = {(r.k, r.v, r.op) for r in spark.sql("SELECT * FROM uf_from2").collect()}
     assert rows == {(1, "a2", "+U")}, rows
+
+
+def test_changelog_normalize_matches_stored_producer(spark, catalog, tmp_path):
+    """changelog_normalize turns a post-image upsert stream (+U/-D, no
+    pre-images) into the SAME +I/-U/+U/-D rows a stored-changelog
+    producer writes for the identical commit sequence — the
+    'ChangelogNormalize' state operator consumers of changelog-less
+    tables need (SURVEY.md §2.9)."""
+    from advent_of_code_flink_paimon_spark.streaming import (
+        changelog_normalize,
+        stream_table_upsert,
+    )
+
+    ddl = "k long, v string"
+    # changelog-less table: the stream under test
+    t = catalog.create_table("cn", ddl, {"primary-key": "k"})
+    # twin table with a stored producer: the expected rows
+    ref = catalog.create_table(
+        "cn_ref", ddl, {"primary-key": "k", "changelog-producer": "input"}
+    )
+    commits = [
+        [(1, "a"), (2, "x")],            # +I, +I
+        [(1, "b")],                      # -U a, +U b
+        [(1, "b")],                      # -U b, +U b (no row-dedup)
+    ]
+    for batch in commits:
+        t.upsert(spark.createDataFrame(batch, ddl))
+        ref.upsert(spark.createDataFrame(batch, ddl))
+    # a delete arrives as a retraction row (carrying the row's values,
+    # as a CDC source does: the stored producer emits the delete row AS
+    # SUPPLIED, while normalize emits its remembered pre-image — equal
+    # exactly when the retraction carries the true last image)
+    d = spark.createDataFrame([(2, "x", "D")], "k long, v string, __op string")
+    t.upsert(d)
+    ref.upsert(d)
+
+    normalized = changelog_normalize(
+        stream_table_upsert(spark, t, include_seq=True),
+        key_cols=["k"], value_cols=["v"], order_col="seq",
+    )
+    q = (
+        normalized.writeStream.format("memory")
+        .queryName("cn_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cn-ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.k, r.v, r._change_type)
+        for r in spark.sql("SELECT * FROM cn_out").collect()
+    )
+    want = sorted(
+        (r.k, r.v, r._change_type) for r in ref.read_changelog(spark).collect()
+    )
+    assert got == want, (got, want)
+
+
+def test_changelog_normalize_row_deduplicate(spark, catalog, tmp_path):
+    """row_deduplicate=True drops the -U/+U pair for a value-identical
+    re-upsert — mirroring 'changelog-producer.row-deduplicate'."""
+    from advent_of_code_flink_paimon_spark.streaming import (
+        changelog_normalize,
+        stream_table_upsert,
+    )
+
+    ddl = "k long, v string"
+    t = catalog.create_table("cnrd", ddl, {"primary-key": "k"})
+    for batch in ([(1, "a")], [(1, "a")], [(1, "c")]):
+        t.upsert(spark.createDataFrame(batch, ddl))
+    normalized = changelog_normalize(
+        stream_table_upsert(spark, t, include_seq=True),
+        key_cols=["k"], value_cols=["v"], order_col="seq",
+        row_deduplicate=True,
+    )
+    q = (
+        normalized.writeStream.format("memory")
+        .queryName("cnrd_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cnrd-ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.k, r.v, r._change_type)
+        for r in spark.sql("SELECT * FROM cnrd_out").collect()
+    )
+    assert got == [(1, "a", "+I"), (1, "a", "-U"), (1, "c", "+U")], got
