@@ -1367,3 +1367,87 @@ def x53_keep_longest_dedup(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("doc_id", "fp", "n_chars", F.col("group_size").cast("long").alias("group_size"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Continuous dedup ingestion: stream -> near-dedup vs corpus -> lakehouse
+# ---------------------------------------------------------------------------
+
+class DedupIngestPipeline:
+    """Continuous NEAR-DEDUPED ingestion into a lakehouse docs table —
+    the architecture the persisted MinHash index exists for (x46/x49's
+    machinery composed with the streaming sink): every micro-batch is
+    LSH-checked against the index of everything already committed, only
+    novel documents are appended, and the index advances to cover them
+    before the next batch arrives.
+
+    Per micro-batch (``sink`` is the foreachBatch body; ``start`` wires
+    it to any streaming source with (doc_id, text) rows):
+
+    1. ``refresh_minhash_index`` — band any docs-table commits the
+       index has not seen (O(new docs), consumer-bookmark resumed; a
+       no-op when this pipeline is the only writer, real work when
+       batch backfills share the table).
+    2. in-batch exact dedup (first doc_id per md5 wins) — LSH bands of
+       two identical in-batch docs would pass ``a.doc_id != b.doc_id``
+       and both survive; the hash window closes that before the probe.
+    3. ``dedup_batch_against_index`` — |batch|·bands probe rows against
+       the bucketed index, exact-jaccard verified against the shingle
+       arrays of (corpus ∪ batch); batch docs near-matching the CORPUS
+       are dropped. (In-batch NEAR-dups below the exact-hash bar ride
+       through and are caught at the NEXT refresh — same eventual set,
+       documented trade for keeping the per-batch cost one probe.)
+    4. append survivors with ``commit_identifier=batch_id`` — replayed
+       micro-batches (checkpoint recovery) commit exactly once.
+    5. refresh again so the NEXT batch dedups against these survivors.
+
+    Scale shape: every stage is the already-audited x46/x49 plan —
+    banding is row-local, the probe shuffles |batch|·bands rows into
+    the index's bucket layout, verify joins only candidate doc_ids, and
+    the refresh reads O(new docs) off the snapshot log. Nothing scans
+    the corpus per batch except the verify's semi-joined shingle read,
+    which prunes to candidate matches."""
+
+    def __init__(self, spark, catalog, docs_table: str, checkpoint_dir: str):
+        self.spark, self.catalog = spark, catalog
+        self.docs_table, self.checkpoint_dir = docs_table, checkpoint_dir
+        if not catalog.has_table(docs_table):
+            catalog.create_table(docs_table, "doc_id long, text string", {})
+
+    def sink(self, batch_df: DataFrame, batch_id: int) -> int:
+        """foreachBatch body; returns the number of rows appended."""
+        docs_t = self.catalog.get_table(self.docs_table)
+        refresh_minhash_index(self.spark, self.catalog, self.docs_table)
+        batch = batch_df.select("doc_id", "text")
+        w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+        batch = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .persist()
+        )
+        idx = self.catalog.get_table(minhash_index_name(self.docs_table)).read(self.spark)
+        corpus = docs_t.read(self.spark) if docs_t.latest_snapshot_id() else None
+        pool = batch if corpus is None else corpus.unionByName(batch)
+        sharr = shingle_hash_arrays(fan_out(pool, heavy=True))
+        dup_ids = (
+            dedup_batch_against_index(batch, idx, sharr)
+            .select(F.col("i").alias("doc_id"))
+            .distinct()
+        )
+        survivors = batch.join(dup_ids, "doc_id", "left_anti")
+        n = survivors.count()
+        if n:
+            docs_t.append(survivors, commit_identifier=batch_id)
+            refresh_minhash_index(self.spark, self.catalog, self.docs_table)
+        batch.unpersist()
+        return n
+
+    def start(self, source: DataFrame):
+        """Attach to a streaming (doc_id, text) source."""
+        return (
+            source.writeStream.queryName(f"dedup-ingest-{self.docs_table}")
+            .foreachBatch(lambda df, bid: self.sink(df, bid))
+            .option("checkpointLocation", self.checkpoint_dir)
+            .start()
+        )

@@ -725,3 +725,55 @@ def test_changelog_normalize_row_deduplicate(spark, catalog, tmp_path):
         for r in spark.sql("SELECT * FROM cnrd_out").collect()
     )
     assert got == [(1, "a", "+I"), (1, "a", "-U"), (1, "c", "+U")], got
+
+
+def test_dedup_ingest_pipeline(spark, catalog, tmp_path):
+    """Continuous dedup ingestion (the persisted-index architecture end
+    to end): each micro-batch is near-deduped against everything
+    already committed via the index, survivors append, the index
+    advances, and a replayed batch_id commits nothing twice."""
+    from advent_of_code_flink_paimon_spark.operators.dedup import DedupIngestPipeline
+
+    p = DedupIngestPipeline(spark, catalog, "docs", str(tmp_path / "ck"))
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = "the quick brown fox jumps over the lazy dog again and more"
+    ddl = "doc_id long, text string"
+
+    n1 = p.sink(spark.createDataFrame(
+        [(1, base), (2, "completely different text about spark streaming tables")],
+        ddl), 0)
+    assert n1 == 2
+
+    n2 = p.sink(spark.createDataFrame(
+        [(3, base),                                            # exact dup of corpus
+         (4, near),                                            # near-dup of corpus
+         (5, "a novel third document with entirely unrelated words inside")],
+        ddl), 1)
+    assert n2 == 1
+    t = catalog.get_table("docs")
+    assert {r.doc_id for r in t.read(spark).collect()} == {1, 2, 5}
+
+    # replay of batch 1 (checkpoint recovery): exactly-once commit
+    before = t.latest_snapshot_id()
+    p.sink(spark.createDataFrame([(5, "a novel third document with entirely "
+                                      "unrelated words inside")], ddl), 1)
+    assert t.latest_snapshot_id() == before
+
+    # in-batch exact duplicates collapse before the index probe
+    n3 = p.sink(spark.createDataFrame(
+        [(6, "some fresh content never seen before in this table"),
+         (7, "some fresh content never seen before in this table")], ddl), 2)
+    assert n3 == 1
+    assert {r.doc_id for r in t.read(spark).collect()} == {1, 2, 5, 6}
+
+    # the index covers every committed doc (bookmark caught up)
+    from advent_of_code_flink_paimon_spark.operators.dedup import (
+        minhash_index_name,
+        refresh_minhash_index,
+    )
+    assert refresh_minhash_index(spark, catalog, "docs") == 0
+    idx_docs = {
+        r.doc_id
+        for r in catalog.get_table(minhash_index_name("docs")).read(spark).collect()
+    }
+    assert idx_docs == {1, 2, 5, 6}
