@@ -1451,3 +1451,59 @@ class DedupIngestPipeline:
             .option("checkpointLocation", self.checkpoint_dir)
             .start()
         )
+
+
+# ---------------------------------------------------------------------------
+# x60: cross-source duplication matrix (corpus governance)
+# ---------------------------------------------------------------------------
+
+_SQL_SOURCE_DUP_MATRIX = f"""
+WITH pairs AS ({_SQL_EXHAUSTIVE_JACCARD}),
+src AS (SELECT doc_id, source FROM documents)
+SELECT least(sa.source, sb.source) AS src_a,
+       greatest(sa.source, sb.source) AS src_b,
+       COUNT(*) AS n_pairs,
+       ROUND(MAX(jaccard), 6) AS max_jaccard
+FROM pairs p
+JOIN src sa ON sa.doc_id = p.i
+JOIN src sb ON sb.doc_id = p.j
+GROUP BY 1, 2
+"""
+
+
+@query("x60_source_dup_matrix", oracle=_SQL_SOURCE_DUP_MATRIX)
+def x60_source_dup_matrix(spark, sf_dir):
+    """Cross-source duplication matrix — which sources duplicate which
+    (the corpus-governance card behind crawl-overlap and mirror-site
+    decisions: a hot (src_a, src_b) cell means one feed is largely a
+    copy of another and should be down-weighted or dropped wholesale,
+    not deduped doc-by-doc). Near-dup pairs come from the x03
+    MinHash+LSH machinery; the matrix folds pair direction with
+    least/greatest so (A,B) and (B,A) land in one cell.
+
+    Scale shape: x03's audited plan (row-local banding, capped band
+    join, verify restricted to candidates) plus two slim joins mapping
+    pair endpoints to sources and ONE grouped agg whose key space is
+    sources², tiny. MAX(jaccard) is order-independent, so the matrix is
+    deterministic where a float SUM across an unordered pair set would
+    not be."""
+    docs = fan_out(T(spark, sf_dir, "documents"), heavy=True)
+    sharr = shingle_hash_arrays(docs).persist()
+    pairs = exact_jaccard(
+        lsh_candidate_pairs(minhash_signatures(sharr)), sharr
+    ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    src = docs.select("doc_id", "source")
+    return (
+        pairs.join(
+            src.select(F.col("doc_id").alias("i"), F.col("source").alias("__sa")), "i"
+        )
+        .join(src.select(F.col("doc_id").alias("j"), F.col("source").alias("__sb")), "j")
+        .groupBy(
+            F.least("__sa", "__sb").alias("src_a"),
+            F.greatest("__sa", "__sb").alias("src_b"),
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+        )
+    )

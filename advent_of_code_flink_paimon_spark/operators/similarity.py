@@ -1125,3 +1125,65 @@ def x56_pq_adc_topk(spark, sf_dir):
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "vec_id", "adc_d2", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# x61: cluster-balanced sampling (embedding-diversity cap)
+# ---------------------------------------------------------------------------
+
+_CLUSTER_CAP = 40
+
+_SQL_CLUSTER_CAP_SAMPLE = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+seed AS (SELECT vec_id AS cid, cv AS cent FROM v WHERE vec_id % 53 = 11 ORDER BY vec_id LIMIT {KM_K}),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, seed.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_sum([(v.cv[i] - seed.cent[i]) * (v.cv[i] - seed.cent[i])
+                                for i in range(1, len(v.cv)+1)]) ASC, seed.cid ASC) AS r
+    FROM v CROSS JOIN seed) WHERE r = 1
+)
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY cid ORDER BY vec_id) AS BIGINT) AS pos,
+       ROW_NUMBER() OVER (PARTITION BY cid ORDER BY vec_id) <= {_CLUSTER_CAP} AS keep
+FROM a1
+"""
+
+
+@query("x61_cluster_balanced_sample", oracle=_SQL_CLUSTER_CAP_SAMPLE)
+def x61_cluster_balanced_sample(spark, sf_dir):
+    """Cluster-balanced sampling: cap how many documents any one
+    embedding cluster contributes (the diversity-preserving selection
+    step after SemDeDup-style clustering — without the cap, a dominant
+    mode eats the token budget; with it, every region of embedding
+    space keeps at most CAP exemplars). Deterministic: hash-sampled
+    seed centroids (the x12/x39 technique), argmin assignment with cid
+    tiebreak, within-cluster order by vec_id.
+
+    Scale shape: assignment is the map-only literal-centroid projection
+    (scan → project, zero shuffles — kmeans_assign), then ONE slim
+    exchange on the cluster key where rank and keep-flag share a single
+    window sort; K partitions of ~N/K rows each sort independently. No
+    driver traffic beyond the K seed rows."""
+    e = T(spark, sf_dir, "embeddings")
+    v = fan_out(e, heavy=True).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("cv")
+    )
+    seed_rows = (
+        v.filter(F.pmod(F.col("vec_id"), F.lit(53)) == 11)
+        .orderBy("vec_id")
+        .limit(KM_K)
+        .collect()
+    )
+    seeds = [(int(r.vec_id), list(r.cv)) for r in seed_rows]
+    assigned = kmeans_assign(v, seeds)
+    w = Window.partitionBy("cid").orderBy("vec_id")
+    pos = F.row_number().over(w)
+    return assigned.select(
+        "vec_id",
+        F.col("cid").cast("long").alias("cluster_id"),
+        pos.cast("long").alias("pos"),
+        (pos <= _CLUSTER_CAP).alias("keep"),
+    )

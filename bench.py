@@ -71,6 +71,8 @@ HEADLINE = [
     "x57_bpe_pair_counts",
     "x58_vocab_coverage",
     "x59_shard_assign",
+    "x60_source_dup_matrix",
+    "x61_cluster_balanced_sample",
     "x42_hash_sample",
     "x43_stratified_cap",
     "x44_mixture_resample",
