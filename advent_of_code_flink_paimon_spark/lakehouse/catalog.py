@@ -457,6 +457,7 @@ class Catalog:
                 "incremental-between-scan-mode",
                 "scan.snapshot-id",
                 "scan.mode",
+                "scan.tag-name",
             }
             if not supported & kv.keys():
                 # advisory-only hint: only the hint is removed. An
@@ -523,6 +524,10 @@ class Catalog:
                 df = t.merge_raw(t.incremental_read_between_timestamps(spark, a, b))
             elif "scan.snapshot-id" in kv:
                 df = t.merge_raw(t.read(spark, snapshot_id=int(kv["scan.snapshot-id"])))
+            elif "scan.tag-name" in kv:
+                # Paimon 'scan.tag-name': batch read pinned at a tag —
+                # the hint spelling of VERSION AS OF '<tag>'
+                df = t.read(spark, snapshot_id=kv["scan.tag-name"])
             else:
                 return qual  # unreachable (supported-key check above)
             # keys AND values name the view: two hints with equal values

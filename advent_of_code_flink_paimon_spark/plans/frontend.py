@@ -522,6 +522,29 @@ class Engine:
                         "'scan.mode'='from-snapshot-full' needs 'scan.snapshot-id'"
                     )
                 image_at = int(t.resolve_ref(kv["scan.snapshot-id"]))
+            if "consumer-id" in kv:
+                # Paimon 'consumer-id' hint: register the subscriber's
+                # bookmark at its start position so expiry cannot
+                # reclaim the window it is about to read (the same
+                # genesis-at-earliest rule stream_table_changelog uses)
+                if kv.get("scan.mode") in ("compacted-full", "from-snapshot-full"):
+                    compacts_ = [
+                        s["id"] for s in t.snapshots() if s.get("commit_kind") == "COMPACT"
+                    ]
+                    pin = (
+                        int(t.resolve_ref(kv["scan.snapshot-id"]))
+                        if kv.get("scan.mode") == "from-snapshot-full"
+                        else (max(compacts_) if compacts_ else 1)
+                    )
+                else:
+                    pin = resolve_scan_start(
+                        t, kv.get("scan.mode"), kv.get("scan.snapshot-id"),
+                        kv.get("scan.timestamp-millis"),
+                    )
+                    if pin is None:
+                        snaps_ = t.snapshots()
+                        pin = snaps_[0]["id"] if snaps_ else 1
+                t.register_consumer(kv["consumer-id"], next_snapshot_id=pin)
             if image_at is not None:
                 seq = t.snapshot(image_at).get("sequence_number", image_at)
                 image = t.read(self.spark, snapshot_id=image_at).withColumn(

@@ -1337,3 +1337,45 @@ def test_options_batch_scan_mode(engine, spark):
         engine.sql("SELECT * FROM bm /*+ OPTIONS('scan.mode'='sideways') */")
     with _pytest.raises(ValueError, match="scan.snapshot-id"):
         engine.sql("SELECT * FROM bm /*+ OPTIONS('scan.mode'='from-snapshot') */")
+
+
+def test_options_scan_tag_name(engine, spark):
+    """'scan.tag-name' hint: batch read pinned at a tag — the hint
+    spelling of VERSION AS OF '<tag>'."""
+    engine.sql("CREATE TABLE tg (k BIGINT)")
+    engine.sql("INSERT INTO tg SELECT CAST(1 AS BIGINT) AS k")
+    engine.catalog.get_table("tg").create_tag("v1")
+    engine.sql("INSERT INTO tg SELECT CAST(2 AS BIGINT) AS k")
+    n = engine.sql(
+        "SELECT count(*) AS n FROM tg /*+ OPTIONS('scan.tag-name'='v1') */"
+    ).collect()[0].n
+    assert n == 1
+
+
+def test_streaming_select_consumer_id_hint(engine, spark):
+    """'consumer-id' on a streaming-runtime SELECT registers the
+    subscriber's bookmark at its start position: a genesis replay pins
+    the whole stored history against expiry; 'latest' pins nothing
+    already committed."""
+    import time as _time
+
+    engine.sql(
+        "CREATE TABLE ch (k BIGINT, v STRING, PRIMARY KEY (k) NOT ENFORCED) "
+        "WITH ('changelog-producer' = 'input')"
+    )
+    for x in ("a", "b", "c"):
+        engine.sql(f"INSERT INTO ch SELECT CAST(1 AS BIGINT) AS k, '{x}' AS v")
+    engine.sql("SET 'execution.runtime-mode' = 'streaming'")
+    try:
+        engine.sql("SELECT * FROM ch /*+ OPTIONS('consumer-id'='replayer') */").collect()
+        engine.sql(
+            "SELECT * FROM ch /*+ OPTIONS('consumer-id'='tail', 'scan.mode'='latest') */"
+        ).collect()
+    finally:
+        engine.sql("SET 'execution.runtime-mode' = 'batch'")
+    t = engine.catalog.get_table("ch")
+    assert t.consumers()["replayer"]["next_snapshot_id"] == 1
+    assert t.consumers()["tail"]["next_snapshot_id"] == 4
+    # the genesis replayer pins everything against aggressive retention
+    future = int(_time.time() * 1000) + 60_000
+    assert t.expire_snapshots(retain_min=1, older_than_ms=future) == []
