@@ -628,12 +628,15 @@ class Table:
             cols = sort_by.split(",") if isinstance(sort_by, str) else list(sort_by)
             writer = writer.sortWithinPartitions(*part_by, *cols)
         fmt = self.data_format
-        (
-            writer.write.partitionBy(*part_by)
-            .mode("overwrite")
-            .format(fmt)
-            .save(staging)
-        )
+        w = writer.write.partitionBy(*part_by).mode("overwrite").format(fmt)
+        codec = self.options.get("file.compression")
+        if codec:
+            # Paimon 'file.compression' (e.g. zstd/snappy/gzip): passed
+            # straight to the format's codec option; Spark validates
+            # the name at write time. Data files only — metadata stays
+            # on the source defaults.
+            w = w.option("compression", codec)
+        w.save(staging)
         # staging is materialized: release any pinned assignment joins
         while self._assign_persists:
             self._assign_persists.pop().unpersist()

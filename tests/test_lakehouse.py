@@ -2057,3 +2057,29 @@ def test_partial_update_ignore_delete(spark, catalog):
             "pid_bad", "k long, v string",
             {"primary-key": "k", "partial-update.ignore-delete": "true"},
         )
+
+
+def test_file_compression_option(spark, catalog):
+    """'file.compression' maps to the data-file codec: zstd parquet
+    files round-trip and carry the codec in their footers."""
+    t = catalog.create_table(
+        "zc", "k long, v string", {"file.compression": "zstd"}
+    )
+    t.append(spark.createDataFrame([(i, "x" * 50) for i in range(100)], "k long, v string"))
+    assert t.read(spark).count() == 100
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    files = [
+        p
+        for p in _glob.glob(os.path.join(t.paths.root, "**", "*.parquet"), recursive=True)
+        if "manifest" not in p and "snapshot" not in p
+    ]
+    assert files
+    codecs = {
+        _pq.ParquetFile(f).metadata.row_group(0).column(0).compression.lower()
+        for f in files
+        if _pq.ParquetFile(f).metadata.num_row_groups
+    }
+    assert codecs == {"zstd"}
