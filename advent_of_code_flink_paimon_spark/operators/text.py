@@ -917,3 +917,119 @@ def x58_vocab_coverage(spark, sf_dir):
             F.round(covered * 1.0 / F.sum("n"), 6).alias("coverage"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x62: BM25 lexical retrieval (Okapi BM25 top-k over the corpus)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["table", "stream", "query", "fast"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 50
+
+
+def _bm25_sql() -> str:
+    tf_cols = ",\n           ".join(
+        f"len(list_filter(string_split(text, ' '), x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    # one term's contribution; spelled IDENTICALLY in the Spark branch
+    # (same operator order) so each IEEE step matches bit-for-bit
+    terms = " + ".join(
+        f"(ln(((n_docs - df_{i} + 0.5) / (df_{i} + 0.5)) + 1.0)"
+        f" * ((tf_{i} * ({_BM25_K1} + 1.0))"
+        f" / (tf_{i} + {_BM25_K1} * ((1.0 - {_BM25_B}) + {_BM25_B} * ((dl * n_docs) / sumdl)))))"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+WITH d AS (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS dl,
+           {tf_cols}
+    FROM documents
+),
+s AS (
+    SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sumdl, {df_cols}
+    FROM d
+),
+scored AS (
+    SELECT doc_id, ROUND({terms}, 6) AS bm25
+    FROM d CROSS JOIN s
+)
+SELECT doc_id, bm25 FROM scored
+WHERE bm25 > 0
+ORDER BY bm25 DESC, doc_id
+LIMIT {_BM25_TOPK}
+"""
+
+
+# NOT @query-registered (round 6): the driver scores a 50-entry window
+# per round and the ≤1-round evidence-freshness policy therefore caps
+# the registry at 100 driver-scored entries over the 2-round rotation —
+# exactly where it stands. BM25 ships as a library operator whose
+# oracle equivalence is enforced by the strict local harness instead
+# (tests/test_extensions.py::test_bm25_matches_duckdb_oracle, the same
+# compare the driver-sim runs); it swaps into the registry the moment a
+# slot opens or the policy widens.
+X62_BM25_ORACLE = _bm25_sql()
+
+
+def x62_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-k retrieval (Robertson & Zaragoza 2009) — the
+    lexical-search complement to the embedding ANN surface (x10-x12):
+    score every document against a fixed query-term set with the
+    full-formula BM25 (Lucene's +1 idf variant, k1=1.2, b=0.75) and
+    return the best K.
+
+    Scale shape: per-doc term frequencies and length are row-local
+    folds inside the scan projection; the corpus statistics (N, Σdl,
+    per-term document frequencies) are ONE partial-aggregated global
+    agg whose single row broadcasts back (the x44 pattern — never a
+    corpus-wide window); scoring is then map-only and the top-K is a
+    TakeOrderedAndProject. Engine parity: the score expression is
+    spelled with the same operator order both sides — integer tf/dl/N
+    stay exact, every division/ln is one IEEE step on identical
+    inputs — and ROUND(…,6) BEFORE ranking keeps the K-boundary
+    deterministic (ties then break on doc_id)."""
+    d = T(spark, sf_dir, "documents")
+    w = _tokens()
+
+    def tf_col(term):
+        # one-arg lambda: a two-arg lambda would make F.filter pass the
+        # ELEMENT INDEX as the second argument
+        return F.size(F.filter(w, lambda x: x == term))
+
+    feats = d.select(
+        "doc_id",
+        F.size(w).alias("dl"),
+        *[tf_col(t).alias(f"tf_{i}") for i, t in enumerate(_BM25_TERMS)],
+    )
+    stats = feats.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sumdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).cast("long").alias(f"df_{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        tf, df = F.col(f"tf_{i}"), F.col(f"df_{i}")
+        idf = F.log(((F.col("n_docs") - df + 0.5) / (df + 0.5)) + 1.0)
+        term = idf * (
+            (tf * (_BM25_K1 + 1.0))
+            / (tf + _BM25_K1 * ((1.0 - _BM25_B) + _BM25_B * ((F.col("dl") * F.col("n_docs")) / F.col("sumdl"))))
+        )
+        score = term if score is None else score + term
+    return (
+        feats.crossJoin(F.broadcast(stats))
+        .select("doc_id", F.round(score, 6).alias("bm25"))
+        .filter(F.col("bm25") > 0)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(_BM25_TOPK)
+    )

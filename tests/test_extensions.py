@@ -427,3 +427,20 @@ def test_minhash_index_incremental_maintenance(spark, tmp_path):
     before = idx_t.latest_snapshot_id()
     assert refresh_minhash_index(spark, catalog, "docs") == 0
     assert idx_t.latest_snapshot_id() == before
+
+
+def test_bm25_matches_duckdb_oracle(spark):
+    """x62 BM25 retrieval: oracle-equivalence enforced locally (the
+    driver's 50-entry window is fully subscribed at 100 registered
+    queries under the freshness policy, so BM25's gate is this test —
+    the same strict compare the driver-sim applies)."""
+    from advent_of_code_flink_paimon_spark.operators.text import (
+        X62_BM25_ORACLE,
+        x62_bm25_topk,
+    )
+    from oracle_harness import compare, duck_con
+    from tests.conftest import SF_ORACLE as sf
+
+    con = duck_con(sf)
+    problems = compare(x62_bm25_topk(spark, sf), con, X62_BM25_ORACLE)
+    assert not problems, problems
