@@ -4,6 +4,7 @@ tutorial/guide.md:36-141) plus the event-time window layer."""
 from advent_of_code_flink_paimon_spark.streaming.lookup_join import LookupJoinPipeline
 from advent_of_code_flink_paimon_spark.streaming.pipelines import (
     Pipeline,
+    advance_consumer,
     stream_table_changelog,
     stream_table_files,
     stream_table_upsert,
@@ -24,6 +25,7 @@ __all__ = [
     "stream_table_files",
     "stream_table_changelog",
     "stream_table_upsert",
+    "advance_consumer",
     "tumbling_agg",
     "sliding_agg",
     "session_agg",

@@ -143,22 +143,27 @@ def resolve_scan_start(
     )
 
 
-def _filter_from_start(df: DataFrame, start: int | None) -> DataFrame:
+def _filter_from_start(df: DataFrame, start: int | None, keep_sid: bool = False) -> DataFrame:
     """Apply a snapshot start position to a file-source stream whose
     file PATHS carry the committing snapshot id (changelog/snapshot-N/
     dirs; stream/snapshot-NNNNNN__* mirror links): one metadata-column
     regexp per file path, no data-side predicate — files below the
     start still get listed once but their rows never leave the scan
     projection. (A manifest-planned source would skip the listing too;
-    file-path filtering is the file-source equivalent.)"""
+    file-path filtering is the file-source equivalent.)
+    ``keep_sid`` surfaces the id as a ``snapshot_id`` column so a
+    consumer can advance its bookmark per processed batch."""
     from pyspark.sql import functions as F
 
-    if start is None:
+    if start is None and not keep_sid:
         return df
     sid = F.regexp_extract(
         F.col("_metadata.file_path"), r"snapshot-0*(\d+)", 1
     ).cast("long")
-    return df.withColumn("__sid", sid).filter(F.col("__sid") >= start).drop("__sid")
+    df = df.withColumn("__sid", sid)
+    if start is not None:
+        df = df.filter(F.col("__sid") >= start)
+    return df.withColumnRenamed("__sid", "snapshot_id") if keep_sid else df.drop("__sid")
 
 
 def stream_table_files(
@@ -270,6 +275,7 @@ def stream_table_changelog(
     scan_mode: str | None = None,
     from_snapshot: int | str | None = None,
     from_timestamp: int | str | None = None,
+    include_snapshot_id: bool = False,
 ) -> DataFrame:
     """Streaming changelog read of a PK table with
     ``changelog-producer=input`` (tutorial/guide.md:69-74): every upsert
@@ -328,4 +334,25 @@ def stream_table_changelog(
     raw = spark.readStream.schema(schema).parquet(
         os.path.join(table.paths.root, "changelog", "snapshot-*")
     )
-    return _filter_from_start(raw, start)
+    return _filter_from_start(raw, start, keep_sid=include_snapshot_id)
+
+
+def advance_consumer(table: Table, consumer_id: str, batch_df: DataFrame) -> int | None:
+    """The subscriber's half of the consumer protocol: after a
+    micro-batch is durably processed, advance the table-side bookmark
+    past the highest snapshot the batch carried (requires the stream
+    built with ``include_snapshot_id=True``), releasing the consumed
+    window for expiry while everything unread stays pinned. Bounded
+    driver traffic: one MAX scalar per batch. Returns the new
+    next-snapshot id, or None for an empty batch."""
+    from pyspark.sql import functions as F
+
+    row = batch_df.agg(F.max("snapshot_id").alias("m")).collect()[0]
+    if row.m is None:
+        return None
+    nxt = int(row.m) + 1
+    cur = table.consumers().get(consumer_id, {}).get("next_snapshot_id", 0)
+    if nxt > cur:
+        table.register_consumer(consumer_id, next_snapshot_id=nxt)
+        return nxt
+    return cur

@@ -777,3 +777,49 @@ def test_dedup_ingest_pipeline(spark, catalog, tmp_path):
         for r in catalog.get_table(minhash_index_name("docs")).read(spark).collect()
     }
     assert idx_docs == {1, 2, 5, 6}
+
+
+def test_consumer_advance_lifecycle(spark, catalog, tmp_path):
+    """The full consumer protocol: attach with a bookmark, process
+    batches that carry their committing snapshot id, advance the
+    bookmark per durable batch (advance_consumer), and watch expiry
+    release exactly the consumed window while the unread tail stays
+    pinned."""
+    import time as _time
+
+    from advent_of_code_flink_paimon_spark.streaming import (
+        advance_consumer,
+        stream_table_changelog,
+    )
+
+    ddl = "k long, v string"
+    t = catalog.create_table(
+        "adv", ddl, {"primary-key": "k", "changelog-producer": "input"}
+    )
+    for i in range(4):
+        t.upsert(spark.createDataFrame([(i, "x")], ddl))
+
+    advanced = []
+    src = stream_table_changelog(
+        spark, t, consumer_id="sub", include_snapshot_id=True
+    )
+    q = (
+        src.writeStream.foreachBatch(
+            lambda df, bid: advanced.append(advance_consumer(t, "sub", df))
+        )
+        .option("checkpointLocation", str(tmp_path / "adv-ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert t.consumers()["sub"]["next_snapshot_id"] == 5  # caught up
+    # everything consumed: aggressive retention may now reclaim all but
+    # the protected latest
+    future = int(_time.time() * 1000) + 60_000
+    assert t.expire_snapshots(retain_min=1, older_than_ms=future) == [1, 2, 3]
+
+    # a fresh subscriber that only consumed part of the stream pins the rest
+    t.upsert(spark.createDataFrame([(9, "y")], ddl))  # snapshot 5
+    t.upsert(spark.createDataFrame([(8, "z")], ddl))  # snapshot 6
+    t.register_consumer("slow", next_snapshot_id=5)
+    assert t.expire_snapshots(retain_min=1, older_than_ms=future) == [4]
