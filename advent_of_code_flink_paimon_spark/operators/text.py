@@ -1033,3 +1033,117 @@ def x62_bm25_topk(spark, sf_dir):
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(_BM25_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted inverted index: BM25's lakehouse-table index (x49's pattern
+# applied to lexical search)
+# ---------------------------------------------------------------------------
+
+INVERTED_INDEX_SCHEMA = "term string, doc_id long, tf int, dl int"
+_INV_CONSUMER_PREFIX = "__inverted-idx"
+
+
+def inverted_index_name(docs_table: str) -> str:
+    return f"{docs_table}_inverted_idx"
+
+
+def _inv_stats_name(docs_table: str) -> str:
+    return f"{docs_table}_inverted_stats"
+
+
+def refresh_inverted_index(spark, catalog, docs_table: str) -> int:
+    """Create/refresh the persisted inverted index of a lakehouse docs
+    table: postings rows (term, doc_id, tf, dl) bucketed by term — the
+    probe key — plus an append-only stats table of per-refresh
+    (n_docs, sum_dl) deltas. A consumer bookmark on the docs table
+    makes each refresh O(new docs) off the snapshot log (the x49
+    pattern for lexical search), and pins unindexed snapshots against
+    expiry. Returns the number of newly indexed docs.
+
+    Scale shape: the postings write is one explode + one (doc, term)
+    partial-aggregated count, shuffled into the term-bucketed layout
+    the query path probes; dl rides each posting (denormalized) so
+    scoring never joins a lengths table. The stats table holds one row
+    per refresh — corpus-size-independent."""
+    from advent_of_code_flink_paimon_spark.operators.registry import fan_out
+
+    docs_t = catalog.get_table(docs_table)
+    idx_name = inverted_index_name(docs_table)
+    if not catalog.has_table(idx_name):
+        catalog.create_table(idx_name, INVERTED_INDEX_SCHEMA, {"bucket": "8", "bucket-key": "term"})
+        catalog.create_table(_inv_stats_name(docs_table), "n_docs long, sum_dl long", {})
+    idx_t = catalog.get_table(idx_name)
+    stats_t = catalog.get_table(_inv_stats_name(docs_table))
+    consumer_id = f"{_INV_CONSUMER_PREFIX}-{idx_name}"
+    nxt = docs_t.consumers().get(consumer_id, {}).get("next_snapshot_id", 1)
+    latest = docs_t.latest_snapshot_id() or 0
+    if latest < nxt:
+        return 0
+    fresh = docs_t.merge_raw(docs_t.incremental_read(spark, nxt - 1, latest))
+    n = fresh.count()
+    if n:
+        toks = fan_out(fresh, heavy=True).select(
+            "doc_id",
+            F.size(F.split("text", " ")).alias("dl"),
+            F.explode(F.split("text", " ")).alias("term"),
+        )
+        postings = toks.groupBy("term", "doc_id", "dl").agg(
+            F.count("*").cast("int").alias("tf")
+        )
+        idx_t.append(postings.select("term", "doc_id", "tf", F.col("dl").cast("int")))
+        dl_stats = fresh.select(F.size(F.split("text", " ")).alias("dl")).agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("dl").cast("long").alias("sum_dl"),
+        )
+        stats_t.append(dl_stats)
+    docs_t.register_consumer(consumer_id, latest + 1)
+    return n
+
+
+def bm25_query_index(spark, catalog, docs_table: str, terms: list[str], k: int = 50):
+    """BM25 top-k over the PERSISTED inverted index: reads ONLY the
+    query terms' postings (the term filter prunes inside the bucketed
+    scan — query cost is O(postings of the query terms), never a
+    corpus scan; the property that makes an inverted index the search
+    path at 10⁹ docs). Corpus statistics (N, Σdl) fold the stats
+    table's per-refresh deltas — rows = number of refreshes; per-term
+    document frequencies aggregate off the probed postings only.
+    Scoring mirrors x62's operator order exactly, so a full recompute
+    over the same corpus returns the same ranking (pinned by test)."""
+    idx = catalog.get_table(inverted_index_name(docs_table)).read(spark)
+    stats = catalog.get_table(_inv_stats_name(docs_table)).read(spark).agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("sum_dl").cast("long").alias("sumdl"),
+    )
+    probed = idx.filter(F.col("term").isin(*terms))
+    df_t = probed.groupBy("term").agg(F.countDistinct("doc_id").cast("long").alias("df"))
+    j = (
+        probed.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)) + 1.0)
+    term_score = idf * (
+        (F.col("tf") * (_BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + _BM25_K1
+            * ((1.0 - _BM25_B) + _BM25_B * ((F.col("dl") * F.col("n_docs")) / F.col("sumdl")))
+        )
+    )
+    # fixed-order sum: pivot the (≤ len(terms)) per-term scores into
+    # columns and add them left-to-right in the query's term order — a
+    # grouped float SUM would fold in partition order and could drift a
+    # ulp from x62's fixed-order expression at the ROUND boundary
+    per_term = j.select("doc_id", "term", term_score.alias("s"))
+    wide = per_term.groupBy("doc_id").pivot("term", list(terms)).agg(F.first("s"))
+    total = None
+    for t in terms:
+        c = F.coalesce(F.col(f"`{t}`"), F.lit(0.0))
+        total = c if total is None else total + c
+    return (
+        wide.select("doc_id", F.round(total, 6).alias("bm25"))
+        .filter(F.col("bm25") > 0)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(k)
+    )

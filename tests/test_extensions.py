@@ -444,3 +444,45 @@ def test_bm25_matches_duckdb_oracle(spark):
     con = duck_con(sf)
     problems = compare(x62_bm25_topk(spark, sf), con, X62_BM25_ORACLE)
     assert not problems, problems
+
+
+def test_inverted_index_lifecycle(spark, tmp_path):
+    """Persisted inverted index: build from the corpus commit, ingest a
+    second commit, refresh indexes ONLY the new docs (consumer
+    bookmark), and the index-probing BM25 returns exactly the ranking a
+    full-corpus recompute (x62) produces."""
+    import os as _os
+
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+    from advent_of_code_flink_paimon_spark.operators.registry import T
+    from advent_of_code_flink_paimon_spark.operators.text import (
+        _BM25_TERMS,
+        bm25_query_index,
+        refresh_inverted_index,
+        x62_bm25_topk,
+    )
+
+    catalog = Catalog(str(tmp_path / "wh"))
+    docs = T(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+    corpus = docs.filter("doc_id % 10 <> 0")
+    batch = docs.filter("doc_id % 10 = 0")
+
+    t = catalog.create_table("docs", "doc_id long, text string", {})
+    t.append(corpus)
+    n1 = refresh_inverted_index(spark, catalog, "docs")
+    assert n1 == corpus.count()
+    t.append(batch)
+    n2 = refresh_inverted_index(spark, catalog, "docs")
+    assert n2 == batch.count()
+    assert refresh_inverted_index(spark, catalog, "docs") == 0  # caught up
+
+    got = [
+        (r.doc_id, r.bm25)
+        for r in bm25_query_index(spark, catalog, "docs", _BM25_TERMS, 50).collect()
+    ]
+    # full recompute over the same corpus through x62's own code path
+    sf = str(tmp_path / "sf")
+    _os.makedirs(sf, exist_ok=True)
+    docs.coalesce(1).write.mode("overwrite").parquet(_os.path.join(sf, "documents.parquet"))
+    want = [(r.doc_id, r.bm25) for r in x62_bm25_topk(spark, sf).collect()]
+    assert got == want
