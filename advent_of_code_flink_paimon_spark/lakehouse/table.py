@@ -1070,6 +1070,19 @@ class Table:
         )
         joined = batch.join(pre_keys, on=pk, how="left")
         had_pre = F.coalesce(F.col("__had_pre"), F.lit(False))
+        sf = self.sequence_field
+        if sf:
+            # 'sequence.field' (round-6 fix): a batch row that LOSES to
+            # the stored image — its sequence is older — changes
+            # nothing at merge-on-read, so it must emit NO changelog
+            # (emitting -U(stored)/+U(loser) would make a consumer
+            # materialize the wrong image). Win rule mirrors
+            # _merge_order exactly: NULLs lose to any value, ties go to
+            # the later commit (this batch). Applies to deletes too —
+            # an older-sequence -D is ineffective.
+            sp, sb = F.col(f"__pre_{sf}"), F.col(sf)
+            batch_wins = sp.isNull() | (sb.isNotNull() & (sb >= sp))
+            joined = joined.filter(~had_pre | batch_wins)
         if str(self.options.get("changelog-producer.row-deduplicate", "false")).lower() == "true":
             # Paimon changelog-producer.row-deduplicate (lookup
             # producer): an upsert whose values equal the pre-image

@@ -2083,3 +2083,29 @@ def test_file_compression_option(spark, catalog):
         if _pq.ParquetFile(f).metadata.num_row_groups
     }
     assert codecs == {"zstd"}
+
+
+def test_sequence_field_changelog_ignores_losing_rows(spark, catalog):
+    """A late-arriving row whose sequence.field LOSES to the stored
+    image changes nothing at merge-on-read — so it must emit NO
+    changelog (round-6 fix: it used to emit -U(stored)/+U(loser),
+    making a downstream materialization diverge from the table). A
+    winning row and an ineffective old-sequence delete follow the same
+    rule."""
+    t = catalog.create_table(
+        "seqcl", "k long, v string, seq long",
+        {"primary-key": "k", "sequence.field": "seq",
+         "changelog-producer": "input"},
+    )
+    ddl = t.schema
+    t.upsert(spark.createDataFrame([(1, "new", 10)], ddl))        # +I
+    t.upsert(spark.createDataFrame([(1, "late", 5)], ddl))        # loses: nothing
+    t.upsert(spark.createDataFrame([(1, "newer", 12)], ddl))      # wins: -U/+U
+    d = spark.createDataFrame(
+        [(1, None, 3, "D")], "k long, v string, seq long, __op string"
+    )
+    t.upsert(d)                                                   # old-seq delete: nothing
+    assert [r.v for r in t.read(spark).collect()] == ["newer"]
+    cl = sorted((r.v, r.seq, r._change_type) for r in t.read_changelog(spark).collect())
+    assert cl == [("new", 10, "+I"), ("new", 10, "-U"), ("newer", 12, "+U")]
+    # a changelog materialization now reproduces the merged image
