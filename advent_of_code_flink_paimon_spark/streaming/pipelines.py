@@ -221,7 +221,16 @@ def stream_table_upsert(
     into the ``stream/`` append-log mirror (COMPACT rewrites are never
     linked), so this is the same O(new files per trigger) file-source
     scan as stream_table_files — no snapshot diffing, no O(table)
-    reads."""
+    reads.
+
+    'sequence.field' caveat: the stream carries every WRITTEN row,
+    including late arrivals that lose to the stored image at
+    merge-on-read — that is the changelog-less contract (what was
+    written, not what won). A consumer normalizing this stream must
+    compare the sequence column in its own keyed state
+    (changelog_normalize's arrival-order fold is only correct for
+    tables merging by commit order); for merge-correct events, use a
+    changelog producer, whose stored rows suppress losing writes."""
     if not table.primary_key:
         raise ValueError(f"table {table.name} has no primary key — use stream_table_files")
     if table.merge_engine != "deduplicate":
