@@ -526,3 +526,48 @@ def test_sequence_group_matches_sequential_fold_model(spark, tmp_path_factory, r
         model[k] = (cur_v, cur_g)
     got = {r.k: (r.v, r.g) for r in t.read(spark).collect()}
     assert got == model
+
+
+# (key, value, seq) rows; seq drawn small so cross-commit losing rows,
+# ties, and re-wins all occur
+replay_row = st.tuples(st.integers(0, 3), st.integers(0, 9), st.integers(0, 5))
+
+
+@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    batches=st.lists(st.lists(replay_row, min_size=1, max_size=5), min_size=1, max_size=4),
+    row_dedup=st.booleans(),
+    use_seq=st.booleans(),
+)
+def test_changelog_replay_reproduces_merged_image(
+    spark, tmp_path_factory, batches, row_dedup, use_seq
+):
+    """THE changelog invariant: folding the stored +I/-U/+U/-D events
+    commit-by-commit through a keyed state machine reproduces exactly
+    the merged table image — under any batch sequence, with and without
+    row-deduplicate suppression, with and without sequence.field
+    (whose losing late rows must emit nothing; the round-6 fix)."""
+    wh = tmp_path_factory.mktemp("wh-replay")
+    cat = Catalog(str(wh))
+    opts = {"primary-key": "k", "changelog-producer": "lookup"}
+    if row_dedup:
+        opts["changelog-producer.row-deduplicate"] = "true"
+    if use_seq:
+        opts["sequence.field"] = "seq"
+    t = cat.create_table("t", "k long, v long, seq long", opts)
+    for batch in batches:
+        t.upsert(spark.createDataFrame(batch, "k long, v long, seq long").coalesce(1))
+
+    state: dict[int, tuple] = {}
+    latest = t.latest_snapshot_id()
+    for sid in range(1, latest + 1):
+        events = t.read_changelog(spark, from_seq=sid - 1, to_seq=sid).collect()
+        # within a commit a key has at most one post-image event; apply
+        # -D deletes and +I/+U post-images, ignore -U pre-images
+        for r in events:
+            if r._change_type == "-D":
+                state.pop(r.k, None)
+            elif r._change_type in ("+I", "+U"):
+                state[r.k] = (r.v, r.seq)
+    merged = {r.k: (r.v, r.seq) for r in t.read(spark).collect()}
+    assert state == merged
