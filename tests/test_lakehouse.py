@@ -2109,3 +2109,23 @@ def test_sequence_field_changelog_ignores_losing_rows(spark, catalog):
     cl = sorted((r.v, r.seq, r._change_type) for r in t.read_changelog(spark).collect())
     assert cl == [("new", 10, "+I"), ("new", 10, "-U"), ("newer", 12, "+U")]
     # a changelog materialization now reproduces the merged image
+
+
+def test_sequence_group_full_compaction_changelog(spark, catalog):
+    """Composition: partial-update sequence groups under the
+    full-compaction producer — each compaction's diff reflects the
+    GATED merge (losing-sequence updates invisible), so the emitted
+    changelog replays to the merged image."""
+    t = catalog.create_table(
+        "sgfc", "k long, a string, g long",
+        {"primary-key": "k", "merge-engine": "partial-update",
+         "fields.g.sequence-group": "a", "changelog-producer": "full-compaction"},
+    )
+    t.upsert(spark.createDataFrame([(1, "a1", 10)], t.schema))
+    t.compact()
+    t.upsert(spark.createDataFrame([(1, "a2", 5)], t.schema))    # loses its group gate
+    t.upsert(spark.createDataFrame([(1, "a3", 20)], t.schema))   # wins
+    t.compact()
+    cl = sorted((r.k, r.a, r.g, r._change_type) for r in t.read_changelog(spark).collect())
+    assert cl == [(1, "a1", 10, "+I"), (1, "a1", 10, "-U"), (1, "a3", 20, "+U")]
+    assert [(r.a, r.g) for r in t.read(spark).collect()] == [("a3", 20)]
