@@ -823,3 +823,52 @@ def test_consumer_advance_lifecycle(spark, catalog, tmp_path):
     t.upsert(spark.createDataFrame([(8, "z")], ddl))  # snapshot 6
     t.register_consumer("slow", next_snapshot_id=5)
     assert t.expire_snapshots(retain_min=1, older_than_ms=future) == [4]
+
+
+def test_dedup_ingest_pipeline_start_end_to_end(spark, catalog, tmp_path):
+    """DedupIngestPipeline.start(): the streaming wiring end to end — a
+    rate source mapped to synthetic (doc_id, text) rows drains through
+    foreachBatch under availableNow; repeated texts across the stream
+    are deduped, each doc lands at most once, and the index covers the
+    survivors."""
+    import pyspark.sql.functions as F2
+
+    from advent_of_code_flink_paimon_spark.operators.dedup import (
+        DedupIngestPipeline,
+        minhash_index_name,
+    )
+
+    p = DedupIngestPipeline(spark, catalog, "sdocs", str(tmp_path / "sck"))
+    # 30 rows → 10 distinct texts (value % 10), each long enough to shingle
+    src = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 10)
+        .option("numPartitions", 1)
+        .load()
+        .select(
+            F2.col("value").alias("doc_id"),
+            # class-disjoint token sets: identical within a class (exact
+            # dups), zero shingle overlap across classes — no boundary
+            # jaccard cases in the smoke
+            F2.expr(
+                "concat_ws(' ', transform(sequence(1, 12),"
+                " i -> concat('tok', cast(value % 10 as string), '_', cast(i as string))))"
+            ).alias("text"),
+        )
+    )
+    q = (
+        src.writeStream.foreachBatch(lambda df, bid: p.sink(df, bid))
+        .option("checkpointLocation", str(tmp_path / "sck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    t = catalog.get_table("sdocs")
+    rows = t.read(spark).collect()
+    texts = [r.text for r in rows]
+    assert len(texts) == len(set(texts)) == 10          # exactly one per distinct text
+    idx_docs = {
+        r.doc_id
+        for r in catalog.get_table(minhash_index_name("sdocs")).read(spark).collect()
+    }
+    assert idx_docs == {r.doc_id for r in rows}
