@@ -2129,3 +2129,30 @@ def test_sequence_group_full_compaction_changelog(spark, catalog):
     cl = sorted((r.k, r.a, r.g, r._change_type) for r in t.read_changelog(spark).collect())
     assert cl == [(1, "a1", 10, "+I"), (1, "a1", 10, "-U"), (1, "a3", 20, "+U")]
     assert [(r.a, r.g) for r in t.read(spark).collect()] == [("a3", 20)]
+
+
+def test_row_level_dml_emits_replayable_changelog(spark, catalog):
+    """Row-level DELETE and UPDATE on a changelog-producer table emit
+    the events a subscriber needs (-D with the deleted image, -U/+U
+    around an update), so a changelog materialization tracks the table
+    through DML, not just upserts."""
+    t = catalog.create_table(
+        "dmlcl", "k long, v string", {"primary-key": "k", "changelog-producer": "input"}
+    )
+    t.upsert(spark.createDataFrame([(1, "a"), (2, "b")], t.schema))
+    t.delete_where(spark, "k = 1")
+    t.update_where(spark, {"v": "'z'"}, "k = 2")
+    cl = sorted((r.k, r.v, r._change_type) for r in t.read_changelog(spark).collect())
+    assert cl == [
+        (1, "a", "+I"), (1, "a", "-D"),
+        (2, "b", "+I"), (2, "b", "-U"), (2, "z", "+U"),
+    ]
+    # fold by commit: replay the per-commit events
+    state = {}
+    for sid in range(1, t.latest_snapshot_id() + 1):
+        for r in t.read_changelog(spark, from_seq=sid - 1, to_seq=sid).collect():
+            if r._change_type == "-D":
+                state.pop(r.k, None)
+            elif r._change_type in ("+I", "+U"):
+                state[r.k] = r.v
+    assert state == {r.k: r.v for r in t.read(spark).collect()}
