@@ -526,8 +526,18 @@ class Catalog:
                 df = t.merge_raw(t.read(spark, snapshot_id=int(kv["scan.snapshot-id"])))
             elif "scan.tag-name" in kv:
                 # Paimon 'scan.tag-name': batch read pinned at a tag —
-                # the hint spelling of VERSION AS OF '<tag>'
-                df = t.read(spark, snapshot_id=kv["scan.tag-name"])
+                # the hint spelling of VERSION AS OF '<tag>'. Resolved
+                # through tags() EXPLICITLY (round-6 ADVICE #3): the
+                # id-or-tag resolve_ref path would silently time-travel
+                # a tag literally named '3' to snapshot 3.
+                tag_doc = t.tags().get(kv["scan.tag-name"])
+                if tag_doc is None:
+                    raise ValueError(
+                        f"{name}: no tag {kv['scan.tag-name']!r} "
+                        "(scan.tag-name resolves tag names only, never "
+                        "snapshot ids)"
+                    )
+                df = t.read(spark, snapshot_id=tag_doc["snapshot_id"])
             else:
                 return qual  # unreachable (supported-key check above)
             # keys AND values name the view: two hints with equal values

@@ -544,7 +544,17 @@ class Engine:
                     if pin is None:
                         snaps_ = t.snapshots()
                         pin = snaps_[0]["id"] if snaps_ else 1
-                t.register_consumer(kv["consumer-id"], next_snapshot_id=pin)
+                # never move an EXISTING bookmark forward (round-6
+                # ADVICE #1): a reattach resumes from recorded progress
+                # — re-pinning at the new start would release the
+                # subscriber's unconsumed window for expiry. Backward
+                # (explicit earlier start) widens the pin to cover the
+                # re-read.
+                existing_ = t.consumers().get(kv["consumer-id"], {}).get(
+                    "next_snapshot_id"
+                )
+                if existing_ is None or pin < existing_:
+                    t.register_consumer(kv["consumer-id"], next_snapshot_id=pin)
             if image_at is not None:
                 seq = t.snapshot(image_at).get("sequence_number", image_at)
                 image = t.read(self.spark, snapshot_id=image_at).withColumn(

@@ -324,19 +324,32 @@ def stream_table_changelog(
         )
     start = resolve_scan_start(table, scan_mode, from_snapshot, from_timestamp)
     if consumer_id is not None:
-        # protect everything from the start position onward — the
-        # subscriber hasn't consumed anything yet as far as the table
-        # knows; it advances the bookmark as its batches commit
-        if start is None:
-            # genesis replay: NOTHING is consumed yet, so the bookmark
-            # must sit at the earliest stored snapshot — registering at
-            # latest would leave the whole unread history (and its
-            # changelog dirs) expirable mid-replay
-            snaps = table.snapshots()
-            nxt = snaps[0]["id"] if snaps else 1
-        else:
-            nxt = max(1, min(start, (table.latest_snapshot_id() or 0) + 1))
-        table.register_consumer(consumer_id, next_snapshot_id=nxt)
+        existing = table.consumers().get(consumer_id, {}).get("next_snapshot_id")
+        if existing is None:
+            # first attach: protect everything from the start position
+            # onward — the subscriber hasn't consumed anything yet as
+            # far as the table knows; it advances the bookmark as its
+            # batches commit
+            if start is None:
+                # genesis replay: NOTHING is consumed yet, so the
+                # bookmark must sit at the earliest stored snapshot —
+                # registering at latest would leave the whole unread
+                # history (and its changelog dirs) expirable mid-replay
+                snaps = table.snapshots()
+                nxt = snaps[0]["id"] if snaps else 1
+            else:
+                nxt = max(1, min(start, (table.latest_snapshot_id() or 0) + 1))
+            table.register_consumer(consumer_id, next_snapshot_id=nxt)
+        elif start is not None and start < existing:
+            # explicit restart BEFORE the recorded bookmark: widen the
+            # pinned window backward to cover the re-read
+            table.register_consumer(consumer_id, next_snapshot_id=start)
+        # otherwise KEEP the recorded bookmark (round-6 ADVICE #1):
+        # Paimon resumes a known consumer from its stored progress — a
+        # reattach must never move the pin FORWARD (scan_mode='latest'
+        # would release the subscriber's unread snapshots for expiry)
+        # nor regress an advanced bookmark to genesis (over-pinning);
+        # Spark's checkpoint owns the resume position either way
     from pyspark.sql.types import StringType, StructField, StructType
 
     schema = StructType(list(table.schema.fields) + [StructField("_change_type", StringType())])

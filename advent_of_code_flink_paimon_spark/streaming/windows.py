@@ -200,13 +200,16 @@ def changelog_normalize(
       emit nothing (the same no-op rule the table's own producer uses)
 
     ``order_col`` (e.g. the commit sequence from
-    ``stream_table_upsert(..., include_seq=True)``) orders rows WITHIN
-    a micro-batch so two commits landing in one trigger fold in commit
-    order. State is O(live keys) like every normalize operator; at
-    100 TB the state store shards by the same key hash the groupBy
-    shuffles on."""
-    import json
-
+    ``stream_table_upsert(..., include_seq=True)``) orders rows across
+    the key's WHOLE micro-batch — the group's Arrow chunks are
+    materialized and sorted once before folding, so two commits landing
+    in one trigger fold in commit order even when the key's rows span
+    multiple Arrow batches (round-6 ADVICE #2). State is O(live keys)
+    like every normalize operator, held NATIVELY (one struct field per
+    value column, the stream's own Spark types — timestamps, dates,
+    decimals and binary round-trip; round-6 ADVICE #4 replaced a
+    json.dumps state that raised on them); at 100 TB the state store
+    shards by the same key hash the groupBy shuffles on."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
@@ -214,42 +217,52 @@ def changelog_normalize(
         [f"{c} {fields[c]}" for c in key_cols + value_cols] + ["_change_type string"]
     )
     out_cols = key_cols + value_cols + ["_change_type"]
+    state_schema = ", ".join(f"{c} {fields[c]}" for c in value_cols)
 
     def fold(key, pdfs, state):
         import pandas as pd
 
-        last = json.loads(state.get[0]) if state.exists else None
+        def norm(v):
+            if v is None:
+                return None
+            try:
+                if pd.isna(v):
+                    return None
+            except (TypeError, ValueError):
+                pass  # arrays / other non-scalars: pd.isna is ambiguous
+            return v.item() if hasattr(v, "item") else v
+
+        # one frame per group: per-chunk sorting would fold commits in
+        # arbitrary cross-chunk order for keys spanning Arrow batches
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if order_col:
+            pdf = pdf.sort_values(order_col, kind="stable")
+        last = [norm(v) for v in state.get] if state.exists else None
         out = []
-        for pdf in pdfs:
-            if order_col:
-                pdf = pdf.sort_values(order_col, kind="stable")
-            for row in pdf.to_dict("records"):
-                vals = [
-                    None if pd.isna(v) else (v.item() if hasattr(v, "item") else v)
-                    for v in (row[c] for c in value_cols)
-                ]
-                if row["op"] == "-D":
-                    if last is not None:
-                        out.append(list(key) + last + ["-D"])
-                        last = None
-                else:
-                    if last is None:
-                        out.append(list(key) + vals + ["+I"])
-                    elif not (row_deduplicate and vals == last):
-                        out.append(list(key) + last + ["-U"])
-                        out.append(list(key) + vals + ["+U"])
-                    last = vals
+        for row in pdf.to_dict("records"):
+            vals = [norm(row[c]) for c in value_cols]
+            if row["op"] == "-D":
+                if last is not None:
+                    out.append(list(key) + last + ["-D"])
+                    last = None
+            else:
+                if last is None:
+                    out.append(list(key) + vals + ["+I"])
+                elif not (row_deduplicate and vals == last):
+                    out.append(list(key) + last + ["-U"])
+                    out.append(list(key) + vals + ["+U"])
+                last = vals
         if last is None:
             if state.exists:
                 state.remove()
         else:
-            state.update((json.dumps(last),))
+            state.update(tuple(last))
         yield pd.DataFrame(out, columns=out_cols)
 
     return df.groupBy(*key_cols).applyInPandasWithState(
         fold,
         outputStructType=out_schema,
-        stateStructType="last string",
+        stateStructType=state_schema,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -1350,6 +1350,16 @@ def test_options_scan_tag_name(engine, spark):
         "SELECT count(*) AS n FROM tg /*+ OPTIONS('scan.tag-name'='v1') */"
     ).collect()[0].n
     assert n == 1
+    # an all-digit TAG NAME must resolve through the tag registry, not
+    # the id-or-tag path (round-6 ADVICE #3: a tag literally named '1'
+    # silently time-traveled to snapshot 1)
+    engine.catalog.get_table("tg").create_tag("1")  # tag '1' → snapshot 2
+    n = engine.sql(
+        "SELECT count(*) AS n FROM tg /*+ OPTIONS('scan.tag-name'='1') */"
+    ).collect()[0].n
+    assert n == 2
+    with pytest.raises(ValueError, match="no tag"):
+        engine.sql("SELECT * FROM tg /*+ OPTIONS('scan.tag-name'='absent') */")
 
 
 def test_streaming_select_consumer_id_hint(engine, spark):

@@ -872,3 +872,136 @@ def test_dedup_ingest_pipeline_start_end_to_end(spark, catalog, tmp_path):
         for r in catalog.get_table(minhash_index_name("sdocs")).read(spark).collect()
     }
     assert idx_docs == {r.doc_id for r in rows}
+
+
+def test_changelog_consumer_reattach_keeps_bookmark(spark, catalog):
+    """A KNOWN consumer reattaching must resume from its recorded
+    progress (round-6 ADVICE #1): scan_mode='latest' must not move the
+    pin forward past unconsumed snapshots (releasing them for expiry),
+    and a default genesis reattach must not regress an advanced
+    bookmark. Only an explicit earlier start widens the pin backward."""
+    from advent_of_code_flink_paimon_spark.streaming import stream_table_changelog
+
+    t = catalog.create_table(
+        "cra", "k long, v string", {"primary-key": "k", "changelog-producer": "input"}
+    )
+    for i in range(4):
+        t.upsert(spark.createDataFrame([(i, "x")], "k long, v string"))
+    stream_table_changelog(spark, t, consumer_id="sub")
+    assert t.consumers()["sub"]["next_snapshot_id"] == 1
+    # subscriber durably processed snapshots 1-2
+    t.register_consumer("sub", next_snapshot_id=3)
+    # reattach with 'latest' → bookmark must NOT jump to latest+1
+    stream_table_changelog(spark, t, scan_mode="latest", consumer_id="sub")
+    assert t.consumers()["sub"]["next_snapshot_id"] == 3
+    # default (genesis) reattach → must NOT regress to 1 (over-pinning)
+    stream_table_changelog(spark, t, consumer_id="sub")
+    assert t.consumers()["sub"]["next_snapshot_id"] == 3
+    # explicit restart BEFORE the bookmark → widen the pin backward
+    stream_table_changelog(
+        spark, t, scan_mode="from-snapshot", from_snapshot=2, consumer_id="sub"
+    )
+    assert t.consumers()["sub"]["next_snapshot_id"] == 2
+
+
+def test_changelog_normalize_typed_values(spark, catalog, tmp_path):
+    """The normalize state holds the last-known row NATIVELY (round-6
+    ADVICE #4): timestamp / date / decimal / binary value columns
+    round-trip through the keyed state — the old json.dumps state
+    raised TypeError on the first update for any of them."""
+    import datetime
+    from decimal import Decimal
+
+    from advent_of_code_flink_paimon_spark.streaming import changelog_normalize
+
+    schema = (
+        "k long, ts timestamp, d date, amt decimal(10,2), blob binary, "
+        "op string, seq long"
+    )
+    rows = [
+        (1, datetime.datetime(2026, 1, 1, 12, 0, 0), datetime.date(2026, 1, 1),
+         Decimal("10.50"), bytearray(b"aa"), "+U", 0),
+        (1, datetime.datetime(2026, 1, 2, 12, 0, 0), datetime.date(2026, 1, 2),
+         Decimal("11.25"), bytearray(b"bb"), "+U", 1),
+        (1, None, None, None, None, "-D", 2),
+        (2, datetime.datetime(2026, 2, 1, 0, 0, 0), datetime.date(2026, 2, 1),
+         Decimal("7.00"), bytearray(b"cc"), "+U", 3),
+    ]
+    src_dir = tmp_path / "cnt-src"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src_dir))
+    stream = spark.readStream.schema(schema).parquet(str(src_dir))
+    normalized = changelog_normalize(
+        stream, key_cols=["k"], value_cols=["ts", "d", "amt", "blob"],
+        order_col="seq",
+    )
+    q = (
+        normalized.writeStream.format("memory")
+        .queryName("cnt_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cnt-ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.k, r.ts, r.d, r.amt, bytes(r.blob) if r.blob is not None else None,
+         r._change_type)
+        for r in spark.sql("SELECT * FROM cnt_out").collect()
+    )
+    want = sorted([
+        (1, rows[0][1], rows[0][2], rows[0][3], b"aa", "+I"),
+        (1, rows[0][1], rows[0][2], rows[0][3], b"aa", "-U"),
+        (1, rows[1][1], rows[1][2], rows[1][3], b"bb", "+U"),
+        (1, rows[1][1], rows[1][2], rows[1][3], b"bb", "-D"),
+        (2, rows[3][1], rows[3][2], rows[3][3], b"cc", "+I"),
+    ])
+    assert got == want, (got, want)
+
+
+def test_changelog_normalize_orders_across_arrow_chunks(spark, catalog, tmp_path):
+    """order_col must hold across the key's WHOLE micro-batch, not per
+    Arrow chunk (round-6 ADVICE #2): with maxRecordsPerBatch=2 a
+    12-row key spans 6 chunks, and a per-chunk sort would fold commits
+    in arrival order across chunks. The fold result must equal the
+    sequential model on seq order regardless of the physical row
+    order."""
+    from advent_of_code_flink_paimon_spark.streaming import changelog_normalize
+
+    schema = "k long, v string, op string, seq long"
+    seqs = list(range(12))
+    # deterministic scramble that interleaves badly across 2-row chunks
+    scrambled = sorted(seqs, key=lambda s: (s * 7) % 12)
+    rows = [(1, f"v{s}", "+U", s) for s in scrambled]
+    src_dir = tmp_path / "cno-src"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src_dir))
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        stream = spark.readStream.schema(schema).parquet(str(src_dir))
+        normalized = changelog_normalize(
+            stream, key_cols=["k"], value_cols=["v"], order_col="seq"
+        )
+        q = (
+            normalized.writeStream.format("memory")
+            .queryName("cno_out")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "cno-ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    got = sorted(
+        (r.v, r._change_type) for r in spark.sql("SELECT * FROM cno_out").collect()
+    )
+    want = [("v0", "+I")]
+    for s in seqs[1:]:
+        want += [(f"v{s - 1}", "-U"), (f"v{s}", "+U")]
+    # a per-chunk sort folds a different permutation: its -U multiset
+    # omits the wrong terminal value, so the multiset compare detects it
+    assert got == sorted(want), (got, sorted(want))
