@@ -1065,7 +1065,19 @@ def refresh_inverted_index(spark, catalog, docs_table: str) -> int:
     partial-aggregated count, shuffled into the term-bucketed layout
     the query path probes; dl rides each posting (denormalized) so
     scoring never joins a lengths table. The stats table holds one row
-    per refresh — corpus-size-independent."""
+    per refresh — corpus-size-independent.
+
+    Crash-idempotent (round-6 VERDICT ask #2): postings AND stats
+    appends are stamped with the consumed snapshot range
+    (pack_refresh_range), and the bookmark is first RECOVERED from the
+    stats table's own snapshot log — a retry after a crash between the
+    appends and the bookmark advance re-indexes nothing, so n_docs /
+    sum_dl can never double-count (which would permanently skew idf
+    and avgdl away from x62's recompute)."""
+    from advent_of_code_flink_paimon_spark.operators.dedup import (
+        pack_refresh_range,
+        recover_refresh_bookmark,
+    )
     from advent_of_code_flink_paimon_spark.operators.registry import fan_out
 
     docs_t = catalog.get_table(docs_table)
@@ -1077,12 +1089,20 @@ def refresh_inverted_index(spark, catalog, docs_table: str) -> int:
     stats_t = catalog.get_table(_inv_stats_name(docs_table))
     consumer_id = f"{_INV_CONSUMER_PREFIX}-{idx_name}"
     nxt = docs_t.consumers().get(consumer_id, {}).get("next_snapshot_id", 1)
+    # the stats table is written ONLY by this refresh, so its committed
+    # range stamps are the ground truth for what is already indexed
+    nxt = recover_refresh_bookmark(stats_t, nxt)
     latest = docs_t.latest_snapshot_id() or 0
     if latest < nxt:
+        if nxt > docs_t.consumers().get(consumer_id, {}).get("next_snapshot_id", 1):
+            docs_t.register_consumer(consumer_id, next_snapshot_id=nxt)
         return 0
-    fresh = docs_t.merge_raw(docs_t.incremental_read(spark, nxt - 1, latest))
+    # persist: count + two appends would otherwise execute the
+    # incremental read three times (round-6 VERDICT #2)
+    fresh = docs_t.merge_raw(docs_t.incremental_read(spark, nxt - 1, latest)).persist()
     n = fresh.count()
     if n:
+        cid = pack_refresh_range(nxt, latest)
         toks = fan_out(fresh, heavy=True).select(
             "doc_id",
             F.size(F.split("text", " ")).alias("dl"),
@@ -1091,12 +1111,16 @@ def refresh_inverted_index(spark, catalog, docs_table: str) -> int:
         postings = toks.groupBy("term", "doc_id", "dl").agg(
             F.count("*").cast("int").alias("tf")
         )
-        idx_t.append(postings.select("term", "doc_id", "tf", F.col("dl").cast("int")))
+        idx_t.append(
+            postings.select("term", "doc_id", "tf", F.col("dl").cast("int")),
+            commit_identifier=cid,
+        )
         dl_stats = fresh.select(F.size(F.split("text", " ")).alias("dl")).agg(
             F.count("*").cast("long").alias("n_docs"),
             F.sum("dl").cast("long").alias("sum_dl"),
         )
-        stats_t.append(dl_stats)
+        stats_t.append(dl_stats, commit_identifier=cid)
+    fresh.unpersist()
     docs_t.register_consumer(consumer_id, latest + 1)
     return n
 

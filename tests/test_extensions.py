@@ -486,3 +486,125 @@ def test_inverted_index_lifecycle(spark, tmp_path):
     docs.coalesce(1).write.mode("overwrite").parquet(_os.path.join(sf, "documents.parquet"))
     want = [(r.doc_id, r.bm25) for r in x62_bm25_topk(spark, sf).collect()]
     assert got == want
+
+
+def test_dedup_verify_pool_is_candidate_pruned(spark, tmp_path):
+    """The continuous-ingest verify must read only the batch plus the
+    corpus docs that are candidate match endpoints (round-6 VERDICT #1):
+    candidate pairs come from batch bands x the persisted index alone,
+    and candidate_verify_pool LEFT-SEMI-joins the corpus down to the
+    candidate j ids BEFORE any shingle compute — O(batch + candidates)
+    per micro-batch, never O(corpus)."""
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+    from advent_of_code_flink_paimon_spark.operators.dedup import (
+        candidate_verify_pool,
+        index_candidate_pairs,
+        minhash_index_name,
+        refresh_minhash_index,
+    )
+
+    def doc(i, cls):
+        # 12-token docs; token class == shingle class (disjoint across
+        # classes, identical within one)
+        return (i, " ".join(f"tok{cls}_{j}" for j in range(12)))
+
+    corpus_rows = [doc(i, i) for i in range(40)]          # 40 mutually unrelated docs
+    batch_rows = [doc(100, 5), doc(101, 90), doc(102, 91)]  # one near-dup of corpus doc 5
+    ddl = "doc_id long, text string"
+    corpus = spark.createDataFrame(corpus_rows, ddl)
+    batch = spark.createDataFrame(batch_rows, ddl)
+
+    catalog = Catalog(str(tmp_path / "wh"))
+    t = catalog.create_table("docs", ddl, {})
+    t.append(corpus)
+    refresh_minhash_index(spark, catalog, "docs")
+    idx = catalog.get_table(minhash_index_name("docs")).read(spark)
+
+    pairs = index_candidate_pairs(batch, idx)
+    assert {(r.i, r.j) for r in pairs.collect()} == {(100, 5)}
+
+    pool = candidate_verify_pool(batch, t.read(spark), pairs)
+    # 3 batch docs + exactly the 1 candidate corpus doc — 39 corpus
+    # docs are never shingle-hashed
+    assert sorted(r.doc_id for r in pool.collect()) == [5, 100, 101, 102]
+    plan = pool._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" in plan, plan
+
+
+def test_refresh_minhash_index_crash_idempotent(spark, tmp_path):
+    """A refresh retried after a crash between the index append and the
+    bookmark advance must index nothing twice: the append carries the
+    consumed snapshot range as its commit identifier, and the next
+    refresh recovers the true bookmark from the index's own log."""
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+    from advent_of_code_flink_paimon_spark.operators.dedup import (
+        _MINHASH_CONSUMER_PREFIX,
+        minhash_index_name,
+        refresh_minhash_index,
+    )
+
+    ddl = "doc_id long, text string"
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(12))) for i in range(10)]
+    catalog = Catalog(str(tmp_path / "wh"))
+    t = catalog.create_table("docs", ddl, {})
+    t.append(spark.createDataFrame(rows, ddl))
+    assert refresh_minhash_index(spark, catalog, "docs") == 10
+    idx_t = catalog.get_table(minhash_index_name("docs"))
+    before = idx_t.read(spark).count()
+
+    # simulate the crash window: the append committed but the bookmark
+    # never advanced
+    consumer_id = f"{_MINHASH_CONSUMER_PREFIX}-{minhash_index_name('docs')}"
+    t.register_consumer(consumer_id, next_snapshot_id=1)
+    assert refresh_minhash_index(spark, catalog, "docs") == 0
+    assert idx_t.read(spark).count() == before
+    # the retry healed the bookmark
+    assert t.consumers()[consumer_id]["next_snapshot_id"] == (t.latest_snapshot_id() or 0) + 1
+
+
+def test_refresh_inverted_index_crash_idempotent(spark, tmp_path):
+    """Retrying an inverted-index refresh after the crash window must
+    leave postings AND the BM25 stats table unchanged (a re-run that
+    double-counted n_docs/sum_dl would permanently skew idf/avgdl),
+    and the index-probing BM25 must still equal x62's full recompute."""
+    import os as _os
+
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+    from advent_of_code_flink_paimon_spark.operators.registry import T
+    from advent_of_code_flink_paimon_spark.operators.text import (
+        _BM25_TERMS,
+        _INV_CONSUMER_PREFIX,
+        _inv_stats_name,
+        bm25_query_index,
+        inverted_index_name,
+        refresh_inverted_index,
+        x62_bm25_topk,
+    )
+
+    catalog = Catalog(str(tmp_path / "wh"))
+    docs = T(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+    t = catalog.create_table("docs", "doc_id long, text string", {})
+    t.append(docs)
+    n = refresh_inverted_index(spark, catalog, "docs")
+    assert n == docs.count()
+    stats_t = catalog.get_table(_inv_stats_name("docs"))
+    idx_t = catalog.get_table(inverted_index_name("docs"))
+    stats_before = [(r.n_docs, r.sum_dl) for r in stats_t.read(spark).collect()]
+    postings_before = idx_t.read(spark).count()
+
+    # crash window: both appends committed, bookmark not advanced
+    consumer_id = f"{_INV_CONSUMER_PREFIX}-{inverted_index_name('docs')}"
+    t.register_consumer(consumer_id, next_snapshot_id=1)
+    assert refresh_inverted_index(spark, catalog, "docs") == 0
+    assert [(r.n_docs, r.sum_dl) for r in stats_t.read(spark).collect()] == stats_before
+    assert idx_t.read(spark).count() == postings_before
+
+    got = [
+        (r.doc_id, r.bm25)
+        for r in bm25_query_index(spark, catalog, "docs", _BM25_TERMS, 50).collect()
+    ]
+    sf = str(tmp_path / "sf")
+    _os.makedirs(sf, exist_ok=True)
+    docs.coalesce(1).write.mode("overwrite").parquet(_os.path.join(sf, "documents.parquet"))
+    want = [(r.doc_id, r.bm25) for r in x62_bm25_topk(spark, sf).collect()]
+    assert got == want
