@@ -16,6 +16,15 @@ from pyspark.sql import DataFrame, SparkSession
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+# Library operators: full queries with oracles that have YIELDED their
+# driver-registry slot (the driver scores a 50-entry window per round;
+# the ≤1-round evidence-freshness policy caps the registry at 100
+# entries over the 2-round rotation). They stay oracle-gated by the
+# local strict harness (tests/test_relational_oracle.py iterates BOTH
+# dicts) and can swap back into the registry whenever a slot opens.
+LIBRARY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+LIBRARY_ORACLES: dict[str, str] = {}
+
 
 def query(name: str, oracle: str | None = None):
     """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under ``name``."""
@@ -27,6 +36,14 @@ def query(name: str, oracle: str | None = None):
         return fn
 
     return deco
+
+
+def demote(name: str) -> None:
+    """Move a registered query to library status (local-harness-gated
+    only, out of the driver's scored registry)."""
+    LIBRARY_QUERIES[name] = QUERIES.pop(name)
+    if name in ORACLES:
+        LIBRARY_ORACLES[name] = ORACLES.pop(name)
 
 
 _FAN_OUT_BYTES_PER_SLOT = 1 << 20  # 1 MiB of input per core

@@ -1062,3 +1062,19 @@ def q45_posexplode(spark, sf_dir):
     return d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
     )
+
+
+# ---------------------------------------------------------------------------
+# Driver-window policy (round 7): the scored registry is capped at 100
+# entries by the 50-per-round window × ≤1-round evidence freshness.
+# q02/q03/q04 — trivial projections, relation-stable since round 1 —
+# yield their slots to x49 (code changed this round, must re-score),
+# x62 (BM25, never driver-scored) and x63 (persisted PQ-index
+# lifecycle, new). They remain full oracle-gated operators through the
+# local strict harness, which iterates LIBRARY_QUERIES too.
+# ---------------------------------------------------------------------------
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote
+
+for _name in ("q02_project_all", "q03_project_reorder", "q04_count_alias"):
+    _demote(_name)
+del _demote, _name

@@ -968,17 +968,14 @@ LIMIT {_BM25_TOPK}
 """
 
 
-# NOT @query-registered (round 6): the driver scores a 50-entry window
-# per round and the ≤1-round evidence-freshness policy therefore caps
-# the registry at 100 driver-scored entries over the 2-round rotation —
-# exactly where it stands. BM25 ships as a library operator whose
-# oracle equivalence is enforced by the strict local harness instead
-# (tests/test_extensions.py::test_bm25_matches_duckdb_oracle, the same
-# compare the driver-sim runs); it swaps into the registry the moment a
-# slot opens or the policy widens.
+# Round 7: registered (round-6 VERDICT ask #5) — q02's demotion to
+# library status opened the slot, so BM25 finally gets a driver row.
+# The strict local harness keeps its own gate
+# (tests/test_extensions.py::test_bm25_matches_duckdb_oracle).
 X62_BM25_ORACLE = _bm25_sql()
 
 
+@query("x62_bm25_topk", oracle=X62_BM25_ORACLE)
 def x62_bm25_topk(spark, sf_dir):
     """Okapi BM25 top-k retrieval (Robertson & Zaragoza 2009) — the
     lexical-search complement to the embedding ANN surface (x10-x12):

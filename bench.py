@@ -76,6 +76,9 @@ HEADLINE = [
     "x42_hash_sample",
     "x43_stratified_cap",
     "x44_mixture_resample",
+    # round 7 additions
+    "x62_bm25_topk",
+    "x63_pq_index_lifecycle",
 ]
 
 

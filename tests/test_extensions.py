@@ -608,3 +608,57 @@ def test_refresh_inverted_index_crash_idempotent(spark, tmp_path):
     docs.coalesce(1).write.mode("overwrite").parquet(_os.path.join(sf, "documents.parquet"))
     want = [(r.doc_id, r.bm25) for r in x62_bm25_topk(spark, sf).collect()]
     assert got == want
+
+
+def test_pq_index_lifecycle_incremental_and_crash_idempotent(spark, tmp_path):
+    """Persisted PQ index: build encodes the corpus commit, refresh
+    encodes ONLY the new commit (consumer bookmark), a crash-retried
+    refresh appends nothing twice, and ADC top-k over the STORED codes
+    equals a fresh full build over the same vectors (encode-once =
+    recompute)."""
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+    from advent_of_code_flink_paimon_spark.operators.registry import T
+    from advent_of_code_flink_paimon_spark.operators.similarity import (
+        _PQ_CONSUMER_PREFIX,
+        adc_topk_index,
+        build_pq_index,
+        pq_codes_name,
+        refresh_pq_codes,
+    )
+
+    e = T(spark, "/root/testdata/sf0.001", "embeddings").select("vec_id", "embedding")
+    corpus = e.filter("vec_id % 10 <> 0")
+    batch = e.filter("vec_id % 10 = 0")
+
+    catalog = Catalog(str(tmp_path / "wh"))
+    t = catalog.create_table("vecs", "vec_id long, embedding array<float>", {})
+    t.append(corpus)
+    assert build_pq_index(spark, catalog, "vecs") == corpus.count()
+    t.append(batch)
+    assert refresh_pq_codes(spark, catalog, "vecs") == batch.count()  # O(new) only
+    assert refresh_pq_codes(spark, catalog, "vecs") == 0              # caught up
+    codes_t = catalog.get_table(pq_codes_name("vecs"))
+    assert codes_t.read(spark).count() == e.count()
+
+    # crash window: codes appended, bookmark never advanced — the retry
+    # recovers from the codes table's range stamps and encodes nothing
+    t.register_consumer(f"{_PQ_CONSUMER_PREFIX}-vecs", next_snapshot_id=1)
+    assert refresh_pq_codes(spark, catalog, "vecs") == 0
+    assert codes_t.read(spark).count() == e.count()
+
+    # incremental refresh must equal a full encode: the stored codes
+    # (corpus from build + batch from refresh) match re-encoding EVERY
+    # vector directly against the stored codebook in one pass
+    from advent_of_code_flink_paimon_spark.operators.similarity import (
+        _pq_encode,
+        _pq_vecs,
+        load_pq_codebook,
+    )
+
+    codebook = load_pq_codebook(spark, catalog, "vecs")
+    fresh = sorted(map(tuple, _pq_encode(_pq_vecs(t.read(spark)), codebook).collect()))
+    stored = sorted(map(tuple, codes_t.read(spark).collect()))
+    assert fresh == stored
+
+    got = adc_topk_index(spark, catalog, "vecs").collect()
+    assert len(got) > 0 and {r.rank for r in got} <= set(range(1, 6))

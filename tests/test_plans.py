@@ -14,7 +14,11 @@ import pytest
 import __spark_entry__ as entrymod
 from tests.conftest import SF_ORACLE
 
-QUERIES = entrymod.queries()
+from advent_of_code_flink_paimon_spark.operators.registry import (  # noqa: E402
+    LIBRARY_QUERIES,
+)
+
+QUERIES = {**entrymod.queries(), **LIBRARY_QUERIES}
 
 
 def plan_of(spark, name: str, mode: str = "formatted") -> str:

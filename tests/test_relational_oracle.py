@@ -16,6 +16,13 @@ from tests.oracle_harness import compare, duck_con
 QUERIES = entrymod.queries()
 ORACLES = entrymod.oracle_sql()
 
+# demoted-to-library entries keep full oracle gating here even though
+# they yielded their driver-registry slot (registry.demote)
+from advent_of_code_flink_paimon_spark.operators.registry import (  # noqa: E402
+    LIBRARY_ORACLES,
+    LIBRARY_QUERIES,
+)
+
 
 @pytest.fixture(scope="module")
 def con():
@@ -29,6 +36,17 @@ def test_query(name, spark, con):
     df = QUERIES[name](spark, SF_ORACLE)
     if name in ORACLES:
         problems = compare(df, con, ORACLES[name])
+        assert not problems, f"{name}: {problems}"
+    else:
+        rows = df.collect()
+        assert rows is not None and len(df.columns) > 0
+
+
+@pytest.mark.parametrize("name", sorted(LIBRARY_QUERIES))
+def test_library_query(name, spark, con):
+    df = LIBRARY_QUERIES[name](spark, SF_ORACLE)
+    if name in LIBRARY_ORACLES:
+        problems = compare(df, con, LIBRARY_ORACLES[name])
         assert not problems, f"{name}: {problems}"
     else:
         rows = df.collect()
