@@ -662,3 +662,83 @@ def test_pq_index_lifecycle_incremental_and_crash_idempotent(spark, tmp_path):
 
     got = adc_topk_index(spark, catalog, "vecs").collect()
     assert len(got) > 0 and {r.rank for r in got} <= set(range(1, 6))
+
+
+def _planted_docs_dir(spark, tmp_path, rows):
+    """Write a minimal sf-dir with ONLY documents.parquet (duck_con's
+    views are lazy, so absent tables never bind) — the planted-fixture
+    harness for dedup operators whose interesting branch the driver
+    testdata never exercises (round-6 VERDICT ask #4)."""
+    import os as _os
+
+    import duckdb as _duckdb
+
+    sf = str(tmp_path / "sf-planted")
+    _os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(_os.path.join(sf, "documents.parquet"))
+    con = _duckdb.connect()
+    # Spark writes documents.parquet as a part-file DIRECTORY; glob it
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{_os.path.join(sf, 'documents.parquet', '*.parquet')}')"
+    )
+    return sf, con
+
+
+def test_x52_norm_dedup_planted_collisions(spark, tmp_path):
+    """x52's keep-first/group-size branch on PLANTED normalization
+    collisions (case/digit/punctuation variants of one text): the
+    driver testdata has no such groups, so its oracle row is vacuous —
+    this fixture is the operator's real gate, oracle-compared against
+    DuckDB on the same planted parquet."""
+    from advent_of_code_flink_paimon_spark.operators.dedup import (
+        _SQL_NORM_DEDUP,
+        x52_norm_dedup,
+    )
+    from oracle_harness import compare
+
+    rows = [
+        (1, "Hello World 123", "en", "web", 15),
+        (2, "hello world 456", "en", "web", 15),
+        (3, "HELLO, world. 789", "en", "crawl", 17),
+        (4, "an entirely different document", "en", "web", 30),
+        (5, "Numbers 42 only differ", "en", "web", 22),
+        (6, "numbers 77 ONLY differ!", "en", "web", 23),
+    ]
+    sf, con = _planted_docs_dir(spark, tmp_path, rows)
+    got = {(r.doc_id, r.keep, r.group_size) for r in x52_norm_dedup(spark, sf).collect()}
+    # two collision groups: {1,2,3} keep-first 1; {5,6} keep-first 5;
+    # doc 4 is no group and must not appear
+    assert got == {
+        (1, True, 3), (2, False, 3), (3, False, 3),
+        (5, True, 2), (6, False, 2),
+    }, got
+    problems = compare(x52_norm_dedup(spark, sf), con, _SQL_NORM_DEDUP)
+    assert not problems, problems
+
+
+def test_x53_keep_longest_planted_groups(spark, tmp_path):
+    """x53's length preference on PLANTED exact-dup groups whose
+    n_chars metadata differs (upstream truncation stamps): the longest
+    survives, doc_id breaks ties — oracle-compared on the same planted
+    parquet."""
+    from advent_of_code_flink_paimon_spark.operators.dedup import (
+        _SQL_KEEP_LONGEST,
+        x53_keep_longest_dedup,
+    )
+    from oracle_harness import compare
+
+    dup = "the exact same captured page text"
+    rows = [
+        (10, dup, "en", "web", 50),
+        (11, dup, "en", "crawl", 80),   # longest stamp → survivor
+        (12, dup, "en", "web", 80),     # ties on n_chars → doc_id 11 wins
+        (13, "a unique document", "en", "web", 17),
+    ]
+    sf, con = _planted_docs_dir(spark, tmp_path, rows)
+    got = {(r.doc_id, r.n_chars, r.group_size) for r in x53_keep_longest_dedup(spark, sf).collect()}
+    assert got == {(11, 80, 3), (13, 17, 1)}, got
+    problems = compare(x53_keep_longest_dedup(spark, sf), con, _SQL_KEEP_LONGEST)
+    assert not problems, problems
