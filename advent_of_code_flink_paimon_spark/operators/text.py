@@ -1168,3 +1168,80 @@ def bm25_query_index(spark, catalog, docs_table: str, terms: list[str], k: int =
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative BPE trainer: the repeated count → argmax-merge → re-tokenize
+# loop x57 is one iteration of (Sennrich et al. 2016, arXiv:1508.07909
+# §3.1; round-6 VERDICT ask #6). Library operator: the training loop is
+# iterative/stateful and not single-SQL-expressible, so its gate is the
+# model-differential test against a sequential Python BPE
+# (tests/test_extensions.py::test_bpe_train_matches_sequential_model).
+# ---------------------------------------------------------------------------
+
+
+def bpe_train(
+    spark, docs, n_merges: int = 8, min_freq: int = 2
+) -> tuple[list[dict], "DataFrame"]:
+    """Train BPE merges over a (doc_id, text) corpus: collapse the
+    corpus ONCE to the word-frequency table (the classic trick — every
+    later round works on |vocab| rows, not |corpus|), then repeat:
+    count adjacent symbol pairs weighted by word frequency, pick the
+    argmax pair (count DESC, pair ASC — a total order, deterministic),
+    and re-tokenize every word with a greedy left-to-right fold that
+    replaces non-overlapping (a, b) occurrences with the merged symbol.
+
+    Returns (merges, words): merges = [{round, left, right, merged,
+    n_occ}] in training order; words = the final (w, freq, syms)
+    relation.
+
+    Scale shape per round: pair counting is a row-local transform +
+    ONE hash exchange on the pair key (map-side partial sums of freq);
+    the argmax is a 1-row TakeOrderedAndProject collect; re-tokenize is
+    a map-only JVM fold (F.aggregate — no Python in the loop). The
+    words relation is localCheckpoint-ed each round so the plan stays
+    one-exchange-per-round instead of growing a 2^rounds lineage (the
+    x07 pointer-doubling lesson). Word-frequency collapse bounds state:
+    at 100 TB the words table is the token vocabulary (~10⁷ rows), so
+    rounds cost seconds regardless of corpus size."""
+    words = (
+        fan_out(docs, heavy=True)
+        .select(F.explode(_tokens()).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("freq"))
+        .withColumn("syms", F.split(F.col("w"), ""))
+        .localCheckpoint(eager=True)
+    )
+    pairs_expr = F.expr(
+        "transform(sequence(1, size(syms) - 1),"
+        " i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))"
+    )
+    merges: list[dict] = []
+    for rnd in range(1, n_merges + 1):
+        top = (
+            words.filter(F.size("syms") >= 2)
+            .select("freq", F.explode(pairs_expr).alias("p"))
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.col("n").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0].n < min_freq:
+            break
+        a, b, n_occ = top[0].a, top[0].b, int(top[0].n)
+        la, lb, lm = F.lit(a), F.lit(b), F.lit(a + b)
+
+        def step(acc, x):
+            hit = (F.size(acc) > 0) & (F.element_at(acc, -1) == la) & (x == lb)
+            return F.when(
+                hit, F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(lm))
+            ).otherwise(F.concat(acc, F.array(x)))
+
+        words = words.withColumn(
+            "syms", F.aggregate("syms", F.array().cast("array<string>"), step)
+        ).localCheckpoint(eager=True)
+        merges.append(
+            {"round": rnd, "left": a, "right": b, "merged": a + b, "n_occ": n_occ}
+        )
+    return merges, words

@@ -742,3 +742,55 @@ def test_x53_keep_longest_planted_groups(spark, tmp_path):
     assert got == {(11, 80, 3), (13, 17, 1)}, got
     problems = compare(x53_keep_longest_dedup(spark, sf), con, _SQL_KEEP_LONGEST)
     assert not problems, problems
+
+
+def test_bpe_train_matches_sequential_model(spark):
+    """Iterative BPE trainer vs a sequential Python reference on a
+    fixture corpus: same merge sequence (count DESC, pair ASC argmax),
+    same greedy left-to-right re-tokenization, same final symbol
+    table."""
+    from advent_of_code_flink_paimon_spark.operators.text import bpe_train
+
+    texts = [
+        "low low low lower lowest",
+        "new newer newest low",
+        "wider wide wide new",
+        "low lower newer wide",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges, words = bpe_train(spark, docs, n_merges=6, min_freq=2)
+
+    # sequential reference (Sennrich 2016 on the word-frequency table)
+    freqs: dict[str, int] = {}
+    for t in texts:
+        for w in t.split(" "):
+            freqs[w] = freqs.get(w, 0) + 1
+    syms = {w: list(w) for w in freqs}
+    want_merges = []
+    for rnd in range(1, 7):
+        cnt: dict[tuple, int] = {}
+        for w, f in freqs.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                cnt[(s[i], s[i + 1])] = cnt.get((s[i], s[i + 1]), 0) + f
+        if not cnt:
+            break
+        (a, b), n = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[0]
+        if n < 2:
+            break
+        for w, s in syms.items():
+            out: list[str] = []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            syms[w] = out
+        want_merges.append((rnd, a, b, a + b, n))
+
+    assert [(m["round"], m["left"], m["right"], m["merged"], m["n_occ"]) for m in merges] == want_merges
+    assert len(merges) > 0
+    got_syms = {r.w: list(r.syms) for r in words.collect()}
+    assert got_syms == syms
