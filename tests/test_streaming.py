@@ -1005,3 +1005,91 @@ def test_changelog_normalize_orders_across_arrow_chunks(spark, catalog, tmp_path
     # a per-chunk sort folds a different permutation: its -U multiset
     # omits the wrong terminal value, so the multiset compare detects it
     assert got == sorted(want), (got, sorted(want))
+
+
+def test_search_ingest_pipeline_probe_equals_recompute(spark, catalog, tmp_path):
+    """Continuous searchable ingestion (the inverted index behind a
+    streaming docs ingest): after EVERY micro-batch, probe-only BM25
+    over the persisted postings/stats equals a full x62 recompute over
+    the same committed corpus; a replayed batch_id commits nothing
+    twice."""
+    import os as _os
+
+    from advent_of_code_flink_paimon_spark.operators.registry import T
+    from advent_of_code_flink_paimon_spark.operators.text import (
+        _BM25_TERMS,
+        SearchIngestPipeline,
+        bm25_query_index,
+        x62_bm25_topk,
+    )
+
+    docs = T(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+    p = SearchIngestPipeline(spark, catalog, "sdocs", str(tmp_path / "ck"))
+    t = catalog.get_table("sdocs")
+
+    committed = None
+    for bid in range(3):
+        batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == bid)
+        assert p.sink(batch, bid) == batch.count()
+        committed = batch if committed is None else committed.unionByName(batch)
+        got = [
+            (r.doc_id, r.bm25)
+            for r in bm25_query_index(spark, catalog, "sdocs", _BM25_TERMS, 50).collect()
+        ]
+        sf = str(tmp_path / f"sf-{bid}")
+        _os.makedirs(sf, exist_ok=True)
+        committed.coalesce(1).write.mode("overwrite").parquet(
+            _os.path.join(sf, "documents.parquet")
+        )
+        want = [(r.doc_id, r.bm25) for r in x62_bm25_topk(spark, sf).collect()]
+        assert got == want, f"batch {bid}: probe-only BM25 diverged from recompute"
+
+    # checkpoint-replay: re-running an already-committed batch_id is a
+    # full no-op for the data table AND the index
+    snaps_before = t.latest_snapshot_id()
+    n_docs_before = t.read(spark).count()
+    p.sink(docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 1), 1)
+    assert t.latest_snapshot_id() == snaps_before
+    assert t.read(spark).count() == n_docs_before
+
+
+def test_search_ingest_pipeline_start_end_to_end(spark, catalog, tmp_path):
+    """End-to-end streaming smoke: SearchIngestPipeline.start wired to
+    a rate source, availableNow — the docs table and the inverted index
+    cover exactly the streamed rows when the query drains."""
+    import pyspark.sql.functions as F2
+
+    from advent_of_code_flink_paimon_spark.operators.text import (
+        SearchIngestPipeline,
+        inverted_index_name,
+    )
+
+    p = SearchIngestPipeline(spark, catalog, "sidocs", str(tmp_path / "sck"))
+    src = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 8)
+        .option("numPartitions", 1)
+        .load()
+        .select(
+            F2.col("value").alias("doc_id"),
+            F2.expr(
+                "concat_ws(' ', transform(sequence(1, 10),"
+                " i -> concat('word', cast(value % 7 as string))))"
+            ).alias("text"),
+        )
+    )
+    q = (
+        src.writeStream.foreachBatch(lambda df, bid: p.sink(df, bid))
+        .option("checkpointLocation", str(tmp_path / "sck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    t = catalog.get_table("sidocs")
+    doc_ids = {r.doc_id for r in t.read(spark).collect()}
+    assert doc_ids == set(range(8))
+    idx_docs = {
+        r.doc_id
+        for r in catalog.get_table(inverted_index_name("sidocs")).read(spark).collect()
+    }
+    assert idx_docs == doc_ids
