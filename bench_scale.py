@@ -38,7 +38,9 @@ QUERIES = ["x07_dup_clusters", "x13_semantic_dedup", "x03_dedup_minhash_lsh",
            "x49_minhash_index_dedup", "x51_ccnet_perplexity_bucket",
            "x55_pq_quantize", "x56_pq_adc_topk", "x57_bpe_pair_counts",
            "x58_vocab_coverage", "x59_shard_assign",
-           "x60_source_dup_matrix", "x61_cluster_balanced_sample"]
+           "x60_source_dup_matrix", "x61_cluster_balanced_sample",
+           # round-7: BM25 full recompute; persisted-PQ lifecycle
+           "x62_bm25_topk", "x63_pq_index_lifecycle"]
 REPEATS = 3
 
 

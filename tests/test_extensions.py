@@ -794,3 +794,56 @@ def test_bpe_train_matches_sequential_model(spark):
     assert len(merges) > 0
     got_syms = {r.w: list(r.syms) for r in words.collect()}
     assert got_syms == syms
+
+
+def test_dedup_from_storage_equals_recompute(spark, tmp_path):
+    """Verify-from-storage (persisted PK shingle store) returns exactly
+    the recompute path's pairs, while reading NO corpus text: the
+    corpus side of the verify comes from the shingle table,
+    left-semi-pruned to candidate ids."""
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+    from advent_of_code_flink_paimon_spark.operators.dedup import (
+        dedup_batch_against_index,
+        dedup_batch_from_storage,
+        minhash_index_name,
+        minhash_shingles_name,
+        refresh_minhash_index,
+        shingle_hash_arrays,
+    )
+    from advent_of_code_flink_paimon_spark.operators.registry import T, fan_out
+
+    docs = T(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+    corpus = docs.filter("doc_id % 10 <> 0")
+    batch = docs.filter("doc_id % 10 = 0")
+
+    catalog = Catalog(str(tmp_path / "wh"))
+    t = catalog.create_table("docs", "doc_id long, text string", {})
+    t.append(corpus)
+    refresh_minhash_index(spark, catalog, "docs", store_shingles=True)
+    # the store covers the corpus one-row-per-doc
+    sh_t = catalog.get_table(minhash_shingles_name("docs"))
+    assert sh_t.read(spark).count() == corpus.count()
+
+    got = {
+        (r.i, r.j, round(r.jaccard, 9))
+        for r in dedup_batch_from_storage(spark, catalog, "docs", batch).collect()
+    }
+    idx = catalog.get_table(minhash_index_name("docs")).read(spark)
+    sharr = shingle_hash_arrays(fan_out(docs, heavy=True))
+    want = {
+        (r.i, r.j, round(r.jaccard, 9))
+        for r in dedup_batch_against_index(batch, idx, sharr).collect()
+    }
+    assert got == want and len(got) > 0
+
+    # crash-window replay: shingles upsert + band append retried under
+    # the same consumed range leave both tables unchanged
+    from advent_of_code_flink_paimon_spark.operators.dedup import (
+        _MINHASH_CONSUMER_PREFIX,
+    )
+
+    idx_t = catalog.get_table(minhash_index_name("docs"))
+    before = (sh_t.read(spark).count(), idx_t.read(spark).count())
+    t.register_consumer(f"{_MINHASH_CONSUMER_PREFIX}-{minhash_index_name('docs')}", 1)
+    assert refresh_minhash_index(spark, catalog, "docs", store_shingles=True) == 0
+    assert (sh_t.read(spark).count(), idx_t.read(spark).count()) == before

@@ -1093,3 +1093,36 @@ def test_search_ingest_pipeline_start_end_to_end(spark, catalog, tmp_path):
         for r in catalog.get_table(inverted_index_name("sidocs")).read(spark).collect()
     }
     assert idx_docs == doc_ids
+
+
+def test_dedup_ingest_pipeline_verify_from_storage(spark, catalog, tmp_path):
+    """The storage-verifying pipeline variant commits exactly the same
+    survivors as the recompute variant over the same batch sequence —
+    while its verify reads shingles from the PK store instead of any
+    corpus text."""
+    from advent_of_code_flink_paimon_spark.operators.dedup import (
+        DedupIngestPipeline,
+        minhash_shingles_name,
+    )
+    from advent_of_code_flink_paimon_spark.operators.registry import T
+
+    docs = T(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+    batches = [docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == b) for b in range(3)]
+
+    p_store = DedupIngestPipeline(
+        spark, catalog, "d_store", str(tmp_path / "ck1"), verify_from_storage=True
+    )
+    p_plain = DedupIngestPipeline(spark, catalog, "d_plain", str(tmp_path / "ck2"))
+    for bid, b in enumerate(batches):
+        n_s = p_store.sink(b, bid)
+        n_p = p_plain.sink(b, bid)
+        assert n_s == n_p
+    got = {r.doc_id for r in catalog.get_table("d_store").read(spark).collect()}
+    want = {r.doc_id for r in catalog.get_table("d_plain").read(spark).collect()}
+    assert got == want and len(got) > 0
+    # the store tracks the committed corpus exactly
+    sh = {
+        r.doc_id
+        for r in catalog.get_table(minhash_shingles_name("d_store")).read(spark).collect()
+    }
+    assert sh == got
