@@ -346,3 +346,57 @@ def test_semantic_dedup_joins_on_cluster_cells(spark):
     property."""
     plan = plan_of(spark, "x13_semantic_dedup")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_adc_from_stored_codes_never_reads_embeddings(spark, tmp_path_factory):
+    """The persisted-PQ query path (adc_topk_index) must score from the
+    codes table alone: its returned plan may not scan the embedding
+    column anywhere — the encode-once/query-many property that keeps a
+    10^9-vector index memory-resident. (Query vectors are a bounded
+    eager collect, so they never appear in the plan either.)"""
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+    from advent_of_code_flink_paimon_spark.operators.registry import T
+    from advent_of_code_flink_paimon_spark.operators.similarity import (
+        adc_topk_index,
+        build_pq_index,
+    )
+
+    wh = tmp_path_factory.mktemp("wh-adc-plan")
+    catalog = Catalog(str(wh))
+    t = catalog.create_table("vecs", "vec_id long, embedding array<float>", {})
+    t.append(T(spark, SF_ORACLE, "embeddings").select("vec_id", "embedding"))
+    build_pq_index(spark, catalog, "vecs")
+    df = adc_topk_index(spark, catalog, "vecs")
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(jmode)
+    assert "embedding" not in plan, plan
+    assert "code0" in plan, plan
+    # the only scan is the codes table
+    assert "vecs_pq_codes" in plan and "default.db/vecs/" not in plan, plan
+
+
+def test_dedup_from_storage_never_scans_docs_table(spark, tmp_path_factory):
+    """dedup_batch_from_storage's plan must read the band index and the
+    shingle store, never the docs table's data files — the verify is
+    storage-resident end to end."""
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+    from advent_of_code_flink_paimon_spark.operators.dedup import (
+        dedup_batch_from_storage,
+        refresh_minhash_index,
+    )
+    from advent_of_code_flink_paimon_spark.operators.registry import T
+
+    wh = tmp_path_factory.mktemp("wh-dstore-plan")
+    catalog = Catalog(str(wh))
+    docs = T(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    t = catalog.create_table("docs", "doc_id long, text string", {})
+    t.append(docs.filter("doc_id % 10 <> 0"))
+    refresh_minhash_index(spark, catalog, "docs", store_shingles=True)
+    df = dedup_batch_from_storage(spark, catalog, "docs", docs.filter("doc_id % 10 = 0"))
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(jmode)
+    # the corpus's text reaches the plan ONLY via the shingle store;
+    # the docs table's data dirs must not appear as a scan location
+    assert "minhash_shingles" in plan, plan
+    assert "default.db/docs/" not in plan, plan
+    assert "LeftSemi" in plan, plan
