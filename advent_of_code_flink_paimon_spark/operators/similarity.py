@@ -1246,11 +1246,13 @@ def _pq_assign_struct(m: int, cents: list):
     )
 
 
-def _pq_encode(v: DataFrame, codebook: dict) -> DataFrame:
-    """(vec_id, code0..3) via literal-codebook argmin — map-only scan →
-    project, zero shuffles (x56's encode expression)."""
+def _pq_encode(v: DataFrame, codebook: dict, extra_cols: tuple = ()) -> DataFrame:
+    """(vec_id, [extra_cols,] code0..3) via literal-codebook argmin —
+    map-only scan → project, zero shuffles (x56's encode expression).
+    ``extra_cols`` carries pass-through columns (e.g. the IVF list id)."""
     return v.select(
         "vec_id",
+        *extra_cols,
         *[
             F.array_sort(
                 F.array(
@@ -1279,35 +1281,35 @@ def _pq_vecs(df: DataFrame) -> DataFrame:
     )
 
 
-def load_pq_codebook(spark, catalog, vecs_table: str) -> dict:
-    """Stored codebook → {sub: [(sid, dense, cs)] in dense order} —
-    M·K rows, the only driver traffic of the query path."""
-    rows = catalog.get_table(pq_codebook_name(vecs_table)).read(spark).collect()
+def _codebook_dict(cb_data: list) -> dict:
+    """[(sub, dense, sid, cs)] rows → {sub: [(sid, dense, cs)] in dense
+    order} (dense order = LUT index order)."""
     codebook: dict[int, list] = {m: [] for m in range(PQ_M)}
-    for r in rows:
-        codebook[int(r.sub)].append((int(r.sid), int(r.dense), list(r.cs)))
+    for sub, dense, sid, cs in cb_data:
+        codebook[sub].append((sid, dense, cs))
     for m in codebook:
-        codebook[m].sort(key=lambda t: t[1])  # dense order → LUT index order
+        codebook[m].sort(key=lambda t: t[1])
     return codebook
 
 
-def build_pq_index(spark, catalog, vecs_table: str) -> int:
-    """Build (or rebuild) the persisted PQ index of a lakehouse vectors
-    table: per-subspace codebooks from one Lloyd update over the
-    vectors committed so far (hash-sampled seeds, x55's trajectory),
-    OVERWRITE-committed to the codebook table; every current vector
-    encoded to M code digits in the codes table; consumer bookmark
-    registered so refresh_pq_codes resumes O(new vectors).
+def load_pq_codebook(spark, catalog, vecs_table: str, table_name: str | None = None) -> dict:
+    """Stored codebook → {sub: [(sid, dense, cs)] in dense order} —
+    M·K rows, the only driver traffic of the query path."""
+    rows = (
+        catalog.get_table(table_name or pq_codebook_name(vecs_table))
+        .read(spark)
+        .collect()
+    )
+    return _codebook_dict(
+        [(int(r.sub), int(r.dense), int(r.sid), list(r.cs)) for r in rows]
+    )
 
-    Scale shape: the Lloyd update is one (M·K·d_sub)-key aggregation
-    with M·K rows to the driver; encoding is a map-only
-    literal-codebook projection; the codes write is the only exchange.
-    Returns the number of vectors encoded."""
-    from advent_of_code_flink_paimon_spark.operators.dedup import pack_refresh_range
 
-    vecs_t = catalog.get_table(vecs_table)
-    latest = vecs_t.latest_snapshot_id() or 0
-    v = _pq_vecs(vecs_t.read(spark)).persist()
+def _pq_learn_codebook(v: DataFrame) -> list:
+    """x55's codebook trajectory over a persisted (vec_id, cv) relation:
+    PQ_K hash-sampled seeds → per-subspace Lloyd assignment → one
+    rounded mean update. Returns [(sub, dense, sid, cs)] rows (M·K to
+    the driver, the only collect)."""
     seed_rows = (
         v.filter(F.pmod(F.col("vec_id"), F.lit(53)) == 11)
         .orderBy("vec_id")
@@ -1338,7 +1340,27 @@ def build_pq_index(spark, catalog, vecs_table: str) -> int:
         .collect()
     )
     dense_of = {sid: dense for sid, dense, _ in seeds}
-    cb_data = [(int(r.sub), dense_of[int(r.sid)], int(r.sid), list(r.cs)) for r in cb_rows]
+    return [(int(r.sub), dense_of[int(r.sid)], int(r.sid), list(r.cs)) for r in cb_rows]
+
+
+def build_pq_index(spark, catalog, vecs_table: str) -> int:
+    """Build (or rebuild) the persisted PQ index of a lakehouse vectors
+    table: per-subspace codebooks from one Lloyd update over the
+    vectors committed so far (hash-sampled seeds, x55's trajectory),
+    OVERWRITE-committed to the codebook table; every current vector
+    encoded to M code digits in the codes table; consumer bookmark
+    registered so refresh_pq_codes resumes O(new vectors).
+
+    Scale shape: the Lloyd update is one (M·K·d_sub)-key aggregation
+    with M·K rows to the driver; encoding is a map-only
+    literal-codebook projection; the codes write is the only exchange.
+    Returns the number of vectors encoded."""
+    from advent_of_code_flink_paimon_spark.operators.dedup import pack_refresh_range
+
+    vecs_t = catalog.get_table(vecs_table)
+    latest = vecs_t.latest_snapshot_id() or 0
+    v = _pq_vecs(vecs_t.read(spark)).persist()
+    cb_data = _pq_learn_codebook(v)
     cb_name, codes_name = pq_codebook_name(vecs_table), pq_codes_name(vecs_table)
     if not catalog.has_table(cb_name):
         catalog.create_table(cb_name, PQ_CODEBOOK_SCHEMA, {})
@@ -1346,11 +1368,7 @@ def build_pq_index(spark, catalog, vecs_table: str) -> int:
     catalog.get_table(cb_name).overwrite(
         spark.createDataFrame(cb_data, PQ_CODEBOOK_SCHEMA)
     )
-    codebook: dict[int, list] = {m: [] for m in range(PQ_M)}
-    for sub, dense, sid, cs in cb_data:
-        codebook[sub].append((sid, dense, cs))
-    for m in codebook:
-        codebook[m].sort(key=lambda t: t[1])
+    codebook = _codebook_dict(cb_data)
     # a rebuild REPLACES the codes (old digits are meaningless under a
     # new codebook); the range stamp seeds recover_refresh_bookmark
     catalog.get_table(codes_name).overwrite(
