@@ -1094,16 +1094,10 @@ def x56_pq_adc_topk(spark, sf_dir):
     # query LUTs: N_QUERIES bounded driver collect (x10's pattern)
     q_rows = v.filter(F.col("vec_id") < N_QUERIES).collect()
 
-    def l2(a, b):
-        return sum((x - y) * (x - y) for x, y in zip(a, b))
-
     per_query = []
     for qr in q_rows:
         qv = list(qr.cv)
-        luts = [
-            [l2(sub_slice(qv, m), cs) for _, _, cs in codebook[m]]
-            for m in range(PQ_M)
-        ]
+        luts = [_adc_lut(qv, codebook[m], m) for m in range(PQ_M)]
         adc = None
         for m in range(PQ_M):
             term = F.element_at(
@@ -1223,6 +1217,22 @@ def pq_codes_name(vecs_table: str) -> str:
 
 def _pq_sub_slice(vec: list, m: int) -> list:
     return vec[m * PQ_DSUB : (m + 1) * PQ_DSUB]
+
+
+def _adc_lut(qv: list, cents: list, m: int) -> list:
+    """Per-(query, subspace) ADC lookup table keyed by the STORED dense
+    digit, not list position: a Lloyd update can drop an empty cluster
+    (e.g. two seeds sharing an identical subvector), leaving the dense
+    sequence gappy — positional indexing would then score stored codes
+    against the wrong centroid (round-7 ADVICE #3). Gap digits are
+    never emitted by the encode (it only argmins over surviving
+    entries), so their slots are unreachable; +inf keeps any future bug
+    loud by ranking last instead of winning."""
+    by_dense = {
+        dense: sum((x - y) * (x - y) for x, y in zip(_pq_sub_slice(qv, m), cs))
+        for _sid, dense, cs in cents
+    }
+    return [by_dense.get(d, float("inf")) for d in range(max(by_dense) + 1)]
 
 
 def _pq_assign_struct(m: int, cents: list):
@@ -1435,16 +1445,10 @@ def adc_topk_index(
         .collect()
     )
 
-    def l2(a, b):
-        return sum((x - y) * (x - y) for x, y in zip(a, b))
-
     per_query = []
     for qr in sorted(q_rows, key=lambda r: r.vec_id):
         qv = list(qr.cv)
-        luts = [
-            [l2(_pq_sub_slice(qv, m), cs) for _, _, cs in codebook[m]]
-            for m in range(PQ_M)
-        ]
+        luts = [_adc_lut(qv, codebook[m], m) for m in range(PQ_M)]
         adc = None
         for m in range(PQ_M):
             term = F.element_at(
@@ -1514,3 +1518,4 @@ def x63_pq_index_lifecycle(spark, sf_dir):
     vecs_t.append(e.filter(is_batch))           # commit 2: today's batch
     refresh_pq_codes(spark, catalog, "vecs")    # O(batch) encode
     return adc_topk_index(spark, catalog, "vecs")
+

@@ -296,9 +296,13 @@ def stream_table_changelog(
     ``consumer_id`` registers the subscriber table-side (Paimon
     consumer-id): from this point on, expire_snapshots keeps the
     reader's unconsumed window alive even under the reference's 20 s
-    retention. Spark's checkpoint still owns RESUME position; advancing
-    the table-side bookmark (``table.register_consumer``) is the
-    subscriber's act of releasing consumed snapshots for expiry.
+    retention, and a KNOWN consumer reattaching RESUMES from its
+    recorded bookmark (Paimon semantics — scan.mode applies only on
+    first attach; an explicit earlier start re-reads and widens the
+    pin). Advancing the bookmark (``advance_consumer`` /
+    ``table.register_consumer``) is the subscriber's act of releasing
+    consumed snapshots for expiry; an existing Spark checkpoint
+    additionally skips files it already processed.
 
     ``scan_mode`` (Paimon 'scan.mode', round-6 ask #3) picks the start
     position for a subscriber attaching to an EXISTING table: 'latest'
@@ -344,12 +348,18 @@ def stream_table_changelog(
             # explicit restart BEFORE the recorded bookmark: widen the
             # pinned window backward to cover the re-read
             table.register_consumer(consumer_id, next_snapshot_id=start)
-        # otherwise KEEP the recorded bookmark (round-6 ADVICE #1):
-        # Paimon resumes a known consumer from its stored progress — a
-        # reattach must never move the pin FORWARD (scan_mode='latest'
-        # would release the subscriber's unread snapshots for expiry)
-        # nor regress an advanced bookmark to genesis (over-pinning);
-        # Spark's checkpoint owns the resume position either way
+        else:
+            # KEEP the recorded bookmark (round-6 ADVICE #1) AND resume
+            # the read position from it (round-7 ADVICE #5): Paimon's
+            # consumer-id resumes a known consumer from its stored
+            # progress, ignoring scan.mode — so a reattach with a fresh
+            # checkpoint must not re-read consumed snapshots (duplicate
+            # processing) nor move the pin forward (scan_mode='latest'
+            # would release the subscriber's unread snapshots for
+            # expiry). Only an explicit EARLIER start (the branch above)
+            # overrides the bookmark. An existing Spark checkpoint
+            # still skips files it already processed on top of this.
+            start = existing
     from pyspark.sql.types import StringType, StructField, StructType
 
     schema = StructType(list(table.schema.fields) + [StructField("_change_type", StringType())])

@@ -225,11 +225,16 @@ def changelog_normalize(
         def norm(v):
             if v is None:
                 return None
+            if getattr(v, "ndim", 0):
+                # numpy arrays (array-typed value columns): pd.isna is
+                # ambiguous and .item() raises for size != 1 — hand the
+                # state layer a plain list (round-7 ADVICE #2)
+                return v.tolist()
             try:
                 if pd.isna(v):
                     return None
             except (TypeError, ValueError):
-                pass  # arrays / other non-scalars: pd.isna is ambiguous
+                pass  # other non-scalars: pd.isna is ambiguous
             return v.item() if hasattr(v, "item") else v
 
         # one frame per group: per-chunk sorting would fold commits in

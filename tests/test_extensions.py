@@ -847,3 +847,108 @@ def test_dedup_from_storage_equals_recompute(spark, tmp_path):
     t.register_consumer(f"{_MINHASH_CONSUMER_PREFIX}-{minhash_index_name('docs')}", 1)
     assert refresh_minhash_index(spark, catalog, "docs", store_shingles=True) == 0
     assert (sh_t.read(spark).count(), idx_t.read(spark).count()) == before
+
+
+def test_shingle_store_backfills_preindexed_docs(spark, tmp_path):
+    """Enabling store_shingles AFTER earlier refreshes already indexed
+    commits must backfill those docs' shingles (round-7 ADVICE,
+    medium): otherwise the storage-resident verify inner-joins candidate
+    pairs against an incomplete store and silently drops matches."""
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+    from advent_of_code_flink_paimon_spark.operators.dedup import (
+        dedup_batch_against_index,
+        dedup_batch_from_storage,
+        minhash_index_name,
+        minhash_shingles_name,
+        refresh_minhash_index,
+        shingle_hash_arrays,
+    )
+    from advent_of_code_flink_paimon_spark.operators.registry import T, fan_out
+
+    docs = T(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+    corpus1 = docs.filter("doc_id % 10 IN (1, 2, 3, 4)")
+    corpus2 = docs.filter("doc_id % 10 IN (5, 6, 7, 8, 9)")
+    batch = docs.filter("doc_id % 10 = 0")
+
+    catalog = Catalog(str(tmp_path / "wh"))
+    t = catalog.create_table("docs", "doc_id long, text string", {})
+    t.append(corpus1)
+    refresh_minhash_index(spark, catalog, "docs")  # NO shingle store yet
+    t.append(corpus2)
+    # store enabled late: must backfill corpus1 AND index corpus2
+    refresh_minhash_index(spark, catalog, "docs", store_shingles=True)
+    sh_t = catalog.get_table(minhash_shingles_name("docs"))
+    assert sh_t.read(spark).count() == corpus1.count() + corpus2.count()
+
+    got = {
+        (r.i, r.j, round(r.jaccard, 9))
+        for r in dedup_batch_from_storage(spark, catalog, "docs", batch).collect()
+    }
+    idx = catalog.get_table(minhash_index_name("docs")).read(spark)
+    sharr = shingle_hash_arrays(fan_out(docs, heavy=True))
+    want = {
+        (r.i, r.j, round(r.jaccard, 9))
+        for r in dedup_batch_against_index(batch, idx, sharr).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_dedup_from_storage_refuses_stale_shingle_store(spark, tmp_path):
+    """If refreshes ran WITHOUT store_shingles after the store was
+    created, its coverage lags the band index — serving a verify from
+    it would silently drop matches, so the query path refuses."""
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+    from advent_of_code_flink_paimon_spark.operators.dedup import (
+        dedup_batch_from_storage,
+        refresh_minhash_index,
+    )
+    from advent_of_code_flink_paimon_spark.operators.registry import T
+
+    docs = T(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+    catalog = Catalog(str(tmp_path / "wh"))
+    t = catalog.create_table("docs", "doc_id long, text string", {})
+    t.append(docs.filter("doc_id % 10 IN (1, 2, 3)"))
+    refresh_minhash_index(spark, catalog, "docs", store_shingles=True)
+    t.append(docs.filter("doc_id % 10 IN (4, 5)"))
+    refresh_minhash_index(spark, catalog, "docs")  # store falls behind
+    with pytest.raises(ValueError, match="shingle store"):
+        dedup_batch_from_storage(
+            spark, catalog, "docs", docs.filter("doc_id % 10 = 0")
+        )
+
+
+def test_pack_refresh_range_bounds():
+    """Refresh-range stamps pack two snapshot ids into 32-bit halves;
+    out-of-range input must fail loudly instead of corrupting bookmark
+    recovery (round-7 ADVICE #4)."""
+    from advent_of_code_flink_paimon_spark.operators.dedup import pack_refresh_range
+
+    assert pack_refresh_range(2, 5) == (2 << 32) | 5
+    for lo, hi in [(0, 5), (3, 2), (1, 1 << 32), (1 << 32, 1 << 32)]:
+        with pytest.raises(ValueError, match="stamp bounds"):
+            pack_refresh_range(lo, hi)
+
+
+def test_adc_lut_keys_by_dense_digit():
+    """ADC LUTs must be keyed by the STORED dense digit, not list
+    position (round-7 ADVICE #3): a gappy codebook (empty Lloyd
+    cluster) must still score each stored digit against ITS centroid,
+    with unreachable gap digits ranked last."""
+    from advent_of_code_flink_paimon_spark.operators.similarity import (
+        PQ_DSUB,
+        _adc_lut,
+    )
+
+    qv = [float(i) for i in range(PQ_DSUB)]
+    # dense digit 2 dropped (empty cluster) — sequence is gappy
+    cents = [
+        (11, 0, [0.0] * PQ_DSUB),
+        (12, 1, [1.0] * PQ_DSUB),
+        (14, 3, [2.0] * PQ_DSUB),
+    ]
+    lut = _adc_lut(qv, cents, 0)
+    assert len(lut) == 4
+    assert lut[0] == sum(x * x for x in qv)
+    assert lut[1] == sum((x - 1.0) ** 2 for x in qv)
+    assert lut[2] == float("inf")  # never stored; loud if ever probed
+    assert lut[3] == sum((x - 2.0) ** 2 for x in qv)

@@ -1126,3 +1126,90 @@ def test_dedup_ingest_pipeline_verify_from_storage(spark, catalog, tmp_path):
         for r in catalog.get_table(minhash_shingles_name("d_store")).read(spark).collect()
     }
     assert sh == got
+
+
+def test_changelog_consumer_reattach_resumes_read_position(spark, catalog, tmp_path):
+    """Paimon's consumer-id resumes a KNOWN consumer from its recorded
+    progress — the bookmark is the READ position on reattach, not just
+    an expiry pin (round-7 ADVICE #5). A reattach with a FRESH
+    checkpoint must not re-read consumed snapshots, even under the
+    default (genesis) or 'latest' scan modes; an explicit earlier
+    from-snapshot still re-reads."""
+    from advent_of_code_flink_paimon_spark.streaming import stream_table_changelog
+
+    ddl = "k long, v string"
+    t = catalog.create_table(
+        "crr", ddl, {"primary-key": "k", "changelog-producer": "input"}
+    )
+    for i in range(4):
+        t.upsert(spark.createDataFrame([(i, f"v{i}")], ddl))  # snapshots 1-4
+    # subscriber durably processed snapshots 1-2
+    t.register_consumer("sub", next_snapshot_id=3)
+
+    # default reattach, fresh checkpoint → only commits ≥ 3
+    _drain(stream_table_changelog(spark, t, consumer_id="sub"), tmp_path, "crr_resume")
+    rows = {(r.k, r.v) for r in spark.sql("SELECT * FROM crr_resume").collect()}
+    assert rows == {(2, "v2"), (3, "v3")}, rows
+
+    # 'latest' reattach → bookmark STILL wins (scan.mode only applies
+    # on first attach), so the unread snapshots 3-4 are replayed
+    _drain(
+        stream_table_changelog(spark, t, scan_mode="latest", consumer_id="sub"),
+        tmp_path, "crr_latest",
+    )
+    rows = {(r.k, r.v) for r in spark.sql("SELECT * FROM crr_latest").collect()}
+    assert rows == {(2, "v2"), (3, "v3")}, rows
+    assert t.consumers()["sub"]["next_snapshot_id"] == 3
+
+    # explicit earlier start → re-read from there, pin widened
+    _drain(
+        stream_table_changelog(
+            spark, t, scan_mode="from-snapshot", from_snapshot=2, consumer_id="sub"
+        ),
+        tmp_path, "crr_rewind",
+    )
+    rows = {(r.k, r.v) for r in spark.sql("SELECT * FROM crr_rewind").collect()}
+    assert rows == {(1, "v1"), (2, "v2"), (3, "v3")}, rows
+    assert t.consumers()["sub"]["next_snapshot_id"] == 2
+
+
+def test_changelog_normalize_array_values(spark, tmp_path):
+    """Array-typed value columns must round-trip the keyed state
+    (round-7 ADVICE #2): pd.isna is ambiguous on arrays and .item()
+    raises for size != 1 — numpy arrays normalize to plain lists."""
+    from advent_of_code_flink_paimon_spark.streaming import changelog_normalize
+
+    schema = "k long, emb array<double>, op string, seq long"
+    rows = [
+        (1, [1.0, 2.0], "+U", 0),
+        (1, [3.0, 4.0], "+U", 1),
+        (1, None, "-D", 2),
+        (2, [5.0, 6.0], "+U", 3),
+    ]
+    src_dir = tmp_path / "cna-src"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src_dir))
+    stream = spark.readStream.schema(schema).parquet(str(src_dir))
+    normalized = changelog_normalize(
+        stream, key_cols=["k"], value_cols=["emb"], order_col="seq"
+    )
+    q = (
+        normalized.writeStream.format("memory")
+        .queryName("cna_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cna-ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.k, list(r.emb) if r.emb is not None else None, r._change_type)
+        for r in spark.sql("SELECT * FROM cna_out").collect()
+    )
+    want = sorted([
+        (1, [1.0, 2.0], "+I"),
+        (1, [1.0, 2.0], "-U"),
+        (1, [3.0, 4.0], "+U"),
+        (1, [3.0, 4.0], "-D"),
+        (2, [5.0, 6.0], "+I"),
+    ])
+    assert got == want, (got, want)
