@@ -1519,3 +1519,267 @@ def x63_pq_index_lifecycle(spark, sf_dir):
     refresh_pq_codes(spark, catalog, "vecs")    # O(batch) encode
     return adc_topk_index(spark, catalog, "vecs")
 
+
+# ----------------------------------------------------------------------
+# x64: persisted IVF index — the inverted-file twin of the PQ story
+# (x63). An IVF deployment stores the inverted lists THEMSELVES: each
+# vector's (list id, vector) row lives in a lakehouse table bucketed on
+# the list id, so a query reads only its nprobe probed lists and the
+# raw vectors table is never scanned for scoring. Build-once /
+# refresh-O(new vectors) via the same consumer-bookmark + range-stamp
+# protocol as the MinHash (dedup.py) and PQ indexes.
+# ----------------------------------------------------------------------
+
+IVF_CENTROIDS_SCHEMA = "cid long, cent array<double>"
+IVF_LISTS_SCHEMA = "vec_id long, cid long, cv array<double>"
+_IVF_CONSUMER_PREFIX = "__ivf-index"
+
+
+def ivf_centroids_name(vecs_table: str) -> str:
+    return f"{vecs_table}_ivf_centroids"
+
+
+def ivf_lists_name(vecs_table: str) -> str:
+    return f"{vecs_table}_ivf_lists"
+
+
+def load_ivf_centroids(spark, catalog, vecs_table: str) -> list:
+    """Stored centroids → [(cid, centroid)] in cid order — C rows, the
+    only driver traffic of the query path besides the query vectors."""
+    rows = catalog.get_table(ivf_centroids_name(vecs_table)).read(spark).collect()
+    return sorted((int(r.cid), list(r.cent)) for r in rows)
+
+
+def _ivf_assign_lists(v: DataFrame, centroids: list) -> DataFrame:
+    """(vec_id, cv) → inverted-list rows (vec_id, cid, cv): nprobe=1
+    literal-centroid argmax, map-only (x12's scale property)."""
+    return ivf_assign(v, centroids, nprobe=1).select(
+        "vec_id", F.col("cluster").cast("long").alias("cid"), "cv"
+    )
+
+
+def build_ivf_index(spark, catalog, vecs_table: str) -> int:
+    """Build (or rebuild) the persisted IVF index of a lakehouse
+    vectors table: deterministic hash-sampled centroids (x12's pick)
+    from the vectors committed so far, OVERWRITE-committed to the
+    centroids table; every current vector assigned to its list in the
+    lists table (bucketed on cid — the probe key); consumer bookmark
+    registered so refresh_ivf_lists resumes O(new vectors).
+
+    Scale shape: the centroid pick is a C-row collect; assignment is a
+    map-only literal-centroid projection; the lists write is the only
+    exchange (into the bucket layout queries probe). Returns the number
+    of vectors assigned."""
+    from advent_of_code_flink_paimon_spark.operators.dedup import pack_refresh_range
+
+    vecs_t = catalog.get_table(vecs_table)
+    latest = vecs_t.latest_snapshot_id() or 0
+    v = _pq_vecs(vecs_t.read(spark)).persist()
+    cent_rows = (
+        v.filter(F.pmod(F.col("vec_id"), F.lit(61)) == 7)
+        .orderBy("vec_id")
+        .limit(IVF_CENTROIDS)
+        .collect()
+    )
+    centroids = [(int(r.vec_id), list(r.cv)) for r in cent_rows]
+    cname, lname = ivf_centroids_name(vecs_table), ivf_lists_name(vecs_table)
+    if not catalog.has_table(cname):
+        catalog.create_table(cname, IVF_CENTROIDS_SCHEMA, {})
+        catalog.create_table(lname, IVF_LISTS_SCHEMA, {"bucket": "8", "bucket-key": "cid"})
+    catalog.get_table(cname).overwrite(
+        spark.createDataFrame(centroids, IVF_CENTROIDS_SCHEMA)
+    )
+    # a rebuild REPLACES the lists (old assignments are meaningless
+    # under new centroids); the range stamp seeds recover_refresh_bookmark
+    catalog.get_table(lname).overwrite(
+        _ivf_assign_lists(v, centroids),
+        commit_identifier=pack_refresh_range(1, latest) if latest else None,
+    )
+    n = v.count()
+    v.unpersist()
+    vecs_t.register_consumer(f"{_IVF_CONSUMER_PREFIX}-{vecs_table}", latest + 1)
+    return n
+
+
+def refresh_ivf_lists(spark, catalog, vecs_table: str) -> int:
+    """Assign ONLY the vectors committed since the last build/refresh
+    against the STORED centroids and append them to the lists table —
+    O(new vectors) off the snapshot log via the consumer bookmark,
+    crash-idempotent like refresh_pq_codes: the append carries the
+    consumed snapshot range, and the bookmark is recovered from the
+    lists table's own log before any work."""
+    from advent_of_code_flink_paimon_spark.operators.dedup import (
+        pack_refresh_range,
+        recover_refresh_bookmark,
+    )
+
+    vecs_t = catalog.get_table(vecs_table)
+    lists_t = catalog.get_table(ivf_lists_name(vecs_table))
+    consumer_id = f"{_IVF_CONSUMER_PREFIX}-{vecs_table}"
+    nxt = vecs_t.consumers().get(consumer_id, {}).get("next_snapshot_id", 1)
+    nxt = recover_refresh_bookmark(lists_t, nxt)
+    latest = vecs_t.latest_snapshot_id() or 0
+    if latest < nxt:
+        if nxt > vecs_t.consumers().get(consumer_id, {}).get("next_snapshot_id", 1):
+            vecs_t.register_consumer(consumer_id, next_snapshot_id=nxt)
+        return 0
+    fresh = vecs_t.merge_raw(vecs_t.incremental_read(spark, nxt - 1, latest)).persist()
+    n = fresh.count()
+    if n:
+        centroids = load_ivf_centroids(spark, catalog, vecs_table)
+        lists_t.append(
+            _ivf_assign_lists(_pq_vecs(fresh), centroids),
+            commit_identifier=pack_refresh_range(nxt, latest),
+        )
+    fresh.unpersist()
+    vecs_t.register_consumer(consumer_id, latest + 1)
+    return n
+
+
+def ivf_topk_index(
+    spark, catalog, vecs_table: str, k: int = TOP_K, n_queries: int = N_QUERIES
+) -> DataFrame:
+    """IVF top-k probing the PERSISTED lists: queries assign to their
+    nprobe lists via the stored centroids (C-row collect, literal
+    projection), candidates come off the lists table's cid-bucketed
+    parquet, exact cosine re-rank within candidates — the raw vectors
+    table contributes only the n_queries query vectors. Output schema
+    and semantics are exactly x12's."""
+    centroids = load_ivf_centroids(spark, catalog, vecs_table)
+    lists = catalog.get_table(ivf_lists_name(vecs_table)).read(spark)
+    queries_v = (
+        catalog.get_table(vecs_table)
+        .read(spark)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("cv"))
+        .filter(F.col("vec_id") < n_queries)
+    )
+    queries = ivf_assign(queries_v, centroids, nprobe=IVF_NPROBE).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cv").alias("qv"),
+        F.col("cluster").cast("long").alias("cid"),
+    )
+    cands = (
+        lists.join(queries, "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = cands.select(
+        "query_id",
+        "vec_id",
+        F.round(_dot("qv", "cv") / (_norm("qv") * _norm("cv")), 4).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+# x64's oracle: x12's IVF replay with the centroid pick restricted to
+# the CORPUS commit (vec_id % 10 <> 0) while assignment and re-rank
+# cover everything — exactly what build-at-commit-1 /
+# refresh-at-commit-2 produces (the x63 rewrite pattern).
+_SQL_IVF_INDEX_LIFECYCLE = _SQL_IVF.replace(
+    f"FROM v WHERE vec_id % 61 = 7 ORDER BY vec_id LIMIT {IVF_CENTROIDS}",
+    f"FROM v WHERE vec_id % 61 = 7 AND vec_id % 10 <> 0 "
+    f"ORDER BY vec_id LIMIT {IVF_CENTROIDS}",
+)
+if _SQL_IVF_INDEX_LIFECYCLE == _SQL_IVF:  # pragma: no cover
+    raise AssertionError("x64 oracle rewrite did not apply — _SQL_IVF drifted")
+
+
+@query("x64_ivf_index_lifecycle", oracle=_SQL_IVF_INDEX_LIFECYCLE)
+def x64_ivf_index_lifecycle(spark, sf_dir):
+    """The persisted IVF-index LIFECYCLE as one oracled query (x63's
+    shape for the inverted-file method): commit 1 writes the corpus
+    (vec_id % 10 <> 0) to a lakehouse vectors table and build_ivf_index
+    picks centroids from it and assigns it to lists; commit 2 appends
+    the batch; refresh_ivf_lists assigns ONLY the batch (incremental
+    read off the snapshot log) against the STORED centroids;
+    ivf_topk_index then answers top-k from the stored lists — the
+    corpus is never re-assigned and never re-read for scoring.
+
+    The DuckDB oracle replays the identical trajectory: centroid pick
+    restricted to the corpus commit, assignment + re-rank over
+    everything, same rounding and tiebreaks."""
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+    from advent_of_code_flink_paimon_spark.operators.dedup import _mhidx_warehouse
+
+    e = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    is_batch = F.pmod(F.col("vec_id"), F.lit(10)) == 0
+
+    catalog = Catalog(_mhidx_warehouse("ivfidx64", sf_dir), "default")
+    vecs_t = catalog.create_table("vecs", "vec_id long, embedding array<float>", {})
+    vecs_t.append(e.filter(~is_batch))           # commit 1: the corpus
+    build_ivf_index(spark, catalog, "vecs")      # centroids + corpus lists
+    vecs_t.append(e.filter(is_batch))            # commit 2: today's batch
+    refresh_ivf_lists(spark, catalog, "vecs")    # O(batch) assignment
+    return ivf_topk_index(spark, catalog, "vecs")
+
+
+class VectorIngestPipeline:
+    """foreachBatch pipeline keeping a lakehouse vectors table AND its
+    persisted ANN indexes (IVF lists and/or PQ codes) current behind a
+    streaming (vec_id, embedding) source — the embedding twin of
+    DedupIngestPipeline (dedup.py) and SearchIngestPipeline (text.py).
+
+    Per micro-batch (``sink`` is the foreachBatch body):
+
+    1. append the batch with ``commit_identifier=batch_id`` — replayed
+       micro-batches (checkpoint recovery) commit exactly once.
+    2. the FIRST non-empty batch triggers the index build (codebooks /
+       centroids need data to learn from); every later batch refreshes
+       O(batch vectors) via the consumer bookmark, stamped with the
+       consumed snapshot range (crash-idempotent).
+
+    Scale shape: per-batch cost is one map-only literal-codebook /
+    literal-centroid projection over the batch plus the bucketed index
+    append — never a corpus re-encode. A crash anywhere replays into
+    no-ops: the data append dedups on batch_id, the index appends dedup
+    on the range stamp, and recover_refresh_bookmark heals a lost
+    bookmark advance."""
+
+    def __init__(
+        self,
+        spark,
+        catalog,
+        vecs_table: str,
+        checkpoint_dir: str,
+        pq: bool = True,
+        ivf: bool = True,
+    ):
+        self.spark, self.catalog = spark, catalog
+        self.vecs_table, self.checkpoint_dir = vecs_table, checkpoint_dir
+        self.pq, self.ivf = pq, ivf
+        if not catalog.has_table(vecs_table):
+            catalog.create_table(vecs_table, "vec_id long, embedding array<float>", {})
+
+    def sink(self, batch_df, batch_id: int) -> int:
+        """foreachBatch body; returns the number of rows appended."""
+        vecs_t = self.catalog.get_table(self.vecs_table)
+        batch = batch_df.select("vec_id", "embedding").persist()
+        n = batch.count()
+        if n:
+            vecs_t.append(batch, commit_identifier=batch_id)
+            if self.pq:
+                if not self.catalog.has_table(pq_codebook_name(self.vecs_table)):
+                    build_pq_index(self.spark, self.catalog, self.vecs_table)
+                else:
+                    refresh_pq_codes(self.spark, self.catalog, self.vecs_table)
+            if self.ivf:
+                if not self.catalog.has_table(ivf_centroids_name(self.vecs_table)):
+                    build_ivf_index(self.spark, self.catalog, self.vecs_table)
+                else:
+                    refresh_ivf_lists(self.spark, self.catalog, self.vecs_table)
+        batch.unpersist()
+        return n
+
+    def start(self, source):
+        """Attach to a streaming (vec_id, embedding) source."""
+        return (
+            source.writeStream.queryName(f"vector-ingest-{self.vecs_table}")
+            .foreachBatch(lambda df, bid: self.sink(df, bid))
+            .option("checkpointLocation", self.checkpoint_dir)
+            .start()
+        )

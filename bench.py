@@ -79,6 +79,8 @@ HEADLINE = [
     # round 7 additions
     "x62_bm25_topk",
     "x63_pq_index_lifecycle",
+    # round 8 additions
+    "x64_ivf_index_lifecycle",
 ]
 
 

@@ -952,3 +952,48 @@ def test_adc_lut_keys_by_dense_digit():
     assert lut[1] == sum((x - 1.0) ** 2 for x in qv)
     assert lut[2] == float("inf")  # never stored; loud if ever probed
     assert lut[3] == sum((x - 2.0) ** 2 for x in qv)
+
+
+def test_ivf_index_lifecycle_behavioral(spark, tmp_path):
+    """Persisted IVF index: build on the corpus commit, refresh assigns
+    ONLY the batch against the STORED centroids, stored lists equal a
+    one-pass full assignment, and the crash-window replay (append
+    committed, bookmark lost) indexes nothing twice."""
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+    from advent_of_code_flink_paimon_spark.operators.registry import T
+    from advent_of_code_flink_paimon_spark.operators.similarity import (
+        _IVF_CONSUMER_PREFIX,
+        _ivf_assign_lists,
+        _pq_vecs,
+        build_ivf_index,
+        ivf_lists_name,
+        load_ivf_centroids,
+        refresh_ivf_lists,
+    )
+
+    e = T(spark, "/root/testdata/sf0.001", "embeddings").select("vec_id", "embedding")
+    corpus, batch = e.filter("vec_id % 10 <> 0"), e.filter("vec_id % 10 = 0")
+    catalog = Catalog(str(tmp_path / "wh"))
+    vecs_t = catalog.create_table("vecs", "vec_id long, embedding array<float>", {})
+    vecs_t.append(corpus)
+    assert build_ivf_index(spark, catalog, "vecs") == corpus.count()
+    vecs_t.append(batch)
+    assert refresh_ivf_lists(spark, catalog, "vecs") == batch.count()
+
+    # stored lists == one-pass assignment of EVERYTHING vs stored centroids
+    cents = load_ivf_centroids(spark, catalog, "vecs")
+    lists_t = catalog.get_table(ivf_lists_name("vecs"))
+    stored = {(r.vec_id, r.cid) for r in lists_t.read(spark).collect()}
+    full = {
+        (r.vec_id, r.cid)
+        for r in _ivf_assign_lists(_pq_vecs(vecs_t.read(spark)), cents).collect()
+    }
+    assert stored == full and len(stored) == corpus.count() + batch.count()
+
+    # crash window: bookmark regressed after a committed refresh →
+    # recover_refresh_bookmark heals it, nothing is assigned twice
+    vecs_t.register_consumer(f"{_IVF_CONSUMER_PREFIX}-vecs", 1)
+    assert refresh_ivf_lists(spark, catalog, "vecs") == 0
+    assert {(r.vec_id, r.cid) for r in lists_t.read(spark).collect()} == stored
+    # caught-up refresh stays a no-op
+    assert refresh_ivf_lists(spark, catalog, "vecs") == 0

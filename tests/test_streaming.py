@@ -1213,3 +1213,72 @@ def test_changelog_normalize_array_values(spark, tmp_path):
         (2, [5.0, 6.0], "+I"),
     ])
     assert got == want, (got, want)
+
+
+def test_vector_ingest_pipeline(spark, catalog, tmp_path):
+    """VectorIngestPipeline: streaming vector ingest keeps the vectors
+    table AND both persisted ANN indexes current — first batch builds,
+    later batches refresh O(batch), and after the drain the stored
+    codes/lists equal a one-pass encode/assign against the STORED
+    codebook/centroids (the encode-once invariant). A replayed batch
+    commits exactly once."""
+    from advent_of_code_flink_paimon_spark.operators.similarity import (
+        VectorIngestPipeline,
+        _ivf_assign_lists,
+        _pq_encode,
+        _pq_vecs,
+        ivf_lists_name,
+        load_ivf_centroids,
+        load_pq_codebook,
+        pq_codes_name,
+    )
+    from advent_of_code_flink_paimon_spark.operators.registry import T
+
+    e = T(spark, "/root/testdata/sf0.001", "embeddings").select("vec_id", "embedding")
+    src_dir = tmp_path / "vec-src"
+    # three files → three micro-batches under maxFilesPerTrigger=1
+    for i in range(3):
+        e.filter(f"vec_id % 3 = {i}").coalesce(1).write.parquet(
+            str(src_dir / f"part{i}"))
+    schema = "vec_id long, embedding array<float>"
+    source = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "part*"))
+    )
+    p = VectorIngestPipeline(spark, catalog, "svecs", str(tmp_path / "vck"))
+    q = (
+        source.writeStream.foreachBatch(lambda df, bid: p.sink(df, bid))
+        .option("checkpointLocation", str(tmp_path / "vck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    vecs_t = catalog.get_table("svecs")
+    assert vecs_t.read(spark).count() == e.count()
+    v = _pq_vecs(vecs_t.read(spark))
+    # PQ: stored codes == one-pass encode vs the stored codebook
+    codebook = load_pq_codebook(spark, catalog, "svecs")
+    stored_codes = {
+        (r.vec_id, r.code0, r.code1, r.code2, r.code3)
+        for r in catalog.get_table(pq_codes_name("svecs")).read(spark).collect()
+    }
+    full_codes = {
+        (r.vec_id, r.code0, r.code1, r.code2, r.code3)
+        for r in _pq_encode(v, codebook).collect()
+    }
+    assert stored_codes == full_codes and len(stored_codes) == e.count()
+    # IVF: stored lists == one-pass assignment vs the stored centroids
+    cents = load_ivf_centroids(spark, catalog, "svecs")
+    stored_lists = {
+        (r.vec_id, r.cid)
+        for r in catalog.get_table(ivf_lists_name("svecs")).read(spark).collect()
+    }
+    full_lists = {(r.vec_id, r.cid) for r in _ivf_assign_lists(v, cents).collect()}
+    assert stored_lists == full_lists
+
+    # exactly-once: replaying a batch (same batch_id) commits nothing new
+    before = vecs_t.read(spark).count()
+    p.sink(e.filter("vec_id % 3 = 0"), 0)
+    assert catalog.get_table("svecs").read(spark).count() == before
