@@ -30,11 +30,12 @@ _ORDER = [
     # code changed this round — must be driver-scored now
     "x63_pq_index_lifecycle", "x49_minhash_index_dedup",
     # NEW to the registry this round — no driver row exists yet
-    "x64_ivf_index_lifecycle",
+    "x64_ivf_index_lifecycle", "x65_gopher_rules", "x66_ivfpq_adc_topk",
     # driver evidence last refreshed in round 6 — score these next
+    # (q20/q21/q22/q26 joined the library; see relational.py)
     "q18_topk_orderby", "q19_window_rank_merge",
-    "q22_scalar_string", "q23_scalar_conditional",
-    "q25_json_extract", "q26_distinct_rows", "q29_asof_join",
+    "q23_scalar_conditional",
+    "q25_json_extract", "q29_asof_join",
     "q34_sessionize", "q38_intersect", "q39_except", "q40_pivot",
     "q41_window_frames", "q42_listagg", "q43_ntile_rank_stats",
     "q44_value_windows", "q45_posexplode", "q46_unpivot",

@@ -1068,19 +1068,22 @@ def q45_posexplode(spark, sf_dir):
 # Driver-window policy (round 8; policy introduced round 7): the scored
 # registry is capped at 100 entries by the 50-per-round window ×
 # ≤1-round evidence freshness. q02/q03/q04 (demoted round 7) stay in
-# the library; q20/q21 — single-function analytic-lag and UNION ALL
-# queries whose operator classes remain driver-evidenced by q41/q43/q44
-# (windows) and q38/q39 (set ops) — yield their slots this round to
-# x49/x63 (code on their paths changed, must re-score) and x64 (the
-# persisted IVF-index lifecycle, new). All demoted entries remain full
-# oracle-gated operators through the local strict harness, which
-# iterates LIBRARY_QUERIES too.
+# the library; q20/q21/q22/q26 — single-function analytic-lag,
+# UNION ALL, scalar-string and row-distinct queries whose operator
+# classes remain driver-evidenced by q41/q43/q44 (windows), q38/q39
+# (set ops), q23 (scalar pack) and q15 (distinct aggregation) — yield
+# their slots this round to x49/x63 (code on their paths changed, must
+# re-score) and the new x64/x65/x66 (persisted IVF-index lifecycle,
+# Gopher rule report, IVF-ADC composition over both stored indexes).
+# All demoted entries remain full oracle-gated operators through the
+# local strict harness, which iterates LIBRARY_QUERIES too.
 # ---------------------------------------------------------------------------
 from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote
 
 for _name in (
     "q02_project_all", "q03_project_reorder", "q04_count_alias",
-    "q20_window_lag", "q21_union_all",
+    "q20_window_lag", "q21_union_all", "q22_scalar_string",
+    "q26_distinct_rows",
 ):
     _demote(_name)
 del _demote, _name

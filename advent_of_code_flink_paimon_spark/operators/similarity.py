@@ -1783,3 +1783,160 @@ class VectorIngestPipeline:
             .option("checkpointLocation", self.checkpoint_dir)
             .start()
         )
+
+
+# ----------------------------------------------------------------------
+# x66: IVF-ADC over the two persisted indexes — the production ANN
+# query shape (Jégou, Douze, Schmid 2011 §IV, non-residual variant):
+# IVF prunes the candidate set to the query's nprobe lists, PQ codes
+# provide the asymmetric distances — so query-time cost is
+# (nprobe/C)·N code lookups and NO raw embedding is read for scoring.
+# Both indexes are the lakehouse tables x63/x64 maintain.
+# ----------------------------------------------------------------------
+
+
+def ivfpq_adc_topk(
+    spark, catalog, vecs_table: str, k: int = TOP_K, n_queries: int = N_QUERIES
+) -> DataFrame:
+    """Top-k via IVF candidate pruning + ADC scoring, both from
+    PERSISTED index tables: candidates = the query's nprobe lists off
+    the cid-bucketed lists table (slim vec_id/cid projection), scores =
+    per-query M×K lookup tables applied to the stored code digits.
+    Driver traffic is bounded: C centroids + M·K codebook rows +
+    n_queries query vectors. The scoring expression is one CASE over
+    query_id per subspace — still a pure codegen projection."""
+    centroids = load_ivf_centroids(spark, catalog, vecs_table)
+    codebook = load_pq_codebook(spark, catalog, vecs_table)
+    lists = (
+        catalog.get_table(ivf_lists_name(vecs_table)).read(spark).select("vec_id", "cid")
+    )
+    codes = catalog.get_table(pq_codes_name(vecs_table)).read(spark)
+    queries_v = (
+        catalog.get_table(vecs_table)
+        .read(spark)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("cv"))
+        .filter(F.col("vec_id") < n_queries)
+    )
+    q_assign = ivf_assign(queries_v, centroids, nprobe=IVF_NPROBE).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cluster").cast("long").alias("cid"),
+    )
+    luts = {
+        int(r.vec_id): [_adc_lut(list(r.cv), codebook[m], m) for m in range(PQ_M)]
+        for r in queries_v.collect()
+    }
+    cand = (
+        lists.join(q_assign, "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    adc = None
+    for m in range(PQ_M):
+        term = None
+        for qid in sorted(luts):
+            e = F.element_at(
+                F.array(*[F.lit(float(x)) for x in luts[qid][m]]),
+                F.col(f"code{m}") + 1,
+            )
+            term = (
+                F.when(F.col("query_id") == qid, e)
+                if term is None
+                else term.when(F.col("query_id") == qid, e)
+            )
+        adc = term if adc is None else adc + term
+    scored = cand.join(codes, "vec_id").select(
+        "query_id", "vec_id", F.round(adc, _KM_ROUND).alias("adc_d2")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_d2").asc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "adc_d2", "rank")
+    )
+
+
+# x66's oracle: the corpus-restricted PQ codebook trajectory (x63's
+# CTEs) + the corpus-restricted IVF centroid assignment (x64's logic)
+# + the ADC tail restricted to candidates sharing one of the query's
+# nprobe lists.
+_SQL_IVFPQ_LIFECYCLE = _SQL_PQ_CORPUS_BUILD + f"""
+, cent AS (
+    SELECT vec_id AS cid, cv AS cent_v
+    FROM v WHERE vec_id % 61 = 7 AND vec_id % 10 <> 0
+    ORDER BY vec_id LIMIT {IVF_CENTROIDS}
+),
+corpus_assign AS (
+    SELECT vec_id, cid FROM (
+        SELECT c.vec_id, cent.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.vec_id
+                   ORDER BY {_COS.format(a='c.cv', b='cent.cent_v')} DESC, cent.cid ASC
+               ) AS r
+        FROM v c CROSS JOIN cent
+    ) WHERE r = 1
+),
+query_assign AS (
+    SELECT query_id, cid FROM (
+        SELECT q.vec_id AS query_id, cent.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_COS.format(a='q.cv', b='cent.cent_v')} DESC, cent.cid ASC
+               ) AS r
+        FROM v q CROSS JOIN cent WHERE q.vec_id < {N_QUERIES}
+    ) WHERE r <= {IVF_NPROBE}
+),
+cand AS (
+    SELECT DISTINCT qa.query_id, ca.vec_id
+    FROM corpus_assign ca JOIN query_assign qa ON ca.cid = qa.cid
+    WHERE ca.vec_id <> qa.query_id
+),
+qsv AS (
+  SELECT vec_id AS query_id, sub, s FROM sv WHERE vec_id < {N_QUERIES}
+),
+pd AS (
+  SELECT q.query_id, c.vec_id, c.sub,
+         list_sum([(q.s[i] - cb.cs[i]) * (q.s[i] - cb.cs[i])
+                   for i in range(1, {PQ_DSUB}+1)]) AS pd2
+  FROM a2 c
+  JOIN cb ON cb.sub = c.sub AND cb.sid = c.sid
+  JOIN qsv q ON q.sub = c.sub
+  JOIN cand ON cand.query_id = q.query_id AND cand.vec_id = c.vec_id
+),
+sumd AS (
+  SELECT query_id, vec_id, ROUND(SUM(pd2), {_KM_ROUND}) AS adc_d2
+  FROM pd GROUP BY query_id, vec_id
+),
+rankedq AS (
+  SELECT query_id, vec_id, adc_d2,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc_d2 ASC, vec_id ASC) AS rank
+  FROM sumd
+)
+SELECT query_id, vec_id, adc_d2, rank FROM rankedq WHERE rank <= {TOP_K}
+"""
+
+
+@query("x66_ivfpq_adc_topk", oracle=_SQL_IVFPQ_LIFECYCLE)
+def x66_ivfpq_adc_topk(spark, sf_dir):
+    """The full IVF-ADC lifecycle: commit the corpus, build BOTH
+    persisted indexes from it (IVF centroids+lists, PQ codebook+codes),
+    commit the batch, refresh BOTH O(batch), then answer top-k with IVF
+    candidate pruning + ADC scoring — entirely from the stored index
+    tables. The DuckDB oracle replays the identical trajectory with
+    both derivations restricted to the corpus commit."""
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+    from advent_of_code_flink_paimon_spark.operators.dedup import _mhidx_warehouse
+
+    e = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    is_batch = F.pmod(F.col("vec_id"), F.lit(10)) == 0
+
+    catalog = Catalog(_mhidx_warehouse("ivfpq66", sf_dir), "default")
+    vecs_t = catalog.create_table("vecs", "vec_id long, embedding array<float>", {})
+    vecs_t.append(e.filter(~is_batch))           # commit 1: the corpus
+    build_ivf_index(spark, catalog, "vecs")
+    build_pq_index(spark, catalog, "vecs")
+    vecs_t.append(e.filter(is_batch))            # commit 2: today's batch
+    refresh_ivf_lists(spark, catalog, "vecs")
+    refresh_pq_codes(spark, catalog, "vecs")
+    return ivfpq_adc_topk(spark, catalog, "vecs")

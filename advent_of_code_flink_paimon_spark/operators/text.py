@@ -1303,3 +1303,97 @@ class SearchIngestPipeline:
             .option("checkpointLocation", self.checkpoint_dir)
             .start()
         )
+
+
+# ---------------------------------------------------------------------------
+# x65: Gopher-style document quality rules (Rae et al. 2021, arXiv:
+# 2112.11446 §A1.1, adapted): a per-document rule REPORT — each rule a
+# boolean column plus the feature it gates on — rather than a silent
+# filter, the shape a curation pipeline audits before committing to a
+# keep set. Rules kept are the ones this corpus can actually exercise
+# (no line structure → the bullet/ellipsis line rules are out):
+# word-count bounds, mean-word-length bounds, stop-word presence, and
+# the top-word concentration cap (repetition).
+# ---------------------------------------------------------------------------
+
+_GOPHER_STOPS = ["the", "a", "of", "to", "and"]
+_GOPHER_WC_MIN, _GOPHER_WC_MAX = 50, 100000
+_GOPHER_MWL_MIN, _GOPHER_MWL_MAX = 4.0, 10.0
+_GOPHER_MIN_STOPS = 2
+_GOPHER_TOP_FRAC_MAX = 0.1
+
+_SQL_GOPHER = f"""
+WITH feats AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS wc,
+         CAST(list_sum(list_transform(string_split(text, ' '),
+                                      t -> length(t))) AS BIGINT) * 1.0
+             / len(string_split(text, ' ')) AS mean_word_len,
+         len(list_intersect(list_distinct(string_split(text, ' ')),
+                            ['the', 'a', 'of', 'to', 'and'])) AS n_stop,
+         list_max(list_transform(list_distinct(string_split(text, ' ')),
+                  d -> len(list_filter(string_split(text, ' '),
+                                       t -> t = d)))) * 1.0
+             / len(string_split(text, ' ')) AS top_frac
+  FROM documents)
+SELECT doc_id, wc, mean_word_len, n_stop, top_frac,
+       wc BETWEEN {_GOPHER_WC_MIN} AND {_GOPHER_WC_MAX} AS r_word_count,
+       mean_word_len BETWEEN {_GOPHER_MWL_MIN} AND {_GOPHER_MWL_MAX} AS r_mean_word_len,
+       n_stop >= {_GOPHER_MIN_STOPS} AS r_stop_words,
+       top_frac <= {_GOPHER_TOP_FRAC_MAX} AS r_top_word_frac,
+       (wc BETWEEN {_GOPHER_WC_MIN} AND {_GOPHER_WC_MAX})
+           AND (mean_word_len BETWEEN {_GOPHER_MWL_MIN} AND {_GOPHER_MWL_MAX})
+           AND n_stop >= {_GOPHER_MIN_STOPS}
+           AND top_frac <= {_GOPHER_TOP_FRAC_MAX} AS keep
+FROM feats
+"""
+
+
+@query("x65_gopher_rules", oracle=_SQL_GOPHER)
+def x65_gopher_rules(spark, sf_dir):
+    """Gopher-rule quality report: per-document features + one boolean
+    per rule + the conjunctive keep flag. Every feature is an exact
+    integer statistic (or a double division of two exact integers, the
+    engine-parity-safe form), so both engines agree bit-for-bit.
+
+    Scale shape: one row-local projection over the corpus — no shuffle
+    at all, every expression JVM-side inside whole-stage codegen (the
+    token arrays are computed once per rule chain by common-subexpr
+    reuse; at 100 TB this is the cheapest possible pass, bounded by
+    scan bandwidth)."""
+    toks = _tokens()
+    wc = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    mwl = sum_len.cast("double") / wc
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(toks), F.array(*[F.lit(s) for s in _GOPHER_STOPS])
+        )
+    )
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(toks), lambda d: F.size(F.filter(toks, lambda t: t == d))
+        )
+    )
+    top_frac = top_cnt.cast("double") / wc
+    feats = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        wc.alias("wc"),
+        mwl.alias("mean_word_len"),
+        n_stop.alias("n_stop"),
+        top_frac.alias("top_frac"),
+    )
+    r_wc = F.col("wc").between(_GOPHER_WC_MIN, _GOPHER_WC_MAX)
+    r_mwl = F.col("mean_word_len").between(_GOPHER_MWL_MIN, _GOPHER_MWL_MAX)
+    r_stop = F.col("n_stop") >= _GOPHER_MIN_STOPS
+    r_top = F.col("top_frac") <= _GOPHER_TOP_FRAC_MAX
+    return feats.select(
+        "doc_id", "wc", "mean_word_len", "n_stop", "top_frac",
+        r_wc.alias("r_word_count"),
+        r_mwl.alias("r_mean_word_len"),
+        r_stop.alias("r_stop_words"),
+        r_top.alias("r_top_word_frac"),
+        (r_wc & r_mwl & r_stop & r_top).alias("keep"),
+    )

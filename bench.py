@@ -81,6 +81,8 @@ HEADLINE = [
     "x63_pq_index_lifecycle",
     # round 8 additions
     "x64_ivf_index_lifecycle",
+    "x65_gopher_rules",
+    "x66_ivfpq_adc_topk",
 ]
 
 

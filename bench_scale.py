@@ -40,7 +40,11 @@ QUERIES = ["x07_dup_clusters", "x13_semantic_dedup", "x03_dedup_minhash_lsh",
            "x58_vocab_coverage", "x59_shard_assign",
            "x60_source_dup_matrix", "x61_cluster_balanced_sample",
            # round-7: BM25 full recompute; persisted-PQ lifecycle
-           "x62_bm25_topk", "x63_pq_index_lifecycle"]
+           "x62_bm25_topk", "x63_pq_index_lifecycle",
+           # round-8: persisted-IVF lifecycle, IVF-ADC composition,
+           # Gopher rule report (row-local — the flat-growth control)
+           "x64_ivf_index_lifecycle", "x66_ivfpq_adc_topk",
+           "x65_gopher_rules"]
 REPEATS = 3
 
 

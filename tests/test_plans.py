@@ -400,3 +400,60 @@ def test_dedup_from_storage_never_scans_docs_table(spark, tmp_path_factory):
     assert "minhash_shingles" in plan, plan
     assert "default.db/docs/" not in plan, plan
     assert "LeftSemi" in plan, plan
+
+
+def test_ivf_topk_probes_stored_lists_only(spark, tmp_path_factory):
+    """The persisted-IVF query path (ivf_topk_index) must take its
+    candidate vectors from the lists table: the raw vectors table may
+    appear in the plan ONLY as the bounded vec_id < N_QUERIES query
+    read (filter pushed into the scan), never as a corpus-wide scan
+    feeding the scoring join."""
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+    from advent_of_code_flink_paimon_spark.operators.registry import T
+    from advent_of_code_flink_paimon_spark.operators.similarity import (
+        N_QUERIES,
+        build_ivf_index,
+        ivf_topk_index,
+    )
+
+    wh = tmp_path_factory.mktemp("wh-ivf-plan")
+    catalog = Catalog(str(wh))
+    t = catalog.create_table("vecs", "vec_id long, embedding array<float>", {})
+    t.append(T(spark, SF_ORACLE, "embeddings").select("vec_id", "embedding"))
+    build_ivf_index(spark, catalog, "vecs")
+    df = ivf_topk_index(spark, catalog, "vecs")
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(jmode)
+    assert "vecs_ivf_lists" in plan, plan
+    # exactly ONE raw-table scan — the query read — and it carries the
+    # pushed query-id filter into the parquet scan
+    assert plan.count("default.db/vecs/") == 1, plan
+    assert f"LessThan(vec_id,{N_QUERIES})" in plan, plan
+
+
+def test_ivfpq_adc_scores_from_both_indexes_without_embeddings(spark, tmp_path_factory):
+    """x66's probe (ivfpq_adc_topk) must join the lists table to the
+    codes table and score via the code digits — no embedding column in
+    the scoring plan (the query vectors are a bounded eager collect)."""
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+    from advent_of_code_flink_paimon_spark.operators.registry import T
+    from advent_of_code_flink_paimon_spark.operators.similarity import (
+        build_ivf_index,
+        build_pq_index,
+        ivfpq_adc_topk,
+    )
+
+    wh = tmp_path_factory.mktemp("wh-ivfpq-plan")
+    catalog = Catalog(str(wh))
+    t = catalog.create_table("vecs", "vec_id long, embedding array<float>", {})
+    t.append(T(spark, SF_ORACLE, "embeddings").select("vec_id", "embedding"))
+    build_ivf_index(spark, catalog, "vecs")
+    build_pq_index(spark, catalog, "vecs")
+    df = ivfpq_adc_topk(spark, catalog, "vecs")
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(jmode)
+    assert "vecs_ivf_lists" in plan and "vecs_pq_codes" in plan, plan
+    # scoring side reads code digits, not vectors: the embedding column
+    # may appear only under the bounded query-vector scan of the raw
+    # table, never in the lists/codes join
+    assert "code0" in plan, plan
