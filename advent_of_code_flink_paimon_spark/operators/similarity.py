@@ -1353,7 +1353,22 @@ def _pq_learn_codebook(v: DataFrame) -> list:
     return [(int(r.sub), dense_of[int(r.sid)], int(r.sid), list(r.cs)) for r in cb_rows]
 
 
-def build_pq_index(spark, catalog, vecs_table: str) -> int:
+def build_pq_codebook(spark, catalog, vecs_table: str, v: DataFrame) -> dict:
+    """Learn the per-subspace codebooks from a (vec_id, cv) relation
+    and OVERWRITE the codebook table; returns the codebook dict. Split
+    out of build_pq_index so the fused IVFADC build (x67) can learn a
+    codebook without also materializing the separate codes table."""
+    cb_data = _pq_learn_codebook(v)
+    cb_name = pq_codebook_name(vecs_table)
+    if not catalog.has_table(cb_name):
+        catalog.create_table(cb_name, PQ_CODEBOOK_SCHEMA, {})
+    catalog.get_table(cb_name).overwrite(
+        spark.createDataFrame(cb_data, PQ_CODEBOOK_SCHEMA)
+    )
+    return _codebook_dict(cb_data)
+
+
+def build_pq_index(spark, catalog, vecs_table: str, v: DataFrame | None = None) -> int:
     """Build (or rebuild) the persisted PQ index of a lakehouse vectors
     table: per-subspace codebooks from one Lloyd update over the
     vectors committed so far (hash-sampled seeds, x55's trajectory),
@@ -1364,28 +1379,29 @@ def build_pq_index(spark, catalog, vecs_table: str) -> int:
     Scale shape: the Lloyd update is one (M·K·d_sub)-key aggregation
     with M·K rows to the driver; encoding is a map-only
     literal-codebook projection; the codes write is the only exchange.
-    Returns the number of vectors encoded."""
+    Returns the number of vectors encoded. ``v`` lets a caller building
+    several indexes share one persisted (vec_id, cv) relation instead
+    of re-scanning the table per build."""
     from advent_of_code_flink_paimon_spark.operators.dedup import pack_refresh_range
 
     vecs_t = catalog.get_table(vecs_table)
     latest = vecs_t.latest_snapshot_id() or 0
-    v = _pq_vecs(vecs_t.read(spark)).persist()
-    cb_data = _pq_learn_codebook(v)
-    cb_name, codes_name = pq_codebook_name(vecs_table), pq_codes_name(vecs_table)
-    if not catalog.has_table(cb_name):
-        catalog.create_table(cb_name, PQ_CODEBOOK_SCHEMA, {})
+    own = v is None
+    if own:
+        v = _pq_vecs(vecs_t.read(spark)).persist()
+    codebook = build_pq_codebook(spark, catalog, vecs_table, v)
+    codes_name = pq_codes_name(vecs_table)
+    if not catalog.has_table(codes_name):
         catalog.create_table(codes_name, PQ_CODES_SCHEMA, {})
-    catalog.get_table(cb_name).overwrite(
-        spark.createDataFrame(cb_data, PQ_CODEBOOK_SCHEMA)
-    )
-    codebook = _codebook_dict(cb_data)
     # a rebuild REPLACES the codes (old digits are meaningless under a
     # new codebook); the range stamp seeds recover_refresh_bookmark
     catalog.get_table(codes_name).overwrite(
-        _pq_encode(v, codebook), commit_identifier=pack_refresh_range(1, latest)
+        _pq_encode(v, codebook),
+        commit_identifier=pack_refresh_range(1, latest) if latest else None,
     )
     n = v.count()
-    v.unpersist()
+    if own:
+        v.unpersist()
     vecs_t.register_consumer(f"{_PQ_CONSUMER_PREFIX}-{vecs_table}", latest + 1)
     return n
 
@@ -1558,7 +1574,29 @@ def _ivf_assign_lists(v: DataFrame, centroids: list) -> DataFrame:
     )
 
 
-def build_ivf_index(spark, catalog, vecs_table: str) -> int:
+def build_ivf_centroids(spark, catalog, vecs_table: str, v: DataFrame) -> list:
+    """Pick the deterministic hash-sampled centroids (x12's pick) from
+    a (vec_id, cv) relation and OVERWRITE the centroids table; returns
+    [(cid, centroid)]. Split out of build_ivf_index so the fused
+    IVFADC build (x67) can learn centroids without also materializing
+    the separate lists table."""
+    cent_rows = (
+        v.filter(F.pmod(F.col("vec_id"), F.lit(61)) == 7)
+        .orderBy("vec_id")
+        .limit(IVF_CENTROIDS)
+        .collect()
+    )
+    centroids = [(int(r.vec_id), list(r.cv)) for r in cent_rows]
+    cname = ivf_centroids_name(vecs_table)
+    if not catalog.has_table(cname):
+        catalog.create_table(cname, IVF_CENTROIDS_SCHEMA, {})
+    catalog.get_table(cname).overwrite(
+        spark.createDataFrame(centroids, IVF_CENTROIDS_SCHEMA)
+    )
+    return centroids
+
+
+def build_ivf_index(spark, catalog, vecs_table: str, v: DataFrame | None = None) -> int:
     """Build (or rebuild) the persisted IVF index of a lakehouse
     vectors table: deterministic hash-sampled centroids (x12's pick)
     from the vectors committed so far, OVERWRITE-committed to the
@@ -1569,26 +1607,19 @@ def build_ivf_index(spark, catalog, vecs_table: str) -> int:
     Scale shape: the centroid pick is a C-row collect; assignment is a
     map-only literal-centroid projection; the lists write is the only
     exchange (into the bucket layout queries probe). Returns the number
-    of vectors assigned."""
+    of vectors assigned. ``v`` lets a caller building several indexes
+    share one persisted (vec_id, cv) relation."""
     from advent_of_code_flink_paimon_spark.operators.dedup import pack_refresh_range
 
     vecs_t = catalog.get_table(vecs_table)
     latest = vecs_t.latest_snapshot_id() or 0
-    v = _pq_vecs(vecs_t.read(spark)).persist()
-    cent_rows = (
-        v.filter(F.pmod(F.col("vec_id"), F.lit(61)) == 7)
-        .orderBy("vec_id")
-        .limit(IVF_CENTROIDS)
-        .collect()
-    )
-    centroids = [(int(r.vec_id), list(r.cv)) for r in cent_rows]
-    cname, lname = ivf_centroids_name(vecs_table), ivf_lists_name(vecs_table)
-    if not catalog.has_table(cname):
-        catalog.create_table(cname, IVF_CENTROIDS_SCHEMA, {})
+    own = v is None
+    if own:
+        v = _pq_vecs(vecs_t.read(spark)).persist()
+    centroids = build_ivf_centroids(spark, catalog, vecs_table, v)
+    lname = ivf_lists_name(vecs_table)
+    if not catalog.has_table(lname):
         catalog.create_table(lname, IVF_LISTS_SCHEMA, {"bucket": "8", "bucket-key": "cid"})
-    catalog.get_table(cname).overwrite(
-        spark.createDataFrame(centroids, IVF_CENTROIDS_SCHEMA)
-    )
     # a rebuild REPLACES the lists (old assignments are meaningless
     # under new centroids); the range stamp seeds recover_refresh_bookmark
     catalog.get_table(lname).overwrite(
@@ -1596,7 +1627,8 @@ def build_ivf_index(spark, catalog, vecs_table: str) -> int:
         commit_identifier=pack_refresh_range(1, latest) if latest else None,
     )
     n = v.count()
-    v.unpersist()
+    if own:
+        v.unpersist()
     vecs_t.register_consumer(f"{_IVF_CONSUMER_PREFIX}-{vecs_table}", latest + 1)
     return n
 
@@ -1934,9 +1966,188 @@ def x66_ivfpq_adc_topk(spark, sf_dir):
     catalog = Catalog(_mhidx_warehouse("ivfpq66", sf_dir), "default")
     vecs_t = catalog.create_table("vecs", "vec_id long, embedding array<float>", {})
     vecs_t.append(e.filter(~is_batch))           # commit 1: the corpus
-    build_ivf_index(spark, catalog, "vecs")
-    build_pq_index(spark, catalog, "vecs")
+    # both builds share ONE persisted (vec_id, cv) relation — the
+    # corpus is scanned/cast once, not once per index family
+    v = _pq_vecs(vecs_t.read(spark)).persist()
+    build_ivf_index(spark, catalog, "vecs", v=v)
+    build_pq_index(spark, catalog, "vecs", v=v)
+    v.unpersist()
     vecs_t.append(e.filter(is_batch))            # commit 2: today's batch
     refresh_ivf_lists(spark, catalog, "vecs")
     refresh_pq_codes(spark, catalog, "vecs")
     return ivfpq_adc_topk(spark, catalog, "vecs")
+
+
+# ----------------------------------------------------------------------
+# x67: the SINGLE-TABLE IVFADC index (Jégou et al. 2011 §IV as
+# deployed): one lakehouse table (cid, vec_id, code0..3) bucketed on
+# cid holds the inverted lists WITH their PQ codes, so the query path
+# is scan → literal projection → filter → window — ZERO joins. x66
+# composes the two separate index tables (lists ⋈ codes on vec_id —
+# a candidate-sized shuffle at query time); this layout is what removes
+# that join at 10⁹ vectors: probed lists prune on the bucketed cid,
+# scores come off the same row's code digits.
+# ----------------------------------------------------------------------
+
+IVFPQ_SCHEMA = "cid long, vec_id long, code0 int, code1 int, code2 int, code3 int"
+_IVFPQ_CONSUMER_PREFIX = "__ivfpq-index"
+
+
+def ivfpq_name(vecs_table: str) -> str:
+    return f"{vecs_table}_ivfpq"
+
+
+def _ivfpq_rows(v: DataFrame, centroids: list, codebook: dict) -> DataFrame:
+    """(vec_id, cv) → (cid, vec_id, code0..3): IVF assignment and PQ
+    encode fused into ONE map-only literal projection."""
+    assigned = ivf_assign(v, centroids, nprobe=1).select(
+        F.col("cluster").cast("long").alias("cid"), "vec_id", "cv"
+    )
+    return _pq_encode(assigned, codebook, extra_cols=("cid",)).select(
+        "cid", "vec_id", "code0", "code1", "code2", "code3"
+    )
+
+
+def build_ivfpq_index(spark, catalog, vecs_table: str) -> int:
+    """Build the combined IVFADC index: centroids and PQ codebook are
+    learned from the committed corpus (into the same centroid/codebook
+    tables x63/x64 use — but WITHOUT materializing the separate
+    lists/codes tables this layout replaces), then every vector lands
+    in the single bucketed (cid, vec_id, codes) table via one fused
+    map-only projection; the bucketed write is the only exchange."""
+    from advent_of_code_flink_paimon_spark.operators.dedup import pack_refresh_range
+
+    vecs_t = catalog.get_table(vecs_table)
+    latest = vecs_t.latest_snapshot_id() or 0
+    v = _pq_vecs(vecs_t.read(spark)).persist()
+    centroids = build_ivf_centroids(spark, catalog, vecs_table, v)
+    codebook = build_pq_codebook(spark, catalog, vecs_table, v)
+    name = ivfpq_name(vecs_table)
+    if not catalog.has_table(name):
+        catalog.create_table(name, IVFPQ_SCHEMA, {"bucket": "8", "bucket-key": "cid"})
+    catalog.get_table(name).overwrite(
+        _ivfpq_rows(v, centroids, codebook),
+        commit_identifier=pack_refresh_range(1, latest) if latest else None,
+    )
+    n = v.count()
+    v.unpersist()
+    vecs_t.register_consumer(f"{_IVFPQ_CONSUMER_PREFIX}-{vecs_table}", latest + 1)
+    return n
+
+
+def refresh_ivfpq_index(spark, catalog, vecs_table: str) -> int:
+    """Assign+encode ONLY newly committed vectors against the STORED
+    centroids/codebook and append — O(new vectors), range-stamped,
+    crash-idempotent (the x49/x63/x64 protocol)."""
+    from advent_of_code_flink_paimon_spark.operators.dedup import (
+        pack_refresh_range,
+        recover_refresh_bookmark,
+    )
+
+    vecs_t = catalog.get_table(vecs_table)
+    idx_t = catalog.get_table(ivfpq_name(vecs_table))
+    consumer_id = f"{_IVFPQ_CONSUMER_PREFIX}-{vecs_table}"
+    nxt = vecs_t.consumers().get(consumer_id, {}).get("next_snapshot_id", 1)
+    nxt = recover_refresh_bookmark(idx_t, nxt)
+    latest = vecs_t.latest_snapshot_id() or 0
+    if latest < nxt:
+        if nxt > vecs_t.consumers().get(consumer_id, {}).get("next_snapshot_id", 1):
+            vecs_t.register_consumer(consumer_id, next_snapshot_id=nxt)
+        return 0
+    fresh = vecs_t.merge_raw(vecs_t.incremental_read(spark, nxt - 1, latest)).persist()
+    n = fresh.count()
+    if n:
+        centroids = load_ivf_centroids(spark, catalog, vecs_table)
+        codebook = load_pq_codebook(spark, catalog, vecs_table)
+        idx_t.append(
+            _ivfpq_rows(_pq_vecs(fresh), centroids, codebook),
+            commit_identifier=pack_refresh_range(nxt, latest),
+        )
+    fresh.unpersist()
+    vecs_t.register_consumer(consumer_id, latest + 1)
+    return n
+
+
+def ivfpq_onetable_topk(
+    spark, catalog, vecs_table: str, k: int = TOP_K, n_queries: int = N_QUERIES
+) -> DataFrame:
+    """IVFADC query with ZERO joins: per query, the probed cid set and
+    the M×K lookup tables inline as literals, each index row explodes
+    into its matching queries (array filter on cid), scores sum M
+    array lookups, one per-query top-k window. The plan is scan of the
+    bucketed index → project/explode → filter → window — the shape
+    that holds at 10⁹ vectors (probed-list pruning rides the cid
+    bucketing; nothing shuffles but the top-k window's partial
+    ranks)."""
+    centroids = load_ivf_centroids(spark, catalog, vecs_table)
+    codebook = load_pq_codebook(spark, catalog, vecs_table)
+    idx = catalog.get_table(ivfpq_name(vecs_table)).read(spark)
+    queries_v = (
+        catalog.get_table(vecs_table)
+        .read(spark)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("cv"))
+        .filter(F.col("vec_id") < n_queries)
+    )
+    probed = {
+        int(r.vec_id): sorted(int(p.cid) for p in r.probes)
+        for r in ivf_assign(queries_v, centroids, nprobe=IVF_NPROBE)
+        .groupBy("vec_id")
+        .agg(F.collect_list(F.struct(F.col("cluster").alias("cid"))).alias("probes"))
+        .collect()
+    }
+    luts = {
+        int(r.vec_id): [_adc_lut(list(r.cv), codebook[m], m) for m in range(PQ_M)]
+        for r in queries_v.collect()
+    }
+    per_query = []
+    for qid in sorted(luts):
+        adc = None
+        for m in range(PQ_M):
+            term = F.element_at(
+                F.array(*[F.lit(float(x)) for x in luts[qid][m]]),
+                F.col(f"code{m}") + 1,
+            )
+            adc = term if adc is None else adc + term
+        per_query.append(
+            F.struct(
+                F.lit(qid).alias("query_id"),
+                F.array_contains(
+                    F.array(*[F.lit(c) for c in probed[qid]]), F.col("cid")
+                ).alias("hit"),
+                F.round(adc, _KM_ROUND).alias("adc_d2"),
+            )
+        )
+    scored = (
+        idx.select("cid", "vec_id", F.explode(F.array(*per_query)).alias("q"))
+        .filter(F.col("q.hit") & (F.col("vec_id") != F.col("q.query_id")))
+        .select(F.col("q.query_id").alias("query_id"), "vec_id", F.col("q.adc_d2").alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_d2").asc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "adc_d2", "rank")
+    )
+
+
+@query("x67_ivfpq_onetable_topk", oracle=_SQL_IVFPQ_LIFECYCLE)
+def x67_ivfpq_onetable_topk(spark, sf_dir):
+    """The single-table IVFADC lifecycle: same commit/build/commit/
+    refresh trajectory as x66, but the index is ONE bucketed
+    (cid, vec_id, codes) table and the query plan has NO join — the
+    final relation is identical to x66's, so the same DuckDB oracle
+    hashes it (candidate sets and ADC scores are the same math; only
+    the physical layout differs)."""
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+    from advent_of_code_flink_paimon_spark.operators.dedup import _mhidx_warehouse
+
+    e = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    is_batch = F.pmod(F.col("vec_id"), F.lit(10)) == 0
+
+    catalog = Catalog(_mhidx_warehouse("ivfpq67", sf_dir), "default")
+    vecs_t = catalog.create_table("vecs", "vec_id long, embedding array<float>", {})
+    vecs_t.append(e.filter(~is_batch))           # commit 1: the corpus
+    build_ivfpq_index(spark, catalog, "vecs")    # centroids+codebook+fused index
+    vecs_t.append(e.filter(is_batch))            # commit 2: today's batch
+    refresh_ivfpq_index(spark, catalog, "vecs")  # O(batch) fused assign+encode
+    return ivfpq_onetable_topk(spark, catalog, "vecs")

@@ -1397,3 +1397,47 @@ def x65_gopher_rules(spark, sf_dir):
         r_top.alias("r_top_word_frac"),
         (r_wc & r_mwl & r_stop & r_top).alias("keep"),
     )
+
+
+def bpe_encode(spark, docs, merges: list[dict]) -> "DataFrame":
+    """Apply a TRAINED merge list (bpe_train's output) to a corpus —
+    the tokenizer-inference half of the BPE story. The greedy
+    left-to-right merge fold runs over the corpus's DISTINCT words
+    (vocab-sized, the same collapse bpe_train exploits), with all N
+    merges chained as nested JVM folds inside ONE projection — no
+    Python, no per-round materialization; the per-word cost is
+    O(N·len(word)) and the relation is the vocabulary, not the corpus.
+    The word→pieces map then broadcast-joins back onto the corpus
+    tokens.
+
+    Returns (doc_id, n_words, n_pieces): per-document word and subword
+    counts — the token-accounting shape a packing/budget stage (x35)
+    consumes. Correctness is pinned two ways (test_extensions.py):
+    piece sequences equal bpe_train's own final word re-tokenization on
+    the training corpus, and a sequential Python BPE applier agrees on
+    fixtures."""
+    vocab = fan_out(docs, heavy=True).select(F.explode(_tokens()).alias("w")).distinct()
+
+    def make_step(la, lb, lm):
+        def step(acc, x):
+            hit = (F.size(acc) > 0) & (F.element_at(acc, -1) == la) & (x == lb)
+            return F.when(
+                hit, F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(lm))
+            ).otherwise(F.concat(acc, F.array(x)))
+
+        return step
+
+    col = F.split(F.col("w"), "")
+    for mg in merges:
+        step = make_step(F.lit(mg["left"]), F.lit(mg["right"]), F.lit(mg["merged"]))
+        col = F.aggregate(col, F.array().cast("array<string>"), step)
+    vocab_enc = vocab.select("w", col.alias("pieces"))
+    toks = docs.select("doc_id", F.explode(_tokens()).alias("w"))
+    return (
+        toks.join(F.broadcast(vocab_enc), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.size("pieces")).cast("long").alias("n_pieces"),
+        )
+    )

@@ -83,6 +83,7 @@ HEADLINE = [
     "x64_ivf_index_lifecycle",
     "x65_gopher_rules",
     "x66_ivfpq_adc_topk",
+    "x67_ivfpq_onetable_topk",
 ]
 
 

@@ -44,6 +44,7 @@ QUERIES = ["x07_dup_clusters", "x13_semantic_dedup", "x03_dedup_minhash_lsh",
            # round-8: persisted-IVF lifecycle, IVF-ADC composition,
            # Gopher rule report (row-local — the flat-growth control)
            "x64_ivf_index_lifecycle", "x66_ivfpq_adc_topk",
+           "x67_ivfpq_onetable_topk",
            "x65_gopher_rules"]
 REPEATS = 3
 

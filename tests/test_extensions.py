@@ -997,3 +997,79 @@ def test_ivf_index_lifecycle_behavioral(spark, tmp_path):
     assert {(r.vec_id, r.cid) for r in lists_t.read(spark).collect()} == stored
     # caught-up refresh stays a no-op
     assert refresh_ivf_lists(spark, catalog, "vecs") == 0
+
+
+def test_bpe_encode_matches_trainer_and_python_model(spark):
+    """bpe_encode (tokenizer inference) must reproduce bpe_train's own
+    final word re-tokenization on the training corpus, and agree with a
+    sequential Python BPE applier on the same merges."""
+    from advent_of_code_flink_paimon_spark.operators.registry import T
+    from advent_of_code_flink_paimon_spark.operators.text import bpe_encode, bpe_train
+
+    docs = T(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    ).filter("doc_id < 60")
+    merges, words = bpe_train(spark, docs, n_merges=6)
+    assert merges  # the corpus must actually produce merges
+
+    # sequential python model of the greedy fold
+    def apply(word):
+        syms = list(word)
+        for mg in merges:
+            out = []
+            for s in syms:
+                if out and out[-1] == mg["left"] and s == mg["right"]:
+                    out[-1] = mg["merged"]
+                else:
+                    out.append(s)
+            syms = out
+        return syms
+
+    trained = {r.w: list(r.syms) for r in words.collect()}
+    for w, syms in trained.items():
+        assert apply(w) == syms, (w, apply(w), syms)
+
+    got = {r.doc_id: (r.n_words, r.n_pieces) for r in bpe_encode(spark, docs, merges).collect()}
+    toks = {
+        r.doc_id: r.ws
+        for r in docs.selectExpr("doc_id", "split(text, ' ') AS ws").collect()
+    }
+    want = {
+        d: (len(ws), sum(len(apply(w)) for w in ws)) for d, ws in toks.items()
+    }
+    assert got == want
+
+
+def test_ivfpq_index_refresh_crash_replay(spark, tmp_path):
+    """The fused IVFADC index refresh is crash-idempotent like every
+    other index refresh: a regressed bookmark recovers from the index's
+    own range stamps and a retry appends nothing."""
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+    from advent_of_code_flink_paimon_spark.operators.registry import T
+    from advent_of_code_flink_paimon_spark.operators.similarity import (
+        _IVFPQ_CONSUMER_PREFIX,
+        build_ivfpq_index,
+        ivfpq_name,
+        refresh_ivfpq_index,
+    )
+
+    e = T(spark, "/root/testdata/sf0.001", "embeddings").select("vec_id", "embedding")
+    catalog = Catalog(str(tmp_path / "wh"))
+    vecs_t = catalog.create_table("vecs", "vec_id long, embedding array<float>", {})
+    vecs_t.append(e.filter("vec_id % 10 <> 0"))
+    assert build_ivfpq_index(spark, catalog, "vecs") > 0
+    vecs_t.append(e.filter("vec_id % 10 = 0"))
+    assert refresh_ivfpq_index(spark, catalog, "vecs") == e.filter("vec_id % 10 = 0").count()
+    idx_t = catalog.get_table(ivfpq_name("vecs"))
+    before = sorted(
+        (r.cid, r.vec_id, r.code0, r.code1, r.code2, r.code3)
+        for r in idx_t.read(spark).collect()
+    )
+    assert len(before) == e.count()
+    vecs_t.register_consumer(f"{_IVFPQ_CONSUMER_PREFIX}-vecs", 1)
+    assert refresh_ivfpq_index(spark, catalog, "vecs") == 0
+    after = sorted(
+        (r.cid, r.vec_id, r.code0, r.code1, r.code2, r.code3)
+        for r in idx_t.read(spark).collect()
+    )
+    assert after == before

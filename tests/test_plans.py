@@ -457,3 +457,29 @@ def test_ivfpq_adc_scores_from_both_indexes_without_embeddings(spark, tmp_path_f
     # may appear only under the bounded query-vector scan of the raw
     # table, never in the lists/codes join
     assert "code0" in plan, plan
+
+
+def test_ivfpq_onetable_probe_has_zero_joins(spark, tmp_path_factory):
+    """The single-table IVFADC probe (ivfpq_onetable_topk) must be scan
+    → project/explode → filter → window with NO join node at all — the
+    layout exists precisely to remove x66's lists ⋈ codes shuffle. The
+    raw vectors table must not appear either (query vectors are bounded
+    eager collects)."""
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+    from advent_of_code_flink_paimon_spark.operators.registry import T
+    from advent_of_code_flink_paimon_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_onetable_topk,
+    )
+
+    wh = tmp_path_factory.mktemp("wh-ivfpq1-plan")
+    catalog = Catalog(str(wh))
+    t = catalog.create_table("vecs", "vec_id long, embedding array<float>", {})
+    t.append(T(spark, SF_ORACLE, "embeddings").select("vec_id", "embedding"))
+    build_ivfpq_index(spark, catalog, "vecs")
+    df = ivfpq_onetable_topk(spark, catalog, "vecs")
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(jmode)
+    assert "vecs_ivfpq" in plan, plan
+    assert "Join" not in plan, plan
+    assert "default.db/vecs/" not in plan and "embedding" not in plan, plan
