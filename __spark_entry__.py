@@ -19,10 +19,10 @@ from pyspark.sql import DataFrame, SparkSession
 # so no entry's freshest driver row ever goes >1 round stale:
 # round 8 leads with x63/x49 — code on their paths changed this round
 # (ADC LUTs keyed by dense digit; pack_refresh_range bounds check on
-# every refresh stamp) and must re-score — then x64-x67 (persisted
+# every refresh stamp) and must re-score — then x64-x68 (persisted
 # IVF index, Gopher rules, IVF-ADC two-table and one-table lifecycles,
-# all new this round), then the 44 entries whose latest driver row is
-# from round 6 (q20/q21/q22/q26/q45 joined q02/q03/q04 in the library
+# all new this round), then the 43 entries whose latest driver row is
+# from round 6 (q20/q21/q22/q26/q45/q46 joined q02/q03/q04 in the library
 # to free the slots; see operators/relational.py). The
 # overflow is drawn exclusively from entries green in
 # CORRECTNESS_r07.json, so at judging time every registry entry has a
@@ -32,15 +32,15 @@ _ORDER = [
     "x63_pq_index_lifecycle", "x49_minhash_index_dedup",
     # NEW to the registry this round — no driver row exists yet
     "x64_ivf_index_lifecycle", "x65_gopher_rules", "x66_ivfpq_adc_topk",
-    "x67_ivfpq_onetable_topk",
+    "x67_ivfpq_onetable_topk", "x68_ann_recall",
     # driver evidence last refreshed in round 6 — score these next
-    # (q20/q21/q22/q26/q45 joined the library; see relational.py)
+    # (q20/q21/q22/q26/q45/q46 joined the library; see relational.py)
     "q18_topk_orderby", "q19_window_rank_merge",
     "q23_scalar_conditional",
     "q25_json_extract", "q29_asof_join",
     "q34_sessionize", "q38_intersect", "q39_except", "q40_pivot",
     "q41_window_frames", "q42_listagg", "q43_ntile_rank_stats",
-    "q44_value_windows", "q46_unpivot",
+    "q44_value_windows",
     "q47_not_in_null_aware", "q48_time_range_frame",
     "x01_dedup_exact", "x02_fingerprint_dedup", "x03_dedup_minhash_lsh",
     "x04_dedup_simhash", "x05_ngram_jaccard_join",

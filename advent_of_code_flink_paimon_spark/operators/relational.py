@@ -1083,7 +1083,7 @@ from advent_of_code_flink_paimon_spark.operators.registry import demote as _demo
 for _name in (
     "q02_project_all", "q03_project_reorder", "q04_count_alias",
     "q20_window_lag", "q21_union_all", "q22_scalar_string",
-    "q26_distinct_rows", "q45_posexplode",
+    "q26_distinct_rows", "q45_posexplode", "q46_unpivot",
 ):
     _demote(_name)
 del _demote, _name

@@ -1780,10 +1780,11 @@ class VectorIngestPipeline:
         checkpoint_dir: str,
         pq: bool = True,
         ivf: bool = True,
+        ivfpq: bool = False,
     ):
         self.spark, self.catalog = spark, catalog
         self.vecs_table, self.checkpoint_dir = vecs_table, checkpoint_dir
-        self.pq, self.ivf = pq, ivf
+        self.pq, self.ivf, self.ivfpq = pq, ivf, ivfpq
         if not catalog.has_table(vecs_table):
             catalog.create_table(vecs_table, "vec_id long, embedding array<float>", {})
 
@@ -1804,6 +1805,13 @@ class VectorIngestPipeline:
                     build_ivf_index(self.spark, self.catalog, self.vecs_table)
                 else:
                     refresh_ivf_lists(self.spark, self.catalog, self.vecs_table)
+            if self.ivfpq:
+                # the single-table IVFADC layout (x67); its build also
+                # (re)writes the centroid/codebook tables it learns from
+                if not self.catalog.has_table(ivfpq_name(self.vecs_table)):
+                    build_ivfpq_index(self.spark, self.catalog, self.vecs_table)
+                else:
+                    refresh_ivfpq_index(self.spark, self.catalog, self.vecs_table)
         batch.unpersist()
         return n
 
@@ -2151,3 +2159,67 @@ def x67_ivfpq_onetable_topk(spark, sf_dir):
     vecs_t.append(e.filter(is_batch))            # commit 2: today's batch
     refresh_ivfpq_index(spark, catalog, "vecs")  # O(batch) fused assign+encode
     return ivfpq_onetable_topk(spark, catalog, "vecs")
+
+
+# ----------------------------------------------------------------------
+# x68: ANN recall report — the quality-evaluation pass every ANN
+# deployment runs before trusting an index: recall@k of the IVF
+# candidate path against the exact brute-force top-k, per query. Both
+# sides are this module's own oracled relations (x10 exact, x12 IVF),
+# so the report itself is exactly replayable.
+# ----------------------------------------------------------------------
+
+def ann_recall(exact: DataFrame, approx: DataFrame, k: int = TOP_K) -> DataFrame:
+    """recall@k per query: |approx ∩ exact| / k over two (query_id,
+    vec_id, …) top-k relations. A left join from the exact side (k rows
+    per query — tiny) counts hits; the exact-integer count divided by
+    the integer k is an engine-parity-safe double."""
+    return (
+        exact.select("query_id", "vec_id")
+        .join(
+            approx.select("query_id", "vec_id").withColumn("hit", F.lit(1)),
+            ["query_id", "vec_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hit"))
+        .select(
+            "query_id",
+            "n_hit",
+            (F.col("n_hit").cast("double") / F.lit(k)).alias("recall"),
+        )
+    )
+
+
+from advent_of_code_flink_paimon_spark.operators.registry import (  # noqa: E402
+    ORACLES as _ORACLES,
+)
+
+_SQL_ANN_RECALL = f"""
+SELECT e.query_id,
+       CAST(COUNT(a.vec_id) AS BIGINT) AS n_hit,
+       CAST(COUNT(a.vec_id) AS BIGINT) * 1.0 / {TOP_K} AS recall
+FROM ({_ORACLES["x10_embedding_topk"]}) e
+LEFT JOIN ({_ORACLES["x12_embedding_topk_ivf"]}) a
+  ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+GROUP BY e.query_id
+"""
+
+
+@query("x68_ann_recall", oracle=_SQL_ANN_RECALL)
+def x68_ann_recall(spark, sf_dir):
+    """Recall@k of the IVF path (x12) against the exact brute-force
+    top-k (x10), per query — the evaluation pass that decides whether
+    an ANN index's nprobe/C setting is trustworthy before it serves
+    retrieval. Both inputs are this module's own oracled relations, so
+    the report replays exactly: the DuckDB oracle left-joins the two
+    oracle SQLs and counts hits the same way.
+
+    Scale shape: the exact side is the declared O(n·q) baseline (q
+    bounded query vectors broadcast — x10's audited plan); the
+    comparison itself touches only 2·k·q rows. In production the exact
+    side runs on a SAMPLE of queries — the report's cost is the ground
+    truth, not the join."""
+    return ann_recall(
+        x10_embedding_topk(spark, sf_dir), x12_embedding_topk_ivf(spark, sf_dir)
+    )

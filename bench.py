@@ -84,6 +84,7 @@ HEADLINE = [
     "x65_gopher_rules",
     "x66_ivfpq_adc_topk",
     "x67_ivfpq_onetable_topk",
+    "x68_ann_recall",
 ]
 
 

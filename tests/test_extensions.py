@@ -1073,3 +1073,28 @@ def test_ivfpq_index_refresh_crash_replay(spark, tmp_path):
         for r in idx_t.read(spark).collect()
     )
     assert after == before
+
+
+def test_ann_recall_bounds_and_model(spark):
+    """x68's recall report: one row per query, n_hit ∈ [0, k], recall =
+    n_hit/k, and the values equal a Python set-intersection of the two
+    top-k relations it compares."""
+    from advent_of_code_flink_paimon_spark.operators.similarity import (
+        TOP_K,
+        x10_embedding_topk,
+        x12_embedding_topk_ivf,
+        x68_ann_recall,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {}
+    for r in x10_embedding_topk(spark, sf).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+    approx = {}
+    for r in x12_embedding_topk_ivf(spark, sf).collect():
+        approx.setdefault(r.query_id, set()).add(r.vec_id)
+    got = {r.query_id: (r.n_hit, r.recall) for r in x68_ann_recall(spark, sf).collect()}
+    assert set(got) == set(exact)
+    for qid, (n_hit, recall) in got.items():
+        want = len(exact[qid] & approx.get(qid, set()))
+        assert n_hit == want and recall == want / TOP_K, (qid, n_hit, want)

@@ -1282,3 +1282,53 @@ def test_vector_ingest_pipeline(spark, catalog, tmp_path):
     before = vecs_t.read(spark).count()
     p.sink(e.filter("vec_id % 3 = 0"), 0)
     assert catalog.get_table("svecs").read(spark).count() == before
+
+
+def test_vector_ingest_pipeline_ivfpq_table(spark, catalog, tmp_path):
+    """VectorIngestPipeline(ivfpq=True) keeps the single-table IVFADC
+    index current per micro-batch: after the drain the stored
+    (cid, codes) rows equal a one-pass fused assign+encode against the
+    stored centroids/codebook."""
+    from advent_of_code_flink_paimon_spark.operators.registry import T
+    from advent_of_code_flink_paimon_spark.operators.similarity import (
+        VectorIngestPipeline,
+        _ivfpq_rows,
+        _pq_vecs,
+        ivfpq_name,
+        load_ivf_centroids,
+        load_pq_codebook,
+    )
+
+    e = T(spark, "/root/testdata/sf0.001", "embeddings").select("vec_id", "embedding")
+    src_dir = tmp_path / "vq-src"
+    for i in range(2):
+        e.filter(f"vec_id % 2 = {i}").coalesce(1).write.parquet(str(src_dir / f"part{i}"))
+    source = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "part*"))
+    )
+    p = VectorIngestPipeline(
+        spark, catalog, "qvecs", str(tmp_path / "vqck"), pq=False, ivf=False, ivfpq=True
+    )
+    q = (
+        source.writeStream.foreachBatch(lambda df, bid: p.sink(df, bid))
+        .option("checkpointLocation", str(tmp_path / "vqck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    vecs_t = catalog.get_table("qvecs")
+    assert vecs_t.read(spark).count() == e.count()
+    cents = load_ivf_centroids(spark, catalog, "qvecs")
+    codebook = load_pq_codebook(spark, catalog, "qvecs")
+    stored = {
+        (r.cid, r.vec_id, r.code0, r.code1, r.code2, r.code3)
+        for r in catalog.get_table(ivfpq_name("qvecs")).read(spark).collect()
+    }
+    full = {
+        (r.cid, r.vec_id, r.code0, r.code1, r.code2, r.code3)
+        for r in _ivfpq_rows(_pq_vecs(vecs_t.read(spark)), cents, codebook).collect()
+    }
+    assert stored == full and len(stored) == e.count()
