@@ -1357,10 +1357,11 @@ def x65_gopher_rules(spark, sf_dir):
     engine-parity-safe form), so both engines agree bit-for-bit.
 
     Scale shape: one row-local projection over the corpus — no shuffle
-    at all, every expression JVM-side inside whole-stage codegen (the
-    token arrays are computed once per rule chain by common-subexpr
-    reuse; at 100 TB this is the cheapest possible pass, bounded by
-    scan bandwidth)."""
+    at all, every expression JVM-side inside whole-stage codegen; the
+    top-word count is x28's sort-once run-length fold (O(n log n) per
+    row — the round-6 linearization lesson; the distinct×filter shape
+    measured 4.7× growth at 5× rows, the fold ~1×), so at 100 TB the
+    pass is bounded by scan bandwidth."""
     toks = _tokens()
     wc = F.size(toks)
     sum_len = F.aggregate(
@@ -1372,11 +1373,7 @@ def x65_gopher_rules(spark, sf_dir):
             F.array_distinct(toks), F.array(*[F.lit(s) for s in _GOPHER_STOPS])
         )
     )
-    top_cnt = F.array_max(
-        F.transform(
-            F.array_distinct(toks), lambda d: F.size(F.filter(toks, lambda t: t == d))
-        )
-    )
+    top_cnt = F.expr(_RUN_MAX.format(col="split(text, ' ')"))
     top_frac = top_cnt.cast("double") / wc
     feats = T(spark, sf_dir, "documents").select(
         "doc_id",
@@ -1440,4 +1437,50 @@ def bpe_encode(spark, docs, merges: list[dict]) -> "DataFrame":
             F.count(F.lit(1)).cast("long").alias("n_words"),
             F.sum(F.size("pieces")).cast("long").alias("n_pieces"),
         )
+    )
+
+
+def ccnet_bucket_approx(spark, sf_dir: str, accuracy: int = 10000) -> "DataFrame":
+    """The 100 TB variant of x51 that its docstring documents: instead
+    of one percent_rank window per language (a single window partition
+    holds a whole language — billions of rows at production scale), the
+    tercile cut points come from a per-language APPROX-QUANTILE sketch
+    (`percentile_approx` — Greenwald-Khanna, mergeable, partial+final
+    aggregation) collected as one (languages × 2)-row relation and
+    broadcast back as a range join on thresholds.
+
+    Trade-off (why the registry keeps the exact path): the sketch is
+    engine-specific — DuckDB cannot replay Spark's GK summaries — so
+    this path is gated by a tolerance test against the exact terciles
+    (bucket agreement ≥ 95% at test SF, exact agreement away from the
+    cut points) rather than a hash oracle. Plan shape: the scoring
+    pass is x32's; the bucketing is one partial+final agg to
+    (lang, lo, hi) + a broadcast join — no window at all."""
+    d = T(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(_tokens()).alias("term"))
+    freq = tok.groupBy("term").agg(F.count("*").alias("cnt"))
+    tot = freq.agg(F.sum("cnt").cast("long").alias("tot"))
+    scored = (
+        tok.join(F.broadcast(freq), "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(
+                -F.sum(F.log(F.col("cnt") * 1.0 / F.col("tot"))) / F.count("*"), 4
+            ).alias("xent")
+        )
+    )
+    cuts = scored.groupBy("lang").agg(
+        F.percentile_approx("xent", [1.0 / 3, 2.0 / 3], accuracy).alias("qs")
+    ).select(
+        "lang", F.col("qs")[0].alias("lo"), F.col("qs")[1].alias("hi")
+    )
+    return scored.join(F.broadcast(cuts), "lang").select(
+        "doc_id",
+        "lang",
+        "xent",
+        F.when(F.col("xent") <= F.col("lo"), "head")
+        .when(F.col("xent") <= F.col("hi"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
     )

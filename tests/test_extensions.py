@@ -1098,3 +1098,28 @@ def test_ann_recall_bounds_and_model(spark):
     for qid, (n_hit, recall) in got.items():
         want = len(exact[qid] & approx.get(qid, set()))
         assert n_hit == want and recall == want / TOP_K, (qid, n_hit, want)
+
+
+def test_ccnet_bucket_approx_agrees_with_exact(spark):
+    """The sketch-based 100 TB bucketing path must agree with the exact
+    percent_rank terciles on ≥95% of documents (disagreements can only
+    sit at the cut points, where the GK sketch's bounded rank error
+    lives), with identical xent scores everywhere."""
+    from advent_of_code_flink_paimon_spark.operators.text import (
+        ccnet_bucket_approx,
+        x51_ccnet_perplexity_bucket,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    exact = {r.doc_id: (r.lang, r.xent, r.bucket)
+             for r in x51_ccnet_perplexity_bucket(spark, sf).collect()}
+    approx = {r.doc_id: (r.lang, r.xent, r.bucket)
+              for r in ccnet_bucket_approx(spark, sf).collect()}
+    assert set(exact) == set(approx)
+    # scores identical (same scoring pass), buckets near-identical
+    agree = 0
+    for d, (lang, xent, bucket) in exact.items():
+        a_lang, a_xent, a_bucket = approx[d]
+        assert (a_lang, a_xent) == (lang, xent)
+        agree += a_bucket == bucket
+    assert agree / len(exact) >= 0.95, (agree, len(exact))
