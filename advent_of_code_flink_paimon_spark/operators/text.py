@@ -1484,3 +1484,139 @@ def ccnet_bucket_approx(spark, sf_dir: str, accuracy: int = 10000) -> "DataFrame
         .otherwise("tail")
         .alias("bucket"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x69: winnowing near-dup pair join (the MOSS shape — Schleimer,
+# Wilkerson, Aiken 2003 §4): two documents are near-duplicates when
+# they SHARE many winnow fingerprints. A third syntactic dedup family
+# beside MinHash-LSH (set resemblance) and SimHash (weighted-token
+# hamming): winnowing guarantees any shared substring ≥ K+W-1 chars
+# leaves at least one shared fingerprint, so it catches long verbatim
+# extractions that token-set methods dilute. Shuffle keys are
+# fingerprint hashes (never all-pairs); hot fingerprints — high-df
+# grams that carry no discriminative signal — are capped exactly like
+# the LSH band cap, which is also what bounds the join fan-out at
+# 100 TB (MOSS itself drops high-df fingerprints for the same reason).
+# ---------------------------------------------------------------------------
+
+_WIN_FP_CAP = 50  # max docs sharing a fingerprint before it's dropped
+_WIN_SHARE_T = 20  # min shared fingerprints to call a pair a near-dup
+
+_SQL_WINNOW_PAIRS = f"""
+WITH h AS (
+    SELECT doc_id,
+           CASE WHEN length(text) >= {_WIN_K} THEN
+               list_transform(range(1, length(text) - {_WIN_K - 2}),
+                   i -> (ord(text[i]) * {_WIN_B ** 4} + ord(text[i + 1]) * {_WIN_B ** 3}
+                         + ord(text[i + 2]) * {_WIN_B ** 2} + ord(text[i + 3]) * {_WIN_B}
+                         + ord(text[i + 4])) % {_WIN_M})
+           ELSE [] END AS hs
+    FROM documents
+),
+mins AS (
+    SELECT doc_id,
+           CASE WHEN len(hs) >= {_WIN_W} THEN
+               list_distinct(list_transform(range(1, len(hs) - {_WIN_W - 2}),
+                                            i -> list_min(hs[i:i + {_WIN_W - 1}])))
+           ELSE [] END AS fps
+    FROM h
+),
+n AS (SELECT doc_id, len(fps) AS n_fp FROM mins),
+fp0 AS (SELECT doc_id, unnest(fps) AS f FROM mins),
+fp AS (SELECT doc_id, f FROM fp0
+       QUALIFY COUNT(*) OVER (PARTITION BY f) <= {_WIN_FP_CAP}),
+pairs AS (
+  SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS n_shared
+  FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT p.i, p.j, CAST(p.n_shared AS BIGINT) AS n_shared,
+       p.n_shared * 1.0 / least(na.n_fp, nb.n_fp) AS overlap
+FROM pairs p JOIN n na ON na.doc_id = p.i JOIN n nb ON nb.doc_id = p.j
+WHERE p.n_shared >= {_WIN_SHARE_T}
+"""
+
+
+@query("x69_winnow_dup_pairs", oracle=_SQL_WINNOW_PAIRS)
+def x69_winnow_dup_pairs(spark, sf_dir):
+    """Near-dup pairs by shared winnow fingerprints: per-doc fingerprint
+    sets (x24's NumPy rolling-hash + window-min pass, here returning
+    the set itself), exploded and equi-joined on the fingerprint hash,
+    with hot fingerprints (> {cap} docs) dropped before the join and a
+    share-count threshold after. Output: (i, j, n_shared, overlap)
+    where overlap = n_shared / min(|fps_i|, |fps_j|) — the containment
+    orientation, so a short doc extracted verbatim from a long one
+    still scores high.
+
+    Scale shape: the UDF is Arrow-batched row-local; everything after
+    is fingerprint-keyed — one explode, one window for the cap (rides
+    the same hash partitioning as the join), a pair-keyed count, two
+    slim n_fp joins. Never all-pairs; the cap bounds any fingerprint's
+    fan-out at cap² pairs (the LSH band-cap argument)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    K, W, B, M = _WIN_K, _WIN_W, _WIN_B, _WIN_M
+
+    @pandas_udf("array<long>")
+    def winnow_fps(texts):
+        import numpy as np
+
+        weights = np.array([B ** (K - 1 - j) for j in range(K)], dtype=np.int64)
+        out = []
+        for t in texts:
+            t = t or ""
+            n = len(t)
+            if n < K + W - 1:
+                out.append([])
+                continue
+            codes = np.fromiter(map(ord, t), dtype=np.int64, count=n)
+            kg = n - K + 1
+            hashes = np.zeros(kg, dtype=np.int64)
+            for j in range(K):
+                hashes += codes[j : j + kg] * weights[j]
+            hashes %= M
+            wins = hashes[: kg - W + 1].copy()
+            for j in range(1, W):
+                np.minimum(wins, hashes[j : j + kg - W + 1], out=wins)
+            out.append(np.unique(wins).tolist())
+        return pd.Series(out)
+
+    d = fan_out(T(spark, sf_dir, "documents"), heavy=True)
+    fps = d.select("doc_id", winnow_fps("text").alias("fps")).persist()
+    n = fps.select("doc_id", F.size("fps").alias("n_fp"))
+    fp = fps.select("doc_id", F.explode("fps").alias("f"))
+    wf = Window.partitionBy("f")
+    fp = (
+        fp.withColumn("__fsz", F.count(F.lit(1)).over(wf))
+        .filter(F.col("__fsz") <= _WIN_FP_CAP)
+        .drop("__fsz")
+    )
+    pairs = (
+        fp.alias("a")
+        .join(fp.alias("b"), (F.col("a.f") == F.col("b.f")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= _WIN_SHARE_T)
+    )
+    return (
+        pairs.join(n.select(F.col("doc_id").alias("i"), F.col("n_fp").alias("na")), "i")
+        .join(n.select(F.col("doc_id").alias("j"), F.col("n_fp").alias("nb")), "j")
+        .select(
+            "i", "j", "n_shared",
+            (F.col("n_shared") * F.lit(1.0) / F.least("na", "nb")).alias("overlap"),
+        )
+    )
+
+
+x69_winnow_dup_pairs.__doc__ = x69_winnow_dup_pairs.__doc__.format(cap=_WIN_FP_CAP)
+
+# Driver-window policy: the 50-entry scored window is full this round
+# (x63-x68 + the round-6-evidence rotation); x69 ships library-gated —
+# the strict local harness (same compare, sf0.01) oracles it — and
+# swaps into the registry when a slot opens, exactly the x62 path.
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote
+
+_demote("x69_winnow_dup_pairs")
+del _demote
