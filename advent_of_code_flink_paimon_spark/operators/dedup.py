@@ -628,20 +628,13 @@ FROM buckets
 """
 
 
-@query("x04_dedup_simhash", oracle=_SQL_SIMHASH)
-def x04_dedup_simhash(spark, sf_dir):
-    """SimHash near-dup buckets: 64-bit signature per doc via a
-    vectorized Pandas UDF (Arrow batches), then signature-equality
-    grouping. Deterministic (md5-derived token hashes). Verified
-    bit-identical to the scalar python model by a differential test
-    (tests/test_extensions.py) AND oracle-checked end-to-end: the
-    DuckDB twin (_SQL_SIMHASH) rebuilds the 64-bit signature from
-    md5 hex, so this is no longer a rows-only entry.
-
-    Vectorization (VERDICT.md round-1 item): per Arrow batch, tokens
-    are deduplicated across ALL documents and md5-hashed once each
-    (vocabulary reuse makes this the dominant saving), the 64-bit hash
-    matrix unpacks to a ±1 bit matrix with NumPy shifts, and each doc's
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 64-bit SimHash per doc via a vectorized
+    Pandas UDF (Arrow batches) — x04's signature pass, shared with the
+    Hamming-ball pair join (x70). Per Arrow batch, tokens are
+    deduplicated across ALL documents and md5-hashed once each
+    (vocabulary reuse is the dominant saving), the 64-bit hash matrix
+    unpacks to a ±1 bit matrix with NumPy shifts, and each doc's
     sign-accumulation is one matrix sum over its token-index slice —
     the only remaining Python loop is one iteration per document."""
     import pandas as pd
@@ -678,10 +671,20 @@ def x04_dedup_simhash(spark, sf_dir):
             out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
         return pd.Series(out)
 
+    return docs.select("doc_id", simhash64("text").alias("simhash"))
+
+
+@query("x04_dedup_simhash", oracle=_SQL_SIMHASH)
+def x04_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup buckets: 64-bit signature per doc
+    (simhash_signatures — deterministic md5-derived token hashes,
+    verified bit-identical to the scalar python model by a
+    differential test AND oracle-checked end-to-end: the DuckDB twin
+    rebuilds the signature from md5 hex), then signature-equality
+    grouping. Exact-signature collisions are trivial dups; the
+    hamming-ball pair join (x70) extends this to near-dups."""
     d = fan_out(T(spark, sf_dir, "documents"), heavy=True)  # parallel Arrow batches for the UDF
-    sigs = d.select("doc_id", simhash64("text").alias("simhash"))
-    # Bucket by signature: exact-signature collisions are trivial dups;
-    # near-dup (hamming ≤ k) extends this with band rotations.
+    sigs = simhash_signatures(d)
     return (
         sigs.groupBy("simhash")
         .agg(F.count("*").alias("n_docs"))
@@ -1712,3 +1715,86 @@ def x60_source_dup_matrix(spark, sf_dir):
             F.round(F.max("jaccard"), 6).alias("max_jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x70: SimHash Hamming-ball pair join — Manku, Jain, Das Sarma 2007
+# ("Detecting near-duplicates for web crawling") §3: two 64-bit
+# signatures within Hamming distance ≤ 3 must agree EXACTLY on at
+# least one of 4 disjoint 16-bit blocks (pigeonhole), so candidates
+# come from a block-keyed equi-join — never an all-pairs Hamming scan
+# — and the cheap popcount verify restores exactness. Completes the
+# SimHash story: x04 buckets exact signatures, this finds the ≤3-bit
+# neighbors a crawler actually deduplicates on.
+# ---------------------------------------------------------------------------
+
+_SIMHASH_HAM_T = 3  # Manku et al.'s k: 4 blocks guarantee recall for k ≤ 3
+
+_SQL_SIMHASH_SIG = _SQL_SIMHASH[: _SQL_SIMHASH.index("buckets AS")]
+_SQL_SIMHASH_PAIRS = _SQL_SIMHASH_SIG + f"""blk AS (
+    SELECT doc_id, simhash, b, (simhash >> (b * 16)) & 65535 AS v
+    FROM signed_sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS i, b2.doc_id AS j,
+           a.simhash AS si, b2.simhash AS sj
+    FROM blk a JOIN blk b2
+      ON a.b = b2.b AND a.v = b2.v AND a.doc_id < b2.doc_id
+)
+SELECT i, j, CAST(bit_count(xor(si, sj)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(si, sj)) <= {_SIMHASH_HAM_T}
+"""
+
+
+@query("x70_simhash_hamming_pairs", oracle=_SQL_SIMHASH_PAIRS)
+def x70_simhash_hamming_pairs(spark, sf_dir):
+    """Near-dup pairs at Hamming ≤ 3 over x04's SimHash signatures,
+    via the 4×16-bit block pigeonhole: each doc emits 4 (block,
+    value) rows, candidates share a block value (equi-join on the
+    block key — the shuffle is block-hash-bucketed, never all-pairs),
+    and one JVM popcount per candidate verifies the distance. Output
+    (i, j, hamming).
+
+    Portability: (sig >> s) & 65535 takes result bits 0..15, where
+    arithmetic and logical shifts agree for s ≤ 48 — so the signed
+    BIGINT signatures block identically in Spark and DuckDB, and
+    bit_count(xor) counts the same two's-complement bits. Scale shape:
+    4 slim rows per doc, candidate fan-out bounded by block-bucket
+    sizes (16 effective bits per block ⇒ ~n²/2¹⁶ expected candidates;
+    production adds the Manku table-rotation variants to tighten
+    this), verify is a projection."""
+    d = fan_out(T(spark, sf_dir, "documents"), heavy=True)
+    sigs = simhash_signatures(d).persist()
+    blk = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("b"),
+    ).withColumn("v", F.expr("shiftright(simhash, b * 16) & 65535"))
+    cand = (
+        blk.alias("a")
+        .join(
+            blk.alias("c"),
+            (F.col("a.b") == F.col("c.b"))
+            & (F.col("a.v") == F.col("c.v"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("i"),
+            F.col("c.doc_id").alias("j"),
+            F.col("a.simhash").alias("si"),
+            F.col("c.simhash").alias("sj"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "i", "j", F.expr("bit_count(si ^ sj)").cast("long").alias("hamming")
+    ).filter(F.col("hamming") <= _SIMHASH_HAM_T)
+
+
+# x70 ships library-gated like x69: the round's 50-entry scored window
+# is full; the strict local harness oracles it at sf0.01 and it swaps
+# into the registry when a slot opens (the x62 path).
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote  # noqa: E402
+
+_demote("x70_simhash_hamming_pairs")
+del _demote
