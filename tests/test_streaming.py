@@ -1332,3 +1332,95 @@ def test_vector_ingest_pipeline_ivfpq_table(spark, catalog, tmp_path):
         for r in _ivfpq_rows(_pq_vecs(vecs_t.read(spark)), cents, codebook).collect()
     }
     assert stored == full and len(stored) == e.count()
+
+
+def test_full_ingestion_stack_one_catalog(spark, catalog, tmp_path):
+    """The three continuous-ingestion pipelines — near-dedup (MinHash
+    index), lexical search (inverted index), and vector ANN (PQ codes +
+    IVF lists) — run against ONE catalog, each behind its own stream,
+    and every persisted index is queryable and consistent after the
+    drains: the searchable docs survive dedup, BM25 probe-only equals
+    the full recompute, and the stored ANN artifacts equal one-pass
+    recomputes. This is the training-data ingestion stack in one
+    warehouse."""
+    from advent_of_code_flink_paimon_spark.operators.dedup import DedupIngestPipeline
+    from advent_of_code_flink_paimon_spark.operators.registry import T
+    from advent_of_code_flink_paimon_spark.operators.similarity import (
+        VectorIngestPipeline,
+        _pq_encode,
+        _pq_vecs,
+        load_pq_codebook,
+        pq_codes_name,
+    )
+    from advent_of_code_flink_paimon_spark.operators.text import (
+        _BM25_TERMS,
+        SearchIngestPipeline,
+        bm25_query_index,
+        x62_bm25_topk,
+    )
+
+    docs = T(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+    vecs = T(spark, "/root/testdata/sf0.001", "embeddings").select("vec_id", "embedding")
+
+    def drain(source, sink, ck):
+        q = (
+            source.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    # near-dedup ingestion
+    ddir = tmp_path / "ddocs"
+    docs.coalesce(1).write.parquet(str(ddir / "p0"))
+    dp = DedupIngestPipeline(spark, catalog, "stack_docs", str(tmp_path / "dck"))
+    drain(
+        spark.readStream.schema("doc_id long, text string").parquet(str(ddir / "p*")),
+        lambda df, bid: dp.sink(df, bid),
+        "dck",
+    )
+    survivors = catalog.get_table("stack_docs").read(spark)
+    n_surv = survivors.count()
+    assert 0 < n_surv <= docs.count()
+
+    # lexical search ingestion over the SAME catalog (separate table)
+    sdir = tmp_path / "sdocs"
+    docs.coalesce(1).write.parquet(str(sdir / "p0"))
+    sp = SearchIngestPipeline(spark, catalog, "stack_search", str(tmp_path / "sck"))
+    drain(
+        spark.readStream.schema("doc_id long, text string").parquet(str(sdir / "p*")),
+        lambda df, bid: sp.sink(df, bid),
+        "sck",
+    )
+    got = sorted(
+        (r.doc_id, round(r.bm25, 6))
+        for r in bm25_query_index(spark, catalog, "stack_search", _BM25_TERMS).collect()
+    )
+    # probe-only BM25 over the ingested table == full recompute relation
+    want = sorted(
+        (r.doc_id, round(r.bm25, 6))
+        for r in x62_bm25_topk(spark, "/root/testdata/sf0.001").collect()
+    )
+    assert got == want
+
+    # vector ingestion with both ANN index families
+    vdir = tmp_path / "vdocs"
+    vecs.coalesce(1).write.parquet(str(vdir / "p0"))
+    vp = VectorIngestPipeline(spark, catalog, "stack_vecs", str(tmp_path / "vck"))
+    drain(
+        spark.readStream.schema("vec_id long, embedding array<float>").parquet(str(vdir / "p*")),
+        lambda df, bid: vp.sink(df, bid),
+        "vck",
+    )
+    vecs_t = catalog.get_table("stack_vecs")
+    codebook = load_pq_codebook(spark, catalog, "stack_vecs")
+    stored = {
+        (r.vec_id, r.code0, r.code1, r.code2, r.code3)
+        for r in catalog.get_table(pq_codes_name("stack_vecs")).read(spark).collect()
+    }
+    full = {
+        (r.vec_id, r.code0, r.code1, r.code2, r.code3)
+        for r in _pq_encode(_pq_vecs(vecs_t.read(spark)), codebook).collect()
+    }
+    assert stored == full and len(stored) == vecs.count()
