@@ -1585,15 +1585,24 @@ class DedupIngestPipeline:
         docs_table: str,
         checkpoint_dir: str,
         verify_from_storage: bool = False,
+        index_search: bool = False,
     ):
         """``verify_from_storage=True`` keys every refresh with
         store_shingles and verifies candidates against the PK shingle
         store — the per-batch plan then reads NO corpus text at all
         (index + candidate shingle rows only); the default recomputes
-        candidate shingles from the semi-joined corpus text."""
+        candidate shingles from the semi-joined corpus text.
+
+        ``index_search=True`` additionally keeps the persisted
+        INVERTED index (text.refresh_inverted_index) current over the
+        same docs table — since only SURVIVORS are ever committed, the
+        search index covers exactly the deduped corpus, and probe-only
+        BM25 serves the curate-then-retrieve loop per micro-batch
+        (O(batch tokens) via the same consumer-bookmark protocol)."""
         self.spark, self.catalog = spark, catalog
         self.docs_table, self.checkpoint_dir = docs_table, checkpoint_dir
         self.verify_from_storage = verify_from_storage
+        self.index_search = index_search
         if not catalog.has_table(docs_table):
             catalog.create_table(docs_table, "doc_id long, text string", {})
 
@@ -1646,6 +1655,12 @@ class DedupIngestPipeline:
                 self.spark, self.catalog, self.docs_table,
                 store_shingles=self.verify_from_storage,
             )
+            if self.index_search:
+                from advent_of_code_flink_paimon_spark.operators.text import (
+                    refresh_inverted_index,
+                )
+
+                refresh_inverted_index(self.spark, self.catalog, self.docs_table)
         survivors.unpersist()
         pairs.unpersist()
         batch.unpersist()

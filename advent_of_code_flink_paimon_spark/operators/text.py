@@ -993,7 +993,18 @@ def x62_bm25_topk(spark, sf_dir):
     stay exact, every division/ln is one IEEE step on identical
     inputs — and ROUND(…,6) BEFORE ranking keeps the K-boundary
     deterministic (ties then break on doc_id)."""
-    d = T(spark, sf_dir, "documents")
+    return bm25_topk(T(spark, sf_dir, "documents"))
+
+
+def bm25_topk(docs, terms: list[str] | None = None, k: int | None = None):
+    """Full-recompute BM25 top-k over any (doc_id, text) relation —
+    x62's scorer extracted so pipelines can rank ad-hoc relations
+    (e.g. the deduped survivors a DedupIngestPipeline(index_search)
+    commits). Same plan: row-local tf/dl folds, ONE single-row stats
+    agg broadcast back, map-only scoring, TakeOrderedAndProject."""
+    terms = _BM25_TERMS if terms is None else terms
+    k = _BM25_TOPK if k is None else k
+    d = docs
     w = _tokens()
 
     def tf_col(term):
@@ -1004,18 +1015,18 @@ def x62_bm25_topk(spark, sf_dir):
     feats = d.select(
         "doc_id",
         F.size(w).alias("dl"),
-        *[tf_col(t).alias(f"tf_{i}") for i, t in enumerate(_BM25_TERMS)],
+        *[tf_col(t).alias(f"tf_{i}") for i, t in enumerate(terms)],
     )
     stats = feats.agg(
         F.count("*").alias("n_docs"),
         F.sum("dl").cast("long").alias("sumdl"),
         *[
             F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).cast("long").alias(f"df_{i}")
-            for i in range(len(_BM25_TERMS))
+            for i in range(len(terms))
         ],
     )
     score = None
-    for i in range(len(_BM25_TERMS)):
+    for i in range(len(terms)):
         tf, df = F.col(f"tf_{i}"), F.col(f"df_{i}")
         idf = F.log(((F.col("n_docs") - df + 0.5) / (df + 0.5)) + 1.0)
         term = idf * (
@@ -1028,7 +1039,7 @@ def x62_bm25_topk(spark, sf_dir):
         .select("doc_id", F.round(score, 6).alias("bm25"))
         .filter(F.col("bm25") > 0)
         .orderBy(F.col("bm25").desc(), "doc_id")
-        .limit(_BM25_TOPK)
+        .limit(k)
     )
 
 

@@ -1424,3 +1424,49 @@ def test_full_ingestion_stack_one_catalog(spark, catalog, tmp_path):
         for r in _pq_encode(_pq_vecs(vecs_t.read(spark)), codebook).collect()
     }
     assert stored == full and len(stored) == vecs.count()
+
+
+def test_dedup_ingest_with_search_index(spark, catalog, tmp_path):
+    """DedupIngestPipeline(index_search=True): the curate-then-retrieve
+    loop — only dedup SURVIVORS are committed, and the inverted index
+    covers exactly them after every drain, so probe-only BM25 over the
+    deduped corpus equals a full recompute over the survivors."""
+    from advent_of_code_flink_paimon_spark.operators.dedup import DedupIngestPipeline
+    from advent_of_code_flink_paimon_spark.operators.registry import T
+    from advent_of_code_flink_paimon_spark.operators.text import (
+        _BM25_TERMS,
+        bm25_query_index,
+        bm25_topk,
+    )
+
+    docs = T(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+    # plant an exact dup so dedup actually drops something
+    dup = docs.filter("doc_id = 1").selectExpr("doc_id + 100000 AS doc_id", "text")
+    src = docs.unionByName(dup)
+    sdir = tmp_path / "cs-src"
+    src.coalesce(1).write.parquet(str(sdir / "p0"))
+    p = DedupIngestPipeline(
+        spark, catalog, "cur_docs", str(tmp_path / "csck"), index_search=True
+    )
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(str(sdir / "p*"))
+        .writeStream.foreachBatch(lambda df, bid: p.sink(df, bid))
+        .option("checkpointLocation", str(tmp_path / "csck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    survivors = catalog.get_table("cur_docs").read(spark)
+    n_surv = survivors.count()
+    assert n_surv < src.count()  # the planted dup (at least) was dropped
+    got = sorted(
+        (r.doc_id, round(r.bm25, 6))
+        for r in bm25_query_index(spark, catalog, "cur_docs", _BM25_TERMS).collect()
+    )
+    want = sorted(
+        (r.doc_id, round(r.bm25, 6))
+        for r in bm25_topk(survivors, _BM25_TERMS).collect()
+    )
+    assert got == want and len(got) > 0
