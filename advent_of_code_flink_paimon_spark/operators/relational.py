@@ -1087,3 +1087,46 @@ for _name in (
 ):
     _demote(_name)
 del _demote, _name
+
+
+# ---------------------------------------------------------------------------
+# q49: GROUPING SETS — the general form rollup (q17) and cube (q32) are
+# sugar for: an explicit, non-hierarchical list of grouping combinations
+# in ONE pass (here: by-returnflag, by-linestatus, and the grand total —
+# a set no ROLLUP/CUBE nesting produces). grouping_id() disambiguates
+# the null-as-aggregated rows exactly as in q17/q32.
+# ---------------------------------------------------------------------------
+@query(
+    "q49_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n_rows,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q49_grouping_sets(spark, sf_dir):
+    l = T(spark, sf_dir, "lineitem")
+    return (
+        l.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("sum_qty"),
+            F.count("*").alias("n_rows"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
+# q49 ships library-gated: the round's 50-entry scored window is full;
+# the strict local harness oracles it and it swaps into the registry
+# when a slot opens (the x62/x69/x70 path).
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote2  # noqa: E402
+
+_demote2("q49_grouping_sets")
+del _demote2
