@@ -1631,3 +1631,101 @@ from advent_of_code_flink_paimon_spark.operators.registry import demote as _demo
 
 _demote("x69_winnow_dup_pairs")
 del _demote
+
+
+# ----------------------------------------------------------------------
+# x71: interpolated bigram-LM scoring (Jelinek-Mercer smoothing, Chen &
+# Goodman 1999 §2.3) — the next LM rung above x32's unigram: a document
+# scores by its cross-entropy under P(w2|w1) = λ·c(w1,w2)/c(w1,·) +
+# (1−λ)·c(w2)/N, all counts from the corpus itself. Degenerate text
+# (rare words, rare transitions) scores high; natural co-occurrence
+# patterns score low — the CCNet signal with one token of context.
+# ----------------------------------------------------------------------
+
+X71_LAMBDA = 0.7  # Jelinek-Mercer bigram weight
+X71_XENT2_MAX = 3.41  # ≈ p90 on the testdata — the keep flag splits
+
+_SQL_BIGRAM_LM = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+bg AS (
+  SELECT doc_id, unnest([{{'w1': toks[i], 'w2': toks[i+1]}} for i in range(1, len(toks))]) AS b
+  FROM w
+),
+bgf AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM w),
+uni AS (SELECT term, COUNT(*) AS ucnt FROM tok GROUP BY term),
+tot AS (SELECT CAST(SUM(ucnt) AS BIGINT) AS tot FROM uni),
+bic AS (SELECT w1, w2, COUNT(*) AS bcnt FROM bgf GROUP BY w1, w2),
+pre AS (SELECT w1, CAST(SUM(bcnt) AS BIGINT) AS pcnt FROM bic GROUP BY w1),
+scored AS (
+  SELECT g.doc_id,
+         {X71_LAMBDA} * (b.bcnt * 1.0 / p.pcnt) + {1.0 - X71_LAMBDA} * (u.ucnt * 1.0 / tot.tot) AS prob
+  FROM bgf g
+  JOIN bic b ON b.w1 = g.w1 AND b.w2 = g.w2
+  JOIN pre p ON p.w1 = g.w1
+  JOIN uni u ON u.term = g.w2
+  CROSS JOIN tot
+),
+per AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         ROUND(-SUM(ln(prob)) / COUNT(*), 4) AS xent2
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, xent2, xent2 <= {X71_XENT2_MAX} AS keep FROM per
+"""
+
+
+@query("x71_bigram_lm_score", oracle=_SQL_BIGRAM_LM)
+def x71_bigram_lm_score(spark, sf_dir):
+    """Per-document cross-entropy under a corpus-trained interpolated
+    bigram LM (Jelinek-Mercer): P(w2|w1) = λ·c(w1,w2)/c(w1,·) +
+    (1−λ)·c(w2)/N. Bigrams never cross document boundaries (they are
+    built row-locally from each doc's token array), and the prefix
+    count c(w1,·) sums the BIGRAM table so numerator and denominator
+    count the same event space.
+
+    Scale shape: bigram construction is a row-local transform(sequence)
+    projection — no positional self-join. The unigram table is
+    vocabulary-sized and BROADCASTS (x32's argument); the bigram and
+    prefix tables are bigram-TYPE-sized — at 100 TB that's too big to
+    broadcast, so those two joins stay shuffle joins co-partitioned on
+    the (w1[, w2]) key the count aggregation already hashed by; AQE
+    collapses them to broadcasts at small SFs automatically. Per-row
+    probability is one fixed double expression over exact integer
+    counts (identical on both engines); the per-doc mean of logs rounds
+    to 4 before the keep threshold so sum-order noise (~1e-13) can't
+    flip a hash (~5e-5 quantum, the x32 analysis)."""
+    d = T(spark, sf_dir, "documents")
+    w = d.select("doc_id", _tokens().alias("w"))
+    bg = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w) - 2),"
+                " i -> struct(element_at(w, i + 1) AS w1, element_at(w, i + 2) AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    tok = w.select("doc_id", F.explode("w").alias("term"))
+    uni = tok.groupBy("term").agg(F.count("*").alias("ucnt"))
+    tot = uni.agg(F.sum("ucnt").cast("long").alias("tot"))
+    bic = bg.groupBy("w1", "w2").agg(F.count("*").alias("bcnt"))
+    pre = bic.groupBy("w1").agg(F.sum("bcnt").cast("long").alias("pcnt"))
+    prob = (
+        F.lit(X71_LAMBDA) * (F.col("bcnt") * F.lit(1.0) / F.col("pcnt"))
+        + F.lit(1.0 - X71_LAMBDA) * (F.col("ucnt") * F.lit(1.0) / F.col("tot"))
+    )
+    scored = (
+        bg.join(bic, ["w1", "w2"])
+        .join(pre, "w1")
+        .join(F.broadcast(uni.withColumnRenamed("term", "w2")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", prob.alias("prob"))
+    )
+    per = scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(-F.sum(F.log("prob")) / F.count("*"), 4).alias("xent2"),
+    )
+    return per.select(
+        "doc_id", "n_bigrams", "xent2", (F.col("xent2") <= X71_XENT2_MAX).alias("keep")
+    )
