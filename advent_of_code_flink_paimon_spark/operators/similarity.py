@@ -2223,3 +2223,306 @@ def x68_ann_recall(spark, sf_dir):
     return ann_recall(
         x10_embedding_topk(spark, sf_dir), x12_embedding_topk_ivf(spark, sf_dir)
     )
+
+
+# ----------------------------------------------------------------------
+# x72: RESIDUAL IVFADC (Jégou, Douze, Schmid 2011 §IV.A, the paper's
+# actual encoding) — x66/x67 quantize the raw vector; the published
+# IVFADC quantizes the RESIDUAL r(x) = x − c(x) of each vector from its
+# assigned coarse centroid. Residuals concentrate near the origin, so
+# the same M×K codebook budget spends its resolution on the
+# within-cell displacement instead of re-describing the cell location the
+# coarse quantizer already encodes — the reason every production IVFADC
+# (Faiss IndexIVFPQ) defaults to residual encoding. Query time, the
+# lookup tables are built per (query, probed list) from the query's
+# OWN residual against that list's centroid: q − c_l.
+# Index layout is x67's single bucketed (cid, vec_id, codes) table —
+# the deployed shape — with its own residual codebook side table.
+# ----------------------------------------------------------------------
+
+_IVFPQR_CONSUMER_PREFIX = "__ivfpqr-index"
+
+
+def ivfpqr_name(vecs_table: str) -> str:
+    return f"{vecs_table}_ivfpqr"
+
+
+def rpq_codebook_name(vecs_table: str) -> str:
+    return f"{vecs_table}_rpq_codebook"
+
+
+def _centroid_df(spark, centroids: list) -> DataFrame:
+    return spark.createDataFrame(
+        [(int(cid), list(cent)) for cid, cent in centroids],
+        "cid long, cent array<double>",
+    )
+
+
+def _residualize(spark, v: DataFrame, centroids: list) -> DataFrame:
+    """(vec_id, cv) → (vec_id, cid, cv=residual): nprobe=1 literal
+    assignment (map-only), then a broadcast join against the C-row
+    centroid table and one zip_with subtraction — still scan → project
+    with a map-side hash join; the corpus never shuffles."""
+    assigned = ivf_assign(v, centroids, nprobe=1).select(
+        "vec_id", "cv", F.col("cluster").cast("long").alias("cid")
+    )
+    return assigned.join(F.broadcast(_centroid_df(spark, centroids)), "cid").select(
+        "vec_id",
+        "cid",
+        F.zip_with("cv", "cent", lambda x, c: x - c).alias("cv"),
+    )
+
+
+def build_ivfpq_residual_index(spark, catalog, vecs_table: str) -> int:
+    """Build the residual IVFADC index: coarse centroids from the
+    committed corpus (stored in the shared centroids table), every
+    vector residualized against its assigned centroid, the PQ codebook
+    learned ON THE RESIDUALS (stored in the residual-codebook table),
+    and assignment+encode landing in ONE bucketed (cid, vec_id, codes)
+    table — x67's deployed layout with the paper's encoding. The
+    bucketed write is the only exchange; the Lloyd update is one
+    (M·K·d_sub)-key agg with M·K rows to the driver."""
+    from advent_of_code_flink_paimon_spark.operators.dedup import pack_refresh_range
+
+    vecs_t = catalog.get_table(vecs_table)
+    latest = vecs_t.latest_snapshot_id() or 0
+    v = _pq_vecs(vecs_t.read(spark)).persist()
+    centroids = build_ivf_centroids(spark, catalog, vecs_table, v)
+    resid = _residualize(spark, v, centroids).persist()
+    cb_data = _pq_learn_codebook(resid)
+    cb_name = rpq_codebook_name(vecs_table)
+    if not catalog.has_table(cb_name):
+        catalog.create_table(cb_name, PQ_CODEBOOK_SCHEMA, {})
+    catalog.get_table(cb_name).overwrite(
+        spark.createDataFrame(cb_data, PQ_CODEBOOK_SCHEMA)
+    )
+    codebook = _codebook_dict(cb_data)
+    name = ivfpqr_name(vecs_table)
+    if not catalog.has_table(name):
+        catalog.create_table(name, IVFPQ_SCHEMA, {"bucket": "8", "bucket-key": "cid"})
+    catalog.get_table(name).overwrite(
+        _pq_encode(resid, codebook, extra_cols=("cid",)).select(
+            "cid", "vec_id", "code0", "code1", "code2", "code3"
+        ),
+        commit_identifier=pack_refresh_range(1, latest) if latest else None,
+    )
+    n = v.count()
+    resid.unpersist()
+    v.unpersist()
+    vecs_t.register_consumer(f"{_IVFPQR_CONSUMER_PREFIX}-{vecs_table}", latest + 1)
+    return n
+
+
+def refresh_ivfpq_residual_index(spark, catalog, vecs_table: str) -> int:
+    """Residualize + encode ONLY newly committed vectors against the
+    STORED centroids/residual-codebook and append — O(new vectors),
+    range-stamped, crash-idempotent (the x49/x63/x64/x67 protocol)."""
+    from advent_of_code_flink_paimon_spark.operators.dedup import (
+        pack_refresh_range,
+        recover_refresh_bookmark,
+    )
+
+    vecs_t = catalog.get_table(vecs_table)
+    idx_t = catalog.get_table(ivfpqr_name(vecs_table))
+    consumer_id = f"{_IVFPQR_CONSUMER_PREFIX}-{vecs_table}"
+    nxt = vecs_t.consumers().get(consumer_id, {}).get("next_snapshot_id", 1)
+    nxt = recover_refresh_bookmark(idx_t, nxt)
+    latest = vecs_t.latest_snapshot_id() or 0
+    if latest < nxt:
+        if nxt > vecs_t.consumers().get(consumer_id, {}).get("next_snapshot_id", 1):
+            vecs_t.register_consumer(consumer_id, next_snapshot_id=nxt)
+        return 0
+    fresh = vecs_t.merge_raw(vecs_t.incremental_read(spark, nxt - 1, latest)).persist()
+    n = fresh.count()
+    if n:
+        centroids = load_ivf_centroids(spark, catalog, vecs_table)
+        codebook = load_pq_codebook(
+            spark, catalog, vecs_table, table_name=rpq_codebook_name(vecs_table)
+        )
+        resid = _residualize(spark, _pq_vecs(fresh), centroids)
+        idx_t.append(
+            _pq_encode(resid, codebook, extra_cols=("cid",)).select(
+                "cid", "vec_id", "code0", "code1", "code2", "code3"
+            ),
+            commit_identifier=pack_refresh_range(nxt, latest),
+        )
+    fresh.unpersist()
+    vecs_t.register_consumer(consumer_id, latest + 1)
+    return n
+
+
+def ivfpq_residual_topk(
+    spark, catalog, vecs_table: str, k: int = TOP_K, n_queries: int = N_QUERIES
+) -> DataFrame:
+    """Residual-IVFADC query with ZERO joins: per (query, probed list)
+    the lookup tables are built from the query's residual against THAT
+    list's centroid (q − c_l) — the asymmetric distance of the paper —
+    inlined as literals; each index row explodes into its matching
+    (query, list) structs, matches on its own cid, scores as M array
+    lookups, and one per-query window takes top-k. Driver traffic:
+    C centroids + M·K codebook rows + n_queries query vectors; the
+    plan is scan of the bucketed index → project/explode → filter →
+    window (x67's audited shape)."""
+    centroids = load_ivf_centroids(spark, catalog, vecs_table)
+    cent_by_cid = {cid: cent for cid, cent in centroids}
+    codebook = load_pq_codebook(
+        spark, catalog, vecs_table, table_name=rpq_codebook_name(vecs_table)
+    )
+    idx = catalog.get_table(ivfpqr_name(vecs_table)).read(spark)
+    queries_v = (
+        catalog.get_table(vecs_table)
+        .read(spark)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("cv"))
+        .filter(F.col("vec_id") < n_queries)
+    )
+    probed = {
+        int(r.vec_id): sorted(int(p.cid) for p in r.probes)
+        for r in ivf_assign(queries_v, centroids, nprobe=IVF_NPROBE)
+        .groupBy("vec_id")
+        .agg(F.collect_list(F.struct(F.col("cluster").alias("cid"))).alias("probes"))
+        .collect()
+    }
+    qv = {int(r.vec_id): list(r.cv) for r in queries_v.collect()}
+    per_pair = []
+    for qid in sorted(qv):
+        for cid in probed[qid]:
+            q_res = [x - c for x, c in zip(qv[qid], cent_by_cid[cid])]
+            luts = [_adc_lut(q_res, codebook[m], m) for m in range(PQ_M)]
+            adc = None
+            for m in range(PQ_M):
+                term = F.element_at(
+                    F.array(*[F.lit(float(x)) for x in luts[m]]),
+                    F.col(f"code{m}") + 1,
+                )
+                adc = term if adc is None else adc + term
+            per_pair.append(
+                F.struct(
+                    F.lit(qid).alias("query_id"),
+                    F.lit(cid).alias("cid"),
+                    F.round(adc, _KM_ROUND).alias("adc_d2"),
+                )
+            )
+    scored = (
+        idx.select("cid", "vec_id", F.explode(F.array(*per_pair)).alias("q"))
+        .filter(
+            (F.col("q.cid") == F.col("cid")) & (F.col("vec_id") != F.col("q.query_id"))
+        )
+        .select(
+            F.col("q.query_id").alias("query_id"), "vec_id",
+            F.col("q.adc_d2").alias("adc_d2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_d2").asc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "adc_d2", "rank")
+    )
+
+
+# x72's oracle: the residual trajectory replayed exactly — coarse
+# centroids picked from the corpus commit, EVERY vector residualized
+# against its assigned centroid, the PQ CTE body (corpus-restricted
+# seeds + Lloyd stats) running over the residual relation, and an ADC
+# tail whose per-(query, list) lookup distances use the query's
+# residual against that list's centroid.
+_PQ_V_PREFIX = "\nWITH v AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),"
+if not _SQL_PQ_CORPUS_BUILD.startswith(_PQ_V_PREFIX):  # pragma: no cover
+    raise AssertionError("x72 oracle splice failed — _SQL_PQ's v CTE drifted")
+_PQ_BODY_CORPUS = _SQL_PQ_CORPUS_BUILD[len(_PQ_V_PREFIX):]
+
+_SQL_IVFPQR_LIFECYCLE = (
+    f"""
+WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+rcent AS (
+    SELECT vec_id AS cid, cv AS cent_v
+    FROM v0 WHERE vec_id % 61 = 7 AND vec_id % 10 <> 0
+    ORDER BY vec_id LIMIT {IVF_CENTROIDS}
+),
+rassign AS (
+    SELECT vec_id, cid FROM (
+        SELECT c.vec_id, rcent.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.vec_id
+                   ORDER BY {_COS.format(a='c.cv', b='rcent.cent_v')} DESC, rcent.cid ASC
+               ) AS r
+        FROM v0 c CROSS JOIN rcent
+    ) WHERE r = 1
+),
+v AS (
+    SELECT a.vec_id,
+           [c.cv[i] - ct.cent_v[i] for i in range(1, {PQ_M * PQ_DSUB}+1)] AS cv
+    FROM rassign a JOIN v0 c USING (vec_id) JOIN rcent ct USING (cid)
+),"""
+    + _PQ_BODY_CORPUS
+    + f"""
+, qprobe AS (
+    SELECT query_id, cid FROM (
+        SELECT q.vec_id AS query_id, rcent.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_COS.format(a='q.cv', b='rcent.cent_v')} DESC, rcent.cid ASC
+               ) AS r
+        FROM v0 q CROSS JOIN rcent WHERE q.vec_id < {N_QUERIES}
+    ) WHERE r <= {IVF_NPROBE}
+),
+qres AS (
+    SELECT p.query_id, p.cid,
+           [q.cv[i] - ct.cent_v[i] for i in range(1, {PQ_M * PQ_DSUB}+1)] AS rcv
+    FROM qprobe p
+    JOIN v0 q ON q.vec_id = p.query_id
+    JOIN rcent ct ON ct.cid = p.cid
+),
+qsv AS (
+    SELECT query_id, cid, sub, rcv[sub*{PQ_DSUB}+1 : (sub+1)*{PQ_DSUB}] AS s
+    FROM (SELECT query_id, cid, rcv, unnest([0, 1, 2, 3]) AS sub FROM qres)
+),
+pd AS (
+  SELECT q.query_id, c.vec_id, c.sub,
+         list_sum([(q.s[i] - cb.cs[i]) * (q.s[i] - cb.cs[i])
+                   for i in range(1, {PQ_DSUB}+1)]) AS pd2
+  FROM a2 c
+  JOIN cb ON cb.sub = c.sub AND cb.sid = c.sid
+  JOIN rassign ca ON ca.vec_id = c.vec_id
+  JOIN qsv q ON q.sub = c.sub AND q.cid = ca.cid
+  WHERE c.vec_id <> q.query_id
+),
+sumd AS (
+  SELECT query_id, vec_id, ROUND(SUM(pd2), {_KM_ROUND}) AS adc_d2
+  FROM pd GROUP BY query_id, vec_id
+),
+rankedq AS (
+  SELECT query_id, vec_id, adc_d2,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc_d2 ASC, vec_id ASC) AS rank
+  FROM sumd
+)
+SELECT query_id, vec_id, adc_d2, rank FROM rankedq WHERE rank <= {TOP_K}
+"""
+)
+
+
+@query("x72_ivfpq_residual_topk", oracle=_SQL_IVFPQR_LIFECYCLE)
+def x72_ivfpq_residual_topk(spark, sf_dir):
+    """The residual-IVFADC lifecycle (the paper's encoding, x67's
+    single-table layout): commit the corpus, build coarse centroids +
+    residual codebook + the fused (cid, vec_id, codes) index from it,
+    commit the batch, refresh O(batch) (residualize + encode against
+    the STORED tables), then answer top-k with per-(query, list)
+    residual lookup tables — zero joins in the query plan, raw
+    embeddings never read for scoring. The DuckDB oracle replays the
+    identical trajectory with centroid pick and codebook statistics
+    restricted to the corpus commit."""
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+    from advent_of_code_flink_paimon_spark.operators.dedup import _mhidx_warehouse
+
+    e = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    is_batch = F.pmod(F.col("vec_id"), F.lit(10)) == 0
+
+    catalog = Catalog(_mhidx_warehouse("ivfpqr72", sf_dir), "default")
+    vecs_t = catalog.create_table("vecs", "vec_id long, embedding array<float>", {})
+    vecs_t.append(e.filter(~is_batch))                 # commit 1: the corpus
+    build_ivfpq_residual_index(spark, catalog, "vecs")
+    vecs_t.append(e.filter(is_batch))                  # commit 2: today's batch
+    refresh_ivfpq_residual_index(spark, catalog, "vecs")
+    return ivfpq_residual_topk(spark, catalog, "vecs")

@@ -1123,3 +1123,112 @@ def test_ccnet_bucket_approx_agrees_with_exact(spark):
         assert (a_lang, a_xent) == (lang, xent)
         agree += a_bucket == bucket
     assert agree / len(exact) >= 0.95, (agree, len(exact))
+
+
+def test_ivfpqr_index_refresh_crash_replay(spark, tmp_path):
+    """x72's residual index refresh is crash-idempotent (range-stamp
+    recovery), and after any refresh the stored codes equal a one-pass
+    residualize+encode of the whole table against the STORED centroids
+    and residual codebook — the invariant that makes incremental
+    maintenance trustworthy."""
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+    from advent_of_code_flink_paimon_spark.operators.registry import T
+    from advent_of_code_flink_paimon_spark.operators.similarity import (
+        _IVFPQR_CONSUMER_PREFIX,
+        _pq_encode,
+        _pq_vecs,
+        _residualize,
+        build_ivfpq_residual_index,
+        ivfpqr_name,
+        load_ivf_centroids,
+        load_pq_codebook,
+        refresh_ivfpq_residual_index,
+        rpq_codebook_name,
+    )
+
+    e = T(spark, "/root/testdata/sf0.001", "embeddings").select("vec_id", "embedding")
+    catalog = Catalog(str(tmp_path / "wh"))
+    vecs_t = catalog.create_table("vecs", "vec_id long, embedding array<float>", {})
+    vecs_t.append(e.filter("vec_id % 10 <> 0"))
+    assert build_ivfpq_residual_index(spark, catalog, "vecs") > 0
+    vecs_t.append(e.filter("vec_id % 10 = 0"))
+    assert (
+        refresh_ivfpq_residual_index(spark, catalog, "vecs")
+        == e.filter("vec_id % 10 = 0").count()
+    )
+    idx_t = catalog.get_table(ivfpqr_name("vecs"))
+    stored = sorted(
+        (r.cid, r.vec_id, r.code0, r.code1, r.code2, r.code3)
+        for r in idx_t.read(spark).collect()
+    )
+    assert len(stored) == e.count()
+
+    # one-pass recompute against the STORED tables equals the
+    # incrementally maintained index
+    centroids = load_ivf_centroids(spark, catalog, "vecs")
+    codebook = load_pq_codebook(
+        spark, catalog, "vecs", table_name=rpq_codebook_name("vecs")
+    )
+    resid = _residualize(spark, _pq_vecs(vecs_t.read(spark)), centroids)
+    onepass = sorted(
+        (r.cid, r.vec_id, r.code0, r.code1, r.code2, r.code3)
+        for r in _pq_encode(resid, codebook, extra_cols=("cid",)).collect()
+    )
+    assert stored == onepass
+
+    # crash replay: regressed bookmark recovers from range stamps
+    vecs_t.register_consumer(f"{_IVFPQR_CONSUMER_PREFIX}-vecs", 1)
+    assert refresh_ivfpq_residual_index(spark, catalog, "vecs") == 0
+    after = sorted(
+        (r.cid, r.vec_id, r.code0, r.code1, r.code2, r.code3)
+        for r in idx_t.read(spark).collect()
+    )
+    assert after == stored
+
+
+def test_bigram_lm_matches_python_model(spark):
+    """x71's interpolated bigram cross-entropy equals a sequential
+    Python model (counts, smoothing, mean of logs) on sf0.001."""
+    import math
+    from collections import Counter
+
+    from advent_of_code_flink_paimon_spark.operators.registry import T
+    from advent_of_code_flink_paimon_spark.operators.text import (
+        X71_LAMBDA,
+        X71_XENT2_MAX,
+        x71_bigram_lm_score,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in T(spark, sf, "documents").select("doc_id", "text").collect()
+    }
+    uni, bic, pre = Counter(), Counter(), Counter()
+    for toks in docs.values():
+        uni.update(toks)
+        for a, b in zip(toks, toks[1:]):
+            bic[(a, b)] += 1
+            pre[a] += 1
+    tot = sum(uni.values())
+    want = {}
+    for doc_id, toks in docs.items():
+        logs = [
+            math.log(
+                X71_LAMBDA * (bic[(a, b)] / pre[a])
+                + (1.0 - X71_LAMBDA) * (uni[b] / tot)
+            )
+            for a, b in zip(toks, toks[1:])
+        ]
+        if logs:
+            want[doc_id] = (len(logs), round(-sum(logs) / len(logs), 4))
+    got = {
+        r.doc_id: (r.n_bigrams, r.xent2, r.keep)
+        for r in x71_bigram_lm_score(spark, sf).collect()
+    }
+    assert set(got) == set(want)
+    for doc_id, (n, xent2) in want.items():
+        gn, gx, gkeep = got[doc_id]
+        assert gn == n
+        assert abs(gx - xent2) <= 1e-4, (doc_id, gx, xent2)
+        assert gkeep == (gx <= X71_XENT2_MAX)
