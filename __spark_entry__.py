@@ -17,48 +17,14 @@ from pyspark.sql import DataFrame, SparkSession
 # 50 queries() entries in dict iteration order (CORRECTNESS_r01.json is
 # exactly the registry-order prefix). The window is ROTATED each round
 # so no entry's freshest driver row ever goes >1 round stale:
-# round 8 leads with x63/x49 — code on their paths changed this round
-# (ADC LUTs keyed by dense digit; pack_refresh_range bounds check on
-# every refresh stamp) and must re-score — then x64-x68 (persisted
-# IVF index, Gopher rules, IVF-ADC two-table and one-table lifecycles,
-# all new this round), then the 43 entries whose latest driver row is
-# from round 6 (q20/q21/q22/q26/q45/q46 joined q02/q03/q04 in the library
-# to free the slots; see operators/relational.py). The
-# overflow is drawn exclusively from entries green in
-# CORRECTNESS_r07.json, so at judging time every registry entry has a
-# driver row ≤1 round old.
+# round 9 leads with the 48 entries whose latest driver row is from
+# round 7 (the round-8 overflow — none of their code changed this
+# round), then the two entries NEW this round (x71 interpolated
+# bigram LM, x72 residual IVFADC). The overflow is exactly the 50
+# entries green in CORRECTNESS_r08.json, so at judging time every
+# registry entry has a driver row ≤1 round old.
 _ORDER = [
-    # code changed this round — must be driver-scored now
-    "x63_pq_index_lifecycle", "x49_minhash_index_dedup",
-    # NEW to the registry this round — no driver row exists yet
-    "x64_ivf_index_lifecycle", "x65_gopher_rules", "x66_ivfpq_adc_topk",
-    "x67_ivfpq_onetable_topk", "x68_ann_recall",
-    # driver evidence last refreshed in round 6 — score these next
-    # (q20/q21/q22/q26/q45/q46 joined the library; see relational.py)
-    "q18_topk_orderby", "q19_window_rank_merge",
-    "q23_scalar_conditional",
-    "q25_json_extract", "q29_asof_join",
-    "q34_sessionize", "q38_intersect", "q39_except", "q40_pivot",
-    "q41_window_frames", "q42_listagg", "q43_ntile_rank_stats",
-    "q44_value_windows",
-    "q47_not_in_null_aware", "q48_time_range_frame",
-    "x01_dedup_exact", "x02_fingerprint_dedup", "x03_dedup_minhash_lsh",
-    "x04_dedup_simhash", "x05_ngram_jaccard_join",
-    "x06_dedup_embedding_cosine", "x10_embedding_topk",
-    "x11_embedding_topk_lsh", "x12_embedding_topk_ivf",
-    "x13_semantic_dedup", "x20_text_stats", "x24_winnow_fingerprint",
-    "x25_heavy_hitter_bigrams", "x28_repetition_filter",
-    "x40_corpus_curation", "x41_decontaminate",
-    "x50_ivf_kmeans_refresh",
-    "x51_ccnet_perplexity_bucket", "x52_norm_dedup",
-    "x53_keep_longest_dedup", "x54_domain_mix_report",
-    "x55_pq_quantize", "x56_pq_adc_topk",
-    "x57_bpe_pair_counts", "x58_vocab_coverage", "x59_shard_assign",
-    "x60_source_dup_matrix", "x61_cluster_balanced_sample",
-    # overflow past the 50-entry cap — ALL green in
-    # CORRECTNESS_r07.json (rows+schema+hash true), so their driver
-    # evidence is exactly one round old at round-8 judging; none of
-    # their code changed this round.
+    # driver evidence last refreshed in round 7 — score these now
     "x47_token_entropy", "x46_incremental_dedup",
     "x30_multimodal_features", "x31_frame_sample",
     "q01_pricing_summary", "q05_filter_range",
@@ -80,6 +46,35 @@ _ORDER = [
     "x39_kmeans", "x42_hash_sample", "x43_stratified_cap",
     "x44_mixture_resample", "x45_substr_dedup", "x48_split_assign",
     "x62_bm25_topk",
+    # NEW to the registry this round — no driver row exists yet
+    "x71_bigram_lm_score", "x72_ivfpq_residual_topk",
+    # overflow past the 50-entry cap — ALL green in
+    # CORRECTNESS_r08.json (rows+schema+hash true), so their driver
+    # evidence is exactly one round old at round-9 judging; none of
+    # their code changed this round.
+    "x63_pq_index_lifecycle", "x49_minhash_index_dedup",
+    "x64_ivf_index_lifecycle", "x65_gopher_rules", "x66_ivfpq_adc_topk",
+    "x67_ivfpq_onetable_topk", "x68_ann_recall",
+    "q18_topk_orderby", "q19_window_rank_merge",
+    "q23_scalar_conditional",
+    "q25_json_extract", "q29_asof_join",
+    "q34_sessionize", "q38_intersect", "q39_except", "q40_pivot",
+    "q41_window_frames", "q42_listagg", "q43_ntile_rank_stats",
+    "q44_value_windows",
+    "q47_not_in_null_aware", "q48_time_range_frame",
+    "x01_dedup_exact", "x02_fingerprint_dedup", "x03_dedup_minhash_lsh",
+    "x04_dedup_simhash", "x05_ngram_jaccard_join",
+    "x06_dedup_embedding_cosine", "x10_embedding_topk",
+    "x11_embedding_topk_lsh", "x12_embedding_topk_ivf",
+    "x13_semantic_dedup", "x20_text_stats", "x24_winnow_fingerprint",
+    "x25_heavy_hitter_bigrams", "x28_repetition_filter",
+    "x40_corpus_curation", "x41_decontaminate",
+    "x50_ivf_kmeans_refresh",
+    "x51_ccnet_perplexity_bucket", "x52_norm_dedup",
+    "x53_keep_longest_dedup", "x54_domain_mix_report",
+    "x55_pq_quantize", "x56_pq_adc_topk",
+    "x57_bpe_pair_counts", "x58_vocab_coverage", "x59_shard_assign",
+    "x60_source_dup_matrix", "x61_cluster_balanced_sample",
 ]
 
 

@@ -85,6 +85,9 @@ HEADLINE = [
     "x66_ivfpq_adc_topk",
     "x67_ivfpq_onetable_topk",
     "x68_ann_recall",
+    # round 9 additions
+    "x71_bigram_lm_score",
+    "x72_ivfpq_residual_topk",
 ]
 
 
