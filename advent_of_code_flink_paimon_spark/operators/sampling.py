@@ -341,3 +341,97 @@ def x59_shard_assign(spark, sf_dir):
             F.lit(0),
         ).cast("long").alias("start_tok"),
     )
+
+
+# ----------------------------------------------------------------------
+# x73: temperature-based mixture sampling (Conneau & Lample 2019 §3.1 /
+# mT5, Xue et al. 2021 §3.2): sampling weight q_s ∝ (n_s)^α with
+# α = 0.5 flattens the source distribution — low-resource sources are
+# up-weighted, dominant ones capped — the standard multilingual /
+# multi-source token-budget law. α = 1/2 is chosen deliberately: sqrt
+# is IEEE-correctly-rounded on both engines (pow(x, 0.3) is not), so
+# the whole quota derivation replays bit-exactly.
+# ----------------------------------------------------------------------
+
+_SQL_TEMPERATURE_MIX = """
+WITH counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM counts),
+denom AS (SELECT list_sum(list(sqrt(n) ORDER BY source)) AS dn FROM counts),
+quota AS (
+  SELECT c.source, c.n, sqrt(c.n) / d.dn AS q,
+         CAST(floor((t.nt // 2) * (sqrt(c.n) / d.dn)) AS BIGINT) AS quota
+  FROM counts c CROSS JOIN denom d CROSS JOIN tot t
+),
+ranked AS (
+  SELECT d.doc_id, d.source,
+         ROW_NUMBER() OVER (
+           PARTITION BY d.source
+           ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rk
+  FROM documents d
+)
+SELECT r.doc_id, r.source, CAST(q.n AS BIGINT) AS n_source,
+       ROUND(q.q, 6) AS weight, q.quota, CAST(r.rk AS BIGINT) AS rk,
+       r.rk <= q.quota AS sampled
+FROM ranked r JOIN quota q USING (source)
+"""
+
+
+@query("x73_temperature_mixture", oracle=_SQL_TEMPERATURE_MIX)
+def x73_temperature_mixture(spark, sf_dir):
+    """Temperature-flattened source mixture: per-source sampling weight
+    q_s = sqrt(n_s) / Σ_t sqrt(n_t), per-source quota = floor(B · q_s)
+    for a budget of half the corpus, and a deterministic md5-ordered
+    pick of each source's quota (reproducible across partitionings and
+    engines — the x42 rule). Output: every document with its source's
+    weight/quota, its pick rank, and the sampled flag.
+
+    Determinism: sqrt is correctly rounded (α = 0.5 — the reason this
+    operator avoids pow), the weight denominator is an ORDERED fold
+    over the per-source sqrt terms (sum order pinned on both engines),
+    and the budget·weight product multiplies bit-identical doubles, so
+    floor can't flip across engines. Scale shape: the source stats are
+    an S-row aggregate broadcast back; the pick is one per-source
+    window over the md5 order — the same single-exchange shape as
+    x43's stratified cap."""
+    d = T(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n"))
+    sn = F.sqrt(F.col("n").cast("double"))
+    stats = counts.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("source"), sn.alias("s")))),
+                lambda e: e["s"],
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("dn"),
+    )
+    q = sn / F.col("dn")
+    quota = counts.crossJoin(F.broadcast(stats)).select(
+        "source",
+        F.col("n").cast("long").alias("n_source"),
+        F.round(q, 6).alias("weight"),
+        F.floor(F.expr("nt div 2").cast("double") * q).cast("long").alias("quota"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = d.select(
+        "doc_id", "source", F.row_number().over(w).cast("long").alias("rk")
+    )
+    return ranked.join(F.broadcast(quota), "source").select(
+        "doc_id", "source", "n_source", "weight", "quota", "rk",
+        (F.col("rk") <= F.col("quota")).alias("sampled"),
+    )
+
+
+# Driver-window policy: the 50-entry scored window and the 100-entry
+# registry (2-round rotation) are full this round; x73 ships
+# library-gated — the strict local harness (same compare, sf0.01)
+# oracles it — and swaps into the registry when a slot opens, exactly
+# the x62/x69/x70 path.
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote
+
+_demote("x73_temperature_mixture")
+del _demote
