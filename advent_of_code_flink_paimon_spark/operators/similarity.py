@@ -2526,3 +2526,104 @@ def x72_ivfpq_residual_topk(spark, sf_dir):
     vecs_t.append(e.filter(is_batch))                  # commit 2: today's batch
     refresh_ivfpq_residual_index(spark, catalog, "vecs")
     return ivfpq_residual_topk(spark, catalog, "vecs")
+
+
+# ----------------------------------------------------------------------
+# x74: prototypicality pruning (Sorscher et al. 2022, "Beyond neural
+# scaling laws", arXiv:2206.14486 §3): cluster the embeddings, rank
+# each example by its distance to its cluster prototype, and PRUNE the
+# most prototypical (easiest) fraction — in the large-data regime,
+# keeping hard examples beats random pruning. The report emits every
+# vector with its cluster, distance, rank, and the keep flag so the
+# pruning is auditable rather than silent (the x65 lesson).
+# ----------------------------------------------------------------------
+
+_PROTO_PRUNE_NUM = 2   # prune the 2/10 most prototypical per cluster
+_PROTO_PRUNE_DEN = 10
+
+_SQL_PROTO_PRUNE = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+seed AS (SELECT vec_id AS cid, cv AS cent FROM v WHERE vec_id % 53 = 11 ORDER BY vec_id LIMIT {KM_K}),
+a1 AS (
+  SELECT vec_id, cid, d2 FROM (
+    SELECT v.vec_id, seed.cid,
+           list_sum([(v.cv[i] - seed.cent[i]) * (v.cv[i] - seed.cent[i])
+                     for i in range(1, len(v.cv)+1)]) AS d2,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_sum([(v.cv[i] - seed.cent[i]) * (v.cv[i] - seed.cent[i])
+                                for i in range(1, len(v.cv)+1)]) ASC, seed.cid ASC) AS r
+    FROM v CROSS JOIN seed) WHERE r = 1
+),
+ranked AS (
+  SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, ROUND(d2, 6) AS d2,
+         CAST(ROW_NUMBER() OVER (PARTITION BY cid ORDER BY ROUND(d2, 6), vec_id) AS BIGINT) AS pos,
+         CAST(COUNT(*) OVER (PARTITION BY cid) AS BIGINT) AS n_cluster
+  FROM a1
+)
+SELECT vec_id, cluster_id, d2, pos, n_cluster,
+       pos > (n_cluster * {_PROTO_PRUNE_NUM}) // {_PROTO_PRUNE_DEN} AS keep
+FROM ranked
+"""
+
+
+@query("x74_prototypicality_prune", oracle=_SQL_PROTO_PRUNE)
+def x74_prototypicality_prune(spark, sf_dir):
+    """Per-cluster prototypicality ranking with a keep flag that drops
+    the most prototypical 20% (self-supervised prototypes = the
+    cluster centroids of x61's deterministic seeding, distance = L2 to
+    the assigned prototype). pos 1 = most prototypical (pruned first).
+
+    Determinism: the distance rounds to 6 decimals BEFORE ranking
+    (last-ulp fold noise can't flip a rank), assignment tiebreaks on
+    cid, ranking tiebreaks on vec_id, and the prune count is pure
+    integer arithmetic (n·2 div 10). Scale shape: assignment is the
+    map-only literal-centroid projection; ONE exchange on the cluster
+    key where rank, cluster size, and keep flag share a single window
+    sort — x61's audited plan with a distance key instead of vec_id."""
+    e = T(spark, sf_dir, "embeddings")
+    v = fan_out(e, heavy=True).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("cv")
+    )
+    seed_rows = (
+        v.filter(F.pmod(F.col("vec_id"), F.lit(53)) == 11)
+        .orderBy("vec_id")
+        .limit(KM_K)
+        .collect()
+    )
+    arr = F.array(
+        *[
+            F.struct(_l2_expr(F.col("cv"), cent).alias("d2"), F.lit(cid).alias("cid"))
+            for cid, cent in ((int(r.vec_id), list(r.cv)) for r in seed_rows)
+        ]
+    )
+    best = F.array_sort(arr).getItem(0)
+    a1 = v.select(
+        "vec_id",
+        best.getField("cid").cast("long").alias("cluster_id"),
+        F.round(best.getField("d2"), 6).alias("d2"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy("d2", "vec_id")
+    wc = Window.partitionBy("cluster_id")
+    ranked = a1.select(
+        "vec_id",
+        "cluster_id",
+        "d2",
+        F.row_number().over(w).cast("long").alias("pos"),
+        F.count(F.lit(1)).over(wc).cast("long").alias("n_cluster"),
+    )
+    return ranked.select(
+        "vec_id", "cluster_id", "d2", "pos", "n_cluster",
+        (
+            F.col("pos")
+            > F.expr(f"(n_cluster * {_PROTO_PRUNE_NUM}) div {_PROTO_PRUNE_DEN}")
+        ).alias("keep"),
+    )
+
+
+# Driver-window policy: window and registry are at cap this round; x74
+# ships library-gated (strict local harness) like x62/x69/x70/x73.
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote  # noqa: E402
+
+_demote("x74_prototypicality_prune")
+del _demote
