@@ -1813,3 +1813,57 @@ from advent_of_code_flink_paimon_spark.operators.registry import demote as _demo
 
 _demote("x70_simhash_hamming_pairs")
 del _demote
+
+
+# ----------------------------------------------------------------------
+# x75: MinHash estimator quality report — the dedup twin of x68's ANN
+# recall report: before trusting an LSH index's (k, bands, rows)
+# setting, measure how well signature agreement estimates true Jaccard
+# on the pairs the index actually surfaces. E[agree/k] = J (Broder
+# 1997), so |est − J| against the banding threshold curve is the
+# decision evidence for re-tuning k. No DuckDB oracle by design: the
+# estimate is a function of xxhash64, which DuckDB cannot replay —
+# gated instead by an end-to-end Python model test
+# (tests/test_extensions.py) recomputing both columns from the same
+# signatures.
+# ----------------------------------------------------------------------
+
+
+def minhash_quality_report(spark, sf_dir: str, k: int = MINHASH_K) -> DataFrame:
+    """Per-candidate-pair (i, j): exact shingle Jaccard, the signature-
+    agreement estimate agree/k, the absolute error, and whether the
+    pair clears the dedup threshold — over every pair the LSH banding
+    surfaces (not just confirmed dups: the report's job is to show the
+    estimator's behavior around the threshold, where banding decisions
+    live).
+
+    Scale shape: identical to x03 up through candidate pairs (row-local
+    signatures, band equi-join); the estimate adds one zip_with over
+    the two k-length signature arrays carried by the existing verify
+    joins — no extra exchange."""
+    docs = fan_out(T(spark, sf_dir, "documents"), heavy=True)
+    sharr = shingle_hash_arrays(docs).persist()
+    sigs = minhash_signatures(sharr, k)
+    pairs = lsh_candidate_pairs(sigs)
+    exact = exact_jaccard(pairs, sharr)
+    est = (
+        exact.join(sigs.withColumnRenamed("doc_id", "i").withColumnRenamed("sig", "sig_i"), "i")
+        .join(sigs.withColumnRenamed("doc_id", "j").withColumnRenamed("sig", "sig_j"), "j")
+        .withColumn(
+            "est_jaccard",
+            F.size(
+                F.filter(
+                    F.zip_with("sig_i", "sig_j", lambda a, b: a == b), lambda x: x
+                )
+            ).cast("double")
+            / F.lit(float(k)),
+        )
+    )
+    return est.select(
+        "i",
+        "j",
+        "jaccard",
+        "est_jaccard",
+        F.abs(F.col("est_jaccard") - F.col("jaccard")).alias("abs_err"),
+        (F.col("jaccard") >= JACCARD_THRESHOLD).alias("is_dup"),
+    )

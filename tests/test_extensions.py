@@ -1232,3 +1232,48 @@ def test_bigram_lm_matches_python_model(spark):
         assert gn == n
         assert abs(gx - xent2) <= 1e-4, (doc_id, gx, xent2)
         assert gkeep == (gx <= X71_XENT2_MAX)
+
+
+def test_minhash_quality_report_model(spark):
+    """x75's per-pair estimate and exact Jaccard equal a Python
+    recomputation from the SAME signatures and shingle sets, every
+    surfaced pair is a true banding candidate (some band agrees), and
+    the estimator is unbiased enough on planted near-dups (err < 0.35
+    pairwise — 32 hashes give σ ≈ 0.09 at J = 0.5)."""
+    from advent_of_code_flink_paimon_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        LSH_BANDS,
+        LSH_ROWS,
+        MINHASH_K,
+        minhash_quality_report,
+        minhash_signatures,
+        shingle_hash_arrays,
+    )
+    from advent_of_code_flink_paimon_spark.operators.registry import T
+
+    sf = "/root/testdata/sf0.001"
+    docs = T(spark, sf, "documents")
+    sharr = shingle_hash_arrays(docs)
+    hs = {r.doc_id: set(r.hs) for r in sharr.collect()}
+    sig = {r.doc_id: list(r.sig) for r in minhash_signatures(sharr).collect()}
+
+    got = {(r.i, r.j): r for r in minhash_quality_report(spark, sf).collect()}
+    assert got, "no candidate pairs surfaced — vacuous report"
+    for (i, j), r in got.items():
+        inter = len(hs[i] & hs[j])
+        union = len(hs[i] | hs[j])
+        want_j = inter / union
+        agree = sum(a == b for a, b in zip(sig[i], sig[j]))
+        want_est = agree / MINHASH_K
+        assert abs(r.jaccard - want_j) < 1e-12, (i, j)
+        assert abs(r.est_jaccard - want_est) < 1e-12, (i, j)
+        assert abs(r.abs_err - abs(want_est - want_j)) < 1e-12
+        assert r.is_dup == (r.jaccard >= JACCARD_THRESHOLD)
+        # surfaced ⇒ at least one full band agrees
+        bands_agree = any(
+            all(sig[i][b * LSH_ROWS + x] == sig[j][b * LSH_ROWS + x] for x in range(LSH_ROWS))
+            for b in range(LSH_BANDS)
+        )
+        assert bands_agree, (i, j)
+        if r.is_dup:
+            assert r.abs_err < 0.35, (i, j, r.abs_err)
