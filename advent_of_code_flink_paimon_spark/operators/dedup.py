@@ -1586,6 +1586,7 @@ class DedupIngestPipeline:
         checkpoint_dir: str,
         verify_from_storage: bool = False,
         index_search: bool = False,
+        quality_filter: bool = False,
     ):
         """``verify_from_storage=True`` keys every refresh with
         store_shingles and verifies candidates against the PK shingle
@@ -1598,11 +1599,19 @@ class DedupIngestPipeline:
         same docs table — since only SURVIVORS are ever committed, the
         search index covers exactly the deduped corpus, and probe-only
         BM25 serves the curate-then-retrieve loop per micro-batch
-        (O(batch tokens) via the same consumer-bookmark protocol)."""
+        (O(batch tokens) via the same consumer-bookmark protocol).
+
+        ``quality_filter=True`` drops batch documents failing the
+        Gopher rule battery (text.gopher_keep_col — x65's keep flag)
+        BEFORE the dedup probe, completing the curation stack a
+        training-data ingest runs: filter → near-dedup → commit →
+        index. The filter is a row-local codegen predicate on the
+        batch only (never the corpus), so it adds zero exchanges."""
         self.spark, self.catalog = spark, catalog
         self.docs_table, self.checkpoint_dir = docs_table, checkpoint_dir
         self.verify_from_storage = verify_from_storage
         self.index_search = index_search
+        self.quality_filter = quality_filter
         if not catalog.has_table(docs_table):
             catalog.create_table(docs_table, "doc_id long, text string", {})
 
@@ -1614,6 +1623,10 @@ class DedupIngestPipeline:
             store_shingles=self.verify_from_storage,
         )
         batch = batch_df.select("doc_id", "text")
+        if self.quality_filter:
+            from advent_of_code_flink_paimon_spark.operators.text import gopher_keep_col
+
+            batch = batch.filter(gopher_keep_col())
         w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
         batch = (
             batch.withColumn("__rn", F.row_number().over(w))

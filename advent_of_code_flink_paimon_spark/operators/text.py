@@ -1729,3 +1729,29 @@ def x71_bigram_lm_score(spark, sf_dir):
     return per.select(
         "doc_id", "n_bigrams", "xent2", (F.col("xent2") <= X71_XENT2_MAX).alias("keep")
     )
+
+
+def gopher_keep_col():
+    """x65's conjunctive Gopher keep flag as a standalone boolean
+    Column over a ``text`` column — the form a streaming ingest filter
+    composes (DedupIngestPipeline ``quality_filter=True``). Built from
+    the same module constants as x65; a regression test pins the two
+    to the same keep set so they cannot drift."""
+    toks = _tokens()
+    wc = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    mwl = sum_len.cast("double") / wc
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(toks), F.array(*[F.lit(s) for s in _GOPHER_STOPS])
+        )
+    )
+    top_frac = F.expr(_RUN_MAX.format(col="split(text, ' ')")).cast("double") / wc
+    return (
+        wc.between(_GOPHER_WC_MIN, _GOPHER_WC_MAX)
+        & mwl.between(_GOPHER_MWL_MIN, _GOPHER_MWL_MAX)
+        & (n_stop >= _GOPHER_MIN_STOPS)
+        & (top_frac <= _GOPHER_TOP_FRAC_MAX)
+    )

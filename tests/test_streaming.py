@@ -1470,3 +1470,63 @@ def test_dedup_ingest_with_search_index(spark, catalog, tmp_path):
         for r in bm25_topk(survivors, _BM25_TERMS).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_dedup_ingest_pipeline_quality_filter(spark, catalog, tmp_path):
+    """quality_filter=True: Gopher-failing batch docs are dropped
+    BEFORE the dedup probe, passing docs still dedup against the
+    corpus — the filter → near-dedup → commit curation stack."""
+    from advent_of_code_flink_paimon_spark.operators.dedup import DedupIngestPipeline
+
+    def passing(stem):
+        # 55 seven-char words + the 5 Gopher stopwords: wc=60 (≥50),
+        # mwl≈6.6 ∈ [4,10], 5 stopwords present, top_frac=1/60 ≤ 0.1
+        return " ".join([f"{stem}{i:03d}" for i in range(55)]
+                        + ["the", "a", "of", "to", "and"])
+
+    ddl = "doc_id long, text string"
+    p = DedupIngestPipeline(
+        spark, catalog, "docs", str(tmp_path / "ck"), quality_filter=True
+    )
+    n1 = p.sink(
+        spark.createDataFrame(
+            [(1, passing("alpha")), (2, "tiny junk doc")], ddl
+        ),
+        0,
+    )
+    assert n1 == 1  # doc 2 fails word-count rule
+    t = catalog.get_table("docs")
+    assert {r.doc_id for r in t.read(spark).collect()} == {1}
+
+    n2 = p.sink(
+        spark.createDataFrame(
+            [(3, passing("alpha")),   # quality-passing exact dup → dedup drops
+             (4, passing("bravo"))],  # quality-passing novel doc
+            ddl,
+        ),
+        1,
+    )
+    assert n2 == 1
+    assert {r.doc_id for r in t.read(spark).collect()} == {1, 4}
+
+
+def test_gopher_keep_col_matches_x65(spark):
+    """The pipeline's standalone keep predicate and x65's report keep
+    flag select the same documents (drift guard)."""
+    import pyspark.sql.functions as F
+
+    from advent_of_code_flink_paimon_spark.operators.registry import T
+    from advent_of_code_flink_paimon_spark.operators.text import (
+        gopher_keep_col,
+        x65_gopher_rules,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    via_col = {
+        r.doc_id
+        for r in T(spark, sf, "documents").filter(gopher_keep_col()).select("doc_id").collect()
+    }
+    via_x65 = {
+        r.doc_id for r in x65_gopher_rules(spark, sf).filter(F.col("keep")).collect()
+    }
+    assert via_col == via_x65 and via_col  # equal and non-vacuous
