@@ -2627,3 +2627,50 @@ from advent_of_code_flink_paimon_spark.operators.registry import demote as _demo
 
 _demote("x74_prototypicality_prune")
 del _demote
+
+
+def kmeans_train(
+    v: DataFrame, k: int = KM_K, max_rounds: int = 10, tol: float = 0.0
+) -> tuple[list, list]:
+    """Lloyd's algorithm to convergence — the iterative composition of
+    the x39 primitives (kmeans_assign → kmeans_update per round), the
+    same driver loop shape as bpe_train: each round is ONE map-only
+    literal-centroid assignment plus ONE (K·dim)-key aggregation with
+    only K rows back to the driver; data rows never leave the cluster.
+    Stops when the max centroid shift (L2) is ≤ ``tol`` or after
+    ``max_rounds``. Because kmeans_update rounds coordinates to 6
+    decimals, exact fixpoints are reachable and tol=0.0 terminates in
+    practice. A cluster that loses all members keeps its previous
+    centroid (the Faiss/MLlib convention) rather than vanishing.
+
+    Returns (centroids, shift_history): [(cid, cent)] sorted by cid and
+    the per-round max shift. The caller should persist ``v`` — every
+    round re-reads it (this function leaves caching policy to the
+    caller so a shared relation isn't double-persisted)."""
+    import math
+
+    seed_rows = (
+        v.filter(F.pmod(F.col("vec_id"), F.lit(53)) == 11)
+        .orderBy("vec_id")
+        .limit(k)
+        .collect()
+    )
+    cents = sorted((int(r.vec_id), list(r.cv)) for r in seed_rows)
+    history: list[float] = []
+    for _ in range(max_rounds):
+        new = kmeans_update(kmeans_assign(v, cents))
+        prev = dict(cents)
+        shift = max(
+            (
+                math.sqrt(sum((a - b) * (a - b) for a, b in zip(prev[cid], cent)))
+                for cid, cent in new
+            ),
+            default=0.0,
+        )
+        merged = dict(cents)
+        merged.update(dict(new))
+        cents = sorted(merged.items())
+        history.append(shift)
+        if shift <= tol:
+            break
+    return cents, history

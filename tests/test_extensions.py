@@ -1277,3 +1277,53 @@ def test_minhash_quality_report_model(spark):
         assert bands_agree, (i, j)
         if r.is_dup:
             assert r.abs_err < 0.35, (i, j, r.abs_err)
+
+
+def test_kmeans_train_matches_numpy_model(spark):
+    """kmeans_train's per-round centroids equal a sequential NumPy
+    Lloyd implementation with the same seeding, tiebreaks, and
+    6-decimal rounding, and the loop terminates at a fixpoint."""
+    import numpy as np
+
+    from advent_of_code_flink_paimon_spark.operators.registry import T
+    from advent_of_code_flink_paimon_spark.operators.similarity import (
+        KM_K,
+        kmeans_train,
+    )
+    import pyspark.sql.functions as F
+
+    sf = "/root/testdata/sf0.001"
+    v = (
+        T(spark, sf, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("cv"))
+        .persist()
+    )
+    rows = sorted((int(r.vec_id), np.array(r.cv)) for r in v.collect())
+    ids = np.array([i for i, _ in rows])
+    X = np.stack([x for _, x in rows])
+
+    seed_ids = [i for i in ids if i % 53 == 11][:KM_K]
+    cents = {int(i): X[list(ids).index(i)].copy() for i in seed_ids}
+
+    def lloyd_round(cents):
+        order = sorted(cents)
+        C = np.stack([cents[c] for c in order])
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        # argmin with cid tiebreak = first minimal in cid order
+        assign = d2.argmin(axis=1)
+        out = dict(cents)
+        for pos, cid in enumerate(order):
+            members = X[assign == pos]
+            if len(members):
+                out[cid] = np.round(members.mean(axis=0), 6)
+        return out
+
+    got_cents, history = kmeans_train(v, max_rounds=4)
+    model = dict(cents)
+    for _ in range(len(history)):
+        model = lloyd_round(model)
+    assert [c for c, _ in got_cents] == sorted(model)
+    for cid, cent in got_cents:
+        assert np.allclose(np.array(cent), model[cid], atol=1e-9), cid
+    assert len(history) <= 4 and all(s >= 0 for s in history)
+    v.unpersist()
