@@ -2375,14 +2375,19 @@ def ivfpq_residual_topk(
         .select("vec_id", F.col("embedding").cast("array<double>").alias("cv"))
         .filter(F.col("vec_id") < n_queries)
     )
-    probed = {
-        int(r.vec_id): sorted(int(p.cid) for p in r.probes)
-        for r in ivf_assign(queries_v, centroids, nprobe=IVF_NPROBE)
+    # one driver round-trip: probed cids AND the query vector per query
+    # (two collects would run the bounded query scan twice)
+    q_rows = (
+        ivf_assign(queries_v, centroids, nprobe=IVF_NPROBE)
         .groupBy("vec_id")
-        .agg(F.collect_list(F.struct(F.col("cluster").alias("cid"))).alias("probes"))
+        .agg(
+            F.collect_list(F.struct(F.col("cluster").alias("cid"))).alias("probes"),
+            F.first("cv").alias("cv"),
+        )
         .collect()
-    }
-    qv = {int(r.vec_id): list(r.cv) for r in queries_v.collect()}
+    )
+    probed = {int(r.vec_id): sorted(int(p.cid) for p in r.probes) for r in q_rows}
+    qv = {int(r.vec_id): list(r.cv) for r in q_rows}
     per_pair = []
     for qid in sorted(qv):
         for cid in probed[qid]:
