@@ -45,7 +45,10 @@ QUERIES = ["x07_dup_clusters", "x13_semantic_dedup", "x03_dedup_minhash_lsh",
            # Gopher rule report (row-local — the flat-growth control)
            "x64_ivf_index_lifecycle", "x66_ivfpq_adc_topk",
            "x67_ivfpq_onetable_topk",
-           "x65_gopher_rules"]
+           "x65_gopher_rules",
+           # round-9: corpus bigram LM (token-pair shuffle), residual
+           # IVFADC lifecycle (residualize + fused single-table index)
+           "x71_bigram_lm_score", "x72_ivfpq_residual_topk"]
 REPEATS = 3
 
 
