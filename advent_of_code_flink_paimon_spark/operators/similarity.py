@@ -1781,10 +1781,12 @@ class VectorIngestPipeline:
         pq: bool = True,
         ivf: bool = True,
         ivfpq: bool = False,
+        ivfpqr: bool = False,
     ):
         self.spark, self.catalog = spark, catalog
         self.vecs_table, self.checkpoint_dir = vecs_table, checkpoint_dir
         self.pq, self.ivf, self.ivfpq = pq, ivf, ivfpq
+        self.ivfpqr = ivfpqr
         if not catalog.has_table(vecs_table):
             catalog.create_table(vecs_table, "vec_id long, embedding array<float>", {})
 
@@ -1812,6 +1814,12 @@ class VectorIngestPipeline:
                     build_ivfpq_index(self.spark, self.catalog, self.vecs_table)
                 else:
                     refresh_ivfpq_index(self.spark, self.catalog, self.vecs_table)
+            if self.ivfpqr:
+                # the residual IVFADC layout (x72, the paper's encoding)
+                if not self.catalog.has_table(ivfpqr_name(self.vecs_table)):
+                    build_ivfpq_residual_index(self.spark, self.catalog, self.vecs_table)
+                else:
+                    refresh_ivfpq_residual_index(self.spark, self.catalog, self.vecs_table)
         batch.unpersist()
         return n
 

@@ -1530,3 +1530,61 @@ def test_gopher_keep_col_matches_x65(spark):
         r.doc_id for r in x65_gopher_rules(spark, sf).filter(F.col("keep")).collect()
     }
     assert via_col == via_x65 and via_col  # equal and non-vacuous
+
+
+def test_vector_ingest_pipeline_ivfpqr_table(spark, catalog, tmp_path):
+    """VectorIngestPipeline(ivfpqr=True) keeps the RESIDUAL IVFADC
+    index (x72's layout) current per micro-batch: after the drain the
+    stored rows equal a one-pass residualize+encode against the stored
+    centroids and residual codebook."""
+    from advent_of_code_flink_paimon_spark.operators.registry import T
+    from advent_of_code_flink_paimon_spark.operators.similarity import (
+        VectorIngestPipeline,
+        _pq_encode,
+        _pq_vecs,
+        _residualize,
+        ivfpqr_name,
+        load_ivf_centroids,
+        load_pq_codebook,
+        rpq_codebook_name,
+    )
+
+    e = T(spark, "/root/testdata/sf0.001", "embeddings").select("vec_id", "embedding")
+    src_dir = tmp_path / "vr-src"
+    for i in range(2):
+        e.filter(f"vec_id % 2 = {i}").coalesce(1).write.parquet(str(src_dir / f"part{i}"))
+    source = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "part*"))
+    )
+    p = VectorIngestPipeline(
+        spark, catalog, "rvecs", str(tmp_path / "vrck"),
+        pq=False, ivf=False, ivfpqr=True,
+    )
+    q = (
+        source.writeStream.foreachBatch(lambda df, bid: p.sink(df, bid))
+        .option("checkpointLocation", str(tmp_path / "vrck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    vecs_t = catalog.get_table("rvecs")
+    assert vecs_t.read(spark).count() == e.count()
+    cents = load_ivf_centroids(spark, catalog, "rvecs")
+    codebook = load_pq_codebook(
+        spark, catalog, "rvecs", table_name=rpq_codebook_name("rvecs")
+    )
+    stored = {
+        (r.cid, r.vec_id, r.code0, r.code1, r.code2, r.code3)
+        for r in catalog.get_table(ivfpqr_name("rvecs")).read(spark).collect()
+    }
+    resid = _residualize(spark, _pq_vecs(vecs_t.read(spark)), cents)
+    full = {
+        (r.cid, r.vec_id, r.code0, r.code1, r.code2, r.code3)
+        for r in _pq_encode(resid, codebook, extra_cols=("cid",))
+        .select("cid", "vec_id", "code0", "code1", "code2", "code3")
+        .collect()
+    }
+    assert stored == full and len(stored) == e.count()
