@@ -1755,3 +1755,120 @@ def gopher_keep_col():
         & (n_stop >= _GOPHER_MIN_STOPS)
         & (top_frac <= _GOPHER_TOP_FRAC_MAX)
     )
+
+
+# ----------------------------------------------------------------------
+# x76: sparse TF-IDF cosine pair join (Bayardo, Ma, Srikant 2007,
+# "Scaling Up All Pairs Similarity Search" — the candidate-by-
+# discriminative-feature rule): candidate pairs come ONLY from terms
+# rare enough to discriminate (df·10 ≤ N — a relative cap, so the rule
+# stays non-vacuous at every SF), then the verify computes the FULL
+# sparse cosine over all shared terms. This is the sparse-vector
+# sibling of the dense-embedding families (x06 exact, x11 LSH, x12
+# IVF): pair generation is linear in the rare-term postings, never
+# quadratic in docs.
+# ----------------------------------------------------------------------
+
+_SQL_TFIDF_COSINE_PAIRS = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tok),
+w AS (
+  SELECT tf.doc_id, tf.term, tf.tf * ln(n.n_docs * 1.0 / df.df) AS w
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+norms AS (SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM w GROUP BY doc_id),
+rare AS (SELECT df.term FROM df CROSS JOIN n WHERE df.df * 10 <= n.n_docs),
+posting AS (SELECT tf.doc_id, tf.term FROM tf JOIN rare USING (term)),
+cand AS (
+  SELECT a.doc_id AS i, b.doc_id AS j, COUNT(DISTINCT a.term) AS n_shared_rare
+  FROM posting a JOIN posting b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+dots AS (
+  SELECT c.i, c.j, c.n_shared_rare,
+         CAST(COUNT(*) AS BIGINT) AS n_shared, SUM(wa.w * wb.w) AS dot
+  FROM cand c
+  JOIN w wa ON wa.doc_id = c.i
+  JOIN w wb ON wb.doc_id = c.j AND wb.term = wa.term
+  GROUP BY 1, 2, 3
+)
+SELECT d.i, d.j, CAST(d.n_shared_rare AS BIGINT) AS n_shared_rare, d.n_shared,
+       ROUND(d.dot / (na.nrm * nb.nrm), 4) AS cosine
+FROM dots d
+JOIN norms na ON na.doc_id = d.i
+JOIN norms nb ON nb.doc_id = d.j
+"""
+
+
+@query("x76_tfidf_cosine_pairs", oracle=_SQL_TFIDF_COSINE_PAIRS)
+def x76_tfidf_cosine_pairs(spark, sf_dir):
+    """All-pairs sparse cosine with the Bayardo candidate rule:
+    candidates from rare-term postings only (df·10 ≤ N — an integer
+    predicate, exact on both engines), full TF-IDF cosine verify over
+    every shared term of each candidate pair.
+
+    Scale shape: tf/df are the x26 aggregations; the candidate join
+    shuffles only the rare-term postings (bounded by the cap — the
+    boilerplate vocabulary never generates pairs); the verify joins the
+    candidates' weight rows by term — O(candidates · shared terms),
+    never O(docs²). Float parity: weights are identical doubles
+    (integer tf × ln of an integer ratio); the dot/norm sums are
+    unordered float aggregations whose ~1e-13 reorder noise is absorbed
+    by the 4-decimal rounding quantum (the x32 analysis)."""
+    d = T(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens()).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = tok.agg(F.countDistinct("doc_id").cast("long").alias("n_docs"))
+    w = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.log(F.col("n_docs") * F.lit(1.0) / F.col("df"))).alias("w"),
+        )
+        .persist()  # feeds norms + both verify sides — compute once
+    )
+    norms = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    rare = df.crossJoin(F.broadcast(n)).filter(
+        F.col("df") * 10 <= F.col("n_docs")
+    ).select("term")
+    posting = tf.join(F.broadcast(rare), "term").select("doc_id", "term")
+    a, b = posting.alias("a"), posting.alias("b")
+    cand = (
+        a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        .agg(F.countDistinct(F.col("a.term")).alias("n_shared_rare"))
+    )
+    wa = w.select(F.col("doc_id").alias("i"), "term", F.col("w").alias("wa"))
+    wb = w.select(F.col("doc_id").alias("j"), "term", F.col("w").alias("wb"))
+    dots = (
+        cand.join(wa, "i")
+        .join(wb, ["j", "term"])
+        .groupBy("i", "j", "n_shared_rare")
+        .agg(
+            F.count("*").cast("long").alias("n_shared"),
+            F.sum(F.col("wa") * F.col("wb")).alias("dot"),
+        )
+    )
+    return (
+        dots.join(norms.select(F.col("doc_id").alias("i"), F.col("nrm").alias("na")), "i")
+        .join(norms.select(F.col("doc_id").alias("j"), F.col("nrm").alias("nb")), "j")
+        .select(
+            "i", "j",
+            F.col("n_shared_rare").cast("long").alias("n_shared_rare"),
+            "n_shared",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 4).alias("cosine"),
+        )
+    )
+
+
+# Window and registry are at cap this round; x76 ships library-gated
+# (strict local harness) like x62/x69/x70/x73/x74.
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote2  # noqa: E402
+
+_demote2("x76_tfidf_cosine_pairs")
+del _demote2
