@@ -483,3 +483,30 @@ def test_ivfpq_onetable_probe_has_zero_joins(spark, tmp_path_factory):
     assert "vecs_ivfpq" in plan, plan
     assert "Join" not in plan, plan
     assert "default.db/vecs/" not in plan and "embedding" not in plan, plan
+
+
+def test_ivfpqr_probe_has_zero_joins(spark, tmp_path_factory):
+    """The residual IVFADC probe (ivfpq_residual_topk, x72) keeps x67's
+    plan shape — scan → project/explode → filter → window, NO join —
+    even though its lookup tables are per (query, probed list): the
+    residual math lives in the driver-built literals, not in the plan.
+    The raw vectors table must not appear (query vectors are bounded
+    eager collects)."""
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+    from advent_of_code_flink_paimon_spark.operators.registry import T
+    from advent_of_code_flink_paimon_spark.operators.similarity import (
+        build_ivfpq_residual_index,
+        ivfpq_residual_topk,
+    )
+
+    wh = tmp_path_factory.mktemp("wh-ivfpqr-plan")
+    catalog = Catalog(str(wh))
+    t = catalog.create_table("vecs", "vec_id long, embedding array<float>", {})
+    t.append(T(spark, SF_ORACLE, "embeddings").select("vec_id", "embedding"))
+    build_ivfpq_residual_index(spark, catalog, "vecs")
+    df = ivfpq_residual_topk(spark, catalog, "vecs")
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(jmode)
+    assert "vecs_ivfpqr" in plan, plan
+    assert "Join" not in plan, plan
+    assert "default.db/vecs/" not in plan and "embedding" not in plan, plan
