@@ -1872,3 +1872,168 @@ from advent_of_code_flink_paimon_spark.operators.registry import demote as _demo
 
 _demote2("x76_tfidf_cosine_pairs")
 del _demote2
+
+
+# ----------------------------------------------------------------------
+# x77: Stupid Backoff trigram scoring (Brants et al. 2007, "Large
+# Language Models in Machine Translation" §4 — THE distributed-LM
+# smoothing: no normalization pass, just score backoff with a fixed
+# 0.4 penalty, designed exactly for MapReduce-style count tables).
+# Counts are trained on a 90% reference partition (doc_id % 10 <> 0)
+# and ALL documents score against it — held-out scoring, the
+# CCNet/DSIR usage — so every backoff branch actually fires on this
+# corpus (982 trigram backoffs + 1 double backoff at sf0.01; the x52
+# vacuity lesson).
+# ----------------------------------------------------------------------
+
+_SB_ALPHA = 0.4
+
+_SQL_STUPID_BACKOFF = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+trif AS (
+  SELECT doc_id, g.w1 AS w1, g.w2 AS w2, g.w3 AS w3 FROM (
+    SELECT doc_id, unnest([{{'w1': t[i], 'w2': t[i+1], 'w3': t[i+2]}}
+                           for i in range(1, len(t) - 1)]) AS g
+    FROM w)
+),
+bif AS (
+  SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM (
+    SELECT doc_id, unnest([{{'w1': t[i], 'w2': t[i+1]}}
+                           for i in range(1, len(t))]) AS g
+    FROM w)
+),
+unif AS (SELECT doc_id, unnest(t) AS term FROM w),
+tric AS (SELECT w1, w2, w3, COUNT(*) AS c FROM trif WHERE doc_id % 10 <> 0 GROUP BY 1, 2, 3),
+bic AS (SELECT w1, w2, COUNT(*) AS c FROM bif WHERE doc_id % 10 <> 0 GROUP BY 1, 2),
+unic AS (SELECT term, COUNT(*) AS c FROM unif WHERE doc_id % 10 <> 0 GROUP BY term),
+nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM unic),
+scored AS (
+  SELECT f.doc_id,
+         CASE WHEN tt.c IS NOT NULL THEN 0
+              WHEN b23.c IS NOT NULL THEN 1
+              ELSE 2 END AS branch,
+         CASE WHEN tt.c IS NOT NULL THEN tt.c * 1.0 / ctx.c
+              WHEN b23.c IS NOT NULL THEN {_SB_ALPHA} * (b23.c * 1.0 / u2.c)
+              ELSE {_SB_ALPHA} * {_SB_ALPHA} * (u3.c * 1.0 / nt.n) END AS s
+  FROM trif f
+  LEFT JOIN tric tt ON tt.w1 = f.w1 AND tt.w2 = f.w2 AND tt.w3 = f.w3
+  LEFT JOIN bic ctx ON ctx.w1 = f.w1 AND ctx.w2 = f.w2
+  LEFT JOIN bic b23 ON b23.w1 = f.w2 AND b23.w2 = f.w3
+  LEFT JOIN unic u2 ON u2.term = f.w2
+  LEFT JOIN unic u3 ON u3.term = f.w3
+  CROSS JOIN nt
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pos,
+       CAST(COUNT(*) FILTER (branch = 0) AS BIGINT) AS n_tri,
+       CAST(COUNT(*) FILTER (branch = 1) AS BIGINT) AS n_bi_backoff,
+       CAST(COUNT(*) FILTER (branch = 2) AS BIGINT) AS n_uni_backoff,
+       ROUND(-SUM(ln(s)) / COUNT(*), 4) AS xent3
+FROM scored GROUP BY doc_id
+"""
+
+
+@query("x77_stupid_backoff_score", oracle=_SQL_STUPID_BACKOFF)
+def x77_stupid_backoff_score(spark, sf_dir):
+    """Held-out Stupid Backoff trigram cross-entropy: score every
+    document against trigram/bigram/unigram count tables trained on
+    the 90% reference partition; S(w3|w1w2) backs off with a fixed 0.4
+    penalty per level (no discounting — the smoothing built for
+    count-table LMs at MapReduce scale). Branch usage is part of the
+    report (n_tri / n_bi_backoff / n_uni_backoff) so the score is
+    auditable.
+
+    Scale shape: n-gram construction is row-local (transform over the
+    token array); the count tables are one aggregation each; the
+    scoring pass left-joins the trigram stream against them — unigram/
+    bigram tables broadcast (vocab/V² bounded), the trigram join stays
+    a shuffle join co-partitioned on the count key (trigram TYPES
+    don't broadcast at 100 TB; AQE collapses it at small SFs). Float
+    parity: every S is a CASE over exact-integer divisions with the
+    same double literals multiplied in the same order; the mean of
+    logs rounds to 4 (the x32 analysis)."""
+    d = T(spark, sf_dir, "documents")
+    w = d.select("doc_id", _tokens().alias("t"))
+    trif = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) >= 3 THEN transform(sequence(0, size(t) - 3),"
+                " i -> struct(t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3))"
+                " ELSE array() END"
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.w1", "g.w2", "g.w3")
+    bif = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2),"
+                " i -> struct(t[i] AS w1, t[i+1] AS w2))"
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.w1", "g.w2")
+    unif = w.select("doc_id", F.explode("t").alias("term"))
+    train = F.pmod(F.col("doc_id"), F.lit(10)) != 0
+    tric = trif.filter(train).groupBy("w1", "w2", "w3").agg(F.count("*").alias("tc"))
+    bic = bif.filter(train).groupBy("w1", "w2").agg(F.count("*").alias("bc"))
+    unic = unif.filter(train).groupBy("term").agg(F.count("*").alias("uc"))
+    nt = unic.agg(F.sum("uc").cast("long").alias("n"))
+    a = _SB_ALPHA
+    joined = (
+        trif.join(tric, ["w1", "w2", "w3"], "left")
+        .join(
+            F.broadcast(bic.select(F.col("w1"), F.col("w2"), F.col("bc").alias("ctxc"))),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(
+            F.broadcast(
+                bic.select(
+                    F.col("w1").alias("w2"), F.col("w2").alias("w3"),
+                    F.col("bc").alias("b23c"),
+                )
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(
+            F.broadcast(unic.select(F.col("term").alias("w2"), F.col("uc").alias("u2c"))),
+            "w2", "left",
+        )
+        .join(
+            F.broadcast(unic.select(F.col("term").alias("w3"), F.col("uc").alias("u3c"))),
+            "w3", "left",
+        )
+        .crossJoin(F.broadcast(nt))
+    )
+    branch = (
+        F.when(F.col("tc").isNotNull(), F.lit(0))
+        .when(F.col("b23c").isNotNull(), F.lit(1))
+        .otherwise(F.lit(2))
+    )
+    s = (
+        F.when(F.col("tc").isNotNull(), F.col("tc") * F.lit(1.0) / F.col("ctxc"))
+        .when(
+            F.col("b23c").isNotNull(),
+            F.lit(a) * (F.col("b23c") * F.lit(1.0) / F.col("u2c")),
+        )
+        .otherwise(
+            F.lit(a) * F.lit(a) * (F.col("u3c") * F.lit(1.0) / F.col("n"))
+        )
+    )
+    scored = joined.select("doc_id", branch.alias("branch"), s.alias("s"))
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_pos"),
+        F.count(F.when(F.col("branch") == 0, 1)).cast("long").alias("n_tri"),
+        F.count(F.when(F.col("branch") == 1, 1)).cast("long").alias("n_bi_backoff"),
+        F.count(F.when(F.col("branch") == 2, 1)).cast("long").alias("n_uni_backoff"),
+        F.round(-F.sum(F.log("s")) / F.count("*"), 4).alias("xent3"),
+    )
+
+
+# Window and registry are at cap this round; x77 ships library-gated
+# (strict local harness) like x62/x69/x70/x73/x74/x76.
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote3  # noqa: E402
+
+_demote3("x77_stupid_backoff_score")
+del _demote3
