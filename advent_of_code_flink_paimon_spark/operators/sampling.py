@@ -435,3 +435,72 @@ from advent_of_code_flink_paimon_spark.operators.registry import demote as _demo
 
 _demote("x73_temperature_mixture")
 del _demote
+
+
+# ----------------------------------------------------------------------
+# x78: source-vs-corpus distribution drift (KL divergence over unigram
+# distributions) — the mixing diagnostic behind DoReMi-style reweighting
+# (Xie et al. 2023) and domain-shift audits: KL(p_source ‖ p_corpus)
+# per source, from exact token counts. A source whose language use
+# diverges from the pool gets flagged before it skews the mixture.
+# ----------------------------------------------------------------------
+
+_SQL_SOURCE_KL = """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+),
+corpus AS (SELECT term, COUNT(*) AS ct FROM tok GROUP BY term),
+n AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt FROM corpus),
+per_src AS (SELECT source, term, COUNT(*) AS cs FROM tok GROUP BY source, term),
+n_src AS (SELECT source, CAST(SUM(cs) AS BIGINT) AS ns FROM per_src GROUP BY source)
+SELECT p.source, s.ns AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       ROUND(SUM((p.cs * 1.0 / s.ns)
+                 * ln((p.cs * 1.0 / s.ns) / (c.ct * 1.0 / n.nt))), 6) AS kl
+FROM per_src p
+JOIN n_src s USING (source)
+JOIN corpus c USING (term)
+CROSS JOIN n
+GROUP BY p.source, s.ns
+"""
+
+
+@query("x78_source_kl_drift", oracle=_SQL_SOURCE_KL)
+def x78_source_kl_drift(spark, sf_dir):
+    """KL(p_source ‖ p_corpus) over unigram distributions, per source —
+    every term a source uses also appears in the corpus pool (the
+    source IS part of the pool), so the divergence is always finite
+    and needs no smoothing.
+
+    Scale shape: two count aggregations (per-(source, term) and
+    per-term) + one vocabulary-sized broadcast join back; the KL sum
+    is a per-source aggregation over vocab-sized rows. Every
+    probability is a division of exact integers; the per-source sum of
+    ~V doubles rounds to 6 (noise ~1e-15 vs the 5e-7 quantum)."""
+    d = T(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("term"))
+    corpus = tok.groupBy("term").agg(F.count("*").alias("ct"))
+    n = corpus.agg(F.sum("ct").cast("long").alias("nt"))
+    per_src = tok.groupBy("source", "term").agg(F.count("*").alias("cs"))
+    n_src = per_src.groupBy("source").agg(F.sum("cs").cast("long").alias("ns"))
+    ps = F.col("cs") * F.lit(1.0) / F.col("ns")
+    pc = F.col("ct") * F.lit(1.0) / F.col("nt")
+    return (
+        per_src.join(F.broadcast(n_src), "source")
+        .join(F.broadcast(corpus), "term")
+        .crossJoin(F.broadcast(n))
+        .groupBy("source", F.col("ns").alias("n_tokens"))
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.round(F.sum(ps * F.log(ps / pc)), 6).alias("kl"),
+        )
+        .select("source", "n_tokens", "n_terms", "kl")
+    )
+
+
+# Window and registry are at cap this round; x78 ships library-gated
+# like x73/x74/x76/x77.
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote4  # noqa: E402
+
+_demote4("x78_source_kl_drift")
+del _demote4
