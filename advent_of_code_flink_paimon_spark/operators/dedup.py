@@ -1880,3 +1880,93 @@ def minhash_quality_report(spark, sf_dir: str, k: int = MINHASH_K) -> DataFrame:
         F.abs(F.col("est_jaccard") - F.col("jaccard")).alias("abs_err"),
         (F.col("jaccard") >= JACCARD_THRESHOLD).alias("is_dup"),
     )
+
+
+# ----------------------------------------------------------------------
+# x79: split-leakage audit — the contamination check every eval setup
+# needs (Lee et al. 2022 §6.2 measure train/test overlap; Dodge et al.
+# 2021 document it in C4): for every near-duplicate pair, compare a
+# NAIVE per-document hash split against x48's cluster-hash split. The
+# naive split leaks (near-dups straddling the train/eval boundary —
+# 6 of 25 pairs at sf0.01); the cluster split provably cannot, and the
+# audit shows BOTH columns so the zero on the cluster side is evidence,
+# not assumption.
+# ----------------------------------------------------------------------
+
+_SQL_SPLIT_LEAKAGE = _SQL_CLUSTER_CTES + f"""
+, sizes2 AS (
+    SELECT doc_id, COUNT(*) AS n FROM (
+        SELECT doc_id, unnest(list_distinct(
+            [s[i] || ' ' || s[i+1] || ' ' || s[i+2] for i in range(1, len(s) - 1)]
+        )) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)
+    ) GROUP BY doc_id
+),
+pairs AS (SELECT i, j, jaccard FROM base),
+assign AS (
+    SELECT d.doc_id,
+           CASE WHEN (d.doc_id * {_SPLIT_KNUTH}) % 10 < 8 THEN 'train'
+                WHEN (d.doc_id * {_SPLIT_KNUTH}) % 10 = 8 THEN 'valid'
+                ELSE 'test' END AS naive_split,
+           CASE WHEN (COALESCE(c.cluster_id, d.doc_id) * {_SPLIT_KNUTH}) % 10 < 8 THEN 'train'
+                WHEN (COALESCE(c.cluster_id, d.doc_id) * {_SPLIT_KNUTH}) % 10 = 8 THEN 'valid'
+                ELSE 'test' END AS cluster_split
+    FROM documents d LEFT JOIN clusters c USING (doc_id)
+)
+SELECT p.i, p.j, p.jaccard,
+       ai.naive_split AS naive_split_i, aj.naive_split AS naive_split_j,
+       ai.naive_split <> aj.naive_split AS naive_leak,
+       ai.cluster_split <> aj.cluster_split AS cluster_leak
+FROM pairs p
+JOIN assign ai ON ai.doc_id = p.i
+JOIN assign aj ON aj.doc_id = p.j
+"""
+
+
+@query("x79_split_leakage_audit", oracle=_SQL_SPLIT_LEAKAGE)
+def x79_split_leakage_audit(spark, sf_dir):
+    """Per near-dup pair: would a naive per-document hash split leak it
+    across the train/eval boundary, and does x48's cluster-hash split?
+    The naive column is non-trivially true (6/25 pairs at sf0.01); the
+    cluster column is all-false BY THE AUDIT, not by assumption — it is
+    computed from the actual assignment relation.
+
+    Scale shape: the pair relation is x03's audited LSH plan
+    (pair-graph-sized, ≪ corpus); the two assignment joins are slim
+    (doc_id, split) lookups; the naive split is a scan-side hash
+    expression. Nothing here touches corpus text beyond x03's own
+    passes."""
+    pairs = x03_dedup_minhash_lsh(spark, sf_dir)
+    assign = x48_split_assign(spark, sf_dir)
+    h = (F.col("doc_id") * F.lit(_SPLIT_KNUTH)) % 10
+    naive = F.when(h < 8, "train").when(h == 8, "valid").otherwise("test")
+    a = assign.select(
+        "doc_id", naive.alias("naive_split"), F.col("split").alias("cluster_split")
+    )
+    ai = a.select(
+        F.col("doc_id").alias("i"),
+        F.col("naive_split").alias("naive_split_i"),
+        F.col("cluster_split").alias("cs_i"),
+    )
+    aj = a.select(
+        F.col("doc_id").alias("j"),
+        F.col("naive_split").alias("naive_split_j"),
+        F.col("cluster_split").alias("cs_j"),
+    )
+    return (
+        pairs.join(ai, "i")
+        .join(aj, "j")
+        .select(
+            "i", "j", "jaccard", "naive_split_i", "naive_split_j",
+            (F.col("naive_split_i") != F.col("naive_split_j")).alias("naive_leak"),
+            (F.col("cs_i") != F.col("cs_j")).alias("cluster_leak"),
+        )
+    )
+
+
+# Window and registry are at cap this round; x79 ships library-gated
+# like x73/x74/x76/x77/x78.
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote5  # noqa: E402
+
+_demote5("x79_split_leakage_audit")
+del _demote5
