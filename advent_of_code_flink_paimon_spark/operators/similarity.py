@@ -2687,3 +2687,102 @@ def kmeans_train(
         if shift <= tol:
             break
     return cents, history
+
+
+# ----------------------------------------------------------------------
+# x80: embedding anisotropy report (Ethayarajh 2019, arXiv:1909.00512
+# — contextual embeddings are anisotropic; the audit every embedding
+# pipeline runs before trusting cosine retrieval): per label, the mean
+# pairwise dot product computed in O(N) from the algebraic identity
+# Σ_{i≠j} x_i·x_j = ‖Σx‖² − Σ‖x‖² — never the O(N²) pair join. High
+# mean pairwise similarity ⇒ a collapsed (anisotropic) embedding space
+# where cosine stops discriminating.
+# ----------------------------------------------------------------------
+
+_SQL_ANISOTROPY = f"""
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS cv FROM embeddings),
+norms AS (
+  SELECT label, vec_id,
+         list_sum([cv[i] * cv[i] for i in range(1, len(cv)+1)]) AS n2
+  FROM v
+),
+dims AS (
+  SELECT label, u.pos AS pos, ROUND(SUM(u.x), {_KM_ROUND}) AS sv
+  FROM (SELECT label, unnest([{{'pos': i, 'x': cv[i]}} for i in range(1, len(cv)+1)]) AS u FROM v)
+  GROUP BY label, u.pos
+),
+sumvec AS (
+  SELECT label, list_sum([x * x for x in list(sv ORDER BY pos)]) AS sum_norm2
+  FROM dims GROUP BY label
+),
+agg AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(n2) AS tot_norm2, SUM(sqrt(n2)) AS tot_norm
+  FROM norms GROUP BY label
+)
+SELECT a.label, a.n,
+       ROUND(a.tot_norm / a.n, 6) AS mean_norm,
+       ROUND((s.sum_norm2 - a.tot_norm2) / (a.n * (a.n - 1)), 6) AS mean_pair_dot
+FROM agg a JOIN sumvec s USING (label)
+"""
+
+
+@query("x80_embedding_anisotropy", oracle=_SQL_ANISOTROPY)
+def x80_embedding_anisotropy(spark, sf_dir):
+    """Per-label embedding-space anisotropy: mean vector norm and the
+    mean pairwise dot product over all N(N−1) ordered pairs — computed
+    from ONE corpus pass via ‖Σx‖² − Σ‖x‖², the identity that replaces
+    the O(N²) pair join with a (labels · dim)-key aggregation. At
+    100 TB this is the difference between a scan and an impossible
+    self-join.
+
+    Determinism: the per-dim sums round to 6 BEFORE squaring (the x39
+    centroid treatment), the squared fold over the 64 rounded sums is
+    ordered on both engines, and the final ratios round to 6 (unordered
+    float-sum noise ~1e-12 vs the 5e-7 quantum)."""
+    e = T(spark, sf_dir, "embeddings")
+    v = fan_out(e, heavy=True).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("cv")
+    )
+    n2 = F.aggregate(
+        F.transform("cv", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    norms = v.select("label", n2.alias("n2"))
+    agg = norms.groupBy("label").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("n2").alias("tot_norm2"),
+        F.sum(F.sqrt("n2")).alias("tot_norm"),
+    )
+    sumvec = (
+        v.select("label", F.posexplode("cv").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.sum("x"), _KM_ROUND).alias("sv"))
+        .groupBy("label")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "sv"))),
+                    lambda s: s.sv * s.sv,
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("sum_norm2")
+        )
+    )
+    return agg.join(sumvec, "label").select(
+        "label",
+        "n",
+        F.round(F.col("tot_norm") / F.col("n"), 6).alias("mean_norm"),
+        F.round(
+            (F.col("sum_norm2") - F.col("tot_norm2")) / (F.col("n") * (F.col("n") - 1)),
+            6,
+        ).alias("mean_pair_dot"),
+    )
+
+
+# Window and registry are at cap this round; x80 ships library-gated
+# like x73/x74/x76-x79.
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote6  # noqa: E402
+
+_demote6("x80_embedding_anisotropy")
+del _demote6
