@@ -1707,9 +1707,14 @@ def x71_bigram_lm_score(spark, sf_dir):
         ).alias("b"),
     ).select("doc_id", "b.w1", "b.w2")
     tok = w.select("doc_id", F.explode("w").alias("term"))
-    uni = tok.groupBy("term").agg(F.count("*").alias("ucnt"))
+    # persist the two count tables: uni feeds tot AND the scoring join,
+    # bic feeds pre AND the scoring join — without the cache Catalyst
+    # rebuilds each subtree from its own corpus scan (5 tokenization
+    # passes observed in the plan; 3 with the caches). Both tables are
+    # type-sized (vocab / bigram types), never corpus-sized.
+    uni = tok.groupBy("term").agg(F.count("*").alias("ucnt")).persist()
     tot = uni.agg(F.sum("ucnt").cast("long").alias("tot"))
-    bic = bg.groupBy("w1", "w2").agg(F.count("*").alias("bcnt"))
+    bic = bg.groupBy("w1", "w2").agg(F.count("*").alias("bcnt")).persist()
     pre = bic.groupBy("w1").agg(F.sum("bcnt").cast("long").alias("pcnt"))
     prob = (
         F.lit(X71_LAMBDA) * (F.col("bcnt") * F.lit(1.0) / F.col("pcnt"))
