@@ -2786,3 +2786,86 @@ from advent_of_code_flink_paimon_spark.operators.registry import demote as _demo
 
 _demote6("x80_embedding_anisotropy")
 del _demote6
+
+
+# ----------------------------------------------------------------------
+# x81: reciprocal-rank fusion of two ANN retrievers (Cormack, Clarke &
+# Buettcher 2009 — RRF, the standard hybrid/ensemble ranking rule):
+# fuse the LSH path (x11) and the IVF path (x12) per query by
+# score(d) = Σ_r 1/(K + rank_r(d)), K = 60. Two independent
+# approximations with different failure modes (hyperplane buckets vs
+# inverted lists) ensemble into a more robust candidate ranking — the
+# same reason production retrieval fuses lexical + dense.
+# ----------------------------------------------------------------------
+
+_RRF_K = 60
+
+_SQL_RRF = f"""
+WITH lsh AS ({_sql_lsh()}),
+ivf AS ({_SQL_IVF}),
+unioned AS (
+  SELECT query_id, vec_id, 1.0 / ({_RRF_K} + rank) AS contrib FROM lsh
+  UNION ALL
+  SELECT query_id, vec_id, 1.0 / ({_RRF_K} + rank) AS contrib FROM ivf
+),
+fused AS (
+  SELECT query_id, vec_id, CAST(COUNT(*) AS BIGINT) AS n_lists,
+         ROUND(SUM(contrib), 6) AS rrf_score
+  FROM unioned GROUP BY query_id, vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, n_lists, rrf_score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY rrf_score DESC, vec_id ASC) AS rank
+  FROM fused
+)
+SELECT query_id, vec_id, n_lists, rrf_score, rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+@query("x81_rrf_fusion_topk", oracle=_SQL_RRF)
+def x81_rrf_fusion_topk(spark, sf_dir):
+    """RRF-fused top-k over the LSH (x11) and IVF (x12) ANN paths:
+    each retriever contributes 1/(60 + rank) for its top-k, summed per
+    (query, candidate), re-ranked by the fused score. ``n_lists``
+    reports how many retrievers surfaced each winner (the ensemble
+    evidence).
+
+    Determinism: both inputs are this module's own oracled relations;
+    the contribution is an exact double (1/(60+r) from integer r) and
+    a (query, vec) group sums at most two of them — IEEE addition of
+    two terms is order-insensitive, so the fused score is bit-identical
+    before its 6-decimal rounding; ties break on vec_id. Scale shape:
+    two audited top-k plans + one union + one k·q-row aggregation —
+    the fusion itself touches ≤ 2·k·q rows."""
+    lsh = x11_embedding_topk_lsh(spark, sf_dir).select(
+        "query_id", "vec_id", (F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank"))).alias("contrib")
+    )
+    ivf = x12_embedding_topk_ivf(spark, sf_dir).select(
+        "query_id", "vec_id", (F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank"))).alias("contrib")
+    )
+    fused = (
+        lsh.unionByName(ivf)
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.count("*").cast("long").alias("n_lists"),
+            F.round(F.sum("contrib"), 6).alias("rrf_score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "n_lists", "rrf_score", "rank")
+    )
+
+
+# Window and registry are at cap this round; x81 ships library-gated
+# like x73/x74/x76-x80.
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote7  # noqa: E402
+
+_demote7("x81_rrf_fusion_topk")
+del _demote7
