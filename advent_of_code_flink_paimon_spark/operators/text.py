@@ -2042,3 +2042,163 @@ from advent_of_code_flink_paimon_spark.operators.registry import demote as _demo
 
 _demote3("x77_stupid_backoff_score")
 del _demote3
+
+
+# ----------------------------------------------------------------------
+# x82: BM25 with pseudo-relevance feedback (RM3-lite; Abdul-Jaleel et
+# al. 2004's RM3 is the canonical form) — the second-round retrieval
+# trick every lexical engine ships: take the top-F documents of the
+# initial BM25 ranking AS IF relevant, extract the E highest-weight
+# expansion terms (relevance-model weight Σ_d tf(t,d)/dl(d)), and
+# re-rank with the expanded query. Round 2 is the RELATIONAL BM25
+# (term table join) because the term set is data-dependent — the form
+# that also serves ad-hoc multi-term workloads at scale.
+# ----------------------------------------------------------------------
+
+_PRF_FEEDBACK_DOCS = 10
+_PRF_EXPANSION_TERMS = 3
+
+
+def _bm25_prf_sql() -> str:
+    orig_list = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+WITH r1 AS ({_bm25_sql()}),
+fb AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rr FROM r1
+  ) WHERE rr <= {_PRF_FEEDBACK_DOCS}
+),
+fbtok AS (
+  SELECT f.doc_id, len(string_split(d.text, ' ')) AS dl,
+         unnest(string_split(d.text, ' ')) AS term
+  FROM fb f JOIN documents d USING (doc_id)
+),
+fbtf AS (
+  SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
+  FROM fbtok GROUP BY doc_id, term
+),
+expw AS (
+  SELECT term, ROUND(SUM(tf * 1.0 / dl), 6) AS wgt
+  FROM fbtf WHERE term NOT IN ({orig_list})
+  GROUP BY term
+),
+expterms AS (
+  SELECT term FROM (
+    SELECT term, ROW_NUMBER() OVER (ORDER BY wgt DESC, term) AS r FROM expw
+  ) WHERE r <= {_PRF_EXPANSION_TERMS}
+),
+allterms AS (
+  SELECT term FROM expterms
+  UNION ALL SELECT unnest([{orig_list}]) AS term
+),
+dls AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sumdl FROM dls),
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf2 AS (
+  SELECT t.doc_id, t.term, COUNT(*) AS tf
+  FROM tok t JOIN allterms USING (term) GROUP BY t.doc_id, t.term
+),
+df2 AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf2 GROUP BY term),
+contrib AS (
+  SELECT f.doc_id,
+         (ln(((n.n_docs - d2.df + 0.5) / (d2.df + 0.5)) + 1.0)
+          * ((f.tf * ({_BM25_K1} + 1.0))
+             / (f.tf + {_BM25_K1} * ((1.0 - {_BM25_B}) + {_BM25_B} * ((l.dl * n.n_docs) / n.sumdl))))) AS c
+  FROM tf2 f JOIN df2 d2 USING (term) JOIN dls l USING (doc_id) CROSS JOIN n
+),
+scored AS (SELECT doc_id, ROUND(SUM(c), 6) AS bm25_prf FROM contrib GROUP BY doc_id)
+SELECT doc_id, bm25_prf FROM scored
+ORDER BY bm25_prf DESC, doc_id
+LIMIT {_BM25_TOPK}
+"""
+
+
+@query("x82_bm25_prf_topk", oracle=_bm25_prf_sql())
+def x82_bm25_prf_topk(spark, sf_dir):
+    """Two-round BM25 with pseudo-relevance feedback: round 1 is x62's
+    proven fixed-term ranking; the top-{fb} docs contribute expansion
+    terms by relevance-model weight Σ tf/dl (rounded before ranking,
+    term tiebreak); round 2 re-ranks the corpus against the expanded
+    term RELATION with the relational BM25 (explode → term join →
+    per-doc sum) — no driver round-trip anywhere, the term set stays a
+    lazy DataFrame.
+
+    Scale shape: round 1 is x62's audited map-only plan; expansion
+    works on F·dl rows (feedback-sized); round 2 shuffles only the
+    matching (doc, term) posting rows of ≤ |orig|+E terms — the
+    relational BM25 form that serves data-dependent term sets, with
+    the df table broadcast back. Float parity: per-term contributions
+    are the same IEEE expression both engines; the ≤7-term per-doc sum
+    rounds to 6 before the final ordering (doc_id tiebreak)."""
+    d = T(spark, sf_dir, "documents")
+    r1 = x62_bm25_topk(spark, sf_dir)
+    wfb = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    fb = (
+        r1.withColumn("rr", F.row_number().over(wfb))
+        .filter(F.col("rr") <= _PRF_FEEDBACK_DOCS)
+        .select("doc_id")
+    )
+    fbtok = fb.join(d, "doc_id").select(
+        "doc_id",
+        F.size(_tokens()).alias("dl"),
+        F.explode(_tokens()).alias("term"),
+    )
+    fbtf = fbtok.groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf"), F.min("dl").alias("dl")
+    )
+    expw = (
+        fbtf.filter(~F.col("term").isin(_BM25_TERMS))
+        .groupBy("term")
+        .agg(F.round(F.sum(F.col("tf") * F.lit(1.0) / F.col("dl")), 6).alias("wgt"))
+    )
+    wexp = Window.orderBy(F.col("wgt").desc(), F.col("term"))
+    expterms = (
+        expw.withColumn("r", F.row_number().over(wexp))
+        .filter(F.col("r") <= _PRF_EXPANSION_TERMS)
+        .select("term")
+    )
+    allterms = expterms.unionByName(
+        spark.createDataFrame([(t,) for t in _BM25_TERMS], "term string")
+    )
+    dls = d.select("doc_id", F.size(_tokens()).alias("dl"))
+    n = dls.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sumdl"),
+    )
+    tok = d.select("doc_id", F.explode(_tokens()).alias("term"))
+    tf2 = tok.join(F.broadcast(allterms), "term").groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf")
+    )
+    df2 = tf2.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    idf = F.log(((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)) + 1.0)
+    c = idf * (
+        (F.col("tf") * (_BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + _BM25_K1
+            * (
+                (1.0 - _BM25_B)
+                + _BM25_B * ((F.col("dl") * F.col("n_docs")) / F.col("sumdl"))
+            )
+        )
+    )
+    contrib = (
+        tf2.join(F.broadcast(df2), "term")
+        .join(dls, "doc_id")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", c.alias("c"))
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.round(F.sum("c"), 6).alias("bm25_prf"))
+        .orderBy(F.col("bm25_prf").desc(), "doc_id")
+        .limit(_BM25_TOPK)
+    )
+
+
+# Window and registry are at cap this round; x82 ships library-gated
+# like x73/x74/x76-x81.
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote8  # noqa: E402
+
+_demote8("x82_bm25_prf_topk")
+del _demote8
