@@ -1327,3 +1327,66 @@ def test_kmeans_train_matches_numpy_model(spark):
         assert np.allclose(np.array(cent), model[cid], atol=1e-9), cid
     assert len(history) <= 4 and all(s >= 0 for s in history)
     v.unpersist()
+
+
+def test_anisotropy_identity_vs_bruteforce(spark):
+    """x80's O(N) mean-pair-dot (the ||Sum x||^2 - Sum||x||^2 identity)
+    equals the brute-force O(N^2) pairwise mean on sf0.001, per label,
+    to well inside the rounding quantum."""
+    import numpy as np
+
+    from advent_of_code_flink_paimon_spark.operators.registry import T
+    from advent_of_code_flink_paimon_spark.operators.similarity import (
+        x80_embedding_anisotropy,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    by_label = {}
+    for r in T(spark, sf, "embeddings").collect():
+        by_label.setdefault(r.label, []).append(np.array(r.embedding, dtype=np.float64))
+    got = {r.label: (r.n, r.mean_norm, r.mean_pair_dot)
+           for r in x80_embedding_anisotropy(spark, sf).collect()}
+    assert set(got) == set(by_label)
+    for label, vecs in by_label.items():
+        X = np.stack(vecs)
+        n = len(X)
+        G = X @ X.T
+        brute = (G.sum() - np.trace(G)) / (n * (n - 1))
+        gn, gmn, gmpd = got[label]
+        assert gn == n
+        assert abs(gmn - np.linalg.norm(X, axis=1).mean()) < 1e-5
+        assert abs(gmpd - brute) < 1e-5, (label, gmpd, brute)
+
+
+def test_rrf_fusion_matches_python_model(spark):
+    """x81's fused ranking equals a Python RRF over the collected x11
+    and x12 relations (same K, same tiebreaks)."""
+    from advent_of_code_flink_paimon_spark.operators.similarity import (
+        TOP_K,
+        _RRF_K,
+        x11_embedding_topk_lsh,
+        x12_embedding_topk_ivf,
+        x81_rrf_fusion_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    contribs = {}
+    for rel in (x11_embedding_topk_lsh(spark, sf), x12_embedding_topk_ivf(spark, sf)):
+        for r in rel.collect():
+            key = (r.query_id, r.vec_id)
+            contribs.setdefault(key, []).append(1.0 / (_RRF_K + r.rank))
+    fused = {
+        k: (len(v), round(sum(v), 6)) for k, v in contribs.items()
+    }
+    want = {}
+    by_q = {}
+    for (q, v), (nl, s) in fused.items():
+        by_q.setdefault(q, []).append((-s, v, nl))
+    for q, rows in by_q.items():
+        for rank, (negs, v, nl) in enumerate(sorted(rows)[:TOP_K], 1):
+            want[(q, v)] = (nl, -negs, rank)
+    got = {
+        (r.query_id, r.vec_id): (r.n_lists, r.rrf_score, r.rank)
+        for r in x81_rrf_fusion_topk(spark, sf).collect()
+    }
+    assert got == want
