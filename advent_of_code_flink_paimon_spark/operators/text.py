@@ -2202,3 +2202,184 @@ from advent_of_code_flink_paimon_spark.operators.registry import demote as _demo
 
 _demote8("x82_bm25_prf_topk")
 del _demote8
+
+
+# ----------------------------------------------------------------------
+# Unigram-LM tokenizer training (Kudo 2018, arXiv:1804.10959 — the
+# SentencePiece unigram model), hard-EM variant: seed the piece vocab
+# with frequent substrings, then alternate Viterbi segmentation of the
+# (distinct, frequency-weighted) words against current piece log-probs
+# with count re-estimation, pruning to the target vocab each round.
+# Completes the tokenizer trio next to bpe_train / bpe_encode.
+#
+# The per-word Viterbi DP is genuinely beyond Spark's built-in
+# expressions (random-access DP with backtrace), so the E-step runs in
+# an Arrow-batched pandas UDF over the DISTINCT words (vocab-sized —
+# the bpe_encode collapse; the corpus itself is never segmented during
+# training). Everything else is DataFrame algebra.
+# ----------------------------------------------------------------------
+
+_UNI_MAX_PIECE = 4
+
+
+def _viterbi_segment(word: str, logp: dict) -> list[str]:
+    """Best segmentation of ``word`` under piece log-probs: maximize
+    Σ logp(piece); ties prefer the LONGER last piece (smaller split
+    point), the SentencePiece convention — fully deterministic."""
+    n = len(word)
+    NEG = float("-inf")
+    best = [NEG] * (n + 1)
+    back = [0] * (n + 1)
+    best[0] = 0.0
+    for i in range(1, n + 1):
+        for j in range(max(0, i - _UNI_MAX_PIECE), i):
+            p = logp.get(word[j:i])
+            if p is None or best[j] == NEG:
+                continue
+            cand = best[j] + p
+            # strictly greater, or equal with smaller j (longer piece):
+            # iterating j ascending, '>' alone implements both rules
+            if cand > best[i]:
+                best[i], back[i] = cand, j
+    if best[n] == NEG:  # unreachable when all single chars are pieces
+        return list(word)
+    out, i = [], n
+    while i > 0:
+        j = back[i]
+        out.append(word[j:i])
+        i = j
+    return out[::-1]
+
+
+def unigram_lm_train(
+    spark,
+    docs,
+    vocab_size: int = 120,
+    seed_size: int = 200,
+    em_rounds: int = 3,
+):
+    """Train a unigram-LM piece vocabulary over a (doc_id, text)
+    relation. Returns (pieces, history): ``pieces`` is a list of
+    (piece, count, logp) sorted by (-count, piece); ``history`` the
+    per-round total weighted Viterbi log-likelihood (non-decreasing —
+    the hard-EM guarantee, asserted by the model test).
+
+    Scale shape: the word relation is DISTINCT words + frequencies
+    (vocab-sized); seed-substring generation is one row-local flatten
+    + one count aggregation; each EM round is one Arrow-batched
+    pandas-UDF pass over the distinct words plus a piece-count
+    aggregation whose result (≤ seed_size + alphabet rows) is the only
+    driver traffic. The corpus is scanned once (the word count);
+    nothing corpus-sized ever reaches the driver or the UDF."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    words = (
+        fan_out(docs, heavy=True)
+        .select(F.explode(_tokens()).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .persist()
+    )
+
+    # seed: all substrings up to _UNI_MAX_PIECE chars, weighted by word
+    # frequency × occurrence multiplicity (row-local generation)
+    subs = words.select(
+        "freq",
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(1, {_UNI_MAX_PIECE}),"
+                " l -> CASE WHEN length(w) >= l THEN"
+                "   transform(sequence(1, length(w) - l + 1), i -> substring(w, i, l))"
+                "   ELSE array() END))"
+            )
+        ).alias("piece"),
+    )
+    seed_counts = (
+        subs.groupBy("piece").agg(F.sum("freq").cast("long").alias("cnt")).collect()
+    )
+    by_piece = {r.piece: int(r.cnt) for r in seed_counts}
+    chars = {p for p in by_piece if len(p) == 1}
+    ranked = sorted(by_piece.items(), key=lambda kv: (-kv[1], kv[0]))
+    vocab = {p for p, _ in ranked[:seed_size]} | chars
+    counts = {p: by_piece[p] for p in vocab}
+
+    import math
+
+    def to_logp(counts):
+        tot = sum(counts.values())
+        return {p: math.log(c / tot) for p, c in counts.items() if c > 0}
+
+    logp = to_logp(counts)
+    history = []
+    for _ in range(em_rounds):
+        lp = dict(logp)  # closure snapshot for this round's UDF
+
+        @pandas_udf("struct<pieces: array<string>, ll: double>")
+        def seg(col):
+            out = []
+            for w in col:
+                ps = _viterbi_segment(w, lp)
+                out.append(
+                    {"pieces": ps, "ll": sum(lp.get(p, 0.0) for p in ps)}
+                )
+            return pd.DataFrame(out)
+
+        segd = words.select("w", "freq", seg("w").alias("s")).persist()
+        ll = segd.agg(
+            F.sum(F.col("freq") * F.col("s.ll")).alias("ll")
+        ).collect()[0].ll
+        history.append(float(ll))
+        new_rows = (
+            segd.select("freq", F.explode("s.pieces").alias("piece"))
+            .groupBy("piece")
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+            .collect()
+        )
+        segd.unpersist()
+        new_counts = {r.piece: int(r.cnt) for r in new_rows}
+        # coverage floor: single-char pieces never leave the vocab
+        for c in chars:
+            new_counts.setdefault(c, 1)
+        # prune to the target: top by (count desc, piece asc) + chars
+        ranked = sorted(new_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        keep = {p for p, _ in ranked[:vocab_size]} | chars
+        counts = {p: c for p, c in new_counts.items() if p in keep}
+        logp = to_logp(counts)
+    words.unpersist()
+    pieces = sorted(
+        ((p, c, round(logp[p], 6)) for p, c in counts.items()),
+        key=lambda t: (-t[1], t[0]),
+    )
+    return pieces, history
+
+
+def unigram_encode(spark, docs, pieces: list) -> "DataFrame":
+    """Segment a corpus with a TRAINED unigram vocab: Viterbi over the
+    DISTINCT words (one pandas-UDF pass, vocab-sized), then the
+    word → piece-count map broadcast-joins back onto the corpus tokens
+    (bpe_encode's shape). Returns (doc_id, n_words, n_pieces)."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    lp = {p: l for p, _c, l in pieces}
+
+    @pandas_udf("int")
+    def n_pieces_of(col):
+        return pd.Series([len(_viterbi_segment(w, lp)) for w in col])
+
+    vocab = (
+        fan_out(docs, heavy=True)
+        .select(F.explode(_tokens()).alias("w"))
+        .distinct()
+        .select("w", n_pieces_of("w").alias("np"))
+    )
+    tok = docs.select("doc_id", F.explode(_tokens()).alias("w"))
+    return (
+        tok.join(F.broadcast(vocab), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("np").cast("long").alias("n_pieces"),
+        )
+    )

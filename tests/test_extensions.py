@@ -1390,3 +1390,84 @@ def test_rrf_fusion_matches_python_model(spark):
         for r in x81_rrf_fusion_topk(spark, sf).collect()
     }
     assert got == want
+
+
+def test_unigram_lm_train_matches_python_model(spark):
+    """The distributed unigram-LM trainer (hard-EM) reproduces a
+    sequential Python run of the same algorithm exactly — same seed
+    vocab, same per-round counts, same final pieces — and the weighted
+    Viterbi log-likelihood is non-decreasing over EM rounds (the
+    hard-EM guarantee). unigram_encode's per-doc piece counts equal
+    direct Python segmentation."""
+    import math
+    from collections import Counter
+
+    from advent_of_code_flink_paimon_spark.operators.registry import T
+    from advent_of_code_flink_paimon_spark.operators.text import (
+        _UNI_MAX_PIECE,
+        _viterbi_segment,
+        unigram_encode,
+        unigram_lm_train,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = T(spark, sf, "documents")
+    texts = {r.doc_id: r.text.split(" ") for r in docs.select("doc_id", "text").collect()}
+    freqs = Counter(w for toks in texts.values() for w in toks)
+
+    VOCAB, SEED, ROUNDS = 120, 200, 3
+    # sequential replica of the trainer
+    by_piece = Counter()
+    for w, f in freqs.items():
+        for L in range(1, _UNI_MAX_PIECE + 1):
+            for i in range(len(w) - L + 1):
+                by_piece[w[i : i + L]] += f
+    chars = {p for p in by_piece if len(p) == 1}
+    ranked = sorted(by_piece.items(), key=lambda kv: (-kv[1], kv[0]))
+    vocab = {p for p, _ in ranked[:SEED]} | chars
+    counts = {p: by_piece[p] for p in vocab}
+
+    def to_logp(c):
+        tot = sum(c.values())
+        return {p: math.log(n / tot) for p, n in c.items() if n > 0}
+
+    logp = to_logp(counts)
+    want_hist = []
+    for _ in range(ROUNDS):
+        ll = 0.0
+        new_counts = Counter()
+        for w, f in freqs.items():
+            ps = _viterbi_segment(w, logp)
+            ll += f * sum(logp.get(p, 0.0) for p in ps)
+            for p in ps:
+                new_counts[p] += f
+        want_hist.append(ll)
+        for c in chars:
+            new_counts.setdefault(c, 1)
+        ranked = sorted(new_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        keep = {p for p, _ in ranked[:VOCAB]} | chars
+        counts = {p: c for p, c in new_counts.items() if p in keep}
+        logp = to_logp(counts)
+    want_pieces = sorted(
+        ((p, c, round(logp[p], 6)) for p, c in counts.items()),
+        key=lambda t: (-t[1], t[0]),
+    )
+
+    pieces, history = unigram_lm_train(
+        spark, docs, vocab_size=VOCAB, seed_size=SEED, em_rounds=ROUNDS
+    )
+    assert pieces == want_pieces
+    assert len(history) == ROUNDS
+    for got, want in zip(history, want_hist):
+        assert abs(got - want) < 1e-6 * max(1.0, abs(want))
+    for a, b in zip(history, history[1:]):
+        assert b >= a - 1e-9  # hard-EM likelihood never decreases
+
+    got_enc = {
+        r.doc_id: (r.n_words, r.n_pieces)
+        for r in unigram_encode(spark, docs, pieces).collect()
+    }
+    lp = {p: l for p, _c, l in pieces}
+    for doc_id, toks in texts.items():
+        n_pieces = sum(len(_viterbi_segment(w, lp)) for w in toks)
+        assert got_enc[doc_id] == (len(toks), n_pieces), doc_id
