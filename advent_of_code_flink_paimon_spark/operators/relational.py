@@ -1130,3 +1130,81 @@ from advent_of_code_flink_paimon_spark.operators.registry import demote as _demo
 
 _demote2("q49_grouping_sets")
 del _demote2
+
+
+# ----------------------------------------------------------------------
+# q50: forward-fill via IGNORE NULLS value windows — the gap-filling
+# idiom (carry the last observed value forward): here, "the most
+# recent purchase amount as of each event, per user". Exercises the
+# IGNORE NULLS window modifier q44's value windows don't.
+# ----------------------------------------------------------------------
+
+
+@query(
+    "q50_forward_fill",
+    oracle="""
+    SELECT event_id, user_id,
+           LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase
+    FROM events
+    """,
+)
+def q50_forward_fill(spark, sf_dir):
+    """Per-user forward fill: the last non-null purchase amount as of
+    each event (NULL until the user's first purchase). One exchange on
+    user_id; the fill is a running last_value(ignorenulls) frame —
+    no self-join, no correlated subquery. The nullable expression is
+    derived in-query (purchases carry their value, other events NULL),
+    so the IGNORE NULLS semantics are genuinely exercised."""
+    e = T(spark, sf_dir, "events")
+    x = F.when(F.col("event_type") == "purchase", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.last(x, ignorenulls=True).over(w).alias("last_purchase"),
+    )
+
+
+# ----------------------------------------------------------------------
+# q51: arg-max aggregation (max_by) — top-1-per-group WITHOUT a window
+# sort: the single-pass partial-aggregable form (Spark's max_by /
+# DuckDB's arg_max), with an integer-exact composite ordering key so
+# acctbal ties can't make the winner engine-dependent.
+# ----------------------------------------------------------------------
+
+
+@query(
+    "q51_argmax_per_group",
+    oracle="""
+    SELECT c_nationkey,
+           arg_max(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 1000000 + c_custkey) AS top_customer,
+           CAST(MAX(CAST(round(c_acctbal * 100) AS BIGINT) * 1000000 + c_custkey) AS BIGINT) AS ord_key
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def q51_argmax_per_group(spark, sf_dir):
+    """Richest customer per nation via max_by — the aggregation-form
+    top-1 that partial-aggregates map-side (each partition keeps one
+    candidate per group) instead of window-sorting every row. The
+    ordering key is exact integer arithmetic (cents · 1e6 + custkey),
+    so ties are impossible and both engines pick the same winner."""
+    c = T(spark, sf_dir, "customer")
+    key = F.round(F.col("c_acctbal") * 100, 0).cast("long") * 1000000 + F.col("c_custkey")
+    return c.groupBy("c_nationkey").agg(
+        F.max_by("c_name", key).alias("top_customer"),
+        F.max(key).cast("long").alias("ord_key"),
+    )
+
+
+# q50/q51 ship library-gated like q49 (window and registry at cap).
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote3  # noqa: E402
+
+_demote3("q50_forward_fill")
+_demote3("q51_argmax_per_group")
+del _demote3
