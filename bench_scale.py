@@ -48,7 +48,11 @@ QUERIES = ["x07_dup_clusters", "x13_semantic_dedup", "x03_dedup_minhash_lsh",
            "x65_gopher_rules",
            # round-9: corpus bigram LM (token-pair shuffle), residual
            # IVFADC lifecycle (residualize + fused single-table index)
-           "x71_bigram_lm_score", "x72_ivfpq_residual_topk"]
+           "x71_bigram_lm_score", "x72_ivfpq_residual_topk",
+           # round-9 library (join-heavy): sparse TF-IDF pair join,
+           # held-out Stupid Backoff, RRF fusion, BM25+PRF two-round
+           "x76_tfidf_cosine_pairs", "x77_stupid_backoff_score",
+           "x81_rrf_fusion_topk", "x82_bm25_prf_topk"]
 REPEATS = 3
 
 
@@ -166,6 +170,11 @@ def main() -> None:
         .getOrCreate()
     )
     qs = entrymod.queries()
+    # library operators (strict-harness-gated, outside the driver's
+    # scored registry) get the same growth measurement
+    from advent_of_code_flink_paimon_spark.operators.registry import LIBRARY_QUERIES
+
+    qs = {**LIBRARY_QUERIES, **qs}
     out = {"sf_base": 0.1, "sf_scale": 0.5, "row_multiple": M, "queries": {}}
     for name in QUERIES:
         fn = qs[name]
