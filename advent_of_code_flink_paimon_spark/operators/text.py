@@ -2383,3 +2383,103 @@ def unigram_encode(spark, docs, pieces: list) -> "DataFrame":
             F.sum("np").cast("long").alias("n_pieces"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# x83: dedup-method agreement matrix — the governance report over the
+# three syntactic near-dup families this engine ships (MinHash-LSH
+# jaccard x03, SimHash Hamming-ball x70, winnowing shared-fingerprint
+# x69): which pairs each method surfaces, per pair. The methods have
+# different notions of similarity (token-set jaccard / hyperplane
+# hamming / shared char-gram spans), so their union and disagreements
+# are exactly what a curation team reviews before picking the
+# production threshold.
+# ----------------------------------------------------------------------
+
+
+def _sql_method_agreement() -> str:
+    from advent_of_code_flink_paimon_spark.operators import dedup as _dd  # noqa: F401
+    from advent_of_code_flink_paimon_spark.operators.registry import (
+        LIBRARY_ORACLES as _LO,
+        ORACLES as _O,
+    )
+
+    m1 = _O["x03_dedup_minhash_lsh"]
+    m2 = _LO["x70_simhash_hamming_pairs"]
+    m3 = _LO["x69_winnow_dup_pairs"]
+    flag = "CASE WHEN {m}.i IS NOT NULL THEN 1 ELSE 0 END"
+    return f"""
+WITH m1 AS (SELECT i, j FROM ({m1})),
+m2 AS (SELECT i, j FROM ({m2})),
+m3 AS (SELECT i, j FROM ({m3})),
+allp AS (
+  SELECT i, j FROM m1
+  UNION SELECT i, j FROM m2
+  UNION SELECT i, j FROM m3
+)
+SELECT a.i, a.j,
+       m1.i IS NOT NULL AS in_minhash,
+       m2.i IS NOT NULL AS in_simhash,
+       m3.i IS NOT NULL AS in_winnow,
+       CAST(({flag.format(m='m1')}) + ({flag.format(m='m2')})
+            + ({flag.format(m='m3')}) AS BIGINT) AS n_methods
+FROM allp a
+LEFT JOIN m1 ON m1.i = a.i AND m1.j = a.j
+LEFT JOIN m2 ON m2.i = a.i AND m2.j = a.j
+LEFT JOIN m3 ON m3.i = a.i AND m3.j = a.j
+"""
+
+
+@query("x83_dedup_method_agreement", oracle=_sql_method_agreement())
+def x83_dedup_method_agreement(spark, sf_dir):
+    """Per near-dup pair, which of the three syntactic families found
+    it (MinHash-LSH / SimHash ball / winnowing) and how many agreed —
+    the union relation a reviewer audits before trusting one family's
+    threshold at 100 TB.
+
+    Scale shape: three already-audited pair plans (each bucketed
+    candidate generation, never all-pairs) + full-outer joins on the
+    pair key — all pair-graph-sized (≪ corpus). The flags come from
+    the joins themselves, so each method's evidence is its own oracled
+    relation."""
+    from advent_of_code_flink_paimon_spark.operators.dedup import (
+        x03_dedup_minhash_lsh,
+        x70_simhash_hamming_pairs,
+    )
+
+    m1 = x03_dedup_minhash_lsh(spark, sf_dir).select(
+        "i", "j", F.lit(True).alias("in_minhash")
+    )
+    m2 = x70_simhash_hamming_pairs(spark, sf_dir).select(
+        "i", "j", F.lit(True).alias("in_simhash")
+    )
+    m3 = x69_winnow_dup_pairs(spark, sf_dir).select(
+        "i", "j", F.lit(True).alias("in_winnow")
+    )
+    out = (
+        m1.join(m2, ["i", "j"], "full")
+        .join(m3, ["i", "j"], "full")
+        .select(
+            "i",
+            "j",
+            F.coalesce("in_minhash", F.lit(False)).alias("in_minhash"),
+            F.coalesce("in_simhash", F.lit(False)).alias("in_simhash"),
+            F.coalesce("in_winnow", F.lit(False)).alias("in_winnow"),
+        )
+    )
+    n = (
+        F.col("in_minhash").cast("int")
+        + F.col("in_simhash").cast("int")
+        + F.col("in_winnow").cast("int")
+    ).cast("long")
+    return out.select(
+        "i", "j", "in_minhash", "in_simhash", "in_winnow", n.alias("n_methods")
+    )
+
+
+# Window and registry are at cap this round; x83 ships library-gated
+# like x73/x74/x76-x82.
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote9  # noqa: E402
+
+_demote9("x83_dedup_method_agreement")
+del _demote9
