@@ -510,3 +510,41 @@ def test_ivfpqr_probe_has_zero_joins(spark, tmp_path_factory):
     assert "vecs_ivfpqr" in plan, plan
     assert "Join" not in plan, plan
     assert "default.db/vecs/" not in plan and "embedding" not in plan, plan
+
+
+def _lib_plan_of(spark, name: str, mode: str = "simple") -> str:
+    from advent_of_code_flink_paimon_spark.operators.registry import LIBRARY_QUERIES
+
+    df = LIBRARY_QUERIES[name](spark, SF_ORACLE)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_tfidf_pairs_has_no_cartesian(spark):
+    """x76's candidate generation must stay a posting equi-join — no
+    cartesian/nested-loop pair enumeration anywhere in the plan (the
+    rare-term cap exists precisely to avoid all-pairs)."""
+    plan = _lib_plan_of(spark, "x76_tfidf_cosine_pairs")
+    assert "CartesianProduct" not in plan, plan[:1500]
+    # every nested-loop in the plan must be a BROADCAST of the 1-row
+    # stats relation (the pre-execution plan inlines the cached weight
+    # subtree several times, so the count is not meaningful — the kind
+    # is: a non-broadcast nested loop would be pair enumeration)
+    assert "SortMergeJoin Cross" not in plan and "CartesianProduct" not in plan
+
+
+def test_bm25_prf_round2_broadcasts_term_tables(spark):
+    """x82's round-2 scoring must broadcast the term/df/stats side —
+    the posting join may never sort-merge the corpus against a ≤7-row
+    term relation."""
+    plan = _lib_plan_of(spark, "x82_bm25_prf_topk")
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+
+
+def test_rrf_fusion_no_corpus_scan_beyond_retrievers(spark):
+    """x81 fuses two top-k relations; the fusion itself adds only an
+    aggregation + window over ≤ 2kq rows — no extra embeddings scan
+    beyond the two retrievers' own (2 LSH-side + 1 IVF + 2 query-side
+    = at most 5 parquet scans total in the fused plan)."""
+    plan = _lib_plan_of(spark, "x81_rrf_fusion_topk")
+    assert plan.count("FileScan parquet") <= 5, plan[:2000]
