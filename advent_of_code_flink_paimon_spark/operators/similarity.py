@@ -2869,3 +2869,108 @@ from advent_of_code_flink_paimon_spark.operators.registry import demote as _demo
 
 _demote7("x81_rrf_fusion_topk")
 del _demote7
+
+
+# ----------------------------------------------------------------------
+# x84: shortlist-then-refine ANN query (the deployed two-stage shape —
+# Jégou et al. 2011 §V evaluate exactly this: ADC shortlists, exact
+# distances re-rank): the residual-IVFADC index produces a 4k
+# candidate shortlist from STORED codes, then the refine stage reads
+# ONLY the shortlist's raw vectors (a bounded semi-join against the
+# vectors table) and re-ranks by exact cosine. Quantization error
+# affects recall only through the shortlist boundary, not the final
+# ordering — the property that lets production systems run coarse
+# codes (fast scan) under an exact top-k contract.
+# ----------------------------------------------------------------------
+
+_REFINE_SHORTLIST = 20  # 4 × TOP_K candidates from the code scan
+
+
+def ann_refine_rerank(
+    spark, catalog, vecs_table: str, k: int = TOP_K,
+    shortlist: int = _REFINE_SHORTLIST, n_queries: int = N_QUERIES,
+) -> DataFrame:
+    """Two-stage query over a built residual-IVFADC index: stage 1 is
+    ivfpq_residual_topk(k=shortlist) — zero joins, stored codes only;
+    stage 2 broadcast-joins the (query_id, vec_id) shortlist against
+    the vectors table (shortlist-sized — q·4k rows) plus the bounded
+    query vectors and re-ranks by exact rounded cosine."""
+    short = ivfpq_residual_topk(
+        spark, catalog, vecs_table, k=shortlist, n_queries=n_queries
+    ).select("query_id", "vec_id")
+    vecs = catalog.get_table(vecs_table).read(spark)
+    cand = vecs.join(
+        F.broadcast(short), "vec_id"
+    ).select("query_id", "vec_id", F.col("embedding").cast("array<double>").alias("cv"))
+    queries_v = vecs.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    ).filter(F.col("query_id") < n_queries)
+    scored = cand.join(F.broadcast(queries_v), "query_id").select(
+        "query_id",
+        "vec_id",
+        F.round(_dot("qv", "cv") / (_norm("qv") * _norm("cv")), 4).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+_SQL_IVFPQR_SHORTLIST = _SQL_IVFPQR_LIFECYCLE.replace(
+    f"WHERE rank <= {TOP_K}", f"WHERE rank <= {_REFINE_SHORTLIST}"
+)
+if _SQL_IVFPQR_SHORTLIST == _SQL_IVFPQR_LIFECYCLE:  # pragma: no cover
+    raise AssertionError("x84 oracle rewrite did not apply — x72 SQL drifted")
+
+_SQL_ANN_REFINE = f"""
+WITH short AS ({_SQL_IVFPQR_SHORTLIST}),
+vq AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+q AS (SELECT vec_id AS query_id, cv AS qv FROM vq WHERE vec_id < {N_QUERIES}),
+ref AS (
+  SELECT s.query_id, s.vec_id,
+         ROUND({_COS.format(a='q.qv', b='c.cv')}, 4) AS cosine
+  FROM short s
+  JOIN vq c ON c.vec_id = s.vec_id
+  JOIN q ON q.query_id = s.query_id
+),
+rranked AS (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM ref
+)
+SELECT query_id, vec_id, cosine, rank FROM rranked WHERE rank <= {TOP_K}
+"""
+
+
+@query("x84_ann_refine_rerank", oracle=_SQL_ANN_REFINE)
+def x84_ann_refine_rerank(spark, sf_dir):
+    """The x72 lifecycle capped by the refine stage: build/refresh the
+    residual-IVFADC index, shortlist 4k candidates from the stored
+    codes (zero-join probe), exact-cosine re-rank of ONLY the
+    shortlist's raw vectors. The DuckDB oracle replays the shortlist
+    trajectory and the same refine join."""
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+    from advent_of_code_flink_paimon_spark.operators.dedup import _mhidx_warehouse
+
+    e = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    is_batch = F.pmod(F.col("vec_id"), F.lit(10)) == 0
+
+    catalog = Catalog(_mhidx_warehouse("annref84", sf_dir), "default")
+    vecs_t = catalog.create_table("vecs", "vec_id long, embedding array<float>", {})
+    vecs_t.append(e.filter(~is_batch))
+    build_ivfpq_residual_index(spark, catalog, "vecs")
+    vecs_t.append(e.filter(is_batch))
+    refresh_ivfpq_residual_index(spark, catalog, "vecs")
+    return ann_refine_rerank(spark, catalog, "vecs")
+
+
+# Window and registry are at cap this round; x84 ships library-gated
+# like x73/x74/x76-x83.
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote10  # noqa: E402
+
+_demote10("x84_ann_refine_rerank")
+del _demote10
