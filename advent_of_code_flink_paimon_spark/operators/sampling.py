@@ -504,3 +504,115 @@ from advent_of_code_flink_paimon_spark.operators.registry import demote as _demo
 
 _demote4("x78_source_kl_drift")
 del _demote4
+
+
+# ----------------------------------------------------------------------
+# x85: token-budget quality curriculum — the data-constrained
+# selection rule (cf. Muennighoff et al. 2023, "Scaling Data-
+# Constrained Language Models": when tokens are the budget, keep the
+# highest-quality ones first): rank documents by the corpus unigram-LM
+# cross-entropy (x32's signal, lower = better), and select documents
+# best-first until a token budget (half the corpus here) is spent.
+#
+# Scale design: NO global ordered cumsum over the corpus (a
+# single-partition window). Instead (1) per-doc scores bucket by their
+# rounded value, (2) the running token total lives on the BUCKET
+# relation (distinct-score-sized — tiny), (3) only the boundary
+# bucket's documents need a per-doc running sum, windowed WITHIN that
+# bucket. All arithmetic is exact integers, so both engines select the
+# identical set.
+# ----------------------------------------------------------------------
+
+_SQL_TOKEN_BUDGET = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+freq AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM freq),
+per AS (
+    SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(-SUM(ln(f.cnt * 1.0 / tot.tot)) / COUNT(*), 4) AS xent
+    FROM tok t JOIN freq f USING (term) CROSS JOIN tot
+    GROUP BY t.doc_id
+),
+budget AS (SELECT CAST(SUM(n_tokens) // 2 AS BIGINT) AS b FROM per),
+buckets AS (
+    SELECT xent, CAST(SUM(n_tokens) AS BIGINT) AS btok FROM per GROUP BY xent
+),
+bcum AS (
+    SELECT xent, btok,
+           CAST(COALESCE(SUM(btok) OVER (ORDER BY xent
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+    FROM buckets
+),
+flagged AS (
+    SELECT p.doc_id, p.xent, p.n_tokens, b.cum_before, b.btok, g.b AS budget,
+           CAST(COALESCE(SUM(p.n_tokens) OVER (PARTITION BY p.xent ORDER BY p.doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT) AS doc_cum
+    FROM per p JOIN bcum b USING (xent) CROSS JOIN budget g
+)
+SELECT doc_id, xent, n_tokens,
+       (cum_before + btok <= budget)
+       OR (cum_before <= budget AND cum_before + doc_cum <= budget) AS selected
+FROM flagged
+"""
+
+
+@query("x85_token_budget_curriculum", oracle=_SQL_TOKEN_BUDGET)
+def x85_token_budget_curriculum(spark, sf_dir):
+    """Best-quality-first document selection under a token budget
+    (half the corpus): documents ordered by x32's unigram cross-entropy
+    are taken until the budget is spent — whole score-buckets when they
+    fit, a doc_id-ordered prefix of the boundary bucket otherwise.
+
+    Scale shape: the score pass is x32's audited plan; the running
+    total is windowed over the BUCKET relation (distinct rounded
+    scores — ≪ corpus), and the only per-document window partitions BY
+    BUCKET (each partition is one score's docs), so no corpus-sized
+    single-partition sort exists anywhere. Every quantity is an exact
+    BIGINT, so the selected set is engine-identical."""
+    d = T(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    freq = tok.groupBy("term").agg(F.count("*").alias("cnt"))
+    tot = freq.agg(F.sum("cnt").cast("long").alias("tot"))
+    per = (
+        tok.join(F.broadcast(freq), "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(
+                -F.sum(F.log(F.col("cnt") * 1.0 / F.col("tot"))) / F.count("*"), 4
+            ).alias("xent"),
+        )
+        .persist()  # feeds budget, buckets, and the final join
+    )
+    budget = per.agg(F.expr("sum(n_tokens) div 2").cast("long").alias("budget"))
+    buckets = per.groupBy("xent").agg(F.sum("n_tokens").cast("long").alias("btok"))
+    wb = Window.orderBy("xent").rowsBetween(Window.unboundedPreceding, -1)
+    bcum = buckets.select(
+        "xent",
+        "btok",
+        F.coalesce(F.sum("btok").over(wb), F.lit(0)).cast("long").alias("cum_before"),
+    )
+    wd = (
+        Window.partitionBy("xent")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = (
+        per.join(F.broadcast(bcum), "xent")
+        .crossJoin(F.broadcast(budget))
+        .withColumn("doc_cum", F.sum("n_tokens").over(wd).cast("long"))
+    )
+    sel = (F.col("cum_before") + F.col("btok") <= F.col("budget")) | (
+        (F.col("cum_before") <= F.col("budget"))
+        & (F.col("cum_before") + F.col("doc_cum") <= F.col("budget"))
+    )
+    return flagged.select("doc_id", "xent", "n_tokens", sel.alias("selected"))
+
+
+# Window and registry are at cap this round; x85 ships library-gated
+# like x73/x74/x76-x84.
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote5  # noqa: E402
+
+_demote5("x85_token_budget_curriculum")
+del _demote5
