@@ -275,3 +275,109 @@ def q34_sessionize(spark, sf_dir):
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
     )
+
+
+# ----------------------------------------------------------------------
+# x86: staged funnel analysis — the standard product-analytics query
+# over an event stream: per user, the first signup, the first click
+# within 3 days AFTER that signup, and the first purchase within 3
+# days AFTER that click; the funnel stage counts how deep the ordered
+# sequence got (the deadline makes every stage non-vacuous on this
+# data: 22/39/89 users at stages 1/2/3, sf0.01 — the x52 lesson). Strict
+# event-time ordering between stages (not mere presence) is what makes
+# this a funnel rather than three filters.
+# ----------------------------------------------------------------------
+
+_SQL_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS signup_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+c1 AS (
+  SELECT e.user_id, MIN(e.ts) AS click_ts
+  FROM events e JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.signup_ts
+    AND e.ts <= s1.signup_ts + INTERVAL 3 DAY
+  GROUP BY e.user_id
+),
+p1 AS (
+  SELECT e.user_id, MIN(e.ts) AS purchase_ts
+  FROM events e JOIN c1 ON c1.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c1.click_ts
+    AND e.ts <= c1.click_ts + INTERVAL 3 DAY
+  GROUP BY e.user_id
+),
+u AS (SELECT DISTINCT user_id FROM events)
+SELECT u.user_id, s1.signup_ts, c1.click_ts, p1.purchase_ts,
+       CAST(CASE WHEN p1.user_id IS NOT NULL THEN 3
+                 WHEN c1.user_id IS NOT NULL THEN 2
+                 WHEN s1.user_id IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS funnel_stage
+FROM u
+LEFT JOIN s1 USING (user_id)
+LEFT JOIN c1 USING (user_id)
+LEFT JOIN p1 USING (user_id)
+"""
+
+
+@query("x86_funnel_stages", oracle=_SQL_FUNNEL)
+def x86_funnel_stages(spark, sf_dir):
+    """signup → click → purchase funnel per user with strict event-time
+    ordering AND a 3-day deadline between consecutive stages;
+    funnel_stage ∈ 0..3.
+
+    Scale shape: three conditional MIN aggregations chained by
+    user_id-keyed joins — every join and agg co-partitions on user_id,
+    so AQE reuses one exchange of the slim (user_id, ts, type)
+    projection; no window over the raw event stream and no self-join
+    on time ranges. Timestamps compare exactly (µs integers on both
+    engines), so stage boundaries are engine-identical."""
+    e = T(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    s1 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    c1 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(
+            (F.col("ts") > F.col("signup_ts"))
+            & (F.col("ts") <= F.col("signup_ts") + F.expr("INTERVAL 3 DAY"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p1 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c1, "user_id")
+        .filter(
+            (F.col("ts") > F.col("click_ts"))
+            & (F.col("ts") <= F.col("click_ts") + F.expr("INTERVAL 3 DAY"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    u = e.select("user_id").distinct()
+    stage = (
+        F.when(F.col("purchase_ts").isNotNull(), 3)
+        .when(F.col("click_ts").isNotNull(), 2)
+        .when(F.col("signup_ts").isNotNull(), 1)
+        .otherwise(0)
+    ).cast("long")
+    return (
+        u.join(s1, "user_id", "left")
+        .join(c1, "user_id", "left")
+        .join(p1, "user_id", "left")
+        .select(
+            "user_id", "signup_ts", "click_ts", "purchase_ts",
+            stage.alias("funnel_stage"),
+        )
+    )
+
+
+# Window and registry are at cap this round; x86 ships library-gated.
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote  # noqa: E402
+
+_demote("x86_funnel_stages")
+del _demote
