@@ -381,3 +381,93 @@ from advent_of_code_flink_paimon_spark.operators.registry import demote as _demo
 
 _demote("x86_funnel_stages")
 del _demote
+
+
+# ----------------------------------------------------------------------
+# x87: cohort retention — the other canonical product-analytics query:
+# users grouped by the DAY of their first event (the cohort), and for
+# each later day-offset, how many of that cohort made a PURCHASE that
+# day. Day granularity + purchase-only activity keep the matrix
+# non-degenerate on this data (the synthetic users are active with
+# some event nearly every week, so weekly any-event retention is a
+# constant ~1.0 — the x52 vacuity lesson): 59 cells with n_active
+# ranging 1-62 at sf0.01.
+# ----------------------------------------------------------------------
+
+_SQL_COHORT_RETENTION = """
+WITH firsts AS (
+  SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id
+),
+cohorts AS (
+  SELECT user_id, date_trunc('day', first_ts) AS cohort_day FROM firsts
+),
+activity AS (
+  SELECT DISTINCT e.user_id, c.cohort_day,
+         CAST(date_diff('day', c.cohort_day, date_trunc('day', e.ts)) AS BIGINT) AS day_offset
+  FROM events e JOIN cohorts c USING (user_id)
+  WHERE e.event_type = 'purchase'
+),
+sizes AS (
+  SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_size
+  FROM cohorts GROUP BY cohort_day
+)
+SELECT a.cohort_day, a.day_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_active,
+       s.cohort_size,
+       CAST(COUNT(*) AS BIGINT) * 1.0 / s.cohort_size AS retention
+FROM activity a JOIN sizes s USING (cohort_day)
+GROUP BY a.cohort_day, a.day_offset, s.cohort_size
+"""
+
+
+@query("x87_cohort_retention", oracle=_SQL_COHORT_RETENTION)
+def x87_cohort_retention(spark, sf_dir):
+    """Daily purchase-retention matrix: per (cohort day, day offset),
+    the count and fraction of the cohort purchasing that day.
+    date_diff('day') between day-truncated timestamps equals Spark's
+    datediff on the corresponding DATEs — exact integer day gaps.
+
+    Scale shape: first-event per user is one agg; the activity matrix
+    is one distinct over (user, cohort, offset) co-partitioned with
+    the cohort join on user_id; cohort sizes broadcast back. Ratios
+    divide exact BIGINTs."""
+    e = T(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    firsts = e.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    cohorts = firsts.select(
+        "user_id", F.date_trunc("day", "first_ts").alias("cohort_day")
+    )
+    activity = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(cohorts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(
+                F.to_date(F.date_trunc("day", F.col("ts"))),
+                F.to_date(F.col("cohort_day")),
+            ).cast("long").alias("day_offset"),
+        )
+        .distinct()
+    )
+    sizes = cohorts.groupBy("cohort_day").agg(
+        F.count("*").cast("long").alias("cohort_size")
+    )
+    return (
+        activity.groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").cast("long").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_day")
+        .select(
+            "cohort_day",
+            "day_offset",
+            "n_active",
+            "cohort_size",
+            (F.col("n_active") * F.lit(1.0) / F.col("cohort_size")).alias("retention"),
+        )
+    )
+
+
+# Window and registry are at cap this round; x87 ships library-gated.
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote2  # noqa: E402
+
+_demote2("x87_cohort_retention")
+del _demote2
