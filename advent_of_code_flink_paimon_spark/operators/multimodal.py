@@ -263,3 +263,74 @@ def x30_multimodal_features(spark, sf_dir):
         F.round(F.min("feat_norm"), 4).alias("min_feat_norm"),
         F.round(F.max("feat_norm"), 4).alias("max_feat_norm"),
     )
+
+
+# ----------------------------------------------------------------------
+# Perceptual near-dup pairs for media payloads: aHash-style signature
+# from the decoded feature vector (bit d = feature d above the corpus
+# mean — the average-hash rule) + the Manku 4-block pigeonhole from
+# x70: Hamming ≤ 3 over 16 bits ⇒ at least one 4-bit block agrees
+# exactly, so candidates come from a block-keyed equi-join and one
+# popcount verifies — never an all-pairs Hamming scan. The decode is
+# the deterministic stub (real decoders plug into decode_real), so
+# this ships behavioral: the model test proves the pair set EQUALS the
+# brute-force Hamming ball (the pigeonhole is exact, not approximate).
+# ----------------------------------------------------------------------
+
+_PHASH_BITS = 16
+_PHASH_BLOCKS = 4
+_PHASH_MAX_HAMMING = 3  # blocks - 1: the pigeonhole guarantee bound
+
+
+def media_phash_pairs(spark, docs: DataFrame, max_hamming: int = _PHASH_MAX_HAMMING) -> DataFrame:
+    """(i, j, hamming) pairs of media docs whose perceptual hashes are
+    within ``max_hamming`` bits (must stay ≤ blocks−1 for exactness).
+
+    Scale shape: decode+features are the partition-preserving
+    mapInPandas pass; the 16 corpus-mean thresholds are ONE 1-row agg
+    inlined as literals, so signatures are a map-only projection;
+    candidates shuffle on the (block, value) key only."""
+    assert max_hamming <= _PHASH_BLOCKS - 1, "pigeonhole bound violated"
+    feats = extract_features(as_media_table(docs))
+    mean_row = feats.agg(
+        *[
+            F.avg(F.col("features").getItem(d)).alias(f"m{d}")
+            for d in range(_PHASH_BITS)
+        ]
+    ).collect()[0]
+    sig = None
+    for d in range(_PHASH_BITS):
+        bit = (F.col("features").getItem(d) > float(mean_row[f"m{d}"])).cast("long")
+        term = F.shiftleft(bit, d)
+        sig = term if sig is None else sig + term
+    sigs = feats.select("doc_id", sig.alias("phash"))
+    width = _PHASH_BITS // _PHASH_BLOCKS
+    blocks = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("blk"),
+                    F.expr(f"(phash >> {b * width}) & {(1 << width) - 1}").alias("bv"),
+                )
+                for b in range(_PHASH_BLOCKS)
+            ]
+        )
+    ).alias("e")
+    banded = sigs.select("doc_id", "phash", blocks).select(
+        "doc_id", "phash", F.col("e.blk").alias("blk"), F.col("e.bv").alias("bv")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.bv") == F.col("b.bv")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("i"),
+            F.col("b.doc_id").alias("j"),
+            F.col("a.phash").alias("pi"),
+            F.col("b.phash").alias("pj"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "i", "j", F.expr("bit_count(pi ^ pj)").cast("long").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

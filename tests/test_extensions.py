@@ -1471,3 +1471,40 @@ def test_unigram_lm_train_matches_python_model(spark):
     for doc_id, toks in texts.items():
         n_pieces = sum(len(_viterbi_segment(w, lp)) for w in toks)
         assert got_enc[doc_id] == (len(toks), n_pieces), doc_id
+
+
+def test_media_phash_pairs_equal_bruteforce(spark):
+    """The pigeonhole-pruned perceptual-hash pair join EQUALS the
+    brute-force Hamming ball (ham <= 3 over 16 bits with 4 blocks is
+    exact by pigeonhole), with hashes recomputed in Python from the
+    same stub decode."""
+    from advent_of_code_flink_paimon_spark.operators.multimodal import (
+        _PHASH_BITS,
+        as_media_table,
+        decode_stub,
+        media_phash_pairs,
+    )
+    from advent_of_code_flink_paimon_spark.operators.registry import T
+
+    sf = "/root/testdata/sf0.001"
+    docs = T(spark, sf, "documents")
+    payloads = {
+        r.doc_id: bytes(r.payload) for r in as_media_table(docs).collect()
+    }
+    feats = {d: decode_stub(p) for d, p in payloads.items()}
+    means = [
+        sum(f[d] for f in feats.values()) / len(feats) for d in range(_PHASH_BITS)
+    ]
+    sigs = {
+        d: sum((1 << b) for b in range(_PHASH_BITS) if f[b] > means[b])
+        for d, f in feats.items()
+    }
+    want = {}
+    ids = sorted(sigs)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            h = bin(sigs[ids[x]] ^ sigs[ids[y]]).count("1")
+            if h <= 3:
+                want[(ids[x], ids[y])] = h
+    got = {(r.i, r.j): r.hamming for r in media_phash_pairs(spark, docs).collect()}
+    assert got == want and want, (len(got), len(want))
