@@ -1970,3 +1970,74 @@ from advent_of_code_flink_paimon_spark.operators.registry import demote as _demo
 
 _demote5("x79_split_leakage_audit")
 del _demote5
+
+
+# ----------------------------------------------------------------------
+# x88: corpus novelty profile — for each document (in doc_id ingestion
+# order), the fraction of its distinct shingles NOT seen in any
+# earlier document. The novelty curve is the standard diagnostic for
+# how much marginal value later data adds (and what dedup would
+# reclaim); a flattening curve is the signal to stop crawling a
+# source. Lee et al. 2022 §4 measure exactly this kind of cross-doc
+# n-gram reuse.
+# ----------------------------------------------------------------------
+
+_SQL_NOVELTY_PROFILE = """
+WITH sh AS (
+    SELECT doc_id, unnest(list_distinct(
+        [s[i] || ' ' || s[i+1] || ' ' || s[i+2] for i in range(1, len(s) - 1)]
+    )) AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)
+),
+firsts AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) * 1.0
+           / COUNT(*) AS novelty
+FROM sh s JOIN firsts f USING (shingle)
+GROUP BY s.doc_id
+"""
+
+
+@query("x88_novelty_profile", oracle=_SQL_NOVELTY_PROFILE)
+def x88_novelty_profile(spark, sf_dir):
+    """Per-document novelty: distinct-shingle count, how many of them
+    first appear in THIS document (MIN(doc_id) over the shingle's
+    occurrences — ingestion order), and the novel fraction.
+
+    Scale shape: shingle hashes are row-local (shingle_hash_arrays —
+    the verify-side 8-byte form, no string shingle ever shuffles);
+    ONE exchange keys the first-occurrence aggregation on the shingle
+    hash, and the join back rides the same partitioning. Exact
+    integer counts; one double division. The novelty definition is
+    order-based, so it is exactly replayable — no sampling."""
+    docs = fan_out(T(spark, sf_dir, "documents"), heavy=True)
+    sh = shingle_hash_arrays(docs).select(
+        "doc_id", F.explode("hs").alias("shingle")
+    )
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    ).cast("long")
+    return (
+        sh.join(firsts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            novel.alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            (F.col("n_novel") * F.lit(1.0) / F.col("n_shingles")).alias("novelty"),
+        )
+    )
+
+
+# Window and registry are at cap this round; x88 ships library-gated.
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote6  # noqa: E402
+
+_demote6("x88_novelty_profile")
+del _demote6
