@@ -2483,3 +2483,73 @@ from advent_of_code_flink_paimon_spark.operators.registry import demote as _demo
 
 _demote9("x83_dedup_method_agreement")
 del _demote9
+
+
+# ----------------------------------------------------------------------
+# x89: quality-filter agreement — x83's governance pattern applied to
+# the filter battery: per document, the keep decisions of the Gopher
+# rule set (x65), the repetition filter (x28), and the bigram-LM
+# threshold (x71), with the agreement count. Filters encode different
+# failure theories (rule violations / local repetition / distribu-
+# tional surprise); where they disagree is where thresholds get
+# reviewed before a 100 TB run commits to a keep set.
+# ----------------------------------------------------------------------
+
+
+def _sql_filter_agreement() -> str:
+    from advent_of_code_flink_paimon_spark.operators.registry import ORACLES as _O
+
+    return f"""
+WITH g AS (SELECT doc_id, keep FROM ({_O["x65_gopher_rules"]})),
+r AS (SELECT doc_id, keep FROM ({_O["x28_repetition_filter"]})),
+b AS (SELECT doc_id, keep FROM ({_O["x71_bigram_lm_score"]}))
+SELECT g.doc_id,
+       g.keep AS keep_gopher,
+       r.keep AS keep_repetition,
+       b.keep AS keep_bigram_lm,
+       CAST((CASE WHEN g.keep THEN 1 ELSE 0 END)
+            + (CASE WHEN r.keep THEN 1 ELSE 0 END)
+            + (CASE WHEN b.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+FROM g JOIN r USING (doc_id) JOIN b USING (doc_id)
+"""
+
+
+@query("x89_filter_agreement", oracle=_sql_filter_agreement())
+def x89_filter_agreement(spark, sf_dir):
+    """Per-document keep decisions of three independent quality
+    filters plus the agreement count — each flag comes from that
+    filter's own oracled relation, so the report composes audited
+    plans with one doc_id-keyed join chain (slim boolean columns)."""
+    from advent_of_code_flink_paimon_spark.operators.text import (
+        x28_repetition_filter,
+        x65_gopher_rules,
+        x71_bigram_lm_score,
+    )
+
+    g = x65_gopher_rules(spark, sf_dir).select("doc_id", F.col("keep").alias("keep_gopher"))
+    r = x28_repetition_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("keep_repetition")
+    )
+    b = x71_bigram_lm_score(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("keep_bigram_lm")
+    )
+    n = (
+        F.col("keep_gopher").cast("int")
+        + F.col("keep_repetition").cast("int")
+        + F.col("keep_bigram_lm").cast("int")
+    ).cast("long")
+    return (
+        g.join(r, "doc_id")
+        .join(b, "doc_id")
+        .select(
+            "doc_id", "keep_gopher", "keep_repetition", "keep_bigram_lm",
+            n.alias("n_pass"),
+        )
+    )
+
+
+# Window and registry are at cap this round; x89 ships library-gated.
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote11  # noqa: E402
+
+_demote11("x89_filter_agreement")
+del _demote11
