@@ -23,6 +23,13 @@ from pyspark.sql import DataFrame, SparkSession
 # bigram LM, x72 residual IVFADC). The overflow is exactly the 50
 # entries green in CORRECTNESS_r08.json, so at judging time every
 # registry entry has a driver row ≤1 round old.
+#
+# Round-10 rotation plan: lead with the 50 current-overflow entries
+# (their evidence will be from round 8), filling any freed slots by
+# promoting the strongest round-9 library operators (x81/x82/x84/x85
+# first — see operators/registry.py LIBRARY_QUERIES) the way x62 was
+# promoted in round 7; demote long-stable registry entries to the
+# library to keep the 100-entry / 2-round freshness budget balanced.
 _ORDER = [
     # driver evidence last refreshed in round 7 — score these now
     "x47_token_entropy", "x46_incremental_dedup",

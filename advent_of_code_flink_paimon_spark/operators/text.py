@@ -2553,3 +2553,32 @@ from advent_of_code_flink_paimon_spark.operators.registry import demote as _demo
 
 _demote11("x89_filter_agreement")
 del _demote11
+
+
+def unigram_compression_report(spark, docs, pieces: list) -> "DataFrame":
+    """Tokenizer evaluation: per source shard, characters, whitespace
+    words, unigram-LM pieces, and the chars-per-piece compression
+    ratio — the metric a tokenizer is chosen by (higher = fewer
+    sequence positions per byte of text). Composes unigram_encode's
+    per-doc piece counts (vocab-collapsed Viterbi) with row-local
+    char/word accounting; one doc_id join + one per-source agg."""
+    enc = unigram_encode(spark, docs, pieces)
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    return (
+        base.join(enc, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_pieces").cast("long").alias("n_pieces"),
+        )
+        .select(
+            "source", "n_docs", "n_chars", "n_words", "n_pieces",
+            (F.col("n_chars") * F.lit(1.0) / F.col("n_pieces")).alias("chars_per_piece"),
+        )
+    )

@@ -1508,3 +1508,42 @@ def test_media_phash_pairs_equal_bruteforce(spark):
                 want[(ids[x], ids[y])] = h
     got = {(r.i, r.j): r.hamming for r in media_phash_pairs(spark, docs).collect()}
     assert got == want and want, (len(got), len(want))
+
+
+def test_unigram_compression_report_model(spark):
+    """The compression report's per-source totals equal a Python
+    recomputation from the same trained pieces, and compression is
+    real: fewer pieces than characters, at least as many pieces as
+    words (pieces subdivide words)."""
+    from collections import defaultdict
+
+    from advent_of_code_flink_paimon_spark.operators.registry import T
+    from advent_of_code_flink_paimon_spark.operators.text import (
+        _viterbi_segment,
+        unigram_compression_report,
+        unigram_lm_train,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = T(spark, sf, "documents")
+    pieces, _ = unigram_lm_train(spark, docs, em_rounds=2)
+    lp = {p: l for p, _c, l in pieces}
+
+    want = defaultdict(lambda: [0, 0, 0, 0])  # docs, chars, words, pieces
+    for r in docs.select("doc_id", "source", "text").collect():
+        toks = r.text.split(" ")
+        w = want[r.source]
+        w[0] += 1
+        w[1] += len(r.text)
+        w[2] += len(toks)
+        w[3] += sum(len(_viterbi_segment(t, lp)) for t in toks)
+    got = {
+        r.source: (r.n_docs, r.n_chars, r.n_words, r.n_pieces, r.chars_per_piece)
+        for r in unigram_compression_report(spark, docs, pieces).collect()
+    }
+    assert set(got) == set(want)
+    for src, (nd, nc, nw, np_) in want.items():
+        gd, gc, gw, gp, ratio = got[src]
+        assert (gd, gc, gw, gp) == (nd, nc, nw, np_), src
+        assert gw <= gp < gc  # pieces subdivide words; compression real
+        assert abs(ratio - nc / np_) < 1e-12
