@@ -1208,3 +1208,74 @@ from advent_of_code_flink_paimon_spark.operators.registry import demote as _demo
 _demote3("q50_forward_fill")
 _demote3("q51_argmax_per_group")
 del _demote3
+
+
+# ----------------------------------------------------------------------
+# q52: correlation from sufficient statistics — the stats-aggregate
+# surface (CORR / COVAR_POP) done the engine-portable way: built-in
+# CORR implementations differ across engines (Welford vs naive
+# accumulation ⇒ different last-ulp results), so the query aggregates
+# the EXACT decimal sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²)
+# and evaluates the closed form in identical IEEE steps on both sides.
+# This is also the partial-aggregable form a 100 TB corr actually
+# uses: six map-side-combinable sums, one final scalar expression.
+# ----------------------------------------------------------------------
+
+
+@query(
+    "q52_corr_stats",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND((n * sxy - sx * sy) / (n * (n - 1)), 4) AS covar_samp,
+           ROUND((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr
+    FROM s
+    """,
+)
+def q52_corr_stats(spark, sf_dir):
+    """Per-returnflag sample covariance and Pearson correlation of
+    (quantity, extendedprice) from exact decimal sufficient statistics
+    — six partial-aggregable sums, identical closed-form IEEE
+    evaluation on both engines, rounded before output."""
+    l = T(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast(_DEC)
+    y = F.col("l_extendedprice").cast(_DEC)
+    s = l.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(num / (F.col("n") * (F.col("n") - 1)), 4).alias("covar_samp"),
+        F.round(
+            num
+            / (
+                F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("corr"),
+    )
+
+
+# q52 ships library-gated like q49-q51 (window and registry at cap).
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote4  # noqa: E402
+
+_demote4("q52_corr_stats")
+del _demote4
