@@ -1279,3 +1279,76 @@ from advent_of_code_flink_paimon_spark.operators.registry import demote as _demo
 
 _demote4("q52_corr_stats")
 del _demote4
+
+
+# ----------------------------------------------------------------------
+# q53: equi-width histogram — binning via explicit floor arithmetic
+# (width_bucket is not portable: DuckDB lacks it): two-pass shape — an
+# exact-decimal min/max subquery broadcast into a map-side bin
+# projection, then one count agg on the bin id. The standard
+# distribution-profiling query.
+# ----------------------------------------------------------------------
+
+_HIST_BINS = 20
+
+
+@query(
+    "q53_histogram",
+    oracle=f"""
+    WITH b AS (
+        SELECT CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS lo,
+               CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS hi
+        FROM lineitem
+    ),
+    binned AS (
+        SELECT LEAST(CAST(floor((CAST(l_extendedprice AS DECIMAL(18,2)) - b.lo)
+                                * {_HIST_BINS} / (b.hi - b.lo)) AS BIGINT),
+                     {_HIST_BINS - 1}) AS bin,
+               b.lo, b.hi
+        FROM lineitem CROSS JOIN b
+    )
+    SELECT bin,
+           ROUND(lo + bin * (hi - lo) / {_HIST_BINS}, 4) AS bin_lo,
+           ROUND(lo + (bin + 1) * (hi - lo) / {_HIST_BINS}, 4) AS bin_hi,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM binned GROUP BY bin, lo, hi
+    """,
+)
+def q53_histogram(spark, sf_dir):
+    """20-bin equi-width histogram of extended price: exact decimal
+    min/max (1-row broadcast), map-side floor binning with the top
+    edge clamped into the last bin, one count agg. Bin boundaries and
+    the bin id derive from identical doubles on both engines (decimal
+    min/max cast once), so the histogram is engine-identical."""
+    l = T(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice").cast(_DEC)
+    b = l.agg(
+        F.min(x).cast("double").alias("lo"), F.max(x).cast("double").alias("hi")
+    )
+    binned = l.crossJoin(F.broadcast(b)).select(
+        F.least(
+            F.floor(
+                (x.cast("double") - F.col("lo"))
+                * _HIST_BINS
+                / (F.col("hi") - F.col("lo"))
+            ).cast("long"),
+            F.lit(_HIST_BINS - 1),
+        ).alias("bin"),
+        "lo",
+        "hi",
+    )
+    return binned.groupBy("bin", "lo", "hi").agg(
+        F.count("*").cast("long").alias("n")
+    ).select(
+        "bin",
+        F.round(F.col("lo") + F.col("bin") * (F.col("hi") - F.col("lo")) / _HIST_BINS, 4).alias("bin_lo"),
+        F.round(F.col("lo") + (F.col("bin") + 1) * (F.col("hi") - F.col("lo")) / _HIST_BINS, 4).alias("bin_hi"),
+        "n",
+    )
+
+
+# q53 ships library-gated like q49-q52.
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote5  # noqa: E402
+
+_demote5("q53_histogram")
+del _demote5
