@@ -17,21 +17,55 @@ from pyspark.sql import DataFrame, SparkSession
 # 50 queries() entries in dict iteration order (CORRECTNESS_r01.json is
 # exactly the registry-order prefix). The window is ROTATED each round
 # so no entry's freshest driver row ever goes >1 round stale:
-# round 9 leads with the 48 entries whose latest driver row is from
-# round 7 (the round-8 overflow — none of their code changed this
-# round), then the two entries NEW this round (x71 interpolated
-# bigram LM, x72 residual IVFADC). The overflow is exactly the 50
-# entries green in CORRECTNESS_r08.json, so at judging time every
-# registry entry has a driver row ≤1 round old.
+# round 10 executes the plan VERDICT.md r9 ask #1 endorsed — lead with
+# the round-8-evidence overflow (whose driver rows would otherwise go
+# 2 rounds stale), minus six entries demoted to the library this round
+# (x06 retired to ground-truth-gate status per ask #2; q23/q25/q38/
+# q39/q40 long-stable relational entries yielding their slots — all
+# six stay strict-oracle-gated by tests/test_relational_oracle.py).
+# The freed slots go to the promoted round-9 library operators
+# (x81/x82/x84/x85, the way x62 was promoted in round 7) and the two
+# entries NEW this round (x90 candidate-restricted embedding dedup,
+# x91 approx-percentiles). The overflow is exactly the 50 entries
+# green in CORRECTNESS_r09.json, so at judging time every registry
+# entry has a driver row ≤1 round old.
 #
-# Round-10 rotation plan: lead with the 50 current-overflow entries
-# (their evidence will be from round 8), filling any freed slots by
-# promoting the strongest round-9 library operators (x81/x82/x84/x85
-# first — see operators/registry.py LIBRARY_QUERIES) the way x62 was
-# promoted in round 7; demote long-stable registry entries to the
-# library to keep the 100-entry / 2-round freshness budget balanced.
+# Round-11 rotation plan: lead with the then-overflow (the 50 entries
+# scored in round 9, listed second below), promote the strongest
+# remaining library operators (x73/x74/x76–x80, x86–x89) into any
+# slots freed by demoting further long-stable relational entries.
 _ORDER = [
-    # driver evidence last refreshed in round 7 — score these now
+    # driver evidence last refreshed in round 8 — score these now
+    "x63_pq_index_lifecycle", "x49_minhash_index_dedup",
+    "x64_ivf_index_lifecycle", "x65_gopher_rules", "x66_ivfpq_adc_topk",
+    "x67_ivfpq_onetable_topk", "x68_ann_recall",
+    "q18_topk_orderby", "q19_window_rank_merge",
+    "q29_asof_join", "q34_sessionize",
+    "q41_window_frames", "q42_listagg", "q43_ntile_rank_stats",
+    "q44_value_windows",
+    "q47_not_in_null_aware", "q48_time_range_frame",
+    "x01_dedup_exact", "x02_fingerprint_dedup", "x03_dedup_minhash_lsh",
+    "x04_dedup_simhash", "x05_ngram_jaccard_join",
+    "x10_embedding_topk",
+    "x11_embedding_topk_lsh", "x12_embedding_topk_ivf",
+    "x13_semantic_dedup", "x20_text_stats", "x24_winnow_fingerprint",
+    "x25_heavy_hitter_bigrams", "x28_repetition_filter",
+    "x40_corpus_curation", "x41_decontaminate",
+    "x50_ivf_kmeans_refresh",
+    "x51_ccnet_perplexity_bucket", "x52_norm_dedup",
+    "x53_keep_longest_dedup", "x54_domain_mix_report",
+    "x55_pq_quantize", "x56_pq_adc_topk",
+    "x57_bpe_pair_counts", "x58_vocab_coverage", "x59_shard_assign",
+    "x60_source_dup_matrix", "x61_cluster_balanced_sample",
+    # promoted from the library this round (round-9 lib-green)
+    "x81_rrf_fusion_topk", "x82_bm25_prf_topk",
+    "x84_ann_refine_rerank", "x85_token_budget_curriculum",
+    # NEW to the registry this round — no driver row exists yet
+    "x90_dedup_embedding_lsh_verify", "x91_approx_percentiles",
+    # overflow past the 50-entry cap — ALL green in
+    # CORRECTNESS_r09.json (rows+schema+hash true), so their driver
+    # evidence is exactly one round old at round-10 judging; none of
+    # their code changed this round.
     "x47_token_entropy", "x46_incremental_dedup",
     "x30_multimodal_features", "x31_frame_sample",
     "q01_pricing_summary", "q05_filter_range",
@@ -53,35 +87,7 @@ _ORDER = [
     "x39_kmeans", "x42_hash_sample", "x43_stratified_cap",
     "x44_mixture_resample", "x45_substr_dedup", "x48_split_assign",
     "x62_bm25_topk",
-    # NEW to the registry this round — no driver row exists yet
     "x71_bigram_lm_score", "x72_ivfpq_residual_topk",
-    # overflow past the 50-entry cap — ALL green in
-    # CORRECTNESS_r08.json (rows+schema+hash true), so their driver
-    # evidence is exactly one round old at round-9 judging; none of
-    # their code changed this round.
-    "x63_pq_index_lifecycle", "x49_minhash_index_dedup",
-    "x64_ivf_index_lifecycle", "x65_gopher_rules", "x66_ivfpq_adc_topk",
-    "x67_ivfpq_onetable_topk", "x68_ann_recall",
-    "q18_topk_orderby", "q19_window_rank_merge",
-    "q23_scalar_conditional",
-    "q25_json_extract", "q29_asof_join",
-    "q34_sessionize", "q38_intersect", "q39_except", "q40_pivot",
-    "q41_window_frames", "q42_listagg", "q43_ntile_rank_stats",
-    "q44_value_windows",
-    "q47_not_in_null_aware", "q48_time_range_frame",
-    "x01_dedup_exact", "x02_fingerprint_dedup", "x03_dedup_minhash_lsh",
-    "x04_dedup_simhash", "x05_ngram_jaccard_join",
-    "x06_dedup_embedding_cosine", "x10_embedding_topk",
-    "x11_embedding_topk_lsh", "x12_embedding_topk_ivf",
-    "x13_semantic_dedup", "x20_text_stats", "x24_winnow_fingerprint",
-    "x25_heavy_hitter_bigrams", "x28_repetition_filter",
-    "x40_corpus_curation", "x41_decontaminate",
-    "x50_ivf_kmeans_refresh",
-    "x51_ccnet_perplexity_bucket", "x52_norm_dedup",
-    "x53_keep_longest_dedup", "x54_domain_mix_report",
-    "x55_pq_quantize", "x56_pq_adc_topk",
-    "x57_bpe_pair_counts", "x58_vocab_coverage", "x59_shard_assign",
-    "x60_source_dup_matrix", "x61_cluster_balanced_sample",
 ]
 
 

@@ -705,9 +705,9 @@ _COSINE_DUP_THRESHOLD = 0.35  # testdata embeddings are near-random (max pair ~0
 _X06_BLOCKS = 32
 
 
-@query(
-    "x06_dedup_embedding_cosine",
-    oracle=f"""
+# Named constant (not inline in the decorator): x68's pair-recall row
+# and x90's docstring reference this exact relation as ground truth.
+_SQL_X06_EXACT = f"""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings)
     SELECT a.vec_id AS i, b.vec_id AS j,
            ROUND(list_dot_product(a.vv, b.vv) /
@@ -716,8 +716,10 @@ _X06_BLOCKS = 32
     WHERE ROUND(list_dot_product(a.vv, b.vv) /
                 (sqrt(list_dot_product(a.vv, a.vv)) * sqrt(list_dot_product(b.vv, b.vv))), 4)
           >= {_COSINE_DUP_THRESHOLD}
-    """,
-)
+    """
+
+
+@query("x06_dedup_embedding_cosine", oracle=_SQL_X06_EXACT)
 def x06_dedup_embedding_cosine(spark, sf_dir):
     """Embedding near-dup pairs above a cosine threshold — EXACT answer
     via a block-partitioned pair join.
@@ -782,6 +784,19 @@ def x06_dedup_embedding_cosine(spark, sf_dir):
         )
         .filter(F.col("cosine") >= _COSINE_DUP_THRESHOLD)
     )
+
+
+# Round 10 (VERDICT.md r9 ask #2): x06 is retired from the driver
+# registry to the library as the GROUND-TRUTH gate — the one O(n²)
+# exact pair join kept for recall measurement (x68's pair-recall row)
+# and as the local strict-oracle baseline. The DECLARED default
+# embedding near-dup path is now x90_dedup_embedding_lsh_verify
+# (data-scaled LSH banding → exact cosine verify on candidates only),
+# which is sub-quadratic by construction.
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote_x06  # noqa: E402
+
+_demote_x06("x06_dedup_embedding_cosine")
+del _demote_x06
 
 
 # ---------------------------------------------------------------------------

@@ -1352,3 +1352,27 @@ from advent_of_code_flink_paimon_spark.operators.registry import demote as _demo
 
 _demote5("q53_histogram")
 del _demote5
+
+
+# ----------------------------------------------------------------------
+# Round-10 window rotation (VERDICT.md r9 ask #1): the registry is
+# capped at 100 entries by the ≤1-round driver-evidence freshness
+# budget. Five long-stable relational entries (driver-green every
+# round since round 3, code untouched since) yield their slots to the
+# promoted round-9 library operators (x81/x82/x84/x85) and the two
+# new round-10 entries (x90 candidate-restricted embedding dedup,
+# x91 approx-percentiles). They stay strict-oracle-gated by the local
+# harness (tests/test_relational_oracle.py iterates the library dicts
+# too) and can rotate back whenever a slot opens.
+# ----------------------------------------------------------------------
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote6  # noqa: E402
+
+for _name in (
+    "q23_scalar_conditional",
+    "q25_json_extract",
+    "q38_intersect",
+    "q39_except",
+    "q40_pivot",
+):
+    _demote6(_name)
+del _demote6, _name

@@ -610,9 +610,4 @@ def x85_token_budget_curriculum(spark, sf_dir):
     return flagged.select("doc_id", "xent", "n_tokens", sel.alias("selected"))
 
 
-# Window and registry are at cap this round; x85 ships library-gated
-# like x73/x74/x76-x84.
-from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote5  # noqa: E402
-
-_demote5("x85_token_budget_curriculum")
-del _demote5
+# Round 10: promoted into the driver registry (window rotation).

@@ -2199,8 +2199,171 @@ def ann_recall(exact: DataFrame, approx: DataFrame, k: int = TOP_K) -> DataFrame
     )
 
 
+# ----------------------------------------------------------------------
+# x90: candidate-restricted embedding near-dup — the DECLARED default
+# embedding-dedup path (VERDICT.md r9 ask #2), replacing the retired
+# exact all-pairs x06 (now the library ground-truth gate). Shape:
+# data-scaled hyperplane-LSH banding generates candidate pairs via a
+# band-key equi-join, then EXACT cosine verifies candidates only — the
+# text-side x03/x46 pattern applied to embeddings.
+#
+# Data-scaled banding: a fixed band width r keeps at most 2^r buckets
+# per band, so on a corpus with no similarity margin in-bucket pair
+# volume grows quadratically. Here r grows with the corpus —
+# r = clamp(ceil(log2(n / OCC)), MIN, MAX) — holding expected random
+# bucket occupancy at ~OCC vectors, so candidate volume is
+# bands · n · OCC / 2 ≈ LINEAR in n (sub-quadratic by construction;
+# BENCH_scale growth ≤3× at 5× rows vs x06's 16.2×). Recall at a
+# threshold c is 1 − (1 − p^r)^bands with p = 1 − acos(c)/π: on the
+# near-random testdata at c = 0.35 that is ~0.92 at sf0.01 (r=4) and
+# ~0.44 at sf0.1 (r=6) — measured honestly in x68's pair-recall row —
+# the no-margin pathology x06's docstring derives. On real clustered
+# corpora at near-dup thresholds (c ≥ 0.9, p = 0.856) the same shape
+# gives recall 1 − (1 − 0.856^r)^bands ≈ 0.93 at r=8/bands=8 while
+# pruning random pairs by 2^r per band. At 100 TB: r ≈ log2(n/OCC)
+# keeps per-bucket work constant; the band-key join shuffles slim
+# (vec_id, key) rows only; vectors are re-joined for the verify at
+# candidate (not pair) volume.
+# ----------------------------------------------------------------------
+
+_X90_TARGET_OCC = 32  # expected random-bucket occupancy the banding holds
+_X90_MIN_BITS = 4
+_X90_MAX_BITS = 16  # band keys pack as band·2^16 + bits, so r ≤ 16
+
+# Identical closed form on three engines (Python driver, DuckDB SQL);
+# log2 of moderate ints cannot straddle an integer boundary within an
+# ulp, so ceil() agrees.
+_X90_R_SQL = (
+    "GREATEST({mn}, LEAST({mx}, CAST(CEIL(LOG2(GREATEST({n}, 2) / {occ}.0)) AS INT)))"
+)
+
+
+def _x90_band_bits(n: int) -> int:
+    """Band width for a corpus of n vectors — the Python twin of
+    :data:`_X90_R_SQL` (the oracle recomputes it from COUNT(*))."""
+    import math
+
+    return max(_X90_MIN_BITS, min(_X90_MAX_BITS, math.ceil(math.log2(max(n, 2) / _X90_TARGET_OCC))))
+
+
+def _x90_bits(col: str):
+    """array<int> of LSH_PLANES sign bits — the full hyperplane
+    signature, band grouping deferred so the band width can be a
+    runtime column (the planes are the shared x11 literals)."""
+    basis = _lsh_basis()
+    bits = []
+    for p in range(LSH_PLANES):
+        plane = F.array(*[F.lit(float(v)) for v in basis[:, p]])
+        dot = F.aggregate(
+            F.zip_with(col, plane, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+        bits.append(F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)))
+    return F.array(*bits)
+
+
+def _x90_bits_sql(col: str) -> str:
+    """The DuckDB twin of :func:`_x90_bits`: same literals, same fold."""
+    basis = _lsh_basis()
+    cases = []
+    for p in range(LSH_PLANES):
+        plane = "[" + ", ".join(repr(float(v)) for v in basis[:, p]) + "]"
+        cases.append(f"(CASE WHEN list_dot_product({col}, {plane}) > 0 THEN 1 ELSE 0 END)")
+    return "[" + ", ".join(cases) + "]"
+
+
+def _x90_keys(r: int):
+    """array of ⌊64/r⌋ band keys: bits[i·r+j+1] packed little-endian,
+    key offset band·2^16 — one bigint equi-join key per band, same
+    arithmetic as the oracle (shifts of exact small ints)."""
+    keys = []
+    for i in range(LSH_PLANES // r):
+        key = F.lit(i * 65536).cast("long")
+        for j in range(r):
+            key = key + F.element_at(F.col("bits"), i * r + j + 1).cast("long") * F.lit(1 << j).cast("long")
+        keys.append(key)
+    return F.array(*keys)
+
+
+def _sql_x90() -> str:
+    from advent_of_code_flink_paimon_spark.operators.dedup import _COSINE_DUP_THRESHOLD
+
+    r_sql = _X90_R_SQL.format(
+        mn=_X90_MIN_BITS, mx=_X90_MAX_BITS, n="COUNT(*)", occ=_X90_TARGET_OCC
+    )
+    cos = _COS.format(a="va.vv", b="vb.vv")
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings),
+    p AS (SELECT {r_sql} AS r FROM v),
+    bits AS (SELECT vec_id, {_x90_bits_sql('vv')} AS b FROM v),
+    banded AS (
+        SELECT vec_id,
+               bands.i * 65536 + CAST(list_sum(list_transform(range(0, p.r),
+                   j -> CAST(b[bands.i * p.r + j + 1] AS BIGINT) << j)) AS BIGINT) AS key
+        FROM bits, p, (SELECT UNNEST(range(0, 64 // r)) AS i FROM p) bands
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+        FROM banded a JOIN banded b USING (key)
+        WHERE a.vec_id < b.vec_id
+    )
+    SELECT c.i, c.j, ROUND({cos}, 4) AS cosine
+    FROM cand c JOIN v va ON va.vec_id = c.i JOIN v vb ON vb.vec_id = c.j
+    WHERE ROUND({cos}, 4) >= {_COSINE_DUP_THRESHOLD}
+    """
+
+
+@query("x90_dedup_embedding_lsh_verify", oracle=_sql_x90())
+def x90_dedup_embedding_lsh_verify(spark, sf_dir):
+    """Embedding near-dup pairs above the x06 cosine threshold,
+    candidate-restricted: data-scaled LSH banding → band-key equi-join
+    → exact cosine verify on candidates only (module header derives
+    recall and the linear candidate-volume bound). Output schema is
+    x06's (i, j, cosine), so the library ground truth measures this
+    path's pair recall directly (x68's query_id = −1 row).
+
+    Plan: one count for the corpus size (column-pruned scan — the only
+    driver traffic, the index-build-time statistic every LSH deployment
+    records anyway), the band width inlined as a literal, slim
+    (vec_id, key) rows through the candidate self-join, vectors
+    re-joined at candidate volume for the verify. Pure equi-joins —
+    no all-pairs node anywhere (asserted in tests/test_plans.py)."""
+    from advent_of_code_flink_paimon_spark.operators.dedup import _COSINE_DUP_THRESHOLD
+
+    e = T(spark, sf_dir, "embeddings")
+    v = fan_out(e, heavy=True).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vv")
+    )
+    r = _x90_band_bits(v.count())
+    banded = (
+        v.select("vec_id", _x90_bits("vv").alias("bits"))
+        .select("vec_id", F.explode(_x90_keys(r)).alias("key"))
+    )
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), "key")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("i"), F.col("b.vec_id").alias("j"))
+        .distinct()
+    )
+    va = v.select(F.col("vec_id").alias("i"), F.col("vv").alias("av"), _norm("vv").alias("na"))
+    vb = v.select(F.col("vec_id").alias("j"), F.col("vv").alias("bv"), _norm("vv").alias("nb"))
+    return (
+        cand.join(va, "i")
+        .join(vb, "j")
+        .select(
+            "i",
+            "j",
+            F.round(_dot("av", "bv") / (F.col("na") * F.col("nb")), 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= _COSINE_DUP_THRESHOLD)
+    )
+
+
 from advent_of_code_flink_paimon_spark.operators.registry import (  # noqa: E402
     ORACLES as _ORACLES,
+)
+from advent_of_code_flink_paimon_spark.operators.dedup import (  # noqa: E402
+    _SQL_X06_EXACT,
 )
 
 _SQL_ANN_RECALL = f"""
@@ -2211,6 +2374,12 @@ FROM ({_ORACLES["x10_embedding_topk"]}) e
 LEFT JOIN ({_ORACLES["x12_embedding_topk_ivf"]}) a
   ON e.query_id = a.query_id AND e.vec_id = a.vec_id
 GROUP BY e.query_id
+UNION ALL
+SELECT -1 AS query_id,
+       CAST(COUNT(c.i) AS BIGINT) AS n_hit,
+       CAST(COUNT(c.i) AS BIGINT) * 1.0 / GREATEST(COUNT(*), 1) AS recall
+FROM ({_SQL_X06_EXACT}) e
+LEFT JOIN ({_sql_x90()}) c ON e.i = c.i AND e.j = c.j
 """
 
 
@@ -2227,10 +2396,43 @@ def x68_ann_recall(spark, sf_dir):
     bounded query vectors broadcast — x10's audited plan); the
     comparison itself touches only 2·k·q rows. In production the exact
     side runs on a SAMPLE of queries — the report's cost is the ground
-    truth, not the join."""
-    return ann_recall(
+    truth, not the join.
+
+    Round 10: one extra row (query_id = −1) reports the PAIR recall of
+    the declared candidate-restricted embedding-dedup path (x90)
+    against the exact all-pairs ground truth (x06, library-gated):
+    n_hit = |x90 ∩ x06| and recall = n_hit / |x06|. This is the
+    evidence the x06 retirement rests on — the approximate default is
+    measured, not assumed."""
+    per_query = ann_recall(
         x10_embedding_topk(spark, sf_dir), x12_embedding_topk_ivf(spark, sf_dir)
     )
+    from advent_of_code_flink_paimon_spark.operators.dedup import (
+        x06_dedup_embedding_cosine,
+    )
+
+    exact = x06_dedup_embedding_cosine(spark, sf_dir).select("i", "j")
+    cand = (
+        x90_dedup_embedding_lsh_verify(spark, sf_dir)
+        .select("i", "j")
+        .withColumn("hit", F.lit(1))
+    )
+    pair_row = (
+        exact.join(cand, ["i", "j"], "left")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hit"),
+            F.count("*").alias("n_exact"),
+        )
+        .select(
+            F.lit(-1).cast("long").alias("query_id"),
+            "n_hit",
+            (
+                F.col("n_hit").cast("double")
+                / F.greatest(F.col("n_exact"), F.lit(1).cast("long"))
+            ).alias("recall"),
+        )
+    )
+    return per_query.unionByName(pair_row)
 
 
 # ----------------------------------------------------------------------
@@ -2863,12 +3065,9 @@ def x81_rrf_fusion_topk(spark, sf_dir):
     )
 
 
-# Window and registry are at cap this round; x81 ships library-gated
-# like x73/x74/x76-x80.
-from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote7  # noqa: E402
-
-_demote7("x81_rrf_fusion_topk")
-del _demote7
+# Round 10: promoted into the driver registry (the window rotation
+# freed slots by demoting long-stable relational entries to the
+# library — see __spark_entry__._ORDER).
 
 
 # ----------------------------------------------------------------------
@@ -2968,9 +3167,4 @@ def x84_ann_refine_rerank(spark, sf_dir):
     return ann_refine_rerank(spark, catalog, "vecs")
 
 
-# Window and registry are at cap this round; x84 ships library-gated
-# like x73/x74/x76-x83.
-from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote10  # noqa: E402
-
-_demote10("x84_ann_refine_rerank")
-del _demote10
+# Round 10: promoted into the driver registry (window rotation).

@@ -187,6 +187,49 @@ def q33_percentiles(spark, sf_dir):
     )
 
 
+# q33 declared approx_percentile as its 100 TB path; x91 EXERCISES it
+# (VERDICT.md r9 ask #4 — the one sketch the design leaned on with no
+# evidence). Spark's percentile_approx is a Greenwald–Khanna summary:
+# mergeable (map-side partials combine), single-pass, O(accuracy)
+# state per group, guaranteed rank error ≤ n/accuracy. At the gate's
+# accuracy the error bound is < 1 rank, so the sketch answers the
+# EXACT discrete quantile (element at rank ceil(q·n) — DuckDB's
+# quantile_disc) and the driver can hash-match it; at 100 TB the same
+# query dials accuracy to the executor-memory budget and inherits the
+# published bound (tests/test_extensions.py asserts the rank-error
+# tolerance empirically at accuracy=100).
+_X91_ACCURACY = 1_000_000  # rank error ≤ n/accuracy < 1 at every test SF
+
+
+@query(
+    "x91_approx_percentiles",
+    oracle="""
+    SELECT event_type,
+           quantile_disc(value, 0.5) AS p50,
+           quantile_disc(value, 0.9) AS p90,
+           quantile_disc(value, 0.99) AS p99,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def x91_approx_percentiles(spark, sf_dir):
+    """Per-group approximate percentiles via the GK sketch — the
+    mergeable one-pass scale path q33 declares. percentile_approx's
+    result is the dataset element at rank ceil(q·n) once the rank
+    error n/accuracy drops below 1, which is exactly DuckDB's
+    quantile_disc — no interpolation on either engine, so the values
+    hash-match bit-for-bit. The plan is one partial-aggregable pass:
+    sketches combine map-side, only per-group summaries shuffle."""
+    e = T(spark, sf_dir, "events")
+    a = _X91_ACCURACY
+    return e.groupBy("event_type").agg(
+        F.expr(f"percentile_approx(value, 0.5, {a})").alias("p50"),
+        F.expr(f"percentile_approx(value, 0.9, {a})").alias("p90"),
+        F.expr(f"percentile_approx(value, 0.99, {a})").alias("p99"),
+        F.count("*").cast("long").alias("n"),
+    )
+
+
 @query(
     "q48_time_range_frame",
     oracle="""

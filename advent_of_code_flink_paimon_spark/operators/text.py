@@ -2196,12 +2196,7 @@ def x82_bm25_prf_topk(spark, sf_dir):
     )
 
 
-# Window and registry are at cap this round; x82 ships library-gated
-# like x73/x74/x76-x81.
-from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote8  # noqa: E402
-
-_demote8("x82_bm25_prf_topk")
-del _demote8
+# Round 10: promoted into the driver registry (window rotation).
 
 
 # ----------------------------------------------------------------------

@@ -88,6 +88,16 @@ HEADLINE = [
     # round 9 additions
     "x71_bigram_lm_score",
     "x72_ivfpq_residual_topk",
+    # round 10 additions (x81/x82/x84/x85 promoted to the registry;
+    # x90/x91 new; x06 stays measured via the library lookup below —
+    # it is the retired ground-truth gate, kept on the bench so the
+    # x90-vs-x06 cost ratio stays visible round over round)
+    "x81_rrf_fusion_topk",
+    "x82_bm25_prf_topk",
+    "x84_ann_refine_rerank",
+    "x85_token_budget_curriculum",
+    "x90_dedup_embedding_lsh_verify",
+    "x91_approx_percentiles",
 ]
 
 
@@ -99,7 +109,14 @@ def main() -> None:
     from advent_of_code_flink_paimon_spark.session import get_spark
 
     spark = get_spark("aocfp-bench", extra_conf={"spark.ui.enabled": "false"})
-    qs = entrymod.queries()
+    qs = dict(entrymod.queries())
+    # Library operators (demoted out of the driver's scored registry —
+    # see operators/registry.py) stay on the bench: demotion changes
+    # scoring status, not the performance contract.
+    from advent_of_code_flink_paimon_spark.operators.registry import LIBRARY_QUERIES
+
+    for name, fn in LIBRARY_QUERIES.items():
+        qs.setdefault(name, fn)
 
     def run(name: str) -> float:
         t0 = time.perf_counter()

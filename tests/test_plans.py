@@ -236,6 +236,19 @@ def test_embedding_pair_join_is_block_distributed(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_x90_candidate_path_is_banded_equi_join(spark):
+    """x90 (the declared default embedding-dedup path): candidate
+    generation must be the band-key EQUI-join — no cartesian or
+    nested-loop node anywhere; the pair loop must never appear as an
+    all-pairs node. (The band width is a driver-side literal from one
+    column-pruned count — bounded traffic, not a plan node.)"""
+    plan = plan_of(spark, "x90_dedup_embedding_lsh_verify", mode="simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the candidate self-join and both verify joins are hash equi-joins
+    assert "hashjoin" in plan.lower().replace(" ", ""), plan
+
+
 def test_heavy_hitters_recount_broadcasts_candidates(spark):
     """x25: the exact-recount pass must broadcast the candidate hash
     set so only candidate gram strings shuffle — a sort-merge join
@@ -513,11 +526,9 @@ def test_ivfpqr_probe_has_zero_joins(spark, tmp_path_factory):
 
 
 def _lib_plan_of(spark, name: str, mode: str = "simple") -> str:
-    from advent_of_code_flink_paimon_spark.operators.registry import LIBRARY_QUERIES
-
-    df = LIBRARY_QUERIES[name](spark, SF_ORACLE)
-    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
-    return df._jdf.queryExecution().explainString(jmode)
+    # registry status rotates round to round (library ↔ scored window);
+    # plan contracts don't care which side the entry currently sits on
+    return plan_of(spark, name, mode=mode)
 
 
 def test_tfidf_pairs_has_no_cartesian(spark):
