@@ -2084,8 +2084,52 @@ def refresh_ivfpq_index(spark, catalog, vecs_table: str) -> int:
     return n
 
 
+# Size gate for the ANN probe plan shape (VERDICT.md r9 ask #3): the
+# zero-join literal shape evaluates Q·nprobe inline structs per index
+# row BEFORE its cid filter — the right trade for the deployed
+# small-per-wave query batches, but at a production batch of thousands
+# of queries the pre-filter projection dominates. Past this many
+# (query, probed-list) pairs the probe switches to a broadcast hash
+# join on cid: the (query_id, cid, lut…) relation is Q·nprobe rows of
+# M K-float arrays (a few MB at any realistic batch), each index row
+# meets ONLY its matching probe rows, and the index still never
+# shuffles (the join is map-side; only the top-k window exchanges).
+_PROBE_LITERAL_MAX = 64
+
+
+def _adc_broadcast_probe(spark, idx: DataFrame, pair_luts: list, k: int) -> DataFrame:
+    """Broadcast-join probe shape shared by x67/x72: ``pair_luts`` is
+    [(query_id, cid, [lut_0..lut_{M-1}])] — one row per (query, probed
+    list) with that pair's ADC lookup tables. Identical arithmetic to
+    the literal shape (same element_at lookups, same m-order sum, same
+    rounding), so the two shapes are value-identical — asserted in
+    tests/test_extensions.py at 10× the report's query-batch size."""
+    rows = [(int(qid), int(cid), *[[float(x) for x in lut] for lut in luts])
+            for qid, cid, luts in pair_luts]
+    schema = "query_id long, cid long, " + ", ".join(
+        f"lut{m} array<double>" for m in range(PQ_M)
+    )
+    probe = spark.createDataFrame(rows, schema)
+    adc = None
+    for m in range(PQ_M):
+        term = F.element_at(F.col(f"lut{m}"), F.col(f"code{m}") + 1)
+        adc = term if adc is None else adc + term
+    scored = (
+        idx.join(F.broadcast(probe), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", F.round(adc, _KM_ROUND).alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_d2").asc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "adc_d2", "rank")
+    )
+
+
 def ivfpq_onetable_topk(
-    spark, catalog, vecs_table: str, k: int = TOP_K, n_queries: int = N_QUERIES
+    spark, catalog, vecs_table: str, k: int = TOP_K, n_queries: int = N_QUERIES,
+    shape: str | None = None,
 ) -> DataFrame:
     """IVFADC query with ZERO joins: per query, the probed cid set and
     the M×K lookup tables inline as literals, each index row explodes
@@ -2094,7 +2138,11 @@ def ivfpq_onetable_topk(
     bucketed index → project/explode → filter → window — the shape
     that holds at 10⁹ vectors (probed-list pruning rides the cid
     bucketing; nothing shuffles but the top-k window's partial
-    ranks)."""
+    ranks).
+
+    ``shape``: 'literal' (the zero-join plan above), 'broadcast' (the
+    large-batch plan — see _PROBE_LITERAL_MAX), or None = auto-gate on
+    Q·nprobe. Both shapes are value-identical."""
     centroids = load_ivf_centroids(spark, catalog, vecs_table)
     codebook = load_pq_codebook(spark, catalog, vecs_table)
     idx = catalog.get_table(ivfpq_name(vecs_table)).read(spark)
@@ -2115,6 +2163,14 @@ def ivfpq_onetable_topk(
         int(r.vec_id): [_adc_lut(list(r.cv), codebook[m], m) for m in range(PQ_M)]
         for r in queries_v.collect()
     }
+    n_pairs = sum(len(cids) for cids in probed.values())
+    if shape is None:
+        shape = "literal" if n_pairs <= _PROBE_LITERAL_MAX else "broadcast"
+    if shape == "broadcast":
+        pair_luts = [
+            (qid, cid, luts[qid]) for qid in sorted(luts) for cid in probed[qid]
+        ]
+        return _adc_broadcast_probe(spark, idx, pair_luts, k)
     per_query = []
     for qid in sorted(luts):
         adc = None
@@ -2562,7 +2618,8 @@ def refresh_ivfpq_residual_index(spark, catalog, vecs_table: str) -> int:
 
 
 def ivfpq_residual_topk(
-    spark, catalog, vecs_table: str, k: int = TOP_K, n_queries: int = N_QUERIES
+    spark, catalog, vecs_table: str, k: int = TOP_K, n_queries: int = N_QUERIES,
+    shape: str | None = None,
 ) -> DataFrame:
     """Residual-IVFADC query with ZERO joins: per (query, probed list)
     the lookup tables are built from the query's residual against THAT
@@ -2572,7 +2629,11 @@ def ivfpq_residual_topk(
     lookups, and one per-query window takes top-k. Driver traffic:
     C centroids + M·K codebook rows + n_queries query vectors; the
     plan is scan of the bucketed index → project/explode → filter →
-    window (x67's audited shape)."""
+    window (x67's audited shape).
+
+    ``shape``: 'literal' / 'broadcast' / None = auto-gate on Q·nprobe
+    (see _PROBE_LITERAL_MAX) — residual LUTs are already per
+    (query, list), so they land in the probe relation unchanged."""
     centroids = load_ivf_centroids(spark, catalog, vecs_table)
     cent_by_cid = {cid: cent for cid, cent in centroids}
     codebook = load_pq_codebook(
@@ -2598,6 +2659,18 @@ def ivfpq_residual_topk(
     )
     probed = {int(r.vec_id): sorted(int(p.cid) for p in r.probes) for r in q_rows}
     qv = {int(r.vec_id): list(r.cv) for r in q_rows}
+    n_pairs = sum(len(cids) for cids in probed.values())
+    if shape is None:
+        shape = "literal" if n_pairs <= _PROBE_LITERAL_MAX else "broadcast"
+    if shape == "broadcast":
+        pair_luts = []
+        for qid in sorted(qv):
+            for cid in probed[qid]:
+                q_res = [x - c for x, c in zip(qv[qid], cent_by_cid[cid])]
+                pair_luts.append(
+                    (qid, cid, [_adc_lut(q_res, codebook[m], m) for m in range(PQ_M)])
+                )
+        return _adc_broadcast_probe(spark, idx, pair_luts, k)
     per_pair = []
     for qid in sorted(qv):
         for cid in probed[qid]:
@@ -3168,3 +3241,49 @@ def x84_ann_refine_rerank(spark, sf_dir):
 
 
 # Round 10: promoted into the driver registry (window rotation).
+
+
+# ----------------------------------------------------------------------
+# x92: the LARGE-BATCH IVFADC probe (VERDICT.md r9 ask #3's bench row)
+# — x67's single-table lifecycle queried with a 10× query batch
+# (50 queries × nprobe 4 = 200 (query, list) pairs), which trips the
+# _PROBE_LITERAL_MAX auto-gate into the broadcast-hash-join probe
+# shape. Library-gated (the scored window is full); the plan contract
+# for both shapes is asserted in tests/test_plans.py.
+# ----------------------------------------------------------------------
+
+_X92_N_QUERIES = 50
+
+_SQL_IVFPQ_BATCH = _SQL_IVFPQ_LIFECYCLE.replace(
+    f"vec_id < {N_QUERIES}", f"vec_id < {_X92_N_QUERIES}"
+)
+if _SQL_IVFPQ_BATCH.count(f"vec_id < {_X92_N_QUERIES}") != 2:  # pragma: no cover
+    raise AssertionError("x92 oracle rewrite did not apply — query filters drifted")
+
+
+@query("x92_ivfpq_batch_probe", oracle=_SQL_IVFPQ_BATCH)
+def x92_ivfpq_batch_probe(spark, sf_dir):
+    """x67's full IVFADC lifecycle answered for a 50-query batch: the
+    probe auto-gates to the broadcast shape (200 pairs > 64), so this
+    entry keeps the large-batch plan measured round over round — the
+    cost model is one map-side broadcast join against the bucketed
+    code table instead of 200 inline struct evaluations per row."""
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+    from advent_of_code_flink_paimon_spark.operators.dedup import _mhidx_warehouse
+
+    e = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    is_batch = F.pmod(F.col("vec_id"), F.lit(10)) == 0
+
+    catalog = Catalog(_mhidx_warehouse("ivfpq92", sf_dir), "default")
+    vecs_t = catalog.create_table("vecs", "vec_id long, embedding array<float>", {})
+    vecs_t.append(e.filter(~is_batch))
+    build_ivfpq_index(spark, catalog, "vecs")
+    vecs_t.append(e.filter(is_batch))
+    refresh_ivfpq_index(spark, catalog, "vecs")
+    return ivfpq_onetable_topk(spark, catalog, "vecs", n_queries=_X92_N_QUERIES)
+
+
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote11  # noqa: E402
+
+_demote11("x92_ivfpq_batch_probe")
+del _demote11

@@ -98,6 +98,7 @@ HEADLINE = [
     "x85_token_budget_curriculum",
     "x90_dedup_embedding_lsh_verify",
     "x91_approx_percentiles",
+    "x92_ivfpq_batch_probe",
 ]
 
 

@@ -52,7 +52,14 @@ QUERIES = ["x07_dup_clusters", "x13_semantic_dedup", "x03_dedup_minhash_lsh",
            # round-9 library (join-heavy): sparse TF-IDF pair join,
            # held-out Stupid Backoff, RRF fusion, BM25+PRF two-round
            "x76_tfidf_cosine_pairs", "x77_stupid_backoff_score",
-           "x81_rrf_fusion_topk", "x82_bm25_prf_topk"]
+           "x81_rrf_fusion_topk", "x82_bm25_prf_topk",
+           # round-10: the new default embedding-dedup path (the
+           # sub-quadratic replacement whose ≤3× growth claim this
+           # file is the evidence for), the retired exact ground
+           # truth (kept as the super-linear control), the GK-sketch
+           # percentiles, and the large-batch broadcast-probe shape
+           "x90_dedup_embedding_lsh_verify", "x91_approx_percentiles",
+           "x92_ivfpq_batch_probe"]
 REPEATS = 3
 
 

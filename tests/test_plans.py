@@ -525,6 +525,51 @@ def test_ivfpqr_probe_has_zero_joins(spark, tmp_path_factory):
     assert "default.db/vecs/" not in plan and "embedding" not in plan, plan
 
 
+def test_probe_broadcast_shape_at_10x_queries(spark, tmp_path_factory):
+    """VERDICT r9 ask #3: past _PROBE_LITERAL_MAX (query, probed-list)
+    pairs the ANN probe must auto-switch to the broadcast-hash-join
+    shape — Q·nprobe LUT rows broadcast and joined on cid, index never
+    shuffled, raw vectors never scanned — and both shapes must be
+    VALUE-identical. Exercised at 10× the report's query-batch size
+    (50 queries × nprobe 4 = 200 pairs > 64) for both the raw (x67)
+    and residual (x72) encodings."""
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+    from advent_of_code_flink_paimon_spark.operators.registry import T
+    from advent_of_code_flink_paimon_spark.operators.similarity import (
+        build_ivfpq_index,
+        build_ivfpq_residual_index,
+        ivfpq_onetable_topk,
+        ivfpq_residual_topk,
+    )
+
+    wh = tmp_path_factory.mktemp("wh-probe-shapes")
+    catalog = Catalog(str(wh))
+    t = catalog.create_table("vecs", "vec_id long, embedding array<float>", {})
+    t.append(T(spark, SF_ORACLE, "embeddings").select("vec_id", "embedding"))
+    build_ivfpq_index(spark, catalog, "vecs")
+    build_ivfpq_residual_index(spark, catalog, "vecs")
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    for topk, idx_name in (
+        (ivfpq_onetable_topk, "vecs_ivfpq"),
+        (ivfpq_residual_topk, "vecs_ivfpqr"),
+    ):
+        lit = topk(spark, catalog, "vecs", n_queries=50, shape="literal")
+        auto = topk(spark, catalog, "vecs", n_queries=50)  # gate picks broadcast
+        plan = auto._jdf.queryExecution().explainString(jmode)
+        assert "BroadcastHashJoin" in plan, plan
+        assert idx_name in plan, plan
+        # the index side of the join stays shuffle-free: the only
+        # SHUFFLE exchange is the top-k window's
+        # hashpartitioning(query_id) (BroadcastExchange is not a shuffle)
+        assert plan.count("+- Exchange (") == 1, plan
+        assert "hashpartitioning(query_id" in plan, plan
+        assert "default.db/vecs/" not in plan and "embedding" not in plan, plan
+        got_l = sorted(map(tuple, lit.collect()))
+        got_b = sorted(map(tuple, auto.collect()))
+        assert got_l == got_b, (idx_name, got_l[:3], got_b[:3])
+        assert len(got_b) == 50 * 5  # top-k for every query in the batch
+
+
 def _lib_plan_of(spark, name: str, mode: str = "simple") -> str:
     # registry status rotates round to round (library ↔ scored window);
     # plan contracts don't care which side the entry currently sits on
