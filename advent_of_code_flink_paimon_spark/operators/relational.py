@@ -1376,3 +1376,79 @@ for _name in (
 ):
     _demote6(_name)
 del _demote6, _name
+
+
+# ----------------------------------------------------------------------
+# q54: linear-regression aggregate family (VERDICT.md r9 ask #8) —
+# regr_slope / regr_intercept / regr_r2 / stddev_samp re-expressed from
+# the SAME exact decimal sufficient statistics q52 established
+# (n, Σx, Σy, Σxy, Σx², Σy²): native regr_* would evaluate in
+# engine-specific accumulation orders (Spark's Welford-style updates vs
+# DuckDB's), so the portable form aggregates exact decimals and runs
+# ONE closed-form IEEE evaluation per group on both engines. Still a
+# single partial-aggregable pass — the 100 TB shape is identical to
+# any grouped SUM.
+# ----------------------------------------------------------------------
+
+
+@query(
+    "q54_regr_stats",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS regr_slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4) AS regr_intercept,
+           ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS regr_r2,
+           ROUND(sqrt((n * sxx - sx * sx) / (n * (n - 1.0))), 4) AS stddev_x,
+           ROUND(sqrt((n * syy - sy * sy) / (n * (n - 1.0))), 4) AS stddev_y
+    FROM s
+    """,
+)
+def q54_regr_stats(spark, sf_dir):
+    """Per-returnflag OLS fit of extendedprice on quantity plus sample
+    standard deviations — slope, intercept, R², stddev_samp — all from
+    the q52 six-sum sufficient statistics, identical closed-form IEEE
+    evaluation on both engines, rounded before output."""
+    l = T(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast(_DEC)
+    y = F.col("l_extendedprice").cast(_DEC)
+    s = l.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    num = n * sxy - sx * sy
+    vxx = n * sxx - sx * sx
+    vyy = n * syy - sy * sy
+    slope = num / vxx
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 6).alias("regr_slope"),
+        F.round((sy - slope * sx) / n, 4).alias("regr_intercept"),
+        F.round((num * num) / (vxx * vyy), 6).alias("regr_r2"),
+        F.round(F.sqrt(vxx / (n * (n - F.lit(1.0)))), 4).alias("stddev_x"),
+        F.round(F.sqrt(vyy / (n * (n - F.lit(1.0)))), 4).alias("stddev_y"),
+    )
+
+
+# q54 ships library-gated like q49-q53 (the scored window is full).
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote7  # noqa: E402
+
+_demote7("q54_regr_stats")
+del _demote7
