@@ -1,0 +1,123 @@
+"""Sustained-throughput bench for the three continuous LLM-ingestion
+pipelines (VERDICT.md r9 ask #5): DedupIngestPipeline (Gopher
+quality_filter + storage-pruned near-dedup), SearchIngestPipeline
+(BM25 inverted index kept current), VectorIngestPipeline (PQ + IVF
+indexes kept current). BASELINE.md's reference rate (3,529 rec/s at
+parallelism 1) is a PLAIN APPEND — the tutorial's ingest does no
+per-record curation work at all — so the artifact records each
+pipeline's absolute rec/s AND its ratio to that baseline: the honest
+statement of what filter→dedup→index curation costs per record over
+raw ingestion at this SF.
+
+Feeds each pipeline B sequential micro-batches of the testdata source
+table through its ``sink`` (the exact foreachBatch body the streaming
+wiring calls) in one Spark session and measures wall over ALL batches
+— first-batch index builds are part of sustained ingest, not warmup.
+
+Usage: python bench_pipelines.py  → writes PIPELINE_BENCH.json and
+prints one JSON line. $SPARK_GRAFT_SF_DIR picks the SF (default
+sf0.1); tests/test_throughput.py enforces regression floors at
+sf0.001 via the same harness.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_REC_S = 3529
+N_BATCHES = 4
+
+
+def run_pipelines(spark, sf_dir: str, scratch: str, n_batches: int = N_BATCHES) -> dict:
+    """Drive all three pipelines' sinks over ``n_batches`` splits of the
+    testdata source tables; return {name: {rows, wall_s, rec_s}}."""
+    import pyspark.sql.functions as F
+
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+    from advent_of_code_flink_paimon_spark.operators.dedup import DedupIngestPipeline
+    from advent_of_code_flink_paimon_spark.operators.registry import T
+    from advent_of_code_flink_paimon_spark.operators.similarity import (
+        VectorIngestPipeline,
+    )
+    from advent_of_code_flink_paimon_spark.operators.text import SearchIngestPipeline
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text").persist()
+    vecs = T(spark, sf_dir, "embeddings").select("vec_id", "embedding").persist()
+    n_docs, n_vecs = docs.count(), vecs.count()  # materialize outside timing
+
+    def batches(df, key, bid):
+        return df.filter(F.pmod(F.col(key), F.lit(n_batches)) == bid)
+
+    def drive(name, pipeline, src, key, n_rows):
+        t0 = time.perf_counter()
+        for bid in range(n_batches):
+            pipeline.sink(batches(src, key, bid), bid)
+        wall = time.perf_counter() - t0
+        return {"rows": n_rows, "wall_s": round(wall, 3), "rec_s": round(n_rows / wall, 1)}
+
+    out = {}
+    cat = Catalog(os.path.join(scratch, "wh-dedup"))
+    out["dedup_ingest"] = drive(
+        "dedup",
+        DedupIngestPipeline(
+            spark, cat, "docs", os.path.join(scratch, "ck-dedup"),
+            verify_from_storage=True, quality_filter=True,
+        ),
+        docs, "doc_id", n_docs,
+    )
+    cat = Catalog(os.path.join(scratch, "wh-search"))
+    out["search_ingest"] = drive(
+        "search",
+        SearchIngestPipeline(spark, cat, "docs", os.path.join(scratch, "ck-search")),
+        docs, "doc_id", n_docs,
+    )
+    cat = Catalog(os.path.join(scratch, "wh-vector"))
+    out["vector_ingest"] = drive(
+        "vector",
+        VectorIngestPipeline(spark, cat, "vecs", os.path.join(scratch, "ck-vector")),
+        vecs, "vec_id", n_vecs,
+    )
+    docs.unpersist()
+    vecs.unpersist()
+    return out
+
+
+def main() -> None:
+    import shutil
+    import tempfile
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    from advent_of_code_flink_paimon_spark.session import get_spark
+
+    spark = get_spark("aocfp-pipeline-bench", extra_conf={"spark.ui.enabled": "false"})
+    scratch = tempfile.mkdtemp(prefix="spark-graft-plbench-")
+    try:
+        results = run_pipelines(spark, sf_dir, scratch)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+        spark.stop()
+    for v in results.values():
+        v["vs_plain_append_baseline"] = round(v["rec_s"] / BASELINE_REC_S, 4)
+    artifact = {
+        "metric": "ingest_pipeline_sustained_rate",
+        "unit": "rec_s",
+        "baseline_plain_append_rec_s": BASELINE_REC_S,
+        "n_batches": N_BATCHES,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "pipelines": results,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "PIPELINE_BENCH.json"), "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(json.dumps(artifact))
+
+
+if __name__ == "__main__":
+    main()
