@@ -1634,3 +1634,34 @@ def test_unigram_compression_report_model(spark):
         assert (gd, gc, gw, gp) == (nd, nc, nw, np_), src
         assert gw <= gp < gc  # pieces subdivide words; compression real
         assert abs(ratio - nc / np_) < 1e-12
+
+
+def test_approx_percentile_rank_error_bound(spark):
+    """x91's 100 TB claim: percentile_approx at a PRODUCTION accuracy
+    (100 — far below the gate's exact-making 1e6) must return an
+    actual dataset element whose rank error is within the published
+    GK bound, rank_error <= n/accuracy, for every group and quantile.
+    This is the tolerance check the approximate path's trust rests on
+    when n/accuracy >= 1 and exactness no longer holds."""
+    from advent_of_code_flink_paimon_spark.operators.registry import T
+
+    acc = 100
+    e = T(spark, SF_ORACLE, "events")
+    got = e.groupBy("event_type").agg(
+        F.expr(f"percentile_approx(value, array(0.5, 0.9, 0.99), {acc})").alias("p")
+    ).collect()
+    vals = {}
+    for r in e.select("event_type", "value").collect():
+        vals.setdefault(r.event_type, []).append(r.value)
+    for r in got:
+        xs = sorted(vals[r.event_type])
+        n = len(xs)
+        for q, v in zip((0.5, 0.9, 0.99), r.p):
+            assert v in vals[r.event_type], (r.event_type, q, v)  # a real element
+            import bisect
+
+            lo = bisect.bisect_left(xs, v)
+            hi = bisect.bisect_right(xs, v) - 1
+            target = q * n
+            err = min(abs(lo - target), abs(hi - target))
+            assert err <= n / acc + 1, (r.event_type, q, v, err, n / acc)
