@@ -3287,3 +3287,75 @@ from advent_of_code_flink_paimon_spark.operators.registry import demote as _demo
 
 _demote11("x92_ivfpq_batch_probe")
 del _demote11
+
+
+# ----------------------------------------------------------------------
+# x94: Matryoshka truncation recall (Kusupati et al. 2022,
+# arXiv:2205.13147 — MRL trains embeddings whose PREFIX dims carry
+# most of the signal, so production retrieval can score on the first
+# d' dims at d/d' the memory bandwidth): recall@k of cosine top-k over
+# the 32-dim prefix against the full 64-dim ground truth, per query —
+# the evaluation an embedding pipeline runs before adopting prefix
+# truncation. Deterministic end to end (x10's rounding + id
+# tiebreaks), so DuckDB replays both sides exactly via list slices.
+# Scale shape: both sides are the x10 audited broadcast-query pass
+# (report runs on a query sample in production); truncation itself is
+# a map-side F.slice.
+# ----------------------------------------------------------------------
+
+_X94_PREFIX_DIMS = 32
+
+_SQL_MRL_RECALL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+full_rk AS (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+               ROUND({_COS.format(a='q.qv', b='c.cv')}, 4) DESC, vec_id ASC) AS rank
+    FROM q JOIN c ON c.vec_id <> q.query_id
+),
+qt AS (SELECT query_id, qv[1:{_X94_PREFIX_DIMS}] AS qv FROM q),
+ct AS (SELECT vec_id, cv[1:{_X94_PREFIX_DIMS}] AS cv FROM c),
+trunc_rk AS (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+               ROUND({_COS.format(a='qt.qv', b='ct.cv')}, 4) DESC, vec_id ASC) AS rank
+    FROM qt JOIN ct ON ct.vec_id <> qt.query_id
+)
+SELECT e.query_id,
+       CAST(COUNT(a.vec_id) AS BIGINT) AS n_hit,
+       CAST(COUNT(a.vec_id) AS BIGINT) * 1.0 / {TOP_K} AS recall
+FROM (SELECT * FROM full_rk WHERE rank <= {TOP_K}) e
+LEFT JOIN (SELECT * FROM trunc_rk WHERE rank <= {TOP_K}) a
+  ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+GROUP BY e.query_id
+"""
+
+
+@query("x94_matryoshka_recall", oracle=_SQL_MRL_RECALL)
+def x94_matryoshka_recall(spark, sf_dir):
+    """recall@k of prefix-truncated (32 of 64 dims) cosine retrieval
+    against the full-dimension exact top-k, per query — the go/no-go
+    report for Matryoshka-style truncation (half the scoring flops and
+    half the scan bytes when embeddings are stored prefix-first).
+
+    On the isotropic random testdata the prefix carries only half the
+    energy with no trained structure, so recall is honestly LOW
+    (0.0–0.6) — the report correctly says "don't truncate these";
+    MRL-trained embeddings are the case where it says yes."""
+    e = T(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < N_QUERIES)
+    full = cosine_topk(e, queries)
+    trunc = cosine_topk(
+        e.select("vec_id", F.slice("embedding", 1, _X94_PREFIX_DIMS).alias("embedding")),
+        queries.select(
+            "vec_id", F.slice("embedding", 1, _X94_PREFIX_DIMS).alias("embedding")
+        ),
+    )
+    return ann_recall(full, trunc)
+
+
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote12  # noqa: E402
+
+_demote12("x94_matryoshka_recall")
+del _demote12
