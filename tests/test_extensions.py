@@ -1665,3 +1665,32 @@ def test_approx_percentile_rank_error_bound(spark):
             target = q * n
             err = min(abs(lo - target), abs(hi - target))
             assert err <= n / acc + 1, (r.event_type, q, v, err, n / acc)
+
+
+def test_x90_band_width_formula_parity():
+    """x90's band width is computed on the driver (Python) and replayed
+    by the oracle in SQL from COUNT(*); the two closed forms must agree
+    for every plausible corpus size, including the exact powers of two
+    where ceil(log2(.)) sits on an integer boundary."""
+    import duckdb
+
+    from advent_of_code_flink_paimon_spark.operators.similarity import (
+        _X90_MAX_BITS,
+        _X90_MIN_BITS,
+        _X90_R_SQL,
+        _X90_TARGET_OCC,
+        _x90_band_bits,
+    )
+
+    ns = list(range(1, 300)) + [2**k * _X90_TARGET_OCC for k in range(0, 22)] + [
+        10**k for k in range(1, 9)
+    ]
+    con = duckdb.connect()
+    expr = _X90_R_SQL.format(
+        mn=_X90_MIN_BITS, mx=_X90_MAX_BITS, n="n", occ=_X90_TARGET_OCC
+    )
+    rows = con.execute(
+        f"SELECT n, {expr} AS r FROM (SELECT UNNEST(?) AS n)", [ns]
+    ).fetchall()
+    for n, r_sql in rows:
+        assert r_sql == _x90_band_bits(n), (n, r_sql, _x90_band_bits(n))
