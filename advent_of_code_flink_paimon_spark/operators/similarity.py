@@ -2268,8 +2268,9 @@ def ann_recall(exact: DataFrame, approx: DataFrame, k: int = TOP_K) -> DataFrame
 # volume grows quadratically. Here r grows with the corpus —
 # r = clamp(ceil(log2(n / OCC)), MIN, MAX) — holding expected random
 # bucket occupancy at ~OCC vectors, so candidate volume is
-# bands · n · OCC / 2 ≈ LINEAR in n (sub-quadratic by construction;
-# BENCH_scale growth ≤3× at 5× rows vs x06's 16.2×). Recall at a
+# bands · n · OCC / 2 ≈ LINEAR in n — MEASURED: 1.00× wall at 5×
+# rows in BENCH_scale (r steps 6→9, candidate volume flat) vs the
+# exact x06's 14–16×. Recall at a
 # threshold c is 1 − (1 − p^r)^bands with p = 1 − acos(c)/π: on the
 # near-random testdata at c = 0.35 that is ~0.92 at sf0.01 (r=4) and
 # ~0.44 at sf0.1 (r=6) — measured honestly in x68's pair-recall row —
