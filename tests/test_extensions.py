@@ -1163,14 +1163,20 @@ def test_ivfpq_index_refresh_crash_replay(spark, tmp_path):
 
 
 def test_ann_recall_bounds_and_model(spark):
-    """x68's recall report: one row per query, n_hit ∈ [0, k], recall =
-    n_hit/k, and the values equal a Python set-intersection of the two
-    top-k relations it compares."""
+    """x68's recall report: one row per query (n_hit ∈ [0, k], recall =
+    n_hit/k, values equal a Python set-intersection of the two top-k
+    relations) plus — round 10 — the query_id = −1 PAIR-recall row
+    measuring the declared candidate-restricted dedup path (x90)
+    against the exact all-pairs ground truth (x06)."""
+    from advent_of_code_flink_paimon_spark.operators.dedup import (
+        x06_dedup_embedding_cosine,
+    )
     from advent_of_code_flink_paimon_spark.operators.similarity import (
         TOP_K,
         x10_embedding_topk,
         x12_embedding_topk_ivf,
         x68_ann_recall,
+        x90_dedup_embedding_lsh_verify,
     )
 
     sf = "/root/testdata/sf0.001"
@@ -1181,10 +1187,17 @@ def test_ann_recall_bounds_and_model(spark):
     for r in x12_embedding_topk_ivf(spark, sf).collect():
         approx.setdefault(r.query_id, set()).add(r.vec_id)
     got = {r.query_id: (r.n_hit, r.recall) for r in x68_ann_recall(spark, sf).collect()}
-    assert set(got) == set(exact)
-    for qid, (n_hit, recall) in got.items():
+    assert set(got) == set(exact) | {-1}
+    for qid in exact:
+        n_hit, recall = got[qid]
         want = len(exact[qid] & approx.get(qid, set()))
         assert n_hit == want and recall == want / TOP_K, (qid, n_hit, want)
+    gt_pairs = {(r.i, r.j) for r in x06_dedup_embedding_cosine(spark, sf).collect()}
+    cand_pairs = {(r.i, r.j) for r in x90_dedup_embedding_lsh_verify(spark, sf).collect()}
+    n_hit, recall = got[-1]
+    want = len(gt_pairs & cand_pairs)
+    assert n_hit == want and recall == want / max(len(gt_pairs), 1), (n_hit, want)
+    assert cand_pairs <= gt_pairs  # exact verify admits no false pairs
 
 
 def test_ccnet_bucket_approx_agrees_with_exact(spark):
