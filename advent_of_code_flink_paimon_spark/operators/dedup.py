@@ -720,7 +720,7 @@ _SQL_X06_EXACT = f"""
 
 
 @query("x06_dedup_embedding_cosine", oracle=_SQL_X06_EXACT)
-def x06_dedup_embedding_cosine(spark, sf_dir):
+def x06_dedup_embedding_cosine(spark, sf_dir, max_vec_id: int | None = None):
     """Embedding near-dup pairs above a cosine threshold — EXACT answer
     via a block-partitioned pair join.
 
@@ -755,6 +755,8 @@ def x06_dedup_embedding_cosine(spark, sf_dir):
     # operators/similarity.py.)
     from advent_of_code_flink_paimon_spark.operators.similarity import _dot, _norm
 
+    if max_vec_id is not None:  # bounded ground-truth sample (x68's protocol)
+        e = e.filter(F.col("vec_id") < max_vec_id)
     v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     v = v.select(
         "vec_id",
