@@ -3384,3 +3384,228 @@ from advent_of_code_flink_paimon_spark.operators.registry import demote as _demo
 
 _demote12("x94_matryoshka_recall")
 del _demote12
+
+
+# ----------------------------------------------------------------------
+# VectorDedupIngestPipeline: continuous EMBEDDING-near-deduped ingestion
+# — the vector-side twin of dedup.DedupIngestPipeline (which curates
+# TEXT via the persisted MinHash band index). Every micro-batch is
+# LSH-checked against a persisted band index of everything already
+# committed (x90's data-scaled banding, frozen at index-build width),
+# exact-cosine-verified against ONLY the candidate corpus vectors, and
+# only novel vectors append; the index advances to cover survivors
+# before the next batch (the x46/x49/x67 consumer-bookmark protocol,
+# range-stamped and crash-idempotent).
+#
+# Band width policy: a persisted index must freeze r (rescaling r
+# changes every key), so r is chosen from the corpus size at build
+# time and stored in the meta table; when the corpus outgrows the
+# built width (occupancy drifting above target), rebuild with
+# build_lsh_band_index — the same re-index cadence IVF centroids
+# already follow (x50).
+# ----------------------------------------------------------------------
+
+LSH_BANDS_SCHEMA = "key long, vec_id long"
+_LSHIDX_CONSUMER_PREFIX = "__lsh-band-index"
+
+
+def lsh_bands_name(vecs_table: str) -> str:
+    return f"{vecs_table}_lshbands"
+
+
+def lsh_meta_name(vecs_table: str) -> str:
+    return f"{vecs_table}_lshmeta"
+
+
+def _band_rows(v: DataFrame, r: int) -> DataFrame:
+    """(vec_id, cv) → (key, vec_id): the x90 signature banded at width
+    r — row-local codegen, no shuffle until the bucketed index write."""
+    return (
+        v.select("vec_id", _x90_bits("cv").alias("bits"))
+        .select(F.explode(_x90_keys(r)).alias("key"), "vec_id")
+    )
+
+
+def load_lsh_band_width(spark, catalog, vecs_table: str) -> int:
+    rows = catalog.get_table(lsh_meta_name(vecs_table)).read(spark).collect()
+    return int(rows[0].r)
+
+
+def build_lsh_band_index(spark, catalog, vecs_table: str) -> int:
+    """(Re)build the banded signature index from the committed corpus:
+    choose r from the corpus size, store it in the meta table, band
+    every vector into the key-bucketed index table, bookmark the
+    consumed snapshot range."""
+    from advent_of_code_flink_paimon_spark.operators.dedup import pack_refresh_range
+
+    vecs_t = catalog.get_table(vecs_table)
+    latest = vecs_t.latest_snapshot_id() or 0
+    v = _pq_vecs(vecs_t.read(spark)).persist()
+    n = v.count()
+    r = _x90_band_bits(n)
+    meta = lsh_meta_name(vecs_table)
+    if not catalog.has_table(meta):
+        catalog.create_table(meta, "r int, built_n long", {})
+    catalog.get_table(meta).overwrite(
+        spark.createDataFrame([(r, n)], "r int, built_n long")
+    )
+    name = lsh_bands_name(vecs_table)
+    if not catalog.has_table(name):
+        catalog.create_table(name, LSH_BANDS_SCHEMA, {"bucket": "8", "bucket-key": "key"})
+    catalog.get_table(name).overwrite(
+        _band_rows(v, r),
+        commit_identifier=pack_refresh_range(1, latest) if latest else None,
+    )
+    v.unpersist()
+    vecs_t.register_consumer(f"{_LSHIDX_CONSUMER_PREFIX}-{vecs_table}", latest + 1)
+    return n
+
+
+def refresh_lsh_band_index(spark, catalog, vecs_table: str) -> int:
+    """Band ONLY newly committed vectors at the STORED width and append
+    — O(new vectors), range-stamped, crash-idempotent (the shared
+    x49/x63/x64/x67 refresh protocol)."""
+    from advent_of_code_flink_paimon_spark.operators.dedup import (
+        pack_refresh_range,
+        recover_refresh_bookmark,
+    )
+
+    vecs_t = catalog.get_table(vecs_table)
+    idx_t = catalog.get_table(lsh_bands_name(vecs_table))
+    consumer_id = f"{_LSHIDX_CONSUMER_PREFIX}-{vecs_table}"
+    nxt = vecs_t.consumers().get(consumer_id, {}).get("next_snapshot_id", 1)
+    nxt = recover_refresh_bookmark(idx_t, nxt)
+    latest = vecs_t.latest_snapshot_id() or 0
+    if latest < nxt:
+        if nxt > vecs_t.consumers().get(consumer_id, {}).get("next_snapshot_id", 1):
+            vecs_t.register_consumer(consumer_id, next_snapshot_id=nxt)
+        return 0
+    fresh = vecs_t.merge_raw(vecs_t.incremental_read(spark, nxt - 1, latest)).persist()
+    n = fresh.count()
+    if n:
+        r = load_lsh_band_width(spark, catalog, vecs_table)
+        idx_t.append(
+            _band_rows(_pq_vecs(fresh), r),
+            commit_identifier=pack_refresh_range(nxt, latest),
+        )
+    fresh.unpersist()
+    vecs_t.register_consumer(consumer_id, latest + 1)
+    return n
+
+
+class VectorDedupIngestPipeline:
+    """Continuous near-deduped VECTOR ingestion into a lakehouse table.
+
+    Per micro-batch (``sink`` is the foreachBatch body):
+
+    1. ``refresh_lsh_band_index`` — band any commits the index missed
+       (no-op when this pipeline is the only writer).
+    2. in-batch EXACT dedup (first vec_id per identical embedding).
+    3. corpus probe: batch bands ⋈ bucketed index on key → candidate
+       (i, j) pairs; exact cosine verifies i (batch vectors, in hand)
+       against j read from the vectors table SEMI-JOINED to candidate
+       ids — per-batch cost O(batch + candidates), never O(corpus).
+    4. in-batch NEAR dedup: the same bands self-joined within the
+       batch, exact-verified, higher vec_id dropped.
+    5. append survivors with ``commit_identifier=batch_id`` (replayed
+       micro-batches commit exactly once), then refresh again so the
+       NEXT batch dedups against these survivors.
+
+    This is SemDeDup-at-ingest with x90's candidate discipline: the
+    corpus is never self-joined; every pair evaluated descends from a
+    band-key equi-join."""
+
+    def __init__(self, spark, catalog, vecs_table: str, checkpoint_dir: str,
+                 threshold: float | None = None):
+        from advent_of_code_flink_paimon_spark.operators.dedup import (
+            _COSINE_DUP_THRESHOLD,
+        )
+
+        self.spark, self.catalog = spark, catalog
+        self.vecs_table, self.checkpoint_dir = vecs_table, checkpoint_dir
+        self.threshold = _COSINE_DUP_THRESHOLD if threshold is None else threshold
+        if not catalog.has_table(vecs_table):
+            catalog.create_table(vecs_table, "vec_id long, embedding array<float>", {})
+        if not catalog.has_table(lsh_bands_name(vecs_table)):
+            build_lsh_band_index(spark, catalog, vecs_table)
+
+    def sink(self, batch_df: DataFrame, batch_id: int) -> int:
+        """foreachBatch body; returns the number of rows appended."""
+        vecs_t = self.catalog.get_table(self.vecs_table)
+        refresh_lsh_band_index(self.spark, self.catalog, self.vecs_table)
+        batch = batch_df.select("vec_id", "embedding")
+        w = Window.partitionBy(
+            F.md5(F.col("embedding").cast("string").cast("binary"))
+        ).orderBy("vec_id")
+        batch = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .persist()
+        )
+        bv = _pq_vecs(batch).persist()
+        r = load_lsh_band_width(self.spark, self.catalog, self.vecs_table)
+        bands = _band_rows(bv, r).persist()
+        thr = self.threshold
+        iv = bv.select(F.col("vec_id").alias("i"), F.col("cv").alias("icv"),
+                       _norm("cv").alias("inorm"))
+        # 3. corpus probe: candidates from the persisted index only
+        idx = self.catalog.get_table(lsh_bands_name(self.vecs_table)).read(self.spark)
+        cand = (
+            bands.join(idx.withColumnRenamed("vec_id", "j"), "key")
+            .filter(F.col("vec_id") != F.col("j"))
+            .select(F.col("vec_id").alias("i"), "j")
+            .distinct()
+        )
+        corpus_j = (
+            _pq_vecs(vecs_t.read(self.spark))
+            .join(cand.select(F.col("j").alias("vec_id")).distinct(), "vec_id", "left_semi")
+            .select(F.col("vec_id").alias("j"), F.col("cv").alias("jcv"),
+                    _norm("cv").alias("jnorm"))
+        )
+        dup_vs_corpus = (
+            cand.join(iv, "i").join(corpus_j, "j")
+            .filter(
+                F.round(_dot("icv", "jcv") / (F.col("inorm") * F.col("jnorm")), 4) >= thr
+            )
+            .select(F.col("i").alias("vec_id")).distinct()
+        )
+        # 4. in-batch near dedup: same bands, batch-local, lowest id wins
+        b2 = bands.select(F.col("key"), F.col("vec_id").alias("j"))
+        dup_in_batch = (
+            bands.join(b2, "key")
+            .filter(F.col("vec_id") < F.col("j"))
+            .select("vec_id", "j")
+            .distinct()
+            .join(iv.withColumnRenamed("i", "vec_id"), "vec_id")
+            .join(
+                iv.select(F.col("i").alias("j"), F.col("icv").alias("jcv"),
+                          F.col("inorm").alias("jnorm")),
+                "j",
+            )
+            .filter(
+                F.round(_dot("icv", "jcv") / (F.col("inorm") * F.col("jnorm")), 4) >= thr
+            )
+            .select(F.col("j").alias("vec_id")).distinct()
+        )
+        survivors = (
+            batch.join(dup_vs_corpus, "vec_id", "left_anti")
+            .join(dup_in_batch, "vec_id", "left_anti")
+            .persist()
+        )
+        n = survivors.count()
+        if n:
+            vecs_t.append(survivors, commit_identifier=batch_id)
+            refresh_lsh_band_index(self.spark, self.catalog, self.vecs_table)
+        for df in (survivors, bands, bv, batch):
+            df.unpersist()
+        return n
+
+    def start(self, source: DataFrame):
+        """Wire the sink to any streaming (vec_id, embedding) source."""
+        return (
+            source.writeStream.foreachBatch(lambda df, bid: self.sink(df, bid))
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )

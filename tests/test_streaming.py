@@ -1588,3 +1588,174 @@ def test_vector_ingest_pipeline_ivfpqr_table(spark, catalog, tmp_path):
         .collect()
     }
     assert stored == full and len(stored) == e.count()
+
+
+def test_vector_dedup_ingest_pipeline(spark, catalog, tmp_path):
+    """Continuous EMBEDDING dedup ingestion (VectorDedupIngestPipeline,
+    the vector twin of the text pipeline): exact and near duplicate
+    vectors are dropped against the persisted band index, in-batch
+    exact and near dups are dropped batch-locally (lowest vec_id
+    wins), and a replayed batch_id commits nothing twice. The test
+    validates its own geometry: planted cosines are computed in Python
+    and asserted on the dup/novel side of the threshold first."""
+    import math
+
+    from advent_of_code_flink_paimon_spark.operators.dedup import (
+        _COSINE_DUP_THRESHOLD,
+    )
+    from advent_of_code_flink_paimon_spark.operators.similarity import (
+        VectorDedupIngestPipeline,
+    )
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    v1 = [math.sin(0.7 * i + 0.3) for i in range(64)]
+    v2 = [math.cos(1.3 * i + 1.1) * (-1) ** i for i in range(64)]
+    v1_near = [x + 0.01 * math.sin(2.1 * i) for i, x in enumerate(v1)]
+    w = [math.sin(0.9 * i + 2.0) * (-1) ** (i // 3) for i in range(64)]
+    w_near = [x + 0.01 * math.cos(1.7 * i) for i, x in enumerate(w)]
+    fresh = [math.sin(2.31 * i * i + 0.5) for i in range(64)]
+    thr = _COSINE_DUP_THRESHOLD
+    assert cos(v1, v1_near) > 0.99 and cos(w, w_near) > 0.99
+    for a, b in ((v1, v2), (v1, fresh), (v2, fresh), (w, v1), (w, v2), (w, fresh)):
+        assert abs(cos(a, b)) < thr, abs(cos(a, b))
+
+    ddl = "vec_id long, embedding array<float>"
+    p = VectorDedupIngestPipeline(spark, catalog, "vecs", str(tmp_path / "vdck"))
+    assert p.sink(spark.createDataFrame([(1, v1), (2, v2)], ddl), 0) == 2
+
+    # exact copy + near copy of corpus dropped; fresh vector kept
+    assert p.sink(
+        spark.createDataFrame([(3, v1), (4, v1_near), (5, fresh)], ddl), 1
+    ) == 1
+    t = catalog.get_table("vecs")
+    assert {r.vec_id for r in t.read(spark).collect()} == {1, 2, 5}
+
+    # in-batch: exact copy (8 of 6) via the hash window, near copy
+    # (7 of 6) via the banded self-join — lowest vec_id survives
+    assert p.sink(
+        spark.createDataFrame([(6, w), (7, w_near), (8, w)], ddl), 2
+    ) == 1
+    assert {r.vec_id for r in t.read(spark).collect()} == {1, 2, 5, 6}
+
+    # replay of batch 2: exactly-once commit, index unmoved
+    before = t.latest_snapshot_id()
+    p.sink(spark.createDataFrame([(6, w)], ddl), 2)
+    assert t.latest_snapshot_id() == before
+
+    # the persisted index covers exactly the survivors
+    idx = catalog.get_table("vecs_lshbands").read(spark)
+    assert {r.vec_id for r in idx.select("vec_id").distinct().collect()} == {1, 2, 5, 6}
+
+
+def test_vector_dedup_ingest_streaming_end_to_end(spark, catalog, tmp_path):
+    """VectorDedupIngestPipeline.start(): the streaming wiring end to
+    end over a file-stream source that REPEATS vectors across
+    micro-batches. The committed set is checked against a pure-Python
+    replay of the pipeline's semantics (same hyperplane signatures,
+    same band width, same greedy batch order, exact-cosine verify on
+    banded candidates only) — the testdata contains REAL near-dup
+    pairs above the threshold, so the model is the only honest
+    expectation."""
+    import math
+
+    import numpy as np
+
+    from advent_of_code_flink_paimon_spark.operators.dedup import (
+        _COSINE_DUP_THRESHOLD,
+    )
+    from advent_of_code_flink_paimon_spark.operators.registry import T
+    from advent_of_code_flink_paimon_spark.operators.similarity import (
+        VectorDedupIngestPipeline,
+        _lsh_basis,
+        _x90_band_bits,
+    )
+
+    e = T(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    ).filter("vec_id < 60")
+    src_dir = tmp_path / "vdd-src"
+    # batch 0: vecs 0-19; batch 1: vecs 20-39 PLUS 0-19 re-sent with
+    # shifted ids (exact dups of the committed corpus); batch 2: 40-59
+    e.filter("vec_id < 20").coalesce(1).write.parquet(str(src_dir / "part0"))
+    b1 = e.filter("vec_id >= 20 AND vec_id < 40").unionByName(
+        e.filter("vec_id < 20").selectExpr("vec_id + 100 AS vec_id", "embedding")
+    )
+    b1.coalesce(1).write.parquet(str(src_dir / "part1"))
+    e.filter("vec_id >= 40").coalesce(1).write.parquet(str(src_dir / "part2"))
+    source = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "part*"))
+    )
+    p = VectorDedupIngestPipeline(spark, catalog, "dvecs", str(tmp_path / "vddck"))
+    q = p.start(source)
+    q.awaitTermination(300)
+
+    # ---- pure-Python replay of the pipeline's greedy semantics ----
+    vecs = {r.vec_id: [float(x) for x in r.embedding]
+            for r in e.collect()}
+    batches = [
+        sorted(i for i in vecs if i < 20),
+        sorted(i for i in vecs if 20 <= i < 40) + [i + 100 for i in sorted(vecs) if i < 20],
+        sorted(i for i in vecs if i >= 40),
+    ]
+    vid_vec = dict(vecs)
+    for i in sorted(vecs):
+        if i < 20:
+            vid_vec[i + 100] = vecs[i]
+    r = _x90_band_bits(0)  # index built on the empty corpus
+    basis = _lsh_basis()
+
+    def keys(v):
+        bits = [1 if sum(x * y for x, y in zip(v, basis[:, pl])) > 0 else 0
+                for pl in range(64)]
+        return {i * 65536 + sum(bits[i * r + j] << j for j in range(r))
+                for i in range(64 // r)}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return round(d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))), 4)
+
+    corpus = {}  # vec_id -> (vec, keys)
+    for batch in batches:
+        # in-batch exact (first id per identical vector)
+        seen, bb = {}, []
+        for i in batch:
+            tup = tuple(vid_vec[i])
+            if tup not in seen:
+                seen[tup] = i
+                bb.append(i)
+        ks = {i: keys(vid_vec[i]) for i in bb}
+        # in-batch near (banded candidates, lowest id wins)
+        dropped = set()
+        for ai in range(len(bb)):
+            for bi in range(ai + 1, len(bb)):
+                a, b = bb[ai], bb[bi]
+                if ks[a] & ks[b] and cos(vid_vec[a], vid_vec[b]) >= _COSINE_DUP_THRESHOLD:
+                    dropped.add(max(a, b))
+        # vs corpus (banded candidates only — misses are KEPT, honestly)
+        for i in bb:
+            if i in dropped:
+                continue
+            for j, (jv, jk) in corpus.items():
+                if ks[i] & jk and cos(vid_vec[i], jv) >= _COSINE_DUP_THRESHOLD:
+                    dropped.add(i)
+                    break
+        for i in bb:
+            if i not in dropped:
+                corpus[i] = (vid_vec[i], ks[i])
+
+    t = catalog.get_table("dvecs")
+    got = {r_.vec_id for r_ in t.read(spark).collect()}
+    assert got == set(corpus), (sorted(got ^ set(corpus))[:8])
+    # every re-sent exact copy (ids 100+) was dropped against the index
+    assert not any(i >= 100 for i in got)
+    idx_ids = {
+        r_.vec_id
+        for r_ in catalog.get_table("dvecs_lshbands").read(spark)
+        .select("vec_id").distinct().collect()
+    }
+    assert idx_ids == got
