@@ -82,6 +82,18 @@ def run_pipelines(spark, sf_dir: str, scratch: str, n_batches: int = N_BATCHES) 
         VectorIngestPipeline(spark, cat, "vecs", os.path.join(scratch, "ck-vector")),
         vecs, "vec_id", n_vecs,
     )
+    from advent_of_code_flink_paimon_spark.operators.similarity import (
+        VectorDedupIngestPipeline,
+    )
+
+    cat = Catalog(os.path.join(scratch, "wh-vdedup"))
+    out["vector_dedup_ingest"] = drive(
+        "vector_dedup",
+        VectorDedupIngestPipeline(
+            spark, cat, "vecs", os.path.join(scratch, "ck-vdedup")
+        ),
+        vecs, "vec_id", n_vecs,
+    )
     docs.unpersist()
     vecs.unpersist()
     return out

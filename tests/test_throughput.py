@@ -69,6 +69,11 @@ def test_ingest_pipeline_sustained_rates(spark, tmp_path):
     import bench_pipelines as bp
 
     rates = bp.run_pipelines(spark, "/root/testdata/sf0.001", str(tmp_path))
-    floors = {"dedup_ingest": 6, "search_ingest": 25, "vector_ingest": 12}
+    floors = {
+        "dedup_ingest": 6,
+        "search_ingest": 25,
+        "vector_ingest": 12,
+        "vector_dedup_ingest": 3,
+    }
     for name, floor in floors.items():
         assert rates[name]["rec_s"] >= floor, (name, rates[name])
