@@ -1265,15 +1265,18 @@ def capped_index(idx: DataFrame, band_cap: int | None = LSH_BAND_CAP) -> DataFra
     )
 
 
-def index_candidate_pairs(batch_docs: DataFrame, idx: DataFrame) -> DataFrame:
+def index_candidate_pairs(
+    batch_docs: DataFrame, idx: DataFrame, banded: DataFrame | None = None
+) -> DataFrame:
     """Band the incoming batch (row-local) and probe the persisted
     corpus index → (i = batch doc, j = corpus candidate) pairs.
     Candidates cost |batch|·bands rows against the index's bucketed
     layout, never a corpus self-join — and need NOTHING from the
     corpus beyond the index itself (no shingle arrays, no text), which
     is what lets the verify stage prune its corpus read to exactly
-    these j ids."""
-    batch_banded = band_rows(
+    these j ids. Pass pre-computed ``banded`` rows to share one
+    banding pass with the in-batch self-probe (the pipeline does)."""
+    batch_banded = banded if banded is not None else band_rows(
         minhash_signatures(shingle_hash_arrays(fan_out(batch_docs, heavy=True)))
     )
     return (
@@ -1575,10 +1578,11 @@ class DedupIngestPipeline:
     3. ``index_candidate_pairs`` + exact-jaccard verify —
        |batch|·bands probe rows against the bucketed index, verified
        against the shingle arrays of (batch ∪ candidate corpus docs);
-       batch docs near-matching the CORPUS are dropped. (In-batch
-       NEAR-dups below the exact-hash bar ride through and are caught
-       at the NEXT refresh — same eventual set, documented trade for
-       keeping the per-batch cost one probe.)
+       batch docs near-matching the CORPUS are dropped. Round 10: the
+       same banding pass also self-joins WITHIN the batch, so in-batch
+       NEAR-dups are dropped immediately too (lowest doc_id wins —
+       emitted as (i = higher, j = lower) through the shared verify),
+       closing the ride-through trade earlier rounds documented.
     4. append survivors with ``commit_identifier=batch_id`` — replayed
        micro-batches (checkpoint recovery) commit exactly once.
     5. refresh again so the NEXT batch dedups against these survivors.
@@ -1652,9 +1656,33 @@ class DedupIngestPipeline:
             .persist()
         )
         idx = self.catalog.get_table(minhash_index_name(self.docs_table)).read(self.spark)
+        # one banding pass serves BOTH probes (corpus index + in-batch)
+        banded = band_rows(
+            minhash_signatures(shingle_hash_arrays(fan_out(batch, heavy=True)))
+        ).persist()
+        # in-batch NEAR dedup (round 10, closing the documented trade):
+        # the batch's own bands self-joined, emitted as (i = HIGHER id,
+        # j = LOWER id) so the shared verify's drop-i rule keeps the
+        # lowest doc_id — the vector pipeline's semantic. The self-join
+        # is batch-local (bounded), so no band cap is needed on it.
+        in_batch = (
+            banded.alias("a")
+            .join(
+                banded.alias("b"),
+                (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")),
+            )
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("b.doc_id").alias("i"), F.col("a.doc_id").alias("j"))
+            .distinct()
+        )
         # candidates need only batch bands + the index; persist so the
         # verify join and the pool's semi-join share one probe pass
-        pairs = index_candidate_pairs(batch, idx).persist()
+        pairs = (
+            index_candidate_pairs(batch, idx, banded=banded)
+            .unionByName(in_batch)
+            .distinct()
+            .persist()
+        )
         if self.verify_from_storage and docs_t.latest_snapshot_id():
             cand = pairs.select(F.col("j").alias("doc_id")).distinct()
             corpus_sharr = (
@@ -1693,6 +1721,7 @@ class DedupIngestPipeline:
                 refresh_inverted_index(self.spark, self.catalog, self.docs_table)
         survivors.unpersist()
         pairs.unpersist()
+        banded.unpersist()
         batch.unpersist()
         return n
 

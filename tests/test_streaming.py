@@ -759,12 +759,23 @@ def test_dedup_ingest_pipeline(spark, catalog, tmp_path):
                                       "unrelated words inside")], ddl), 1)
     assert t.latest_snapshot_id() == before
 
-    # in-batch exact duplicates collapse before the index probe
+    # round 10: in-batch NEAR-dups (below the exact-hash bar) are
+    # dropped within the same batch — lowest doc_id wins
+    base2 = "seven silver spoons sat silently beside the copper kettle all night"
+    near2 = "seven silver spoons sat silently beside the copper kettle all day"
     n3 = p.sink(spark.createDataFrame(
-        [(6, "some fresh content never seen before in this table"),
-         (7, "some fresh content never seen before in this table")], ddl), 2)
-    assert n3 == 1
-    assert {r.doc_id for r in t.read(spark).collect()} == {1, 2, 5, 6}
+        [(6, base2), (7, near2),
+         (8, "yet another wholly distinct document concerning lakehouse compaction")],
+        ddl), 2)
+    assert n3 == 2
+    assert {r.doc_id for r in t.read(spark).collect()} == {1, 2, 5, 6, 8}
+
+    # in-batch exact duplicates collapse before the index probe
+    n4 = p.sink(spark.createDataFrame(
+        [(9, "some fresh content never seen before in this table"),
+         (10, "some fresh content never seen before in this table")], ddl), 3)
+    assert n4 == 1
+    assert {r.doc_id for r in t.read(spark).collect()} == {1, 2, 5, 6, 8, 9}
 
     # the index covers every committed doc (bookmark caught up)
     from advent_of_code_flink_paimon_spark.operators.dedup import (
@@ -776,7 +787,7 @@ def test_dedup_ingest_pipeline(spark, catalog, tmp_path):
         r.doc_id
         for r in catalog.get_table(minhash_index_name("docs")).read(spark).collect()
     }
-    assert idx_docs == {1, 2, 5, 6}
+    assert idx_docs == {1, 2, 5, 6, 8, 9}
 
 
 def test_consumer_advance_lifecycle(spark, catalog, tmp_path):
