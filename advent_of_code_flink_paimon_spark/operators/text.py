@@ -2577,3 +2577,89 @@ def unigram_compression_report(spark, docs, pieces: list) -> "DataFrame":
             (F.col("n_chars") * F.lit(1.0) / F.col("n_pieces")).alias("chars_per_piece"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# x95: per-source Zipf fit — OLS slope/R² of ln(frequency) on ln(rank)
+# over each source's term-frequency distribution. Natural text follows
+# Zipf's law (slope ≈ −1, high R²; Zipf 1949, Piantadosi 2014 review);
+# templated spam, boilerplate farms, and machine-generated feeds bend
+# the curve (flat head from repeated templates → shallow slope, or
+# stepwise plateaus → low R²). The corpus-governance twin of x78's KL
+# drift: KL asks "does this source use DIFFERENT words", Zipf asks
+# "does this source's word USAGE even look like language".
+#
+# Scale shape: one (source, term) count shuffle, one per-source window
+# for the frequency rank (partition keys = sources, rows = vocab-sized,
+# ≪ corpus tokens), then the q52/q54 sufficient-statistics fold — a
+# single partial-aggregable agg. Determinism: ranks are exact ints
+# (cnt DESC, term ASC total order, ASCII-safe); ln() sums follow the
+# x32/x78 precedent (reorder noise ~1e-12 against the 5e-5/5e-7
+# rounding quanta).
+# ----------------------------------------------------------------------
+
+_SQL_ZIPF = """
+WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT source, term, COUNT(*) AS cnt FROM tok GROUP BY source, term),
+rk AS (
+    SELECT source, cnt,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY cnt DESC, term ASC) AS rank
+    FROM tf
+),
+xy AS (SELECT source, ln(rank) AS x, ln(cnt) AS y FROM rk),
+s AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_terms,
+           SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+           SUM(x * x) AS sxx, SUM(y * y) AS syy
+    FROM xy GROUP BY source
+)
+SELECT source, n_terms,
+       ROUND((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx), 4) AS zipf_slope,
+       ROUND(((n_terms * sxy - sx * sy) * (n_terms * sxy - sx * sy))
+             / ((n_terms * sxx - sx * sx) * (n_terms * syy - sy * sy)), 4) AS r2
+FROM s
+"""
+
+
+@query("x95_zipf_fit_per_source", oracle=_SQL_ZIPF)
+def x95_zipf_fit_per_source(spark, sf_dir):
+    """OLS fit of ln(term frequency) against ln(frequency rank), per
+    source: zipf_slope (natural text ≈ −1) and R² (linearity of the
+    rank-frequency curve in log-log space). Sources whose slope or R²
+    break from the corpus norm get flagged for template/spam review
+    before they enter the training mixture.
+
+    On the synthetic testdata (uniform draws from a 31-word vocab) the
+    fit is honestly terrible (slope ≈ −0.2, R² ≈ 0.1) — uniform text
+    is NOT Zipfian, which is precisely the signal the report exists to
+    raise; natural corpora land near (−1, R² > 0.95)."""
+    d = T(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(_tokens()).alias("term"))
+    tf = tok.groupBy("source", "term").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("source").orderBy(F.col("cnt").desc(), F.col("term").asc())
+    xy = tf.withColumn("rank", F.row_number().over(w)).select(
+        "source", F.log("rank").alias("x"), F.log("cnt").alias("y")
+    )
+    s = xy.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n_terms"), F.col("sx"), F.col("sy")
+    num = n * F.col("sxy") - sx * sy
+    vxx = n * F.col("sxx") - sx * sx
+    vyy = n * F.col("syy") - sy * sy
+    return s.select(
+        "source",
+        "n_terms",
+        F.round(num / vxx, 4).alias("zipf_slope"),
+        F.round((num * num) / (vxx * vyy), 4).alias("r2"),
+    )
+
+
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote10  # noqa: E402
+
+_demote10("x95_zipf_fit_per_source")
+del _demote10
