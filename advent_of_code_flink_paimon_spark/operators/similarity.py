@@ -2383,7 +2383,12 @@ def x90_dedup_embedding_lsh_verify(spark, sf_dir, max_vec_id: int | None = None)
     records anyway), the band width inlined as a literal, slim
     (vec_id, key) rows through the candidate self-join, vectors
     re-joined at candidate volume for the verify. Pure equi-joins —
-    no all-pairs node anywhere (asserted in tests/test_plans.py)."""
+    no all-pairs node anywhere (asserted in tests/test_plans.py).
+    The static plan evaluates the 64-plane signature once per
+    self-join branch; at production scale the banded relation is a
+    PERSISTED table, not a per-query projection — exactly what
+    VectorDedupIngestPipeline's band index materializes — so the
+    signature cost is paid once per vector's lifetime, not per run."""
     from advent_of_code_flink_paimon_spark.operators.dedup import _COSINE_DUP_THRESHOLD
 
     e = T(spark, sf_dir, "embeddings")
@@ -3504,7 +3509,12 @@ class VectorDedupIngestPipeline:
     3. corpus probe: batch bands ⋈ bucketed index on key → candidate
        (i, j) pairs; exact cosine verifies i (batch vectors, in hand)
        against j read from the vectors table SEMI-JOINED to candidate
-       ids — per-batch cost O(batch + candidates), never O(corpus).
+       ids — verify COMPUTE is O(batch + candidates), never O(corpus).
+       (The candidate fetch scans the vectors table's (vec_id,
+       embedding) columns with the semi-join pruning rows; file-level
+       skipping follows vec_id min/max statistics, and a PK-bucketed
+       vectors table turns it into a true point lookup — the same
+       residual I/O note as the text pipeline's shingle store.)
     4. in-batch NEAR dedup: the same bands self-joined within the
        batch, exact-verified, higher vec_id dropped.
     5. append survivors with ``commit_identifier=batch_id`` (replayed
