@@ -3498,6 +3498,42 @@ def refresh_lsh_band_index(spark, catalog, vecs_table: str) -> int:
     return n
 
 
+def vector_dedup_corpus_dups(
+    spark, catalog, vecs_table: str, iv: DataFrame, bands: DataFrame, threshold: float
+) -> DataFrame:
+    """Batch vec_ids near-duplicating the committed corpus — the
+    pipeline's step-3 relation: batch bands ⋈ the bucketed band index
+    on key (candidates, never a corpus self-join), then exact cosine
+    between the batch vectors (``iv``: i/icv/inorm, in hand) and the
+    candidate corpus vectors semi-join-pruned out of the vectors
+    table. Plan-audited in tests/test_plans.py: no cartesian/BNL, the
+    vectors scan pruned to (vec_id, embedding)."""
+    cand = (
+        bands.join(
+            catalog.get_table(lsh_bands_name(vecs_table)).read(spark)
+            .withColumnRenamed("vec_id", "j"),
+            "key",
+        )
+        .filter(F.col("vec_id") != F.col("j"))
+        .select(F.col("vec_id").alias("i"), "j")
+        .distinct()
+    )
+    corpus_j = (
+        _pq_vecs(catalog.get_table(vecs_table).read(spark))
+        .join(cand.select(F.col("j").alias("vec_id")).distinct(), "vec_id", "left_semi")
+        .select(F.col("vec_id").alias("j"), F.col("cv").alias("jcv"),
+                _norm("cv").alias("jnorm"))
+    )
+    return (
+        cand.join(iv, "i").join(corpus_j, "j")
+        .filter(
+            F.round(_dot("icv", "jcv") / (F.col("inorm") * F.col("jnorm")), 4)
+            >= threshold
+        )
+        .select(F.col("i").alias("vec_id")).distinct()
+    )
+
+
 class VectorDedupIngestPipeline:
     """Continuous near-deduped VECTOR ingestion into a lakehouse table.
 
@@ -3559,26 +3595,9 @@ class VectorDedupIngestPipeline:
         thr = self.threshold
         iv = bv.select(F.col("vec_id").alias("i"), F.col("cv").alias("icv"),
                        _norm("cv").alias("inorm"))
-        # 3. corpus probe: candidates from the persisted index only
-        idx = self.catalog.get_table(lsh_bands_name(self.vecs_table)).read(self.spark)
-        cand = (
-            bands.join(idx.withColumnRenamed("vec_id", "j"), "key")
-            .filter(F.col("vec_id") != F.col("j"))
-            .select(F.col("vec_id").alias("i"), "j")
-            .distinct()
-        )
-        corpus_j = (
-            _pq_vecs(vecs_t.read(self.spark))
-            .join(cand.select(F.col("j").alias("vec_id")).distinct(), "vec_id", "left_semi")
-            .select(F.col("vec_id").alias("j"), F.col("cv").alias("jcv"),
-                    _norm("cv").alias("jnorm"))
-        )
-        dup_vs_corpus = (
-            cand.join(iv, "i").join(corpus_j, "j")
-            .filter(
-                F.round(_dot("icv", "jcv") / (F.col("inorm") * F.col("jnorm")), 4) >= thr
-            )
-            .select(F.col("i").alias("vec_id")).distinct()
+        # 3. corpus probe (module function — plan-audited in tests)
+        dup_vs_corpus = vector_dedup_corpus_dups(
+            self.spark, self.catalog, self.vecs_table, iv, bands, thr
         )
         # 4. in-batch near dedup: same bands, batch-local, lowest id wins
         b2 = bands.select(F.col("key"), F.col("vec_id").alias("j"))

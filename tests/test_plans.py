@@ -604,3 +604,47 @@ def test_rrf_fusion_no_corpus_scan_beyond_retrievers(spark):
     = at most 5 parquet scans total in the fused plan)."""
     plan = _lib_plan_of(spark, "x81_rrf_fusion_topk")
     assert plan.count("FileScan parquet") <= 5, plan[:2000]
+
+
+def test_vector_dedup_probe_plan(spark, tmp_path_factory):
+    """VectorDedupIngestPipeline's corpus probe: candidates must come
+    from the band-key EQUI-join against the bucketed index (no
+    cartesian/BNL anywhere), and the corpus vectors scan must be
+    pruned to (vec_id, embedding) behind the candidate semi-join."""
+    import pyspark.sql.functions as F
+
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+    from advent_of_code_flink_paimon_spark.operators.registry import T
+    from advent_of_code_flink_paimon_spark.operators.similarity import (
+        _band_rows,
+        _norm,
+        _pq_vecs,
+        build_lsh_band_index,
+        load_lsh_band_width,
+        vector_dedup_corpus_dups,
+    )
+
+    wh = tmp_path_factory.mktemp("wh-vdedup-plan")
+    catalog = Catalog(str(wh))
+    e = T(spark, SF_ORACLE, "embeddings").select("vec_id", "embedding")
+    t = catalog.create_table("vecs", "vec_id long, embedding array<float>", {})
+    t.append(e.filter("vec_id % 10 <> 0"))
+    build_lsh_band_index(spark, catalog, "vecs")
+    batch = e.filter("vec_id % 10 = 0")
+    bv = _pq_vecs(batch)
+    bands = _band_rows(bv, load_lsh_band_width(spark, catalog, "vecs"))
+    iv = bv.select(F.col("vec_id").alias("i"), F.col("cv").alias("icv"),
+                   _norm("cv").alias("inorm"))
+    df = vector_dedup_corpus_dups(spark, catalog, "vecs", iv, bands, 0.35)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(jmode)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert "vecs_lshbands" in plan, plan
+    # the corpus side scans only the two columns the verify needs
+    corpus_scans = [ln.strip() for ln in plan.splitlines()
+                    if "ReadSchema" in ln and "embedding" in ln]
+    assert corpus_scans and all(
+        ln == "ReadSchema: struct<vec_id:bigint,embedding:array<float>>"
+        for ln in corpus_scans
+    ), corpus_scans
+    assert "LeftSemi" in plan, plan
