@@ -1707,3 +1707,25 @@ def test_x90_band_width_formula_parity():
     ).fetchall()
     for n, r_sql in rows:
         assert r_sql == _x90_band_bits(n), (n, r_sql, _x90_band_bits(n))
+
+
+def test_x95_partitioning_invariant(spark):
+    """x95's sufficient statistics are exact DECIMAL sums of 1e-6-quantized
+    ln() inputs, so the result must be BIT-identical under any shuffle
+    partitioning / combine order (VERDICT r10 ask #4 — the float-parity
+    hazard a plain double SUM would carry)."""
+    from advent_of_code_flink_paimon_spark.operators.registry import LIBRARY_QUERIES
+
+    fn = LIBRARY_QUERIES.get("x95_zipf_fit_per_source") or QUERIES[
+        "x95_zipf_fit_per_source"
+    ]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = []
+        for n in ("3", "17", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            rows = sorted(tuple(r) for r in fn(spark, SF_ORACLE).collect())
+            results.append(rows)
+        assert results[0] == results[1] == results[2]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
