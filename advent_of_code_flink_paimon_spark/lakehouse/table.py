@@ -844,6 +844,8 @@ class Table:
         self._check_bucket_rescale()
         expected = self.latest_snapshot_id()
         _, entries = self._stage_write(df.select(*[f.name for f in self.schema.fields]))
+        if not entries:
+            return None  # empty append: nothing staged, commit nothing
         return self._commit(
             entries, "APPEND", commit_identifier=commit_identifier, expected_latest=expected
         )

@@ -42,6 +42,8 @@ size of the signature projection — the dominant cold-run cost.
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
@@ -162,13 +164,23 @@ def band_rows(signatures: DataFrame, band_cap: int | None = LSH_BAND_CAP) -> Dat
         "doc_id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh")
     )
     if band_cap is not None:
-        wb = Window.partitionBy("band", "bh")
-        banded = (
-            banded.withColumn("__bsz", F.count(F.lit(1)).over(wb))
-            .filter(F.col("__bsz") <= band_cap)
-            .drop("__bsz")
-        )
+        banded = cap_bands(banded, band_cap)
     return banded
+
+
+def cap_bands(banded: DataFrame, band_cap: int = LSH_BAND_CAP) -> DataFrame:
+    """Hot-band guard over an already-banded relation: drop (band, bh)
+    groups larger than ``band_cap`` before any join (per-band pair cost
+    is |band|²). Split out of band_rows so a caller holding a persisted
+    UNCAPPED banding pass (the ingest pipeline — build-time index rows
+    must stay uncapped, _append_bands' contract) can derive the capped
+    probe side from it without re-banding."""
+    wb = Window.partitionBy("band", "bh")
+    return (
+        banded.withColumn("__bsz", F.count(F.lit(1)).over(wb))
+        .filter(F.col("__bsz") <= band_cap)
+        .drop("__bsz")
+    )
 
 
 def lsh_candidate_pairs(signatures: DataFrame, band_cap: int = LSH_BAND_CAP) -> DataFrame:
@@ -1109,12 +1121,22 @@ def recover_refresh_bookmark(index_like_t, nxt: int) -> int:
     """Max(bookmark, highest snapshot any committed refresh already
     consumed + 1) — heals the append-committed-but-bookmark-not-advanced
     crash window. Only refresh commits stamp range identifiers on the
-    index/stats tables, so unpacking every non-None identifier is
-    safe (direct builds pass None)."""
-    for s in index_like_t.snapshots():
-        cid = s.get("commit_identifier")
+    index/stats tables (direct builds pass None), and consumed ranges
+    are MONOTONE (the bookmark only advances), so the NEWEST stamped
+    commit carries the max — scan the snapshot log backwards and stop
+    at the first stamp, O(1) amortized driver reads instead of one
+    JSON read per snapshot per refresh (the log grows with every
+    micro-batch; VERDICT r10 ask #2's fixed-cost budget)."""
+    latest = index_like_t.latest_snapshot_id()
+    if latest is None:
+        return nxt
+    earliest = index_like_t.paths.read_pointer("EARLIEST") or 1
+    for sid in range(latest, earliest - 1, -1):
+        if not os.path.exists(index_like_t.paths.snapshot_path(sid)):
+            continue
+        cid = index_like_t.snapshot(sid).get("commit_identifier")
         if cid is not None:
-            nxt = max(nxt, (cid & 0xFFFFFFFF) + 1)
+            return max(nxt, (cid & 0xFFFFFFFF) + 1)
     return nxt
 
 
@@ -1568,10 +1590,12 @@ class DedupIngestPipeline:
     Per micro-batch (``sink`` is the foreachBatch body; ``start`` wires
     it to any streaming source with (doc_id, text) rows):
 
-    1. ``refresh_minhash_index`` — band any docs-table commits the
-       index has not seen (O(new docs), consumer-bookmark resumed; a
-       no-op when this pipeline is the only writer, real work when
-       batch backfills share the table).
+    1. pre-probe index sync — gated on two driver-side pointer reads
+       (consumer bookmark vs LATEST): when this pipeline is the sole
+       writer the gate never opens (the write-through in step 5 keeps
+       the index current), and ``refresh_minhash_index`` runs only when
+       batch backfills share the table (O(new docs), consumer-bookmark
+       resumed).
     2. in-batch exact dedup (first doc_id per md5 wins) — LSH bands of
        two identical in-batch docs would pass ``a.doc_id != b.doc_id``
        and both survive; the hash window closes that before the probe.
@@ -1585,7 +1609,15 @@ class DedupIngestPipeline:
        closing the ride-through trade earlier rounds documented.
     4. append survivors with ``commit_identifier=batch_id`` — replayed
        micro-batches (checkpoint recovery) commit exactly once.
-    5. refresh again so the NEXT batch dedups against these survivors.
+    5. WRITE-THROUGH index advance: the survivors' (uncapped) band rows
+       — and, in storage mode, their shingle arrays — are already in
+       hand from step 3's single banding pass, so they append directly
+       to the index tables with the exact ``pack_refresh_range(nxt,
+       sid)`` stamp and the bookmark advances; the NEXT batch dedups
+       against these survivors without any table re-read or
+       re-banding. A replayed batch or an interleaved foreign commit
+       falls back to the full incremental refresh (same stamp
+       protocol, so the two paths are interchangeable mid-stream).
 
     Scale shape: every stage is the already-audited x46/x49 plan —
     banding is row-local, the probe shuffles |batch|·bands rows into
@@ -1635,31 +1667,68 @@ class DedupIngestPipeline:
         self.quality_filter = quality_filter
         if not catalog.has_table(docs_table):
             catalog.create_table(docs_table, "doc_id long, text string", {})
+        self._consumer_id = f"{_MINHASH_CONSUMER_PREFIX}-{minhash_index_name(docs_table)}"
+        # one FULL refresh at construction: creates the index (and the
+        # shingle store + its backfill when enabled) and registers the
+        # consumer, so the per-batch path can gate the pre-probe refresh
+        # on two cheap pointer reads alone (VERDICT r10 ask #2 — the
+        # per-batch fixed cost lived in unconditional refreshes).
+        refresh_minhash_index(
+            spark, catalog, docs_table, store_shingles=verify_from_storage
+        )
 
     def sink(self, batch_df: DataFrame, batch_id: int) -> int:
         """foreachBatch body; returns the number of rows appended."""
-        docs_t = self.catalog.get_table(self.docs_table)
-        refresh_minhash_index(
-            self.spark, self.catalog, self.docs_table,
-            store_shingles=self.verify_from_storage,
+        from advent_of_code_flink_paimon_spark.operators.registry import (
+            micro_batch_confs,
         )
+
+        with micro_batch_confs(self.spark):
+            return self._sink_body(batch_df, batch_id)
+
+    def _sink_body(self, batch_df: DataFrame, batch_id: int) -> int:
+        docs_t = self.catalog.get_table(self.docs_table)
+        # pre-probe refresh, gated on two driver-side pointer reads:
+        # when this pipeline is the sole writer, the write-through below
+        # already advanced the index through LATEST, so the snapshot-log
+        # scan + incremental read of a full refresh never runs.
+        nxt = (
+            docs_t.consumers().get(self._consumer_id, {}).get("next_snapshot_id", 1)
+        )
+        latest = docs_t.latest_snapshot_id() or 0
+        if latest >= nxt:
+            refresh_minhash_index(
+                self.spark, self.catalog, self.docs_table,
+                store_shingles=self.verify_from_storage,
+            )
+            nxt = (docs_t.latest_snapshot_id() or 0) + 1
         batch = batch_df.select("doc_id", "text")
         if self.quality_filter:
             from advent_of_code_flink_paimon_spark.operators.text import gopher_keep_col
 
             batch = batch.filter(gopher_keep_col())
-        w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+        # in-batch exact dedup as a map-combinable hash agg (first
+        # doc_id per identical text; texts within a group are identical
+        # so any_value is deterministic) — one partial-aggregable
+        # exchange instead of a sort-window shuffle.
         batch = (
-            batch.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
+            batch.groupBy(F.md5(F.col("text").cast("binary")).alias("__h"))
+            .agg(
+                F.min("doc_id").alias("doc_id"),
+                F.any_value("text").alias("text"),
+            )
+            .drop("__h")
             .persist()
         )
         idx = self.catalog.get_table(minhash_index_name(self.docs_table)).read(self.spark)
-        # one banding pass serves BOTH probes (corpus index + in-batch)
-        banded = band_rows(
-            minhash_signatures(shingle_hash_arrays(fan_out(batch, heavy=True)))
+        # ONE shingle pass + ONE (uncapped) banding pass serve the
+        # corpus probe, the in-batch probe, the verify, AND the
+        # post-append write-through — the batch is never re-shingled.
+        batch_sharr = shingle_hash_arrays(fan_out(batch, heavy=True)).persist()
+        banded_full = band_rows(
+            minhash_signatures(batch_sharr), band_cap=None
         ).persist()
+        banded = cap_bands(banded_full)  # probe side stays hot-band-capped
         # in-batch NEAR dedup (round 10, closing the documented trade):
         # the batch's own bands self-joined, emitted as (i = HIGHER id,
         # j = LOWER id) so the shared verify's drop-i rule keeps the
@@ -1683,46 +1752,90 @@ class DedupIngestPipeline:
             .distinct()
             .persist()
         )
-        if self.verify_from_storage and docs_t.latest_snapshot_id():
+        if self.verify_from_storage and latest:
             cand = pairs.select(F.col("j").alias("doc_id")).distinct()
             corpus_sharr = (
                 self.catalog.get_table(minhash_shingles_name(self.docs_table))
                 .read(self.spark)
                 .join(cand, "doc_id", "left_semi")
             )
-            sharr = shingle_hash_arrays(fan_out(batch, heavy=True)).unionByName(
-                corpus_sharr
+            sharr = batch_sharr.unionByName(corpus_sharr)
+        elif latest:
+            cand = pairs.select(F.col("j").alias("doc_id")).distinct()
+            corpus_sharr = shingle_hash_arrays(
+                fan_out(
+                    docs_t.read(self.spark).join(cand, "doc_id", "left_semi"),
+                    heavy=True,
+                )
             )
+            sharr = batch_sharr.unionByName(corpus_sharr)
         else:
-            corpus = docs_t.read(self.spark) if docs_t.latest_snapshot_id() else None
-            pool = candidate_verify_pool(batch, corpus, pairs)
-            sharr = shingle_hash_arrays(fan_out(pool, heavy=True))
+            sharr = batch_sharr
         dup_ids = (
             exact_jaccard(pairs, sharr)
             .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
             .select(F.col("i").alias("doc_id"))
             .distinct()
         )
-        # persist survivors: the count and the append would otherwise
-        # execute the probe+verify plan twice (round-6 VERDICT #2)
+        # persist survivors: the append's stage-write executes the
+        # probe+verify plan ONCE and materializes every cache; the
+        # count after it reads cache summaries (no recompute). An
+        # all-dup batch stages zero rows and commits nothing
+        # (table.append skips empty commits).
         survivors = batch.join(dup_ids, "doc_id", "left_anti").persist()
+        sid = docs_t.append(survivors, commit_identifier=batch_id)
         n = survivors.count()
-        if n:
-            docs_t.append(survivors, commit_identifier=batch_id)
-            refresh_minhash_index(
-                self.spark, self.catalog, self.docs_table,
-                store_shingles=self.verify_from_storage,
-            )
+        if sid is None:
+            if n:
+                # replayed micro-batch (identifier already committed):
+                # ensure index coverage, same as a crash resume
+                refresh_minhash_index(
+                    self.spark, self.catalog, self.docs_table,
+                    store_shingles=self.verify_from_storage,
+                )
+        else:
+            if sid == nxt:
+                # write-through: the survivors' index rows are the
+                # UNCAPPED bands already in hand — no table re-read, no
+                # re-shingle, no snapshot-log scan. Stamped with the
+                # exact (nxt, sid) range so crash recovery and replay
+                # follow the same protocol as a full refresh.
+                cid = pack_refresh_range(nxt, sid)
+                surv_ids = survivors.select("doc_id")
+                if self.verify_from_storage:
+                    # shingles commit FIRST — bookmark recovery is keyed
+                    # on the band table (refresh_minhash_index's rule),
+                    # so a recovered range always has its shingles
+                    self.catalog.get_table(
+                        minhash_shingles_name(self.docs_table)
+                    ).upsert(
+                        batch_sharr.join(surv_ids, "doc_id", "left_semi"),
+                        commit_identifier=cid,
+                    )
+                self.catalog.get_table(minhash_index_name(self.docs_table)).append(
+                    banded_full.join(surv_ids, "doc_id", "left_semi").select(
+                        F.col("band").cast("int").alias("band"),
+                        F.col("bh").cast("long").alias("bh"),
+                        F.col("doc_id").cast("long").alias("doc_id"),
+                    ),
+                    commit_identifier=cid,
+                )
+                docs_t.register_consumer(self._consumer_id, sid + 1)
+            else:
+                # a foreign commit interleaved (sid > nxt): the exact
+                # incremental refresh covers whatever the index misses
+                refresh_minhash_index(
+                    self.spark, self.catalog, self.docs_table,
+                    store_shingles=self.verify_from_storage,
+                )
             if self.index_search:
                 from advent_of_code_flink_paimon_spark.operators.text import (
                     refresh_inverted_index,
                 )
 
                 refresh_inverted_index(self.spark, self.catalog, self.docs_table)
-        survivors.unpersist()
-        pairs.unpersist()
-        banded.unpersist()
-        batch.unpersist()
+        for df in (survivors, pairs, banded_full, batch_sharr, batch):
+            df.unpersist()
         return n
 
     def start(self, source: DataFrame):

@@ -25,6 +25,8 @@ technique), so even the approximate method is exactly replayable.
 
 from __future__ import annotations
 
+import functools
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
@@ -1285,10 +1287,15 @@ def _pq_encode(v: DataFrame, codebook: dict, extra_cols: tuple = ()) -> DataFram
     )
 
 
-def _pq_vecs(df: DataFrame) -> DataFrame:
-    return fan_out(df, heavy=True).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("cv")
-    )
+def _pq_vecs(df: DataFrame, spread: bool = True) -> DataFrame:
+    """``spread=False`` skips the fan_out: the ingest pipeline's
+    micro-batch is already in executor hands (not a one-file lakehouse
+    scan), and fan_out's plan→RDD partition probe + repartition
+    exchange cost more driver/stage time than the ~8k-flop/row bit
+    signature they would parallelize."""
+    if spread:
+        df = fan_out(df, heavy=True)
+    return df.select("vec_id", F.col("embedding").cast("array<double>").alias("cv"))
 
 
 def _codebook_dict(cb_data: list) -> dict:
@@ -1792,6 +1799,14 @@ class VectorIngestPipeline:
 
     def sink(self, batch_df, batch_id: int) -> int:
         """foreachBatch body; returns the number of rows appended."""
+        from advent_of_code_flink_paimon_spark.operators.registry import (
+            micro_batch_confs,
+        )
+
+        with micro_batch_confs(self.spark):
+            return self._sink_body(batch_df, batch_id)
+
+    def _sink_body(self, batch_df, batch_id: int) -> int:
         vecs_t = self.catalog.get_table(self.vecs_table)
         batch = batch_df.select("vec_id", "embedding").persist()
         n = batch.count()
@@ -2303,19 +2318,30 @@ def _x90_band_bits(n: int) -> int:
     return max(_X90_MIN_BITS, min(_X90_MAX_BITS, math.ceil(math.log2(max(n, 2) / _X90_TARGET_OCC))))
 
 
+@functools.lru_cache(maxsize=8)
 def _x90_bits(col: str):
     """array<int> of LSH_PLANES sign bits — the full hyperplane
     signature, band grouping deferred so the band width can be a
-    runtime column (the planes are the shared x11 literals)."""
+    runtime column (the planes are the shared x11 literals).
+
+    Built as ONE F.expr string (a single JVM round-trip) and
+    lru_cached: the column-by-column form made 64 planes × 64 dims of
+    py4j calls — ~4 s of DRIVER time per invocation, the dominant
+    per-batch fixed cost in VectorDedupIngestPipeline (VERDICT r10
+    ask #2). The SQL `aggregate(zip_with(...))` fold and the `0.0D` /
+    `> 0` literals are semantically identical to the old
+    F.aggregate/F.zip_with build, so the oracle parity argument is
+    unchanged (same element-order fold, same literals)."""
     basis = _lsh_basis()
-    bits = []
+    cases = []
     for p in range(LSH_PLANES):
-        plane = F.array(*[F.lit(float(v)) for v in basis[:, p]])
-        dot = F.aggregate(
-            F.zip_with(col, plane, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        plane = ", ".join(f"{float(v)!r}D" for v in basis[:, p])
+        cases.append(
+            f"CASE WHEN aggregate(zip_with({col}, array({plane}),"
+            " (x, y) -> x * y), 0.0D, (a, x) -> a + x) > 0"
+            " THEN 1 ELSE 0 END"
         )
-        bits.append(F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)))
-    return F.array(*bits)
+    return F.expr("array(" + ", ".join(cases) + ")")
 
 
 def _x90_bits_sql(col: str) -> str:
@@ -2328,17 +2354,21 @@ def _x90_bits_sql(col: str) -> str:
     return "[" + ", ".join(cases) + "]"
 
 
+@functools.lru_cache(maxsize=32)
 def _x90_keys(r: int):
     """array of ⌊64/r⌋ band keys: bits[i·r+j+1] packed little-endian,
     key offset band·2^16 — one bigint equi-join key per band, same
-    arithmetic as the oracle (shifts of exact small ints)."""
+    arithmetic as the oracle (shifts of exact small ints). One cached
+    F.expr per width (same driver-cost rationale as _x90_bits)."""
     keys = []
     for i in range(LSH_PLANES // r):
-        key = F.lit(i * 65536).cast("long")
-        for j in range(r):
-            key = key + F.element_at(F.col("bits"), i * r + j + 1).cast("long") * F.lit(1 << j).cast("long")
-        keys.append(key)
-    return F.array(*keys)
+        terms = [f"CAST({i * 65536} AS BIGINT)"] + [
+            f"CAST(element_at(bits, {i * r + j + 1}) AS BIGINT)"
+            f" * CAST({1 << j} AS BIGINT)"
+            for j in range(r)
+        ]
+        keys.append(" + ".join(terms))
+    return F.expr("array(" + ", ".join(keys) + ")")
 
 
 def _sql_x90() -> str:
@@ -3539,8 +3569,11 @@ class VectorDedupIngestPipeline:
 
     Per micro-batch (``sink`` is the foreachBatch body):
 
-    1. ``refresh_lsh_band_index`` — band any commits the index missed
-       (no-op when this pipeline is the only writer).
+    1. pre-probe index sync, gated on two driver-side pointer reads
+       (consumer bookmark vs LATEST) — sole-writer batches skip it
+       entirely (step 5's write-through keeps the index current);
+       ``refresh_lsh_band_index`` runs only when foreign commits or a
+       crash window left the index behind.
     2. in-batch EXACT dedup (first vec_id per identical embedding).
     3. corpus probe: batch bands ⋈ bucketed index on key → candidate
        (i, j) pairs; exact cosine verifies i (batch vectors, in hand)
@@ -3554,8 +3587,13 @@ class VectorDedupIngestPipeline:
     4. in-batch NEAR dedup: the same bands self-joined within the
        batch, exact-verified, higher vec_id dropped.
     5. append survivors with ``commit_identifier=batch_id`` (replayed
-       micro-batches commit exactly once), then refresh again so the
-       NEXT batch dedups against these survivors.
+       micro-batches commit exactly once), then WRITE-THROUGH the index:
+       the survivors' band rows (already in hand from step 3's banding
+       pass, at the frozen width cached at construction) append with
+       the exact ``pack_refresh_range`` stamp and the bookmark advances
+       — the NEXT batch dedups against these survivors with no table
+       re-read. Replays / interleaved foreign commits fall back to the
+       full incremental refresh (same stamp protocol).
 
     This is SemDeDup-at-ingest with x90's candidate discipline: the
     corpus is never self-joined; every pair evaluated descends from a
@@ -3574,24 +3612,58 @@ class VectorDedupIngestPipeline:
             catalog.create_table(vecs_table, "vec_id long, embedding array<float>", {})
         if not catalog.has_table(lsh_bands_name(vecs_table)):
             build_lsh_band_index(spark, catalog, vecs_table)
+        # the band width is FROZEN at build time by design (rescaling r
+        # changes every key) — read it ONCE here, not per batch (the
+        # per-batch meta-table .collect() was a fixed cost, VERDICT r10
+        # ask #2). A rebuild_lsh_band_index rewires by constructing a
+        # fresh pipeline (or resetting _r), same as the IVF re-index
+        # cadence.
+        self._r = load_lsh_band_width(spark, catalog, vecs_table)
+        self._consumer_id = f"{_LSHIDX_CONSUMER_PREFIX}-{vecs_table}"
 
     def sink(self, batch_df: DataFrame, batch_id: int) -> int:
         """foreachBatch body; returns the number of rows appended."""
+        from advent_of_code_flink_paimon_spark.operators.registry import (
+            micro_batch_confs,
+        )
+
+        with micro_batch_confs(self.spark):
+            return self._sink_body(batch_df, batch_id)
+
+    def _sink_body(self, batch_df: DataFrame, batch_id: int) -> int:
+        from advent_of_code_flink_paimon_spark.operators.dedup import (
+            pack_refresh_range,
+        )
+
         vecs_t = self.catalog.get_table(self.vecs_table)
-        refresh_lsh_band_index(self.spark, self.catalog, self.vecs_table)
-        batch = batch_df.select("vec_id", "embedding")
-        w = Window.partitionBy(
-            F.md5(F.col("embedding").cast("string").cast("binary"))
-        ).orderBy("vec_id")
+        # pre-probe index sync, gated on two driver-side pointer reads:
+        # sole-writer batches never open the gate (the write-through
+        # below keeps the index current through LATEST).
+        nxt = (
+            vecs_t.consumers().get(self._consumer_id, {}).get("next_snapshot_id", 1)
+        )
+        latest = vecs_t.latest_snapshot_id() or 0
+        if latest >= nxt:
+            refresh_lsh_band_index(self.spark, self.catalog, self.vecs_table)
+            nxt = (vecs_t.latest_snapshot_id() or 0) + 1
+        # in-batch EXACT dedup as a map-combinable hash agg (first vec_id
+        # per identical embedding): every row in a group carries the
+        # same embedding, so any() is deterministic here — one
+        # partial-aggregable exchange instead of the old sort-window
+        # shuffle. This also catches degenerate rows the NEAR dedup
+        # can't (identical zero vectors: cosine is 0/0 → null).
         batch = (
-            batch.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
+            batch_df.select("vec_id", "embedding")
+            .groupBy(F.md5(F.col("embedding").cast("string").cast("binary")).alias("__h"))
+            .agg(
+                F.min("vec_id").alias("vec_id"),
+                F.any_value("embedding").alias("embedding"),
+            )
+            .drop("__h")
             .persist()
         )
-        bv = _pq_vecs(batch).persist()
-        r = load_lsh_band_width(self.spark, self.catalog, self.vecs_table)
-        bands = _band_rows(bv, r).persist()
+        bv = _pq_vecs(batch, spread=False).persist()
+        bands = _band_rows(bv, self._r).persist()
         thr = self.threshold
         iv = bv.select(F.col("vec_id").alias("i"), F.col("cv").alias("icv"),
                        _norm("cv").alias("inorm"))
@@ -3617,14 +3689,40 @@ class VectorDedupIngestPipeline:
             )
             .select(F.col("j").alias("vec_id")).distinct()
         )
-        survivors = (
-            batch.join(dup_vs_corpus, "vec_id", "left_anti")
-            .join(dup_in_batch, "vec_id", "left_anti")
-            .persist()
-        )
+        # ONE anti-join against the unioned dup relations (no distinct
+        # needed — anti-join semantics ignore right-side multiplicity)
+        survivors = batch.join(
+            dup_vs_corpus.unionByName(dup_in_batch), "vec_id", "left_anti"
+        ).persist()
+        # ONE heavy action: the append's stage-write executes the whole
+        # probe plan and materializes every persisted cache; the count
+        # after it reads cache summaries (no recompute). An all-dup
+        # batch stages zero rows and commits NOTHING (table.append
+        # skips empty commits), so the snapshot log never bloats on
+        # duplicate-heavy streams.
+        sid = vecs_t.append(survivors, commit_identifier=batch_id)
         n = survivors.count()
-        if n:
-            vecs_t.append(survivors, commit_identifier=batch_id)
+        if sid is None:
+            if n:
+                # replayed micro-batch (identifier already committed):
+                # make sure the index covers it, same as a crash resume
+                refresh_lsh_band_index(self.spark, self.catalog, self.vecs_table)
+        elif sid == nxt:
+            # write-through: the survivors' band rows are already in
+            # hand (bands persisted) — append them with the exact
+            # (nxt, sid) range stamp and advance the bookmark; no
+            # vectors-table re-read, no re-banding, no snapshot-log
+            # scan before the next batch.
+            self.catalog.get_table(lsh_bands_name(self.vecs_table)).append(
+                bands.join(
+                    survivors.select("vec_id"), "vec_id", "left_semi"
+                ).select("key", "vec_id"),
+                commit_identifier=pack_refresh_range(nxt, sid),
+            )
+            vecs_t.register_consumer(self._consumer_id, sid + 1)
+        else:
+            # a foreign commit interleaved (sid > nxt): the incremental
+            # refresh covers whatever the index misses, same protocol
             refresh_lsh_band_index(self.spark, self.catalog, self.vecs_table)
         for df in (survivors, bands, bv, batch):
             df.unpersist()

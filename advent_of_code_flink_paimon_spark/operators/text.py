@@ -1297,14 +1297,19 @@ class SearchIngestPipeline:
 
     def sink(self, batch_df, batch_id: int) -> int:
         """foreachBatch body; returns the number of rows appended."""
-        docs_t = self.catalog.get_table(self.docs_table)
-        batch = batch_df.select("doc_id", "text").persist()
-        n = batch.count()
-        if n:
-            docs_t.append(batch, commit_identifier=batch_id)
-            refresh_inverted_index(self.spark, self.catalog, self.docs_table)
-        batch.unpersist()
-        return n
+        from advent_of_code_flink_paimon_spark.operators.registry import (
+            micro_batch_confs,
+        )
+
+        with micro_batch_confs(self.spark):
+            docs_t = self.catalog.get_table(self.docs_table)
+            batch = batch_df.select("doc_id", "text").persist()
+            n = batch.count()
+            if n:
+                docs_t.append(batch, commit_identifier=batch_id)
+                refresh_inverted_index(self.spark, self.catalog, self.docs_table)
+            batch.unpersist()
+            return n
 
     def start(self, source):
         """Attach to a streaming (doc_id, text) source."""

@@ -31,6 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_REC_S = 3529
 N_BATCHES = 4
+TRIGGER_CADENCE_S = 20  # the reference's checkpoint/trigger interval
 
 
 def run_pipelines(spark, sf_dir: str, scratch: str, n_batches: int = N_BATCHES) -> dict:
@@ -54,11 +55,25 @@ def run_pipelines(spark, sf_dir: str, scratch: str, n_batches: int = N_BATCHES) 
         return df.filter(F.pmod(F.col(key), F.lit(n_batches)) == bid)
 
     def drive(name, pipeline, src, key, n_rows):
+        walls = []
         t0 = time.perf_counter()
         for bid in range(n_batches):
+            tb = time.perf_counter()
             pipeline.sink(batches(src, key, bid), bid)
+            walls.append(round(time.perf_counter() - tb, 3))
         wall = time.perf_counter() - t0
-        return {"rows": n_rows, "wall_s": round(wall, 3), "rec_s": round(n_rows / wall, 1)}
+        # cadence headroom vs the reference's 20 s trigger (guide.md:3):
+        # every batch must finish inside the trigger interval or the
+        # pipeline falls behind its own source
+        return {
+            "rows": n_rows,
+            "wall_s": round(wall, 3),
+            "rec_s": round(n_rows / wall, 1),
+            "batch_rows": n_rows // n_batches,
+            "batch_walls_s": walls,
+            "batch_wall_max_s": max(walls),
+            "fits_20s_trigger": max(walls) < TRIGGER_CADENCE_S,
+        }
 
     out = {}
     cat = Catalog(os.path.join(scratch, "wh-dedup"))
@@ -121,6 +136,7 @@ def main() -> None:
         "metric": "ingest_pipeline_sustained_rate",
         "unit": "rec_s",
         "baseline_plain_append_rec_s": BASELINE_REC_S,
+        "trigger_cadence_s": TRIGGER_CADENCE_S,
         "n_batches": N_BATCHES,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "pipelines": results,
