@@ -17,25 +17,53 @@ from pyspark.sql import DataFrame, SparkSession
 # 50 queries() entries in dict iteration order (CORRECTNESS_r01.json is
 # exactly the registry-order prefix). The window is ROTATED each round
 # so no entry's freshest driver row ever goes >1 round stale:
-# round 10 executes the plan VERDICT.md r9 ask #1 endorsed — lead with
-# the round-8-evidence overflow (whose driver rows would otherwise go
-# 2 rounds stale), minus six entries demoted to the library this round
-# (x06 retired to ground-truth-gate status per ask #2; q23/q25/q38/
-# q39/q40 long-stable relational entries yielding their slots — all
-# six stay strict-oracle-gated by tests/test_relational_oracle.py).
-# The freed slots go to the promoted round-9 library operators
-# (x81/x82/x84/x85, the way x62 was promoted in round 7) and the two
-# entries NEW this round (x90 candidate-restricted embedding dedup,
-# x91 approx-percentiles). The overflow is exactly the 50 entries
-# green in CORRECTNESS_r09.json, so at judging time every registry
-# entry has a driver row ≤1 round old.
+# round 11 executes the plan VERDICT.md r10 ask #1 endorsed — lead
+# with the round-9-evidence overflow (whose driver rows would
+# otherwise go 2 rounds stale), minus FIFTEEN long-stable relational
+# entries demoted to the library this round (q05–q17's filter/join/agg
+# ladder, q24's scalar battery, q27 HAVING — all stay strict-oracle-
+# gated by tests/test_relational_oracle.py). The freed slots go to the
+# promoted library operators (x73/x74/x76–x80, x86–x89, x92, x94, x95
+# — the set VERDICT r10 named) and the one entry NEW this round
+# (x96 LSH band-index health report, r10 ask #3). The overflow is
+# exactly the 50 entries green in CORRECTNESS_r10.json, so at judging
+# time every registry entry has a driver row ≤1 round old.
 #
-# Round-11 rotation plan: lead with the then-overflow (the 50 entries
-# scored in round 9, listed second below), promote the strongest
-# remaining library operators (x73/x74/x76–x80, x86–x89) into any
-# slots freed by demoting further long-stable relational entries.
+# Round-12 rotation plan: lead with the then-overflow (the 50 entries
+# scored in round 10, listed second below); fill any slots that open
+# by promoting the strongest remaining library operators.
 _ORDER = [
-    # driver evidence last refreshed in round 8 — score these now
+    # driver evidence last refreshed in round 9 — score these now
+    "x47_token_entropy", "x46_incremental_dedup",
+    "x30_multimodal_features", "x31_frame_sample",
+    "q01_pricing_summary",
+    "q28_enrichment_join", "q30_range_join", "q31_time_bucket_rollup",
+    "q32_cube", "q33_percentiles", "q35_scalar_subquery",
+    "q36_correlated_exists", "q37_below_group_avg",
+    "x07_dup_clusters",
+    "x21_lang_id", "x22_token_count", "x23_quality_score",
+    "x26_tfidf_top_terms", "x27_pii_redact",
+    "x32_unigram_lm_score", "x33_dsir_importance",
+    "x34_cluster_keep_best", "x35_token_pack",
+    "x36_chunk_dedup", "x37_bloom_dedup", "x38_embedding_quantize",
+    "x39_kmeans", "x42_hash_sample", "x43_stratified_cap",
+    "x44_mixture_resample", "x45_substr_dedup", "x48_split_assign",
+    "x62_bm25_topk",
+    "x71_bigram_lm_score", "x72_ivfpq_residual_topk",
+    # promoted from the library this round (all strict-oracle-green
+    # locally; first driver scoring now)
+    "x73_temperature_mixture", "x74_prototypicality_prune",
+    "x76_tfidf_cosine_pairs", "x77_stupid_backoff_score",
+    "x78_source_kl_drift", "x79_split_leakage_audit",
+    "x80_embedding_anisotropy", "x86_funnel_stages",
+    "x87_cohort_retention", "x88_novelty_profile",
+    "x89_filter_agreement", "x92_ivfpq_batch_probe",
+    "x94_matryoshka_recall", "x95_zipf_fit_per_source",
+    # NEW to the registry this round — no driver row exists yet
+    "x96_lsh_index_health",
+    # overflow past the 50-entry cap — ALL green in
+    # CORRECTNESS_r10.json (rows+schema+hash true), so their driver
+    # evidence is exactly one round old at round-11 judging.
     "x63_pq_index_lifecycle", "x49_minhash_index_dedup",
     "x64_ivf_index_lifecycle", "x65_gopher_rules", "x66_ivfpq_adc_topk",
     "x67_ivfpq_onetable_topk", "x68_ann_recall",
@@ -57,37 +85,9 @@ _ORDER = [
     "x55_pq_quantize", "x56_pq_adc_topk",
     "x57_bpe_pair_counts", "x58_vocab_coverage", "x59_shard_assign",
     "x60_source_dup_matrix", "x61_cluster_balanced_sample",
-    # promoted from the library this round (round-9 lib-green)
     "x81_rrf_fusion_topk", "x82_bm25_prf_topk",
     "x84_ann_refine_rerank", "x85_token_budget_curriculum",
-    # NEW to the registry this round — no driver row exists yet
     "x90_dedup_embedding_lsh_verify", "x91_approx_percentiles",
-    # overflow past the 50-entry cap — ALL green in
-    # CORRECTNESS_r09.json (rows+schema+hash true), so their driver
-    # evidence is exactly one round old at round-10 judging; none of
-    # their code changed this round.
-    "x47_token_entropy", "x46_incremental_dedup",
-    "x30_multimodal_features", "x31_frame_sample",
-    "q01_pricing_summary", "q05_filter_range",
-    "q06_filter_in_or", "q07_computed_column",
-    "q08_join_inner_broadcast", "q09_join_left",
-    "q10_join_semi", "q11_join_anti",
-    "q12_join_multi_chain", "q13_agg_global", "q14_agg_grouped",
-    "q15_agg_distinct", "q16_agg_approx_distinct",
-    "q17_rollup", "q24_scalar_datetime", "q27_having",
-    "q28_enrichment_join", "q30_range_join", "q31_time_bucket_rollup",
-    "q32_cube", "q33_percentiles", "q35_scalar_subquery",
-    "q36_correlated_exists", "q37_below_group_avg",
-    "x07_dup_clusters",
-    "x21_lang_id", "x22_token_count", "x23_quality_score",
-    "x26_tfidf_top_terms", "x27_pii_redact",
-    "x32_unigram_lm_score", "x33_dsir_importance",
-    "x34_cluster_keep_best", "x35_token_pack",
-    "x36_chunk_dedup", "x37_bloom_dedup", "x38_embedding_quantize",
-    "x39_kmeans", "x42_hash_sample", "x43_stratified_cap",
-    "x44_mixture_resample", "x45_substr_dedup", "x48_split_assign",
-    "x62_bm25_topk",
-    "x71_bigram_lm_score", "x72_ivfpq_residual_topk",
 ]
 
 

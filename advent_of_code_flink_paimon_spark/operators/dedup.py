@@ -2125,10 +2125,9 @@ def x79_split_leakage_audit(spark, sf_dir):
 
 # Window and registry are at cap this round; x79 ships library-gated
 # like x73/x74/x76/x77/x78.
-from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote5  # noqa: E402
-
-_demote5("x79_split_leakage_audit")
-del _demote5
+# x79_split_leakage_audit PROMOTED to the scored registry in round 11 (VERDICT r10
+# ask #1): its library-era demote call is retired; the entry takes a
+# window slot freed by a long-stable relational demotion.
 
 
 # ----------------------------------------------------------------------
@@ -2196,7 +2195,6 @@ def x88_novelty_profile(spark, sf_dir):
 
 
 # Window and registry are at cap this round; x88 ships library-gated.
-from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote6  # noqa: E402
-
-_demote6("x88_novelty_profile")
-del _demote6
+# x88_novelty_profile PROMOTED to the scored registry in round 11 (VERDICT r10
+# ask #1): its library-era demote call is retired; the entry takes a
+# window slot freed by a long-stable relational demotion.

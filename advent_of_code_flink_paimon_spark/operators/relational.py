@@ -1452,3 +1452,27 @@ from advent_of_code_flink_paimon_spark.operators.registry import demote as _demo
 
 _demote7("q54_regr_stats")
 del _demote7
+
+
+# ----------------------------------------------------------------------
+# Round-11 window rotation (VERDICT r10 ask #1): fifteen long-stable
+# relational entries — simple filters, the join ladder, the grouped-agg
+# ladder, rollup, one scalar battery and HAVING — yield their driver
+# slots to the promoted library operators (x73/x74/x76–x80, x86–x89,
+# x92, x94, x95) and the new x96 LSH-index health report. All fifteen
+# remain full oracle-gated operators through the strict local harness
+# (tests/test_relational_oracle.py iterates the library dicts) and can
+# rotate back whenever a slot opens; their driver evidence is green in
+# CORRECTNESS_r09 (scored) and they were unchanged since.
+# ----------------------------------------------------------------------
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote8  # noqa: E402
+
+for _name in (
+    "q05_filter_range", "q06_filter_in_or", "q07_computed_column",
+    "q08_join_inner_broadcast", "q09_join_left", "q10_join_semi",
+    "q11_join_anti", "q12_join_multi_chain", "q13_agg_global",
+    "q14_agg_grouped", "q15_agg_distinct", "q16_agg_approx_distinct",
+    "q17_rollup", "q24_scalar_datetime", "q27_having",
+):
+    _demote8(_name)
+del _demote8, _name

@@ -431,10 +431,9 @@ def x73_temperature_mixture(spark, sf_dir):
 # library-gated — the strict local harness (same compare, sf0.01)
 # oracles it — and swaps into the registry when a slot opens, exactly
 # the x62/x69/x70 path.
-from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote
-
-_demote("x73_temperature_mixture")
-del _demote
+# x73_temperature_mixture PROMOTED to the scored registry in round 11 (VERDICT r10
+# ask #1): its library-era demote call is retired; the entry takes a
+# window slot freed by a long-stable relational demotion.
 
 
 # ----------------------------------------------------------------------
@@ -500,10 +499,9 @@ def x78_source_kl_drift(spark, sf_dir):
 
 # Window and registry are at cap this round; x78 ships library-gated
 # like x73/x74/x76/x77.
-from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote4  # noqa: E402
-
-_demote4("x78_source_kl_drift")
-del _demote4
+# x78_source_kl_drift PROMOTED to the scored registry in round 11 (VERDICT r10
+# ask #1): its library-era demote call is retired; the entry takes a
+# window slot freed by a long-stable relational demotion.
 
 
 # ----------------------------------------------------------------------

@@ -2971,10 +2971,9 @@ def x74_prototypicality_prune(spark, sf_dir):
 
 # Driver-window policy: window and registry are at cap this round; x74
 # ships library-gated (strict local harness) like x62/x69/x70/x73.
-from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote  # noqa: E402
-
-_demote("x74_prototypicality_prune")
-del _demote
+# x74_prototypicality_prune PROMOTED to the scored registry in round 11 (VERDICT r10
+# ask #1): its library-era demote call is retired; the entry takes a
+# window slot freed by a long-stable relational demotion.
 
 
 def kmeans_train(
@@ -3117,10 +3116,9 @@ def x80_embedding_anisotropy(spark, sf_dir):
 
 # Window and registry are at cap this round; x80 ships library-gated
 # like x73/x74/x76-x79.
-from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote6  # noqa: E402
-
-_demote6("x80_embedding_anisotropy")
-del _demote6
+# x80_embedding_anisotropy PROMOTED to the scored registry in round 11 (VERDICT r10
+# ask #1): its library-era demote call is retired; the entry takes a
+# window slot freed by a long-stable relational demotion.
 
 
 # ----------------------------------------------------------------------
@@ -3343,10 +3341,9 @@ def x92_ivfpq_batch_probe(spark, sf_dir):
     return ivfpq_onetable_topk(spark, catalog, "vecs", n_queries=_X92_N_QUERIES)
 
 
-from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote11  # noqa: E402
-
-_demote11("x92_ivfpq_batch_probe")
-del _demote11
+# x92_ivfpq_batch_probe PROMOTED to the scored registry in round 11 (VERDICT r10
+# ask #1): its library-era demote call is retired; the entry takes a
+# window slot freed by a long-stable relational demotion.
 
 
 # ----------------------------------------------------------------------
@@ -3415,10 +3412,9 @@ def x94_matryoshka_recall(spark, sf_dir):
     return ann_recall(full, trunc)
 
 
-from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote12  # noqa: E402
-
-_demote12("x94_matryoshka_recall")
-del _demote12
+# x94_matryoshka_recall PROMOTED to the scored registry in round 11 (VERDICT r10
+# ask #1): its library-era demote call is retired; the entry takes a
+# window slot freed by a long-stable relational demotion.
 
 
 # ----------------------------------------------------------------------
@@ -3736,3 +3732,125 @@ class VectorDedupIngestPipeline:
             .trigger(availableNow=True)
             .start()
         )
+
+
+# ----------------------------------------------------------------------
+# x96: LSH band-index health report — the governance card for the
+# persisted hyperplane band index (VectorDedupIngestPipeline's probe
+# structure), closing the observability gap VERDICT r10 ranked #2:
+# x68 reports ANN recall, minhash_quality_report audits the MinHash
+# index, but nothing measured THIS index's bucket occupancy against
+# the _X90_TARGET_OCC design point the frozen band width was chosen
+# for. The report is per band: bucket count, row count, max/mean
+# occupancy, how many buckets run hotter than target, plus the
+# rebuild flag — the stored width vs the width the CURRENT corpus
+# size recommends (a corpus that outgrew its frozen width packs more
+# vectors per bucket, inflating candidate volume per probe; rebuild
+# via build_lsh_band_index is the re-index cadence, same as x50's
+# IVF centroid refresh).
+#
+# Scale shape: ONE groupBy over the (key, vec_id) index relation —
+# already bucketed on key, so the exchange is the index's own layout
+# — into a bounded bucket-occupancy relation (≤ bands·2^r ≤ 64·2^16
+# keys), then a tiny per-band agg. The corpus size comes from the
+# snapshot's record count (driver JSON read, no scan); the stored
+# width from the 1-row meta table. No vector is ever read.
+# ----------------------------------------------------------------------
+
+
+def lsh_index_health(spark, catalog, vecs_table: str) -> DataFrame:
+    """Per-band occupancy report + rebuild recommendation for the
+    persisted band index of ``vecs_table`` (columns: band, n_buckets,
+    n_rows, max_occ, over_occ_buckets, mean_occ, stored_r,
+    recommended_r, rebuild)."""
+    stored_r = load_lsh_band_width(spark, catalog, vecs_table)
+    vecs_t = catalog.get_table(vecs_table)
+    latest = vecs_t.latest_snapshot_id()
+    n_now = vecs_t.snapshot(latest)["total_record_count"] if latest else 0
+    rec_r = _x90_band_bits(n_now)
+    bucket = (
+        catalog.get_table(lsh_bands_name(vecs_table))
+        .read(spark)
+        .groupBy("key")
+        .agg(F.count("*").alias("occ"))
+    )
+    h = bucket.groupBy(F.expr("CAST(key DIV 65536 AS INT)").alias("band")).agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.sum("occ").cast("long").alias("n_rows"),
+        F.max("occ").cast("long").alias("max_occ"),
+        F.sum(
+            F.when(F.col("occ") > _X90_TARGET_OCC, 1).otherwise(0)
+        ).cast("long").alias("over_occ_buckets"),
+    )
+    return h.select(
+        "band",
+        "n_buckets",
+        "n_rows",
+        "max_occ",
+        "over_occ_buckets",
+        F.round(F.col("n_rows").cast("double") / F.col("n_buckets"), 6).alias("mean_occ"),
+        F.lit(stored_r).cast("int").alias("stored_r"),
+        F.lit(rec_r).cast("int").alias("recommended_r"),
+        F.lit(1 if rec_r > stored_r else 0).cast("int").alias("rebuild"),
+    )
+
+
+def _sql_x96() -> str:
+    r_build = _X90_R_SQL.format(
+        mn=_X90_MIN_BITS, mx=_X90_MAX_BITS,
+        n="(SELECT COUNT(*) FROM v WHERE vec_id % 2 = 0)", occ=_X90_TARGET_OCC,
+    )
+    r_full = _X90_R_SQL.format(
+        mn=_X90_MIN_BITS, mx=_X90_MAX_BITS,
+        n="(SELECT COUNT(*) FROM v)", occ=_X90_TARGET_OCC,
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings),
+    p AS (SELECT {r_build} AS r, {r_full} AS rec_r),
+    bits AS (SELECT vec_id, {_x90_bits_sql('vv')} AS b FROM v),
+    banded AS (
+        SELECT vec_id,
+               bands.i * 65536 + CAST(list_sum(list_transform(range(0, p.r),
+                   j -> CAST(b[bands.i * p.r + j + 1] AS BIGINT) << j)) AS BIGINT) AS key
+        FROM bits, p, (SELECT UNNEST(range(0, 64 // r)) AS i FROM p) bands
+    ),
+    bucket AS (SELECT key, COUNT(*) AS occ FROM banded GROUP BY key),
+    h AS (
+        SELECT CAST(key // 65536 AS INT) AS band,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               CAST(SUM(occ) AS BIGINT) AS n_rows,
+               CAST(MAX(occ) AS BIGINT) AS max_occ,
+               CAST(SUM(CASE WHEN occ > {_X90_TARGET_OCC} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS over_occ_buckets
+        FROM bucket GROUP BY 1
+    )
+    SELECT band, n_buckets, n_rows, max_occ, over_occ_buckets,
+           ROUND(CAST(n_rows AS DOUBLE) / n_buckets, 6) AS mean_occ,
+           p.r AS stored_r, p.rec_r AS recommended_r,
+           CASE WHEN p.rec_r > p.r THEN 1 ELSE 0 END AS rebuild
+    FROM h, p
+    """
+
+
+@query("x96_lsh_index_health", oracle=_sql_x96())
+def x96_lsh_index_health(spark, sf_dir):
+    """Health-report lifecycle over the embeddings table: build the
+    band index on the even vec_ids (freezing the width the HALF corpus
+    recommends), stream the odd half in through the bookmark refresh
+    (banded at the stored width — the frozen-width contract), then
+    report per-band occupancy and the rebuild flag. At SFs where
+    doubling the corpus crosses a width boundary the report recommends
+    a rebuild (rebuild = 1) — exactly the drift signal the operator
+    exists to raise; DuckDB replays the same integer bucket counts and
+    both width formulas from the parquet table."""
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+    from advent_of_code_flink_paimon_spark.operators.dedup import _mhidx_warehouse
+
+    catalog = Catalog(_mhidx_warehouse("lshhealth96", sf_dir), "default")
+    e = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    t = catalog.create_table("vecs", "vec_id long, embedding array<float>", {})
+    t.append(e.filter("vec_id % 2 = 0"))
+    build_lsh_band_index(spark, catalog, "vecs")
+    t.append(e.filter("vec_id % 2 = 1"))
+    refresh_lsh_band_index(spark, catalog, "vecs")
+    return lsh_index_health(spark, catalog, "vecs")

@@ -420,10 +420,9 @@ def x86_funnel_stages(spark, sf_dir):
 
 
 # Window and registry are at cap this round; x86 ships library-gated.
-from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote  # noqa: E402
-
-_demote("x86_funnel_stages")
-del _demote
+# x86_funnel_stages PROMOTED to the scored registry in round 11 (VERDICT r10
+# ask #1): its library-era demote call is retired; the entry takes a
+# window slot freed by a long-stable relational demotion.
 
 
 # ----------------------------------------------------------------------
@@ -510,7 +509,6 @@ def x87_cohort_retention(spark, sf_dir):
 
 
 # Window and registry are at cap this round; x87 ships library-gated.
-from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote2  # noqa: E402
-
-_demote2("x87_cohort_retention")
-del _demote2
+# x87_cohort_retention PROMOTED to the scored registry in round 11 (VERDICT r10
+# ask #1): its library-era demote call is retired; the entry takes a
+# window slot freed by a long-stable relational demotion.

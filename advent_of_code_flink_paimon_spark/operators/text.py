@@ -1878,10 +1878,9 @@ def x76_tfidf_cosine_pairs(spark, sf_dir):
 
 # Window and registry are at cap this round; x76 ships library-gated
 # (strict local harness) like x62/x69/x70/x73/x74.
-from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote2  # noqa: E402
-
-_demote2("x76_tfidf_cosine_pairs")
-del _demote2
+# x76_tfidf_cosine_pairs PROMOTED to the scored registry in round 11 (VERDICT r10
+# ask #1): its library-era demote call is retired; the entry takes a
+# window slot freed by a long-stable relational demotion.
 
 
 # ----------------------------------------------------------------------
@@ -2043,10 +2042,9 @@ def x77_stupid_backoff_score(spark, sf_dir):
 
 # Window and registry are at cap this round; x77 ships library-gated
 # (strict local harness) like x62/x69/x70/x73/x74/x76.
-from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote3  # noqa: E402
-
-_demote3("x77_stupid_backoff_score")
-del _demote3
+# x77_stupid_backoff_score PROMOTED to the scored registry in round 11 (VERDICT r10
+# ask #1): its library-era demote call is retired; the entry takes a
+# window slot freed by a long-stable relational demotion.
 
 
 # ----------------------------------------------------------------------
@@ -2549,10 +2547,9 @@ def x89_filter_agreement(spark, sf_dir):
 
 
 # Window and registry are at cap this round; x89 ships library-gated.
-from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote11  # noqa: E402
-
-_demote11("x89_filter_agreement")
-del _demote11
+# x89_filter_agreement PROMOTED to the scored registry in round 11 (VERDICT r10
+# ask #1): its library-era demote call is retired; the entry takes a
+# window slot freed by a long-stable relational demotion.
 
 
 def unigram_compression_report(spark, docs, pieces: list) -> "DataFrame":
@@ -2681,7 +2678,6 @@ def x95_zipf_fit_per_source(spark, sf_dir):
     )
 
 
-from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote10  # noqa: E402
-
-_demote10("x95_zipf_fit_per_source")
-del _demote10
+# x95_zipf_fit_per_source PROMOTED to the scored registry in round 11 (VERDICT r10
+# ask #1): its library-era demote call is retired; the entry takes a
+# window slot freed by a long-stable relational demotion.
