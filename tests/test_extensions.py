@@ -128,10 +128,13 @@ def test_multimodal_features_model(spark):
 
 
 def test_decode_real_is_gated():
-    """Codec-library formats (png etc.) remain the documented seam."""
+    """Codec-library formats (jpeg/mp4) remain the documented seam;
+    PNG graduated to a real decoder in round 11."""
     from advent_of_code_flink_paimon_spark.operators.multimodal import decode_real
 
     with pytest.raises(NotImplementedError):
+        decode_real(b"x", "image/jpeg")
+    with pytest.raises(ValueError):  # png DECODES now — bad bytes fail loudly
         decode_real(b"x", "image/png")
 
 
@@ -1773,3 +1776,90 @@ def test_x96_lsh_health_drift_triggers_rebuild(spark, tmp_path):
     assert all(r.stored_r == _x90_band_bits(2000) for r in healthy)
     # mean occupancy back at-or-under the design point
     assert all(r.mean_occ <= _X90_TARGET_OCC for r in healthy)
+
+
+def _make_png(w, h, row_filter=0):
+    from advent_of_code_flink_paimon_spark.operators.multimodal import _encode_png
+
+    px = []
+    for row in range(h):
+        for col in range(w):
+            px.extend([(row * 37 % 256) / 255.0, (col * 53 % 256) / 255.0,
+                       ((row + col) * 11 % 256) / 255.0])
+    return _encode_png(w, h, px, row_filter=row_filter), px
+
+
+def test_decode_real_png_all_filters_roundtrip():
+    """VERDICT r10 ask #6: real PNG decode via stdlib zlib — encode →
+    decode is the identity on 8-bit pixels under EVERY RFC 2083 row
+    filter (None/Sub/Up/Average/Paeth), so each unfilter path is
+    exercised independently."""
+    from advent_of_code_flink_paimon_spark.operators.multimodal import decode_real
+
+    for row_filter in range(5):
+        payload, px = _make_png(7, 5, row_filter=row_filter)
+        d = decode_real(payload, "image/png")
+        assert (d["width"], d["height"], d["channels"]) == (7, 5, 3), row_filter
+        assert max(abs(a - b) for a, b in zip(d["pixels"], px)) <= 1 / 255.0 / 2, (
+            f"filter {row_filter}")
+
+
+def test_decode_real_png_gray_and_rgba():
+    """Grayscale replicates to the 3-channel contract; RGBA drops
+    alpha — both via hand-built chunk streams (the encoder only emits
+    RGB, so these exercise the color-type dispatch directly)."""
+    import struct
+    import zlib
+
+    from advent_of_code_flink_paimon_spark.operators.multimodal import (
+        _PNG_MAGIC,
+        _png_chunk,
+        decode_real,
+    )
+
+    def png(w, h, ctype, cin, samples):
+        raw = bytearray()
+        for row in range(h):
+            raw.append(0)
+            raw.extend(samples[row * w * cin : (row + 1) * w * cin])
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        return (_PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+                + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + _png_chunk(b"IEND", b""))
+
+    d = decode_real(png(2, 2, 0, 1, [0, 85, 170, 255]), "image/png")
+    assert d["pixels"][0:3] == [0.0, 0.0, 0.0]
+    assert d["pixels"][3:6] == [85 / 255.0] * 3
+    rgba = [10, 20, 30, 255, 40, 50, 60, 0]
+    d = decode_real(png(2, 1, 6, 4, rgba), "image/png")
+    assert d["pixels"] == [10 / 255, 20 / 255, 30 / 255, 40 / 255, 50 / 255, 60 / 255]
+
+
+def test_real_png_pipeline_through_mapinpandas(spark):
+    """PNG payloads through the SAME mapInPandas seams: features match
+    the BMP path for identical pixels, and the real resize re-encodes
+    PNG as PNG at the downscaled shape."""
+    from advent_of_code_flink_paimon_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_real,
+        media_features_real,
+        resize_media_real,
+    )
+
+    png, px = _make_png(9, 6)
+    bmp, px_b = _make_bmp(9, 6)
+    assert px == px_b
+    rows = [
+        (0, bytearray(png), "image/png", len(png), None),
+        (1, bytearray(bmp), "image/bmp", len(bmp), None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    by_id = {r.doc_id: r for r in media_features_real(media).collect()}
+    assert by_id[0].features == by_id[1].features  # same pixels, same summary
+    resized = {r.doc_id: (bytes(r.payload), r.mime)
+               for r in resize_media_real(media, factor=3).collect()}
+    payload, mime = resized[0]
+    assert mime == "image/png" and payload[:8] == b"\x89PNG\r\n\x1a\n"
+    d = decode_real(payload, "image/png")
+    assert (d["width"], d["height"]) == (3, 2)
+    assert d["pixels"][:3] == px[:3]
