@@ -109,6 +109,29 @@ def run_pipelines(spark, sf_dir: str, scratch: str, n_batches: int = N_BATCHES) 
         ),
         vecs, "vec_id", n_vecs,
     )
+    # dedup QUALITY over the run just driven (VERDICT r10 ask #8): the
+    # testdata's REAL near-dups graded against the exact-cosine ground
+    # truth under the pipeline's own greedy visibility rule — recorded
+    # alongside the rate so throughput never hides a recall regression.
+    # Outside the timed window; O(inputs²) exact is the declared
+    # ground-truth cost (sample-bound it at production scale, x68-style).
+    from advent_of_code_flink_paimon_spark.operators.similarity import (
+        vector_dedup_ingest_recall_report,
+    )
+
+    rep = vector_dedup_ingest_recall_report(
+        spark, cat, "vecs",
+        vecs.withColumn(
+            "batch_id", F.pmod(F.col("vec_id"), F.lit(n_batches)).cast("int")
+        ),
+    ).collect()[0]
+    out["vector_dedup_ingest"]["quality"] = {
+        "true_drops": rep.true_drops,
+        "false_drops": rep.false_drops,
+        "missed_dups": rep.missed_dups,
+        "drop_recall": rep.drop_recall,
+        "drop_precision": rep.drop_precision,
+    }
     docs.unpersist()
     vecs.unpersist()
     return out

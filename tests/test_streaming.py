@@ -1770,3 +1770,95 @@ def test_vector_dedup_ingest_streaming_end_to_end(spark, catalog, tmp_path):
         .select("vec_id").distinct().collect()
     }
     assert idx_ids == got
+
+
+def test_vector_dedup_ingest_recall_report(spark, catalog, tmp_path):
+    """VERDICT r10 ask #8: the ingest path's dedup QUALITY is measured,
+    not only its mechanics — planted near-dups streamed through the
+    real wiring, then vector_dedup_ingest_recall_report grades the
+    pipeline's drops against the exact-cosine ground truth under its
+    own greedy visibility rule. Every planted dup sits above the
+    threshold (validated in-test), every distractor below it, so the
+    expected report is fully determined: perfect recall on this
+    geometry, zero false drops (drops are exact-verified), and the
+    planted novel vectors all kept."""
+    import math
+
+    from advent_of_code_flink_paimon_spark.operators.dedup import (
+        _COSINE_DUP_THRESHOLD,
+    )
+    from advent_of_code_flink_paimon_spark.operators.similarity import (
+        VectorDedupIngestPipeline,
+        vector_dedup_ingest_recall_report,
+    )
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    # base corpus: 8 EXACTLY orthogonal vectors (disjoint 4-dim
+    # supports); planted: a near-dup of each base vector in a LATER
+    # batch (cross-batch recall) plus one in-batch near-dup pair and
+    # fresh novel vectors (more disjoint supports) as distractors
+    def support_vec(k):
+        v = [0.0] * 64
+        for i in range(4):
+            v[4 * k + i] = math.sin(1.7 * i + k + 0.4) + 1.5
+        return v
+
+    base = [support_vec(k) for k in range(8)]
+    near = [[x + 0.008 * math.cos(1.9 * i + k) for i, x in enumerate(v)]
+            for k, v in enumerate(base)]
+    novel = [support_vec(8 + k) for k in range(4)]
+    thr = _COSINE_DUP_THRESHOLD
+    for v, w in zip(base, near):
+        assert cos(v, w) > thr
+    others = base + novel
+    for k, v in enumerate(others):
+        for m, w in enumerate(others):
+            if k < m:
+                assert abs(cos(v, w)) < thr, (k, m, cos(v, w))
+
+    ddl = "vec_id long, embedding array<float>"
+    # batch 0: base 0-7; batch 1: near-dups of 0-3 (ids 10-13) + novel
+    # 20,21; batch 2: near-dups of 4-7 (ids 30-33), an in-batch pair
+    # (40 base-like novel, 41 its near copy), novel 22,23
+    b0 = [(k, base[k]) for k in range(8)]
+    b1 = [(10 + k, near[k]) for k in range(4)] + [(20, novel[0]), (21, novel[1])]
+    inb = support_vec(12)
+    inb_near = [x + 0.008 * math.sin(2.3 * i) for i, x in enumerate(inb)]
+    assert cos(inb, inb_near) > thr
+    for v in others:
+        assert abs(cos(inb, v)) < thr
+    b2 = ([(30 + k, near[4 + k]) for k in range(4)]
+          + [(40, inb), (41, inb_near), (22, novel[2]), (23, novel[3])])
+
+    src = tmp_path / "vrr-src"
+    for n, rows in enumerate((b0, b1, b2)):
+        spark.createDataFrame(rows, ddl).coalesce(1).write.parquet(
+            str(src / f"part{n}"))
+    source = (
+        spark.readStream.schema(ddl)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "part*"))
+    )
+    p = VectorDedupIngestPipeline(spark, catalog, "rvecs", str(tmp_path / "vrrck"))
+    p.start(source).awaitTermination(300)
+
+    inputs = spark.createDataFrame(
+        [(vid, emb, bid) for bid, rows in enumerate((b0, b1, b2))
+         for vid, emb in rows],
+        "vec_id long, embedding array<float>, batch_id int",
+    )
+    rep = vector_dedup_ingest_recall_report(
+        spark, catalog, "rvecs", inputs
+    ).collect()[0]
+    assert rep.n_inputs == 22
+    assert rep.false_drops == 0          # drops are exact-verified
+    assert rep.drop_precision == 1.0
+    # planted geometry: 8 cross-batch + 1 in-batch dups, all droppable
+    assert rep.true_drops + rep.missed_dups == 9
+    assert rep.drop_recall == 1.0        # hyperplane LSH caught them all
+    assert rep.n_kept == 13              # 8 base + 4 novel + in-batch keeper
+    kept = {r.vec_id for r in catalog.get_table("rvecs").read(spark).collect()}
+    assert kept == {0, 1, 2, 3, 4, 5, 6, 7, 20, 21, 22, 23, 40}
