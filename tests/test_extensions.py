@@ -335,7 +335,12 @@ def test_q16_approx_distinct_within_error_bound(spark):
 
     import advent_of_code_flink_paimon_spark.operators.relational  # noqa: F401
 
-    got = QUERIES["q16_agg_approx_distinct"](spark, SF_ORACLE).collect()[0]
+    from advent_of_code_flink_paimon_spark.operators.registry import (
+        LIBRARY_QUERIES as _LIB,
+    )
+
+    q16 = QUERIES.get("q16_agg_approx_distinct") or _LIB["q16_agg_approx_distinct"]
+    got = q16(spark, SF_ORACLE).collect()[0]
     l = T(spark, SF_ORACLE, "lineitem")
     exact = l.agg(
         F.countDistinct("l_orderkey").alias("o"),

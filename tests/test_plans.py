@@ -22,7 +22,12 @@ QUERIES = {**entrymod.queries(), **LIBRARY_QUERIES}
 
 
 def plan_of(spark, name: str, mode: str = "formatted") -> str:
-    df = QUERIES[name](spark, SF_ORACLE)
+    from advent_of_code_flink_paimon_spark.operators.registry import LIBRARY_QUERIES
+
+    # plan contracts survive registry↔library rotation (demotion changes
+    # scoring status, not the physical plan under assertion)
+    fn = QUERIES.get(name) or LIBRARY_QUERIES[name]
+    df = fn(spark, SF_ORACLE)
     jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
     return df._jdf.queryExecution().explainString(jmode)
 
