@@ -2198,3 +2198,81 @@ def x88_novelty_profile(spark, sf_dir):
 # x88_novelty_profile PROMOTED to the scored registry in round 11 (VERDICT r10
 # ask #1): its library-era demote call is retired; the entry takes a
 # window slot freed by a long-stable relational demotion.
+
+
+# ---------------------------------------------------------------------------
+# Streaming dedup QUALITY evidence for the TEXT pipeline — the exact
+# twin of similarity.vector_dedup_ingest_recall_report (VERDICT r10
+# ask #8 applied symmetrically): grade a completed DedupIngestPipeline
+# run against the exact-jaccard ground truth under the pipeline's own
+# greedy visibility rule. Ground truth: input i should drop iff some
+# input j with jaccard(i, j) ≥ JACCARD_THRESHOLD was visible to i's
+# batch — committed from an EARLIER batch (the index probe only sees
+# committed docs), or in the SAME batch with a lower doc_id (the
+# in-batch rule). Exact compute enumerates visible pairs — O(inputs²)
+# pair metadata rows before the shingle join — the declared
+# ground-truth cost; sample-bound it at production scale, x68-style.
+# ``inputs`` must be the rows OFFERED TO THE DEDUP STAGE (apply the
+# same gopher_keep_col the pipeline uses when quality_filter=True —
+# quality drops are a different contract than dedup drops).
+# ---------------------------------------------------------------------------
+
+
+def dedup_ingest_recall_report(
+    spark, catalog, docs_table: str, inputs: DataFrame
+) -> DataFrame:
+    """One-row report over a completed text-dedup ingest run:
+    ``inputs`` is (doc_id, text, batch_id) in consumption order; the
+    kept set is read back from the lakehouse table. Columns: n_inputs,
+    n_kept, n_dropped, true_drops, false_drops, missed_dups,
+    drop_recall, drop_precision."""
+    kept_ids = catalog.get_table(docs_table).read(spark).select("doc_id").distinct()
+    marked = (
+        inputs.select("doc_id", "text", "batch_id")
+        .join(kept_ids.withColumn("__kept", F.lit(1)), "doc_id", "left")
+        .withColumn("kept", F.coalesce("__kept", F.lit(0)))
+        .drop("__kept")
+    )
+    sharr = shingle_hash_arrays(fan_out(marked, heavy=True))
+    meta_a = marked.select(
+        F.col("doc_id").alias("i"), F.col("batch_id").alias("ib")
+    )
+    meta_b = marked.select(
+        F.col("doc_id").alias("j"), F.col("batch_id").alias("jb"),
+        F.col("kept").alias("jkept"),
+    )
+    visible = ((F.col("jb") < F.col("ib")) & (F.col("jkept") == 1)) | (
+        (F.col("jb") == F.col("ib")) & (F.col("j") < F.col("i"))
+    )
+    pairs = meta_a.join(meta_b, visible & (F.col("i") != F.col("j"))).select("i", "j")
+    should_drop = (
+        exact_jaccard(pairs, sharr)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("i")
+        .distinct()
+        .withColumn("__dup", F.lit(1))
+    )
+    flags = marked.join(
+        should_drop.withColumnRenamed("i", "doc_id"), "doc_id", "left"
+    ).select("kept", F.coalesce("__dup", F.lit(0)).alias("dup"))
+    agg = flags.agg(
+        F.count("*").cast("long").alias("n_inputs"),
+        F.sum("kept").cast("long").alias("n_kept"),
+        F.sum(1 - F.col("kept")).cast("long").alias("n_dropped"),
+        F.sum((1 - F.col("kept")) * F.col("dup")).cast("long").alias("true_drops"),
+        F.sum((1 - F.col("kept")) * (1 - F.col("dup"))).cast("long").alias("false_drops"),
+        F.sum(F.col("kept") * F.col("dup")).cast("long").alias("missed_dups"),
+    )
+    dup_total = F.col("true_drops") + F.col("missed_dups")
+    return agg.select(
+        "*",
+        F.round(
+            F.when(dup_total > 0, F.col("true_drops").cast("double") / dup_total)
+            .otherwise(F.lit(1.0)), 6,
+        ).alias("drop_recall"),
+        F.round(
+            F.when(F.col("n_dropped") > 0,
+                   F.col("true_drops").cast("double") / F.col("n_dropped"))
+            .otherwise(F.lit(1.0)), 6,
+        ).alias("drop_precision"),
+    )

@@ -85,6 +85,27 @@ def run_pipelines(spark, sf_dir: str, scratch: str, n_batches: int = N_BATCHES) 
         ),
         docs, "doc_id", n_docs,
     )
+    # text dedup quality for the run just driven (r10 ask #8's twin):
+    # inputs = the rows offered to the DEDUP stage, i.e. post-Gopher
+    # (quality drops are a different contract than dedup drops)
+    from advent_of_code_flink_paimon_spark.operators.dedup import (
+        dedup_ingest_recall_report,
+    )
+    from advent_of_code_flink_paimon_spark.operators.text import gopher_keep_col
+
+    rep = dedup_ingest_recall_report(
+        spark, cat, "docs",
+        docs.filter(gopher_keep_col()).withColumn(
+            "batch_id", F.pmod(F.col("doc_id"), F.lit(n_batches)).cast("int")
+        ),
+    ).collect()[0]
+    out["dedup_ingest"]["quality"] = {
+        "true_drops": rep.true_drops,
+        "false_drops": rep.false_drops,
+        "missed_dups": rep.missed_dups,
+        "drop_recall": rep.drop_recall,
+        "drop_precision": rep.drop_precision,
+    }
     cat = Catalog(os.path.join(scratch, "wh-search"))
     out["search_ingest"] = drive(
         "search",

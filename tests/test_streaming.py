@@ -1862,3 +1862,59 @@ def test_vector_dedup_ingest_recall_report(spark, catalog, tmp_path):
     assert rep.n_kept == 13              # 8 base + 4 novel + in-batch keeper
     kept = {r.vec_id for r in catalog.get_table("rvecs").read(spark).collect()}
     assert kept == {0, 1, 2, 3, 4, 5, 6, 7, 20, 21, 22, 23, 40}
+
+
+def test_dedup_ingest_recall_report(spark, catalog, tmp_path):
+    """The TEXT pipeline's dedup quality measured the same way as the
+    vector pipeline's (r10 ask #8 applied symmetrically): planted
+    near-dup texts streamed through the real wiring, then
+    dedup_ingest_recall_report grades drops against the exact-jaccard
+    ground truth under the greedy visibility rule."""
+    from advent_of_code_flink_paimon_spark.operators.dedup import (
+        DedupIngestPipeline,
+        dedup_ingest_recall_report,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy dog again and again tonight"
+    other = "completely different text about spark streaming tables and commits"
+    base2 = "seven silver spoons sat silently beside the copper kettle all night long"
+    near2 = "seven silver spoons sat silently beside the copper kettle all day long"
+    novel = "a wholly distinct document concerning lakehouse compaction strategies"
+    ddl = "doc_id long, text string"
+    b0 = [(1, base), (2, other)]
+    b1 = [(3, base), (4, near), (5, novel)]          # exact + near of corpus
+    b2 = [(6, base2), (7, near2),                    # in-batch near pair
+          (8, "yet another fresh document with its own unrelated vocabulary")]
+
+    src = tmp_path / "drr-src"
+    for n, rows in enumerate((b0, b1, b2)):
+        spark.createDataFrame(rows, ddl).coalesce(1).write.parquet(
+            str(src / f"part{n}"))
+    source = (
+        spark.readStream.schema(ddl)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "part*"))
+    )
+    p = DedupIngestPipeline(spark, catalog, "rdocs", str(tmp_path / "drrck"))
+    q = (
+        source.writeStream.foreachBatch(lambda df, bid: p.sink(df, bid))
+        .option("checkpointLocation", str(tmp_path / "drrck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    inputs = spark.createDataFrame(
+        [(did, text, bid) for bid, rows in enumerate((b0, b1, b2))
+         for did, text in rows],
+        "doc_id long, text string, batch_id int",
+    )
+    rep = dedup_ingest_recall_report(spark, catalog, "rdocs", inputs).collect()[0]
+    assert rep.n_inputs == 8
+    assert rep.false_drops == 0 and rep.drop_precision == 1.0
+    assert rep.true_drops + rep.missed_dups == 3  # docs 3, 4, 7
+    assert rep.drop_recall == 1.0
+    assert rep.n_kept == 5
+    kept = {r.doc_id for r in catalog.get_table("rdocs").read(spark).collect()}
+    assert kept == {1, 2, 5, 6, 8}
