@@ -122,11 +122,19 @@ IVF_NPROBE = 4
 
 
 def _cos_to_literal(col: str, vec: list[float]):
-    """cosine(col, constant vector) as a pure codegen expression."""
-    lit_v = F.array(*[F.lit(float(x)) for x in vec])
-    dot = F.aggregate(F.zip_with(col, lit_v, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    """cosine(col, constant vector) as a pure codegen expression —
+    built as ONE F.expr string (single JVM round-trip; the
+    column-by-column form cost ~40 ms of py4j per centroid and these
+    are built C·nprobe times per assignment — the x90-expr driver-cost
+    rationale). Same fold, same literals as the old
+    F.aggregate/F.zip_with build, so oracle parity is unchanged."""
     import math
 
+    lits = ", ".join(f"{float(x)!r}D" for x in vec)
+    dot = F.expr(
+        f"aggregate(zip_with({col}, array({lits}), (x, y) -> x * y),"
+        " 0.0D, (a, x) -> a + x)"
+    )
     nv = math.sqrt(sum(x * x for x in vec)) or 1.0
     return dot / (_norm(col) * F.lit(nv))
 
@@ -355,18 +363,25 @@ def _band_keys(col: str):
     sequential fold DuckDB's list_dot_product runs, in doubles, so the
     sign comparisons agree bit-for-bit.
     """
+    # ONE F.expr string per key array (the per-plane column build cost
+    # ~40 ms of py4j each — the _x90_bits driver-cost fix applied here);
+    # identical fold, literals and CASE semantics to the old
+    # F.aggregate/F.when build, so the oracle twin below is unchanged.
     basis = _lsh_basis()
     keys = []
     for b in range(LSH_PLANES // LSH_BAND_BITS):
-        key = F.lit(b * (1 << LSH_BAND_BITS))
+        terms = [str(b * (1 << LSH_BAND_BITS))]
         for j in range(LSH_BAND_BITS):
-            plane = F.array(*[F.lit(float(v)) for v in basis[:, b * LSH_BAND_BITS + j]])
-            dot = F.aggregate(
-                F.zip_with(col, plane, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+            plane = ", ".join(
+                f"{float(v)!r}D" for v in basis[:, b * LSH_BAND_BITS + j]
             )
-            key = key + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        keys.append(key)
-    return F.array(*keys)
+            terms.append(
+                f"(CASE WHEN aggregate(zip_with({col}, array({plane}),"
+                f" (x, y) -> x * y), 0.0D, (a, x) -> a + x) > 0"
+                f" THEN {1 << j} ELSE 0 END)"
+            )
+        keys.append(" + ".join(terms))
+    return F.expr("array(" + ", ".join(keys) + ")")
 
 
 def _band_keys_sql(col: str) -> str:
@@ -531,12 +546,13 @@ _KM_ROUND = 6  # centroid coordinates round here → cross-engine stability
 
 def _l2_to_literal(col: str, vec: list[float]):
     """Squared L2 distance to a constant vector as a pure codegen fold —
-    same left-to-right order as the DuckDB comprehension replay."""
-    lit_v = F.array(*[F.lit(float(x)) for x in vec])
-    return F.aggregate(
-        F.zip_with(col, lit_v, lambda x, c: (x - c) * (x - c)),
-        F.lit(0.0),
-        lambda a, x: a + x,
+    same left-to-right order as the DuckDB comprehension replay. One
+    F.expr string per centroid (the _x90_bits/_l2_expr driver-cost fix;
+    identical fold and literals, oracle parity unchanged)."""
+    lits = ", ".join(f"{float(x)!r}D" for x in vec)
+    return F.expr(
+        f"aggregate(zip_with({col}, array({lits}),"
+        " (x, c) -> (x - c) * (x - c)), 0.0D, (a, x) -> a + x)"
     )
 
 
@@ -843,14 +859,32 @@ FROM coded GROUP BY vec_id
 """
 
 
-def _l2_expr(col, vec: list[float]):
-    """Squared L2 between a Column (not just a name) and a constant."""
-    lit_v = F.array(*[F.lit(float(x)) for x in vec])
-    return F.aggregate(
-        F.zip_with(col, lit_v, lambda x, c: (x - c) * (x - c)),
-        F.lit(0.0),
-        lambda a, x: a + x,
+def _l2_expr(col_sql: str, vec: list[float]):
+    """Squared L2 between a column SQL expression and a constant
+    vector, as ONE F.expr string — the column-by-column build cost
+    ~40 ms of py4j per centroid, and PQ encodes build M·K of these per
+    pass (the dominant driver cost in the index-lifecycle queries;
+    same fix as _x90_bits). Identical fold and literals to the old
+    F.aggregate/F.zip_with form — oracle parity unchanged."""
+    lits = ", ".join(f"{float(x)!r}D" for x in vec)
+    return F.expr(
+        f"aggregate(zip_with({col_sql}, array({lits}),"
+        " (x, c) -> (x - c) * (x - c)), 0.0D, (a, x) -> a + x)"
     )
+
+
+def _lut_term(lut: list[float], code_col: str):
+    """element_at(<literal LUT array>, <code col> + 1) as ONE F.expr
+    string — ADC scoring builds queries x M of these; the per-literal
+    py4j build was a measurable slice of the index-query fixed cost
+    (same rationale as _x90_bits / _l2_expr)."""
+    lits = ", ".join(f"{float(x)!r}D" for x in lut)
+    return F.expr(f"element_at(array({lits}), {code_col} + 1)")
+
+
+def _sub_sql(m: int) -> str:
+    """SQL for the m-th PQ subvector of the canonical ``cv`` column."""
+    return f"slice(cv, {m * PQ_DSUB + 1}, {PQ_DSUB})"
 
 
 @query("x55_pq_quantize", oracle=_SQL_PQ)
@@ -890,7 +924,7 @@ def x55_pq_quantize(spark, sf_dir):
         arr = F.array(
             *[
                 F.struct(
-                    _l2_expr(sub_col, cs).alias("d2"),
+                    _l2_expr(_sub_sql(m), cs).alias("d2"),
                     F.lit(sid).alias("sid"),
                     F.lit(dense).alias("dense"),
                 )
@@ -1028,7 +1062,7 @@ def x56_pq_adc_topk(spark, sf_dir):
         arr = F.array(
             *[
                 F.struct(
-                    _l2_expr(sub_col, cs).alias("d2"),
+                    _l2_expr(_sub_sql(m), cs).alias("d2"),
                     F.lit(sid).alias("sid"),
                     F.lit(dense).alias("dense"),
                 )
@@ -1078,7 +1112,7 @@ def x56_pq_adc_topk(spark, sf_dir):
                 F.array(
                     *[
                         F.struct(
-                            _l2_expr(F.slice("cv", m * PQ_DSUB + 1, PQ_DSUB), cs).alias("d2"),
+                            _l2_expr(_sub_sql(m), cs).alias("d2"),
                             F.lit(sid).alias("sid"),
                             F.lit(dense).alias("dense"),
                         )
@@ -1102,9 +1136,7 @@ def x56_pq_adc_topk(spark, sf_dir):
         luts = [_adc_lut(qv, codebook[m], m) for m in range(PQ_M)]
         adc = None
         for m in range(PQ_M):
-            term = F.element_at(
-                F.array(*[F.lit(float(x)) for x in luts[m]]), F.col(f"code{m}") + 1
-            )
+            term = _lut_term(luts[m], f"code{m}")
             adc = term if adc is None else adc + term
         per_query.append(
             F.struct(F.lit(int(qr.vec_id)).alias("query_id"), F.round(adc, _KM_ROUND).alias("adc_d2"))
@@ -1245,7 +1277,7 @@ def _pq_assign_struct(m: int, cents: list):
     arr = F.array(
         *[
             F.struct(
-                _l2_expr(sub_col, cs).alias("d2"),
+                _l2_expr(_sub_sql(m), cs).alias("d2"),
                 F.lit(sid).alias("sid"),
                 F.lit(dense).alias("dense"),
             )
@@ -1270,7 +1302,7 @@ def _pq_encode(v: DataFrame, codebook: dict, extra_cols: tuple = ()) -> DataFram
                 F.array(
                     *[
                         F.struct(
-                            _l2_expr(F.slice("cv", m * PQ_DSUB + 1, PQ_DSUB), cs).alias("d2"),
+                            _l2_expr(_sub_sql(m), cs).alias("d2"),
                             F.lit(sid).alias("sid"),
                             F.lit(dense).alias("dense"),
                         )
@@ -1474,9 +1506,7 @@ def adc_topk_index(
         luts = [_adc_lut(qv, codebook[m], m) for m in range(PQ_M)]
         adc = None
         for m in range(PQ_M):
-            term = F.element_at(
-                F.array(*[F.lit(float(x)) for x in luts[m]]), F.col(f"code{m}") + 1
-            )
+            term = _lut_term(luts[m], f"code{m}")
             adc = term if adc is None else adc + term
         per_query.append(
             F.struct(
@@ -1898,10 +1928,7 @@ def ivfpq_adc_topk(
     for m in range(PQ_M):
         term = None
         for qid in sorted(luts):
-            e = F.element_at(
-                F.array(*[F.lit(float(x)) for x in luts[qid][m]]),
-                F.col(f"code{m}") + 1,
-            )
+            e = _lut_term(luts[qid][m], f"code{m}")
             term = (
                 F.when(F.col("query_id") == qid, e)
                 if term is None
@@ -2190,16 +2217,15 @@ def ivfpq_onetable_topk(
     for qid in sorted(luts):
         adc = None
         for m in range(PQ_M):
-            term = F.element_at(
-                F.array(*[F.lit(float(x)) for x in luts[qid][m]]),
-                F.col(f"code{m}") + 1,
-            )
+            term = _lut_term(luts[qid][m], f"code{m}")
             adc = term if adc is None else adc + term
         per_query.append(
             F.struct(
                 F.lit(qid).alias("query_id"),
-                F.array_contains(
-                    F.array(*[F.lit(c) for c in probed[qid]]), F.col("cid")
+                F.expr(
+                    "array_contains(array("
+                    + ", ".join(str(int(c)) for c in probed[qid])
+                    + "), cid)"
                 ).alias("hit"),
                 F.round(adc, _KM_ROUND).alias("adc_d2"),
             )
@@ -2738,10 +2764,7 @@ def ivfpq_residual_topk(
             luts = [_adc_lut(q_res, codebook[m], m) for m in range(PQ_M)]
             adc = None
             for m in range(PQ_M):
-                term = F.element_at(
-                    F.array(*[F.lit(float(x)) for x in luts[m]]),
-                    F.col(f"code{m}") + 1,
-                )
+                term = _lut_term(luts[m], f"code{m}")
                 adc = term if adc is None else adc + term
             per_pair.append(
                 F.struct(
@@ -2941,7 +2964,7 @@ def x74_prototypicality_prune(spark, sf_dir):
     )
     arr = F.array(
         *[
-            F.struct(_l2_expr(F.col("cv"), cent).alias("d2"), F.lit(cid).alias("cid"))
+            F.struct(_l2_expr("cv", cent).alias("d2"), F.lit(cid).alias("cid"))
             for cid, cent in ((int(r.vec_id), list(r.cv)) for r in seed_rows)
         ]
     )
