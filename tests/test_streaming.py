@@ -1918,3 +1918,129 @@ def test_dedup_ingest_recall_report(spark, catalog, tmp_path):
     assert rep.n_kept == 5
     kept = {r.doc_id for r in catalog.get_table("rdocs").read(spark).collect()}
     assert kept == {1, 2, 5, 6, 8}
+
+
+def test_vector_dedup_write_through_crash_recovery(spark, catalog, tmp_path):
+    """The round-11 write-through index advance must heal both crash
+    windows through the same stamp protocol as a full refresh:
+
+    (a) table append committed, crash BEFORE the index append — the
+        replayed batch's append no-ops (exactly-once) and the fallback
+        refresh banded exactly the missed snapshot;
+    (b) index append committed (range-stamped), crash BEFORE the
+        bookmark advance — the next batch's gate opens, and
+        recover_refresh_bookmark reads the stamp so nothing is banded
+        twice (no duplicate index rows)."""
+    import math
+
+    from advent_of_code_flink_paimon_spark.operators.dedup import (
+        pack_refresh_range,
+    )
+    from advent_of_code_flink_paimon_spark.operators.similarity import (
+        VectorDedupIngestPipeline,
+        _band_rows,
+        _pq_vecs,
+        lsh_bands_name,
+    )
+
+    def vec(k):
+        v = [0.0] * 64
+        for i in range(4):
+            v[4 * k + i] = math.sin(1.3 * i + k) + 1.4
+        return v
+
+    ddl = "vec_id long, embedding array<float>"
+    p = VectorDedupIngestPipeline(spark, catalog, "cvecs", str(tmp_path / "cvck"))
+    assert p.sink(spark.createDataFrame([(0, vec(0)), (1, vec(1))], ddl), 0) == 2
+    vecs_t = catalog.get_table("cvecs")
+    idx_t = catalog.get_table(lsh_bands_name("cvecs"))
+
+    # (a) simulate: batch 1's APPEND committed but the process died
+    # before the index write-through
+    b1 = spark.createDataFrame([(2, vec(2)), (3, vec(3))], ddl)
+    sid = vecs_t.append(b1, commit_identifier=1)
+    assert sid is not None
+    idx_before = {r.vec_id for r in idx_t.read(spark).select("vec_id").distinct().collect()}
+    assert idx_before == {0, 1}  # index is behind the table
+    # checkpoint replay re-runs the batch through the sink
+    p.sink(b1, 1)
+    idx_after = {r.vec_id for r in idx_t.read(spark).select("vec_id").distinct().collect()}
+    assert idx_after == {0, 1, 2, 3}  # fallback refresh healed it
+
+    # (b) simulate: batch 2's append AND stamped index append landed,
+    # crash before register_consumer — bookmark stale
+    b2 = spark.createDataFrame([(4, vec(4))], ddl)
+    sid2 = vecs_t.append(b2, commit_identifier=2)
+    nxt = vecs_t.consumers()[p._consumer_id]["next_snapshot_id"]
+    assert sid2 >= nxt  # bookmark genuinely behind
+    idx_t.append(
+        _band_rows(_pq_vecs(b2, spread=False), p._r).select("key", "vec_id"),
+        commit_identifier=pack_refresh_range(nxt, sid2),
+    )
+    rows_before = idx_t.read(spark).count()
+    # next batch: gate opens (latest >= nxt) → full refresh recovers
+    # the bookmark FROM THE STAMP and bands nothing twice
+    assert p.sink(spark.createDataFrame([(5, vec(5))], ddl), 3) == 1
+    idx_rows = idx_t.read(spark)
+    assert idx_rows.count() == rows_before + idx_rows.filter("vec_id = 5").count()
+    ids = {r.vec_id for r in idx_rows.select("vec_id").distinct().collect()}
+    assert ids == {0, 1, 2, 3, 4, 5}
+    # no vec banded twice: per-vector band-row count is uniform
+    per_vec = idx_rows.groupBy("vec_id").count().select("count").distinct().collect()
+    assert len(per_vec) == 1
+
+
+def test_text_dedup_write_through_crash_recovery(spark, catalog, tmp_path):
+    """Text-pipeline twin of the vector crash-window test, in storage
+    mode (shingle store + band index): (a) docs append committed but
+    neither index write landed → replayed batch heals via the fallback
+    refresh, shingle store included; (b) both stamped index writes
+    landed but the bookmark didn't advance → the next batch's refresh
+    recovers from the stamp and double-bands nothing."""
+    import pyspark.sql.functions as F
+
+    from advent_of_code_flink_paimon_spark.operators.dedup import (
+        DedupIngestPipeline,
+        minhash_index_name,
+        minhash_shingles_name,
+    )
+
+    texts = {
+        1: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        2: "one two three four five six seven eight nine ten eleven",
+        3: "red orange yellow green blue indigo violet crimson amber teal",
+        4: "north south east west up down left right forward backward",
+        5: "apple banana cherry date elderberry fig grape honeydew kiwi lemon",
+    }
+    ddl = "doc_id long, text string"
+    p = DedupIngestPipeline(
+        spark, catalog, "cdocs", str(tmp_path / "cdck"), verify_from_storage=True
+    )
+    assert p.sink(spark.createDataFrame([(1, texts[1]), (2, texts[2])], ddl), 0) == 2
+    docs_t = catalog.get_table("cdocs")
+    idx_t = catalog.get_table(minhash_index_name("cdocs"))
+    sh_t = catalog.get_table(minhash_shingles_name("cdocs"))
+
+    # (a) docs append committed, crash before both index writes
+    b1 = spark.createDataFrame([(3, texts[3])], ddl)
+    assert docs_t.append(b1, commit_identifier=1) is not None
+    assert {r.doc_id for r in sh_t.read(spark).collect()} == {1, 2}
+    p.sink(b1, 1)  # checkpoint replay
+    assert {r.doc_id for r in sh_t.read(spark).collect()} == {1, 2, 3}
+    assert {r.doc_id for r in idx_t.read(spark).select("doc_id").distinct().collect()} == {1, 2, 3}
+
+    # (b) append + BOTH stamped index writes landed, bookmark stale:
+    # run a real sink for batch 2, then roll the bookmark back to
+    # simulate the crash-before-register window
+    assert p.sink(spark.createDataFrame([(4, texts[4])], ddl), 2) == 1
+    stale = docs_t.consumers()[p._consumer_id]["next_snapshot_id"] - 1
+    docs_t.register_consumer(p._consumer_id, stale)
+    rows_before = idx_t.read(spark).count()
+    assert p.sink(spark.createDataFrame([(5, texts[5])], ddl), 3) == 1
+    idx_rows = idx_t.read(spark)
+    assert idx_rows.count() == rows_before + idx_rows.filter("doc_id = 5").count()
+    # per-doc band rows uniform → nothing double-banded
+    assert idx_rows.groupBy("doc_id").count().select("count").distinct().count() == 1
+    # shingle store is a PK table: exactly one row per doc regardless
+    assert sh_t.read(spark).groupBy("doc_id").count().filter(F.col("count") > 1).count() == 0
+    assert {r.doc_id for r in docs_t.read(spark).collect()} == {1, 2, 3, 4, 5}
