@@ -405,16 +405,23 @@ class Table:
         return target
 
     def _committed_identifiers(self) -> set:
-        """Identifiers of already-committed micro-batches (exactly-once
-        replay guard). Cached per LATEST pointer: a long-running
-        pipeline calls this every commit, and re-parsing every snapshot
-        JSON is O(history) per batch — O(N²) over a stream's life."""
+        """(commit_kind, identifier) pairs of already-committed
+        micro-batches (exactly-once replay guard). Keyed by KIND as
+        well: a replay is a retry of the SAME operation, so an
+        OVERWRITE (e.g. an index rebuild re-stamping the full consumed
+        range) must never be skipped because an earlier APPEND (a
+        write-through that stamped the same range) happened to share
+        the identifier — that collision silently dropped mid-stream
+        index rebuilds (round 12). Cached per LATEST pointer: a
+        long-running pipeline calls this every commit, and re-parsing
+        every snapshot JSON is O(history) per batch — O(N²) over a
+        stream's life."""
         latest = self.latest_snapshot_id()
         cached = getattr(self, "_ids_cache", None)
         if cached is not None and cached[0] == latest:
             return cached[1]
         ids = {
-            s.get("commit_identifier")
+            (s.get("commit_kind"), s.get("commit_identifier"))
             for s in self.snapshots()
             if s.get("commit_identifier") is not None
         }
@@ -837,7 +844,9 @@ class Table:
 
     def append(self, df: DataFrame, commit_identifier: int | None = None) -> int | None:
         """Append commit (bucketed). Idempotent on commit_identifier."""
-        if commit_identifier is not None and commit_identifier in self._committed_identifiers():
+        if commit_identifier is not None and (
+            ("APPEND", commit_identifier) in self._committed_identifiers()
+        ):
             return None  # replayed micro-batch → no-op (exactly-once)
         if self.primary_key:
             return self.upsert(df, commit_identifier=commit_identifier)
@@ -856,7 +865,9 @@ class Table:
         tables stamp the merge metadata (__op/__seq) like any other PK
         write — without it the merge-on-read filter (__op != 'D') sees
         NULLs and drops every row."""
-        if commit_identifier is not None and commit_identifier in self._committed_identifiers():
+        if commit_identifier is not None and (
+            ("OVERWRITE", commit_identifier) in self._committed_identifiers()
+        ):
             return None
         expected = self.latest_snapshot_id()
         old = {e["file_path"] for e in self.manifest()} if expected else set()
@@ -881,7 +892,9 @@ class Table:
         carrying (__seq, __op); merge happens on read. Optionally emits
         a changelog (changelog-producer=input, tutorial/guide.md:69-74).
         """
-        if commit_identifier is not None and commit_identifier in self._committed_identifiers():
+        if commit_identifier is not None and (
+            ("APPEND", commit_identifier) in self._committed_identifiers()
+        ):
             return None
         pk = self.primary_key
         assert pk, f"{self.name} has no primary key"

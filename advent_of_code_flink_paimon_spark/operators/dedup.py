@@ -1136,6 +1136,26 @@ def recover_refresh_bookmark(index_like_t, nxt: int) -> int:
             continue
         cid = index_like_t.snapshot(sid).get("commit_identifier")
         if cid is not None:
+            if __debug__:
+                # the stop-at-newest-stamp early return is correct ONLY
+                # while every stamp writer commits ranges with
+                # monotonically increasing hi halves (all current
+                # writers do: refreshes and write-throughs consume the
+                # snapshot log forward). Guard the invariant against a
+                # future non-monotone writer — e.g. a partial backfill
+                # append — by checking the NEXT older stamp (one extra
+                # driver read; ADVICE r11).
+                for sid2 in range(sid - 1, earliest - 1, -1):
+                    if not os.path.exists(index_like_t.paths.snapshot_path(sid2)):
+                        continue
+                    cid2 = index_like_t.snapshot(sid2).get("commit_identifier")
+                    if cid2 is not None:
+                        assert (cid2 & 0xFFFFFFFF) <= (cid & 0xFFFFFFFF), (
+                            f"non-monotone refresh stamps: snapshot {sid2} "
+                            f"consumed through {cid2 & 0xFFFFFFFF} but newer "
+                            f"snapshot {sid} only through {cid & 0xFFFFFFFF}"
+                        )
+                        break
             return max(nxt, (cid & 0xFFFFFFFF) + 1)
     return nxt
 
@@ -1788,11 +1808,22 @@ class DedupIngestPipeline:
         if sid is None:
             if n:
                 # replayed micro-batch (identifier already committed):
-                # ensure index coverage, same as a crash resume
+                # ensure index coverage, same as a crash resume — for
+                # EVERY index this pipeline maintains. A crash between
+                # the docs append and the inverted-index refresh must
+                # not leave the search index stale after replay (ADVICE
+                # r11): refresh_inverted_index is bookmark-based, so it
+                # no-ops when already current.
                 refresh_minhash_index(
                     self.spark, self.catalog, self.docs_table,
                     store_shingles=self.verify_from_storage,
                 )
+                if self.index_search:
+                    from advent_of_code_flink_paimon_spark.operators.text import (
+                        refresh_inverted_index,
+                    )
+
+                    refresh_inverted_index(self.spark, self.catalog, self.docs_table)
         else:
             if sid == nxt:
                 # write-through: the survivors' index rows are the

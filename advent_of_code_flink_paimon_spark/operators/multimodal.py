@@ -186,9 +186,17 @@ def _parse_png(payload: bytes) -> dict:
     while pos + 8 <= len(payload):
         ln = struct.unpack_from(">I", payload, pos)[0]
         typ = payload[pos + 4 : pos + 8]
+        # declared lengths are UNTRUSTED: a truncated chunk must fail
+        # with the ValueError contract the mapInPandas gate catches,
+        # not a struct/zlib error surfacing as an opaque executor
+        # failure (ADVICE r11)
+        if pos + 12 + ln > len(payload):
+            raise ValueError("truncated PNG chunk (declared length exceeds payload)")
         data = payload[pos + 8 : pos + 8 + ln]
         pos += 12 + ln
         if typ == b"IHDR":
+            if ln != 13:
+                raise ValueError(f"malformed IHDR chunk (length {ln})")
             w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", data)
             if depth != 8 or interlace != 0 or comp != 0 or filt != 0:
                 raise ValueError(
@@ -204,7 +212,10 @@ def _parse_png(payload: bytes) -> dict:
             break
     if w is None:
         raise ValueError("missing IHDR chunk")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
     stride = w * cin
     if len(raw) != (stride + 1) * h:
         raise ValueError("IDAT length does not match IHDR dimensions")

@@ -47,6 +47,21 @@ def demote(name: str) -> None:
 
 
 import contextlib
+import threading
+
+# micro_batch_confs mutates SESSION-GLOBAL confs; two streaming queries
+# sharing one SparkSession run their foreachBatch bodies on different
+# threads, and an overlapping save/restore would let one sink snapshot
+# the other's temporary value and leave the session at the micro-batch
+# settings permanently (ADVICE r11). The lock serializes sink bodies —
+# correctness over overlap: a sink body is seconds of bounded work, and
+# the alternative (per-thread conf cloning) does not exist for a shared
+# session. RLock so a sink that composes another sink (write-through
+# calling a refresh that takes the guard) re-enters cleanly; the depth
+# counter makes the restore happen only at the OUTERMOST exit, so the
+# true pre-entry values always win.
+_MB_LOCK = threading.RLock()
+_MB_DEPTH = 0
 
 
 @contextlib.contextmanager
@@ -73,18 +88,25 @@ def micro_batch_confs(spark: SparkSession, shuffle_partitions: int = 8):
 
     Corpus-scale queries OUTSIDE the sinks keep the session defaults
     (AQE skew-join splitting and coalescing matter there). The confs
-    are session-scoped, but foreachBatch bodies run serially on the
-    streaming thread, so the restore makes this race-free for the
-    pipeline's own session usage."""
-    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    prev_sp = spark.conf.get("spark.sql.shuffle.partitions", "32")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
-    try:
-        yield
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
-        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    are session-scoped, so bodies from DIFFERENT streaming queries
+    sharing a session are serialized by ``_MB_LOCK`` (see above) and
+    nested entries from one body restore only at the outermost exit —
+    the pre-entry values can never be clobbered by an interleaving."""
+    global _MB_DEPTH
+    with _MB_LOCK:
+        if _MB_DEPTH == 0:
+            prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+            prev_sp = spark.conf.get("spark.sql.shuffle.partitions", "32")
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        _MB_DEPTH += 1
+        try:
+            yield
+        finally:
+            _MB_DEPTH -= 1
+            if _MB_DEPTH == 0:
+                spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+                spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
 
 
 _FAN_OUT_BYTES_PER_SLOT = 1 << 20  # 1 MiB of input per core

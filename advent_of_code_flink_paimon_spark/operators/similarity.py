@@ -3634,10 +3634,18 @@ class VectorDedupIngestPipeline:
         # the band width is FROZEN at build time by design (rescaling r
         # changes every key) — read it ONCE here, not per batch (the
         # per-batch meta-table .collect() was a fixed cost, VERDICT r10
-        # ask #2). A rebuild_lsh_band_index rewires by constructing a
-        # fresh pipeline (or resetting _r), same as the IVF re-index
-        # cadence.
+        # ask #2). A mid-stream build_lsh_band_index (the action the
+        # x96 health report recommends on rebuild=1) is detected by the
+        # WIDTH EPOCH below: every rebuild overwrites the meta table,
+        # bumping its snapshot pointer, so the sink compares that
+        # pointer (one driver-side JSON-pointer read, no scan) per
+        # batch and re-loads the width before probing — a stale width
+        # would silently miss corpus dups and pollute the rebuilt index
+        # with keys at the wrong width (ADVICE r11, medium).
         self._r = load_lsh_band_width(spark, catalog, vecs_table)
+        self._meta_epoch = catalog.get_table(
+            lsh_meta_name(vecs_table)
+        ).latest_snapshot_id()
         self._consumer_id = f"{_LSHIDX_CONSUMER_PREFIX}-{vecs_table}"
 
     def sink(self, batch_df: DataFrame, batch_id: int) -> int:
@@ -3655,6 +3663,17 @@ class VectorDedupIngestPipeline:
         )
 
         vecs_t = self.catalog.get_table(self.vecs_table)
+        # width-epoch guard: a rebuild moved the meta pointer → re-load
+        # the frozen width so this batch bands, probes, and
+        # write-through-appends at the REBUILT index's width. The
+        # rebuild itself re-bookmarked the consumer at LATEST+1, so the
+        # refresh gate below stays consistent either way.
+        epoch = self.catalog.get_table(
+            lsh_meta_name(self.vecs_table)
+        ).latest_snapshot_id()
+        if epoch != self._meta_epoch:
+            self._r = load_lsh_band_width(self.spark, self.catalog, self.vecs_table)
+            self._meta_epoch = epoch
         # pre-probe index sync, gated on two driver-side pointer reads:
         # sole-writer batches never open the gate (the write-through
         # below keeps the index current through LATEST).

@@ -1868,3 +1868,42 @@ def test_real_png_pipeline_through_mapinpandas(spark):
     d = decode_real(payload, "image/png")
     assert (d["width"], d["height"]) == (3, 2)
     assert d["pixels"][:3] == px[:3]
+
+
+def test_decode_real_png_malformed_fails_with_valueerror():
+    """ADVICE r11: declared chunk lengths are untrusted — truncated
+    chunks, short IHDRs, and corrupt IDAT streams must all fail with
+    the ValueError contract the mapInPandas gate catches, never a raw
+    struct/zlib error surfacing as an opaque executor failure."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from advent_of_code_flink_paimon_spark.operators.multimodal import (
+        _PNG_MAGIC,
+        _png_chunk,
+        decode_real,
+    )
+
+    good, _ = _make_png(4, 3)
+
+    # chunk declaring more bytes than the payload holds
+    with pytest.raises(ValueError, match="truncated"):
+        decode_real(good[:20], "image/png")
+
+    # IHDR shorter than the 13-byte spec
+    bad_ihdr = _PNG_MAGIC + _png_chunk(b"IHDR", b"\x00" * 5)
+    with pytest.raises(ValueError, match="IHDR"):
+        decode_real(bad_ihdr, "image/png")
+
+    # valid IHDR, corrupt deflate stream in IDAT
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    corrupt = (_PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+               + _png_chunk(b"IDAT", b"\x99" * 16) + _png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="IDAT"):
+        decode_real(corrupt, "image/png")
+
+    # and the valid payload still decodes after all that
+    d = decode_real(good, "image/png")
+    assert (d["width"], d["height"]) == (4, 3)

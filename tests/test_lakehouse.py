@@ -70,6 +70,22 @@ def test_exactly_once_commit_identifier(spark, catalog):
     assert t.latest_snapshot_id() == 1
 
 
+def test_replay_guard_is_commit_kind_keyed(spark, catalog):
+    """A replay is a retry of the SAME operation: an OVERWRITE sharing
+    an identifier with an earlier APPEND is a NEW operation and must
+    commit (an index rebuild re-stamps the full consumed range an
+    earlier write-through already stamped — round 12); a replayed
+    OVERWRITE is still a no-op against its own kind."""
+    t = catalog.create_table("mk", "sensor_id long, reading decimal(5,1), event_time timestamp")
+    df = _measurements(spark, 50)
+    assert t.append(df, commit_identifier=9) == 1
+    assert t.overwrite(_measurements(spark, 20), commit_identifier=9) == 2
+    assert t.read(spark).count() == 20
+    assert t.overwrite(_measurements(spark, 30), commit_identifier=9) is None  # replay
+    assert t.append(df, commit_identifier=9) is None  # append replay still guarded
+    assert t.read(spark).count() == 20 and t.latest_snapshot_id() == 2
+
+
 def test_upsert_invariant_count_equals_distinct_keys(spark, catalog):
     """The reference invariant (tutorial/guide.md:90-96): a PK table's
     COUNT(*) equals distinct keys ever written, however many upserts."""

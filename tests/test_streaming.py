@@ -2044,3 +2044,144 @@ def test_text_dedup_write_through_crash_recovery(spark, catalog, tmp_path):
     # shingle store is a PK table: exactly one row per doc regardless
     assert sh_t.read(spark).groupBy("doc_id").count().filter(F.col("count") > 1).count() == 0
     assert {r.doc_id for r in docs_t.read(spark).collect()} == {1, 2, 3, 4, 5}
+
+
+def test_vector_pipeline_width_epoch_guard(spark, catalog, tmp_path, monkeypatch):
+    """ADVICE r11 (medium): a mid-stream index REBUILD (the action the
+    x96 health report recommends) changes the frozen band width; a
+    running pipeline must detect the meta-table epoch move and re-load
+    the width before probing, or corpus near-dups are silently missed
+    and stale-width keys pollute the rebuilt index."""
+    import math
+
+    from advent_of_code_flink_paimon_spark.operators import similarity as sim
+    from advent_of_code_flink_paimon_spark.operators.similarity import (
+        VectorDedupIngestPipeline,
+        build_lsh_band_index,
+        load_lsh_band_width,
+    )
+
+    v1 = [math.sin(0.7 * i + 0.3) for i in range(64)]
+    v2 = [math.cos(1.3 * i + 1.1) * (-1) ** i for i in range(64)]
+    v1_near = [x + 0.01 * math.sin(2.1 * i) for i, x in enumerate(v1)]
+    ddl = "vec_id long, embedding array<float>"
+
+    p = VectorDedupIngestPipeline(spark, catalog, "vecs_wg", str(tmp_path / "wgck"))
+    assert p.sink(spark.createDataFrame([(1, v1), (2, v2)], ddl), 0) == 2
+    r_old = p._r
+
+    # rebuild at a WIDER width mid-stream (monkeypatch the width rule so
+    # the rebuild genuinely changes r without needing a 512+-row corpus)
+    monkeypatch.setattr(sim, "_x90_band_bits", lambda n: r_old + 2)
+    build_lsh_band_index(spark, catalog, "vecs_wg")
+    assert load_lsh_band_width(spark, catalog, "vecs_wg") == r_old + 2
+
+    # the next batch must probe at the REBUILT width: the near-dup of a
+    # corpus vector is dropped (stale-width keys would never collide
+    # with the rebuilt index, letting it through)
+    assert p.sink(spark.createDataFrame([(3, v1_near)], ddl), 1) == 0
+    assert p._r == r_old + 2
+    t = catalog.get_table("vecs_wg")
+    assert {r.vec_id for r in t.read(spark).collect()} == {1, 2}
+
+    # and the write-through of a NOVEL batch appends keys at the new
+    # width (key space = band*2^16 + bits with bits < 2^r: every key's
+    # band decodes to < 64//r bands — check max band index is consistent
+    # with the new width, and the index still covers exactly the corpus)
+    fresh = [math.sin(2.31 * i * i + 0.5) for i in range(64)]
+    assert p.sink(spark.createDataFrame([(4, fresh)], ddl), 2) == 1
+    idx = catalog.get_table("vecs_wg_lshbands").read(spark)
+    assert {r.vec_id for r in idx.select("vec_id").distinct().collect()} == {1, 2, 4}
+    n_bands_new = 64 // (r_old + 2)
+    per_vec = idx.groupBy("vec_id").count().collect()
+    assert all(r["count"] == n_bands_new for r in per_vec)
+
+
+def test_dedup_ingest_replay_refreshes_search_index(spark, catalog, tmp_path):
+    """ADVICE r11: a crash AFTER the docs append but BEFORE the
+    inverted-index refresh, then a micro-batch replay — the replay
+    branch must bring the SEARCH index current too (it used to re-run
+    only the minhash refresh, leaving BM25 stale until the next
+    non-empty batch)."""
+    from advent_of_code_flink_paimon_spark.operators.dedup import DedupIngestPipeline
+    from advent_of_code_flink_paimon_spark.operators.text import (
+        bm25_query_index,
+        bm25_topk,
+    )
+
+    p = DedupIngestPipeline(
+        spark, catalog, "rp_docs", str(tmp_path / "rpck"), index_search=True
+    )
+    ddl = "doc_id long, text string"
+    b0 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")], ddl
+    )
+    assert p.sink(b0, 0) == 2
+
+    # simulate the crash window: batch 1's DOCS append committed (same
+    # commit_identifier the sink would use), but no index caught up
+    docs_t = catalog.get_table("rp_docs")
+    b1 = spark.createDataFrame([(3, "iota kappa lambda mu")], ddl)
+    assert docs_t.append(b1, commit_identifier=1) is not None
+
+    # replay of batch 1: append returns None (identifier committed),
+    # survivors n>0 — the replay branch must refresh BOTH indexes
+    p.sink(b1, 1)
+    corpus = docs_t.read(spark)
+    got = sorted(
+        (r.doc_id, round(r.bm25, 6))
+        for r in bm25_query_index(spark, catalog, "rp_docs", ["kappa", "alpha"]).collect()
+    )
+    want = sorted(
+        (r.doc_id, round(r.bm25, 6))
+        for r in bm25_topk(corpus, ["kappa", "alpha"]).collect()
+    )
+    assert got == want and any(d == 3 for d, _ in got)
+
+
+def test_micro_batch_confs_nested_and_concurrent(spark):
+    """ADVICE r11: micro_batch_confs mutates session-global confs —
+    nested entries restore only at the outermost exit, and two threads
+    (two streaming queries sharing the session) serialize instead of
+    clobbering each other's save/restore."""
+    import threading
+
+    from advent_of_code_flink_paimon_spark.operators.registry import (
+        micro_batch_confs,
+    )
+
+    aqe0 = spark.conf.get("spark.sql.adaptive.enabled")
+    sp0 = spark.conf.get("spark.sql.shuffle.partitions")
+
+    # nested: inner exit must NOT restore (the outer body still runs at
+    # micro-batch settings); outer exit restores the TRUE pre-entry values
+    with micro_batch_confs(spark):
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+        with micro_batch_confs(spark, shuffle_partitions=4):
+            pass
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+    assert spark.conf.get("spark.sql.adaptive.enabled") == aqe0
+    assert spark.conf.get("spark.sql.shuffle.partitions") == sp0
+
+    # concurrent: N threads enter/exit repeatedly; at the end the
+    # session must be back at the pre-entry values (unserialized
+    # save/restore would let one thread snapshot another's temporary 8)
+    errs = []
+
+    def body():
+        try:
+            for _ in range(10):
+                with micro_batch_confs(spark):
+                    assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+        except Exception as e:  # pragma: no cover - failure path
+            errs.append(e)
+
+    threads = [threading.Thread(target=body) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert spark.conf.get("spark.sql.adaptive.enabled") == aqe0
+    assert spark.conf.get("spark.sql.shuffle.partitions") == sp0
