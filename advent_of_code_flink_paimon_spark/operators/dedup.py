@@ -2073,6 +2073,70 @@ def minhash_quality_report(spark, sf_dir: str, k: int = MINHASH_K) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# MinHash band-index health report — the governance card for the
+# persisted MinHash index (x96's shape for the text-dedup family,
+# VERDICT r11 ask #6). Buckets here are (band, bh) groups where bh is
+# a min-over-xxhash64 band signature, so DuckDB cannot replay the
+# bucket structure (the same hash-function dependence that keeps
+# minhash_quality_report behavioral) — the contract is the
+# differential test: the report over the INDEX TABLE must equal the
+# same aggregation over a fresh engine-side banding of the docs.
+#
+# The capped_* columns are the report's teeth: cap_bands drops probe
+# rows in buckets larger than LSH_BAND_CAP, so capped_rows is exactly
+# the index volume the probe path cannot see — a recall-loss and
+# hot-bucket cost signal the quality report (pair-level) cannot
+# surface.
+#
+# Scale shape: one groupBy over the (band, bh, doc_id) index relation
+# riding its own bh bucket layout into a bounded per-bucket relation,
+# then a 16-row (LSH_BANDS) per-band agg. No document text is read.
+# ----------------------------------------------------------------------
+
+
+def minhash_index_health(
+    spark, catalog, docs_table: str, index_table: str | None = None
+) -> DataFrame:
+    """Per-band occupancy report for the persisted MinHash band index
+    of ``docs_table`` (columns: band, n_buckets, n_rows, max_occ,
+    capped_buckets, capped_rows, mean_occ)."""
+    idx = catalog.get_table(index_table or minhash_index_name(docs_table)).read(spark)
+    return _band_occupancy_report(idx)
+
+
+def _band_occupancy_report(banded: DataFrame) -> DataFrame:
+    """Shared aggregation: (band, bh, doc_id) rows → the per-band
+    health card (also used by the differential test to recompute the
+    expectation from a fresh banding pass)."""
+    bucket = banded.groupBy("band", "bh").agg(F.count("*").alias("occ"))
+    return (
+        bucket.groupBy("band")
+        .agg(
+            F.count("*").cast("long").alias("n_buckets"),
+            F.sum("occ").cast("long").alias("n_rows"),
+            F.max("occ").cast("long").alias("max_occ"),
+            F.sum(
+                F.when(F.col("occ") > LSH_BAND_CAP, 1).otherwise(0)
+            ).cast("long").alias("capped_buckets"),
+            F.sum(
+                F.when(F.col("occ") > LSH_BAND_CAP, F.col("occ")).otherwise(0)
+            ).cast("long").alias("capped_rows"),
+        )
+        .select(
+            F.col("band").cast("int").alias("band"),
+            "n_buckets",
+            "n_rows",
+            "max_occ",
+            "capped_buckets",
+            "capped_rows",
+            F.round(
+                F.col("n_rows").cast("double") / F.col("n_buckets"), 6
+            ).alias("mean_occ"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------
 # x79: split-leakage audit — the contamination check every eval setup
 # needs (Lee et al. 2022 §6.2 measure train/test overlap; Dodge et al.
 # 2021 document it in C4): for every near-duplicate pair, compare a

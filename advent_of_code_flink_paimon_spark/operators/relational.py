@@ -1275,10 +1275,7 @@ def q52_corr_stats(spark, sf_dir):
 
 
 # q52 ships library-gated like q49-q51 (window and registry at cap).
-from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote4  # noqa: E402
-
-_demote4("q52_corr_stats")
-del _demote4
+# (q52 promoted to the scored registry in round 12 — VERDICT r11 ask #1)
 
 
 # ----------------------------------------------------------------------
@@ -1348,10 +1345,7 @@ def q53_histogram(spark, sf_dir):
 
 
 # q53 ships library-gated like q49-q52.
-from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote5  # noqa: E402
-
-_demote5("q53_histogram")
-del _demote5
+# (q53 promoted to the scored registry in round 12 — VERDICT r11 ask #1)
 
 
 # ----------------------------------------------------------------------
@@ -1448,10 +1442,7 @@ def q54_regr_stats(spark, sf_dir):
 
 
 # q54 ships library-gated like q49-q53 (the scored window is full).
-from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote7  # noqa: E402
-
-_demote7("q54_regr_stats")
-del _demote7
+# (q54 promoted to the scored registry in round 12 — VERDICT r11 ask #1)
 
 
 # ----------------------------------------------------------------------
@@ -1476,3 +1467,24 @@ for _name in (
 ):
     _demote8(_name)
 del _demote8, _name
+
+
+# ----------------------------------------------------------------------
+# Round-12 window rotation (VERDICT r11 ask #1): five long-stable
+# sort/window entries — top-k ORDER BY, frames, LISTAGG, ntile/rank
+# stats, value windows (driver-green in CORRECTNESS_r10, unchanged
+# since) — yield their driver slots to the promoted stats pack
+# (q52–q54), x83 dedup-method-agreement, and the new x98 IVF list
+# health report. The windows family keeps q19 (ranking PK-merge) and
+# q48 (time-range frame) in the scored window; all five demoted
+# entries remain full oracle-gated operators through the strict local
+# harness and rotate back whenever a slot opens.
+# ----------------------------------------------------------------------
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote12  # noqa: E402
+
+for _name in (
+    "q18_topk_orderby", "q41_window_frames", "q42_listagg",
+    "q43_ntile_rank_stats", "q44_value_windows",
+):
+    _demote12(_name)
+del _demote12, _name

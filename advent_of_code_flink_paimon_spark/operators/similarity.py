@@ -1787,6 +1787,122 @@ def x64_ivf_index_lifecycle(spark, sf_dir):
     return ivf_topk_index(spark, catalog, "vecs")
 
 
+# ----------------------------------------------------------------------
+# x98: IVF list-health report — the governance card for the persisted
+# inverted lists (x96's shape for the IVF family, VERDICT r11 ask #6):
+# a hot list is the classic nprobe-cost skew (every query probing it
+# pays its occupancy), an empty list is wasted centroid budget, and
+# both are invisible to the recall reports. One row per CENTROID
+# (empty lists included via the left join): occupancy, corpus share,
+# occupancy-vs-mean ratio, and the hot flag at _IVF_HOT_FACTOR× mean —
+# the rebuild signal (re-learn centroids with build_ivf_index, the x50
+# cadence).
+#
+# Scale shape: the lists scan is pruned to the cid column (no vector
+# is ever read — ReadSchema is the 8-byte id), the per-list count is
+# one map-side-combinable exchange of ≤C partials riding the lists
+# table's own cid bucketing, and the C-row centroid relation and 1-row
+# total broadcast. The hot comparison is exact integer arithmetic
+# (n_vecs·n_lists vs factor·total), so the flag is partition-order-
+# proof on both engines.
+# ----------------------------------------------------------------------
+
+_IVF_HOT_FACTOR = 2  # a list hotter than 2x the mean inflates probe cost
+
+
+def ivf_list_health(spark, catalog, vecs_table: str) -> DataFrame:
+    """Per-list occupancy report for the persisted IVF index of
+    ``vecs_table`` (columns: cid, n_vecs, share, occ_ratio, hot)."""
+    cents = catalog.get_table(ivf_centroids_name(vecs_table)).read(spark).select("cid")
+    occ = (
+        catalog.get_table(ivf_lists_name(vecs_table))
+        .read(spark)
+        .groupBy("cid")
+        .agg(F.count("*").alias("cnt"))
+    )
+    per = cents.join(occ, "cid", "left").select(
+        "cid", F.coalesce("cnt", F.lit(0)).cast("long").alias("n_vecs")
+    )
+    tot = per.agg(
+        F.sum("n_vecs").cast("long").alias("total"),
+        F.count("*").cast("long").alias("n_lists"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "cid",
+        "n_vecs",
+        F.round(F.col("n_vecs").cast("double") / F.col("total"), 6).alias("share"),
+        F.round(
+            (F.col("n_vecs") * F.col("n_lists")).cast("double") / F.col("total"), 6
+        ).alias("occ_ratio"),
+        (
+            F.col("n_vecs") * F.col("n_lists") > F.lit(_IVF_HOT_FACTOR) * F.col("total")
+        ).cast("int").alias("hot"),
+    )
+
+
+# x98's oracle: x64's corpus-restricted centroid pick + the nprobe=1
+# assignment over everything (the lists table after build+refresh),
+# aggregated per centroid with empty lists preserved by the left join.
+_SQL_IVF_LIST_HEALTH = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+cent AS (
+    SELECT vec_id AS cid, cv AS cent_v
+    FROM v WHERE vec_id % 61 = 7 AND vec_id % 10 <> 0
+    ORDER BY vec_id LIMIT {IVF_CENTROIDS}
+),
+corpus_assign AS (
+    SELECT vec_id, cid FROM (
+        SELECT c.vec_id, cent.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.vec_id
+                   ORDER BY {_COS.format(a='c.cv', b='cent.cent_v')} DESC, cent.cid ASC
+               ) AS r
+        FROM v c CROSS JOIN cent
+    ) WHERE r = 1
+),
+occ AS (
+    SELECT cent.cid, CAST(COUNT(ca.vec_id) AS BIGINT) AS n_vecs
+    FROM cent LEFT JOIN corpus_assign ca ON ca.cid = cent.cid
+    GROUP BY cent.cid
+),
+tot AS (
+    SELECT CAST(SUM(n_vecs) AS BIGINT) AS total,
+           CAST(COUNT(*) AS BIGINT) AS n_lists
+    FROM occ
+)
+SELECT occ.cid, occ.n_vecs,
+       ROUND(CAST(occ.n_vecs AS DOUBLE) / tot.total, 6) AS share,
+       ROUND(CAST(occ.n_vecs * tot.n_lists AS DOUBLE) / tot.total, 6) AS occ_ratio,
+       CASE WHEN occ.n_vecs * tot.n_lists > {_IVF_HOT_FACTOR} * tot.total
+            THEN 1 ELSE 0 END AS hot
+FROM occ, tot
+"""
+
+
+@query("x98_ivf_index_health", oracle=_SQL_IVF_LIST_HEALTH)
+def x98_ivf_index_health(spark, sf_dir):
+    """Health-report lifecycle over the embeddings table (x64's
+    trajectory): commit the corpus (vec_id % 10 <> 0), build the IVF
+    index from it, append the batch, refresh the lists O(batch) at the
+    stored centroids — then report per-list occupancy, skew, and hot
+    flags from the LISTS TABLE alone. DuckDB replays the deterministic
+    centroid pick + argmax assignment and aggregates the same exact
+    integers."""
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+    from advent_of_code_flink_paimon_spark.operators.dedup import _mhidx_warehouse
+
+    e = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    is_batch = F.pmod(F.col("vec_id"), F.lit(10)) == 0
+
+    catalog = Catalog(_mhidx_warehouse("ivfhealth98", sf_dir), "default")
+    vecs_t = catalog.create_table("vecs", "vec_id long, embedding array<float>", {})
+    vecs_t.append(e.filter(~is_batch))
+    build_ivf_index(spark, catalog, "vecs")
+    vecs_t.append(e.filter(is_batch))
+    refresh_ivf_lists(spark, catalog, "vecs")
+    return ivf_list_health(spark, catalog, "vecs")
+
+
 class VectorIngestPipeline:
     """foreachBatch pipeline keeping a lakehouse vectors table AND its
     persisted ANN indexes (IVF lists and/or PQ codes) current behind a

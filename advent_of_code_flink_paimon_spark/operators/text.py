@@ -2477,10 +2477,7 @@ def x83_dedup_method_agreement(spark, sf_dir):
 
 # Window and registry are at cap this round; x83 ships library-gated
 # like x73/x74/x76-x82.
-from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote9  # noqa: E402
-
-_demote9("x83_dedup_method_agreement")
-del _demote9
+# (x83 promoted to the scored registry in round 12 — VERDICT r11 ask #1)
 
 
 # ----------------------------------------------------------------------

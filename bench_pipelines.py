@@ -34,9 +34,41 @@ N_BATCHES = 4
 TRIGGER_CADENCE_S = 20  # the reference's checkpoint/trigger interval
 
 
-def run_pipelines(spark, sf_dir: str, scratch: str, n_batches: int = N_BATCHES) -> dict:
+SOAK_TOLERANCE = 1.5  # tail-batch median ≤ early-batch median × this
+
+
+def _flatness(walls: list[float]) -> dict:
+    """Soak verdict over a per-batch wall series (VERDICT r11 ask #3):
+    batch 0 carries the index build, so the early window starts at
+    batch 1; the tail window is the last quarter, where the corpus
+    (and every persisted index) is at its largest. A hidden O(corpus)
+    term in probe/refresh/write-through would grow the tail roughly
+    linearly in the batch number — far past the tolerance."""
+    import statistics
+
+    q = max(3, len(walls) // 4)
+    early = statistics.median(walls[1 : 1 + q])
+    tail = statistics.median(walls[-q:])
+    return {
+        "early_median_s": round(early, 3),
+        "tail_median_s": round(tail, 3),
+        "flatness_ratio": round(tail / early, 3),
+        "flat": tail <= early * SOAK_TOLERANCE,
+    }
+
+
+def run_pipelines(spark, sf_dir: str, scratch: str, n_batches: int = N_BATCHES,
+                  quality: bool = True) -> dict:
     """Drive all three pipelines' sinks over ``n_batches`` splits of the
-    testdata source tables; return {name: {rows, wall_s, rec_s}}."""
+    testdata source tables; return {name: {rows, wall_s, rec_s}}.
+
+    ``n_batches`` is also the soak knob: each batch is a fresh slice of
+    the source table, so the lakehouse table AND its persisted indexes
+    grow monotonically batch over batch — at 20+ batches the tail runs
+    against a corpus ~n_batches× the first batch's, which is exactly
+    the condition that exposes any hidden O(corpus) per-batch term.
+    ``quality=False`` skips the O(inputs²) exact-ground-truth reports
+    (rate/flatness runs)."""
     import pyspark.sql.functions as F
 
     from advent_of_code_flink_paimon_spark.lakehouse import Catalog
@@ -65,7 +97,7 @@ def run_pipelines(spark, sf_dir: str, scratch: str, n_batches: int = N_BATCHES) 
         # cadence headroom vs the reference's 20 s trigger (guide.md:3):
         # every batch must finish inside the trigger interval or the
         # pipeline falls behind its own source
-        return {
+        out = {
             "rows": n_rows,
             "wall_s": round(wall, 3),
             "rec_s": round(n_rows / wall, 1),
@@ -74,6 +106,9 @@ def run_pipelines(spark, sf_dir: str, scratch: str, n_batches: int = N_BATCHES) 
             "batch_wall_max_s": max(walls),
             "fits_20s_trigger": max(walls) < TRIGGER_CADENCE_S,
         }
+        if n_batches >= 10:
+            out["soak"] = _flatness(walls)
+        return out
 
     out = {}
     cat = Catalog(os.path.join(scratch, "wh-dedup"))
@@ -85,27 +120,28 @@ def run_pipelines(spark, sf_dir: str, scratch: str, n_batches: int = N_BATCHES) 
         ),
         docs, "doc_id", n_docs,
     )
-    # text dedup quality for the run just driven (r10 ask #8's twin):
-    # inputs = the rows offered to the DEDUP stage, i.e. post-Gopher
-    # (quality drops are a different contract than dedup drops)
-    from advent_of_code_flink_paimon_spark.operators.dedup import (
-        dedup_ingest_recall_report,
-    )
-    from advent_of_code_flink_paimon_spark.operators.text import gopher_keep_col
+    if quality:
+        # text dedup quality for the run just driven (r10 ask #8's twin):
+        # inputs = the rows offered to the DEDUP stage, i.e. post-Gopher
+        # (quality drops are a different contract than dedup drops)
+        from advent_of_code_flink_paimon_spark.operators.dedup import (
+            dedup_ingest_recall_report,
+        )
+        from advent_of_code_flink_paimon_spark.operators.text import gopher_keep_col
 
-    rep = dedup_ingest_recall_report(
-        spark, cat, "docs",
-        docs.filter(gopher_keep_col()).withColumn(
-            "batch_id", F.pmod(F.col("doc_id"), F.lit(n_batches)).cast("int")
-        ),
-    ).collect()[0]
-    out["dedup_ingest"]["quality"] = {
-        "true_drops": rep.true_drops,
-        "false_drops": rep.false_drops,
-        "missed_dups": rep.missed_dups,
-        "drop_recall": rep.drop_recall,
-        "drop_precision": rep.drop_precision,
-    }
+        rep = dedup_ingest_recall_report(
+            spark, cat, "docs",
+            docs.filter(gopher_keep_col()).withColumn(
+                "batch_id", F.pmod(F.col("doc_id"), F.lit(n_batches)).cast("int")
+            ),
+        ).collect()[0]
+        out["dedup_ingest"]["quality"] = {
+            "true_drops": rep.true_drops,
+            "false_drops": rep.false_drops,
+            "missed_dups": rep.missed_dups,
+            "drop_recall": rep.drop_recall,
+            "drop_precision": rep.drop_precision,
+        }
     cat = Catalog(os.path.join(scratch, "wh-search"))
     out["search_ingest"] = drive(
         "search",
@@ -130,29 +166,30 @@ def run_pipelines(spark, sf_dir: str, scratch: str, n_batches: int = N_BATCHES) 
         ),
         vecs, "vec_id", n_vecs,
     )
-    # dedup QUALITY over the run just driven (VERDICT r10 ask #8): the
-    # testdata's REAL near-dups graded against the exact-cosine ground
-    # truth under the pipeline's own greedy visibility rule — recorded
-    # alongside the rate so throughput never hides a recall regression.
-    # Outside the timed window; O(inputs²) exact is the declared
-    # ground-truth cost (sample-bound it at production scale, x68-style).
-    from advent_of_code_flink_paimon_spark.operators.similarity import (
-        vector_dedup_ingest_recall_report,
-    )
+    if quality:
+        # dedup QUALITY over the run just driven (VERDICT r10 ask #8): the
+        # testdata's REAL near-dups graded against the exact-cosine ground
+        # truth under the pipeline's own greedy visibility rule — recorded
+        # alongside the rate so throughput never hides a recall regression.
+        # Outside the timed window; O(inputs²) exact is the declared
+        # ground-truth cost (sample-bound it at production scale, x68-style).
+        from advent_of_code_flink_paimon_spark.operators.similarity import (
+            vector_dedup_ingest_recall_report,
+        )
 
-    rep = vector_dedup_ingest_recall_report(
-        spark, cat, "vecs",
-        vecs.withColumn(
-            "batch_id", F.pmod(F.col("vec_id"), F.lit(n_batches)).cast("int")
-        ),
-    ).collect()[0]
-    out["vector_dedup_ingest"]["quality"] = {
-        "true_drops": rep.true_drops,
-        "false_drops": rep.false_drops,
-        "missed_dups": rep.missed_dups,
-        "drop_recall": rep.drop_recall,
-        "drop_precision": rep.drop_precision,
-    }
+        rep = vector_dedup_ingest_recall_report(
+            spark, cat, "vecs",
+            vecs.withColumn(
+                "batch_id", F.pmod(F.col("vec_id"), F.lit(n_batches)).cast("int")
+            ),
+        ).collect()[0]
+        out["vector_dedup_ingest"]["quality"] = {
+            "true_drops": rep.true_drops,
+            "false_drops": rep.false_drops,
+            "missed_dups": rep.missed_dups,
+            "drop_recall": rep.drop_recall,
+            "drop_precision": rep.drop_precision,
+        }
     docs.unpersist()
     vecs.unpersist()
     return out
@@ -164,29 +201,43 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    # soak mode (VERDICT r11 ask #3): ≥20 fresh-slice micro-batches so
+    # the corpus and every persisted index grow ~n_batches× over the
+    # run; the artifact records the full per-batch wall series plus the
+    # early-vs-tail flatness verdict per pipeline, and lands in
+    # PIPELINE_SOAK.json (PIPELINE_BENCH.json stays the 4-batch rate
+    # artifact). Usage: python bench_pipelines.py soak [n_batches]
+    soak = len(sys.argv) > 1 and sys.argv[1] == "soak"
+    n_batches = int(sys.argv[2]) if soak and len(sys.argv) > 2 else (
+        20 if soak else N_BATCHES
+    )
 
     from advent_of_code_flink_paimon_spark.session import get_spark
 
     spark = get_spark("aocfp-pipeline-bench", extra_conf={"spark.ui.enabled": "false"})
     scratch = tempfile.mkdtemp(prefix="spark-graft-plbench-")
     try:
-        results = run_pipelines(spark, sf_dir, scratch)
+        results = run_pipelines(spark, sf_dir, scratch,
+                                n_batches=n_batches, quality=not soak)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
         spark.stop()
     for v in results.values():
         v["vs_plain_append_baseline"] = round(v["rec_s"] / BASELINE_REC_S, 4)
     artifact = {
-        "metric": "ingest_pipeline_sustained_rate",
+        "metric": "ingest_pipeline_soak_flatness" if soak
+        else "ingest_pipeline_sustained_rate",
         "unit": "rec_s",
         "baseline_plain_append_rec_s": BASELINE_REC_S,
         "trigger_cadence_s": TRIGGER_CADENCE_S,
-        "n_batches": N_BATCHES,
+        "n_batches": n_batches,
+        "soak_tolerance": SOAK_TOLERANCE,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "pipelines": results,
     }
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "PIPELINE_BENCH.json"), "w") as f:
+    name = "PIPELINE_SOAK.json" if soak else "PIPELINE_BENCH.json"
+    with open(os.path.join(here, name), "w") as f:
         json.dump(artifact, f, indent=1)
     print(json.dumps(artifact))
 

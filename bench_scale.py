@@ -73,7 +73,18 @@ QUERIES = ["x07_dup_clusters", "x13_semantic_dedup", "x03_dedup_minhash_lsh",
            "q01_pricing_summary", "x01_dedup_exact", "x04_dedup_simhash",
            "x41_decontaminate", "x45_substr_dedup",
            "x46_incremental_dedup", "x48_split_assign",
-           "x50_ivf_kmeans_refresh"]
+           "x50_ivf_kmeans_refresh",
+           # round-12 (VERDICT r11 ask #2): the three operators promoted
+           # into the scored window in round 11 without growth rows —
+           # x79 composes the x03 pair relation with two assignment
+           # joins (should inherit x03's ~1.5x), x88 is one
+           # shingle-hash exchange + rollup, x89 is three row-local
+           # keep flags + one join
+           "x79_split_leakage_audit", "x88_novelty_profile",
+           "x89_filter_agreement",
+           # x98 IVF list-health report (new this round): lifecycle
+           # build + one cid-column groupBy — the fixed-cost class
+           "x98_ivf_index_health"]
 REPEATS = 3
 
 
@@ -220,7 +231,20 @@ def main() -> None:
 
     qs = {**LIBRARY_QUERIES, **qs}
     out = {"sf_base": 0.1, "sf_scale": 0.5, "row_multiple": M, "queries": {}}
-    for name in QUERIES:
+    # SPARK_GRAFT_SCALE_ONLY="x79,x88": measure only the named queries
+    # and merge into the existing BENCH_scale.json (incremental additions
+    # without re-timing the whole battery; a full refresh still just
+    # runs with the var unset)
+    only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
+    targets = QUERIES
+    if only:
+        prefixes = [p.strip() for p in only.split(",") if p.strip()]
+        targets = [n for n in QUERIES if any(n.startswith(p) for p in prefixes)]
+        prior = os.path.join(ROOT, "BENCH_scale.json")
+        if os.path.exists(prior):
+            with open(prior) as f:
+                out["queries"].update(json.load(f).get("queries", {}))
+    for name in targets:
         fn = qs[name]
         med = {}
         try:
@@ -253,6 +277,9 @@ def main() -> None:
         q["growth"] for q in out["queries"].values() if "growth" in q
     )
     out["subquadratic"] = out["max_growth"] < M * M
+    if only:
+        with open(os.path.join(ROOT, "BENCH_scale.json"), "w") as f:
+            json.dump(out, f)
     print(json.dumps(out))
 
 

@@ -1907,3 +1907,97 @@ def test_decode_real_png_malformed_fails_with_valueerror():
     # and the valid payload still decodes after all that
     d = decode_real(good, "image/png")
     assert (d["width"], d["height"]) == (4, 3)
+
+
+def test_minhash_index_health_differential(spark, tmp_path):
+    """VERDICT r11 ask #6: the MinHash band-index health card. The
+    bucket structure is xxhash64-keyed (not SQL-replayable), so the
+    contract is differential: the report over the PERSISTED index
+    equals the same aggregation over a fresh engine-side banding of
+    the docs — and a planted exact-dup cluster shows up as the max_occ
+    hot bucket in every band."""
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+    from advent_of_code_flink_paimon_spark.operators.dedup import (
+        LSH_BANDS,
+        _band_occupancy_report,
+        band_rows,
+        minhash_index_health,
+        minhash_signatures,
+        refresh_minhash_index,
+        shingle_hash_arrays,
+    )
+
+    catalog = Catalog(str(tmp_path / "wh"), "default")
+    docs_t = catalog.create_table("docs", "doc_id long, text string", {})
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(i, f"{base} variant {i} " + " ".join(str(i * 31 + k) for k in range(12)))
+            for i in range(20)]
+    # planted cluster: 7 EXACT copies — they share every band signature,
+    # so every band gets one bucket of occupancy >= 7
+    rows += [(100 + k, base + " cloned payload") for k in range(7)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs_t.append(docs)
+    refresh_minhash_index(spark, catalog, "docs")
+
+    got = {
+        r.band: r
+        for r in minhash_index_health(spark, catalog, "docs").collect()
+    }
+    want = {
+        r.band: r
+        for r in _band_occupancy_report(
+            band_rows(minhash_signatures(shingle_hash_arrays(docs)), band_cap=None)
+        ).collect()
+    }
+    assert set(got) == set(want) and len(got) == LSH_BANDS
+    for band in want:
+        assert got[band] == want[band], band
+        assert got[band].max_occ >= 7  # the planted cluster's hot bucket
+        assert got[band].n_rows == 27
+        assert got[band].capped_buckets == 0  # nothing above LSH_BAND_CAP here
+    # structural: mean_occ consistent with rows/buckets (rounded to 6dp)
+    for r in got.values():
+        assert abs(r.mean_occ - r.n_rows / r.n_buckets) < 1e-6
+
+
+def test_ivf_list_health_structure(spark, tmp_path):
+    """x98's engine-side report over a hand-built corpus: occupancies
+    sum to the corpus, empty lists appear with n_vecs=0, and a planted
+    hot list (many vectors near one centroid) raises the hot flag.
+    (Oracle parity for the real lifecycle runs in the strict harness —
+    this pins the report's shape and flags on controlled geometry.)"""
+    import math
+
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+    from advent_of_code_flink_paimon_spark.operators.similarity import (
+        IVF_CENTROIDS,
+        build_ivf_index,
+        ivf_list_health,
+    )
+
+    catalog = Catalog(str(tmp_path / "wh"), "default")
+    t = catalog.create_table("vecs", "vec_id long, embedding array<float>", {})
+    # centroid picks are vec_id % 61 == 7 ordered — make sure at least
+    # two such ids exist, and pile most vectors onto the FIRST pick's
+    # direction so its list runs hot
+    d = 8
+    base = [math.sin(0.3 * i + 1.0) for i in range(d)]
+    other = [math.cos(1.7 * i + 0.2) * (-1) ** i for i in range(d)]
+    third = [math.sin(2.9 * i * i + 0.7) for i in range(d)]
+    rows = [(7, base), (68, other), (129, third)]  # the three centroid picks
+    rows += [(i, [x + 0.001 * math.sin(i + j) for j, x in enumerate(base)])
+             for i in range(200, 230)]  # 30 vectors hugging centroid 7
+    rows += [(300, [x + 0.001 * j for j, x in enumerate(other)]),
+             (301, [x + 0.001 * j for j, x in enumerate(third)])]
+    t.append(spark.createDataFrame(rows, "vec_id long, embedding array<float>"))
+    build_ivf_index(spark, catalog, "vecs")
+
+    rep = {r.cid: r for r in ivf_list_health(spark, catalog, "vecs").collect()}
+    n_lists = len(rep)
+    assert n_lists <= IVF_CENTROIDS and n_lists >= 3
+    assert sum(r.n_vecs for r in rep.values()) == 35
+    # hot iff n_vecs * n_lists > 2 * total: 31*3 = 93 > 70 for the
+    # planted list, 2*3 = 6 < 70 for the others
+    assert rep[7].n_vecs >= 31 and rep[7].hot == 1
+    assert rep[68].hot == 0 and rep[129].hot == 0
+    assert abs(sum(r.share for r in rep.values()) - 1.0) < 1e-4

@@ -88,3 +88,24 @@ def test_ingest_pipeline_sustained_rates(spark, tmp_path):
         assert rates[name]["rec_s"] >= floor, (name, rates[name])
         assert rates[name]["batch_wall_max_s"] < bp.TRIGGER_CADENCE_S, (
             name, rates[name])
+
+def test_ingest_pipeline_soak_flatness(spark, tmp_path):
+    """VERDICT r11 ask #3: per-batch wall must stay FLAT as the corpus
+    and its persisted indexes grow — 20 fresh-slice micro-batches mean
+    the tail batches probe/write-through against a corpus ~19× the
+    first batch's, which is exactly the condition that would expose a
+    hidden O(corpus) term in the probe, refresh, or write-through
+    paths. Assertion: tail-batch median ≤ early-batch median ×
+    SOAK_TOLERANCE for every pipeline (PIPELINE_SOAK.json is the
+    artifact of record at sf0.1 via `python bench_pipelines.py soak`;
+    this is the same harness at sf0.001)."""
+    import bench_pipelines as bp
+
+    rates = bp.run_pipelines(
+        spark, "/root/testdata/sf0.001", str(tmp_path), n_batches=20, quality=False
+    )
+    for name, r in rates.items():
+        assert "soak" in r, name
+        assert r["soak"]["flat"], (name, r["soak"], r["batch_walls_s"])
+        # and the cadence contract must hold on EVERY soak batch too
+        assert r["batch_wall_max_s"] < bp.TRIGGER_CADENCE_S, (name, r)
