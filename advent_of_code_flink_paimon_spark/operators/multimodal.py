@@ -5,10 +5,11 @@ metadata struct. The Spark-side machinery — schema, partition-preserving
 mapInPandas, Arrow batch shapes, feature-vector output typing — is real
 and tested. Decoding comes in two tiers: ``decode_real`` actually
 parses the dependency-free public formats (24-bit BMP, 8-bit PNG via
-stdlib zlib + per-row unfilter, 16-bit PCM WAV — encoders included,
-so the resize path is real bytes → real bytes), while codec-library
-formats (jpeg/mp4; the libs are not in this container) raise
-NotImplementedError at the documented seam.
+stdlib zlib + per-row unfilter, baseline sequential JPEG via an
+in-repo T.81 codec, 16-bit PCM WAV — encoders included, so the resize
+path is real bytes → real bytes), while video (mp4; the codec libs are
+not in this container) raises NotImplementedError at the one remaining
+documented seam.
 ``decode_stub`` (deterministic fake) remains the oracle-facing decoder
 so the driver-scored x30/x31 pipelines stay value-hash-checked.
 """
@@ -311,12 +312,15 @@ def decode_real(payload: bytes, mime: str) -> dict:
         return _parse_bmp(payload)
     if mime == "image/png":
         return _parse_png(payload)
+    if mime in ("image/jpeg", "image/jpg"):
+        return _parse_jpeg(payload)
     if mime in ("audio/wav", "audio/x-wav", "audio/wave"):
         return _parse_wav(payload)
     raise NotImplementedError(
-        f"no dependency-free decoder for {mime!r}: jpeg/mp4 need codec "
-        "libraries not installed in this container — plug PIL/decord in "
-        "here; BMP, 8-bit PNG and 16-bit PCM WAV decode for real today"
+        f"no dependency-free decoder for {mime!r}: video (mp4) needs "
+        "codec libraries not installed in this container — plug decord "
+        "in here; BMP, 8-bit PNG, baseline JPEG and 16-bit PCM WAV "
+        "decode for real today"
     )
 
 
@@ -426,6 +430,8 @@ def resize_media_real(media: DataFrame, factor: int = 2) -> DataFrame:
                     out.extend(px[at : at + 3])
             if mime == "image/png":  # re-encode in the input's format
                 return _encode_png(nw, nh, out)
+            if mime in ("image/jpeg", "image/jpg"):
+                return _encode_jpeg(nw, nh, out, quality=90)
             return _encode_bmp(nw, nh, out)
         ch, s = d["channels"], d["samples"]
         frames = [s[i : i + ch] for i in range(0, len(s) - ch + 1, ch)]
@@ -664,3 +670,991 @@ def media_phash_pairs(spark, docs: DataFrame, max_hamming: int = _PHASH_MAX_HAMM
     return cand.select(
         "i", "j", F.expr("bit_count(pi ^ pj)").cast("long").alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+# ----------------------------------------------------------------------
+# MediaDedupIngestPipeline: continuous PERCEPTUAL near-dedup for media
+# payloads (VERDICT r11 ask #5) — the multimodal twin of the text
+# (dedup.DedupIngestPipeline) and vector
+# (similarity.VectorDedupIngestPipeline) pipelines, composing the
+# media_phash_pairs machinery (aHash signature + the Manku 4-block
+# pigeonhole: Hamming ≤ blocks−1 over the hash ⇒ at least one block
+# agrees exactly, so candidates come from a block-keyed equi-join and
+# one popcount verifies — a THEOREM, not an approximation; the model
+# test proves the pair set equals the brute-force Hamming ball) with
+# the persisted-index + consumer-bookmark + write-through skeleton.
+#
+# Like the LSH band width (similarity.py) the aHash THRESHOLDS must be
+# FROZEN at index-build time — re-deriving per-corpus means would
+# silently re-key every signature — so they live in a meta table and
+# the pipeline guards them with the same meta-pointer width-epoch
+# check the vector pipeline uses. Unlike the text/vector pipelines the
+# VERIFY needs no corpus payload read at all: the index stores each
+# doc's full phash next to its block keys, so candidate verification
+# is one popcount over two longs already in the joined row — the
+# per-batch plan touches batch payloads (decode), the block-bucketed
+# index, and nothing else. That is the 100 TB shape: media bytes are
+# decoded exactly once, at ingest, on the executor that holds them.
+# ----------------------------------------------------------------------
+
+MEDIA_DDL = "doc_id long, payload binary, mime string, n_bytes long, sample_rate int"
+PHASH_INDEX_SCHEMA = "blk int, bv long, doc_id long, phash long"
+_PHASH_CONSUMER_PREFIX = "__phash-index"
+
+
+def phash_index_name(media_table: str) -> str:
+    return f"{media_table}_phidx"
+
+
+def phash_meta_name(media_table: str) -> str:
+    return f"{media_table}_phmeta"
+
+
+def load_phash_thresholds(spark, catalog, media_table: str) -> list[float]:
+    """Stored frozen aHash thresholds in dimension order (≤16 rows —
+    the only driver traffic of the probe path)."""
+    rows = catalog.get_table(phash_meta_name(media_table)).read(spark).collect()
+    return [float(r.thr) for r in sorted(rows, key=lambda r: r.d)]
+
+
+def phash_signatures(feats: DataFrame, thresholds: list[float]) -> DataFrame:
+    """(doc_id, features) → (doc_id, phash): bit d set iff
+    features[d] > thresholds[d] — a map-only codegen projection (the
+    thresholds are literals, exactly media_phash_pairs' rule with the
+    corpus means replaced by the FROZEN stored values)."""
+    sig = None
+    for d, thr in enumerate(thresholds):
+        bit = (F.col("features").getItem(d) > float(thr)).cast("long")
+        term = F.shiftleft(bit, d)
+        sig = term if sig is None else sig + term
+    return feats.select("doc_id", sig.alias("phash"))
+
+
+def _phash_block_rows(sigs: DataFrame, n_bits: int) -> DataFrame:
+    """(doc_id, phash) → (blk, bv, doc_id, phash): the Manku block
+    split media_phash_pairs uses, with the phash carried alongside so
+    verification never re-reads media."""
+    width = n_bits // _PHASH_BLOCKS
+    blocks = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).cast("int").alias("blk"),
+                    F.expr(f"(phash >> {b * width}) & {(1 << width) - 1}")
+                    .cast("long").alias("bv"),
+                )
+                for b in range(_PHASH_BLOCKS)
+            ]
+        )
+    ).alias("e")
+    return sigs.select("doc_id", "phash", blocks).select(
+        F.col("e.blk").alias("blk"), F.col("e.bv").alias("bv"), "doc_id", "phash"
+    )
+
+
+def build_phash_index(spark, catalog, media_table: str, features_fn=None) -> int:
+    """(Re)build the perceptual-hash index from the committed corpus:
+    derive the aHash thresholds (per-dim feature means) from the
+    corpus, FREEZE them in the meta table, block-index every doc,
+    bookmark the consumed range — the build_lsh_band_index protocol for
+    the media modality. ``features_fn`` maps a media DataFrame to
+    (doc_id, features) rows; default is the stub-decode
+    extract_features (swap media_features_real in for real payloads)."""
+    from advent_of_code_flink_paimon_spark.operators.dedup import pack_refresh_range
+
+    features_fn = features_fn or extract_features
+    media_t = catalog.get_table(media_table)
+    latest = media_t.latest_snapshot_id() or 0
+    feats = features_fn(media_t.read(spark)).select("doc_id", "features").persist()
+    n_bits = len(feats.select("features").first()[0])
+    mean_row = feats.agg(
+        *[F.avg(F.col("features").getItem(d)).alias(f"m{d}") for d in range(n_bits)]
+    ).collect()[0]
+    thresholds = [float(mean_row[f"m{d}"]) for d in range(n_bits)]
+    meta = phash_meta_name(media_table)
+    if not catalog.has_table(meta):
+        catalog.create_table(meta, "d int, thr double", {})
+    catalog.get_table(meta).overwrite(
+        spark.createDataFrame(list(enumerate(thresholds)), "d int, thr double")
+    )
+    iname = phash_index_name(media_table)
+    if not catalog.has_table(iname):
+        catalog.create_table(iname, PHASH_INDEX_SCHEMA, {"bucket": "8", "bucket-key": "bv"})
+    catalog.get_table(iname).overwrite(
+        _phash_block_rows(phash_signatures(feats, thresholds), n_bits),
+        commit_identifier=pack_refresh_range(1, latest) if latest else None,
+    )
+    n = feats.count()
+    feats.unpersist()
+    media_t.register_consumer(f"{_PHASH_CONSUMER_PREFIX}-{media_table}", latest + 1)
+    return n
+
+
+def refresh_phash_index(spark, catalog, media_table: str, features_fn=None) -> int:
+    """Signature-index ONLY the media committed since the last
+    build/refresh at the STORED thresholds and append — O(new docs),
+    range-stamped, crash-idempotent (the shared refresh protocol)."""
+    from advent_of_code_flink_paimon_spark.operators.dedup import (
+        pack_refresh_range,
+        recover_refresh_bookmark,
+    )
+
+    features_fn = features_fn or extract_features
+    media_t = catalog.get_table(media_table)
+    idx_t = catalog.get_table(phash_index_name(media_table))
+    consumer_id = f"{_PHASH_CONSUMER_PREFIX}-{media_table}"
+    nxt = media_t.consumers().get(consumer_id, {}).get("next_snapshot_id", 1)
+    nxt = recover_refresh_bookmark(idx_t, nxt)
+    latest = media_t.latest_snapshot_id() or 0
+    if latest < nxt:
+        if nxt > media_t.consumers().get(consumer_id, {}).get("next_snapshot_id", 1):
+            media_t.register_consumer(consumer_id, next_snapshot_id=nxt)
+        return 0
+    fresh = media_t.merge_raw(media_t.incremental_read(spark, nxt - 1, latest)).persist()
+    n = fresh.count()
+    if n:
+        thresholds = load_phash_thresholds(spark, catalog, media_table)
+        idx_t.append(
+            _phash_block_rows(
+                phash_signatures(
+                    features_fn(fresh).select("doc_id", "features"), thresholds
+                ),
+                len(thresholds),
+            ),
+            commit_identifier=pack_refresh_range(nxt, latest),
+        )
+    fresh.unpersist()
+    media_t.register_consumer(consumer_id, latest + 1)
+    return n
+
+
+class MediaDedupIngestPipeline:
+    """Continuous perceptually-near-deduped MEDIA ingestion into a
+    lakehouse media table. Per micro-batch (``sink`` is the
+    foreachBatch body):
+
+    1. threshold-epoch guard + pre-probe index sync (the vector
+       pipeline's two driver-side pointer reads — a mid-stream rebuild
+       re-keys every signature, so the frozen thresholds re-load when
+       the meta pointer moves; foreign commits trigger the incremental
+       refresh).
+    2. in-batch EXACT dedup: first doc_id per identical payload md5.
+    3. decode ONCE: one features pass (mapInPandas, partition-local)
+       feeds the batch signatures for the corpus probe, the in-batch
+       probe, AND the write-through.
+    4. corpus probe: batch block rows ⋈ the bv-bucketed index on
+       (blk, bv); popcount(pi ^ pj) ≤ max_hamming verifies in the
+       joined row — NO corpus payload or feature is ever read.
+    5. in-batch NEAR dedup: the same block rows self-joined, lowest
+       doc_id wins.
+    6. append survivors (commit_identifier=batch_id, exactly-once) and
+       WRITE-THROUGH their block rows with the exact
+       pack_refresh_range(nxt, sid) stamp; replays / interleaved
+       foreign commits fall back to the incremental refresh (same
+       stamp protocol).
+
+    First non-empty batch builds the index (thresholds need data to
+    learn from — the VectorIngestPipeline convention)."""
+
+    def __init__(self, spark, catalog, media_table: str, checkpoint_dir: str,
+                 max_hamming: int = _PHASH_MAX_HAMMING, features_fn=None):
+        assert max_hamming <= _PHASH_BLOCKS - 1, "pigeonhole bound violated"
+        self.spark, self.catalog = spark, catalog
+        self.media_table, self.checkpoint_dir = media_table, checkpoint_dir
+        self.max_hamming = max_hamming
+        self.features_fn = features_fn or extract_features
+        if not catalog.has_table(media_table):
+            catalog.create_table(media_table, MEDIA_DDL, {})
+        self._consumer_id = f"{_PHASH_CONSUMER_PREFIX}-{media_table}"
+        self._thresholds = None
+        self._meta_epoch = None
+        if catalog.has_table(phash_meta_name(media_table)):
+            self._load_thresholds()
+
+    def _load_thresholds(self):
+        self._thresholds = load_phash_thresholds(
+            self.spark, self.catalog, self.media_table
+        )
+        self._meta_epoch = self.catalog.get_table(
+            phash_meta_name(self.media_table)
+        ).latest_snapshot_id()
+
+    def sink(self, batch_df: DataFrame, batch_id: int) -> int:
+        from advent_of_code_flink_paimon_spark.operators.registry import (
+            micro_batch_confs,
+        )
+
+        with micro_batch_confs(self.spark):
+            return self._sink_body(batch_df, batch_id)
+
+    def _sink_body(self, batch_df: DataFrame, batch_id: int) -> int:
+        from advent_of_code_flink_paimon_spark.operators.dedup import (
+            pack_refresh_range,
+        )
+
+        media_t = self.catalog.get_table(self.media_table)
+        first_build = self._thresholds is None
+        if not first_build:
+            # threshold-epoch guard (the vector pipeline's rule): a
+            # rebuild moved the meta pointer → re-load before probing
+            epoch = self.catalog.get_table(
+                phash_meta_name(self.media_table)
+            ).latest_snapshot_id()
+            if epoch != self._meta_epoch:
+                self._load_thresholds()
+            # pre-probe sync, gated on two driver-side pointer reads
+            nxt = (
+                media_t.consumers().get(self._consumer_id, {}).get("next_snapshot_id", 1)
+            )
+            latest = media_t.latest_snapshot_id() or 0
+            if latest >= nxt:
+                refresh_phash_index(
+                    self.spark, self.catalog, self.media_table, self.features_fn
+                )
+                nxt = (media_t.latest_snapshot_id() or 0) + 1
+        else:
+            nxt = (media_t.latest_snapshot_id() or 0) + 1
+        # in-batch exact dedup (identical payload bytes → one map-
+        # combinable hash agg; rows in a group are identical so
+        # any_value is deterministic)
+        batch = (
+            batch_df.select("doc_id", "payload", "mime", "n_bytes", "sample_rate")
+            .groupBy(F.md5("payload").alias("__h"))
+            .agg(
+                F.min("doc_id").alias("doc_id"),
+                F.any_value("payload").alias("payload"),
+                F.any_value("mime").alias("mime"),
+                F.any_value("n_bytes").alias("n_bytes"),
+                F.any_value("sample_rate").alias("sample_rate"),
+            )
+            .drop("__h")
+            .persist()
+        )
+        if first_build:
+            # learn the frozen thresholds from the first data seen —
+            # features computed on the deduped batch (one extra pass,
+            # first batch only)
+            feats0 = self.features_fn(batch).select("doc_id", "features").persist()
+            row0 = feats0.first()
+            if row0 is None:
+                feats0.unpersist()
+                batch.unpersist()
+                return 0
+            n_bits = len(row0[1])
+            mean_row = feats0.agg(
+                *[F.avg(F.col("features").getItem(d)).alias(f"m{d}")
+                  for d in range(n_bits)]
+            ).collect()[0]
+            thresholds = [float(mean_row[f"m{d}"]) for d in range(n_bits)]
+            meta = phash_meta_name(self.media_table)
+            if not self.catalog.has_table(meta):
+                self.catalog.create_table(meta, "d int, thr double", {})
+            self.catalog.get_table(meta).overwrite(
+                self.spark.createDataFrame(
+                    list(enumerate(thresholds)), "d int, thr double"
+                )
+            )
+            iname = phash_index_name(self.media_table)
+            if not self.catalog.has_table(iname):
+                self.catalog.create_table(
+                    iname, PHASH_INDEX_SCHEMA, {"bucket": "8", "bucket-key": "bv"}
+                )
+            feats0.unpersist()
+            self._load_thresholds()
+        thresholds = self._thresholds
+        n_bits = len(thresholds)
+        # ONE decode/feature pass serves the corpus probe, the in-batch
+        # probe, and the write-through
+        blocks = _phash_block_rows(
+            phash_signatures(
+                self.features_fn(batch).select("doc_id", "features"), thresholds
+            ),
+            n_bits,
+        ).persist()
+        idx = self.catalog.get_table(phash_index_name(self.media_table)).read(self.spark)
+        dup_vs_corpus = (
+            blocks.join(
+                idx.select("blk", "bv", F.col("doc_id").alias("j"),
+                           F.col("phash").alias("pj")),
+                ["blk", "bv"],
+            )
+            .filter(F.col("doc_id") != F.col("j"))
+            .filter(F.expr("bit_count(phash ^ pj)") <= self.max_hamming)
+            .select("doc_id")
+            .distinct()
+        )
+        b2 = blocks.select("blk", "bv", F.col("doc_id").alias("j"),
+                           F.col("phash").alias("pj"))
+        dup_in_batch = (
+            blocks.join(b2, ["blk", "bv"])
+            .filter(F.col("doc_id") > F.col("j"))  # lowest doc_id wins
+            .filter(F.expr("bit_count(phash ^ pj)") <= self.max_hamming)
+            .select("doc_id")
+            .distinct()
+        )
+        survivors = batch.join(
+            dup_vs_corpus.unionByName(dup_in_batch), "doc_id", "left_anti"
+        ).persist()
+        sid = media_t.append(survivors, commit_identifier=batch_id)
+        n = survivors.count()
+        if sid is None:
+            if n:
+                # replayed micro-batch: bring the index current, same
+                # as a crash resume (bookmark-based → no-op if current)
+                refresh_phash_index(
+                    self.spark, self.catalog, self.media_table, self.features_fn
+                )
+        elif sid == nxt:
+            # write-through: the survivors' block rows are in hand
+            self.catalog.get_table(phash_index_name(self.media_table)).append(
+                blocks.join(survivors.select("doc_id"), "doc_id", "left_semi")
+                .select("blk", "bv", "doc_id", "phash"),
+                commit_identifier=pack_refresh_range(nxt, sid),
+            )
+            media_t.register_consumer(self._consumer_id, sid + 1)
+        else:
+            refresh_phash_index(
+                self.spark, self.catalog, self.media_table, self.features_fn
+            )
+        for df in (survivors, blocks, batch):
+            df.unpersist()
+        return n
+
+    def start(self, source: DataFrame):
+        """Attach to a streaming MEDIA_SCHEMA source."""
+        return (
+            source.writeStream.queryName(f"media-dedup-ingest-{self.media_table}")
+            .foreachBatch(lambda df, bid: self.sink(df, bid))
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+
+def media_dedup_ingest_recall_report(
+    spark, catalog, media_table: str, inputs: DataFrame,
+    max_hamming: int = _PHASH_MAX_HAMMING, features_fn=None,
+) -> DataFrame:
+    """Dedup-quality report over a completed media ingest run (the
+    text/vector pipelines' protocol): ``inputs`` is the full streamed
+    relation (MEDIA_SCHEMA + batch_id in consumption order); the kept
+    set is read back from the lakehouse table. Ground truth: input i
+    should drop iff some j with hamming(phash_i, phash_j) ≤ max_hamming
+    (at the STORED thresholds) was visible to i's batch — committed
+    earlier and kept, or same batch with lower doc_id. Candidates come
+    from a FRESH pigeonhole block join (independent of the persisted
+    index), which is EXACT for hamming ≤ blocks−1 — the Manku theorem
+    the media_phash_pairs model test proves against the brute-force
+    Hamming ball. Columns: n_inputs, n_kept, n_dropped, true_drops,
+    false_drops, missed_dups, drop_recall, drop_precision."""
+    features_fn = features_fn or extract_features
+    thresholds = load_phash_thresholds(spark, catalog, media_table)
+    n_bits = len(thresholds)
+    kept_ids = catalog.get_table(media_table).read(spark).select("doc_id").distinct()
+    sigs = phash_signatures(
+        features_fn(inputs).select("doc_id", "features"), thresholds
+    ).join(inputs.select("doc_id", "batch_id"), "doc_id")
+    marked = sigs.join(
+        kept_ids.withColumn("__kept", F.lit(1)), "doc_id", "left"
+    ).select(
+        "doc_id", "phash", "batch_id", F.coalesce("__kept", F.lit(0)).alias("kept")
+    ).persist()
+    blocks = _phash_block_rows(marked.select("doc_id", "phash"), n_bits)
+    meta_i = marked.select(
+        F.col("doc_id").alias("i"), F.col("batch_id").alias("ib"),
+        F.col("kept").alias("ikept"),
+    )
+    meta_j = marked.select(
+        F.col("doc_id").alias("j"), F.col("batch_id").alias("jb"),
+        F.col("kept").alias("jkept"),
+    )
+    cand = (
+        blocks.alias("a")
+        .join(blocks.alias("b"),
+              (F.col("a.blk") == F.col("b.blk")) & (F.col("a.bv") == F.col("b.bv")))
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .filter(F.expr("bit_count(a.phash ^ b.phash)") <= max_hamming)
+        .select(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        .distinct()
+    )
+    visible = (F.col("jb") < F.col("ib")) & (F.col("jkept") == 1) | (
+        (F.col("jb") == F.col("ib")) & (F.col("j") < F.col("i"))
+    )
+    should_drop = (
+        cand.join(meta_i, "i").join(meta_j, "j")
+        .filter(visible)
+        .select("i")
+        .distinct()
+        .withColumn("__dup", F.lit(1))
+    )
+    flags = marked.join(
+        should_drop.withColumnRenamed("i", "doc_id"), "doc_id", "left"
+    ).select("kept", F.coalesce("__dup", F.lit(0)).alias("dup"))
+    agg = flags.agg(
+        F.count("*").cast("long").alias("n_inputs"),
+        F.sum("kept").cast("long").alias("n_kept"),
+        F.sum(1 - F.col("kept")).cast("long").alias("n_dropped"),
+        F.sum((1 - F.col("kept")) * F.col("dup")).cast("long").alias("true_drops"),
+        F.sum((1 - F.col("kept")) * (1 - F.col("dup"))).cast("long").alias("false_drops"),
+        F.sum(F.col("kept") * F.col("dup")).cast("long").alias("missed_dups"),
+    )
+    marked.unpersist()
+    dup_total = F.col("true_drops") + F.col("missed_dups")
+    return agg.select(
+        "*",
+        F.round(
+            F.when(dup_total > 0, F.col("true_drops").cast("double") / dup_total)
+            .otherwise(F.lit(1.0)), 6,
+        ).alias("drop_recall"),
+        F.round(
+            F.when(F.col("n_dropped") > 0,
+                   F.col("true_drops").cast("double") / F.col("n_dropped"))
+            .otherwise(F.lit(1.0)), 6,
+        ).alias("drop_precision"),
+    )
+
+
+# ----------------------------------------------------------------------
+# Baseline JPEG (VERDICT r11 ask #8, the last stubbed image format):
+# a dependency-free ITU T.81 baseline sequential codec — SOI/APP0/DQT/
+# SOF0/DHT/(DRI)/SOS/EOI, Annex-K quantization + huffman tables,
+# float separable DCT/IDCT, 4:4:4 or 4:2:0 chroma, restart markers on
+# decode. Pure stdlib like the BMP/PNG/WAV codecs; JPEG is lossy, so
+# the round-trip contract is a tolerance (the tests assert mean |err|
+# well under the quantization noise), not bit equality. mp4/video
+# remains the one documented codec-library seam.
+# ----------------------------------------------------------------------
+
+import math as _math
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+_QUANT_LUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+]
+_QUANT_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# Annex K "typical" huffman tables: (BITS[1..16], HUFFVAL)
+_DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUMA_VALS = list(range(12))
+_DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHROMA_VALS = list(range(12))
+_AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+_AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+_COS8 = [
+    [_math.cos((2 * x + 1) * u * _math.pi / 16.0) for x in range(8)]
+    for u in range(8)
+]
+_C8 = [1.0 / _math.sqrt(2.0)] + [1.0] * 7
+
+
+def _canonical_codes(bits: list[int], vals: list[int]):
+    """(BITS, HUFFVAL) → [(val, length, code)] in canonical order."""
+    out, code = [], 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out.append((vals[k], length, code))
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _fdct8(block: list[float]) -> list[float]:
+    """8x8 forward DCT (float separable — rows then columns)."""
+    tmp = [0.0] * 64
+    for y in range(8):
+        for u in range(8):
+            tmp[y * 8 + u] = sum(block[y * 8 + x] * _COS8[u][x] for x in range(8))
+    out = [0.0] * 64
+    for u in range(8):
+        for v in range(8):
+            s = sum(tmp[y * 8 + u] * _COS8[v][y] for y in range(8))
+            out[v * 8 + u] = 0.25 * _C8[u] * _C8[v] * s
+    return out
+
+
+def _idct8(coef: list[float]) -> list[float]:
+    """8x8 inverse DCT (float separable)."""
+    tmp = [0.0] * 64
+    for v in range(8):
+        for x in range(8):
+            tmp[v * 8 + x] = sum(
+                _C8[u] * coef[v * 8 + u] * _COS8[u][x] for u in range(8)
+            )
+    out = [0.0] * 64
+    for x in range(8):
+        for y in range(8):
+            s = sum(_C8[v] * tmp[v * 8 + x] * _COS8[v][y] for v in range(8))
+            out[y * 8 + x] = 0.25 * s
+    return out
+
+
+def _quality_scaled(base: list[int], quality: int) -> list[int]:
+    """libjpeg quality scaling of an Annex-K table."""
+    q = max(1, min(100, quality))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    return [max(1, min(255, (b * scale + 50) // 100)) for b in base]
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:
+                    self.buf.append(0x00)  # byte stuffing
+                self.acc, self.n = 0, 0
+
+    def flush(self):
+        while self.n:  # pad with 1s
+            self.write(1, 1)
+
+
+def _mag_bits(v: int):
+    """JPEG magnitude category + appended bits for a signed value."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    size = a.bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def _encode_jpeg(width: int, height: int, pixels: list, quality: int = 90,
+                 subsample: bool = False) -> bytes:
+    """Baseline JFIF encoder for RGB floats in [0,1] — 4:4:4 by
+    default, 4:2:0 with ``subsample=True``. Annex-K tables scaled by
+    ``quality`` (libjpeg rule), standard huffman tables."""
+    ql = _quality_scaled(_QUANT_LUMA, quality)
+    qc = _quality_scaled(_QUANT_CHROMA, quality)
+    # RGB → YCbCr planes (JFIF/BT.601, full range)
+    n = width * height
+    Y = [0.0] * n
+    Cb = [0.0] * n
+    Cr = [0.0] * n
+    for i in range(n):
+        r = pixels[3 * i] * 255.0
+        g = pixels[3 * i + 1] * 255.0
+        b = pixels[3 * i + 2] * 255.0
+        Y[i] = 0.299 * r + 0.587 * g + 0.114 * b
+        Cb[i] = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        Cr[i] = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+
+    def plane_at(p, w, h, x, y):
+        return p[min(y, h - 1) * w + min(x, w - 1)]
+
+    if subsample:
+        cw, ch = (width + 1) // 2, (height + 1) // 2
+        Cb_s = [0.0] * (cw * ch)
+        Cr_s = [0.0] * (cw * ch)
+        for yy in range(ch):
+            for xx in range(cw):
+                acc_b = acc_r = 0.0
+                cnt = 0
+                for dy in range(2):
+                    for dx in range(2):
+                        sx, sy = 2 * xx + dx, 2 * yy + dy
+                        if sx < width and sy < height:
+                            acc_b += Cb[sy * width + sx]
+                            acc_r += Cr[sy * width + sx]
+                            cnt += 1
+                Cb_s[yy * cw + xx] = acc_b / cnt
+                Cr_s[yy * cw + xx] = acc_r / cnt
+        comps = [("Y", Y, width, height, 2, 2, ql, 0),
+                 ("Cb", Cb_s, cw, ch, 1, 1, qc, 1),
+                 ("Cr", Cr_s, cw, ch, 1, 1, qc, 1)]
+        mcu_w, mcu_h = 16, 16
+    else:
+        comps = [("Y", Y, width, height, 1, 1, ql, 0),
+                 ("Cb", Cb, width, height, 1, 1, qc, 1),
+                 ("Cr", Cr, width, height, 1, 1, qc, 1)]
+        mcu_w, mcu_h = 8, 8
+    mcus_x = (width + mcu_w - 1) // mcu_w
+    mcus_y = (height + mcu_h - 1) // mcu_h
+
+    enc_dc = [
+        dict((v, (length, code)) for v, length, code in
+             _canonical_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)),
+        dict((v, (length, code)) for v, length, code in
+             _canonical_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)),
+    ]
+    enc_ac = [
+        dict((v, (length, code)) for v, length, code in
+             _canonical_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)),
+        dict((v, (length, code)) for v, length, code in
+             _canonical_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)),
+    ]
+
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (_nm, plane, pw, ph, hs, vs, qt, tbl) in enumerate(comps):
+                for by in range(vs):
+                    for bx in range(hs):
+                        ox = (mx * hs + bx) * 8
+                        oy = (my * vs + by) * 8
+                        block = [
+                            plane_at(plane, pw, ph, ox + x, oy + y) - 128.0
+                            for y in range(8) for x in range(8)
+                        ]
+                        coef = _fdct8(block)
+                        q = [
+                            int(round(coef[_ZIGZAG[k]] / qt[_ZIGZAG[k]]))
+                            for k in range(64)
+                        ]
+                        diff = q[0] - pred[ci]
+                        pred[ci] = q[0]
+                        size, bits = _mag_bits(diff)
+                        length, code = enc_dc[tbl][size]
+                        bw.write(code, length)
+                        if size:
+                            bw.write(bits, size)
+                        run = 0
+                        last_nz = max((k for k in range(1, 64) if q[k]), default=0)
+                        for k in range(1, 64):
+                            if k > last_nz:
+                                length, code = enc_ac[tbl][0x00]  # EOB
+                                bw.write(code, length)
+                                break
+                            if q[k] == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                length, code = enc_ac[tbl][0xF0]  # ZRL
+                                bw.write(code, length)
+                                run -= 16
+                            size, bits = _mag_bits(q[k])
+                            length, code = enc_ac[tbl][(run << 4) | size]
+                            bw.write(code, length)
+                            bw.write(bits, size)
+                            run = 0
+    bw.flush()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0]) + bytes(ql[_ZIGZAG[k]] for k in range(64)))
+    out += seg(0xDB, bytes([1]) + bytes(qc[_ZIGZAG[k]] for k in range(64)))
+    sof = bytearray([8]) + struct.pack(">HH", height, width) + bytes([3])
+    for cid, (_nm, _p, _w, _h, hs, vs, _qt, tbl) in enumerate(comps, start=1):
+        sof += bytes([cid, (hs << 4) | vs, 0 if cid == 1 else 1])
+    out += seg(0xC0, bytes(sof))
+    for cls, tid, bits, vals in (
+        (0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS),
+        (1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS),
+        (0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
+        (1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS),
+    ):
+        out += seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+    sos = bytearray([3])
+    for cid in (1, 2, 3):
+        tbl = 0 if cid == 1 else 1
+        sos += bytes([cid, (tbl << 4) | tbl])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, bytes(sos))
+    out += bw.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int):
+        self.data, self.pos = data, pos
+        self.acc, self.n = 0, 0
+
+    def _fill(self):
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG scan data")
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            nxt = self.data[self.pos] if self.pos < len(self.data) else None
+            if nxt == 0x00:
+                self.pos += 1  # stuffed byte
+            else:
+                # a real marker mid-scan (EOI / RSTn reached early):
+                # feed 1-bits, the block loop will finish on EOB padding
+                self.pos -= 1
+                self.acc = (self.acc << 8) | 0xFF
+                self.n += 8
+                return
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align(self):
+        self.n = 0
+        self.acc = 0
+
+    def at_marker(self) -> int | None:
+        """Return the marker byte if the reader sits at FF xx (xx≠0)."""
+        if self.pos + 1 < len(self.data) and self.data[self.pos] == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt != 0x00:
+                return nxt
+        return None
+
+
+def _huff_decoder(bits: list[int], vals: list[int]):
+    return {(length, code): v for v, length, code in _canonical_codes(bits, vals)}
+
+
+def _read_huff(br: _BitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | br.bit()
+        length += 1
+        v = table.get((length, code))
+        if v is not None:
+            return v
+    raise ValueError("invalid huffman code in JPEG scan")
+
+
+def _extend(bits: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def _parse_jpeg(payload: bytes) -> dict:
+    """Baseline sequential JFIF → the shared {width, height, channels,
+    pixels} image contract (grayscale replicates to RGB). Supports
+    4:4:4 / 4:2:2 / 4:2:0 sampling and restart markers; progressive /
+    arithmetic / 12-bit streams raise ValueError (out of scope, like
+    palette PNG)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    try:
+        return _parse_jpeg_inner(payload)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"truncated/corrupt JPEG: {e}") from e
+
+
+def _parse_jpeg_inner(payload: bytes) -> dict:
+    pos = 2
+    qt: dict[int, list[int]] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    comps = None
+    w = h = None
+    restart_interval = 0
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        ln = struct.unpack_from(">H", payload, pos + 2)[0]
+        body = payload[pos + 4 : pos + 2 + ln]
+        if len(body) != ln - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables not supported (baseline)")
+                tbl = list(body[p + 1 : p + 65])
+                nat = [0] * 64
+                for k in range(64):
+                    nat[_ZIGZAG[k]] = tbl[k]
+                qt[tq] = nat
+                p += 65
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"only baseline sequential JPEG supported (SOF{marker - 0xC0})"
+            )
+        elif marker == 0xC0:  # SOF0
+            prec = body[0]
+            if prec != 8:
+                raise ValueError(f"only 8-bit JPEG supported (precision {prec})")
+            h, w = struct.unpack_from(">HH", body, 1)
+            nc = body[5]
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(body):
+                cls, tid = body[p] >> 4, body[p] & 0xF
+                bits = list(body[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(body[p + 17 : p + 17 + nv])
+                (huff_ac if cls else huff_dc)[tid] = _huff_decoder(bits, vals)
+                p += 17 + nv
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xDA:  # SOS
+            if comps is None:
+                raise ValueError("SOS before SOF0")
+            ns = body[0]
+            scan = []
+            for c in range(ns):
+                cs, tdta = body[1 + 2 * c : 3 + 2 * c]
+                comp = next(x for x in comps if x["id"] == cs)
+                scan.append({**comp, "td": tdta >> 4, "ta": tdta & 0xF})
+            data_pos = pos + 2 + ln
+            return _decode_scan(
+                payload, data_pos, w, h, scan, qt, huff_dc, huff_ac,
+                restart_interval,
+            )
+        pos += 2 + ln
+    raise ValueError("no SOS scan found in JPEG")
+
+
+def _decode_scan(payload, data_pos, w, h, scan, qt, huff_dc, huff_ac,
+                 restart_interval):
+    max_h = max(c["h"] for c in scan)
+    max_v = max(c["v"] for c in scan)
+    mcu_w, mcu_h = 8 * max_h, 8 * max_v
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+    planes = []
+    for c in scan:
+        pw, ph = mcus_x * 8 * c["h"], mcus_y * 8 * c["v"]
+        planes.append([0.0] * (pw * ph))
+        c["pw"], c["ph"] = pw, ph
+    br = _BitReader(payload, data_pos)
+    pred = [0] * len(scan)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                br.align()
+                m = br.at_marker()
+                if m is not None and 0xD0 <= m <= 0xD7:
+                    br.pos += 2
+                    pred = [0] * len(scan)
+            for ci, c in enumerate(scan):
+                dc_tab, ac_tab = huff_dc[c["td"]], huff_ac[c["ta"]]
+                q = qt[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        size = _read_huff(br, dc_tab)
+                        diff = _extend(br.bits(size), size) if size else 0
+                        pred[ci] += diff
+                        zz = [0] * 64
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _read_huff(br, ac_tab)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC coefficient index overflow")
+                            zz[k] = _extend(br.bits(s), s)
+                            k += 1
+                        coef = [0.0] * 64
+                        for kk in range(64):
+                            coef[_ZIGZAG[kk]] = zz[kk] * q[_ZIGZAG[kk]]
+                        block = _idct8(coef)
+                        ox, oy = (mx * c["h"] + bx) * 8, (my * c["v"] + by) * 8
+                        pw = c["pw"]
+                        for y in range(8):
+                            row = (oy + y) * pw + ox
+                            for x in range(8):
+                                planes[ci][row + x] = block[y * 8 + x] + 128.0
+            mcu_count += 1
+    px = [0.0] * (w * h * 3)
+    gray = len(scan) == 1
+    for yy in range(h):
+        for xx in range(w):
+            yv = planes[0][
+                (yy * scan[0]["v"] // max_v) * scan[0]["pw"]
+                + (xx * scan[0]["h"] // max_h)
+            ]
+            if gray:
+                r = g = b = yv
+            else:
+                cb = planes[1][
+                    (yy * scan[1]["v"] // max_v) * scan[1]["pw"]
+                    + (xx * scan[1]["h"] // max_h)
+                ] - 128.0
+                cr = planes[2][
+                    (yy * scan[2]["v"] // max_v) * scan[2]["pw"]
+                    + (xx * scan[2]["h"] // max_h)
+                ] - 128.0
+                r = yv + 1.402 * cr
+                g = yv - 0.344136 * cb - 0.714136 * cr
+                b = yv + 1.772 * cb
+            at = 3 * (yy * w + xx)
+            px[at] = min(1.0, max(0.0, r / 255.0))
+            px[at + 1] = min(1.0, max(0.0, g / 255.0))
+            px[at + 2] = min(1.0, max(0.0, b / 255.0))
+    return {"kind": "image", "width": w, "height": h, "channels": 3, "pixels": px}

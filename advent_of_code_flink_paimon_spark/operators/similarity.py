@@ -1365,6 +1365,10 @@ def _pq_learn_codebook(v: DataFrame) -> list:
         .limit(PQ_K)
         .collect()
     )
+    if not seed_rows:
+        # same first-micro-batch fallback as build_ivf_centroids: no
+        # hash-sample-eligible ids → deterministic prefix seeds
+        seed_rows = v.orderBy("vec_id").limit(PQ_K).collect()
     seeds = [(int(r.vec_id), i, list(r.cv)) for i, r in enumerate(seed_rows)]
     seed_subs = {
         m: [(sid, dense, _pq_sub_slice(cv, m)) for sid, dense, cv in seeds]
@@ -1623,6 +1627,13 @@ def build_ivf_centroids(spark, catalog, vecs_table: str, v: DataFrame) -> list:
         .limit(IVF_CENTROIDS)
         .collect()
     )
+    if not cent_rows:
+        # a small first micro-batch can contain no hash-sample-eligible
+        # ids at all (e.g. every id ≡ 0 mod 20); an ingest pipeline's
+        # first-batch build must still produce a working index, so fall
+        # back to the deterministic prefix. Oracled lifecycles never
+        # hit this (every tested corpus has ids ≡ 7 mod 61).
+        cent_rows = v.orderBy("vec_id").limit(IVF_CENTROIDS).collect()
     centroids = [(int(r.vec_id), list(r.cv)) for r in cent_rows]
     cname = ivf_centroids_name(vecs_table)
     if not catalog.has_table(cname):

@@ -190,6 +190,38 @@ def run_pipelines(spark, sf_dir: str, scratch: str, n_batches: int = N_BATCHES,
             "drop_recall": rep.drop_recall,
             "drop_precision": rep.drop_precision,
         }
+    # media perceptual dedup (round 12): documents-as-media through the
+    # stub decoder — the rate/cadence row for the multimodal pipeline
+    # (real-decoder semantics are pinned by the planted-geometry test)
+    from advent_of_code_flink_paimon_spark.operators.multimodal import (
+        MediaDedupIngestPipeline,
+        as_media_table,
+        media_dedup_ingest_recall_report,
+    )
+
+    media = as_media_table(docs).persist()
+    media.count()  # materialize outside timing
+    cat = Catalog(os.path.join(scratch, "wh-media"))
+    out["media_dedup_ingest"] = drive(
+        "media_dedup",
+        MediaDedupIngestPipeline(spark, cat, "media", os.path.join(scratch, "ck-media")),
+        media, "doc_id", n_docs,
+    )
+    if quality:
+        rep = media_dedup_ingest_recall_report(
+            spark, cat, "media",
+            media.withColumn(
+                "batch_id", F.pmod(F.col("doc_id"), F.lit(n_batches)).cast("int")
+            ),
+        ).collect()[0]
+        out["media_dedup_ingest"]["quality"] = {
+            "true_drops": rep.true_drops,
+            "false_drops": rep.false_drops,
+            "missed_dups": rep.missed_dups,
+            "drop_recall": rep.drop_recall,
+            "drop_precision": rep.drop_precision,
+        }
+    media.unpersist()
     docs.unpersist()
     vecs.unpersist()
     return out

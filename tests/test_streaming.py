@@ -2185,3 +2185,177 @@ def test_micro_batch_confs_nested_and_concurrent(spark):
     assert not errs
     assert spark.conf.get("spark.sql.adaptive.enabled") == aqe0
     assert spark.conf.get("spark.sql.shuffle.partitions") == sp0
+
+
+def _img_payload(w, h, color, fmt="bmp"):
+    """Test image: uniform `color` with EXACT 2x2 black and white
+    corner blocks (so nearest-neighbor factor-2 resize keeps min=0 and
+    max=1, and the overall channel means stay put)."""
+    from advent_of_code_flink_paimon_spark.operators.multimodal import (
+        _encode_bmp,
+        _encode_png,
+    )
+
+    px = []
+    for row in range(h):
+        for col in range(w):
+            if row < 2 and col < 2:
+                px.extend([0.0, 0.0, 0.0])
+            elif row >= h - 2 and col >= w - 2:
+                px.extend([1.0, 1.0, 1.0])
+            else:
+                # quantize to 8-bit so BMP and PNG round-trip IDENTICAL
+                px.extend([round(c * 255.0) / 255.0 for c in color])
+    enc = _encode_png if fmt == "png" else _encode_bmp
+    mime = "image/png" if fmt == "png" else "image/bmp"
+    return enc(w, h, px), mime
+
+
+def _wav_payload(n=64, sr=16000):
+    import math
+
+    from advent_of_code_flink_paimon_spark.operators.multimodal import _encode_wav
+
+    return _encode_wav(sr, 1, [0.5 * math.sin(0.3 * i) for i in range(n)]), "audio/wav"
+
+
+def test_media_dedup_ingest_pipeline(spark, catalog, tmp_path):
+    """MediaDedupIngestPipeline (VERDICT r11 ask #5) over REAL payloads
+    and REAL decoders: re-encoded (BMP→PNG), resized, and byte-exact
+    copies of committed media are perceptually deduped; novel images
+    and in-batch near-dup pairs follow the lowest-id-wins rule; a
+    replayed batch commits nothing twice; the persisted phash index
+    covers exactly the survivors. The test validates its own planted
+    geometry first: phashes are recomputed in pure Python from
+    decode_real features with the same frozen-threshold rule, and the
+    dup/novel side of the max_hamming boundary is asserted before the
+    pipeline runs."""
+    from advent_of_code_flink_paimon_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        MediaDedupIngestPipeline,
+        decode_real,
+        media_dedup_ingest_recall_report,
+        media_features_real,
+        phash_index_name,
+        resize_media_real,
+    )
+
+    def feat(payload, mime):
+        d = decode_real(payload, mime)
+        if d["kind"] == "image":
+            px, w, h = d["pixels"], d["width"], d["height"]
+            n = max(len(px) // 3, 1)
+            means = [sum(px[c::3]) / n for c in range(3)]
+            return [float(w), float(h), 3.0, *means, min(px), max(px)]
+        s = d["samples"]
+        import math
+        n = max(len(s), 1)
+        mean = sum(s) / n
+        rms = math.sqrt(sum(x * x for x in s) / n)
+        zc = sum(1 for a, b in zip(s, s[1:]) if (a < 0) != (b < 0))
+        return [float(d["sample_rate"]), float(len(s)), float(d["channels"]),
+                mean, rms, max(abs(x) for x in s), float(zc), 0.0]
+
+    # batch 0: four distinct color profiles + one audio — all kept
+    A, A_mime = _img_payload(8, 8, (0.8, 0.2, 0.2))
+    B, B_mime = _img_payload(8, 8, (0.2, 0.8, 0.2), fmt="png")
+    C, C_mime = _img_payload(8, 8, (0.2, 0.2, 0.8))
+    D, D_mime = _img_payload(8, 8, (0.5, 0.5, 0.5), fmt="png")
+    W, W_mime = _wav_payload()
+    # batch 1: perceptual copies (dropped) + genuinely novel (kept)
+    A_png, A_png_mime = _img_payload(8, 8, (0.8, 0.2, 0.2), fmt="png")  # re-encode of A
+    B_copy, B_copy_mime = B, B_mime  # byte-exact corpus copy
+    # E and G must stay >max_hamming from every corpus doc — they get
+    # NO white/black corners (flipping the max_px bit) plus distinct
+    # color profiles
+    def _img_no_white(w, h, color, fmt="bmp"):
+        from advent_of_code_flink_paimon_spark.operators.multimodal import (
+            _encode_bmp,
+            _encode_png,
+        )
+        px = []
+        for row in range(h):
+            for col in range(w):
+                px.extend([round(c * 255.0) / 255.0 for c in color])
+        enc = _encode_png if fmt == "png" else _encode_bmp
+        return enc(w, h, px), ("image/png" if fmt == "png" else "image/bmp")
+
+    E, E_mime = _img_no_white(8, 8, (0.8, 0.8, 0.1))
+    G1, G1_mime = _img_no_white(8, 8, (0.1, 0.8, 0.8))
+    G2, G2_mime = _img_no_white(8, 8, (0.1, 0.8, 0.8), fmt="png")
+
+    batch0 = [(1, A, A_mime), (2, B, B_mime), (3, C, C_mime), (4, D, D_mime),
+              (5, W, W_mime)]
+    MAX_H = 1
+
+    # ---- planted-geometry validation (pure Python) ----
+    f0 = {i: feat(p, m) for i, p, m in batch0}
+    thr = [sum(f0[i][d] for i in f0) / len(f0) for d in range(8)]
+
+    def phash(f):
+        return sum((1 << d) for d in range(8) if f[d] > thr[d])
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    p0 = {i: phash(f0[i]) for i in f0}
+    # C resized by 2 (the pipeline input built via resize_media_real below)
+    import pandas as pd  # noqa: F401
+    C_res_rows = resize_media_real(
+        spark.createDataFrame([(6, bytearray(C), C_mime, len(C), None)], MEDIA_SCHEMA),
+        factor=2,
+    ).collect()
+    C_res, C_res_mime = bytes(C_res_rows[0].payload), C_res_rows[0].mime
+    copies = {10: (A_png, A_png_mime), 11: (B_copy, B_copy_mime),
+              12: (C_res, C_res_mime)}
+    novel = {20: (E, E_mime), 21: (G1, G1_mime), 22: (G2, G2_mime)}
+    for i, (p, m) in copies.items():
+        assert min(ham(phash(feat(p, m)), p0[j]) for j in p0) <= MAX_H, i
+    for i, (p, m) in novel.items():
+        assert min(ham(phash(feat(p, m)), p0[j]) for j in p0) > MAX_H, i
+    assert ham(phash(feat(*novel[20])), phash(feat(*novel[21]))) > MAX_H  # E vs G kept apart
+    assert ham(phash(feat(*novel[21])), phash(feat(*novel[22]))) <= MAX_H  # G1~G2 in-batch dup
+
+    # ---- the pipeline itself ----
+    def mrow(i, p, m):
+        return (i, bytearray(p), m, len(p),
+                16000 if m.startswith("audio") else None)
+
+    p = MediaDedupIngestPipeline(
+        spark, catalog, "media", str(tmp_path / "mdck"),
+        max_hamming=MAX_H, features_fn=media_features_real,
+    )
+    assert p.sink(
+        spark.createDataFrame([mrow(i, pl, m) for i, pl, m in batch0], MEDIA_SCHEMA), 0
+    ) == 5
+    b1 = [mrow(i, pl, m) for i, (pl, m) in {**copies, **novel}.items()]
+    assert p.sink(spark.createDataFrame(b1, MEDIA_SCHEMA), 1) == 2  # E + G1
+    t = catalog.get_table("media")
+    kept = {r.doc_id for r in t.read(spark).collect()}
+    assert kept == {1, 2, 3, 4, 5, 20, 21}
+
+    # replay of batch 1: exactly-once commit
+    before = t.latest_snapshot_id()
+    p.sink(spark.createDataFrame(b1, MEDIA_SCHEMA), 1)
+    assert t.latest_snapshot_id() == before
+
+    # the persisted index covers exactly the survivors
+    idx = catalog.get_table(phash_index_name("media")).read(spark)
+    assert {r.doc_id for r in idx.select("doc_id").distinct().collect()} == kept
+
+    # quality report over the full run (ground truth = fresh pigeonhole
+    # at the stored thresholds under the greedy visibility rule)
+    import pyspark.sql.functions as F2
+    from pyspark.sql.types import IntegerType, StructField, StructType
+    inputs = spark.createDataFrame(
+        [(*mrow(i, pl, m), 0) for i, pl, m in batch0]
+        + [(*r, 1) for r in b1],
+        StructType(MEDIA_SCHEMA.fields + [StructField("batch_id", IntegerType())]),
+    )
+    rep = media_dedup_ingest_recall_report(
+        spark, catalog, "media", inputs, max_hamming=MAX_H,
+        features_fn=media_features_real,
+    ).collect()[0]
+    assert rep.n_inputs == 11 and rep.n_kept == 7 and rep.n_dropped == 4
+    assert rep.false_drops == 0 and rep.drop_precision == 1.0
+    assert rep.missed_dups == 0 and rep.drop_recall == 1.0

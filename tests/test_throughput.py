@@ -83,6 +83,7 @@ def test_ingest_pipeline_sustained_rates(spark, tmp_path):
         "search_ingest": 35,
         "vector_ingest": 15,
         "vector_dedup_ingest": 9,
+        "media_dedup_ingest": 10,  # round 12: measured ~30 rec/s at sf0.001
     }
     for name, floor in floors.items():
         assert rates[name]["rec_s"] >= floor, (name, rates[name])
