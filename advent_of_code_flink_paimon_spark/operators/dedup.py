@@ -2264,11 +2264,22 @@ def x88_novelty_profile(spark, sf_dir):
     ONE exchange keys the first-occurrence aggregation on the shingle
     hash, and the join back rides the same partitioning. Exact
     integer counts; one double division. The novelty definition is
-    order-based, so it is exactly replayable — no sampling."""
+    order-based, so it is exactly replayable — no sampling.
+
+    The shingle arrays are PERSISTED (the x05 discipline) for two
+    reasons found in the round-12 plan audit: (a) both the exploded
+    relation and the first-occurrence agg descend from it, so an
+    unpersisted plan executes the hashing subtree twice; (b) worse,
+    InferFiltersFromGenerate derives `size(hs) > 0` from the explode
+    and predicate pushdown drags that filter — with the FULL shingle
+    expression substituted — below the fan_out exchange onto the
+    single-task scan, serializing ~3 evaluations of the hashing per
+    row on one core (measured 7.5 s → 1.5 s at sf0.1). The cache
+    boundary blocks the pushdown and hashes each row exactly once,
+    post-exchange, on all cores."""
     docs = fan_out(T(spark, sf_dir, "documents"), heavy=True)
-    sh = shingle_hash_arrays(docs).select(
-        "doc_id", F.explode("hs").alias("shingle")
-    )
+    sharr = shingle_hash_arrays(docs).persist()
+    sh = sharr.select("doc_id", F.explode("hs").alias("shingle"))
     firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     novel = F.sum(
         F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)

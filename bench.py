@@ -104,6 +104,13 @@ HEADLINE = [
     "x94_matryoshka_recall",
     "x95_zipf_fit_per_source",
     "x96_lsh_index_health",
+    # round 12: the promoted scoring-window entries (x83 + the q52–q54
+    # stats pack) and the new x98 IVF list-health report
+    "x83_dedup_method_agreement",
+    "q52_corr_stats",
+    "q53_histogram",
+    "q54_regr_stats",
+    "x98_ivf_index_health",
 ]
 
 

@@ -128,11 +128,14 @@ def test_multimodal_features_model(spark):
 
 
 def test_decode_real_is_gated():
-    """Codec-library formats (jpeg/mp4) remain the documented seam;
-    PNG graduated to a real decoder in round 11."""
+    """Video (mp4) remains the one documented codec-library seam; PNG
+    graduated to a real decoder in round 11, JPEG in round 12 — bad
+    bytes for the real decoders fail loudly with ValueError."""
     from advent_of_code_flink_paimon_spark.operators.multimodal import decode_real
 
     with pytest.raises(NotImplementedError):
+        decode_real(b"x", "video/mp4")
+    with pytest.raises(ValueError):  # jpeg DECODES now (round 12)
         decode_real(b"x", "image/jpeg")
     with pytest.raises(ValueError):  # png DECODES now — bad bytes fail loudly
         decode_real(b"x", "image/png")
