@@ -105,13 +105,24 @@ HEADLINE = [
     "x95_zipf_fit_per_source",
     "x96_lsh_index_health",
     # round 12: the promoted scoring-window entries (x83 + the q52–q54
-    # stats pack) and the new x98 IVF list-health report
+    # stats pack) and the new x98 IVF list-health report join; five
+    # flat sub-0.6 s entries (x52, x91, x04, q25, x10 — stable since
+    # their promotion rounds) retire so the driver-parseable summary
+    # line keeps ~250 bytes of headroom under the 2000-byte stdout
+    # tail window (the r10/r11 truncation lesson). Their history
+    # lives in BENCH_r01..r11 and the strict harness still gates
+    # their correctness every run.
     "x83_dedup_method_agreement",
     "q52_corr_stats",
     "q53_histogram",
     "q54_regr_stats",
     "x98_ivf_index_health",
 ]
+for _retired in ("x52_norm_dedup", "x91_approx_percentiles",
+                 "x04_dedup_simhash", "q25_json_extract",
+                 "x10_embedding_topk"):
+    HEADLINE.remove(_retired)
+del _retired
 
 
 def main() -> None:
