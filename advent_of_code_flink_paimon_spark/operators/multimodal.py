@@ -316,11 +316,13 @@ def decode_real(payload: bytes, mime: str) -> dict:
         return _parse_jpeg(payload)
     if mime in ("audio/wav", "audio/x-wav", "audio/wave"):
         return _parse_wav(payload)
+    if mime in ("video/avi", "video/x-msvideo"):
+        return _parse_avi_mjpeg(payload)
     raise NotImplementedError(
-        f"no dependency-free decoder for {mime!r}: video (mp4) needs "
+        f"no dependency-free decoder for {mime!r}: mp4/H.264 needs "
         "codec libraries not installed in this container — plug decord "
-        "in here; BMP, 8-bit PNG, baseline JPEG and 16-bit PCM WAV "
-        "decode for real today"
+        "in here; BMP, 8-bit PNG, baseline JPEG, MJPEG-AVI video and "
+        "16-bit PCM WAV decode for real today"
     )
 
 
@@ -376,6 +378,17 @@ def media_features_real(media: DataFrame) -> DataFrame:
         import math
 
         d = decode_real(payload, mime)
+        if d["kind"] == "video":
+            # a video's perceptual identity is carried by its frames:
+            # summarize by the FIRST frame's image features (decoded
+            # through the in-repo JPEG codec), so MJPEG-AVI payloads
+            # flow through the same 8-dim contract — and the media
+            # dedup pipeline near-dedups re-muxed copies (same frames,
+            # different fps/container) for free
+            if not d["frames"]:
+                return [float(d["width"]), float(d["height"]), 0.0,
+                        0.0, 0.0, 0.0, 0.0, 0.0]
+            d = _parse_jpeg(d["frames"][0])
         if d["kind"] == "image":
             px, w, h = d["pixels"], d["width"], d["height"]
             n = max(len(px) // 3, 1)
@@ -1658,3 +1671,134 @@ def _decode_scan(payload, data_pos, w, h, scan, qt, huff_dc, huff_ac,
             px[at + 1] = min(1.0, max(0.0, g / 255.0))
             px[at + 2] = min(1.0, max(0.0, b / 255.0))
     return {"kind": "image", "width": w, "height": h, "channels": 3, "pixels": px}
+
+
+# ----------------------------------------------------------------------
+# MJPEG-in-AVI video (round 12, closing the video seam with a REAL
+# dependency-free format): the RIFF/AVI container parses with stdlib
+# struct like WAV, and every '00dc' frame chunk is a baseline JPEG the
+# in-repo T.81 codec decodes — so video frame-sampling runs on real
+# bytes end to end with zero third-party code. mp4/H.264 (which
+# genuinely needs codec libraries) remains the documented seam;
+# MJPEG-AVI is the classic capture/surveillance interchange format and
+# the honest dependency-free member of the video family.
+# ----------------------------------------------------------------------
+
+
+def _encode_avi_mjpeg(width: int, height: int, jpeg_frames: list, fps: int = 10) -> bytes:
+    """Minimal MJPEG AVI writer: hdrl (avih + one 'vids'/'MJPG'
+    stream) + movi ('00dc' chunks, word-aligned) + idx1."""
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(subtype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", subtype + body)
+
+    max_bytes = max((len(f) for f in jpeg_frames), default=0)
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps, max_bytes * fps, 0, 0x10, len(jpeg_frames), 0, 1,
+        max_bytes, width, height, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIiI4h",
+        b"vids", b"MJPG", 0, 0, 0, 0, 1, fps, 0, len(jpeg_frames),
+        max_bytes, -1, 0, 0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(
+        b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_body = b"".join(chunk(b"00dc", f) for f in jpeg_frames)
+    movi = lst(b"movi", movi_body)
+    idx, off = bytearray(), 4
+    for f in jpeg_frames:
+        idx += struct.pack("<4sIII", b"00dc", 0x10, off, len(f))
+        off += 8 + len(f) + (len(f) % 2)
+    riff_body = b"AVI " + hdrl + movi + chunk(b"idx1", bytes(idx))
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def _parse_avi_mjpeg(payload: bytes) -> dict:
+    """MJPEG AVI → {kind: 'video', width, height, fps, n_frames,
+    frames}: ``frames`` is the list of per-frame JPEG byte strings
+    (still encoded — decode individual frames with _parse_jpeg so a
+    sampler touches only the frames it keeps). Malformed containers
+    fail with the ValueError contract like every other decoder."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    try:
+        return _parse_avi_inner(payload)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"truncated/corrupt AVI: {e}") from e
+
+
+def _parse_avi_inner(payload: bytes) -> dict:
+    w = h = n_frames = None
+    usec_per_frame = 100_000
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int, depth: int = 0):
+        nonlocal w, h, n_frames, usec_per_frame
+        while pos + 8 <= end:
+            cid = payload[pos : pos + 4]
+            size = struct.unpack_from("<I", payload, pos + 4)[0]
+            if pos + 8 + size > end:
+                raise ValueError("AVI chunk overruns its parent")
+            body_at = pos + 8
+            if cid == b"LIST":
+                sub = payload[body_at : body_at + 4]
+                if sub in (b"hdrl", b"movi", b"strl"):
+                    walk(body_at + 4, body_at + size, depth + 1)
+            elif cid == b"avih":
+                usec_per_frame, _mb, _pg, _fl, n_frames = struct.unpack_from(
+                    "<IIIII", payload, body_at
+                )
+                w, h = struct.unpack_from("<II", payload, body_at + 32)
+            elif cid[2:4] in (b"dc", b"db") and cid[:2].isdigit():
+                frames.append(bytes(payload[body_at : body_at + size]))
+            pos = body_at + size + (size % 2)
+
+    walk(12, len(payload))
+    if w is None:
+        raise ValueError("missing avih header chunk")
+    return {
+        "kind": "video",
+        "width": int(w),
+        "height": int(h),
+        "fps": round(1_000_000 / max(usec_per_frame, 1), 3),
+        "n_frames": len(frames),
+        "frames": frames,
+    }
+
+
+def video_frame_sample_real(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL frame sampling (the x31 stub chain's real-bytes twin):
+    AVI payloads → every ``every_n``-th MJPEG frame as a FRAME_SCHEMA
+    row whose ``frame`` column is that frame's standalone JPEG bytes
+    (decodable downstream by _parse_jpeg / feature extraction).
+
+    Scale shape: identical to the stub sampler — mapInPandas,
+    partition-local, zero exchanges; only kept frames are sliced out
+    of the container, and no frame is ever DECODED here (the sampler
+    forwards encoded JPEG bytes; pixel work happens exactly once, at
+    whatever stage consumes the kept frames)."""
+
+    def batches(it: Iterator):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = _parse_avi_mjpeg(bytes(payload))
+                for i in range(0, d["n_frames"], every_n):
+                    f = d["frames"][i]
+                    rows.append((doc_id, i, f, len(f)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame", "frame_bytes"]
+            )
+
+    return media.mapInPandas(batches, schema=FRAME_SCHEMA)

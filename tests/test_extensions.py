@@ -2105,3 +2105,97 @@ def test_jpeg_through_mapinpandas_and_resize(spark):
     assert rm == "image/jpeg" and rp[:2] == b"\xff\xd8"
     d = decode_real(rp, "image/jpeg")
     assert (d["width"], d["height"]) == (6, 4)
+
+
+def test_avi_mjpeg_roundtrip_and_frame_sample(spark):
+    """Round 12: the video seam closes with a REAL dependency-free
+    format — MJPEG-in-AVI (RIFF container + the in-repo T.81 JPEG
+    codec). Encode 6 distinct frames, parse the container back, sample
+    every 2nd frame through the SAME mapInPandas seam as the stub
+    chain, and decode a sampled frame's pixels."""
+    from advent_of_code_flink_paimon_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _encode_avi_mjpeg,
+        _encode_jpeg,
+        _parse_jpeg,
+        decode_real,
+        video_frame_sample_real,
+    )
+
+    w, h = 16, 8
+    frames = []
+    for k in range(6):
+        px = [((i * 7 + k * 40) % 256) / 255.0 for i in range(w * h * 3)]
+        frames.append(_encode_jpeg(w, h, px, quality=90))
+    avi = _encode_avi_mjpeg(w, h, frames, fps=5)
+
+    d = decode_real(avi, "video/x-msvideo")
+    assert d["kind"] == "video"
+    assert (d["width"], d["height"], d["n_frames"], d["fps"]) == (w, h, 6, 5.0)
+    assert d["frames"] == frames  # container round-trip is LOSSLESS
+
+    media = spark.createDataFrame(
+        [(7, bytearray(avi), "video/x-msvideo", len(avi), None)], MEDIA_SCHEMA
+    )
+    rows = sorted(
+        (r.frame_idx, bytes(r.frame), r.frame_bytes)
+        for r in video_frame_sample_real(media, every_n=2).collect()
+    )
+    assert [i for i, _, _ in rows] == [0, 2, 4]
+    assert all(f == frames[i] and n == len(frames[i]) for i, f, n in rows)
+    # a sampled frame is a standalone decodable JPEG
+    img = _parse_jpeg(rows[1][1])
+    assert (img["width"], img["height"]) == (w, h)
+
+
+def test_avi_malformed_fails_with_valueerror():
+    import pytest
+
+    from advent_of_code_flink_paimon_spark.operators.multimodal import (
+        _encode_avi_mjpeg,
+        _parse_avi_mjpeg,
+    )
+
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        _parse_avi_mjpeg(b"nope")
+    good = _encode_avi_mjpeg(4, 4, [b"\xff\xd8fakejpeg\xff\xd9"], fps=10)
+    with pytest.raises(ValueError):
+        _parse_avi_mjpeg(good[:30])  # truncated chunk overruns parent
+    # a RIFF/AVI shell with no avih header
+    import struct
+    shell = b"RIFF" + struct.pack("<I", 4) + b"AVI "
+    with pytest.raises(ValueError, match="avih"):
+        _parse_avi_mjpeg(shell)
+
+
+def test_media_features_real_video_first_frame_identity():
+    """A video's 8-dim feature summary equals its first frame's image
+    features — so re-muxed copies (same frames, different fps or
+    trailing frames) land perceptually adjacent and the media dedup
+    pipeline covers MJPEG-AVI payloads with no new machinery."""
+    from advent_of_code_flink_paimon_spark.operators.multimodal import (
+        _encode_avi_mjpeg,
+        _encode_jpeg,
+        _parse_jpeg,
+        decode_real,
+    )
+
+    w, h = 8, 8
+    f0 = _encode_jpeg(w, h, [((i * 11) % 256) / 255.0 for i in range(w * h * 3)])
+    f1 = _encode_jpeg(w, h, [((i * 5 + 97) % 256) / 255.0 for i in range(w * h * 3)])
+    a = _encode_avi_mjpeg(w, h, [f0, f1], fps=10)
+    b = _encode_avi_mjpeg(w, h, [f0, f1, f1], fps=25)  # re-mux: extra frame, new fps
+
+    def feat(payload, mime):
+        d = decode_real(payload, mime)
+        if d["kind"] == "video":
+            d = _parse_jpeg(d["frames"][0])
+        px, ww, hh = d["pixels"], d["width"], d["height"]
+        n = max(len(px) // 3, 1)
+        means = [sum(px[c::3]) / n for c in range(3)]
+        return [float(ww), float(hh), 3.0, *means, min(px), max(px)]
+
+    fa = feat(a, "video/x-msvideo")
+    fb = feat(b, "video/x-msvideo")
+    fimg = feat(f0, "image/jpeg")
+    assert fa == fb == fimg  # first-frame identity, fps/mux-invariant
