@@ -1488,3 +1488,71 @@ for _name in (
 ):
     _demote12(_name)
 del _demote12, _name
+
+
+# ----------------------------------------------------------------------
+# x100: join-key skew card — the salting / AQE-skew-join decision input
+# for §2.3's join family: the hottest keys of a join column, their
+# corpus share, and their occupancy-vs-mean ratio. A key whose
+# skew_ratio runs far above 1 is the partition a shuffle join
+# serializes on at cluster scale (the classic straggler); the card is
+# what you read BEFORE choosing a salting factor or trusting
+# spark.sql.adaptive.skewJoin thresholds. One map-side-combinable
+# count exchange + a 1-row total broadcast + top-k
+# (TakeOrderedAndProject — never a full sort); exact integer
+# arithmetic throughout, ties broken by key.
+# ----------------------------------------------------------------------
+
+
+@query(
+    "x100_join_key_skew",
+    oracle="""
+    WITH c AS (
+        SELECT l_partkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_keys
+        FROM c
+    )
+    SELECT c.key, c.cnt,
+           ROUND(CAST(c.cnt AS DOUBLE) / tot.total, 6) AS share,
+           ROUND(CAST(c.cnt * tot.n_keys AS DOUBLE) / tot.total, 6) AS skew_ratio
+    FROM c, tot
+    ORDER BY c.cnt DESC, c.key ASC
+    LIMIT 10
+    """,
+)
+def x100_join_key_skew(spark, sf_dir):
+    """Top-10 hottest l_partkey values (the lineitem↔part join key)
+    with share and occupancy-vs-mean skew ratio."""
+    l = T(spark, sf_dir, "lineitem")
+    c = l.groupBy(F.col("l_partkey").alias("key")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    tot = c.agg(
+        F.sum("cnt").cast("long").alias("total"),
+        F.count("*").cast("long").alias("n_keys"),
+    )
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("total"), 6).alias("share"),
+            F.round(
+                (F.col("cnt") * F.col("n_keys")).cast("double") / F.col("total"), 6
+            ).alias("skew_ratio"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("key").asc())
+        .limit(10)
+    )
+
+
+# x100 ships library-gated (same rationale as x99): strict-harness
+# oracled now, registry-eligible at the next rotation.
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote100  # noqa: E402
+
+_demote100("x100_join_key_skew")
+del _demote100

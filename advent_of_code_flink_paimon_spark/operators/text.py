@@ -2678,3 +2678,63 @@ def x95_zipf_fit_per_source(spark, sf_dir):
 # x95_zipf_fit_per_source PROMOTED to the scored registry in round 11 (VERDICT r10
 # ask #1): its library-era demote call is retired; the entry takes a
 # window slot freed by a long-stable relational demotion.
+
+
+# ----------------------------------------------------------------------
+# x99: tokenizer fertility report — tokens-per-word and bytes-per-token
+# per source, THE standard tokenizer-efficiency metric (fertility;
+# XLM-R / mT5 tokenizer analyses report exactly this): a source whose
+# fertility runs hot is paying more sequence length per word of
+# content, and bytes-per-token is the compression rate a byte-level
+# budget converts at. Uses the same whitespace + BPE-ish regex
+# tokenizations x22 accounts — one map-side-combinable exchange of
+# per-source exact-integer partials; ratios are single double
+# divisions of exact sums (partition-order-proof by construction).
+# ----------------------------------------------------------------------
+
+_BPEISH = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@query(
+    "x99_tokenizer_fertility",
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+           CAST(SUM(len(regexp_extract_all(text, '{_BPEISH}'))) AS BIGINT) AS n_tokens,
+           CAST(SUM(strlen(text)) AS BIGINT) AS n_bytes,
+           ROUND(CAST(SUM(len(regexp_extract_all(text, '{_BPEISH}'))) AS DOUBLE)
+                 / SUM(len(string_split(text, ' '))), 6) AS fertility,
+           ROUND(CAST(SUM(strlen(text)) AS DOUBLE)
+                 / SUM(len(regexp_extract_all(text, '{_BPEISH}'))), 6) AS bytes_per_token
+    FROM documents GROUP BY source
+    """,
+)
+def x99_tokenizer_fertility(spark, sf_dir):
+    """Per-source fertility (BPE-ish tokens per whitespace word) and
+    bytes-per-token from exact integer sums; strlen == byte length on
+    the ASCII corpus (the x30 contract)."""
+    d = T(spark, sf_dir, "documents")
+    n_words = F.sum(F.size(_tokens())).cast("long")
+    n_tokens = F.sum(
+        F.size(F.regexp_extract_all("text", F.lit(_BPEISH), F.lit(0)))
+    ).cast("long")
+    n_bytes = F.sum(F.length("text")).cast("long")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        n_words.alias("n_words"),
+        n_tokens.alias("n_tokens"),
+        n_bytes.alias("n_bytes"),
+        F.round(n_tokens.cast("double") / n_words, 6).alias("fertility"),
+        F.round(n_bytes.cast("double") / n_tokens, 6).alias("bytes_per_token"),
+    )
+
+
+# x99 ships library-gated: the round-12 scored window is full and its
+# rotation is already documented; the strict local harness oracles it
+# and it swaps into the registry when a slot opens (the x62/x69/x70
+# path).
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote99  # noqa: E402
+
+_demote99("x99_tokenizer_fertility")
+del _demote99
