@@ -32,7 +32,10 @@ from pyspark.sql import DataFrame, SparkSession
 #
 # Round-13 rotation plan: lead with the then-overflow (the 50 entries
 # scored in round 11, listed second below); fill any slots that open
-# by promoting the strongest remaining library operators.
+# by promoting the strongest remaining library operators — the round-12
+# additions x99_tokenizer_fertility and x100_join_key_skew (both
+# strict-oracle green at sf0.001 AND sf0.01 and parity-swept) are the
+# natural candidates.
 _ORDER = [
     # driver evidence last refreshed in round 10 — score these now
     "x63_pq_index_lifecycle", "x49_minhash_index_dedup",
