@@ -943,18 +943,21 @@ class MediaDedupIngestPipeline:
             .drop("__h")
             .persist()
         )
+        # ONE decode/feature pass per batch — persisted so it serves
+        # threshold learning (first batch only), the corpus probe, the
+        # in-batch probe, AND the write-through without re-decoding
+        # (media decode is the expensive stage; round-12 post-close fix
+        # removed the first batch's second pass)
+        feats = self.features_fn(batch).select("doc_id", "features").persist()
         if first_build:
-            # learn the frozen thresholds from the first data seen —
-            # features computed on the deduped batch (one extra pass,
-            # first batch only)
-            feats0 = self.features_fn(batch).select("doc_id", "features").persist()
-            row0 = feats0.first()
+            # learn the frozen thresholds from the first data seen
+            row0 = feats.first()
             if row0 is None:
-                feats0.unpersist()
+                feats.unpersist()
                 batch.unpersist()
                 return 0
             n_bits = len(row0[1])
-            mean_row = feats0.agg(
+            mean_row = feats.agg(
                 *[F.avg(F.col("features").getItem(d)).alias(f"m{d}")
                   for d in range(n_bits)]
             ).collect()[0]
@@ -972,17 +975,11 @@ class MediaDedupIngestPipeline:
                 self.catalog.create_table(
                     iname, PHASH_INDEX_SCHEMA, {"bucket": "8", "bucket-key": "bv"}
                 )
-            feats0.unpersist()
             self._load_thresholds()
         thresholds = self._thresholds
         n_bits = len(thresholds)
-        # ONE decode/feature pass serves the corpus probe, the in-batch
-        # probe, and the write-through
         blocks = _phash_block_rows(
-            phash_signatures(
-                self.features_fn(batch).select("doc_id", "features"), thresholds
-            ),
-            n_bits,
+            phash_signatures(feats, thresholds), n_bits
         ).persist()
         idx = self.catalog.get_table(phash_index_name(self.media_table)).read(self.spark)
         dup_vs_corpus = (
@@ -1029,7 +1026,7 @@ class MediaDedupIngestPipeline:
             refresh_phash_index(
                 self.spark, self.catalog, self.media_table, self.features_fn
             )
-        for df in (survivors, blocks, batch):
+        for df in (survivors, blocks, feats, batch):
             df.unpersist()
         return n
 
