@@ -17,27 +17,61 @@ from pyspark.sql import DataFrame, SparkSession
 # 50 queries() entries in dict iteration order (CORRECTNESS_r01.json is
 # exactly the registry-order prefix). The window is ROTATED each round
 # so no entry's freshest driver row ever goes >1 round stale:
-# round 12 executes the plan VERDICT.md r11 ask #1 endorsed — lead
-# with the round-10-evidence overflow (whose driver rows would
-# otherwise go 2 rounds stale), minus FIVE long-stable sort/window
-# entries demoted to the library this round (q18 top-k ORDER BY, q41
-# frames, q42 LISTAGG, q43 ntile/rank, q44 value windows — all stay
-# strict-oracle-gated by tests/test_relational_oracle.py; q19/q48 keep
-# the windows family in the scored window). The freed slots go to the
-# promoted library operators VERDICT r11 named (x83 dedup-method
-# agreement and the q52–q54 stats pack) and the one entry NEW this
-# round (x98 IVF list-health report, r11 ask #6). The overflow is
-# exactly the 50 entries green in CORRECTNESS_r11.json, so at judging
-# time every registry entry has a driver row ≤1 round old.
+# round 13 executes the plan VERDICT.md r12 ask #1 endorsed — lead
+# with the round-11-evidence overflow (whose driver rows would
+# otherwise go 2 rounds stale), minus TWO long-stable entries demoted
+# to the library this round (q35 scalar subquery — the subquery class
+# stays scored via q36/q37/q47; x42 hash-sample — the sampling class
+# stays scored via x43/x44/x48/x59/x73; both remain strict-oracle-
+# gated by tests/test_relational_oracle.py). The freed slots go to the
+# promoted library operators VERDICT r12 named: x99 tokenizer
+# fertility and x100 join-key skew (both strict-oracle green at two
+# SFs and parity-swept since round 12). The overflow is exactly the 50
+# entries green in CORRECTNESS_r12.json, so at judging time every
+# registry entry has a driver row ≤1 round old.
 #
-# Round-13 rotation plan: lead with the then-overflow (the 50 entries
-# scored in round 11, listed second below); fill any slots that open
-# by promoting the strongest remaining library operators — the round-12
-# additions x99_tokenizer_fertility and x100_join_key_skew (both
-# strict-oracle green at sf0.001 AND sf0.01 and parity-swept) are the
-# natural candidates.
+# Round-14 rotation plan: lead with the then-overflow (the 50 entries
+# scored in round 12, listed second below); fill any slots that open
+# by promoting the strongest remaining library operators.
 _ORDER = [
-    # driver evidence last refreshed in round 10 — score these now
+    # -- round-13 scored window: driver evidence last refreshed in
+    # round 11 (the round-12 overflow) — score these now, plus the two
+    # operators promoted from the library (x99/x100, strict-oracle
+    # green at sf0.001 AND sf0.01 and parity-swept since round 12).
+    # q35 and x42 left the registry this round (demoted to the
+    # library; their operator classes stay driver-evidenced by
+    # q36/q37/q47 and x43/x44/x48/x59/x73 respectively).
+    "x47_token_entropy", "x46_incremental_dedup",
+    "x30_multimodal_features", "x31_frame_sample",
+    "q01_pricing_summary",
+    "q28_enrichment_join", "q30_range_join", "q31_time_bucket_rollup",
+    "q32_cube", "q33_percentiles",
+    "q36_correlated_exists", "q37_below_group_avg",
+    "x07_dup_clusters",
+    "x21_lang_id", "x22_token_count", "x23_quality_score",
+    "x26_tfidf_top_terms", "x27_pii_redact",
+    "x32_unigram_lm_score", "x33_dsir_importance",
+    "x34_cluster_keep_best", "x35_token_pack",
+    "x36_chunk_dedup", "x37_bloom_dedup", "x38_embedding_quantize",
+    "x39_kmeans", "x43_stratified_cap",
+    "x44_mixture_resample", "x45_substr_dedup", "x48_split_assign",
+    "x62_bm25_topk",
+    "x71_bigram_lm_score", "x72_ivfpq_residual_topk",
+    "x73_temperature_mixture", "x74_prototypicality_prune",
+    "x76_tfidf_cosine_pairs", "x77_stupid_backoff_score",
+    "x78_source_kl_drift", "x79_split_leakage_audit",
+    "x80_embedding_anisotropy", "x86_funnel_stages",
+    "x87_cohort_retention", "x88_novelty_profile",
+    "x89_filter_agreement", "x92_ivfpq_batch_probe",
+    "x94_matryoshka_recall", "x95_zipf_fit_per_source",
+    "x96_lsh_index_health",
+    # promoted from the library this round (first driver scoring now)
+    "x99_tokenizer_fertility", "x100_join_key_skew",
+    # -- overflow past the 50-entry cap: ALL green in
+    # CORRECTNESS_r12.json (rows+schema+hash true), so their driver
+    # evidence is exactly one round old at round-13 judging. Round-14
+    # rotation plan: lead with these 50; fill any opening slots from
+    # the strongest library entries as usual.
     "x63_pq_index_lifecycle", "x49_minhash_index_dedup",
     "x64_ivf_index_lifecycle", "x65_gopher_rules", "x66_ivfpq_adc_topk",
     "x67_ivfpq_onetable_topk", "x68_ann_recall",
@@ -59,39 +93,9 @@ _ORDER = [
     "x81_rrf_fusion_topk", "x82_bm25_prf_topk",
     "x84_ann_refine_rerank", "x85_token_budget_curriculum",
     "x90_dedup_embedding_lsh_verify", "x91_approx_percentiles",
-    # promoted from the library this round (all strict-oracle-green
-    # locally; first driver scoring now)
     "x83_dedup_method_agreement", "q52_corr_stats", "q53_histogram",
     "q54_regr_stats",
-    # NEW to the registry this round — no driver row exists yet
     "x98_ivf_index_health",
-    # overflow past the 50-entry cap — ALL green in
-    # CORRECTNESS_r11.json (rows+schema+hash true), so their driver
-    # evidence is exactly one round old at round-12 judging.
-    "x47_token_entropy", "x46_incremental_dedup",
-    "x30_multimodal_features", "x31_frame_sample",
-    "q01_pricing_summary",
-    "q28_enrichment_join", "q30_range_join", "q31_time_bucket_rollup",
-    "q32_cube", "q33_percentiles", "q35_scalar_subquery",
-    "q36_correlated_exists", "q37_below_group_avg",
-    "x07_dup_clusters",
-    "x21_lang_id", "x22_token_count", "x23_quality_score",
-    "x26_tfidf_top_terms", "x27_pii_redact",
-    "x32_unigram_lm_score", "x33_dsir_importance",
-    "x34_cluster_keep_best", "x35_token_pack",
-    "x36_chunk_dedup", "x37_bloom_dedup", "x38_embedding_quantize",
-    "x39_kmeans", "x42_hash_sample", "x43_stratified_cap",
-    "x44_mixture_resample", "x45_substr_dedup", "x48_split_assign",
-    "x62_bm25_topk",
-    "x71_bigram_lm_score", "x72_ivfpq_residual_topk",
-    "x73_temperature_mixture", "x74_prototypicality_prune",
-    "x76_tfidf_cosine_pairs", "x77_stupid_backoff_score",
-    "x78_source_kl_drift", "x79_split_leakage_audit",
-    "x80_embedding_anisotropy", "x86_funnel_stages",
-    "x87_cohort_retention", "x88_novelty_profile",
-    "x89_filter_agreement", "x92_ivfpq_batch_probe",
-    "x94_matryoshka_recall", "x95_zipf_fit_per_source",
-    "x96_lsh_index_health",
 ]
 
 

@@ -30,7 +30,7 @@ from advent_of_code_flink_paimon_spark.operators.dedup import (
     minhash_signatures,
     shingle_hash_arrays,
 )
-from advent_of_code_flink_paimon_spark.operators.registry import T, query
+from advent_of_code_flink_paimon_spark.operators.registry import T, pin, query
 
 
 @query(
@@ -88,7 +88,7 @@ def x40_corpus_curation(spark, sf_dir):
     w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
     exact = quality.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
 
-    sharr = shingle_hash_arrays(exact).persist()
+    sharr = pin(shingle_hash_arrays(exact))
     pairs = lsh_candidate_pairs(minhash_signatures(sharr))
     dup_j = (
         exact_jaccard(pairs, sharr)
@@ -153,7 +153,8 @@ def x41_decontaminate(spark, sf_dir):
             "CASE WHEN size(w) >= 8 THEN transform(sequence(1, size(w) - 7),"
             " i -> xxhash64(array_join(slice(w, i, 8), ' '))) ELSE array() END"
         ),
-    ).select("doc_id", "ngrams").persist()
+    ).select("doc_id", "ngrams")
+    g = pin(g)
     bench = (
         g.filter(F.col("doc_id") % 50 == 0)
         .select(F.explode("ngrams").alias("ng"))

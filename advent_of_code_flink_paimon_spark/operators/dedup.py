@@ -47,7 +47,7 @@ import os
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from advent_of_code_flink_paimon_spark.operators.registry import T, fan_out, query
+from advent_of_code_flink_paimon_spark.operators.registry import T, fan_out, pin, query
 
 MINHASH_K = 32
 LSH_BANDS = 16
@@ -299,7 +299,7 @@ def x03_dedup_minhash_lsh(spark, sf_dir):
     # the verify branch — persist so one action computes it once (5k
     # compact rows at sf0.1 vs the 260k exploded rows this replaced; at
     # cluster scale it avoids a second full corpus scan)
-    sharr = shingle_hash_arrays(docs).persist()
+    sharr = pin(shingle_hash_arrays(docs))
     sigs = minhash_signatures(sharr)
     pairs = lsh_candidate_pairs(sigs)
     return exact_jaccard(pairs, sharr).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
@@ -312,7 +312,7 @@ def x05_ngram_jaccard_join(spark, sf_dir):
     the exhaustive algorithm (j>0 ⇒ shared shingle) — no cross join,
     shuffle key = shingle (ICDE 2022 prefix-filter family)."""
     docs = fan_out(T(spark, sf_dir, "documents"), heavy=True)
-    sharr = shingle_hash_arrays(docs).persist()  # reused by inter + sizes
+    sharr = pin(shingle_hash_arrays(docs))  # reused by inter + sizes
     # join on the 8-byte shingle hash, not the string — same pairs
     # (modulo xxhash64 collisions), ~3× fewer shuffle bytes
     shingled = sharr.select("doc_id", F.explode("hs").alias("shingle"))
@@ -1403,7 +1403,7 @@ def x46_incremental_dedup(spark, sf_dir):
     _append_bands(idx_t, docs.filter(~is_batch))
     idx = idx_t.read(spark)
 
-    sharr = shingle_hash_arrays(docs).persist()
+    sharr = pin(shingle_hash_arrays(docs))
     return dedup_batch_against_index(docs.filter(is_batch), idx, sharr)
 
 
@@ -1438,7 +1438,7 @@ def x49_minhash_index_dedup(spark, sf_dir):
     idx = catalog.get_table(minhash_index_name("docs")).read(spark)
     # lakehouse reads come back as one partition per data file — fan
     # out before the shingle/verify compute stages
-    sharr = shingle_hash_arrays(fan_out(docs_t.read(spark), heavy=True)).persist()
+    sharr = pin(shingle_hash_arrays(fan_out(docs_t.read(spark), heavy=True)))
     return dedup_batch_against_index(batch, idx, sharr)
 
 
@@ -1914,7 +1914,7 @@ def x60_source_dup_matrix(spark, sf_dir):
     deterministic where a float SUM across an unordered pair set would
     not be."""
     docs = fan_out(T(spark, sf_dir, "documents"), heavy=True)
-    sharr = shingle_hash_arrays(docs).persist()
+    sharr = pin(shingle_hash_arrays(docs))
     pairs = exact_jaccard(
         lsh_candidate_pairs(minhash_signatures(sharr)), sharr
     ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
@@ -1982,7 +1982,7 @@ def x70_simhash_hamming_pairs(spark, sf_dir):
     production adds the Manku table-rotation variants to tighten
     this), verify is a projection."""
     d = fan_out(T(spark, sf_dir, "documents"), heavy=True)
-    sigs = simhash_signatures(d).persist()
+    sigs = pin(simhash_signatures(d))
     blk = sigs.select(
         "doc_id",
         "simhash",
@@ -2045,7 +2045,7 @@ def minhash_quality_report(spark, sf_dir: str, k: int = MINHASH_K) -> DataFrame:
     the two k-length signature arrays carried by the existing verify
     joins — no extra exchange."""
     docs = fan_out(T(spark, sf_dir, "documents"), heavy=True)
-    sharr = shingle_hash_arrays(docs).persist()
+    sharr = pin(shingle_hash_arrays(docs))
     sigs = minhash_signatures(sharr, k)
     pairs = lsh_candidate_pairs(sigs)
     exact = exact_jaccard(pairs, sharr)
@@ -2278,7 +2278,7 @@ def x88_novelty_profile(spark, sf_dir):
     boundary blocks the pushdown and hashes each row exactly once,
     post-exchange, on all cores."""
     docs = fan_out(T(spark, sf_dir, "documents"), heavy=True)
-    sharr = shingle_hash_arrays(docs).persist()
+    sharr = pin(shingle_hash_arrays(docs))
     sh = sharr.select("doc_id", F.explode("hs").alias("shingle"))
     firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     novel = F.sum(

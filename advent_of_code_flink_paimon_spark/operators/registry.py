@@ -26,14 +26,95 @@ LIBRARY_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 LIBRARY_ORACLES: dict[str, str] = {}
 
 
+# ---------------------------------------------------------------------------
+# Query-scoped cache hygiene (VERDICT r12 ask #6 / Wrong #2). Several
+# query bodies persist a diamond-reused intermediate (the MinHash
+# shingle arrays feed both the signature and the verify branch) that
+# ESCAPES into the returned lazy plan — it cannot be unpersisted inside
+# the function without recomputing the subtree at action time, and
+# Spark's CacheManager holds cached relations by canonicalized plan
+# until an explicit unpersist, so a long-lived session executing the
+# full registry accumulates dead cached relations (worst for queries
+# like x49 whose per-call tmp-warehouse reads make every call a NEW
+# plan — unbounded growth, not plan-keyed reuse).
+#
+# The fix: escaping persists go through ``pin()``, and the ``query``
+# decorator drains every pin from PREVIOUS top-level query calls when a
+# new one starts (top-level only: x07/x83 compose other registry
+# queries and their pins must survive until the composed plan is
+# consumed). Net effect: at most ONE query's caches are ever resident,
+# and re-running the registry adds nothing. ``unpersist()`` is always
+# correctness-neutral — a consumer that collects an old result after a
+# newer query ran just recomputes.
+#
+# ``set_auto_release(False)`` opts a process out (bench.py: the
+# BENCH_r01..r12 medians were measured with Spark's plan-keyed cache
+# reuse live across the round-robin repeat passes; releasing between
+# queries would cool pass-2/3 runs and break the round-over-round
+# series' comparability).
+# ---------------------------------------------------------------------------
+import functools
+import threading as _threading
+
+_PINNED: list[DataFrame] = []
+_PIN_LOCK = _threading.Lock()
+_PIN_LOCAL = _threading.local()
+_AUTO_RELEASE = True
+
+
+def set_auto_release(enabled: bool) -> None:
+    """Enable/disable the automatic pin drain at top-level query entry
+    (process-wide). Disabled only by measurement harnesses that need
+    cross-call cache reuse to stay comparable with prior rounds."""
+    global _AUTO_RELEASE
+    _AUTO_RELEASE = enabled
+
+
+def pin(df: DataFrame) -> DataFrame:
+    """persist() a query-scoped intermediate that escapes into the
+    returned plan, tracked for release when the NEXT top-level registry
+    query begins (or explicitly via release_pinned())."""
+    df = df.persist()
+    with _PIN_LOCK:
+        _PINNED.append(df)
+    return df
+
+
+def release_pinned() -> int:
+    """Unpersist every tracked query-scoped cache; returns the count.
+    Safe at any time — callers holding un-collected results built on a
+    released cache recompute instead of reading cache."""
+    with _PIN_LOCK:
+        drained, _PINNED[:] = list(_PINNED), []
+    for df in drained:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+    return len(drained)
+
+
 def query(name: str, oracle: str | None = None):
     """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under ``name``."""
 
     def deco(fn):
-        QUERIES[name] = fn
+        @functools.wraps(fn)
+        def wrapper(spark, sf_dir, *args, **kwargs):
+            # *args/**kwargs pass through: composed queries call each
+            # other with extra knobs (x68 → x06's max_vec_id)
+            depth = getattr(_PIN_LOCAL, "depth", 0)
+            if depth == 0 and _AUTO_RELEASE:
+                release_pinned()
+            _PIN_LOCAL.depth = depth + 1
+            try:
+                return fn(spark, sf_dir, *args, **kwargs)
+            finally:
+                _PIN_LOCAL.depth = depth
+
+        QUERIES[name] = wrapper
         if oracle is not None:
             ORACLES[name] = oracle
-        return fn
+        return wrapper
 
     return deco
 

@@ -1550,9 +1550,14 @@ def x100_join_key_skew(spark, sf_dir):
     )
 
 
-# x100 ships library-gated (same rationale as x99): strict-harness
-# oracled now, registry-eligible at the next rotation.
-from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote100  # noqa: E402
+# Round-13 rotation (VERDICT r12 ask #1): x100 (and x99 in text.py)
+# promote from the library into the driver registry; q35 scalar
+# subquery yields its slot — the subquery operator class stays
+# driver-evidenced by q36 (correlated EXISTS), q37 (below-group-avg
+# correlated scalar) and q47 (NOT IN null-aware), and q35 remains full
+# oracle-gated through the strict local harness like every demoted
+# entry. x42 yields the second slot (sampling.py).
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote13  # noqa: E402
 
-_demote100("x100_join_key_skew")
-del _demote100
+_demote13("q35_scalar_subquery")
+del _demote13

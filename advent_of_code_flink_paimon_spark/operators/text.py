@@ -10,7 +10,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Window
 
-from advent_of_code_flink_paimon_spark.operators.registry import T, fan_out, query
+from advent_of_code_flink_paimon_spark.operators.registry import T, fan_out, pin, query
 
 def _tokens():
     return F.split(F.col("text"), " ")
@@ -700,8 +700,8 @@ def x33_dsir_importance(spark, sf_dir):
     # "models", the weight table, and the per-doc score — runs on that
     # small relation; persist() stops Spark recomputing the explode+md5
     # chain for the second consumer
-    db = (
-        bg.groupBy("doc_id", "lang", "bucket").agg(F.count("*").alias("n")).persist()
+    db = pin(
+        bg.groupBy("doc_id", "lang", "bucket").agg(F.count("*").alias("n"))
     )
     raw = db.groupBy("bucket").agg(
         F.sum("n").cast("long").alias("r_cnt"),
@@ -896,8 +896,8 @@ def x58_vocab_coverage(spark, sf_dir):
         d.select("source", F.explode(_tokens()).alias("tok"))
         .groupBy("source", "tok")
         .agg(F.count("*").alias("n"))
-        .persist()
     )
+    c = pin(c)
     vocab = (
         c.groupBy("tok")
         .agg(F.sum("n").alias("tot"))
@@ -1600,7 +1600,7 @@ def x69_winnow_dup_pairs(spark, sf_dir):
         return pd.Series(out)
 
     d = fan_out(T(spark, sf_dir, "documents"), heavy=True)
-    fps = d.select("doc_id", winnow_fps("text").alias("fps")).persist()
+    fps = pin(d.select("doc_id", winnow_fps("text").alias("fps")))
     n = fps.select("doc_id", F.size("fps").alias("n_fp"))
     fp = fps.select("doc_id", F.explode("fps").alias("f"))
     wf = Window.partitionBy("f")
@@ -1717,9 +1717,9 @@ def x71_bigram_lm_score(spark, sf_dir):
     # rebuilds each subtree from its own corpus scan (5 tokenization
     # passes observed in the plan; 3 with the caches). Both tables are
     # type-sized (vocab / bigram types), never corpus-sized.
-    uni = tok.groupBy("term").agg(F.count("*").alias("ucnt")).persist()
+    uni = pin(tok.groupBy("term").agg(F.count("*").alias("ucnt")))
     tot = uni.agg(F.sum("ucnt").cast("long").alias("tot"))
-    bic = bg.groupBy("w1", "w2").agg(F.count("*").alias("bcnt")).persist()
+    bic = pin(bg.groupBy("w1", "w2").agg(F.count("*").alias("bcnt")))
     pre = bic.groupBy("w1").agg(F.sum("bcnt").cast("long").alias("pcnt"))
     prob = (
         F.lit(X71_LAMBDA) * (F.col("bcnt") * F.lit(1.0) / F.col("pcnt"))
@@ -1840,8 +1840,8 @@ def x76_tfidf_cosine_pairs(spark, sf_dir):
             "term",
             (F.col("tf") * F.log(F.col("n_docs") * F.lit(1.0) / F.col("df"))).alias("w"),
         )
-        .persist()  # feeds norms + both verify sides — compute once
     )
+    w = pin(w)  # feeds norms + both verify sides — compute once
     norms = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
     rare = df.crossJoin(F.broadcast(n)).filter(
         F.col("df") * 10 <= F.col("n_docs")
@@ -2730,11 +2730,7 @@ def x99_tokenizer_fertility(spark, sf_dir):
     )
 
 
-# x99 ships library-gated: the round-12 scored window is full and its
-# rotation is already documented; the strict local harness oracles it
-# and it swaps into the registry when a slot opens (the x62/x69/x70
-# path).
-from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote99  # noqa: E402
-
-_demote99("x99_tokenizer_fertility")
-del _demote99
+# x99 shipped library-gated in round 12 (the scored window was full);
+# round 13 promotes it into the driver registry per VERDICT r12 ask #1
+# — it takes one of the two slots freed by demoting q35/x42 (classes
+# that stay driver-evidenced by q36/q37/q47 and x43/x44/x48/x59/x73).

@@ -84,7 +84,19 @@ QUERIES = ["x07_dup_clusters", "x13_semantic_dedup", "x03_dedup_minhash_lsh",
            "x89_filter_agreement",
            # x98 IVF list-health report (new this round): lifecycle
            # build + one cid-column groupBy — the fixed-cost class
-           "x98_ivf_index_health"]
+           "x98_ivf_index_health",
+           # round-13 (VERDICT r12 ask #2): the three >=1 s scored
+           # entries promoted in round 12 without growth rows — x83
+           # composes three row-local keep flags over the corpus
+           # (should track x89's ~linear shape), q52/q54 are one
+           # map-side-combinable six-sum exchange each over lineitem
+           # (the flat-growth agg class). Plus the round-13 promotions
+           # x99/x100 (one groupBy exchange each) so the coverage test
+           # (tests/test_extensions.py::test_bench_scale_coverage_is_
+           # structural) never fires on them when BENCH_r13 lands.
+           "x83_dedup_method_agreement", "q52_corr_stats",
+           "q54_regr_stats",
+           "x99_tokenizer_fertility", "x100_join_key_skew"]
 REPEATS = 3
 
 

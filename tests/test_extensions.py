@@ -2199,3 +2199,140 @@ def test_media_features_real_video_first_frame_identity():
     fb = feat(b, "video/x-msvideo")
     fimg = feat(f0, "image/jpeg")
     assert fa == fb == fimg  # first-frame identity, fps/mux-invariant
+
+
+def test_jpeg_untrusted_table_refs_fail_with_valueerror():
+    """ADVICE r12: malformed-but-well-framed JPEGs whose SOS references
+    an undeclared component or a missing DQT/DHT table id must fail
+    inside the documented ValueError contract — not escape as
+    StopIteration/KeyError from a mapInPandas executor."""
+    import pytest
+
+    from advent_of_code_flink_paimon_spark.operators.multimodal import (
+        _encode_jpeg,
+        _parse_jpeg,
+    )
+
+    good = _encode_jpeg(8, 8, _jpeg_test_pixels(8, 8))
+    sos_at = good.find(b"\xff\xda")
+    assert sos_at > 0
+    # SOS layout: FF DA | len(2) | ns(1) | (cs, tdta) per component.
+    bad_comp = bytearray(good)
+    bad_comp[sos_at + 5] = 0x99  # component id no SOF0 declared
+    with pytest.raises(ValueError, match="undeclared component"):
+        _parse_jpeg(bytes(bad_comp))
+    bad_tables = bytearray(good)
+    bad_tables[sos_at + 6] = 0x33  # td=3/ta=3: no such DHT tables
+    with pytest.raises(ValueError, match="truncated/corrupt JPEG"):
+        _parse_jpeg(bytes(bad_tables))
+
+
+def test_avi_dib_frames_rejected_at_container_seam():
+    """ADVICE r12: a legal AVI carrying uncompressed DIB ('..db')
+    frames is rejected AT PARSE TIME with a clear message instead of
+    surfacing later as 'not a JPEG payload' from a frame consumer."""
+    import pytest
+
+    from advent_of_code_flink_paimon_spark.operators.multimodal import (
+        _encode_avi_mjpeg,
+        _parse_avi_mjpeg,
+    )
+
+    good = _encode_avi_mjpeg(4, 4, [b"\xff\xd8fakejpeg\xff\xd9"], fps=10)
+    dib = good.replace(b"00dc", b"00db")
+    with pytest.raises(ValueError, match="DIB"):
+        _parse_avi_mjpeg(dib)
+
+
+def test_phash_index_empty_table_and_pigeonhole_validation(spark, tmp_path):
+    """ADVICE r12: build_phash_index on an EMPTY media table fails with
+    a clear ValueError (not TypeError on None[0]); the media pipeline's
+    pigeonhole bound is a real ValueError (assert is stripped under -O,
+    which would silently lose recall)."""
+    import pytest
+
+    from advent_of_code_flink_paimon_spark.lakehouse.catalog import Catalog
+    from advent_of_code_flink_paimon_spark.operators.multimodal import (
+        MEDIA_DDL,
+        MediaDedupIngestPipeline,
+        build_phash_index,
+    )
+
+    catalog = Catalog(str(tmp_path / "warehouse"))
+    catalog.create_table("media_empty", MEDIA_DDL, {})
+    with pytest.raises(ValueError, match="empty media table"):
+        build_phash_index(spark, catalog, "media_empty")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        MediaDedupIngestPipeline(
+            spark, catalog, "media_empty", str(tmp_path / "ckpt"), max_hamming=8
+        )
+
+
+def test_external_codec_registration_contract(spark):
+    """The permanent mp4/H.264 decision (VERDICT r12 ask #5): codec-
+    library formats are a pluggable extension point. A registered
+    external decoder flows through the REAL mapInPandas feature seam
+    (closure-snapshotted, so it reaches python workers); built-in
+    formats cannot be shadowed; contract breaches and the unregistered
+    path fail loudly with the documented exception types."""
+    import pytest
+
+    from advent_of_code_flink_paimon_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _encode_jpeg,
+        decode_real,
+        media_features_real,
+        register_decoder,
+        unregister_decoder,
+    )
+
+    w, h = 8, 8
+    frame = _encode_jpeg(w, h, _jpeg_test_pixels(w, h), quality=90)
+    payload = b"\x00\x00\x00\x18ftypmp42" + frame  # mp4-shaped shell
+
+    # the seam is closed until a codec is plugged in
+    with pytest.raises(NotImplementedError, match="register_decoder"):
+        decode_real(payload, "video/mp4")
+
+    # a local closure stands in for a decord/PyAV-backed decoder —
+    # cloudpickle ships it by value, exactly like a user's plugin
+    def fake_mp4(p: bytes) -> dict:
+        if p[4:8] != b"ftyp":
+            raise ValueError("not an mp4 payload")
+        return {"kind": "video", "width": 8, "height": 8, "fps": 24.0,
+                "n_frames": 1, "frames": [p[12:]]}
+
+    with pytest.raises(ValueError, match="in-repo dependency-free"):
+        register_decoder("image/png", fake_mp4)  # built-ins are pinned
+    with pytest.raises(ValueError, match="callable"):
+        register_decoder("video/mp4", "not-a-decoder")
+
+    register_decoder("video/mp4", fake_mp4)
+    try:
+        rows = (
+            media_features_real(
+                spark.createDataFrame(
+                    [(1, payload, "video/mp4", len(payload), None),
+                     (2, frame, "image/jpeg", len(frame), None)],
+                    MEDIA_SCHEMA,
+                )
+            )
+            .orderBy("doc_id")
+            .collect()
+        )
+        # the video identity rule holds for plugged-in codecs too:
+        # the mp4's features equal its first frame's image features
+        assert rows[0]["features"] == rows[1]["features"]
+
+        # a misbehaving plugin surfaces as ValueError naming the breach
+        register_decoder("audio/aac", lambda p: {"kind": "audio"})
+        with pytest.raises(ValueError, match="missing\\s+contract keys"):
+            decode_real(b"x", "audio/aac")
+        register_decoder("audio/flac", lambda p: [1, 2, 3])
+        with pytest.raises(ValueError, match="broke the contract"):
+            decode_real(b"x", "audio/flac")
+    finally:
+        for m in ("video/mp4", "audio/aac", "audio/flac"):
+            unregister_decoder(m)
+    with pytest.raises(NotImplementedError, match="register_decoder"):
+        decode_real(payload, "video/mp4")
