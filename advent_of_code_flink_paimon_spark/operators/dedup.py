@@ -405,6 +405,85 @@ FROM ranked WHERE rnk = 1
 """
 
 
+# ----------------------------------------------------------------------
+# x101: near-dup cluster-size histogram — the dedup-strategy decision
+# card between pair detection (x03) and policy: how much of the corpus
+# sits in clusters of each size, and how many docs dedup can remove.
+# A corpus whose mass hides in a few mega-clusters wants keep-best +
+# aggressive thresholds; a long tail of pairs wants cheap exact-dedup
+# first. Singleton docs (no near-dup) count as size-1 clusters so the
+# shares add to 1.
+# ----------------------------------------------------------------------
+
+_SQL_CLUSTER_SIZE_HISTOGRAM = _SQL_CLUSTER_CTES + """
+, allc AS (
+    SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN clusters c USING (doc_id)
+),
+sz AS (
+    SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+    FROM allc GROUP BY cluster_id
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM allc)
+SELECT sz.cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(sz.cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(sz.cluster_size * COUNT(*) AS DOUBLE) / tot.n_total, 6)
+           AS docs_share,
+       CAST((sz.cluster_size - 1) * COUNT(*) AS BIGINT) AS removable_docs
+FROM sz, tot
+GROUP BY sz.cluster_size, tot.n_total
+"""
+
+
+@query("x101_cluster_size_histogram", oracle=_SQL_CLUSTER_SIZE_HISTOGRAM)
+def x101_cluster_size_histogram(spark, sf_dir):
+    """Docs-per-cluster-size distribution plus the removable-doc count
+    ((size−1)·clusters) dedup would reclaim at each size.
+
+    Scale shape: rides x07's cluster relation (pair-graph-sized ≪
+    corpus, LSH-bucketed candidates); singleton fill-in is one
+    broadcast-able left join keyed on doc_id; then two map-side-
+    combinable count exchanges whose output is histogram-sized. The
+    share is one exact-integer division against a 1-row broadcast
+    total — bit-stable on both engines."""
+    clusters = x07_dup_clusters(spark, sf_dir)
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    allc = d.join(clusters, "doc_id", "left").select(
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+    )
+    sz = allc.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    tot = allc.agg(F.count("*").cast("long").alias("n_total"))
+    return (
+        sz.groupBy("cluster_size")
+        .agg(F.count("*").cast("long").alias("n_clusters"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).cast("long").alias("n_docs"),
+            F.round(
+                (F.col("cluster_size") * F.col("n_clusters")).cast("double")
+                / F.col("n_total"), 6,
+            ).alias("docs_share"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters")).cast("long")
+            .alias("removable_docs"),
+        )
+    )
+
+
+# x101 ships library-gated (the x99/x100 path): the round-13 scored
+# window and the 100-entry registry are full; the strict local harness
+# oracles it at every run and it is registry-eligible at the next
+# rotation.
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote101  # noqa: E402
+
+_demote101("x101_cluster_size_histogram")
+del _demote101
+
+
 @query("x34_cluster_keep_best", oracle=_SQL_KEEP_BEST)
 def x34_cluster_keep_best(spark, sf_dir):
     """One survivor per near-dup cluster, highest type-token ratio wins

@@ -448,6 +448,175 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+def media_grid_features(media: DataFrame, grid: int = 6) -> DataFrame:
+    """aHash-style REAL feature extraction: decode, average-pool luma
+    ((r+g+b)/3) onto a ``grid``×``grid`` raster → grid² dims, so the
+    learned per-dim thresholds give a grid²-bit perceptual hash —
+    discriminative enough for a large diverse corpus (36 bits at the
+    default ≈ 1e-7 chance two random images land within hamming 3,
+    where the 8-dim summary's 8-bit hash saturates past a few hundred
+    rows). Videos summarize as their FIRST frame (the re-mux identity
+    rule); audio pools per-chunk mean |amplitude| onto the same grid²
+    dims so mixed tables still produce one feature space. Same
+    mapInPandas seam, FEATURE_SCHEMA, zero exchanges as
+    media_features_real — pass as ``features_fn`` to the phash index /
+    dedup pipeline for corpora whose diversity outruns the 8-dim
+    summary."""
+    ext = dict(_EXTERNAL_DECODERS)  # plan-build snapshot → executor closures
+    dims = grid * grid
+
+    def _feat(payload: bytes, mime: str) -> list[float]:
+        d = decode_real(payload, mime, _external=ext)
+        if d["kind"] == "video":
+            if not d["frames"]:
+                return [0.0] * dims
+            d = _parse_jpeg(d["frames"][0])
+        if d["kind"] == "image":
+            px, w, h = d["pixels"], d["width"], d["height"]
+            sums = [0.0] * dims
+            counts = [0] * dims
+            for row in range(h):
+                gy = row * grid // h
+                for col in range(w):
+                    cell = gy * grid + col * grid // w
+                    at = 3 * (row * w + col)
+                    sums[cell] += (px[at] + px[at + 1] + px[at + 2]) / 3.0
+                    counts[cell] += 1
+            return [s / c if c else 0.0 for s, c in zip(sums, counts)]
+        s = d["samples"]
+        if not s:
+            return [0.0] * dims
+        out = []
+        n = len(s)
+        for cell in range(dims):
+            lo, hi = cell * n // dims, max((cell + 1) * n // dims, cell * n // dims + 1)
+            chunk = s[lo:hi] or [0.0]
+            out.append(sum(abs(x) for x in chunk) / len(chunk))
+        return out
+
+    def batches(it: Iterator):
+        import math
+
+        import pandas as pd
+
+        for pdf in it:
+            feats = [_feat(p, m) for p, m in zip(pdf["payload"], pdf["mime"])]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": pdf["mime"],
+                    "n_bytes": pdf["n_bytes"],
+                    "features": feats,
+                    "feat_norm": [math.sqrt(sum(x * x for x in f)) for f in feats],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def _mix64(a: int, b: int) -> int:
+    """Deterministic splitmix-style avalanche of (a, b) — the corpus
+    generator's only randomness source (seeded, engine-free)."""
+    z = (a * 0x9E3779B97F4A7C15 + b * 0xBF58476D1CE4E5B9 + 0x94D049BB133111EB) & ((1 << 64) - 1)
+    z ^= z >> 30
+    z = (z * 0xBF58476D1CE4E5B9) & ((1 << 64) - 1)
+    z ^= z >> 27
+    z = (z * 0x94D049BB133111EB) & ((1 << 64) - 1)
+    return z ^ (z >> 31)
+
+
+def synthetic_media_corpus(
+    spark, n_rows: int, dup_every: int = 4, seed: int = 7,
+    cells: int = 6, cell_px: int = 2,
+) -> DataFrame:
+    """Perceptually DIVERSE media corpus with a controlled planted-
+    duplicate fraction (VERDICT r12 ask #3) — the bench input that lets
+    drop recall/precision measure discrimination instead of saturation.
+
+    Every doc_id whose ``doc_id % dup_every != dup_every-1`` is a BASE:
+    a ``cells``×``cells`` block pattern (each block solid luma 0.2 or
+    0.8 from the seeded bit mixer, rendered at ``cell_px`` px/block)
+    encoded through the real BMP/PNG/JPEG encoders (rotating by id).
+    Two random bases differ in ~cells²/2 blocks, so under
+    media_grid_features(grid=cells) they sit ~18 hamming bits apart —
+    never near-dups. The remaining 1/dup_every ids are planted VARIANTS
+    of an earlier base: byte-copy, PNG re-encode, JPEG re-encode,
+    half-resolution resize (blocks stay block-aligned, so grid cells
+    are unchanged), or a 1-frame MJPEG-AVI re-mux — all hamming ≈ 0
+    from their base because block luma sits 0.3 away from the learned
+    ~0.5 thresholds, far beyond JPEG's ring error.
+
+    Generation is distributed (mapInPandas over spark.range — each
+    partition encodes its own ids; nothing driver-side), deterministic
+    in ``seed``, and returns MEDIA_SCHEMA rows."""
+    if dup_every < 2:
+        raise ValueError("dup_every must be >= 2 (1/dup_every is the dup fraction)")
+    px_side = cells * cell_px
+
+    def _pattern(pattern_id: int) -> list[float]:
+        vals = []
+        for row in range(px_side):
+            for col in range(px_side):
+                block = (row // cell_px) * cells + (col // cell_px)
+                bit = (_mix64(seed * 31 + pattern_id, block) >> 17) & 1
+                lum = 0.8 if bit else 0.2
+                vals.extend((lum, lum, lum))
+        return vals
+
+    def _row(doc_id: int):
+        h = _mix64(seed, doc_id)
+        is_dup = doc_id % dup_every == dup_every - 1 and doc_id >= dup_every
+        if is_dup:
+            base = max(0, doc_id - 1 - (h % 16) * dup_every)
+            if base % dup_every == dup_every - 1:
+                base -= 1  # land on a BASE id, never a fellow variant
+            pat = _pattern(base)
+            kind = h % 5
+            if kind == 0:    # byte-copy class: same format as the base
+                payload, mime = _encode_base(base, pat)
+            elif kind == 1:  # re-encode PNG
+                payload, mime = _encode_png(px_side, px_side, pat), "image/png"
+            elif kind == 2:  # re-encode JPEG
+                payload, mime = _encode_jpeg(px_side, px_side, pat, quality=92), "image/jpeg"
+            elif kind == 3:  # half-resolution resize (block-aligned)
+                half = px_side // 2
+                small = []
+                for row in range(half):
+                    for col in range(half):
+                        at = 3 * (row * 2 * px_side + col * 2)
+                        small.extend(pat[at : at + 3])
+                payload, mime = _encode_bmp(half, half, small), "image/bmp"
+            else:            # re-mux: 1-frame MJPEG-AVI of the pattern
+                payload = _encode_avi_mjpeg(
+                    px_side, px_side,
+                    [_encode_jpeg(px_side, px_side, pat, quality=92)], fps=12,
+                )
+                mime = "video/x-msvideo"
+        else:
+            payload, mime = _encode_base(doc_id, _pattern(doc_id))
+        return doc_id, payload, mime, len(payload), None
+
+    def _encode_base(pattern_id: int, pat: list[float]):
+        f = pattern_id % 3
+        if f == 0:
+            return _encode_bmp(px_side, px_side, pat), "image/bmp"
+        if f == 1:
+            return _encode_png(px_side, px_side, pat), "image/png"
+        return _encode_jpeg(px_side, px_side, pat, quality=92), "image/jpeg"
+
+    def batches(it: Iterator):
+        import pandas as pd
+
+        for pdf in it:
+            rows = [_row(int(i)) for i in pdf["id"]]
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "payload", "mime", "n_bytes", "sample_rate"],
+            )
+
+    rng = spark.range(0, n_rows, 1, spark.sparkContext.defaultParallelism)
+    return rng.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
 def media_features_real(media: DataFrame) -> DataFrame:
     """extract_features with the REAL decoders: same mapInPandas seam,
     same FEATURE_SCHEMA, zero shuffles — only the per-payload decode

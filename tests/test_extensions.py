@@ -2336,3 +2336,53 @@ def test_external_codec_registration_contract(spark):
             unregister_decoder(m)
     with pytest.raises(NotImplementedError, match="register_decoder"):
         decode_real(payload, "video/mp4")
+
+
+def test_synthetic_media_corpus_planted_geometry(spark):
+    """The diverse media bench corpus (VERDICT r12 ask #3) validates
+    its own geometry: under media_grid_features' 36-bit grid aHash at
+    learned thresholds, every planted re-encode/resize/re-mux/byte-copy
+    variant sits within hamming 3 of its base while NO two base images
+    collide — so the pipeline's drop recall/precision measure
+    discrimination (true_drops = planted count ≪ rows), not
+    saturation."""
+    import itertools
+    import statistics
+
+    from advent_of_code_flink_paimon_spark.operators.multimodal import (
+        _mix64,
+        media_grid_features,
+        synthetic_media_corpus,
+    )
+
+    n, dup_every, seed = 240, 4, 7
+    m = synthetic_media_corpus(spark, n, dup_every=dup_every, seed=seed)
+    rows = m.collect()
+    assert len(rows) == n
+    assert {r.mime for r in rows} == {
+        "image/bmp", "image/png", "image/jpeg", "video/x-msvideo"
+    }
+    feats = {r.doc_id: r.features for r in media_grid_features(m).collect()}
+    dims = len(next(iter(feats.values())))
+    assert dims == 36
+    thr = [statistics.fmean(feats[i][d] for i in feats) for d in range(dims)]
+
+    def phash(f):
+        return sum(1 << d for d in range(dims) if f[d] > thr[d])
+
+    def ham(a, b):
+        return (a ^ b).bit_count()
+
+    sigs = {i: phash(feats[i]) for i in feats}
+    dups = [i for i in sigs if i % dup_every == dup_every - 1 and i >= dup_every]
+    bases = [i for i in sigs if i not in set(dups)]
+    assert len(dups) == n // dup_every - 1
+
+    def base_of(i):
+        b = max(0, i - 1 - (_mix64(seed, i) % 16) * dup_every)
+        return b - 1 if b % dup_every == dup_every - 1 else b
+
+    for i in dups:  # every variant lands on its base
+        assert ham(sigs[i], sigs[base_of(i)]) <= 3, (i, base_of(i))
+    for a, b in itertools.combinations(bases, 2):  # no base collisions
+        assert ham(sigs[a], sigs[b]) > 3, (a, b)

@@ -110,3 +110,22 @@ def test_ingest_pipeline_soak_flatness(spark, tmp_path):
         assert r["soak"]["flat"], (name, r["soak"], r["batch_walls_s"])
         # and the cadence contract must hold on EVERY soak batch too
         assert r["batch_wall_max_s"] < bp.TRIGGER_CADENCE_S, (name, r)
+
+
+def test_index_refresh_stays_o_batch_as_index_grows(spark, tmp_path):
+    """VERDICT r12 ask #7: the incremental refresh path — isolated
+    from probe cost by driving plain appends + explicit refreshes —
+    must stay O(batch) while the index grows ~n_batches×. Artifact of
+    record: PIPELINE_SOAK.json's refresh_cost_series at sf0.1; this is
+    the same harness at sf0.001."""
+    import bench_pipelines as bp
+
+    out = bp.refresh_cost_series(spark, "/root/testdata/sf0.001",
+                                 str(tmp_path), n_batches=8)
+    for name, block in out.items():
+        assert block["soak"]["flat"], (name, block["soak"])
+        # the index really grew across the run and every refresh did
+        # O(batch) work (rows indexed per refresh, not per corpus)
+        sizes = [r["index_rows"] for r in block["series"]]
+        assert sizes[-1] > sizes[0] * 4, (name, sizes)
+        assert all(r["refreshed_rows"] > 0 for r in block["series"]), name
