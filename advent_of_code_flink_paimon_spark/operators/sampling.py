@@ -608,6 +608,123 @@ def x85_token_budget_curriculum(spark, sf_dir):
     return flagged.select("doc_id", "xent", "n_tokens", sel.alias("selected"))
 
 
+# ----------------------------------------------------------------------
+# x103: per-source quality-threshold calibration — x51's documented
+# scale caveat made an operator. x51 buckets by a per-language
+# percent_rank window over EVERY document (one window partition per
+# language = billions of rows per task at 100 TB); the production shape
+# it describes — "first aggregate a distribution per source, then pick
+# thresholds from the aggregate" — is implemented here EXACTLY, not
+# approximately: the per-doc window moves onto a score HISTOGRAM, so
+# the only per-document work is one map-combinable count exchange and
+# the window runs over sources × distinct-scores rows (corpus-size-
+# independent for bounded score domains). Output: the minimal quality
+# score each source must keep to retain ~70 % of its documents, with
+# the exact tie split at the threshold (FineWeb/CCNet-style per-source
+# calibrated filtering needs kept_at_threshold to subsample ties).
+# ----------------------------------------------------------------------
+_CAL_KEEP_PERMILLE = 700  # target keep-rate, exact integer arithmetic
+
+_SQL_THRESHOLD_CALIBRATION = f"""
+WITH sc AS (
+    SELECT source,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+               AS score
+    FROM documents
+),
+hist AS (
+    SELECT source, score, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM sc GROUP BY source, score
+),
+h AS (
+    SELECT source, score, cnt,
+           CAST(SUM(cnt) OVER (PARTITION BY source) AS BIGINT) AS n_docs,
+           CAST(SUM(cnt) OVER (
+               PARTITION BY source ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum
+    FROM hist
+),
+c AS (
+    SELECT source, MAX(score) AS threshold_score
+    FROM h
+    WHERE cum >= (n_docs * {_CAL_KEEP_PERMILLE} + 999) // 1000
+    GROUP BY source
+)
+SELECT h.source,
+       h.n_docs,
+       (h.n_docs * {_CAL_KEEP_PERMILLE} + 999) // 1000 AS target_kept,
+       h.score AS threshold_score,
+       h.cum - h.cnt AS kept_above,
+       (h.n_docs * {_CAL_KEEP_PERMILLE} + 999) // 1000 - (h.cum - h.cnt)
+           AS kept_at_threshold,
+       ROUND(CAST((h.n_docs * {_CAL_KEEP_PERMILLE} + 999) // 1000 AS DOUBLE)
+             / h.n_docs, 6) AS actual_keep_rate
+FROM h JOIN c ON h.source = c.source AND h.score = c.threshold_score
+"""
+
+
+@query("x103_quality_threshold_calibration", oracle=_SQL_THRESHOLD_CALIBRATION)
+def x103_quality_threshold_calibration(spark, sf_dir):
+    """Per-source quality threshold hitting a 70 % target keep-rate,
+    computed EXACTLY from a score histogram: threshold = the highest
+    score whose descending cumulative count reaches ceil(0.7·n), plus
+    the exact tie split (kept_above strictly better, kept_at_threshold
+    to take from the boundary score).
+
+    Scale shape — the answer to x51's documented caveat: the per-doc
+    score (distinct-token count) is row-local inside the scan; the only
+    full-corpus exchange is one map-side-combinable groupBy(source,
+    score) count, after which BOTH windows run over the histogram
+    (sources × distinct scores — corpus-size-independent for a bounded
+    score domain), never over documents. ceil is exact integer
+    arithmetic ((n·700 + 999) DIV 1000); the keep-rate is one double
+    division of exact integers — bit-stable on both engines. At 100 TB
+    the histogram is kilobytes per source where x51's percent_rank
+    window is billions of rows in one task."""
+    d = T(spark, sf_dir, "documents")
+    score = F.size(F.array_distinct(F.split(F.col("text"), " "))).cast("long")
+    hist = (
+        d.select("source", score.alias("score"))
+        .groupBy("source", "score")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    w_tot = Window.partitionBy("source")
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy(F.col("score").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    h = hist.select(
+        "source",
+        "score",
+        "cnt",
+        F.sum("cnt").over(w_tot).cast("long").alias("n_docs"),
+        F.sum("cnt").over(w_cum).cast("long").alias("cum"),
+    )
+    k = F.expr(f"(n_docs * {_CAL_KEEP_PERMILLE} + 999) DIV 1000")
+    # first crossing = the highest score whose cum reaches the target;
+    # (source, score) rows are unique, so the struct max is a
+    # deterministic argmax by score
+    crossing = (
+        h.filter(F.col("cum") >= k)
+        .groupBy("source")
+        .agg(F.max(F.struct("score", "cnt", "n_docs", "cum")).alias("s"))
+    )
+    k_out = F.expr(f"(s.n_docs * {_CAL_KEEP_PERMILLE} + 999) DIV 1000")
+    return crossing.select(
+        "source",
+        F.col("s.n_docs").alias("n_docs"),
+        k_out.alias("target_kept"),
+        F.col("s.score").alias("threshold_score"),
+        (F.col("s.cum") - F.col("s.cnt")).alias("kept_above"),
+        (k_out - (F.col("s.cum") - F.col("s.cnt"))).alias("kept_at_threshold"),
+        F.round(k_out.cast("double") / F.col("s.n_docs"), 6).alias(
+            "actual_keep_rate"
+        ),
+    )
+
+
 # Round 10: promoted into the driver registry (window rotation).
 
 # Round-13 rotation (VERDICT r12 ask #1): x42 hash-sample yields its
@@ -617,7 +734,12 @@ def x85_token_budget_curriculum(spark, sf_dir):
 # (temperature mixture); x42 remains full oracle-gated through the
 # strict local harness (tests/test_relational_oracle.py iterates the
 # library too).
+# x103 ships library-gated like x99/x100/x101 (the registry is capped
+# at 100 by the 2-round evidence-freshness rotation); the strict local
+# harness oracles it at every run and it is registry-eligible at the
+# round-14 rotation.
 from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote13  # noqa: E402
 
 _demote13("x42_hash_sample")
+_demote13("x103_quality_threshold_calibration")
 del _demote13

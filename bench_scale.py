@@ -96,7 +96,14 @@ QUERIES = ["x07_dup_clusters", "x13_semantic_dedup", "x03_dedup_minhash_lsh",
            # structural) never fires on them when BENCH_r13 lands.
            "x83_dedup_method_agreement", "q52_corr_stats",
            "q54_regr_stats",
-           "x99_tokenizer_fertility", "x100_join_key_skew"]
+           "x99_tokenizer_fertility", "x100_join_key_skew",
+           # round-13 ask #8 (library sweep): every LIBRARY entry was
+           # spot-timed at sf0.1 and the >=1 s ones join the battery so
+           # demotion can't hide a scaling pathology — q16 HLL sketch
+           # agg, q17 rollup, q41 window frames (one exchange + sort
+           # each), x101 cluster-size histogram (rides x07's CC)
+           "q16_agg_approx_distinct", "q17_rollup", "q41_window_frames",
+           "x101_cluster_size_histogram"]
 REPEATS = 3
 
 

@@ -2386,3 +2386,47 @@ def test_synthetic_media_corpus_planted_geometry(spark):
         assert ham(sigs[i], sigs[base_of(i)]) <= 3, (i, base_of(i))
     for a, b in itertools.combinations(bases, 2):  # no base collisions
         assert ham(sigs[a], sigs[b]) > 3, (a, b)
+
+
+def test_x103_threshold_calibration_crossing_invariants(spark):
+    """x103's threshold is the FIRST descending-cumulative crossing of
+    ceil(0.7·n) per source, and the tie split is exact: strictly-above
+    docs plus the boundary take equal the target exactly, the boundary
+    take is within [1, cnt(threshold_score)], and removing the
+    threshold score from the kept set would undershoot the target
+    (kept_above < target). Verified against per-source score counts
+    recomputed independently of the operator's own window machinery."""
+    from advent_of_code_flink_paimon_spark.operators.registry import T
+    from advent_of_code_flink_paimon_spark.operators.sampling import (
+        x103_quality_threshold_calibration,
+    )
+
+    sf = SF_ORACLE
+    rows = {
+        r["source"]: r
+        for r in x103_quality_threshold_calibration(spark, sf).collect()
+    }
+    score = F.size(F.array_distinct(F.split(F.col("text"), " "))).cast("long")
+    counts = (
+        T(spark, sf, "documents")
+        .select("source", score.alias("score"))
+        .groupBy("source", "score")
+        .count()
+        .collect()
+    )
+    per_src: dict = {}
+    for r in counts:
+        per_src.setdefault(r["source"], {})[r["score"]] = r["count"]
+    assert set(per_src) == set(rows)
+    for src, sc in per_src.items():
+        r = rows[src]
+        n = sum(sc.values())
+        k = -(-n * 700 // 1000)  # ceil(0.7 n) in exact ints
+        assert r["n_docs"] == n and r["target_kept"] == k
+        above = sum(c for s, c in sc.items() if s > r["threshold_score"])
+        at = sc[r["threshold_score"]]
+        assert r["kept_above"] == above
+        assert above < k <= above + at  # first-crossing semantics
+        assert r["kept_at_threshold"] == k - above
+        assert 1 <= r["kept_at_threshold"] <= at
+        assert abs(r["actual_keep_rate"] - round(k / n, 6)) == 0.0
