@@ -2461,3 +2461,94 @@ def dedup_ingest_recall_report(
             .otherwise(F.lit(1.0)), 6,
         ).alias("drop_precision"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x104: containment similarity join. Jaccard (x05) is SYMMETRIC — a
+# 20-shingle quote embedded in a 400-shingle page scores j ≈ 0.05 and
+# sails through every resemblance filter. Broder (1997) defines the
+# asymmetric companion, containment c(A,B) = |A∩B| / |A|, exactly for
+# this: near-complete INCLUSION of one document inside another
+# (quotes, syndicated excerpts, templated wrappers around copied
+# bodies — the substring-duplication class Lee et al. 2022 attack with
+# suffix arrays, here at shingle-set granularity). The planted-
+# geometry test (tests/test_extensions.py) proves the asymmetric
+# catch: an excerpt at 80 % containment but Jaccard ≈ 0.1 is invisible
+# to x05's threshold and flagged here.
+# ---------------------------------------------------------------------------
+
+CONTAINMENT_THRESHOLD = 0.8
+
+_SQL_CONTAINMENT = f"""
+WITH sh AS (
+    SELECT doc_id, unnest(list_distinct(
+        [s[i] || ' ' || s[i+1] || ' ' || s[i+2] for i in range(1, len(s) - 1)]
+    )) AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT i, j, c AS shared, sa.n AS n_i, sb.n AS n_j,
+       CASE WHEN sa.n <= sb.n THEN i ELSE j END AS contained_doc,
+       ROUND(c * 1.0 / LEAST(sa.n, sb.n), 6) AS containment
+FROM inter JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
+WHERE c * 1.0 / LEAST(sa.n, sb.n) >= {CONTAINMENT_THRESHOLD}
+"""
+
+
+@query("x104_containment_pairs", oracle=_SQL_CONTAINMENT)
+def x104_containment_pairs(spark, sf_dir):
+    """Containment-similarity pairs: documents whose smaller shingle
+    set is ≥ 80 % covered by the other's (see block comment — the
+    asymmetric inclusion metric Jaccard cannot express).
+
+    Scale shape — identical to x05's inverted-index prefix-filter
+    family: ONE shuffle keyed on the 8-byte shingle hash produces
+    every pair sharing ≥ 1 shingle (c > 0 ⇔ shared shingle, so the
+    equi-join IS the exhaustive algorithm — no cross join), one
+    map-side-combinable count per pair, then two broadcastable size
+    joins; at 100 TB the shuffle is corpus-token-sized and the
+    candidate set is bounded by shared-shingle mass, never |docs|².
+    The contained_doc column names the excerpt side deterministically
+    (size ties break toward the smaller doc_id via i < j)."""
+    docs = fan_out(T(spark, sf_dir, "documents"), heavy=True)
+    sharr = pin(shingle_hash_arrays(docs))
+    shingled = sharr.select("doc_id", F.explode("hs").alias("shingle"))
+    sizes = sharr.select("doc_id", F.size("hs").alias("n"))
+    a, b = shingled.alias("a"), shingled.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        .agg(F.count("*").cast("long").alias("shared"))
+    )
+    cont = F.col("shared").cast("double") / F.least("n_i", "n_j")
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("i"), F.col("n").alias("n_i")), "i")
+        .join(sizes.select(F.col("doc_id").alias("j"), F.col("n").alias("n_j")), "j")
+        .filter(cont >= CONTAINMENT_THRESHOLD)
+        .select(
+            "i",
+            "j",
+            "shared",
+            "n_i",
+            "n_j",
+            F.when(F.col("n_i") <= F.col("n_j"), F.col("i"))
+            .otherwise(F.col("j"))
+            .alias("contained_doc"),
+            F.round(cont, 6).alias("containment"),
+        )
+    )
+
+
+# Registry is at cap (100); x104 ships library-gated like x101/x103 —
+# full-oracled by the strict local harness at every run and
+# registry-eligible at the round-14 rotation.
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote104  # noqa: E402
+
+_demote104("x104_containment_pairs")
+del _demote104

@@ -512,3 +512,92 @@ def x87_cohort_retention(spark, sf_dir):
 # x87_cohort_retention PROMOTED to the scored registry in round 11 (VERDICT r10
 # ask #1): its library-era demote call is retired; the entry takes a
 # window slot freed by a long-stable relational demotion.
+
+
+# ---------------------------------------------------------------------------
+# x105: robust (MAD-based) outlier card over event telemetry — the
+# data-quality monitor a continuously-ingesting pipeline runs per batch
+# or per partition to catch upstream regressions (a stuck sensor, a
+# unit change, a fat-fingered backfill) BEFORE the data reaches
+# training. Mean/stddev z-scores break down exactly when needed most —
+# a single 1e9 outlier drags the mean — so the card uses the classic
+# robust pair: median + MAD (median absolute deviation), flagging
+# |value − med| > 3·1.4826·MAD (1.4826 = 1/Φ⁻¹(3/4) makes MAD a
+# consistent σ estimator under normality; Hampel 1974, Leys et al.
+# 2013).
+# ---------------------------------------------------------------------------
+
+_SQL_MAD_OUTLIERS = """
+WITH m AS (
+  SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+),
+d AS (
+  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS ad
+  FROM events e JOIN m USING (event_type)
+),
+mm AS (SELECT event_type, median(ad) AS mad FROM d GROUP BY event_type)
+SELECT d.event_type,
+       COUNT(*) AS n_events,
+       ROUND(ANY_VALUE(d.med), 6) AS med,
+       ROUND(ANY_VALUE(mm.mad), 6) AS mad,
+       COUNT(*) FILTER (d.ad > 3 * 1.4826 * mm.mad) AS n_outliers,
+       ROUND(COUNT(*) FILTER (d.ad > 3 * 1.4826 * mm.mad) * 1.0
+             / COUNT(*), 6) AS outlier_rate
+FROM d JOIN mm ON d.event_type = mm.event_type
+GROUP BY d.event_type
+"""
+
+
+@query("x105_mad_outliers", oracle=_SQL_MAD_OUTLIERS)
+def x105_mad_outliers(spark, sf_dir):
+    """Per-event-type robust outlier card: exact median, exact MAD, and
+    the count/rate of values beyond 3·1.4826·MAD (see module comment).
+
+    Scale shape: two grouped EXACT percentile passes (median of value,
+    then median of |value − med| after a broadcast join of the 5-row
+    median table) and one final map-side-combinable count aggregation —
+    three exchanges total, each keyed on the low-cardinality
+    event_type. Exact ``percentile`` buffers a group's values in one
+    task, so this library card is sized for telemetry-table audits
+    (millions of rows per type); on a 100 TB corpus the same card swaps
+    ``percentile`` → ``approx_percentile`` (GK sketch, mergeable
+    partials — the q33/x91 pairing already measures that swap's error)
+    with no other plan change. The driver-facing semantic is exact so
+    DuckDB's ``median`` oracles it bit-for-bit (both engines
+    interpolate the even-count midpoint; outputs round to 6 dp and the
+    3·1.4826·MAD comparison operates on values whose margin is ~1e-1,
+    9 orders above any interpolation ulp)."""
+    e = T(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    d = e.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = d.groupBy("event_type").agg(
+        F.expr("percentile(ad, 0.5)").alias("mad")
+    )
+    out = F.col("ad") > 3 * 1.4826 * F.col("mad")
+    return (
+        d.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.first("med"), 6).alias("med"),
+            F.round(F.first("mad"), 6).alias("mad"),
+            F.sum(out.cast("long")).cast("long").alias("n_outliers"),
+            F.round(
+                F.sum(out.cast("long")).cast("double") / F.count("*"), 6
+            ).alias("outlier_rate"),
+        )
+    )
+
+
+# Registry is at cap (100, set by the 2-round evidence-freshness
+# rotation); x105 ships library-gated like x101/x103 — full-oracled by
+# the strict local harness at every run, registry-eligible at the
+# round-14 rotation.
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote105  # noqa: E402
+
+_demote105("x105_mad_outliers")
+del _demote105

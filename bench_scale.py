@@ -103,7 +103,12 @@ QUERIES = ["x07_dup_clusters", "x13_semantic_dedup", "x03_dedup_minhash_lsh",
            # agg, q17 rollup, q41 window frames (one exchange + sort
            # each), x101 cluster-size histogram (rides x07's CC)
            "q16_agg_approx_distinct", "q17_rollup", "q41_window_frames",
-           "x101_cluster_size_histogram"]
+           "x101_cluster_size_histogram",
+           # round-13 continuation: new library cards get their rows at
+           # creation time (the ask-#2 policy) — x104 shares x05's
+           # inverted-index shingle join shape, x105 is two grouped
+           # exact-percentile passes over events
+           "x104_containment_pairs", "x105_mad_outliers"]
 REPEATS = 3
 
 

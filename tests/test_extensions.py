@@ -2430,3 +2430,99 @@ def test_x103_threshold_calibration_crossing_invariants(spark):
         assert r["kept_at_threshold"] == k - above
         assert 1 <= r["kept_at_threshold"] <= at
         assert abs(r["actual_keep_rate"] - round(k / n, 6)) == 0.0
+
+
+def test_x104_containment_catches_what_jaccard_misses(spark, tmp_path):
+    """x104's reason to exist, PLANTED: an excerpt fully contained in a
+    much longer document (containment 1.0) whose Jaccard is ~0.17 —
+    invisible to x05's 0.5 resemblance threshold. The driver testdata
+    has only full-doc near-dups (containment ≈ jaccard there), so this
+    fixture is the asymmetric branch's real gate; oracle-compared
+    against DuckDB on the same planted parquet."""
+    from advent_of_code_flink_paimon_spark.operators.dedup import (
+        _SQL_CONTAINMENT,
+        x04_dedup_simhash,  # noqa: F401  (module import side effects)
+        x05_ngram_jaccard_join,
+        x104_containment_pairs,
+    )
+    from oracle_harness import compare
+
+    long_toks = " ".join(f"w{i}" for i in range(50))
+    excerpt = " ".join(f"w{i}" for i in range(10, 20))
+    other = " ".join(f"z{i}" for i in range(30))
+    rows = [
+        (1, long_toks, "en", "web", len(long_toks)),
+        (2, excerpt, "en", "crawl", len(excerpt)),
+        (3, other, "en", "web", len(other)),
+    ]
+    sf, con = _planted_docs_dir(spark, tmp_path, rows)
+
+    got = x104_containment_pairs(spark, sf).collect()
+    assert len(got) == 1, got
+    r = got[0]
+    # doc 2's 8 shingles are all inside doc 1's 48
+    assert (r.i, r.j, r.contained_doc) == (1, 2, 2), r
+    assert (r.shared, r.n_i, r.n_j) == (8, 48, 8), r
+    assert r.containment == 1.0, r
+
+    # the SAME planted pair is invisible to the symmetric metric:
+    # jaccard = 8 / (48 + 8 - 8) = 1/6 < 0.5
+    assert x05_ngram_jaccard_join(spark, sf).count() == 0
+
+    problems = compare(x104_containment_pairs(spark, sf), con, _SQL_CONTAINMENT)
+    assert not problems, problems
+
+
+def test_x105_mad_outlier_robustness(spark, tmp_path):
+    """x105's robustness claim, PLANTED: a single extreme value among
+    ten. The MAD card flags it (|1000 − 5.5| = 994.5 ≫ 3·1.4826·2.5 ≈
+    11.1) while the mean/stddev z-score it replaces would NOT (mean is
+    dragged to 104.5, σ ≈ 313, so 3σ ≈ 940 > 895.5) — the exact
+    breakdown mode the robust pair exists for. Oracle-compared against
+    DuckDB on the same planted parquet."""
+    import datetime
+    import os as _os
+
+    import duckdb as _duckdb
+
+    from advent_of_code_flink_paimon_spark.operators.temporal import (
+        _SQL_MAD_OUTLIERS,
+        x105_mad_outliers,
+    )
+    from oracle_harness import compare
+
+    t0 = datetime.datetime(2024, 1, 1)
+    vals = [float(v) for v in range(1, 10)] + [1000.0]
+    rows = [
+        (i, t0 + datetime.timedelta(minutes=i), 7, "a", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    sf = str(tmp_path / "sf-planted-events")
+    _os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        _os.path.join(sf, "events.parquet")
+    )
+    con = _duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{_os.path.join(sf, 'events.parquet', '*.parquet')}')"
+    )
+
+    got = x105_mad_outliers(spark, sf).collect()
+    assert len(got) == 1, got
+    r = got[0]
+    assert (r.event_type, r.n_events, r.n_outliers) == ("a", 10, 1), r
+    assert (r.med, r.mad, r.outlier_rate) == (5.5, 2.5, 0.1), r
+
+    # the mean/stddev z-score this card replaces misses the same value
+    import statistics
+
+    mu, sigma = statistics.mean(vals), statistics.stdev(vals)
+    assert abs(1000.0 - mu) < 3 * sigma
+
+    problems = compare(x105_mad_outliers(spark, sf), con, _SQL_MAD_OUTLIERS)
+    assert not problems, problems
