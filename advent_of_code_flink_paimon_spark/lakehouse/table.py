@@ -381,9 +381,7 @@ class Table:
         for sid, entries in doomed_entries.items():
             for e in entries:
                 if e["file_path"] not in referenced:
-                    p = os.path.join(self.paths.root, e["file_path"])
-                    if os.path.exists(p):
-                        os.unlink(p)
+                    _unlink_with_sidecar(os.path.join(self.paths.root, e["file_path"]))
             os.unlink(self.paths.manifest_path(sid))
             os.unlink(self.paths.snapshot_path(sid))
         # rolled-back snapshot ids WILL be re-issued by later commits —
@@ -699,6 +697,23 @@ class Table:
                     }
                 )
         shutil.rmtree(staging, ignore_errors=True)
+        # bloom-filter file index: sidecars are part of the write (a
+        # distributed pass over the just-moved files), so every path
+        # that creates data files — append, upsert, compaction,
+        # overwrite — indexes them before the commit publishes
+        bf_cols = _bloom_index_columns(self.options)
+        if bf_cols and entries:
+            fpp = float(
+                self.options.get("file-index.bloom-filter.fpp", _BFX_DEFAULT_FPP)
+            )
+            _build_bloom_sidecars(
+                df.sparkSession,
+                [os.path.join(self.paths.root, e["file_path"]) for e in entries],
+                bf_cols,
+                fpp,
+            )
+            for e in entries:
+                e["file_index"] = e["file_path"] + _BFX_SUFFIX
         return staging, entries
 
     def _commit(
@@ -744,9 +759,7 @@ class Table:
             # the loser's staged data files were never published; drop
             # them so the conflict leaves no orphans to GC
             for e in new_entries:
-                p = os.path.join(self.paths.root, e["file_path"])
-                if os.path.exists(p):
-                    os.unlink(p)
+                _unlink_with_sidecar(os.path.join(self.paths.root, e["file_path"]))
             raise CommitConflictError(f"{self.name}: {msg}")
 
         for _attempt in range(16):
@@ -1134,7 +1147,7 @@ class Table:
     def _live_files(self, snapshot_id: int | None = None, where: str | None = None) -> list[str]:
         entries = self.manifest(snapshot_id)
         if where:
-            entries = prune_entries(entries, where)
+            entries = prune_entries(entries, where, root=self.paths.root)
         return [os.path.join(self.paths.root, e["file_path"]) for e in entries]
 
     def _physical_name(self, name: str, at_version: int) -> str | None:
@@ -1218,7 +1231,7 @@ class Table:
     def _raw(self, spark: SparkSession, snapshot_id: int | None = None, where: str | None = None):
         entries = self.manifest(snapshot_id)
         if where:
-            entries = prune_entries(entries, where)
+            entries = prune_entries(entries, where, root=self.paths.root)
         return self._read_entries(spark, entries)
 
     @property
@@ -1726,7 +1739,7 @@ class Table:
                 return None
             return self.upsert(victims.withColumn("__op", F.lit("D")))
         expected = self.latest_snapshot_id()
-        affected_entries = prune_entries(self.manifest(), predicate)
+        affected_entries = prune_entries(self.manifest(), predicate, root=self.paths.root)
         if not affected_entries:
             return None
         affected = {e["file_path"] for e in affected_entries}
@@ -1786,7 +1799,7 @@ class Table:
                 updated = updated.withColumn(col, F.expr(expr).cast(fields[col].dataType))
             return self.upsert(updated)
         expected = self.latest_snapshot_id()
-        affected_entries = prune_entries(self.manifest(), predicate)
+        affected_entries = prune_entries(self.manifest(), predicate, root=self.paths.root)
         if not affected_entries:
             return None
         affected = {e["file_path"] for e in affected_entries}
@@ -1987,8 +2000,16 @@ class Table:
             ):
                 rel = os.path.relpath(f, self.paths.root)
                 if rel not in referenced and os.path.getmtime(f) * 1000 < cutoff:
-                    os.unlink(f)
+                    _unlink_with_sidecar(f)
                     removed.append(rel)
+        # bloom sidecars whose data file is gone (deleted by an older
+        # engine version, or the sidecar outlived a crash) are orphans
+        for f in glob.glob(
+            os.path.join(self.paths.root, *pdirs, "bucket-*", f"*{_BFX_SUFFIX}")
+        ):
+            if not os.path.exists(f[: -len(_BFX_SUFFIX)]) and os.path.getmtime(f) * 1000 < cutoff:
+                os.unlink(f)
+                removed.append(os.path.relpath(f, self.paths.root))
         # abandoned staging dirs are orphans too — both the data staging
         # at the root and changelog staging left by a crashed upsert
         # writer (its pending dir is renamed into place only post-commit)
@@ -2073,9 +2094,7 @@ class Table:
             seq = self.snapshot(sid)["sequence_number"]
             for e in expired_entries[sid]:
                 if e["file_path"] not in referenced:
-                    p = os.path.join(self.paths.root, e["file_path"])
-                    if os.path.exists(p):
-                        os.unlink(p)
+                    _unlink_with_sidecar(os.path.join(self.paths.root, e["file_path"]))
             os.unlink(self.paths.manifest_path(sid))
             os.unlink(self.paths.snapshot_path(sid))
             # expired commits' changelog rows expire with them (kept
@@ -2367,10 +2386,223 @@ def _jsonable(v):
     return v
 
 
-def prune_entries(entries: list[dict], where: str) -> list[dict]:
+# ---------------------------------------------------------------------------
+# Bloom-filter file index (Paimon's file-index.bloom-filter.* surface).
+#
+# min/max footer stats prune range predicates well ONLY when values are
+# clustered (sort-by / zorder); a point lookup on an unsorted
+# high-cardinality column — the PK-side probe of every enrichment and
+# upsert pre-image read — sees near-full-range stats in every file and
+# prunes nothing. Paimon's answer is a per-file bloom filter index;
+# this is that design:
+#
+# - WRITE: when the table option 'file-index.bloom-filter.columns' is
+#   set, every data file gets a sidecar `<file>.bfx` (JSON: per-column
+#   m/k/kind + base64 bits, sized from the file's row count and
+#   'file-index.bloom-filter.fpp', default 0.05). Sidecars are built
+#   DISTRIBUTED — a mapInPandas pass over the staged file list, each
+#   executor reading only ITS files' indexed columns — so the driver
+#   stays metadata-only no matter the commit size.
+# - READ: prune_entries(root=...) tests equality predicates against
+#   the sidecar of every file min/max could not eliminate; a definite
+#   bloom miss skips the file. Sidecars are immutable once written
+#   (same lifecycle as data files) and cached per (path, size, mtime).
+# - LIFECYCLE: sidecars ride their data file — unlinked together on
+#   rollback / snapshot expiry / commit abort, swept by
+#   remove_orphan_files when the data file is gone.
+#
+# Hashing: blake2b(canonical bytes) → Kirsch–Mitzenmacher double
+# hashing (h1 + i·h2 mod m). Canonical form is kind-tagged: numerics
+# (int/float/decimal/bool) pack as IEEE float64 — the prune-predicate
+# parser produces floats for numeric literals, so both sides round
+# identically and a miss is never false; strings hash utf-8. Columns
+# of any other type are not indexed (the pruner keeps the file).
+# NULLs are never inserted (an equality literal never matches NULL).
+# ---------------------------------------------------------------------------
+
+_BFX_SUFFIX = ".bfx"
+_BFX_DEFAULT_FPP = 0.05
+
+
+def _bloom_index_columns(options: dict) -> list[str]:
+    raw = (options or {}).get("file-index.bloom-filter.columns")
+    if not raw:
+        return []
+    return [c.strip() for c in str(raw).split(",") if c.strip()]
+
+
+def _bloom_canon(value, kind: str) -> bytes | None:
+    """Kind-tagged canonical bytes (see block comment); None = cannot
+    canonicalize under this column's kind → caller keeps the file."""
+    import struct as _struct
+
+    if kind == "num":
+        if isinstance(value, bool):
+            value = float(value)
+        if isinstance(value, (int, float)):
+            try:
+                return _struct.pack("<d", float(value))
+            except (OverflowError, ValueError):
+                return None
+        return None
+    if kind == "str" and isinstance(value, str):
+        return value.encode("utf-8")
+    return None
+
+
+def _bloom_positions(canon: bytes, m: int, k: int):
+    import hashlib as _hashlib
+
+    d = _hashlib.blake2b(canon, digest_size=16).digest()
+    h1 = int.from_bytes(d[:8], "little")
+    h2 = int.from_bytes(d[8:], "little") | 1
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def _bloom_params(n: int, fpp: float) -> tuple[int, int]:
+    """Optimal (m bits, k hashes) for n insertions at false-positive
+    rate fpp: m = -n·ln p / ln²2, k = (m/n)·ln 2."""
+    import math as _math
+
+    n = max(n, 1)
+    m = max(64, int(_math.ceil(-n * _math.log(fpp) / (_math.log(2) ** 2))))
+    k = max(1, round(m / n * _math.log(2)))
+    return m, k
+
+
+def _write_bloom_sidecar(file_path: str, cols: list[str], fpp: float) -> None:
+    """Build `<file_path>.bfx` for the indexed columns present in the
+    file's schema. Runs on EXECUTORS (one call per staged file inside
+    the mapInPandas pass) — reads only the indexed columns."""
+    import base64 as _base64
+
+    import pyarrow as _pa
+
+    if file_path.endswith(".orc"):
+        from pyarrow import orc as _orc
+
+        f = _orc.ORCFile(file_path)
+        schema = f.schema
+        present = [c for c in cols if c in schema.names]
+        tbl = f.read(columns=present) if present else None
+    else:
+        import pyarrow.parquet as _pq
+
+        f = _pq.ParquetFile(file_path)
+        schema = f.schema_arrow
+        present = [c for c in cols if c in schema.names]
+        tbl = f.read(columns=present) if present else None
+
+    doc: dict = {"fpp": fpp, "columns": {}}
+    for col in present:
+        typ = schema.field(col).type
+        if _pa.types.is_integer(typ) or _pa.types.is_floating(typ) or \
+                _pa.types.is_decimal(typ) or _pa.types.is_boolean(typ):
+            kind = "num"
+        elif _pa.types.is_string(typ) or _pa.types.is_large_string(typ):
+            kind = "str"
+        else:
+            continue  # unsupported type: column not indexed, file kept
+        vals = [v for v in tbl.column(col).to_pylist() if v is not None]
+        m, k = _bloom_params(len(vals), fpp)
+        bits = bytearray((m + 7) // 8)
+        for v in vals:
+            canon = _bloom_canon(float(v) if kind == "num" else v, kind)
+            if canon is None:
+                continue
+            for pos in _bloom_positions(canon, m, k):
+                bits[pos >> 3] |= 1 << (pos & 7)
+        doc["columns"][col] = {
+            "m": m,
+            "k": k,
+            "kind": kind,
+            "bits": _base64.b64encode(bytes(bits)).decode("ascii"),
+        }
+    atomic_write_json(file_path + _BFX_SUFFIX, doc)
+
+
+def _build_bloom_sidecars(spark, abs_paths: list[str], cols: list[str], fpp: float) -> None:
+    """Distributed sidecar build: executors each read their files'
+    indexed columns and write the sidecars; the driver ships only the
+    path list (metadata-sized)."""
+    if not abs_paths:
+        return
+    import pandas as _pd
+
+    def _build(batches):
+        for pdf in batches:
+            for p in pdf["path"]:
+                _write_bloom_sidecar(p, cols, fpp)
+            yield _pd.DataFrame({"path": pdf["path"]})
+
+    sdf = spark.createDataFrame([(p,) for p in abs_paths], "path string")
+    sdf.repartition(min(len(abs_paths), 64)).mapInPandas(_build, "path string").collect()
+
+
+_BFX_CACHE: dict[str, tuple[tuple[int, int], dict]] = {}
+
+
+def _read_bloom_sidecar(abs_path: str) -> dict | None:
+    """Sidecar JSON, cached by (size, mtime_ns) — sidecars are
+    immutable once written, but tmp-dir reuse across tests must not
+    serve stale bits."""
+    try:
+        st = os.stat(abs_path)
+    except OSError:
+        return None
+    key = (st.st_size, st.st_mtime_ns)
+    hit = _BFX_CACHE.get(abs_path)
+    if hit is not None and hit[0] == key:
+        return hit[1]
+    try:
+        doc = read_json(abs_path)
+    except (OSError, ValueError):
+        return None
+    if len(_BFX_CACHE) > 65536:
+        _BFX_CACHE.clear()
+    _BFX_CACHE[abs_path] = (key, doc)
+    return doc
+
+
+def _bloom_may_contain(entry: dict, root: str, col: str, value) -> bool:
+    """False ⇒ the file DEFINITELY lacks `col = value` (prunable).
+    Any missing/unreadable/mismatched piece ⇒ True (keep the file)."""
+    import base64 as _base64
+
+    rel = entry.get("file_index")
+    if not rel or root is None:
+        return True
+    doc = _read_bloom_sidecar(os.path.join(root, rel))
+    if doc is None:
+        return True
+    spec = (doc.get("columns") or {}).get(col)
+    if not spec:
+        return True
+    canon = _bloom_canon(value, spec["kind"])
+    if canon is None:
+        return True
+    bits = _base64.b64decode(spec["bits"])
+    for pos in _bloom_positions(canon, spec["m"], spec["k"]):
+        if not (bits[pos >> 3] >> (pos & 7)) & 1:
+            return False
+    return True
+
+
+def _unlink_with_sidecar(path: str) -> None:
+    """Remove a data file together with its bloom sidecar (if any)."""
+    if os.path.exists(path):
+        os.unlink(path)
+    sidecar = path + _BFX_SUFFIX
+    if os.path.exists(sidecar):
+        os.unlink(sidecar)
+
+
+def prune_entries(entries: list[dict], where: str, root: str | None = None) -> list[dict]:
     """File-level pruning for conjunctions of `col <op> literal`
     (op ∈ {=, <, <=, >, >=}). Anything unparseable keeps the file
-    (pruning is an optimization, never a filter)."""
+    (pruning is an optimization, never a filter). With ``root``,
+    equality predicates additionally consult each surviving file's
+    bloom sidecar (see the file-index block comment above)."""
     import re
 
     conds = []
@@ -2418,6 +2650,13 @@ def prune_entries(entries: list[dict], where: str) -> list[dict]:
                 return False
             if op == ">=" and mx < value:
                 return False
+        # min/max kept the file — a point predicate gets a second
+        # chance at pruning via the bloom sidecar (unsorted columns
+        # have near-full-range stats in every file)
+        if root is not None:
+            for col, op, value in conds:
+                if op in ("=", "==") and not _bloom_may_contain(entry, root, col, value):
+                    return False
         return True
 
     return [e for e in entries if keep(e)]

@@ -10,6 +10,7 @@ import pyspark.sql.functions as F
 import pytest
 
 from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+from advent_of_code_flink_paimon_spark.lakehouse.meta import now_millis
 from advent_of_code_flink_paimon_spark.lakehouse.table import prune_entries
 
 
@@ -2172,3 +2173,136 @@ def test_row_level_dml_emits_replayable_changelog(spark, catalog):
             elif r._change_type in ("+I", "+U"):
                 state[r.k] = r.v
     assert state == {r.k: r.v for r in t.read(spark).collect()}
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter file index (file-index.bloom-filter.columns)
+# ---------------------------------------------------------------------------
+
+def _interleaved(spark, residue, n=1000, modulus=4):
+    """1000 rows whose sensor_id ≡ residue (mod 4) over [0, 4000) —
+    every commit's min/max spans nearly the full range, so footer
+    stats CANNOT tell the files apart; only the bloom index can."""
+    return spark.range(n).select(
+        (F.col("id") * modulus + residue).alias("sensor_id"),
+        F.concat(F.lit("tag-"), (F.col("id") * modulus + residue)).alias("tag"),
+    )
+
+
+def test_bloom_file_index_point_prune(spark, catalog):
+    t = catalog.create_table(
+        "bf",
+        "sensor_id long, tag string",
+        {
+            "bucket": "1",
+            "file-index.bloom-filter.columns": "sensor_id,tag",
+            "file-index.bloom-filter.fpp": "0.01",
+        },
+    )
+    for r in range(4):
+        t.append(_interleaved(spark, r))
+    entries = t.manifest()
+    assert len(entries) == 4
+    assert all(e.get("file_index", "").endswith(".bfx") for e in entries)
+    for e in entries:
+        assert os.path.exists(os.path.join(t.paths.root, e["file_index"]))
+
+    # stats alone keep every file (interleaved ranges)
+    assert len(prune_entries(entries, "sensor_id = 1234")) == 4
+    # the bloom sidecar prunes to (almost) only the true file, which
+    # must ALWAYS survive — a bloom miss is never false
+    kept = prune_entries(entries, "sensor_id = 1234", root=t.paths.root)
+    assert 1 <= len(kept) <= 2, [e["file_path"] for e in kept]
+    true_file = {
+        e["file_path"] for e in entries
+        if t._read_entries(spark, [e]).filter("sensor_id = 1234").count() == 1
+    }
+    assert true_file <= {e["file_path"] for e in kept}
+
+    # string column: same behavior through the str canonical form
+    kept_s = prune_entries(entries, "tag = 'tag-1234'", root=t.paths.root)
+    assert 1 <= len(kept_s) <= 2
+    assert true_file <= {e["file_path"] for e in kept_s}
+
+    # absent value: every file prunable (deterministic hashing may
+    # leave a false positive, never more than the fpp-scale tail)
+    kept_a = prune_entries(entries, "sensor_id = 999999", root=t.paths.root)
+    assert len(kept_a) <= 1
+
+    # end-to-end read correctness is unchanged by pruning
+    got = t.read(spark, where="sensor_id = 1234").collect()
+    assert [(r.sensor_id, r.tag) for r in got] == [(1234, "tag-1234")]
+    # range predicates don't consult the bloom (and stay correct):
+    # 3996..3999 land one per interleaved commit
+    assert t.read(spark, where="sensor_id >= 3996").count() == 4
+
+
+def test_bloom_file_index_reaches_dml_and_compaction(spark, catalog):
+    t = catalog.create_table(
+        "bfd",
+        "sensor_id long, tag string",
+        {"bucket": "1", "file-index.bloom-filter.columns": "sensor_id",
+         "file-index.bloom-filter.fpp": "0.01"},
+    )
+    for r in range(4):
+        t.append(_interleaved(spark, r))
+    before = {e["file_path"] for e in t.manifest()}
+
+    # DELETE with a point predicate: copy-on-write must rewrite ONLY
+    # the bloom-identified file(s); the others keep their identity
+    t.delete_where(spark, "sensor_id = 1234")
+    after = {e["file_path"] for e in t.manifest()}
+    assert len(before & after) >= 2, (before, after)
+    assert t.read(spark).filter("sensor_id = 1234").count() == 0
+    assert t.read(spark).count() == 3999
+
+    # compaction rewrites still index their output files
+    t.compact()
+    entries = t.manifest()
+    assert all(e.get("file_index") for e in entries)
+    for e in entries:
+        assert os.path.exists(os.path.join(t.paths.root, e["file_index"]))
+
+
+def test_bloom_sidecar_lifecycle(spark, catalog):
+    import glob as _glob
+
+    t = catalog.create_table(
+        "bfl",
+        "sensor_id long, tag string",
+        {"bucket": "1", "file-index.bloom-filter.columns": "sensor_id"},
+    )
+    t.append(_interleaved(spark, 0))
+    sid1_files = {e["file_path"] for e in t.manifest()}
+    t.append(_interleaved(spark, 1))
+    new_files = {e["file_path"] for e in t.manifest()} - sid1_files
+
+    # rollback deletes the rolled-back data files AND their sidecars
+    t.rollback_to(1)
+    for fp in new_files:
+        assert not os.path.exists(os.path.join(t.paths.root, fp))
+        assert not os.path.exists(os.path.join(t.paths.root, fp + ".bfx"))
+    for fp in sid1_files:
+        assert os.path.exists(os.path.join(t.paths.root, fp + ".bfx"))
+
+    # a dangling sidecar (data file gone) is an orphan
+    bucket_dir = os.path.dirname(
+        os.path.join(t.paths.root, next(iter(sid1_files)))
+    )
+    dangling = os.path.join(bucket_dir, "deadbeef.parquet.bfx")
+    with open(dangling, "w") as fh:
+        fh.write("{}")
+    removed = t.remove_orphan_files(older_than_ms=now_millis() + 3_600_000)
+    assert not os.path.exists(dangling)
+    assert any(p.endswith("deadbeef.parquet.bfx") for p in removed)
+    # live sidecars survive the sweep
+    assert _glob.glob(os.path.join(bucket_dir, "*.bfx"))
+
+
+def test_bloom_index_off_by_default(spark, catalog):
+    t = catalog.create_table("nobf", "sensor_id long, tag string", {"bucket": "1"})
+    t.append(_interleaved(spark, 0))
+    entries = t.manifest()
+    assert all("file_index" not in e for e in entries)
+    import glob as _glob
+    assert not _glob.glob(os.path.join(t.paths.root, "**", "*.bfx"), recursive=True)
