@@ -427,6 +427,40 @@ class Catalog:
         (re-)registered."""
         import re
 
+        # Aggregate pushdown (Paimon/Iceberg metadata-count): a bare
+        # COUNT(*) over one append-only table — optionally filtered on
+        # partition columns — is answered from manifest record_count
+        # sums, no file scan. Table.metadata_count returns None for
+        # every case metadata cannot decide exactly (PK tables,
+        # non-partition predicates, unparseable shapes) and the
+        # statement falls through to the normal Catalyst path.
+        m_cnt = re.match(
+            r"(?is)^\s*SELECT\s+COUNT\(\s*\*\s*\)(?:\s+AS\s+(\w+))?"
+            r"\s+FROM\s+([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)"
+            r"\s*(?:WHERE\s+(?P<w>.+?))?\s*;?\s*$",
+            query,
+        )
+        if m_cnt:
+            alias, qual, wpred = m_cnt.group(1), m_cnt.group(2), m_cnt.group("w")
+            parts = qual.split(".")
+            try:
+                cat = (
+                    Catalog(self.warehouse, parts[-2])
+                    if len(parts) > 1 and parts[-2] != self.db
+                    else self
+                )
+                n = cat.get_table(parts[-1]).metadata_count(where=wpred)
+            except (KeyError, FileNotFoundError, ValueError):
+                n = None
+            if n is not None:
+                from pyspark.sql import functions as _F
+
+                # same result shape as the scanned plan (Spark names a
+                # bare COUNT(*) column 'count(1)')
+                return spark.range(1).select(
+                    _F.lit(n).cast("long").alias(alias or "count(1)")
+                )
+
         idents = set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", query))
         self.register_views(spark, only=idents)
         rewritten = re.sub(

@@ -1150,6 +1150,62 @@ class Table:
             entries = prune_entries(entries, where, root=self.paths.root)
         return [os.path.join(self.paths.root, e["file_path"]) for e in entries]
 
+    def metadata_count(self, where: str | None = None, snapshot_id: int | None = None) -> int | None:
+        """Answer ``SELECT COUNT(*)`` from manifest metadata alone —
+        the Paimon/Iceberg aggregate-pushdown optimization that turns
+        counting a 100 TB table into summing a few thousand manifest
+        integers instead of scanning every file.
+
+        Exact ONLY when metadata decides every row, so it returns None
+        (callers fall through to a data scan) unless BOTH hold:
+        - the table is append-only — a PK table's merge-on-read
+          collapses duplicate keys and applies '__op' retractions, so
+          per-file record_count sums over-count;
+        - the predicate (if any) is a conjunction of simple conds on
+          PARTITION columns only — a file's partition value decides
+          all of its rows at once; any other column would need the
+          rows themselves.
+        Row-level DML on append tables keeps this exact: DELETE/UPDATE
+        are copy-on-write rewrites, so the live manifest always counts
+        exactly the surviving rows."""
+        if self.primary_key:
+            return None
+        entries = self.manifest(snapshot_id)
+        if where is None:
+            return sum(e["record_count"] for e in entries)
+        conds = parse_simple_conds(where)
+        if conds is None or not all(c[0] in self.partition_keys for c in conds):
+            return None
+        total = 0
+        for e in entries:
+            keep = True
+            for col, op, value in conds:
+                pval = (e.get("partition") or {}).get(col)
+                if pval is None:
+                    return None  # metadata incomplete — never guess
+                if isinstance(value, float):
+                    try:
+                        p: object = float(pval)
+                    except (TypeError, ValueError):
+                        return None
+                else:
+                    p = str(pval)
+                if op in ("=", "=="):
+                    keep = p == value
+                elif op == "<":
+                    keep = p < value
+                elif op == "<=":
+                    keep = p <= value
+                elif op == ">":
+                    keep = p > value
+                elif op == ">=":
+                    keep = p >= value
+                if not keep:
+                    break
+            if keep:
+                total += e["record_count"]
+        return total
+
     def _physical_name(self, name: str, at_version: int) -> str | None:
         """Walk RENAME COLUMN history backwards: the physical (on-file)
         name a current column had when schema ``at_version`` was live —
@@ -2597,22 +2653,34 @@ def _unlink_with_sidecar(path: str) -> None:
         os.unlink(sidecar)
 
 
+def parse_simple_conds(where: str) -> list[tuple[str, str, object]] | None:
+    """Parse a conjunction of `col <op> literal` conds (op ∈ {=, <,
+    <=, >, >=}; literal = 'string' or number). None = unsupported
+    shape — callers treat that as "cannot reason about the predicate"
+    (pruners keep everything, metadata answers fall through to a
+    scan)."""
+    import re
+
+    conds: list[tuple[str, str, object]] = []
+    for part in re.split(r"(?i)\s+and\s+", where.strip()):
+        m = re.match(r"^\s*(\w+)\s*(<=|>=|=|==|<|>)\s*('([^']*)'|[-0-9.eE]+)\s*$", part)
+        if not m:
+            return None
+        col, op, lit_raw, lit_str = m.groups()
+        value = lit_str if lit_str is not None else float(lit_raw)
+        conds.append((col, op, value))
+    return conds
+
+
 def prune_entries(entries: list[dict], where: str, root: str | None = None) -> list[dict]:
     """File-level pruning for conjunctions of `col <op> literal`
     (op ∈ {=, <, <=, >, >=}). Anything unparseable keeps the file
     (pruning is an optimization, never a filter). With ``root``,
     equality predicates additionally consult each surviving file's
     bloom sidecar (see the file-index block comment above)."""
-    import re
-
-    conds = []
-    for part in re.split(r"(?i)\s+and\s+", where.strip()):
-        m = re.match(r"^\s*(\w+)\s*(<=|>=|=|==|<|>)\s*('([^']*)'|[-0-9.eE]+)\s*$", part)
-        if not m:
-            return entries  # unsupported shape → no pruning
-        col, op, lit_raw, lit_str = m.groups()
-        value = lit_str if lit_str is not None else float(lit_raw)
-        conds.append((col, op, value))
+    conds = parse_simple_conds(where)
+    if conds is None:
+        return entries  # unsupported shape → no pruning
 
     def keep(entry: dict) -> bool:
         for col, op, value in conds:

@@ -2306,3 +2306,63 @@ def test_bloom_index_off_by_default(spark, catalog):
     assert all("file_index" not in e for e in entries)
     import glob as _glob
     assert not _glob.glob(os.path.join(t.paths.root, "**", "*.bfx"), recursive=True)
+
+
+# ---------------------------------------------------------------------------
+# Metadata-only COUNT(*) (aggregate pushdown from manifest record_count)
+# ---------------------------------------------------------------------------
+
+def test_metadata_count_answers_without_scanning(spark, catalog):
+    import shutil as _shutil
+
+    t = catalog.create_table(
+        "mc", "k long, day string, v string",
+        {"bucket": "1", "partition-by": "day"},
+    )
+    for day in ("d1", "d2"):
+        t.append(spark.range(100).select(
+            F.col("id").alias("k"), F.lit(day).alias("day"),
+            F.lit("x").alias("v")))
+
+    # parity with the scanned plan first (name AND value)
+    df = catalog.sql(spark, "SELECT COUNT(*) FROM mc")
+    assert df.columns == ["count(1)"]
+    assert df.collect()[0][0] == 200
+    assert catalog.sql(spark, "SELECT COUNT(*) AS n FROM mc").collect()[0].n == 200
+    # partition predicate: decided entirely by manifest metadata
+    assert catalog.sql(
+        spark, "SELECT COUNT(*) AS n FROM mc WHERE day = 'd1'"
+    ).collect()[0].n == 100
+
+    # the PROOF it never touches data: remove the data files; the
+    # metadata answer still works, while a predicate on a
+    # non-partition column (which must scan) now cannot
+    for d in os.listdir(t.paths.root):
+        if d.startswith("day="):
+            _shutil.rmtree(os.path.join(t.paths.root, d))
+    assert catalog.sql(spark, "SELECT COUNT(*) AS n FROM mc").collect()[0].n == 200
+    assert t.metadata_count(where="k < 10") is None  # non-partition col
+
+
+def test_metadata_count_stays_exact_through_dml(spark, catalog):
+    t = catalog.create_table("mcd", "k long, v string", {"bucket": "1"})
+    t.append(spark.range(500).select(F.col("id").alias("k"), F.lit("a").alias("v")))
+    t.delete_where(spark, "k < 100")
+    # append-table DELETE is copy-on-write: the live manifest counts
+    # exactly the surviving rows
+    assert t.metadata_count() == 400
+    assert catalog.sql(spark, "SELECT COUNT(*) AS n FROM mcd").collect()[0].n == 400
+
+
+def test_metadata_count_refuses_pk_tables(spark, catalog):
+    t = catalog.create_table(
+        "mcpk", "k long, v string",
+        {"bucket": "1", "primary-key": "k"},
+    )
+    df = spark.range(100).select(F.pmod(F.col("id"), F.lit(10)).alias("k"),
+                                 F.col("id").cast("string").alias("v"))
+    t.upsert(df)
+    t.upsert(df)  # duplicate keys across commits: record_count sums lie
+    assert t.metadata_count() is None
+    # the SQL path falls through to the merged read and stays correct
+    assert catalog.sql(spark, "SELECT COUNT(*) AS n FROM mcpk").collect()[0].n == 10
