@@ -1798,12 +1798,34 @@ class Table:
         affected_entries = prune_entries(self.manifest(), predicate, root=self.paths.root)
         if not affected_entries:
             return None
+        # file-level metadata delete: a file the predicate provably
+        # covers in full (partition value / all-rows-in-range numeric
+        # stats, see entry_fully_covered) is DROPPED from the manifest
+        # — no read, no rewrite. Dropping a whole partition of a
+        # 100 TB table is a metadata commit; only boundary-straddling
+        # files pay the copy-on-write.
+        conds = parse_simple_conds(predicate)
+        pkeys = self.partition_keys
+        rewrite_entries = (
+            affected_entries
+            if conds is None
+            else [e for e in affected_entries if not entry_fully_covered(e, conds, pkeys)]
+        )
         affected = {e["file_path"] for e in affected_entries}
-        # evolution-aware read: rewriting old files with the CURRENT
-        # schema by name would null-fill renamed columns and persist the
-        # loss (the rewritten files get stamped schema_id=current)
-        survivors = self._read_entries(spark, affected_entries).filter(f"NOT ({predicate})")
-        _, entries = self._stage_write(survivors)
+        if rewrite_entries:
+            # evolution-aware read: rewriting old files with the CURRENT
+            # schema by name would null-fill renamed columns and persist
+            # the loss (the rewritten files get stamped schema_id=current).
+            # IS NOT TRUE, not NOT(...): DELETE removes rows where the
+            # predicate is TRUE — a NULL predicate (e.g. `k < 600` on a
+            # NULL k) must SURVIVE, and NOT(NULL) is NULL, which a plain
+            # filter would silently drop
+            survivors = self._read_entries(spark, rewrite_entries).filter(
+                f"({predicate}) IS NOT TRUE"
+            )
+            _, entries = self._stage_write(survivors)
+        else:
+            entries = []
         return self._commit(
             entries, "OVERWRITE", replaced=affected, expected_latest=expected
         )
@@ -2423,14 +2445,25 @@ def _footer_stats(meta) -> dict:
                     mn, mx = mn.decode(), mx.decode()
                 except UnicodeDecodeError:
                     continue
+            try:
+                nulls = st.null_count if st.has_null_count else None
+            except Exception:
+                nulls = None
             cur = stats.get(name)
             if cur is None:
-                stats[name] = {"min": mn, "max": mx}
+                stats[name] = {"min": mn, "max": mx, "nulls": nulls}
             else:
                 cur["min"] = min(cur["min"], mn)
                 cur["max"] = max(cur["max"], mx)
+                # per-file null count only if every row group reports one
+                cur["nulls"] = (
+                    cur["nulls"] + nulls
+                    if cur["nulls"] is not None and nulls is not None
+                    else None
+                )
     return {
-        k: {"min": _jsonable(v["min"]), "max": _jsonable(v["max"])} for k, v in stats.items()
+        k: {"min": _jsonable(v["min"]), "max": _jsonable(v["max"]), "nulls": v["nulls"]}
+        for k, v in stats.items()
     }
 
 
@@ -2670,6 +2703,67 @@ def parse_simple_conds(where: str) -> list[tuple[str, str, object]] | None:
         value = lit_str if lit_str is not None else float(lit_raw)
         conds.append((col, op, value))
     return conds
+
+
+def entry_fully_covered(entry: dict, conds: list[tuple[str, str, object]], partition_keys: list[str]) -> bool:
+    """True ⇒ the predicate is TRUE for EVERY row of the file, decided
+    by metadata alone — the file-level DELETE fast path (Iceberg
+    metadata delete / Paimon drop-partition semantics). Decidable two
+    ways, both conservative:
+    - a PARTITION column: its value is constant (and non-null) across
+      the file, so the cond evaluates exactly;
+    - a numeric column whose footer min/max lie entirely inside the
+      predicate range AND whose recorded null_count is 0 (stats ignore
+      NULLs, and a NULL row must SURVIVE a delete — predicate unknown);
+      strings are excluded (parquet string stats may be truncated).
+    Any undecidable cond ⇒ False (the file is rewritten, never
+    metadata-dropped)."""
+    for col, op, value in conds:
+        pval = (entry.get("partition") or {}).get(col)
+        if pval is not None:
+            if isinstance(value, float):
+                try:
+                    p: object = float(pval)
+                except (TypeError, ValueError):
+                    return False
+            else:
+                p = str(pval)
+            if op in ("=", "=="):
+                ok = p == value
+            elif op == "<":
+                ok = p < value
+            elif op == "<=":
+                ok = p <= value
+            elif op == ">":
+                ok = p > value
+            else:
+                ok = p >= value
+            if not ok:
+                return False
+            continue
+        st = (entry.get("stats") or {}).get(col)
+        if (
+            st is None
+            or st.get("nulls") != 0
+            or not isinstance(value, float)
+            or not isinstance(st["min"], (int, float))
+            or not isinstance(st["max"], (int, float))
+        ):
+            return False
+        mn, mx = st["min"], st["max"]
+        if op in ("=", "=="):
+            ok = mn == value and mx == value
+        elif op == "<":
+            ok = mx < value
+        elif op == "<=":
+            ok = mx <= value
+        elif op == ">":
+            ok = mn > value
+        else:
+            ok = mn >= value
+        if not ok:
+            return False
+    return True
 
 
 def prune_entries(entries: list[dict], where: str, root: str | None = None) -> list[dict]:

@@ -2366,3 +2366,68 @@ def test_metadata_count_refuses_pk_tables(spark, catalog):
     assert t.metadata_count() is None
     # the SQL path falls through to the merged read and stays correct
     assert catalog.sql(spark, "SELECT COUNT(*) AS n FROM mcpk").collect()[0].n == 10
+
+
+# ---------------------------------------------------------------------------
+# File-level metadata DELETE (drop fully-covered files without rewrite)
+# ---------------------------------------------------------------------------
+
+def test_metadata_delete_drops_whole_partition_without_rewrite(spark, catalog):
+    t = catalog.create_table(
+        "md", "k long, day string",
+        {"bucket": "1", "partition-by": "day"},
+    )
+    for day in ("d1", "d2", "d3"):
+        t.append(spark.range(100).select(F.col("id").alias("k"), F.lit(day).alias("day")))
+    before = {e["file_path"] for e in t.manifest()}
+    old_sid = t.latest_snapshot_id()
+
+    t.delete_where(spark, "day = 'd1'")
+    after = {e["file_path"] for e in t.manifest()}
+    # metadata-only: live set is a strict SUBSET of the old one — no
+    # file was written, the covered file was dropped from the manifest
+    assert after < before and len(after) == 2, (before, after)
+    assert t.read(spark).count() == 200
+    assert t.read(spark).filter("day = 'd1'").count() == 0
+    # time travel still sees the dropped partition
+    assert t.read(spark, snapshot_id=old_sid).count() == 300
+
+
+def test_metadata_delete_numeric_stats_coverage_and_straddle(spark, catalog):
+    t = catalog.create_table("mds", "k long, v string", {"bucket": "1"})
+    for lo in (0, 1000, 2000):
+        t.append(spark.range(lo, lo + 500).select(
+            F.col("id").alias("k"), F.lit("x").alias("v")))
+    before = {e["file_path"] for e in t.manifest()}
+
+    # fully covered by footer min/max ([0,499] < 600): dropped, no write
+    t.delete_where(spark, "k < 600")
+    after1 = {e["file_path"] for e in t.manifest()}
+    assert after1 < before and len(after1) == 2
+    assert t.read(spark).count() == 1000
+
+    # straddling predicate: [1000,1499] is only half-covered → that one
+    # file is rewritten; [2000,2499] must keep its identity
+    t.delete_where(spark, "k < 1200")
+    after2 = {e["file_path"] for e in t.manifest()}
+    assert len(after2) == 2
+    assert len(after2 & after1) == 1  # the untouched high file
+    assert t.read(spark).count() == 800
+    assert t.read(spark).agg(F.min("k")).collect()[0][0] == 1200
+
+
+def test_metadata_delete_never_drops_null_rows(spark, catalog):
+    t = catalog.create_table("mdn", "k long, v string", {"bucket": "1"})
+    rows = spark.range(500).select(F.col("id").alias("k"), F.lit("x").alias("v"))
+    nulls = spark.range(3).select(F.lit(None).cast("long").alias("k"), F.lit("n").alias("v"))
+    t.append(rows.unionAll(nulls))
+    before = {e["file_path"] for e in t.manifest()}
+
+    # min/max ([0,499]) lies fully under 600, but the file has NULL k
+    # rows whose predicate is unknown — they must SURVIVE, so the file
+    # is rewritten, never metadata-dropped
+    t.delete_where(spark, "k < 600")
+    after = {e["file_path"] for e in t.manifest()}
+    assert not (after <= before)  # a rewrite happened
+    got = t.read(spark).collect()
+    assert len(got) == 3 and all(r.k is None and r.v == "n" for r in got)
