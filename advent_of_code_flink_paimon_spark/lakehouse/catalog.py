@@ -427,21 +427,24 @@ class Catalog:
         (re-)registered."""
         import re
 
-        # Aggregate pushdown (Paimon/Iceberg metadata-count): a bare
-        # COUNT(*) over one append-only table — optionally filtered on
-        # partition columns — is answered from manifest record_count
-        # sums, no file scan. Table.metadata_count returns None for
+        # Aggregate pushdown (Paimon/Iceberg metadata aggregates): a
+        # bare COUNT(*) / MIN(col) / MAX(col) over one append-only
+        # table — optionally filtered on partition columns — is
+        # answered from manifest metadata (record_count sums / footer
+        # stats), no file scan. The Table methods return None for
         # every case metadata cannot decide exactly (PK tables,
-        # non-partition predicates, unparseable shapes) and the
-        # statement falls through to the normal Catalyst path.
-        m_cnt = re.match(
-            r"(?is)^\s*SELECT\s+COUNT\(\s*\*\s*\)(?:\s+AS\s+(\w+))?"
-            r"\s+FROM\s+([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)"
+        # non-partition predicates, string stats, unparseable shapes)
+        # and the statement falls through to the normal Catalyst path.
+        m_agg = re.match(
+            r"(?is)^\s*SELECT\s+(?:COUNT\(\s*\*\s*\)|(?P<f>MIN|MAX)\(\s*(?P<c>\w+)\s*\))"
+            r"(?:\s+AS\s+(?P<a>\w+))?"
+            r"\s+FROM\s+(?P<t>[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)"
             r"\s*(?:WHERE\s+(?P<w>.+?))?\s*;?\s*$",
             query,
         )
-        if m_cnt:
-            alias, qual, wpred = m_cnt.group(1), m_cnt.group(2), m_cnt.group("w")
+        if m_agg:
+            alias, qual, wpred = m_agg.group("a"), m_agg.group("t"), m_agg.group("w")
+            func, coln = m_agg.group("f"), m_agg.group("c")
             parts = qual.split(".")
             try:
                 cat = (
@@ -449,16 +452,30 @@ class Catalog:
                     if len(parts) > 1 and parts[-2] != self.db
                     else self
                 )
-                n = cat.get_table(parts[-1]).metadata_count(where=wpred)
+                t = cat.get_table(parts[-1])
+                if func is None:
+                    n = t.metadata_count(where=wpred)
+                    answer = None if n is None else (n, "long", f"count(1)")
+                else:
+                    mm = t.metadata_min_max(func.lower(), coln, where=wpred)
+                    if mm is None:
+                        answer = None
+                    else:
+                        ftype = next(
+                            (f.dataType.simpleString() for f in t.schema.fields
+                             if f.name == coln), "double",
+                        )
+                        answer = (mm[1], ftype, f"{func.lower()}({coln})")
             except (KeyError, FileNotFoundError, ValueError):
-                n = None
-            if n is not None:
+                answer = None
+            if answer is not None:
                 from pyspark.sql import functions as _F
 
-                # same result shape as the scanned plan (Spark names a
-                # bare COUNT(*) column 'count(1)')
+                val, typ, default_name = answer
+                # same result shape as the scanned plan (Spark names
+                # bare aggregates 'count(1)' / 'min(col)' / 'max(col)')
                 return spark.range(1).select(
-                    _F.lit(n).cast("long").alias(alias or "count(1)")
+                    _F.lit(val).cast(typ).alias(alias or default_name)
                 )
 
         idents = set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", query))

@@ -1206,6 +1206,45 @@ class Table:
                 total += e["record_count"]
         return total
 
+    def metadata_min_max(
+        self, func: str, col: str, where: str | None = None, snapshot_id: int | None = None
+    ) -> tuple[bool, object] | None:
+        """Answer ``SELECT MIN(col)`` / ``MAX(col)`` from footer stats
+        alone (the companion of :meth:`metadata_count`). Returns
+        ``(True, value)`` when metadata decides exactly, None when it
+        cannot (callers fall through to a scan). Exact-or-refuse:
+
+        - append-only tables only (a PK table's merge-on-read hides
+          overwritten rows whose values still sit in the stats);
+        - NUMERIC stats only — parquet string min/max may be truncated;
+        - every live file must carry stats for the column (a file of
+          all NULLs has none — conservative refusal, though MIN/MAX
+          ignore NULLs, because 'absent stats' is indistinguishable
+          from 'stats not collected');
+        - a predicate must be partition-only conds selecting files
+          EXACTLY (same rule as metadata_count).
+        An empty selection answers SQL's empty-aggregate NULL:
+        ``(True, None)``."""
+        if self.primary_key or func not in ("min", "max"):
+            return None
+        entries = self.manifest(snapshot_id)
+        if where is not None:
+            conds = parse_simple_conds(where)
+            if conds is None or not all(c[0] in self.partition_keys for c in conds):
+                return None
+            entries = [
+                e for e in entries if entry_fully_covered(e, conds, self.partition_keys)
+            ]
+        if not entries:
+            return (True, None)
+        vals = []
+        for e in entries:
+            st = (e.get("stats") or {}).get(col)
+            if st is None or not isinstance(st.get(func), (int, float)) or isinstance(st.get(func), bool):
+                return None
+            vals.append(st[func])
+        return (True, min(vals) if func == "min" else max(vals))
+
     def _physical_name(self, name: str, at_version: int) -> str | None:
         """Walk RENAME COLUMN history backwards: the physical (on-file)
         name a current column had when schema ``at_version`` was live —

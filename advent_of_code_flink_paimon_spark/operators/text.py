@@ -2734,3 +2734,194 @@ def x99_tokenizer_fertility(spark, sf_dir):
 # round 13 promotes it into the driver registry per VERDICT r12 ask #1
 # — it takes one of the two slots freed by demoting q35/x42 (classes
 # that stay driver-evidenced by q36/q37/q47 and x43/x44/x48/x59/x73).
+
+
+# ---------------------------------------------------------------------------
+# x106: hard-negative mining for retrieval training (DPR, Karpukhin et
+# al. 2020; Contriever, Izacard et al. 2021 — both train on negatives
+# that are lexically CLOSE but not duplicates). For every query
+# document (a deterministic 1/97 sample), rank the corpus by sparse
+# TF-IDF cosine (x76's Bayardo candidate rule + full verify) and keep
+# the top-K candidates that are NOT near-duplicates of the query
+# (x05's exhaustive 3-shingle Jaccard ≥ 0.5 relation is the positive
+# set to exclude) — high-similarity non-dups are exactly the hard
+# negatives a contrastive trainer wants.
+# ---------------------------------------------------------------------------
+
+_HN_MOD = 97      # query sample: doc_id % 97 == 0
+_HN_TOPK = 3
+_HN_PROBE = 5     # per-query prefix filter: its 5 rarest terms
+_HN_POSTCAP = 20  # impact-ordered posting truncation per probe term
+
+from advent_of_code_flink_paimon_spark.operators.dedup import (  # noqa: E402
+    _SQL_EXHAUSTIVE_JACCARD as _SQL_HN_DUPS,
+)
+
+_SQL_HARD_NEGATIVES = f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tok),
+w AS (
+  SELECT tf.doc_id, tf.term, tf.tf * ln(n.n_docs * 1.0 / df.df) AS w
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+norms AS (SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM w GROUP BY doc_id),
+qprobe AS (
+  SELECT doc_id AS query_id, term FROM (
+    SELECT tf.doc_id, tf.term,
+           ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                              ORDER BY df.df, tf.term) AS pr
+    FROM tf JOIN df USING (term)
+    WHERE tf.doc_id % {_HN_MOD} = 0
+  ) WHERE pr <= {_HN_PROBE}
+),
+posting AS (
+  SELECT term, doc_id FROM (
+    SELECT w.term, w.doc_id,
+           ROW_NUMBER() OVER (PARTITION BY w.term
+                              ORDER BY w.w DESC, w.doc_id) AS ir
+    FROM w WHERE w.term IN (SELECT term FROM qprobe)
+  ) WHERE ir <= {_HN_POSTCAP}
+),
+cand AS (
+  SELECT q.query_id, c.doc_id AS neg_id
+  FROM qprobe q
+  JOIN posting c ON q.term = c.term AND q.query_id <> c.doc_id
+  GROUP BY 1, 2
+),
+dots AS (
+  SELECT c.query_id, c.neg_id, SUM(wq.w * wc.w) AS dot
+  FROM cand c
+  JOIN w wq ON wq.doc_id = c.query_id
+  JOIN w wc ON wc.doc_id = c.neg_id AND wc.term = wq.term
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.query_id, d.neg_id, ROUND(d.dot / (nq.nrm * nc.nrm), 4) AS cosine
+  FROM dots d
+  JOIN norms nq ON nq.doc_id = d.query_id
+  JOIN norms nc ON nc.doc_id = d.neg_id
+),
+dups AS ({_SQL_HN_DUPS}),
+negs AS (
+  SELECT s.* FROM scored s
+  LEFT JOIN dups p
+    ON p.i = LEAST(s.query_id, s.neg_id) AND p.j = GREATEST(s.query_id, s.neg_id)
+  WHERE p.i IS NULL
+),
+ranked AS (
+  SELECT query_id, neg_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neg_id) AS rnk
+  FROM negs
+)
+SELECT query_id, rnk, neg_id, cosine FROM ranked WHERE rnk <= {_HN_TOPK}
+"""
+
+
+@query("x106_hard_negatives", oracle=_SQL_HARD_NEGATIVES)
+def x106_hard_negatives(spark, sf_dir):
+    """Top-K hard negatives per query document (see block comment).
+
+    Scale shape — two-stage retrieval, both stages bounded:
+    - generate: each query probes with its 5 RAREST terms (per-query
+      prefix filter), against IMPACT-ORDERED TRUNCATED postings — each
+      probe term's posting keeps only its top-20 docs by tf·idf weight
+      (Anh & Moffat impact ordering, the WAND family's candidate rule).
+      The truncation window processes each distinct probe term's
+      posting ONCE (≤ vocabulary partitions), so generation is linear
+      in the corpus and candidates are ≤ 5·20 per query. This bound is
+      load-bearing, by measurement: the uncapped unigram probe's first
+      BENCH_scale row measured 17× at 5× rows (posting length ∝ corpus
+      on a bounded vocabulary ⇒ secretly quadratic) and
+      tests/test_bench_coverage.py failed the build — the structural
+      gate doing exactly its job.
+    - verify: full TF-IDF cosine over candidate weight rows; positive
+      exclusion is ONE anti-join against the x05 near-dup relation;
+      per-query top-K is a bounded window.
+    Determinism at every cut: the probe set orders by (df, term), the
+    posting truncation by (w DESC, doc_id) — w values are identical
+    doubles on both engines (integer tf × ln of an integer ratio) —
+    and the final rank by the 4-dp-rounded cosine with neg_id ties."""
+    from advent_of_code_flink_paimon_spark.operators.dedup import (
+        x05_ngram_jaccard_join,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens()).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = tok.agg(F.countDistinct("doc_id").cast("long").alias("n_docs"))
+    tfdf = pin(tf.join(F.broadcast(df), "term"))  # feeds w + probe cut
+    w = tfdf.crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "term",
+        (F.col("tf") * F.log(F.col("n_docs") * F.lit(1.0) / F.col("df"))).alias("w"),
+    )
+    w = pin(w)  # feeds norms, postings + both verify sides — compute once
+    norms = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    probe_win = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("term").asc())
+    qprobe = (
+        tfdf.filter(F.col("doc_id") % _HN_MOD == 0)
+        .withColumn("pr", F.row_number().over(probe_win))
+        .filter(F.col("pr") <= _HN_PROBE)
+        .select(F.col("doc_id").alias("query_id"), "term")
+    )
+    impact_win = Window.partitionBy("term").orderBy(F.col("w").desc(), F.col("doc_id").asc())
+    posting = (
+        w.join(qprobe.select("term").distinct(), "term", "semi")
+        .withColumn("ir", F.row_number().over(impact_win))
+        .filter(F.col("ir") <= _HN_POSTCAP)
+        .select("term", "doc_id")
+    )
+    cand = (
+        qprobe.join(
+            posting.alias("c"),
+            (qprobe["term"] == F.col("c.term"))
+            & (qprobe["query_id"] != F.col("c.doc_id")),
+        )
+        .select("query_id", F.col("c.doc_id").alias("neg_id"))
+        .distinct()
+    )
+    wq = w.select(F.col("doc_id").alias("query_id"), "term", F.col("w").alias("wq"))
+    wc = w.select(F.col("doc_id").alias("neg_id"), "term", F.col("w").alias("wc"))
+    dots = (
+        cand.join(wq, "query_id")
+        .join(wc, ["neg_id", "term"])
+        .groupBy("query_id", "neg_id")
+        .agg(F.sum(F.col("wq") * F.col("wc")).alias("dot"))
+    )
+    scored = (
+        dots.join(norms.select(F.col("doc_id").alias("query_id"), F.col("nrm").alias("nq")), "query_id")
+        .join(norms.select(F.col("doc_id").alias("neg_id"), F.col("nrm").alias("nc")), "neg_id")
+        .select(
+            "query_id",
+            "neg_id",
+            F.round(F.col("dot") / (F.col("nq") * F.col("nc")), 4).alias("cosine"),
+        )
+    )
+    dups = x05_ngram_jaccard_join(spark, sf_dir).select("i", "j")
+    negs = scored.join(
+        dups,
+        (F.least("query_id", "neg_id") == F.col("i"))
+        & (F.greatest("query_id", "neg_id") == F.col("j")),
+        "left_anti",
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neg_id").asc()
+    )
+    return (
+        negs.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= _HN_TOPK)
+        .select("query_id", "rnk", "neg_id", "cosine")
+    )
+
+
+# Registry is at cap (100); x106 ships library-gated like
+# x101/x103/x104/x105 — full-oracled by the strict local harness at
+# every run, registry-eligible at the round-14 rotation.
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote106  # noqa: E402
+
+_demote106("x106_hard_negatives")
+del _demote106

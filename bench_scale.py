@@ -107,8 +107,10 @@ QUERIES = ["x07_dup_clusters", "x13_semantic_dedup", "x03_dedup_minhash_lsh",
            # round-13 continuation: new library cards get their rows at
            # creation time (the ask-#2 policy) — x104 shares x05's
            # inverted-index shingle join shape, x105 is two grouped
-           # exact-percentile passes over events
-           "x104_containment_pairs", "x105_mad_outliers"]
+           # exact-percentile passes over events, x106 composes the
+           # query-sided prefix-filter probe with x05's pair relation
+           "x104_containment_pairs", "x105_mad_outliers",
+           "x106_hard_negatives"]
 REPEATS = 3
 
 

@@ -2431,3 +2431,44 @@ def test_metadata_delete_never_drops_null_rows(spark, catalog):
     assert not (after <= before)  # a rewrite happened
     got = t.read(spark).collect()
     assert len(got) == 3 and all(r.k is None and r.v == "n" for r in got)
+
+
+def test_metadata_min_max_pushdown(spark, catalog):
+    import shutil as _shutil
+
+    t = catalog.create_table(
+        "mmx", "k long, day string",
+        {"bucket": "1", "partition-by": "day"},
+    )
+    t.append(spark.range(100, 200).select(F.col("id").alias("k"), F.lit("d1").alias("day")))
+    t.append(spark.range(500, 600).select(F.col("id").alias("k"), F.lit("d2").alias("day")))
+
+    df = catalog.sql(spark, "SELECT MIN(k) FROM mmx")
+    assert df.columns == ["min(k)"] and df.collect()[0][0] == 100
+    assert catalog.sql(spark, "SELECT MAX(k) AS m FROM mmx").collect()[0].m == 599
+    # partition-filtered: exact file selection through partition values
+    assert catalog.sql(
+        spark, "SELECT MAX(k) AS m FROM mmx WHERE day = 'd1'"
+    ).collect()[0].m == 199
+
+    # metadata-only proof: remove the data, the stats still answer
+    for d in os.listdir(t.paths.root):
+        if d.startswith("day="):
+            _shutil.rmtree(os.path.join(t.paths.root, d))
+    assert catalog.sql(spark, "SELECT MIN(k) AS m FROM mmx").collect()[0].m == 100
+
+    # refusals: string stats (may be truncated) and non-partition preds
+    assert t.metadata_min_max("min", "day") is None
+    assert t.metadata_min_max("min", "k", where="k > 10") is None
+
+
+def test_metadata_min_max_refuses_pk_tables(spark, catalog):
+    t = catalog.create_table(
+        "mmxpk", "k long, v long", {"bucket": "1", "primary-key": "k"})
+    t.upsert(spark.range(10).select(F.col("id").alias("k"), (F.col("id") * 100).alias("v")))
+    t.upsert(spark.range(10).select(F.col("id").alias("k"), F.lit(5).cast("long").alias("v")))
+    # stats still contain the overwritten v=900 image — metadata must refuse
+    assert t.metadata_min_max("max", "v") is None
+    # and the SQL path falls through to the merged read: every key's
+    # live image has v=5
+    assert catalog.sql(spark, "SELECT MAX(v) AS m FROM mmxpk").collect()[0].m == 5
