@@ -417,6 +417,7 @@ class Catalog:
             t.consumers_table(spark).createOrReplaceTempView(f"{name}__consumers")
             t.options_table(spark).createOrReplaceTempView(f"{name}__options")
             t.audit_log_table(spark).createOrReplaceTempView(f"{name}__audit_log")
+            t.branches_table(spark).createOrReplaceTempView(f"{name}__branches")
 
     def sql(self, spark: SparkSession, query: str):
         """Run SQL against the catalog; supports the reference's
@@ -480,8 +481,17 @@ class Catalog:
 
         idents = set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", query))
         self.register_views(spark, only=idents)
+        # branch reads: `FROM t$branch_<name>` registers the branch's
+        # merged read as a view on demand (Paimon's branch scan syntax)
+        def branch_view(m):
+            tname, bname = m.group(1), m.group(2)
+            view = f"{tname}__branch__{bname}"
+            self.get_table(tname).use_branch(bname).read(spark).createOrReplaceTempView(view)
+            return view
+
+        query = re.sub(r"(\w+)\$branch_(\w+)", branch_view, query)
         rewritten = re.sub(
-            r"(\w+)\$(files|snapshots|schemas|tags|partitions|manifests|consumers|options|audit_log)",
+            r"(\w+)\$(files|snapshots|schemas|tags|partitions|manifests|consumers|options|audit_log|branches)",
             r"\1__\2",
             query,
         )

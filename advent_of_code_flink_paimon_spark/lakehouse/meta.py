@@ -78,44 +78,63 @@ def now_millis() -> int:
 
 
 class TablePaths:
-    def __init__(self, warehouse: str, db: str, table: str):
+    """Path layout. DATA lives at the table root (bucket/partition
+    dirs) and is SHARED by every branch — branch manifests reference
+    the same root-relative file paths, so branching never copies data
+    (the Paimon branch design). METADATA (snapshot / manifest / schema
+    / changelog / tag / consumer) resolves under ``meta``: the table
+    root for the main branch, ``<root>/branch/branch-<name>/`` for a
+    named branch — each branch is its own snapshot chain."""
+
+    def __init__(self, warehouse: str, db: str, table: str, branch: str | None = None):
         self.root = os.path.join(warehouse, f"{db}.db", table)
+        self.branch = branch
+        self.meta = (
+            self.root if branch is None
+            else os.path.join(self.root, "branch", f"branch-{branch}")
+        )
 
     def bucket_dir(self, n: int) -> str:
         return os.path.join(self.root, f"bucket-{n}")
 
+    def branch_dir(self) -> str:
+        return os.path.join(self.root, "branch")
+
+    def branch_meta_path(self) -> str:
+        return os.path.join(self.meta, "BRANCH")
+
     def schema_path(self, version: int) -> str:
-        return os.path.join(self.root, "schema", f"schema-{version}")
+        return os.path.join(self.meta, "schema", f"schema-{version}")
 
     def schema_dir(self) -> str:
-        return os.path.join(self.root, "schema")
+        return os.path.join(self.meta, "schema")
 
     def manifest_path(self, snapshot_id: int) -> str:
-        return os.path.join(self.root, "manifest", f"manifest-{snapshot_id}.json")
+        return os.path.join(self.meta, "manifest", f"manifest-{snapshot_id}.json")
 
     def snapshot_path(self, snapshot_id: int) -> str:
-        return os.path.join(self.root, "snapshot", f"snapshot-{snapshot_id}")
+        return os.path.join(self.meta, "snapshot", f"snapshot-{snapshot_id}")
 
     def snapshot_dir(self) -> str:
-        return os.path.join(self.root, "snapshot")
+        return os.path.join(self.meta, "snapshot")
 
     def pointer_path(self, name: str) -> str:  # EARLIEST / LATEST
-        return os.path.join(self.root, "snapshot", name)
+        return os.path.join(self.meta, "snapshot", name)
 
     def changelog_dir(self, snapshot_id: int) -> str:
-        return os.path.join(self.root, "changelog", f"snapshot-{snapshot_id}")
+        return os.path.join(self.meta, "changelog", f"snapshot-{snapshot_id}")
 
     def tag_dir(self) -> str:
-        return os.path.join(self.root, "tag")
+        return os.path.join(self.meta, "tag")
 
     def tag_path(self, name: str) -> str:
-        return os.path.join(self.root, "tag", f"tag-{name}")
+        return os.path.join(self.meta, "tag", f"tag-{name}")
 
     def consumer_dir(self) -> str:
-        return os.path.join(self.root, "consumer")
+        return os.path.join(self.meta, "consumer")
 
     def consumer_path(self, consumer_id: str) -> str:
-        return os.path.join(self.root, "consumer", f"consumer-{consumer_id}")
+        return os.path.join(self.meta, "consumer", f"consumer-{consumer_id}")
 
     def read_pointer(self, name: str) -> int | None:
         p = self.pointer_path(name)

@@ -60,12 +60,130 @@ class CommitConflictError(RuntimeError):
 
 
 class Table:
-    def __init__(self, warehouse: str, db: str, name: str):
+    def __init__(self, warehouse: str, db: str, name: str, branch: str | None = None):
         self.warehouse, self.db, self.name = warehouse, db, name
-        self.paths = TablePaths(warehouse, db, name)
+        self.branch_name = branch
+        self.paths = TablePaths(warehouse, db, name, branch=branch)
         # dynamic-bucket assignment persists its batch×index join until
         # the staging write materializes it (then _stage_write unpins)
         self._assign_persists: list = []
+
+    # ------------------------------------------------------------------
+    # branches (Paimon branch surface: an isolated snapshot chain over
+    # SHARED data files — create from any ref, read/write/time-travel
+    # on the branch, fast-forward main to adopt it, delete when done)
+    # ------------------------------------------------------------------
+    def create_branch(self, name: str, from_ref: int | str | None = None) -> int:
+        """Create branch ``name`` anchored at ``from_ref`` (snapshot id,
+        tag name, or None = latest). The branch gets COPIES of the
+        snapshot/manifest chain up to the anchor and of the schema
+        history — metadata only; data files are shared by root-relative
+        path, so branching is O(metadata), independent of table size."""
+        import re as _re
+
+        if self.branch_name is not None:
+            raise ValueError(f"{self.name}: create branches from the main table")
+        if not _re.fullmatch(r"[A-Za-z0-9_.-]+", name):
+            raise ValueError(f"invalid branch name {name!r}")
+        bp = TablePaths(self.warehouse, self.db, self.name, branch=name)
+        if os.path.exists(bp.branch_meta_path()):
+            raise ValueError(f"{self.name}: branch {name!r} already exists")
+        anchor = self.resolve_ref(from_ref) if from_ref is not None else self.latest_snapshot_id()
+        if anchor is None or not os.path.exists(self.paths.snapshot_path(anchor)):
+            raise ValueError(f"{self.name}: cannot branch from {from_ref!r}")
+        for d in ("snapshot", "manifest", "schema"):
+            os.makedirs(os.path.join(bp.meta, d), exist_ok=True)
+        for v in range(self.schema_version + 1):
+            sp = self.paths.schema_path(v)
+            if os.path.exists(sp):
+                shutil.copyfile(sp, bp.schema_path(v))
+        earliest = self.paths.read_pointer("EARLIEST") or 1
+        for sid in range(earliest, anchor + 1):
+            sp = self.paths.snapshot_path(sid)
+            if os.path.exists(sp):
+                shutil.copyfile(sp, bp.snapshot_path(sid))
+                shutil.copyfile(self.paths.manifest_path(sid), bp.manifest_path(sid))
+        for ptr, val in (("EARLIEST", earliest), ("LATEST", anchor)):
+            with open(bp.pointer_path(ptr), "w") as f:
+                f.write(str(val))
+        atomic_write_json(
+            bp.branch_meta_path(),
+            {"branch": name, "created_from_snapshot": anchor,
+             "creation_time_ms": now_millis()},
+        )
+        return anchor
+
+    def use_branch(self, name: str) -> "Table":
+        """A Table handle whose metadata chain is branch ``name``."""
+        bp = TablePaths(self.warehouse, self.db, self.name, branch=name)
+        if not os.path.exists(bp.branch_meta_path()):
+            raise KeyError(f"{self.name}: no branch {name!r}")
+        return Table(self.warehouse, self.db, self.name, branch=name)
+
+    def branches(self) -> dict[str, dict]:
+        out = {}
+        for p in glob.glob(os.path.join(self.paths.branch_dir(), "branch-*", "BRANCH")):
+            doc = read_json(p)
+            out[doc["branch"]] = doc
+        return out
+
+    def delete_branch(self, name: str) -> None:
+        """Drop the branch's metadata. Data files only its commits
+        created become unreferenced — remove_orphan_files (which scans
+        every branch chain) sweeps them on its next age-gated pass."""
+        bp = TablePaths(self.warehouse, self.db, self.name, branch=name)
+        if os.path.exists(bp.meta):
+            shutil.rmtree(bp.meta)
+
+    def fast_forward(self, name: str) -> int:
+        """Adopt branch ``name`` into main (Paimon fast_forward): main
+        rolls back to the branch's anchor (branch-referenced data files
+        protected by the cross-chain reference guard), then the
+        branch's post-anchor snapshots/manifests copy into the main
+        chain and LATEST advances. The branch remains and can keep
+        diverging or be deleted."""
+        if self.branch_name is not None:
+            raise ValueError(f"{self.name}: fast_forward applies to the main table")
+        bp = TablePaths(self.warehouse, self.db, self.name, branch=name)
+        if not os.path.exists(bp.branch_meta_path()):
+            raise KeyError(f"{self.name}: no branch {name!r}")
+        anchor = read_json(bp.branch_meta_path())["created_from_snapshot"]
+        if not os.path.exists(self.paths.snapshot_path(anchor)):
+            raise ValueError(
+                f"{self.name}: branch {name!r} anchor snapshot {anchor} no longer "
+                "exists on main (expired) — cannot fast-forward"
+            )
+        bt = self.use_branch(name)
+        b_latest = bt.latest_snapshot_id() or anchor
+        self.rollback_to(anchor)
+        for sid in range(anchor + 1, b_latest + 1):
+            sp = bt.paths.snapshot_path(sid)
+            if os.path.exists(sp):
+                shutil.copyfile(sp, self.paths.snapshot_path(sid))
+                shutil.copyfile(bt.paths.manifest_path(sid), self.paths.manifest_path(sid))
+        with open(self.paths.pointer_path("LATEST"), "w") as f:
+            f.write(str(b_latest))
+        getattr(self, "_manifest_cache", {}).clear()
+        self._ids_cache = None
+        return b_latest
+
+    def _external_referenced_files(self) -> set[str]:
+        """Data files referenced by OTHER snapshot chains of this table
+        (every branch, from main's view; main plus sibling branches,
+        from a branch's view). Unioned into every 'safe to delete this
+        file?' decision — rollback, snapshot expiry, orphan removal —
+        so no chain can delete data another chain still reads."""
+        refs: set[str] = set()
+        chains = [
+            b for b in self.branches() if b != self.branch_name
+        ]
+        others = [self.use_branch(b) for b in chains]
+        if self.branch_name is not None:
+            others.append(Table(self.warehouse, self.db, self.name))
+        for t in others:
+            for s in t.snapshots():
+                refs |= {e["file_path"] for e in t.manifest(s["id"])}
+        return refs
 
     # ------------------------------------------------------------------
     # schema / options
@@ -342,6 +460,8 @@ class Table:
         for s in self.snapshots():
             if s["id"] <= target:
                 referenced |= {e["file_path"] for e in self.manifest(s["id"])}
+        # no chain may delete data another chain still reads
+        referenced |= self._external_referenced_files()
         # the stream/ append-log mirror hard-links every APPENDed file;
         # rolled-back appends must leave it too, or stream_table_files
         # subscribers (fresh ones included) replay rows from commits
@@ -828,8 +948,11 @@ class Table:
         cur = self.paths.read_pointer("LATEST")
         if cur is None or cur < sid:
             self.paths.write_pointer("LATEST", sid)
-        if kind == "APPEND":
-            # append-log mirror for streaming file readers: hard-link each
+        if kind == "APPEND" and self.branch_name is None:
+            # append-log mirror for streaming file readers (MAIN chain
+            # only: a branch's appends must not surface in the main
+            # stream mirror — subscribers would replay rows from
+            # commits the main chain never published): hard-link each
             # newly APPENDED data file into stream/. COMPACT/OVERWRITE
             # rewrites are never linked, so a file-source subscriber
             # (streaming/pipelines.stream_table_files) sees each row once
@@ -971,6 +1094,13 @@ class Table:
         # and this engine's sinks always derive, so both spellings give
         # the same (correct) rows here.
         if self.options.get("changelog-producer") in ("input", "lookup"):
+            if self.branch_name is not None:
+                raise ValueError(
+                    f"{self.name}: branch writes do not support changelog "
+                    "producers (the changelog stream belongs to the main "
+                    "chain) — write through the main table or drop the "
+                    "'changelog-producer' option"
+                )
             # stage pre-commit (the pre-image must reflect the table
             # BEFORE this batch), publish only after the commit wins
             # uuid component: two threads of one process can commit in
@@ -1734,7 +1864,11 @@ class Table:
             entries, "COMPACT", replaced=old, expected_latest=latest,
             snapshot_extra={"compaction": "full"},
         )
-        if self.primary_key and self.options.get("changelog-producer") == "full-compaction":
+        if (
+            self.primary_key
+            and self.options.get("changelog-producer") == "full-compaction"
+            and self.branch_name is None  # changelog belongs to the main chain
+        ):
             self._write_compaction_changelog(spark, latest, sid)
         if self.is_dynamic_bucket:
             self._compact_index(spark)
@@ -2109,6 +2243,7 @@ class Table:
         referenced: set[str] = set()
         for s in self.snapshots():
             referenced |= {e["file_path"] for e in self.manifest(s["id"])}
+        referenced |= self._external_referenced_files()  # cross-chain guard
         removed = []
         pdirs = ["*"] * len(self.partition_keys)
         for ext in ("parquet", "orc"):
@@ -2194,6 +2329,7 @@ class Table:
         referenced: set[str] = set()
         for sid in keep:
             referenced |= {e["file_path"] for e in self.manifest(sid)}
+        referenced |= self._external_referenced_files()  # cross-chain guard
         kept_seqs = {self.snapshot(sid)["sequence_number"] for sid in keep}
         # a kept snapshot whose manifest delta-chains through an expired
         # base must be materialized as a full manifest first, or it
@@ -2312,6 +2448,29 @@ class Table:
         a changelog-producing PK table. Empty (correct schema) when no
         changelog exists."""
         return self.read_changelog(spark).withColumnRenamed("_change_type", "rowkind")
+
+    def branches_table(self, spark: SparkSession) -> DataFrame:
+        """$branches: one row per branch (Paimon's branches system
+        table) — name, anchor snapshot, creation time, and the
+        branch's current head."""
+        import datetime
+
+        rows = []
+        for doc in sorted(self.branches().values(), key=lambda d: d["branch"]):
+            head = self.use_branch(doc["branch"]).latest_snapshot_id()
+            rows.append(
+                (
+                    doc["branch"],
+                    doc["created_from_snapshot"],
+                    head,
+                    datetime.datetime.fromtimestamp(doc["creation_time_ms"] / 1000.0),
+                )
+            )
+        return spark.createDataFrame(
+            rows,
+            "branch_name string, created_from_snapshot long, "
+            "latest_snapshot long, create_time timestamp",
+        )
 
     def consumers_table(self, spark: SparkSession) -> DataFrame:
         """$consumers: one row per registered streaming consumer

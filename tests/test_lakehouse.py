@@ -2472,3 +2472,137 @@ def test_metadata_min_max_refuses_pk_tables(spark, catalog):
     # and the SQL path falls through to the merged read: every key's
     # live image has v=5
     assert catalog.sql(spark, "SELECT MAX(v) AS m FROM mmxpk").collect()[0].m == 5
+
+
+# ---------------------------------------------------------------------------
+# Branches (Paimon branch surface: isolated snapshot chains, shared data)
+# ---------------------------------------------------------------------------
+
+def _kv(spark, lo, n, v="a"):
+    return spark.range(lo, lo + n).select(F.col("id").alias("k"), F.lit(v).alias("v"))
+
+
+def test_branch_lifecycle_and_isolation(spark, catalog):
+    t = catalog.create_table("br", "k long, v string", {"bucket": "1"})
+    t.append(_kv(spark, 0, 100))
+    t.append(_kv(spark, 100, 100))
+    anchor = t.create_branch("dev")
+    assert anchor == 2
+    dev = t.use_branch("dev")
+    assert dev.read(spark).count() == 200  # branch starts at the anchor image
+
+    # divergence: branch and main write independently
+    dev.append(_kv(spark, 1000, 50, "branch"))
+    t.append(_kv(spark, 2000, 70, "main"))
+    assert dev.read(spark).count() == 250
+    assert t.read(spark).count() == 270
+    assert dev.read(spark).filter("v = 'main'").count() == 0
+    assert t.read(spark).filter("v = 'branch'").count() == 0
+    # time travel inside the branch chain
+    assert dev.read(spark, snapshot_id=anchor).count() == 200
+
+    # system table + SQL branch scan
+    rows = catalog.sql(spark, "SELECT * FROM br$branches").collect()
+    assert len(rows) == 1 and rows[0].branch_name == "dev"
+    assert rows[0].created_from_snapshot == 2 and rows[0].latest_snapshot == 3
+    got = catalog.sql(
+        spark, "SELECT COUNT(*) AS n FROM br$branch_dev WHERE v = 'branch'"
+    ).collect()
+    assert got[0].n == 50
+
+
+def test_branch_protects_files_from_main_rollback_and_expiry(spark, catalog):
+    t = catalog.create_table("brp", "k long, v string", {"bucket": "1"})
+    t.append(_kv(spark, 0, 100))      # s1
+    t.append(_kv(spark, 100, 100))    # s2
+    t.create_branch("keep")           # anchored at s2 → references both files
+
+    # main rollback would normally delete s2's exclusively-referenced
+    # file — the branch still reads it, so it must survive
+    t.rollback_to(1)
+    assert t.read(spark).count() == 100
+    assert t.use_branch("keep").read(spark).count() == 200
+
+    # main expiry likewise cannot delete branch-referenced files
+    t.append(_kv(spark, 200, 100))
+    t.expire_snapshots(retain_min=1, retain_max=1)
+    assert t.use_branch("keep").read(spark).count() == 200
+
+
+def test_branch_fast_forward(spark, catalog):
+    t = catalog.create_table("brf", "k long, v string", {"bucket": "1"})
+    t.append(_kv(spark, 0, 100))
+    t.create_branch("feature")
+    dev = t.use_branch("feature")
+    dev.append(_kv(spark, 1000, 30, "feat"))
+    dev.append(_kv(spark, 2000, 20, "feat"))
+    t.append(_kv(spark, 5000, 99, "main-diverged"))
+
+    head = t.fast_forward("feature")
+    assert head == 3
+    assert t.read(spark).count() == 150
+    assert t.read(spark).filter("v = 'feat'").count() == 50
+    assert t.read(spark).filter("v = 'main-diverged'").count() == 0
+    # main keeps working after adoption
+    t.append(_kv(spark, 9000, 10))
+    assert t.read(spark).count() == 160
+    assert t.latest_snapshot_id() == 4
+
+
+def test_branch_write_guards(spark, catalog):
+    t = catalog.create_table(
+        "brg", "k long, v string",
+        {"bucket": "1", "primary-key": "k", "changelog-producer": "lookup"},
+    )
+    t.upsert(_kv(spark, 0, 10))
+    t.create_branch("nochangelog")
+    with pytest.raises(ValueError, match="changelog"):
+        t.use_branch("nochangelog").upsert(_kv(spark, 0, 5, "b"))
+
+    # append-table branch writes must not pollute the main stream mirror
+    a = catalog.create_table("brs", "k long, v string", {"bucket": "1"})
+    a.append(_kv(spark, 0, 10))
+    a.create_branch("side")
+    import glob as _glob
+    before = set(_glob.glob(os.path.join(a.paths.root, "stream", "*")))
+    a.use_branch("side").append(_kv(spark, 100, 10))
+    after = set(_glob.glob(os.path.join(a.paths.root, "stream", "*")))
+    assert before == after
+
+
+def test_branch_delete_then_orphan_sweep(spark, catalog):
+    t = catalog.create_table("brd", "k long, v string", {"bucket": "1"})
+    t.append(_kv(spark, 0, 100))
+    t.create_branch("tmp")
+    dev = t.use_branch("tmp")
+    dev.append(_kv(spark, 1000, 50))
+    branch_files = {
+        e["file_path"] for e in dev.manifest()
+    } - {e["file_path"] for e in t.manifest()}
+    assert branch_files
+
+    # while the branch lives, its files are protected from the sweep
+    future = now_millis() + 3_600_000
+    t.remove_orphan_files(older_than_ms=future)
+    for fp in branch_files:
+        assert os.path.exists(os.path.join(t.paths.root, fp))
+
+    # after deletion they are unreferenced and get swept
+    t.delete_branch("tmp")
+    assert t.branches() == {}
+    removed = t.remove_orphan_files(older_than_ms=future)
+    for fp in branch_files:
+        assert fp in removed
+        assert not os.path.exists(os.path.join(t.paths.root, fp))
+    assert t.read(spark).count() == 100
+
+
+def test_branch_pk_upsert_independent(spark, catalog):
+    t = catalog.create_table(
+        "brk", "k long, v string", {"bucket": "1", "primary-key": "k"})
+    t.upsert(_kv(spark, 0, 10, "base"))
+    t.create_branch("exp")
+    dev = t.use_branch("exp")
+    dev.upsert(_kv(spark, 0, 10, "branch-img"))
+    assert {r.v for r in dev.read(spark).collect()} == {"branch-img"}
+    assert {r.v for r in t.read(spark).collect()} == {"base"}
