@@ -781,6 +781,23 @@ class Engine:
         if proc == "create_tag":
             sid = t.create_tag(args[1], int(args[2]) if len(args) > 2 else None)
             return StatementResult("OK", f"tag {args[1]} -> snapshot {sid}")
+        if proc == "create_branch":
+            # CALL sys.create_branch('t', 'b' [, tag-or-snapshot])
+            ref = None
+            if len(args) > 2:
+                ref = int(args[2]) if args[2].isdigit() else args[2]
+            anchor = t.create_branch(args[1], from_ref=ref)
+            return StatementResult(
+                "OK", f"branch {args[1]} -> snapshot {anchor}"
+            )
+        if proc == "delete_branch":
+            t.delete_branch(args[1])
+            return StatementResult("OK", f"deleted branch {args[1]}")
+        if proc == "fast_forward":
+            head = t.fast_forward(args[1])
+            return StatementResult(
+                "OK", f"fast-forwarded {t.name} to {args[1]} head {head}"
+            )
         if proc == "delete_tag":
             t.delete_tag(args[1])
             return StatementResult("OK", f"deleted tag {args[1]}")

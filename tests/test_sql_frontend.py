@@ -1389,3 +1389,22 @@ def test_streaming_select_consumer_id_hint(engine, spark):
     # the genesis replayer pins everything against aggressive retention
     future = int(_time.time() * 1000) + 60_000
     assert t.expire_snapshots(retain_min=1, older_than_ms=future) == []
+
+
+def test_call_branch_procedures(spark, tmp_path):
+    from advent_of_code_flink_paimon_spark.plans import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.sql("CREATE TABLE bt (k BIGINT, v STRING) WITH ('bucket'='1')")
+    eng.sql("INSERT INTO bt SELECT id AS k, 'a' AS v FROM range(50)")
+    eng.sql("CALL sys.create_branch('bt', 'dev')")
+    eng.sql("INSERT INTO bt SELECT id AS k, 'b' AS v FROM range(50, 80)")
+    # branch frozen at the anchor; main moved on
+    assert eng.sql("SELECT COUNT(*) AS n FROM bt$branch_dev").collect()[0].n == 50
+    assert eng.sql("SELECT COUNT(*) AS n FROM bt").collect()[0].n == 80
+    rows = eng.sql("SELECT branch_name FROM bt$branches").collect()
+    assert [r.branch_name for r in rows] == ["dev"]
+    eng.sql("CALL sys.fast_forward('bt', 'dev')")
+    assert eng.sql("SELECT COUNT(*) AS n FROM bt").collect()[0].n == 50
+    eng.sql("CALL sys.delete_branch('bt', 'dev')")
+    assert eng.sql("SELECT COUNT(*) AS n FROM bt$branches").collect()[0].n == 0
