@@ -20,7 +20,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Window
 
-from advent_of_code_flink_paimon_spark.operators.registry import T, query
+from advent_of_code_flink_paimon_spark.operators.registry import T, pin, query
 
 
 @query(
@@ -593,11 +593,118 @@ def x105_mad_outliers(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# x107: event-RATE anomaly card — x105 flags anomalous VALUES; this
+# flags anomalous ARRIVAL RATES (an hour where a type's event count
+# sits > 2σ from that type's hourly mean: a stuck producer, a burst, a
+# dead upstream). The telemetry pair every ingest pipeline wants on a
+# dashboard. Moments are computed from EXACT integer sums (Σc, Σc²
+# over bigint counts) with one IEEE division/sqrt spelled identically
+# on both engines — never engine-native AVG/STDDEV over doubles, whose
+# summation orders differ (the x32/x103 parity analysis).
+# ---------------------------------------------------------------------------
+
+_SQL_RATE_ANOMALY = """
+WITH b AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         CAST(SUM(c) AS BIGINT) AS s1,
+         CAST(SUM(c * c) AS BIGINT) AS s2
+  FROM b GROUP BY 1
+),
+m AS (
+  SELECT event_type, n_buckets,
+         CAST(s1 AS DOUBLE) / n_buckets AS mu,
+         sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_buckets)
+              / (n_buckets - 1)) AS sd
+  FROM s WHERE n_buckets > 1
+),
+pk AS (
+  SELECT event_type, h AS peak_hour, c AS peak_count FROM (
+    SELECT b.*, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY c DESC, h) AS rn
+    FROM b
+  ) WHERE rn = 1
+)
+SELECT b.event_type,
+       ANY_VALUE(m.n_buckets) AS n_buckets,
+       ROUND(ANY_VALUE(m.mu), 6) AS mean_hourly,
+       ROUND(ANY_VALUE(m.sd), 6) AS sd_hourly,
+       CAST(COUNT(*) FILTER (abs(b.c - m.mu) > 2 * m.sd) AS BIGINT)
+           AS n_anomalous,
+       ANY_VALUE(pk.peak_hour) AS peak_hour,
+       ANY_VALUE(pk.peak_count) AS peak_count
+FROM b JOIN m USING (event_type) JOIN pk USING (event_type)
+GROUP BY b.event_type
+"""
+
+
+@query("x107_event_rate_anomaly", oracle=_SQL_RATE_ANOMALY)
+def x107_event_rate_anomaly(spark, sf_dir):
+    """Per-type hourly-rate anomaly card (see block comment): bucket
+    counts, exact-sum mean/σ, 2σ anomaly count, and the deterministic
+    peak bucket (count DESC, hour ASC).
+
+    Scale shape: ONE map-side-combinable count exchange to the
+    (type, hour) bucket relation — after that every window and join
+    runs over buckets (types × hours, corpus-size-independent for a
+    bounded time range), and the per-type moment table broadcasts.
+    At 100 TB the bucket relation is the only corpus-order exchange,
+    identical to the x31/q31 time-bucket rollup class."""
+    e = T(spark, sf_dir, "events")
+    b = (
+        e.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    b = pin(b)  # bucket relation feeds moments, peak AND the final join
+    s = b.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    m = s.filter(F.col("n_buckets") > 1).select(
+        "event_type",
+        "n_buckets",
+        (F.col("s1").cast("double") / F.col("n_buckets")).alias("mu"),
+        F.sqrt(
+            (F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("n_buckets"))
+            / (F.col("n_buckets") - 1)
+        ).alias("sd"),
+    )
+    peak_win = Window.partitionBy("event_type").orderBy(F.col("c").desc(), F.col("h").asc())
+    pk = (
+        b.withColumn("rn", F.row_number().over(peak_win))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("h").alias("peak_hour"), F.col("c").alias("peak_count"))
+    )
+    anom = F.abs(F.col("c") - F.col("mu")) > 2 * F.col("sd")
+    out = (
+        b.join(F.broadcast(m), "event_type")
+        .join(F.broadcast(pk), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("n_buckets").alias("n_buckets"),
+            F.round(F.first("mu"), 6).alias("mean_hourly"),
+            F.round(F.first("sd"), 6).alias("sd_hourly"),
+            F.sum(anom.cast("long")).cast("long").alias("n_anomalous"),
+            F.first("peak_hour").alias("peak_hour"),
+            F.first("peak_count").alias("peak_count"),
+        )
+    )
+    return out
+
+
 # Registry is at cap (100, set by the 2-round evidence-freshness
-# rotation); x105 ships library-gated like x101/x103 — full-oracled by
-# the strict local harness at every run, registry-eligible at the
+# rotation); x105/x107 ship library-gated like x101/x103 — full-oracled
+# by the strict local harness at every run, registry-eligible at the
 # round-14 rotation.
 from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote105  # noqa: E402
 
 _demote105("x105_mad_outliers")
+_demote105("x107_event_rate_anomaly")
 del _demote105
