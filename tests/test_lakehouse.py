@@ -2606,3 +2606,33 @@ def test_branch_pk_upsert_independent(spark, catalog):
     dev.upsert(_kv(spark, 0, 10, "branch-img"))
     assert {r.v for r in dev.read(spark).collect()} == {"branch-img"}
     assert {r.v for r in t.read(spark).collect()} == {"base"}
+
+
+def test_branch_and_main_commit_concurrently(spark, catalog):
+    """Per-branch commit arbitration: a branch's LATEST pointer is its
+    own, so main and branch writers committing AT THE SAME TIME never
+    see each other as conflicts and never lose a commit."""
+    import threading
+
+    t = catalog.create_table("brc", "k long, v string", {"bucket": "1"})
+    t.append(_kv(spark, 0, 50))
+    t.create_branch("side")
+    dev = t.use_branch("side")
+    errors: list = []
+
+    def writer(table, lo, tag):
+        try:
+            for i in range(3):
+                table.append(_kv(spark, lo + i * 100, 50, tag))
+        except Exception as ex:  # pragma: no cover - failure evidence
+            errors.append(ex)
+
+    th1 = threading.Thread(target=writer, args=(t, 10_000, "main"))
+    th2 = threading.Thread(target=writer, args=(dev, 50_000, "branch"))
+    th1.start(); th2.start(); th1.join(); th2.join()
+    assert not errors, errors
+    assert t.read(spark).filter("v = 'main'").count() == 150
+    assert t.read(spark).filter("v = 'branch'").count() == 0
+    assert dev.read(spark).filter("v = 'branch'").count() == 150
+    assert dev.read(spark).filter("v = 'main'").count() == 0
+    assert t.latest_snapshot_id() == 4 and dev.latest_snapshot_id() == 4
