@@ -84,6 +84,16 @@ class Catalog:
                     "dynamic bucket mode ('bucket'='-1') routes by the key index; "
                     "'bucket-key' cannot be set"
                 )
+        if str(opts.get("deletion-vectors.enabled", "false")).lower() == "true":
+            # DV scope: append-only DELETE merge-on-read. PK tables
+            # already have O(matching rows) deletes (retraction
+            # upserts); layering positional vectors over key-merged
+            # reads would double-account positions across compactions
+            if opts.get("primary-key"):
+                raise ValueError(
+                    "deletion-vectors.enabled applies to append-only tables "
+                    "(primary-key tables delete via retraction upserts)"
+                )
         engine = opts.get("merge-engine", "deduplicate")
         if engine not in ("deduplicate", "partial-update", "aggregation", "first-row"):
             raise ValueError(f"unknown merge-engine {engine!r}")

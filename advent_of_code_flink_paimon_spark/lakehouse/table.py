@@ -29,7 +29,7 @@ import uuid
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
-from pyspark.sql.types import StructField, StructType
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from advent_of_code_flink_paimon_spark.lakehouse.meta import (
     TablePaths,
@@ -1390,7 +1390,7 @@ class Table:
                 return None  # column was created at version v
         return name
 
-    def _read_entries(self, spark: SparkSession, entries: list[dict]):
+    def _read_entries(self, spark: SparkSession, entries: list[dict], with_positions: bool = False):
         """Read manifest entries under the CURRENT schema, applying
         schema evolution per file group (assets/output5.png semantics,
         extended to the full evolution family):
@@ -1414,44 +1414,89 @@ class Table:
             StructType.fromDDL("__op string, __seq long").fields if self.primary_key else []
         )
         out_schema = StructType(base_fields + list(meta_fields))
+        pos_cols = ["__file", "__pos"] if with_positions else []
         if not entries:
-            return spark.createDataFrame([], out_schema)
+            empty = StructType(
+                list(out_schema.fields)
+                + ([StructField("__file", StringType(), True),
+                    StructField("__pos", LongType(), True)] if with_positions else [])
+            )
+            return spark.createDataFrame([], empty)
         cur = self.schema_version
-        groups: dict[int, list[str]] = {}
+        groups: dict[int, list[tuple[str, str | None]]] = {}
         for e in entries:
             groups.setdefault(int(e.get("schema_id", cur)), []).append(
-                os.path.join(self.paths.root, e["file_path"])
+                (os.path.join(self.paths.root, e["file_path"]), e.get("deletion_vector"))
             )
         parts = []
-        for v, files in sorted(groups.items()):
-            if v == cur:
-                parts.append(
-                    spark.read.schema(out_schema).format(self.data_format).load(list(files))
-                )
-                continue
-            at_v = {
-                f["name"]: StructField.fromJson(f).dataType
-                for f in self.schema_doc(v)["schema"]["fields"]
-            }
-            present, absent = [], []
-            for f in base_fields:
-                phys = self._physical_name(f.name, v)
-                (present if phys is not None and phys in at_v else absent).append((phys, f))
-            read_schema = StructType(
-                [StructField(phys, at_v[phys], True) for phys, f in present]
-                + list(meta_fields)
+        for v, group in sorted(groups.items()):
+            files = [p for p, _ in group]
+            dvs = {d for _, d in group if d}
+            # row positions ride as hidden parquet metadata: the file's
+            # BASENAME (uuid-unique per table) + the in-file row index —
+            # needed to APPLY deletion vectors and to COMPUTE new ones
+            need_pos = with_positions or bool(dvs)
+            tag = lambda df: df.select(
+                "*",
+                F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("__file"),
+                F.col("_metadata.row_index").alias("__pos"),
             )
-            df = spark.read.schema(read_schema).format(self.data_format).load(list(files))
-            df = df.select(
-                *[F.col(phys).cast(f.dataType).alias(f.name) for phys, f in present],
-                *[F.lit(None).cast(f.dataType).alias(f.name) for _, f in absent],
-                *[F.col(m.name) for m in meta_fields],
-            ).select(*[f.name for f in out_schema.fields])
+            if v == cur:
+                df = spark.read.schema(out_schema).format(self.data_format).load(list(files))
+                if need_pos:
+                    df = tag(df)
+            else:
+                at_v = {
+                    f["name"]: StructField.fromJson(f).dataType
+                    for f in self.schema_doc(v)["schema"]["fields"]
+                }
+                present, absent = [], []
+                for f in base_fields:
+                    phys = self._physical_name(f.name, v)
+                    (present if phys is not None and phys in at_v else absent).append((phys, f))
+                read_schema = StructType(
+                    [StructField(phys, at_v[phys], True) for phys, f in present]
+                    + list(meta_fields)
+                )
+                df = spark.read.schema(read_schema).format(self.data_format).load(list(files))
+                if need_pos:
+                    df = tag(df)
+                extra = ["__file", "__pos"] if need_pos else []
+                df = df.select(
+                    *[F.col(phys).cast(f.dataType).alias(f.name) for phys, f in present],
+                    *[F.lit(None).cast(f.dataType).alias(f.name) for _, f in absent],
+                    *[F.col(m.name) for m in meta_fields],
+                    *extra,
+                ).select(*([f.name for f in out_schema.fields] + extra))
+            if dvs:
+                df = self._apply_deletion_vectors(spark, df, dvs)
+            if need_pos and not with_positions:
+                df = df.drop("__file", "__pos")
             parts.append(df)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    def _apply_deletion_vectors(self, spark: SparkSession, df, dv_paths: set[str]):
+        """Filter out rows whose (file basename, row index) appear in
+        the given deletion-vector files — the merge-on-read half of the
+        DV design. The DV relation is bounded by TOTAL DELETED ROWS
+        (not table size), so the anti-join broadcasts; at cluster scale
+        this is the standard Iceberg v2 positional-delete apply."""
+        dv = spark.read.parquet(
+            *[os.path.join(self.paths.root, p) for p in sorted(dv_paths)]
+        )
+        return df.join(
+            F.broadcast(
+                dv.select(
+                    F.col("file_name").alias("__file"),
+                    F.col("row_index").alias("__pos"),
+                )
+            ),
+            ["__file", "__pos"],
+            "left_anti",
+        )
 
     def _raw(self, spark: SparkSession, snapshot_id: int | None = None, where: str | None = None):
         entries = self.manifest(snapshot_id)
@@ -1985,6 +2030,69 @@ class Table:
             else [e for e in affected_entries if not entry_fully_covered(e, conds, pkeys)]
         )
         affected = {e["file_path"] for e in affected_entries}
+        dv_mode = (
+            str(self.options.get("deletion-vectors.enabled", "false")).lower() == "true"
+        )
+        if rewrite_entries and dv_mode:
+            # deletion vectors (Paimon 0.9 / Iceberg v2 positional
+            # deletes): instead of rewriting a straddling file, record
+            # the POSITIONS of its matching rows in a dv/ parquet and
+            # re-publish the entry pointing at it — the delete costs
+            # O(matching rows), not O(file bytes). _read_entries with
+            # positions already applies each file's EXISTING vector, so
+            # the new positions are only the newly-deleted rows; the
+            # commit's vector is the union (old rows stay deleted).
+            tagged = self._read_entries(spark, rewrite_entries, with_positions=True)
+            doomed = tagged.filter(f"({predicate}) IS TRUE").select(
+                F.col("__file").alias("file_name"), F.col("__pos").alias("row_index")
+            )
+            old_dvs = sorted(
+                {e["deletion_vector"] for e in rewrite_entries if e.get("deletion_vector")}
+            )
+            prior_counts: dict[str, int] = {}
+            if old_dvs:
+                basenames = [
+                    os.path.basename(e["file_path"]) for e in rewrite_entries
+                ]
+                prior = spark.read.parquet(
+                    *[os.path.join(self.paths.root, p) for p in old_dvs]
+                ).filter(F.col("file_name").isin(basenames))
+                prior = prior.persist()
+                prior_counts = {
+                    r["file_name"]: r["n"]
+                    for r in prior.groupBy("file_name").agg(F.count("*").alias("n")).collect()
+                }
+                doomed = doomed.unionByName(prior)
+            dv_rel = os.path.join("dv", f"dv-{uuid.uuid4().hex}")
+            doomed.write.mode("overwrite").parquet(
+                os.path.join(self.paths.root, dv_rel)
+            )
+            if old_dvs:
+                prior.unpersist()
+            dv_written = spark.read.parquet(os.path.join(self.paths.root, dv_rel))
+            counts = {
+                r["file_name"]: r["n"]
+                for r in dv_written.groupBy("file_name")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            entries = []
+            for e in rewrite_entries:
+                base = os.path.basename(e["file_path"])
+                # entry record_count tracks LIVE rows (metadata_count
+                # stays exact): it was already discounted by the prior
+                # vector, and the new vector's per-file count is
+                # CUMULATIVE — subtract only the newly-deleted delta
+                newly = counts.get(base, 0) - prior_counts.get(base, 0)
+                live = e["record_count"] - newly
+                ne = dict(e)
+                ne["deletion_vector"] = dv_rel
+                ne["record_count"] = live
+                if live > 0:
+                    entries.append(ne)
+            return self._commit(
+                entries, "OVERWRITE", replaced=affected, expected_latest=expected
+            )
         if rewrite_entries:
             # evolution-aware read: rewriting old files with the CURRENT
             # schema by name would null-fill renamed columns and persist
@@ -2254,6 +2362,27 @@ class Table:
                 if rel not in referenced and os.path.getmtime(f) * 1000 < cutoff:
                     _unlink_with_sidecar(f)
                     removed.append(rel)
+        # deletion-vector dirs no chain references (compacted away,
+        # rolled back, or crash residue) are orphans
+        referenced_dv = {
+            e["deletion_vector"]
+            for s in self.snapshots()
+            for e in self.manifest(s["id"])
+            if e.get("deletion_vector")
+        }
+        for b in self.branches():
+            bt = self.use_branch(b)
+            referenced_dv |= {
+                e["deletion_vector"]
+                for s in bt.snapshots()
+                for e in bt.manifest(s["id"])
+                if e.get("deletion_vector")
+            }
+        for d in glob.glob(os.path.join(self.paths.root, "dv", "dv-*")):
+            rel = os.path.relpath(d, self.paths.root)
+            if rel not in referenced_dv and os.path.getmtime(d) * 1000 < cutoff:
+                shutil.rmtree(d, ignore_errors=True)
+                removed.append(rel)
         # bloom sidecars whose data file is gone (deleted by an older
         # engine version, or the sidecar outlived a crash) are orphans
         for f in glob.glob(

@@ -2636,3 +2636,84 @@ def test_branch_and_main_commit_concurrently(spark, catalog):
     assert dev.read(spark).filter("v = 'branch'").count() == 150
     assert dev.read(spark).filter("v = 'main'").count() == 0
     assert t.latest_snapshot_id() == 4 and dev.latest_snapshot_id() == 4
+
+
+# ---------------------------------------------------------------------------
+# Deletion vectors (merge-on-read positional deletes for append tables)
+# ---------------------------------------------------------------------------
+
+def test_deletion_vector_delete_keeps_file_identity(spark, catalog):
+    t = catalog.create_table(
+        "dv1", "k long, v string",
+        {"bucket": "1", "deletion-vectors.enabled": "true"},
+    )
+    for lo in (0, 1000):
+        t.append(_kv(spark, lo, 500))
+    before = {e["file_path"] for e in t.manifest()}
+    old_sid = t.latest_snapshot_id()
+
+    # straddling predicate: [0,499] covered in full (metadata drop),
+    # [1000,1499] straddles — DV mode must re-publish the SAME file
+    # with a vector instead of rewriting it
+    t.delete_where(spark, "k < 1200")
+    entries = t.manifest()
+    assert {e["file_path"] for e in entries} < before  # no new data file
+    assert len(entries) == 1
+    e = entries[0]
+    assert e["deletion_vector"].startswith("dv/")
+    assert e["record_count"] == 300  # live rows, metadata_count stays exact
+    assert t.metadata_count() == 300
+    got = t.read(spark)
+    assert got.count() == 300
+    assert got.agg(F.min("k")).collect()[0][0] == 1200
+    # time travel predates the vector
+    assert t.read(spark, snapshot_id=old_sid).count() == 1000
+
+
+def test_deletion_vector_stacks_across_deletes(spark, catalog):
+    t = catalog.create_table(
+        "dv2", "k long, v string",
+        {"bucket": "1", "deletion-vectors.enabled": "true"},
+    )
+    t.append(_kv(spark, 0, 1000))
+    t.delete_where(spark, "k < 100")
+    assert t.read(spark).count() == 900
+    t.delete_where(spark, "k >= 100 AND k < 250")  # second vector on the same file
+    assert t.read(spark).count() == 750
+    assert t.metadata_count() == 750
+    assert t.read(spark).agg(F.min("k")).collect()[0][0] == 250
+    e = t.manifest()[0]
+    assert e["record_count"] == 750
+
+    # compaction applies and clears the vectors
+    t.compact()
+    entries = t.manifest()
+    assert all("deletion_vector" not in e or not e["deletion_vector"] for e in entries)
+    assert t.read(spark).count() == 750
+
+    # once no snapshot needs them (post-expiry), the dv dirs are orphans
+    t.expire_snapshots(retain_min=1, retain_max=1)
+    removed = t.remove_orphan_files(older_than_ms=now_millis() + 3_600_000)
+    assert any(p.startswith("dv/") for p in removed), removed
+    assert t.read(spark).count() == 750
+
+
+def test_deletion_vector_null_rows_survive(spark, catalog):
+    t = catalog.create_table(
+        "dv3", "k long, v string",
+        {"bucket": "1", "deletion-vectors.enabled": "true"},
+    )
+    rows = spark.range(100).select(F.col("id").alias("k"), F.lit("x").alias("v"))
+    nulls = spark.range(2).select(F.lit(None).cast("long").alias("k"), F.lit("n").alias("v"))
+    t.append(rows.unionAll(nulls))
+    t.delete_where(spark, "k < 1000")
+    got = t.read(spark).collect()
+    assert len(got) == 2 and all(r.k is None for r in got)
+
+
+def test_deletion_vector_refused_for_pk_tables(spark, catalog):
+    with pytest.raises(ValueError, match="deletion-vectors"):
+        catalog.create_table(
+            "dvpk", "k long, v string",
+            {"bucket": "1", "primary-key": "k", "deletion-vectors.enabled": "true"},
+        )
