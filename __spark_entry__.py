@@ -32,7 +32,11 @@ from pyspark.sql import DataFrame, SparkSession
 #
 # Round-14 rotation plan: lead with the then-overflow (the 50 entries
 # scored in round 12, listed second below); fill any slots that open
-# by promoting the strongest remaining library operators.
+# by promoting the strongest remaining library operators — the
+# round-13 additions are all strict-oracle green at sf0.001 AND
+# sf0.01: x101 cluster-size histogram, x103 threshold calibration,
+# x104 containment pairs, x105 MAD outliers, x106 hard negatives,
+# x107 event-rate anomaly.
 _ORDER = [
     # -- round-13 scored window: driver evidence last refreshed in
     # round 11 (the round-12 overflow) — score these now, plus the two
