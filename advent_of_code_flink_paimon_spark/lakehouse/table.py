@@ -1991,6 +1991,56 @@ class Table:
     # ------------------------------------------------------------------
     # row-level DML (DELETE / UPDATE)
     # ------------------------------------------------------------------
+    def _dv_republish(
+        self, spark: SparkSession, rewrite_entries: list[dict], doomed
+    ) -> list[dict]:
+        """Write a commit's deletion vector and re-publish the affected
+        entries against it. ``doomed`` is a DataFrame(file_name,
+        row_index) of NEWLY dead positions; the written vector is the
+        union with each file's PRIOR vector (rows once deleted stay
+        deleted), and every entry's record_count keeps tracking LIVE
+        rows so the metadata COUNT pushdown stays exact. Entries whose
+        live count reaches zero are dropped entirely."""
+        old_dvs = sorted(
+            {e["deletion_vector"] for e in rewrite_entries if e.get("deletion_vector")}
+        )
+        prior_counts: dict[str, int] = {}
+        prior = None
+        if old_dvs:
+            basenames = [os.path.basename(e["file_path"]) for e in rewrite_entries]
+            prior = spark.read.parquet(
+                *[os.path.join(self.paths.root, p) for p in old_dvs]
+            ).filter(F.col("file_name").isin(basenames))
+            prior = prior.persist()
+            prior_counts = {
+                r["file_name"]: r["n"]
+                for r in prior.groupBy("file_name").agg(F.count("*").alias("n")).collect()
+            }
+            doomed = doomed.unionByName(prior)
+        dv_rel = os.path.join("dv", f"dv-{uuid.uuid4().hex}")
+        doomed.write.mode("overwrite").parquet(os.path.join(self.paths.root, dv_rel))
+        if prior is not None:
+            prior.unpersist()
+        dv_written = spark.read.parquet(os.path.join(self.paths.root, dv_rel))
+        counts = {
+            r["file_name"]: r["n"]
+            for r in dv_written.groupBy("file_name").agg(F.count("*").alias("n")).collect()
+        }
+        entries = []
+        for e in rewrite_entries:
+            base = os.path.basename(e["file_path"])
+            # prior-vector rows are already discounted from the entry's
+            # record_count; the new vector's per-file count is
+            # CUMULATIVE — subtract only the newly-dead delta
+            newly = counts.get(base, 0) - prior_counts.get(base, 0)
+            live = e["record_count"] - newly
+            ne = dict(e)
+            ne["deletion_vector"] = dv_rel
+            ne["record_count"] = live
+            if live > 0:
+                entries.append(ne)
+        return entries
+
     def delete_where(self, spark: SparkSession, predicate: str) -> int | None:
         """Row-level DELETE.
 
@@ -2046,50 +2096,7 @@ class Table:
             doomed = tagged.filter(f"({predicate}) IS TRUE").select(
                 F.col("__file").alias("file_name"), F.col("__pos").alias("row_index")
             )
-            old_dvs = sorted(
-                {e["deletion_vector"] for e in rewrite_entries if e.get("deletion_vector")}
-            )
-            prior_counts: dict[str, int] = {}
-            if old_dvs:
-                basenames = [
-                    os.path.basename(e["file_path"]) for e in rewrite_entries
-                ]
-                prior = spark.read.parquet(
-                    *[os.path.join(self.paths.root, p) for p in old_dvs]
-                ).filter(F.col("file_name").isin(basenames))
-                prior = prior.persist()
-                prior_counts = {
-                    r["file_name"]: r["n"]
-                    for r in prior.groupBy("file_name").agg(F.count("*").alias("n")).collect()
-                }
-                doomed = doomed.unionByName(prior)
-            dv_rel = os.path.join("dv", f"dv-{uuid.uuid4().hex}")
-            doomed.write.mode("overwrite").parquet(
-                os.path.join(self.paths.root, dv_rel)
-            )
-            if old_dvs:
-                prior.unpersist()
-            dv_written = spark.read.parquet(os.path.join(self.paths.root, dv_rel))
-            counts = {
-                r["file_name"]: r["n"]
-                for r in dv_written.groupBy("file_name")
-                .agg(F.count("*").alias("n"))
-                .collect()
-            }
-            entries = []
-            for e in rewrite_entries:
-                base = os.path.basename(e["file_path"])
-                # entry record_count tracks LIVE rows (metadata_count
-                # stays exact): it was already discounted by the prior
-                # vector, and the new vector's per-file count is
-                # CUMULATIVE — subtract only the newly-deleted delta
-                newly = counts.get(base, 0) - prior_counts.get(base, 0)
-                live = e["record_count"] - newly
-                ne = dict(e)
-                ne["deletion_vector"] = dv_rel
-                ne["record_count"] = live
-                if live > 0:
-                    entries.append(ne)
+            entries = self._dv_republish(spark, rewrite_entries, doomed)
             return self._commit(
                 entries, "OVERWRITE", replaced=affected, expected_latest=expected
             )
@@ -2162,6 +2169,29 @@ class Table:
         if not affected_entries:
             return None
         affected = {e["file_path"] for e in affected_entries}
+        if str(self.options.get("deletion-vectors.enabled", "false")).lower() == "true":
+            # DV-mode UPDATE (the Paimon MoR pairing): vector the OLD
+            # positions of matching rows and APPEND their patched
+            # images as new files — O(matching rows), never an
+            # O(file bytes) rewrite of the untouched remainder
+            tagged = self._read_entries(spark, affected_entries, with_positions=True)
+            matched = tagged.filter(f"({predicate}) IS TRUE").persist()
+            try:
+                if matched.isEmpty():
+                    return None
+                patched = apply_set(matched.drop("__file", "__pos"))
+                _, new_files = self._stage_write(patched)
+                doomed = matched.select(
+                    F.col("__file").alias("file_name"),
+                    F.col("__pos").alias("row_index"),
+                )
+                entries = self._dv_republish(spark, affected_entries, doomed)
+            finally:
+                matched.unpersist()
+            return self._commit(
+                entries + new_files, "OVERWRITE", replaced=affected,
+                expected_latest=expected,
+            )
         rewritten = apply_set(self._read_entries(spark, affected_entries))
         _, entries = self._stage_write(rewritten)
         return self._commit(

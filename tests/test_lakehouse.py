@@ -2717,3 +2717,35 @@ def test_deletion_vector_refused_for_pk_tables(spark, catalog):
             "dvpk", "k long, v string",
             {"bucket": "1", "primary-key": "k", "deletion-vectors.enabled": "true"},
         )
+
+
+def test_deletion_vector_update_appends_patches(spark, catalog):
+    t = catalog.create_table(
+        "dvu", "k long, v string",
+        {"bucket": "1", "deletion-vectors.enabled": "true"},
+    )
+    t.append(_kv(spark, 0, 1000))
+    before = {e["file_path"] for e in t.manifest()}
+
+    # UPDATE in DV mode: the original file keeps its identity with a
+    # vector over the matched positions; the patched images APPEND
+    t.update_where(spark, {"v": "'patched'"}, "k >= 900")
+    entries = t.manifest()
+    paths = {e["file_path"] for e in entries}
+    assert before < paths and len(paths) == 2  # original + patch file
+    orig = next(e for e in entries if e["file_path"] in before)
+    patch = next(e for e in entries if e["file_path"] not in before)
+    assert orig["deletion_vector"].startswith("dv/")
+    assert orig["record_count"] == 900 and patch["record_count"] == 100
+    assert t.metadata_count() == 1000
+    got = t.read(spark)
+    assert got.count() == 1000
+    assert got.filter("v = 'patched'").count() == 100
+    assert got.filter("k >= 900 AND v <> 'patched'").count() == 0
+    assert got.filter("k < 900 AND v <> 'a'").count() == 0
+
+    # a DELETE after the UPDATE stacks onto both files' vectors
+    t.delete_where(spark, "k >= 950")
+    assert t.read(spark).count() == 950
+    assert t.metadata_count() == 950
+    assert t.read(spark).filter("v = 'patched'").count() == 50
