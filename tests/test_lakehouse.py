@@ -2749,3 +2749,21 @@ def test_deletion_vector_update_appends_patches(spark, catalog):
     assert t.read(spark).count() == 950
     assert t.metadata_count() == 950
     assert t.read(spark).filter("v = 'patched'").count() == 50
+
+
+def test_deletion_vector_read_plans_broadcast_antijoin(spark, catalog):
+    """The DV apply must plan as a BROADCAST anti-join (bounded by
+    total deleted rows), never a shuffled join or cartesian — the
+    Iceberg v2 positional-delete apply shape the docstring claims."""
+    t = catalog.create_table(
+        "dvp", "k long, v string",
+        {"bucket": "1", "deletion-vectors.enabled": "true"},
+    )
+    t.append(_kv(spark, 0, 1000))
+    t.delete_where(spark, "k < 100")
+    df = t.read(spark)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(jmode)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert df.count() == 900
