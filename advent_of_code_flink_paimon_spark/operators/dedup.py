@@ -2552,3 +2552,135 @@ from advent_of_code_flink_paimon_spark.operators.registry import demote as _demo
 
 _demote104("x104_containment_pairs")
 del _demote104
+
+
+# ---------------------------------------------------------------------------
+# x108: dedup token-savings report. x83 scores method AGREEMENT and
+# x101 profiles cluster SIZES; this card answers the budget question a
+# pipeline owner actually asks — how many TOKENS (the training-budget
+# currency) does each dedup pass remove? One row per method (exact
+# md5, normalized-text, 3-shingle-Jaccard near-dup clusters), each
+# under its keep-first/keep-min policy, with the corpus-token share.
+# ---------------------------------------------------------------------------
+
+_SQL_TOKEN_SAVINGS = f"""
+WITH RECURSIVE tk AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+tot AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS corpus_tokens FROM tk),
+ex AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents
+  ) WHERE rn > 1
+),
+nm AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY md5(trim(regexp_replace(regexp_replace(lower(text),
+                              '[0-9.,:;!?()-]+', ' ', 'g'), ' +', ' ', 'g')))
+             ORDER BY doc_id) AS rn
+    FROM documents
+  ) WHERE rn > 1
+),
+{_SQL_CLUSTER_CTES.replace("WITH RECURSIVE", "")[1:]},
+nd AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id),
+m AS (
+  SELECT 'exact' AS method, doc_id FROM ex
+  UNION ALL SELECT 'normalized', doc_id FROM nm
+  UNION ALL SELECT 'near_dup', doc_id FROM nd
+),
+agg AS (
+  SELECT m.method,
+         CAST(COUNT(*) AS BIGINT) AS n_docs_dropped,
+         CAST(SUM(tk.n_tok) AS BIGINT) AS tokens_dropped,
+         ROUND(SUM(tk.n_tok) * 1.0 / ANY_VALUE(tot.corpus_tokens), 6)
+             AS token_share
+  FROM m JOIN tk USING (doc_id) CROSS JOIN tot
+  GROUP BY m.method
+),
+spine AS (SELECT unnest(['exact', 'normalized', 'near_dup']) AS method)
+SELECT s.method,
+       COALESCE(a.n_docs_dropped, 0) AS n_docs_dropped,
+       COALESCE(a.tokens_dropped, 0) AS tokens_dropped,
+       COALESCE(a.token_share, 0.0) AS token_share
+FROM spine s LEFT JOIN agg a USING (method)
+"""
+
+
+@query("x108_dedup_token_savings", oracle=_SQL_TOKEN_SAVINGS)
+def x108_dedup_token_savings(spark, sf_dir):
+    """Tokens each dedup method removes (see block comment): exact md5
+    keep-first, normalized-text keep-first (the x52 normalization),
+    and 3-shingle Jaccard near-dup clusters keep-min (the x07
+    relation), each as (docs dropped, tokens dropped, corpus share).
+
+    Scale shape: token counts are row-local in the scan; exact and
+    normalized drops ride ONE hash-window exchange each (the x01/x52
+    shapes); the near-dup drop set composes x07's O(log d) label
+    propagation (pair graph from the banded join, never all-pairs);
+    the final rollup is a 3-method map-side-combinable aggregation
+    against a broadcast 1-row corpus total. Shares divide exact BIGINT
+    sums — one IEEE division, identical on both engines."""
+    d = T(spark, sf_dir, "documents")
+    tk = pin(d.select("doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok")))
+    tot = tk.agg(F.sum("n_tok").cast("long").alias("corpus_tokens"))
+
+    w_ex = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+    ex = (
+        d.withColumn("rn", F.row_number().over(w_ex))
+        .filter(F.col("rn") > 1).select("doc_id")
+    )
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[0-9.,:;!?()-]+", " "), " +", " "
+        )
+    )
+    w_nm = Window.partitionBy(F.md5(norm.cast("binary"))).orderBy("doc_id")
+    nm = (
+        d.withColumn("rn", F.row_number().over(w_nm))
+        .filter(F.col("rn") > 1).select("doc_id")
+    )
+    nd = (
+        x07_dup_clusters(spark, sf_dir)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    m = (
+        ex.select(F.lit("exact").alias("method"), "doc_id")
+        .unionByName(nm.select(F.lit("normalized").alias("method"), "doc_id"))
+        .unionByName(nd.select(F.lit("near_dup").alias("method"), "doc_id"))
+    )
+    agg = (
+        m.join(tk, "doc_id")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("method")
+        .agg(
+            F.count("*").cast("long").alias("n_docs_dropped"),
+            F.sum("n_tok").cast("long").alias("tokens_dropped"),
+            F.round(
+                F.sum("n_tok").cast("double") / F.first("corpus_tokens"), 6
+            ).alias("token_share"),
+        )
+    )
+    # complete report: a method with ZERO drops still gets its row
+    spine = spark.createDataFrame(
+        [("exact",), ("normalized",), ("near_dup",)], "method string"
+    )
+    return spine.join(agg, "method", "left").select(
+        "method",
+        F.coalesce("n_docs_dropped", F.lit(0)).cast("long").alias("n_docs_dropped"),
+        F.coalesce("tokens_dropped", F.lit(0)).cast("long").alias("tokens_dropped"),
+        F.coalesce("token_share", F.lit(0.0)).alias("token_share"),
+    )
+
+
+# Registry is at cap (100); x108 ships library-gated like x101-x107 —
+# full-oracled by the strict local harness at every run and
+# registry-eligible at the round-14 rotation.
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote108  # noqa: E402
+
+_demote108("x108_dedup_token_savings")
+del _demote108

@@ -110,7 +110,9 @@ QUERIES = ["x07_dup_clusters", "x13_semantic_dedup", "x03_dedup_minhash_lsh",
            # exact-percentile passes over events, x106 composes the
            # query-sided prefix-filter probe with x05's pair relation
            "x104_containment_pairs", "x105_mad_outliers",
-           "x106_hard_negatives"]
+           "x106_hard_negatives",
+           # x108 composes x07's CC relation + two hash-window drops
+           "x108_dedup_token_savings"]
 REPEATS = 3
 
 
