@@ -17,89 +17,71 @@ from pyspark.sql import DataFrame, SparkSession
 # 50 queries() entries in dict iteration order (CORRECTNESS_r01.json is
 # exactly the registry-order prefix). The window is ROTATED each round
 # so no entry's freshest driver row ever goes >1 round stale:
-# round 13 executes the plan VERDICT.md r12 ask #1 endorsed — lead
-# with the round-11-evidence overflow (whose driver rows would
-# otherwise go 2 rounds stale), minus TWO long-stable entries demoted
-# to the library this round (q35 scalar subquery — the subquery class
-# stays scored via q36/q37/q47; x42 hash-sample — the sampling class
-# stays scored via x43/x44/x48/x59/x73; both remain strict-oracle-
-# gated by tests/test_relational_oracle.py). The freed slots go to the
-# promoted library operators VERDICT r12 named: x99 tokenizer
-# fertility and x100 join-key skew (both strict-oracle green at two
-# SFs and parity-swept since round 12). The overflow is exactly the 50
-# entries green in CORRECTNESS_r12.json, so at judging time every
+# round 14 executes the plan VERDICT.md r13 ask #1 endorsed (details
+# in the block comments inside _ORDER). The overflow is exactly the 50
+# entries green in CORRECTNESS_r13.json, so at judging time every
 # registry entry has a driver row ≤1 round old.
 #
-# Round-14 rotation plan: lead with the then-overflow (the 50 entries
-# scored in round 12, listed second below); fill any slots that open
-# by promoting the strongest remaining library operators — the
-# round-13 additions are all strict-oracle green at sf0.001 AND
-# sf0.01: x101 cluster-size histogram, x103 threshold calibration,
-# x104 containment pairs, x105 MAD outliers, x106 hard negatives,
-# x107 event-rate anomaly.
+# Round-15 rotation plan: lead with the then-overflow (the 50 entries
+# scored in round 13, listed second below); fill any slots that open
+# by promoting the strongest remaining library operators.
 _ORDER = [
-    # -- round-13 scored window: driver evidence last refreshed in
-    # round 11 (the round-12 overflow) — score these now, plus the two
-    # operators promoted from the library (x99/x100, strict-oracle
-    # green at sf0.001 AND sf0.01 and parity-swept since round 12).
-    # q35 and x42 left the registry this round (demoted to the
-    # library; their operator classes stay driver-evidenced by
-    # q36/q37/q47 and x43/x44/x48/x59/x73 respectively).
-    "x47_token_entropy", "x46_incremental_dedup",
-    "x30_multimodal_features", "x31_frame_sample",
-    "q01_pricing_summary",
-    "q28_enrichment_join", "q30_range_join", "q31_time_bucket_rollup",
-    "q32_cube", "q33_percentiles",
-    "q36_correlated_exists", "q37_below_group_avg",
-    "x07_dup_clusters",
+    # -- round-14 scored window (VERDICT r13 ask #1): lead with the
+    # round-12-evidence overflow (their driver rows would otherwise go
+    # 2 rounds stale), minus SEVEN long-stable entries demoted to the
+    # library this round — x25 heavy-hitter bigrams (class scored via
+    # x20/x26/x57), x52 norm-dedup (x01/x02/x53), x58 vocab coverage
+    # (x57/x99), x60 source-dup matrix (x83/x101), x61 cluster-balanced
+    # sample (x34/x43/x44), x91 approx percentiles (q33), q53 histogram
+    # (q52/q54); all seven remain strict-oracle-gated by
+    # tests/test_relational_oracle.py. The freed slots go to the seven
+    # round-13 library cards VERDICT r13 named, all strict-oracle green
+    # at sf0.001/0.01/0.1: x101 cluster-size histogram, x103 threshold
+    # calibration, x104 containment pairs, x105 MAD outliers, x106 hard
+    # negatives, x107 event-rate anomaly, x108 token savings — each
+    # gets its FIRST driver row this round.
+    "x63_pq_index_lifecycle", "x49_minhash_index_dedup",
+    "x64_ivf_index_lifecycle", "x65_gopher_rules", "x66_ivfpq_adc_topk",
+    "x67_ivfpq_onetable_topk", "x68_ann_recall", "q19_window_rank_merge",
+    "q29_asof_join", "q34_sessionize", "q47_not_in_null_aware",
+    "q48_time_range_frame", "x01_dedup_exact", "x02_fingerprint_dedup",
+    "x03_dedup_minhash_lsh", "x04_dedup_simhash", "x05_ngram_jaccard_join",
+    "x10_embedding_topk", "x11_embedding_topk_lsh", "x12_embedding_topk_ivf",
+    "x13_semantic_dedup", "x20_text_stats", "x24_winnow_fingerprint",
+    "x28_repetition_filter", "x40_corpus_curation", "x41_decontaminate",
+    "x50_ivf_kmeans_refresh", "x51_ccnet_perplexity_bucket",
+    "x53_keep_longest_dedup", "x54_domain_mix_report", "x55_pq_quantize",
+    "x56_pq_adc_topk", "x57_bpe_pair_counts", "x59_shard_assign",
+    "x81_rrf_fusion_topk", "x82_bm25_prf_topk", "x84_ann_refine_rerank",
+    "x85_token_budget_curriculum", "x90_dedup_embedding_lsh_verify",
+    "x83_dedup_method_agreement", "q52_corr_stats", "q54_regr_stats",
+    "x98_ivf_index_health", "x101_cluster_size_histogram",
+    "x103_quality_threshold_calibration", "x104_containment_pairs",
+    "x105_mad_outliers", "x106_hard_negatives", "x107_event_rate_anomaly",
+    "x108_dedup_token_savings",
+    # -- overflow past the 50-entry cap: ALL green in
+    # CORRECTNESS_r13.json (rows+schema+hash true), so their driver
+    # evidence is exactly one round old at round-14 judging. Round-15
+    # rotation plan: lead with these 50; fill any opening slots from
+    # the strongest library entries as usual.
+    "x47_token_entropy", "x46_incremental_dedup", "x30_multimodal_features",
+    "x31_frame_sample", "q01_pricing_summary", "q28_enrichment_join",
+    "q30_range_join", "q31_time_bucket_rollup", "q32_cube", "q33_percentiles",
+    "q36_correlated_exists", "q37_below_group_avg", "x07_dup_clusters",
     "x21_lang_id", "x22_token_count", "x23_quality_score",
-    "x26_tfidf_top_terms", "x27_pii_redact",
-    "x32_unigram_lm_score", "x33_dsir_importance",
-    "x34_cluster_keep_best", "x35_token_pack",
+    "x26_tfidf_top_terms", "x27_pii_redact", "x32_unigram_lm_score",
+    "x33_dsir_importance", "x34_cluster_keep_best", "x35_token_pack",
     "x36_chunk_dedup", "x37_bloom_dedup", "x38_embedding_quantize",
-    "x39_kmeans", "x43_stratified_cap",
-    "x44_mixture_resample", "x45_substr_dedup", "x48_split_assign",
-    "x62_bm25_topk",
+    "x39_kmeans", "x43_stratified_cap", "x44_mixture_resample",
+    "x45_substr_dedup", "x48_split_assign", "x62_bm25_topk",
     "x71_bigram_lm_score", "x72_ivfpq_residual_topk",
     "x73_temperature_mixture", "x74_prototypicality_prune",
     "x76_tfidf_cosine_pairs", "x77_stupid_backoff_score",
     "x78_source_kl_drift", "x79_split_leakage_audit",
-    "x80_embedding_anisotropy", "x86_funnel_stages",
-    "x87_cohort_retention", "x88_novelty_profile",
-    "x89_filter_agreement", "x92_ivfpq_batch_probe",
+    "x80_embedding_anisotropy", "x86_funnel_stages", "x87_cohort_retention",
+    "x88_novelty_profile", "x89_filter_agreement", "x92_ivfpq_batch_probe",
     "x94_matryoshka_recall", "x95_zipf_fit_per_source",
-    "x96_lsh_index_health",
-    # promoted from the library this round (first driver scoring now)
-    "x99_tokenizer_fertility", "x100_join_key_skew",
-    # -- overflow past the 50-entry cap: ALL green in
-    # CORRECTNESS_r12.json (rows+schema+hash true), so their driver
-    # evidence is exactly one round old at round-13 judging. Round-14
-    # rotation plan: lead with these 50; fill any opening slots from
-    # the strongest library entries as usual.
-    "x63_pq_index_lifecycle", "x49_minhash_index_dedup",
-    "x64_ivf_index_lifecycle", "x65_gopher_rules", "x66_ivfpq_adc_topk",
-    "x67_ivfpq_onetable_topk", "x68_ann_recall",
-    "q19_window_rank_merge", "q29_asof_join", "q34_sessionize",
-    "q47_not_in_null_aware", "q48_time_range_frame",
-    "x01_dedup_exact", "x02_fingerprint_dedup", "x03_dedup_minhash_lsh",
-    "x04_dedup_simhash", "x05_ngram_jaccard_join",
-    "x10_embedding_topk",
-    "x11_embedding_topk_lsh", "x12_embedding_topk_ivf",
-    "x13_semantic_dedup", "x20_text_stats", "x24_winnow_fingerprint",
-    "x25_heavy_hitter_bigrams", "x28_repetition_filter",
-    "x40_corpus_curation", "x41_decontaminate",
-    "x50_ivf_kmeans_refresh",
-    "x51_ccnet_perplexity_bucket", "x52_norm_dedup",
-    "x53_keep_longest_dedup", "x54_domain_mix_report",
-    "x55_pq_quantize", "x56_pq_adc_topk",
-    "x57_bpe_pair_counts", "x58_vocab_coverage", "x59_shard_assign",
-    "x60_source_dup_matrix", "x61_cluster_balanced_sample",
-    "x81_rrf_fusion_topk", "x82_bm25_prf_topk",
-    "x84_ann_refine_rerank", "x85_token_budget_curriculum",
-    "x90_dedup_embedding_lsh_verify", "x91_approx_percentiles",
-    "x83_dedup_method_agreement", "q52_corr_stats", "q53_histogram",
-    "q54_regr_stats",
-    "x98_ivf_index_health",
+    "x96_lsh_index_health", "x99_tokenizer_fertility", "x100_join_key_skew",
 ]
 
 

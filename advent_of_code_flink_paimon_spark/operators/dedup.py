@@ -474,14 +474,10 @@ def x101_cluster_size_histogram(spark, sf_dir):
     )
 
 
-# x101 ships library-gated (the x99/x100 path): the round-13 scored
-# window and the 100-entry registry are full; the strict local harness
-# oracles it at every run and it is registry-eligible at the next
-# rotation.
-from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote101  # noqa: E402
-
-_demote101("x101_cluster_size_histogram")
-del _demote101
+# x101 PROMOTED into the scored registry at the round-14 rotation
+# (VERDICT r13 ask #1) — its slot was freed by demoting x52/x60
+# (exact-dedup / dup-analysis classes stay scored via x01/x02/x53 and
+# x83/x101).
 
 
 @query("x34_cluster_keep_best", oracle=_SQL_KEEP_BEST)
@@ -2545,13 +2541,8 @@ def x104_containment_pairs(spark, sf_dir):
     )
 
 
-# Registry is at cap (100); x104 ships library-gated like x101/x103 —
-# full-oracled by the strict local harness at every run and
-# registry-eligible at the round-14 rotation.
-from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote104  # noqa: E402
-
-_demote104("x104_containment_pairs")
-del _demote104
+# x104 PROMOTED into the scored registry at the round-14 rotation
+# (VERDICT r13 ask #1).
 
 
 # ---------------------------------------------------------------------------
@@ -2677,10 +2668,15 @@ def x108_dedup_token_savings(spark, sf_dir):
     )
 
 
-# Registry is at cap (100); x108 ships library-gated like x101-x107 —
-# full-oracled by the strict local harness at every run and
-# registry-eligible at the round-14 rotation.
-from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote108  # noqa: E402
+# x108 PROMOTED into the scored registry at the round-14 rotation
+# (VERDICT r13 ask #1).
+#
+# Round-14 demotions (freeing registry slots for x101/x104/x108): the
+# exact-dedup class stays driver-scored via x01/x02/x53, the
+# source-level dup-analysis class via x83 + the promoted x101; both
+# demoted entries remain strict-oracle-gated by the library harness.
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote_r14  # noqa: E402
 
-_demote108("x108_dedup_token_savings")
-del _demote108
+_demote_r14("x52_norm_dedup")
+_demote_r14("x60_source_dup_matrix")
+del _demote_r14

@@ -1561,3 +1561,13 @@ from advent_of_code_flink_paimon_spark.operators.registry import demote as _demo
 
 _demote13("q35_scalar_subquery")
 del _demote13
+
+
+# Round-14 rotation (VERDICT r13 ask #1): q53 yields its registry slot
+# to a promoted round-13 library card — the stats-aggregate class
+# stays driver-scored via q52 (corr/cov/stddev) and q54 (regression),
+# and q53 remains full oracle-gated through the strict local harness.
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote_r14r  # noqa: E402
+
+_demote_r14r("q53_histogram")
+del _demote_r14r

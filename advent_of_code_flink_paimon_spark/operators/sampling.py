@@ -734,12 +734,10 @@ def x103_quality_threshold_calibration(spark, sf_dir):
 # (temperature mixture); x42 remains full oracle-gated through the
 # strict local harness (tests/test_relational_oracle.py iterates the
 # library too).
-# x103 ships library-gated like x99/x100/x101 (the registry is capped
-# at 100 by the 2-round evidence-freshness rotation); the strict local
-# harness oracles it at every run and it is registry-eligible at the
-# round-14 rotation.
+# x103 PROMOTED into the scored registry at the round-14 rotation
+# (VERDICT r13 ask #1); x42 stays library-gated (demoted round 13 —
+# the hash-sampling class is driver-scored via x43/x44/x48/x59/x73).
 from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote13  # noqa: E402
 
 _demote13("x42_hash_sample")
-_demote13("x103_quality_threshold_calibration")
 del _demote13

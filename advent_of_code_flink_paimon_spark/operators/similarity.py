@@ -4154,3 +4154,14 @@ def vector_dedup_ingest_recall_report(
             .otherwise(F.lit(1.0)), 6,
         ).alias("drop_precision"),
     )
+
+
+# Round-14 rotation (VERDICT r13 ask #1): x61 yields its registry slot
+# to a promoted round-13 library card — the cluster-aware sampling
+# class stays driver-scored via x34 (keep-best) and x43/x44
+# (stratified/mixture), and x61 remains full oracle-gated through the
+# strict local harness.
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote_r14s  # noqa: E402
+
+_demote_r14s("x61_cluster_balanced_sample")
+del _demote_r14s

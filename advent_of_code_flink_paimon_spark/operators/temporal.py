@@ -699,12 +699,11 @@ def x107_event_rate_anomaly(spark, sf_dir):
     return out
 
 
-# Registry is at cap (100, set by the 2-round evidence-freshness
-# rotation); x105/x107 ship library-gated like x101/x103 — full-oracled
-# by the strict local harness at every run, registry-eligible at the
-# round-14 rotation.
-from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote105  # noqa: E402
+# x105/x107 PROMOTED into the scored registry at the round-14 rotation
+# (VERDICT r13 ask #1); x91 demoted to free one of their slots — the
+# approx-percentile class stays driver-scored via q33 (GK sketch),
+# and x91 remains strict-oracle-gated by the library harness.
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote_r14t  # noqa: E402
 
-_demote105("x105_mad_outliers")
-_demote105("x107_event_rate_anomaly")
-del _demote105
+_demote_r14t("x91_approx_percentiles")
+del _demote_r14t

@@ -2918,10 +2918,13 @@ def x106_hard_negatives(spark, sf_dir):
     )
 
 
-# Registry is at cap (100); x106 ships library-gated like
-# x101/x103/x104/x105 — full-oracled by the strict local harness at
-# every run, registry-eligible at the round-14 rotation.
-from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote106  # noqa: E402
+# x106 PROMOTED into the scored registry at the round-14 rotation
+# (VERDICT r13 ask #1); x25/x58 demoted to free slots — the
+# heavy-hitter/text-stats class stays driver-scored via x20/x26/x57
+# and the tokenizer-coverage class via x57/x99; both remain
+# strict-oracle-gated by the library harness.
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote_r14x  # noqa: E402
 
-_demote106("x106_hard_negatives")
-del _demote106
+_demote_r14x("x25_heavy_hitter_bigrams")
+_demote_r14x("x58_vocab_coverage")
+del _demote_r14x

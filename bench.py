@@ -126,11 +126,32 @@ HEADLINE = [
     # correctness every run.
     "x99_tokenizer_fertility",
     "x100_join_key_skew",
+    # round 14: the seven operators promoted into the scored window
+    # (x101 cluster-size histogram, x103 threshold calibration, x104
+    # containment pairs, x105 MAD outliers, x106 hard negatives, x107
+    # event-rate anomaly, x108 token savings) join the bench; seven
+    # flat sub-0.75 s entries (x65, x73, x95, x32, x61, x78, x87 —
+    # all stable within 0.47-0.72 s since their debut rounds) retire
+    # to hold the summary-line byte headroom under the 2000-byte
+    # stdout tail window. Their history lives in BENCH_r01..r13 and
+    # the strict harness still gates their correctness every run;
+    # their scale rows stay in the bench_scale.py battery.
+    "x101_cluster_size_histogram",
+    "x103_quality_threshold_calibration",
+    "x104_containment_pairs",
+    "x105_mad_outliers",
+    "x106_hard_negatives",
+    "x107_event_rate_anomaly",
+    "x108_dedup_token_savings",
 ]
 for _retired in ("x52_norm_dedup", "x91_approx_percentiles",
                  "x04_dedup_simhash", "q25_json_extract",
                  "x10_embedding_topk",
-                 "q34_sessionize", "x58_vocab_coverage"):
+                 "q34_sessionize", "x58_vocab_coverage",
+                 "x65_gopher_rules", "x73_temperature_mixture",
+                 "x95_zipf_fit_per_source", "x32_unigram_lm_score",
+                 "x61_cluster_balanced_sample", "x78_source_kl_drift",
+                 "x87_cohort_retention"):
     HEADLINE.remove(_retired)
 del _retired
 
