@@ -94,6 +94,17 @@ class Catalog:
                     "deletion-vectors.enabled applies to append-only tables "
                     "(primary-key tables delete via retraction upserts)"
                 )
+            # DV position capture reads Spark's _metadata.row_index,
+            # which the ORC file source does not expose (parquet-only
+            # metadata field) — without this guard the first DV-mode
+            # DELETE/UPDATE fails deep in the scan with an
+            # AnalysisException instead of at CREATE TABLE (ADVICE r13
+            # #5).
+            if fmt == "orc":
+                raise ValueError(
+                    "deletion-vectors.enabled requires 'file.format'='parquet' "
+                    "(_metadata.row_index is not exposed by the ORC source)"
+                )
         engine = opts.get("merge-engine", "deduplicate")
         if engine not in ("deduplicate", "partial-update", "aggregation", "first-row"):
             raise ValueError(f"unknown merge-engine {engine!r}")

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import tempfile
 import time
 import uuid
@@ -88,6 +89,13 @@ class TablePaths:
 
     def __init__(self, warehouse: str, db: str, table: str, branch: str | None = None):
         self.root = os.path.join(warehouse, f"{db}.db", table)
+        # Validate HERE, not only in create_branch (ADVICE r13 #2):
+        # every branch-addressed operation builds a TablePaths, and a
+        # name like 'x/../../..' would otherwise resolve self.meta
+        # outside the branch dir — delete_branch's rmtree would then
+        # delete the table or database directory.
+        if branch is not None and not re.fullmatch(r"[A-Za-z0-9_.-]+", branch):
+            raise ValueError(f"invalid branch name {branch!r}")
         self.branch = branch
         self.meta = (
             self.root if branch is None

@@ -43,6 +43,14 @@ from advent_of_code_flink_paimon_spark.lakehouse.meta import (
 META_COLS = ("__seq", "__op")
 COMPACT_LEVEL = 5  # files produced by full compaction (L0 = fresh writes)
 FULL_MANIFEST_EVERY = 10  # delta-chain length bound (manifest() docstring)
+# Broadcast cap for the deletion-vector apply (bytes of DV parquet,
+# summed driver-side): small accumulations broadcast (one-pass MoR
+# filter, no shuffle of the data side), large ones fall back to a
+# shuffled anti-join instead of OOMing the executors. 32 MiB of
+# positional-delete parquet ≈ tens of millions of (file, pos) pairs —
+# past any sane broadcast. Module-level so tests can lower it to force
+# the shuffle shape without writing gigabytes.
+_DV_BROADCAST_MAX_BYTES = 32 << 20
 
 # sentinel: caller did not capture a base snapshot (self-conflict only)
 _UNSET = object()
@@ -156,11 +164,38 @@ class Table:
         bt = self.use_branch(name)
         b_latest = bt.latest_snapshot_id() or anchor
         self.rollback_to(anchor)
+        # Branch writes intentionally skip the main stream/ append-log
+        # mirror, and the snapshot/manifest copies below bypass
+        # _publish — so the adopted APPENDs must be mirrored HERE or
+        # stream_table_files subscribers (including fresh ones
+        # replaying from genesis) silently never see the adopted rows,
+        # breaking the mirror invariant rollback_to documents (every
+        # main-chain APPEND is mirrored). Diff each adopted APPEND
+        # manifest against its predecessor and hard-link the new files
+        # with the snapshot-prefixed names _publish uses (ADVICE r13
+        # #4).
+        sdir = os.path.join(self.paths.root, "stream")
+        prev_files = {e["file_path"] for e in bt.manifest(anchor)}
         for sid in range(anchor + 1, b_latest + 1):
             sp = bt.paths.snapshot_path(sid)
-            if os.path.exists(sp):
-                shutil.copyfile(sp, self.paths.snapshot_path(sid))
-                shutil.copyfile(bt.paths.manifest_path(sid), self.paths.manifest_path(sid))
+            if not os.path.exists(sp):
+                continue
+            shutil.copyfile(sp, self.paths.snapshot_path(sid))
+            shutil.copyfile(bt.paths.manifest_path(sid), self.paths.manifest_path(sid))
+            cur_files = {e["file_path"] for e in bt.manifest(sid)}
+            if read_json(sp).get("commit_kind") == "APPEND":
+                os.makedirs(sdir, exist_ok=True)
+                for rel in sorted(cur_files - prev_files):
+                    src = os.path.join(self.paths.root, rel)
+                    dst = os.path.join(
+                        sdir, f"snapshot-{sid:06d}__{os.path.basename(rel)}"
+                    )
+                    if not os.path.exists(dst):
+                        try:
+                            os.link(src, dst)
+                        except OSError:
+                            shutil.copy2(src, dst)
+            prev_files = cur_files
         with open(self.paths.pointer_path("LATEST"), "w") as f:
             f.write(str(b_latest))
         getattr(self, "_manifest_cache", {}).clear()
@@ -693,6 +728,32 @@ class Table:
         idx = spark.read.schema(StructType.fromDDL("__khash long, __bucket int")).parquet(*files)
         raw = self._raw(spark)  # empty DF (never None) when no live files
         live = raw.select(F.xxhash64(*self.primary_key).alias("__khash")).distinct()
+        # The key→bucket index at <root>/index is shared by EVERY
+        # snapshot chain of the table, but self._raw is only the
+        # calling chain's files (ADVICE r13 #3): compact() on a branch
+        # must not drop entries for keys live only on main (or vice
+        # versa) — a later re-upsert of such a key could get a fresh
+        # bucket while its rows sit in the old one, and index-trusting
+        # pre-image pruning would then merge against the wrong bucket.
+        # Union the other chains' live keys, the index analogue of the
+        # _external_referenced_files data-file guard.
+        for b in self.branches():
+            if b == self.branch_name:
+                continue
+            other = self.use_branch(b)
+            live = live.unionByName(
+                other._raw(spark)
+                .select(F.xxhash64(*self.primary_key).alias("__khash"))
+                .distinct()
+            )
+        if self.branch_name is not None:
+            main = Table(self.warehouse, self.db, self.name)
+            live = live.unionByName(
+                main._raw(spark)
+                .select(F.xxhash64(*self.primary_key).alias("__khash"))
+                .distinct()
+            )
+        live = live.distinct()
         # distinct PAIRS, never one-per-key: a key racing writers
         # left in two buckets keeps both entries so pre-image
         # pruning still sees every bucket its rows can live in
@@ -1369,6 +1430,14 @@ class Table:
             return (True, None)
         vals = []
         for e in entries:
+            # A deletion vector hides rows whose values still sit in the
+            # file's footer stats (ADVICE r13 #1: after append [0,1500)
+            # then DV-DELETE k<1200, the footer min is still 1000).
+            # metadata_count stays exact because _dv_republish rewrites
+            # record_count, but min/max cannot be adjusted without
+            # reading the file — refuse, fall through to the scan.
+            if e.get("deletion_vector"):
+                return None
             st = (e.get("stats") or {}).get(col)
             if st is None or not isinstance(st.get(func), (int, float)) or isinstance(st.get(func), bool):
                 return None
@@ -1482,21 +1551,31 @@ class Table:
         """Filter out rows whose (file basename, row index) appear in
         the given deletion-vector files — the merge-on-read half of the
         DV design. The DV relation is bounded by TOTAL DELETED ROWS
-        (not table size), so the anti-join broadcasts; at cluster scale
-        this is the standard Iceberg v2 positional-delete apply."""
-        dv = spark.read.parquet(
-            *[os.path.join(self.paths.root, p) for p in sorted(dv_paths)]
+        (not table size), so it usually broadcasts; at cluster scale
+        this is the standard Iceberg v2 positional-delete apply.
+
+        SIZE-GATED (VERDICT r13 ask #2): "bounded by deleted rows" is
+        no bound at all once a user DV-deletes a few percent of a
+        100 TB table before compaction — an unconditional broadcast
+        OOMs the executors exactly when the feature matters most. The
+        gate sums the DV parquet file sizes (driver-side metadata,
+        O(#dv files)) and falls back to a plain shuffled anti-join
+        above ``_DV_BROADCAST_MAX_BYTES`` (the x92 auto-gate pattern:
+        same results, different physical shape — asserted by
+        tests/test_plans.py::test_dv_apply_plan_shapes)."""
+        paths = [os.path.join(self.paths.root, p) for p in sorted(dv_paths)]
+        dv = spark.read.parquet(*paths)
+        keys = dv.select(
+            F.col("file_name").alias("__file"),
+            F.col("row_index").alias("__pos"),
         )
-        return df.join(
-            F.broadcast(
-                dv.select(
-                    F.col("file_name").alias("__file"),
-                    F.col("row_index").alias("__pos"),
-                )
-            ),
-            ["__file", "__pos"],
-            "left_anti",
-        )
+        try:
+            total = sum(os.path.getsize(p) for p in paths)
+        except OSError:
+            total = _DV_BROADCAST_MAX_BYTES + 1  # unknown size: be safe
+        if total <= _DV_BROADCAST_MAX_BYTES:
+            keys = F.broadcast(keys)
+        return df.join(keys, ["__file", "__pos"], "left_anti")
 
     def _raw(self, spark: SparkSession, snapshot_id: int | None = None, where: str | None = None):
         entries = self.manifest(snapshot_id)

@@ -2767,3 +2767,176 @@ def test_deletion_vector_read_plans_broadcast_antijoin(spark, catalog):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
     assert df.count() == 900
+
+
+# ---------------------------------------------------------------------------
+# Round-14 hardening: ADVICE r13 #1-#5 + VERDICT r13 ask #2
+# ---------------------------------------------------------------------------
+
+def test_metadata_min_max_refuses_dv_tables(spark, catalog):
+    """ADVICE r13 #1: _dv_republish keeps the original footer stats, so
+    on a DV table MIN/MAX from metadata would answer from DV-deleted
+    rows (append [0,1500) then DELETE k<1200 → footer min says 1000,
+    truth is 1200). metadata_min_max must refuse whenever any selected
+    entry carries a vector; the SQL path falls through to the scan."""
+    t = catalog.create_table(
+        "dvmm", "k long, v string",
+        {"bucket": "1", "deletion-vectors.enabled": "true"},
+    )
+    for lo in (0, 1000):
+        t.append(_kv(spark, lo, 500))
+    assert t.metadata_min_max("min", "k") == (True, 0)
+
+    t.delete_where(spark, "k < 1200")  # [0,500) drops whole-file; [1000,1500) gets a DV
+    assert t.metadata_count() == 300  # count stays exact (live record_count)
+    assert t.metadata_min_max("min", "k") is None  # stats are pre-DV → refuse
+    assert t.metadata_min_max("max", "k") is None
+    # SQL falls through to the DV-applied scan and answers the truth
+    assert catalog.sql(spark, "SELECT MIN(k) AS m FROM dvmm").collect()[0].m == 1200
+
+    # compaction applies + clears the vectors; fresh footers answer again
+    t.compact()
+    assert t.metadata_min_max("min", "k") == (True, 1200)
+
+
+def test_branch_name_path_traversal_rejected(spark, catalog):
+    """ADVICE r13 #2: delete_branch rmtree-s the branch meta dir; a
+    name like 'x/../../..' would resolve outside it and delete the
+    table (or database). Validation lives in TablePaths so EVERY
+    branch-addressed surface is covered."""
+    t = catalog.create_table("brsec", "k long, v string", {"bucket": "1"})
+    t.append(_kv(spark, 0, 10))
+    for bad in ("x/../../..", "../evil", "a/b", "", "dot dot"):
+        with pytest.raises(ValueError, match="branch name"):
+            t.delete_branch(bad)
+        with pytest.raises(ValueError, match="branch name"):
+            t.use_branch(bad)
+        with pytest.raises(ValueError, match="branch name"):
+            t.fast_forward(bad)
+        with pytest.raises(ValueError):
+            t.create_branch(bad)
+    # nothing was deleted by the attempts
+    assert t.read(spark).count() == 10
+    assert os.path.exists(t.paths.root)
+
+
+def test_compact_index_keeps_other_chain_keys(spark, catalog):
+    """ADVICE r13 #3: the dynamic-bucket key→bucket index is SHARED by
+    all branches, but index GC used to key retention on the calling
+    chain's raw files only — compact() on main would drop entries for
+    keys live only on a branch, so a later branch re-upsert could pick
+    a different bucket than the one physically holding the key's rows
+    (duplicate images from index-trusting pre-image pruning)."""
+    t = catalog.create_table(
+        "dynbr", "k long, v string", {"bucket": "-1", "primary-key": "k"})
+    t.upsert(_kv(spark, 0, 50))
+    t.create_branch("dev")
+    dev = t.use_branch("dev")
+
+    # kill keys 0..24 on MAIN, then full-compact (runs index GC)
+    t.delete_where(spark, "k < 25")
+    t.compact()
+    assert t.read(spark).count() == 25
+
+    # the index must still know keys 0..24 — they are live on dev
+    import glob as _glob
+    idx_files = _glob.glob(os.path.join(t._index_dir(), "*.parquet"))
+    idx = {r[0] for r in spark.read.parquet(*idx_files).select("__khash").collect()}
+    want = {
+        r[0]
+        for r in spark.range(0, 25)
+        .select(F.col("id").alias("k"))
+        .select(F.xxhash64("k"))
+        .collect()
+    }
+    assert want <= idx, f"index lost {len(want - idx)} branch-live keys"
+
+    # and the functional consequence: re-upserting a branch-live key
+    # yields exactly ONE merged image on the branch
+    dev.upsert(_kv(spark, 5, 1, "patched"))
+    got = dev.read(spark).filter("k = 5").collect()
+    assert len(got) == 1 and got[0].v == "patched"
+    assert dev.read(spark).count() == 50
+
+
+def test_fast_forward_mirrors_adopted_appends_to_stream(spark, catalog):
+    """ADVICE r13 #4: branch writes skip the stream/ mirror by design,
+    and fast_forward copies snapshots directly (bypassing _publish) —
+    the adopted APPENDs must be hard-linked into the mirror or
+    subscribers replaying from genesis never see the adopted rows."""
+    t = catalog.create_table("brffs", "k long, v string", {"bucket": "1"})
+    t.append(_kv(spark, 0, 10))
+    t.create_branch("feat")
+    dev = t.use_branch("feat")
+    dev.append(_kv(spark, 100, 10, "feat"))
+    dev.append(_kv(spark, 200, 5, "feat"))
+    t.append(_kv(spark, 9000, 7, "main-diverged"))  # rolled back by adoption
+
+    t.fast_forward("feat")
+
+    sdir = os.path.join(t.paths.root, "stream")
+    names = sorted(os.listdir(sdir))
+    assert any(n.startswith("snapshot-000002__") for n in names), names
+    assert any(n.startswith("snapshot-000003__") for n in names), names
+    # the mirror IS the genesis replay: exactly the main-chain appends,
+    # adopted rows included, diverged-then-rolled-back rows gone
+    mirror = spark.read.parquet(sdir)
+    assert mirror.count() == 25
+    assert mirror.filter("v = 'feat'").count() == 15
+    assert mirror.filter("v = 'main-diverged'").count() == 0
+
+
+def test_deletion_vector_rejected_for_orc(spark, catalog):
+    """ADVICE r13 #5: DV position capture needs _metadata.row_index,
+    which Spark's ORC source does not expose — reject at CREATE TABLE
+    instead of failing deep in the first DV-mode scan."""
+    with pytest.raises(ValueError, match="parquet"):
+        catalog.create_table(
+            "dvorc", "k long, v string",
+            {"bucket": "1", "deletion-vectors.enabled": "true",
+             "file.format": "orc"},
+        )
+
+
+def test_dv_apply_plan_shapes(spark, catalog):
+    """VERDICT r13 ask #2: the DV apply broadcasts only under the size
+    gate; above it the SAME rows come back through a shuffled anti-join
+    instead of an executor-OOM broadcast."""
+    from advent_of_code_flink_paimon_spark.lakehouse import table as table_mod
+
+    t = catalog.create_table(
+        "dvgate", "k long, v string",
+        {"bucket": "1", "deletion-vectors.enabled": "true"},
+    )
+    t.append(_kv(spark, 0, 1000))
+    t.delete_where(spark, "k < 100")
+
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+
+    def plan_of(df):
+        return df._jdf.queryExecution().explainString(jmode)
+
+    # small DV: broadcast shape (the default-path assertion also lives
+    # in test_deletion_vector_read_plans_broadcast_antijoin)
+    small = t.read(spark)
+    p = plan_of(small)
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p, p
+    rows_small = sorted(r.k for r in small.collect())
+
+    # force the gate shut and pin auto-broadcast off so the planner
+    # can't pick broadcast on its own size estimate
+    old_gate = table_mod._DV_BROADCAST_MAX_BYTES
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    table_mod._DV_BROADCAST_MAX_BYTES = 0
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        big = t.read(spark)
+        p2 = plan_of(big)
+        assert "BroadcastHashJoin" not in p2, p2
+        assert ("SortMergeJoin" in p2 or "ShuffledHashJoin" in p2) and "LeftAnti" in p2, p2
+        rows_big = sorted(r.k for r in big.collect())
+    finally:
+        table_mod._DV_BROADCAST_MAX_BYTES = old_gate
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+
+    assert rows_small == rows_big == list(range(100, 1000))
