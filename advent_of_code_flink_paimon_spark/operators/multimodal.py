@@ -892,7 +892,14 @@ def media_phash_pairs(spark, docs: DataFrame, max_hamming: int = _PHASH_MAX_HAMM
     mapInPandas pass; the 16 corpus-mean thresholds are ONE 1-row agg
     inlined as literals, so signatures are a map-only projection;
     candidates shuffle on the (block, value) key only."""
-    assert max_hamming <= _PHASH_BLOCKS - 1, "pigeonhole bound violated"
+    if max_hamming > _PHASH_BLOCKS - 1:
+        # a bare assert is stripped under python -O and would then
+        # silently lose exactness (VERDICT r13 Wrong #1); fail loud
+        # like MediaDedupIngestPipeline does
+        raise ValueError(
+            f"max_hamming={max_hamming} violates the pigeonhole bound "
+            f"(blocks={_PHASH_BLOCKS} catch at most {_PHASH_BLOCKS - 1} flips)"
+        )
     feats = extract_features(as_media_table(docs))
     mean_row = feats.agg(
         *[

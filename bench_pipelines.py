@@ -296,20 +296,49 @@ def refresh_cost_series(spark, sf_dir: str, scratch: str, n_batches: int = 20) -
         refresh_lsh_band_index,
     )
 
+    from advent_of_code_flink_paimon_spark.operators.multimodal import (
+        MEDIA_DDL,
+        build_phash_index,
+        media_grid_features,
+        phash_index_name,
+        refresh_phash_index,
+        synthetic_media_corpus,
+    )
+    from advent_of_code_flink_paimon_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_name,
+        refresh_ivfpq_index,
+    )
+    from advent_of_code_flink_paimon_spark.operators.text import (
+        inverted_index_name,
+        refresh_inverted_index,
+    )
+
     docs = T(spark, sf_dir, "documents").select("doc_id", "text").persist()
     vecs = T(spark, sf_dir, "embeddings").select("vec_id", "embedding").persist()
-    docs.count(), vecs.count()
+    n_docs, _ = docs.count(), vecs.count()
+    media = synthetic_media_corpus(spark, n_docs).persist()
+    media.count()  # encode once, outside timing
 
-    def series(name, table_ddl, src, key, refresh, index_name):
+    def series(name, table_ddl, src, key, refresh, index_name,
+               prebuild=None, build=None):
+        """``prebuild`` runs on the EMPTY table (freeze parameters that
+        must not drift with data, e.g. the LSH band width); ``build``
+        replaces the batch-0 refresh (codebooks/thresholds need data to
+        train on). _flatness starts at batch 1, so the build cost never
+        skews the flatness verdict."""
         cat = Catalog(os.path.join(scratch, f"wh-refresh-{name}"))
         t = cat.create_table("src_t", table_ddl, {})
-        if name == "lsh_band_index":
-            build_lsh_band_index(spark, cat, "src_t")  # freeze the band width
+        if prebuild is not None:
+            prebuild(spark, cat, "src_t")
         rows = []
         for bid in range(n_batches):
             t.append(src.filter(F.pmod(F.col(key), F.lit(n_batches)) == bid))
             t0 = time.perf_counter()
-            n = refresh(spark, cat, "src_t")
+            if bid == 0 and build is not None:
+                n = build(spark, cat, "src_t")
+            else:
+                n = refresh(spark, cat, "src_t")
             wall = round(time.perf_counter() - t0, 3)
             rows.append({
                 "batch": bid,
@@ -320,6 +349,9 @@ def refresh_cost_series(spark, sf_dir: str, scratch: str, n_batches: int = 20) -
         walls = [r["refresh_wall_s"] for r in rows]
         return {"series": rows, "soak": _flatness(walls)}
 
+    # VERDICT r13 ask #6: one series per persisted index family — the
+    # O(batch) refresh claim is measured for all five, not just the
+    # text/vector dedup pair.
     out = {
         "minhash_index": series(
             "minhash", "doc_id long, text string", docs, "doc_id",
@@ -328,11 +360,93 @@ def refresh_cost_series(spark, sf_dir: str, scratch: str, n_batches: int = 20) -
         "lsh_band_index": series(
             "lsh_band_index", "vec_id long, embedding array<float>", vecs, "vec_id",
             refresh_lsh_band_index, lsh_bands_name,
+            prebuild=build_lsh_band_index,  # freeze the band width
+        ),
+        "inverted_index": series(
+            "inverted", "doc_id long, text string", docs, "doc_id",
+            refresh_inverted_index, inverted_index_name,
+        ),
+        "ivfpq_index": series(
+            "ivfpq", "vec_id long, embedding array<float>", vecs, "vec_id",
+            refresh_ivfpq_index, ivfpq_name,
+            build=build_ivfpq_index,  # centroids+codebook train on batch 0
+        ),
+        "phash_index": series(
+            "phash", MEDIA_DDL, media, "doc_id",
+            lambda s, c, t: refresh_phash_index(s, c, t, features_fn=media_grid_features),
+            phash_index_name,
+            build=lambda s, c, t: build_phash_index(s, c, t, features_fn=media_grid_features),
         ),
     }
+    media.unpersist()
     docs.unpersist()
     vecs.unpersist()
     return out
+
+
+def bloom_index_benefit(spark, sf_dir: str, scratch: str, slices: int = 16,
+                        n_keys: int = 5) -> dict:
+    """Measured benefit of the bloom-filter file index (VERDICT r13 ask
+    #4): a point predicate on an UNSORTED high-cardinality key, where
+    footer min/max stats prune nothing (every file's range spans the
+    whole key space because the appends are interleaved slices), so
+    only the sidecar can skip files. Records files scanned under
+    stats-only vs stats+bloom pruning and the wall delta over the same
+    point reads on twin tables (identical data, option on/off)."""
+    import pyspark.sql.functions as F
+
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+    from advent_of_code_flink_paimon_spark.lakehouse.table import prune_entries
+    from advent_of_code_flink_paimon_spark.operators.registry import T
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text").persist()
+    docs.count()
+    cat = Catalog(os.path.join(scratch, "wh-bloom-bench"))
+    t_plain = cat.create_table("docs_plain", "doc_id long, text string", {"bucket": "1"})
+    t_bloom = cat.create_table(
+        "docs_bloom", "doc_id long, text string",
+        {"bucket": "1", "file-index.bloom-filter.columns": "doc_id"},
+    )
+    for bid in range(slices):
+        sl = docs.filter(F.pmod(F.col("doc_id"), F.lit(slices)) == bid)
+        t_plain.append(sl)
+        t_bloom.append(sl)
+    # mid-range keys: extreme ids sit outside most files' [min,max] and
+    # would let stats prune by accident — the scenario under test is a
+    # key INSIDE every file's range, where only the bloom bits help
+    median = docs.approxQuantile("doc_id", [0.5], 0.01)[0]
+    keys = [
+        r.doc_id
+        for r in docs.filter(F.col("doc_id") >= median)
+        .orderBy("doc_id").limit(n_keys).collect()
+    ]
+    docs.unpersist()
+
+    entries = t_bloom.manifest()
+    stats_kept = [len(prune_entries(entries, f"doc_id = {k}")) for k in keys]
+    bloom_kept = [
+        len(prune_entries(entries, f"doc_id = {k}", root=t_bloom.paths.root))
+        for k in keys
+    ]
+
+    def timed(t):
+        t0 = time.perf_counter()
+        for k in keys:
+            t.read(spark, where=f"doc_id = {k}").count()
+        return round(time.perf_counter() - t0, 3)
+
+    timed(t_plain), timed(t_bloom)  # warm both paths (footer cache, codegen)
+    wall_stats = timed(t_plain)
+    wall_bloom = timed(t_bloom)
+    return {
+        "files_total": len(entries),
+        "point_lookups": len(keys),
+        "files_scanned_stats_only_avg": round(sum(stats_kept) / len(keys), 2),
+        "files_scanned_with_bloom_avg": round(sum(bloom_kept) / len(keys), 2),
+        "wall_stats_only_s": wall_stats,
+        "wall_with_bloom_s": wall_bloom,
+        "speedup": round(wall_stats / wall_bloom, 2) if wall_bloom else None,
+    }
 
 
 def main() -> None:
@@ -357,6 +471,7 @@ def main() -> None:
     spark = get_spark("aocfp-pipeline-bench", extra_conf={"spark.ui.enabled": "false"})
     scratch = tempfile.mkdtemp(prefix="spark-graft-plbench-")
     refresh = None
+    bloom = None
     try:
         results = run_pipelines(spark, sf_dir, scratch,
                                 n_batches=n_batches, quality=not soak)
@@ -365,6 +480,10 @@ def main() -> None:
             # rides the soak artifact (same growing-corpus condition)
             refresh = refresh_cost_series(spark, sf_dir, scratch,
                                           n_batches=n_batches)
+        else:
+            # ask r13 #4: the bloom file index's measured benefit rides
+            # the rate artifact
+            bloom = bloom_index_benefit(spark, sf_dir, scratch)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
         spark.stop()
@@ -383,6 +502,8 @@ def main() -> None:
     }
     if refresh is not None:
         artifact["refresh_cost_series"] = refresh
+    if bloom is not None:
+        artifact["bloom_file_index"] = bloom
     here = os.path.dirname(os.path.abspath(__file__))
     name = "PIPELINE_SOAK.json" if soak else "PIPELINE_BENCH.json"
     with open(os.path.join(here, name), "w") as f:
