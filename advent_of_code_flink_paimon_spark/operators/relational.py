@@ -1571,3 +1571,91 @@ from advent_of_code_flink_paimon_spark.operators.registry import demote as _demo
 
 _demote_r14r("q53_histogram")
 del _demote_r14r
+
+
+# ---------------------------------------------------------------------------
+# x109: deletion-vector DML lifecycle as an oracled query (VERDICT r13
+# ask #8 — the DV/metadata paths were [S]-only; this card gives the
+# driver a DuckDB-replayable relation produced by the REAL lakehouse
+# DV machinery, the x49/x63 lifecycle-query pattern).
+# ---------------------------------------------------------------------------
+
+_SQL_DV_LIFECYCLE = """
+WITH live AS (
+  SELECT o_orderstatus, o_orderkey, o_totalprice
+  FROM orders
+  WHERE (o_orderkey % 7 < 2) IS NOT TRUE
+    AND (o_orderkey % 7 = 2) IS NOT TRUE
+)
+SELECT o_orderstatus,
+       COUNT(*) AS n_live,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       (SELECT COUNT(*) FROM live) AS meta_count,
+       TRUE AS meta_minmax_refused
+FROM live
+GROUP BY o_orderstatus
+"""
+
+
+@query("x109_dv_delete_lifecycle", oracle=_SQL_DV_LIFECYCLE)
+def x109_dv_delete_lifecycle(spark, sf_dir):
+    """Deletion-vector merge-on-read lifecycle, oracled end to end:
+    orders lands in a DV-enabled lakehouse table as two INTERLEAVED
+    appends (every file's o_orderkey range spans the key space, so a
+    modulus DELETE can never drop a whole file — both deletes must go
+    through positional vectors), two DELETEs STACK vectors on the same
+    files, and the returned relation aggregates the MoR read. Two
+    metadata claims ride the result where DuckDB can check them:
+    ``meta_count`` is metadata_count() — exact through DVs because
+    entries re-publish with live record_count — and
+    ``meta_minmax_refused`` pins the round-14 refusal (footer stats
+    predate the vectors; MIN/MAX from metadata would answer from
+    deleted rows, so it must fall through to the scan).
+
+    Scale shape: the DV apply is ONE anti-join bounded by total deleted
+    rows (size-gated broadcast — lakehouse/table.py); the aggregate is
+    a single partial-aggregated exchange on o_orderstatus. Reference
+    parity: Paimon 0.9 deletion-vectors surface (SURVEY §2.1)."""
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+    from advent_of_code_flink_paimon_spark.operators.dedup import _mhidx_warehouse
+
+    catalog = Catalog(_mhidx_warehouse("dvlife109", sf_dir), "default")
+    t = catalog.create_table(
+        "orders_dv",
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+        {"bucket": "2", "deletion-vectors.enabled": "true"},
+    )
+    src = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    for r in (0, 1):
+        t.append(src.filter(F.pmod(F.col("o_orderkey"), F.lit(2)) == r))
+    t.delete_where(spark, "o_orderkey % 7 < 2")  # vectors on straddling files
+    t.delete_where(spark, "o_orderkey % 7 = 2")  # second vector STACKS
+    meta = t.metadata_count()
+    refused = t.metadata_min_max("min", "o_orderkey") is None
+    return (
+        t.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_live"),
+            F.min("o_orderkey").cast("long").alias("min_key"),
+            F.max("o_orderkey").cast("long").alias("max_key"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("sum_price"),
+        )
+        .withColumn("meta_count", F.lit(meta).cast("long"))
+        .withColumn("meta_minmax_refused", F.lit(bool(refused)))
+    )
+
+
+# x109 ships library-gated (the x101-x108 path): the round-14 scored
+# window and the 100-entry registry are full; the strict local harness
+# oracles it at every run and it is registry-eligible at the round-15
+# rotation.
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote_x109  # noqa: E402
+
+_demote_x109("x109_dv_delete_lifecycle")
+del _demote_x109

@@ -112,7 +112,12 @@ QUERIES = ["x07_dup_clusters", "x13_semantic_dedup", "x03_dedup_minhash_lsh",
            "x104_containment_pairs", "x105_mad_outliers",
            "x106_hard_negatives",
            # x108 composes x07's CC relation + two hash-window drops
-           "x108_dedup_token_savings"]
+           "x108_dedup_token_savings",
+           # round-14: the DV-lifecycle card (VERDICT r13 ask #8) —
+           # two appends + two DV deletes + one MoR-read aggregate;
+           # the anti-join is bounded by deleted rows (~3/7 of the
+           # corpus here), so growth should track the row multiple
+           "x109_dv_delete_lifecycle"]
 REPEATS = 3
 
 
