@@ -2680,3 +2680,93 @@ from advent_of_code_flink_paimon_spark.operators.registry import demote as _demo
 _demote_r14("x52_norm_dedup")
 _demote_r14("x60_source_dup_matrix")
 del _demote_r14
+
+
+# ---------------------------------------------------------------------------
+# x110: FUZZY eval-set decontamination (round 14). x41 catches exact
+# 13-gram contamination; reformatted / lightly-paraphrased eval copies
+# (whitespace changes, sentence reorders, boilerplate swaps) slip past
+# an exact n-gram containment check but keep high shingle-set Jaccard.
+# This card runs the MinHash-LSH machinery CROSS-SLICE: candidates
+# come from a train-side × eval-side band join — the probe side is the
+# eval set (≪ corpus), so at 100 TB the join ships the tiny banded
+# eval relation to the train bands rather than self-joining the whole
+# corpus (the x03 shape) and post-filtering. Per contaminated train
+# doc: match count, worst (max) Jaccard, and the lowest matching eval
+# doc id (the deterministic audit pointer).
+# ---------------------------------------------------------------------------
+
+_SQL_FUZZY_DECON = f"""
+WITH sh AS (
+    SELECT doc_id, unnest(list_distinct(
+        [s[i] || ' ' || s[i+1] || ' ' || s[i+2] for i in range(1, len(s) - 1)]
+    )) AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc, COUNT(*) AS c
+    FROM sh t JOIN sh e ON t.shingle = e.shingle
+    WHERE t.doc_id % 10 >= 2 AND e.doc_id % 10 < 2
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT train_doc, eval_doc, c * 1.0 / (st.n + se.n - c) AS jaccard
+    FROM inter JOIN sizes st ON st.doc_id = train_doc
+               JOIN sizes se ON se.doc_id = eval_doc
+    WHERE c * 1.0 / (st.n + se.n - c) >= {JACCARD_THRESHOLD}
+)
+SELECT CAST(train_doc AS BIGINT) AS train_doc,
+       COUNT(*) AS n_eval_matches,
+       MAX(jaccard) AS max_jaccard,
+       CAST(MIN(eval_doc) AS BIGINT) AS first_eval_doc
+FROM pairs
+GROUP BY train_doc
+"""
+
+
+@query("x110_fuzzy_decontaminate", oracle=_SQL_FUZZY_DECON)
+def x110_fuzzy_decontaminate(spark, sf_dir):
+    """Near-dup (Jaccard ≥ 0.5) contamination of the train slice
+    (doc_id % 10 >= 2) by the eval slice (doc_id % 10 < 2, the
+    x41/x46 split convention) via MinHash-LSH banding, exact-verified.
+
+    Scale shape: both sides band INDEPENDENTLY and the candidate join
+    is train-bands × eval-bands on (band, band_hash) — the eval side
+    is a fixed small relation, so candidates are linear in train
+    bands, never the corpus self-join (restricting x03's all-pairs
+    output would pay the full self-join to keep a sliver). The exact
+    verify joins shingle arrays for candidate pairs only. The oracle
+    is the exhaustive cross-slice exact-Jaccard join — valid for the
+    same margin reason as x03 (planted near-dups ≥ .9 vs < .3
+    background; per-pair LSH miss probability ~1.5e-15)."""
+    docs = fan_out(T(spark, sf_dir, "documents"), heavy=True)
+    sharr = pin(shingle_hash_arrays(docs))
+    banded = band_rows(minhash_signatures(sharr), LSH_BAND_CAP)
+    is_eval = F.pmod(F.col("doc_id"), F.lit(10)) < 2
+    tr = banded.filter(~is_eval).alias("t")
+    ev = banded.filter(is_eval).alias("e")
+    cand = (
+        tr.join(ev, (F.col("t.band") == F.col("e.band")) & (F.col("t.bh") == F.col("e.bh")))
+        .select(F.col("t.doc_id").alias("i"), F.col("e.doc_id").alias("j"))
+        .distinct()
+    )
+    verified = exact_jaccard(cand, sharr).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    return (
+        verified.groupBy(F.col("i").cast("long").alias("train_doc"))
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_matches"),
+            F.max("jaccard").alias("max_jaccard"),
+            F.min("j").cast("long").alias("first_eval_doc"),
+        )
+    )
+
+
+# x110 ships library-gated (the x101-x109 path): the round-14 scored
+# window and the 100-entry registry are full; the strict local harness
+# oracles it at every run and it is registry-eligible at the round-15
+# rotation.
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote_x110  # noqa: E402
+
+_demote_x110("x110_fuzzy_decontaminate")
+del _demote_x110

@@ -2606,6 +2606,115 @@ def x90_dedup_embedding_lsh_verify(spark, sf_dir, max_vec_id: int | None = None)
     )
 
 
+# ---------------------------------------------------------------------------
+# x111: SEMANTIC eval-set decontamination (round 14) — the embedding-
+# space twin of x110's lexical card. Reformatted eval copies that even
+# shingle Jaccard misses (translations of boilerplate, heavy
+# paraphrase) stay close in embedding space; modern pipelines
+# (SemDeDup-style) therefore decontaminate by cosine too. Cross-slice
+# banding: train vectors (vec_id % 10 >= 2) band-join against the
+# small eval side (vec_id % 10 < 2) on the x90 band keys, exact-cosine
+# verify on candidates only. Unlike x110 (margin argument), the oracle
+# REPLICATES the banding bit-for-bit (the x90 protocol) — outputs
+# match by construction, no recall assumption.
+# ---------------------------------------------------------------------------
+
+
+def _sql_x111() -> str:
+    from advent_of_code_flink_paimon_spark.operators.dedup import _COSINE_DUP_THRESHOLD
+
+    r_sql = _X90_R_SQL.format(
+        mn=_X90_MIN_BITS, mx=_X90_MAX_BITS, n="COUNT(*)", occ=_X90_TARGET_OCC
+    )
+    cos = _COS.format(a="va.vv", b="vb.vv")
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings),
+    p AS (SELECT {r_sql} AS r FROM v),
+    bits AS (SELECT vec_id, {_x90_bits_sql('vv')} AS b FROM v),
+    banded AS (
+        SELECT vec_id,
+               bands.i * 65536 + CAST(list_sum(list_transform(range(0, p.r),
+                   j -> CAST(b[bands.i * p.r + j + 1] AS BIGINT) << j)) AS BIGINT) AS key
+        FROM bits, p, (SELECT UNNEST(range(0, 64 // r)) AS i FROM p) bands
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+        FROM banded a JOIN banded b USING (key)
+        WHERE a.vec_id % 10 >= 2 AND b.vec_id % 10 < 2
+    ),
+    pairs AS (
+        SELECT c.i, c.j, ROUND({cos}, 4) AS cosine
+        FROM cand c JOIN v va ON va.vec_id = c.i JOIN v vb ON vb.vec_id = c.j
+        WHERE ROUND({cos}, 4) >= {_COSINE_DUP_THRESHOLD}
+    )
+    SELECT CAST(i AS BIGINT) AS train_vec,
+           COUNT(*) AS n_eval_matches,
+           MAX(cosine) AS max_cosine,
+           CAST(MIN(j) AS BIGINT) AS first_eval_vec
+    FROM pairs
+    GROUP BY i
+    """
+
+
+@query("x111_semantic_decontaminate", oracle=_sql_x111())
+def x111_semantic_decontaminate(spark, sf_dir):
+    """Embedding-cosine contamination of the train slice (vec_id % 10
+    >= 2) by the eval slice (vec_id % 10 < 2) at the x06/x90 dup
+    threshold: per contaminated train vector, the eval-match count,
+    the worst (max) cosine, and the lowest matching eval vec_id (the
+    deterministic audit pointer).
+
+    Scale shape: the signature/banding pass is x90's (shared literal
+    planes, data-scaled band width computed over the WHOLE corpus so
+    both slices band identically); the candidate join is train-bands
+    x eval-bands — linear in train bands with the small eval relation
+    as the probe side, never a corpus self-join. Exact cosine verify
+    at candidate volume only; pure equi-joins (plan-swept)."""
+    from advent_of_code_flink_paimon_spark.operators.dedup import _COSINE_DUP_THRESHOLD
+
+    v = fan_out(T(spark, sf_dir, "embeddings"), heavy=True).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vv")
+    )
+    r = _x90_band_bits(v.count())
+    banded = (
+        v.select("vec_id", _x90_bits("vv").alias("bits"))
+        .select("vec_id", F.explode(_x90_keys(r)).alias("key"))
+    )
+    is_eval = F.pmod(F.col("vec_id"), F.lit(10)) < 2
+    cand = (
+        banded.filter(~is_eval).alias("a")
+        .join(banded.filter(is_eval).alias("b"), "key")
+        .select(F.col("a.vec_id").alias("i"), F.col("b.vec_id").alias("j"))
+        .distinct()
+    )
+    va = v.select(F.col("vec_id").alias("i"), F.col("vv").alias("av"), _norm("vv").alias("na"))
+    vb = v.select(F.col("vec_id").alias("j"), F.col("vv").alias("bv"), _norm("vv").alias("nb"))
+    pairs = (
+        cand.join(va, "i")
+        .join(vb, "j")
+        .select(
+            "i", "j",
+            F.round(_dot("av", "bv") / (F.col("na") * F.col("nb")), 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= _COSINE_DUP_THRESHOLD)
+    )
+    return pairs.groupBy(F.col("i").cast("long").alias("train_vec")).agg(
+        F.count(F.lit(1)).alias("n_eval_matches"),
+        F.max("cosine").alias("max_cosine"),
+        F.min("j").cast("long").alias("first_eval_vec"),
+    )
+
+
+# x111 ships library-gated (the x101-x110 path): the round-14 scored
+# window and the 100-entry registry are full; the strict local harness
+# oracles it at every run and it is registry-eligible at the round-15
+# rotation.
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote_x111  # noqa: E402
+
+_demote_x111("x111_semantic_decontaminate")
+del _demote_x111
+
+
 from advent_of_code_flink_paimon_spark.operators.registry import (  # noqa: E402
     ORACLES as _ORACLES,
 )

@@ -117,7 +117,12 @@ QUERIES = ["x07_dup_clusters", "x13_semantic_dedup", "x03_dedup_minhash_lsh",
            # two appends + two DV deletes + one MoR-read aggregate;
            # the anti-join is bounded by deleted rows (~3/7 of the
            # corpus here), so growth should track the row multiple
-           "x109_dv_delete_lifecycle"]
+           "x109_dv_delete_lifecycle",
+           # round-14 decontamination pair: x110 shares x03's
+           # band-join + verify shape restricted train x eval; x111 is
+           # x90's banded cosine path restricted the same way — both
+           # should inherit their parents' ~1.1-1.6x growths
+           "x110_fuzzy_decontaminate", "x111_semantic_decontaminate"]
 REPEATS = 3
 
 
