@@ -174,33 +174,53 @@ class Table:
         # manifest against its predecessor and hard-link the new files
         # with the snapshot-prefixed names _publish uses (ADVICE r13
         # #4).
-        sdir = os.path.join(self.paths.root, "stream")
-        prev_files = {e["file_path"] for e in bt.manifest(anchor)}
+        def _files_at(sid: int) -> set[str] | None:
+            # None = manifest chain unreadable at sid (expired on the
+            # branch) — mirror linking for the affected diff is skipped
+            # rather than crashing the adoption (copy-only fallback,
+            # the pre-round-14 behavior)
+            try:
+                return {e["file_path"] for e in bt.manifest(sid)}
+            except (OSError, ValueError, KeyError):
+                return None
+
+        prev_files = _files_at(anchor)
         for sid in range(anchor + 1, b_latest + 1):
             sp = bt.paths.snapshot_path(sid)
             if not os.path.exists(sp):
                 continue
             shutil.copyfile(sp, self.paths.snapshot_path(sid))
             shutil.copyfile(bt.paths.manifest_path(sid), self.paths.manifest_path(sid))
-            cur_files = {e["file_path"] for e in bt.manifest(sid)}
-            if read_json(sp).get("commit_kind") == "APPEND":
-                os.makedirs(sdir, exist_ok=True)
+            cur_files = _files_at(sid)
+            if (
+                cur_files is not None
+                and prev_files is not None
+                and read_json(sp).get("commit_kind") == "APPEND"
+            ):
                 for rel in sorted(cur_files - prev_files):
-                    src = os.path.join(self.paths.root, rel)
-                    dst = os.path.join(
-                        sdir, f"snapshot-{sid:06d}__{os.path.basename(rel)}"
-                    )
-                    if not os.path.exists(dst):
-                        try:
-                            os.link(src, dst)
-                        except OSError:
-                            shutil.copy2(src, dst)
+                    self._mirror_link(sid, rel)
             prev_files = cur_files
         with open(self.paths.pointer_path("LATEST"), "w") as f:
             f.write(str(b_latest))
         getattr(self, "_manifest_cache", {}).clear()
         self._ids_cache = None
         return b_latest
+
+    def _mirror_link(self, sid: int, rel: str) -> None:
+        """Hard-link (or copy) data file ``rel`` into the stream/
+        append-log mirror under the snapshot-prefixed name the mirror
+        contract is keyed by (rollback_to unlinks by the same format).
+        The ONE writer of that contract — used by _publish for live
+        APPENDs and by fast_forward for adopted branch APPENDs."""
+        sdir = os.path.join(self.paths.root, "stream")
+        os.makedirs(sdir, exist_ok=True)
+        dst = os.path.join(sdir, f"snapshot-{sid:06d}__{os.path.basename(rel)}")
+        if not os.path.exists(dst):
+            src = os.path.join(self.paths.root, rel)
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copy2(src, dst)
 
     def _external_referenced_files(self) -> set[str]:
         """Data files referenced by OTHER snapshot chains of this table
@@ -737,23 +757,22 @@ class Table:
         # pre-image pruning would then merge against the wrong bucket.
         # Union the other chains' live keys, the index analogue of the
         # _external_referenced_files data-file guard.
-        for b in self.branches():
-            if b == self.branch_name:
-                continue
-            other = self.use_branch(b)
-            live = live.unionByName(
-                other._raw(spark)
-                .select(F.xxhash64(*self.primary_key).alias("__khash"))
-                .distinct()
-            )
+        # Each chain hashes its OWN primary-key column names (a rename
+        # after branching diverges the schema histories), and no
+        # distinct is needed on this probe side — left_semi is
+        # duplicate-insensitive, so the extra shuffle-aggregates would
+        # buy nothing.
+        others = [
+            self.use_branch(b) for b in self.branches() if b != self.branch_name
+        ]
         if self.branch_name is not None:
-            main = Table(self.warehouse, self.db, self.name)
+            others.append(Table(self.warehouse, self.db, self.name))
+        for other in others:
             live = live.unionByName(
-                main._raw(spark)
-                .select(F.xxhash64(*self.primary_key).alias("__khash"))
-                .distinct()
+                other._raw(spark).select(
+                    F.xxhash64(*other.primary_key).alias("__khash")
+                )
             )
-        live = live.distinct()
         # distinct PAIRS, never one-per-key: a key racing writers
         # left in two buckets keeps both entries so pre-image
         # pruning still sees every bucket its rows can live in
@@ -1022,18 +1041,8 @@ class Table:
             # (snapshot-NNNNNN__<basename>) so streaming scan start
             # modes (Paimon 'scan.mode', round-6 ask #3) can open the
             # stream at a snapshot boundary by file-path filter alone.
-            sdir = os.path.join(self.paths.root, "stream")
-            os.makedirs(sdir, exist_ok=True)
             for e in new_entries:
-                src = os.path.join(self.paths.root, e["file_path"])
-                dst = os.path.join(
-                    sdir, f"snapshot-{sid:06d}__{os.path.basename(e['file_path'])}"
-                )
-                if not os.path.exists(dst):
-                    try:
-                        os.link(src, dst)
-                    except OSError:
-                        shutil.copy2(src, dst)
+                self._mirror_link(sid, e["file_path"])
         self._maybe_auto_compact()
         self._maybe_auto_expire()
         self._maybe_auto_expire_partitions()
@@ -1562,7 +1571,7 @@ class Table:
         O(#dv files)) and falls back to a plain shuffled anti-join
         above ``_DV_BROADCAST_MAX_BYTES`` (the x92 auto-gate pattern:
         same results, different physical shape — asserted by
-        tests/test_plans.py::test_dv_apply_plan_shapes)."""
+        tests/test_lakehouse.py::test_dv_apply_plan_shapes)."""
         paths = [os.path.join(self.paths.root, p) for p in sorted(dv_paths)]
         dv = spark.read.parquet(*paths)
         keys = dv.select(
@@ -1570,7 +1579,18 @@ class Table:
             F.col("row_index").alias("__pos"),
         )
         try:
-            total = sum(os.path.getsize(p) for p in paths)
+            # each DV path is a Spark-written parquet DIRECTORY —
+            # getsize on the dir itself would return the ~4 KiB inode
+            # size and the gate could never trip; sum the part files
+            total = 0
+            for p in paths:
+                if os.path.isdir(p):
+                    total += sum(
+                        os.path.getsize(f)
+                        for f in glob.glob(os.path.join(p, "*.parquet"))
+                    )
+                else:
+                    total += os.path.getsize(p)
         except OSError:
             total = _DV_BROADCAST_MAX_BYTES + 1  # unknown size: be safe
         if total <= _DV_BROADCAST_MAX_BYTES:

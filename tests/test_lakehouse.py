@@ -2998,3 +2998,48 @@ def test_bloom_prune_executor_side_above_threshold(spark, catalog, monkeypatch):
     ]
     assert small_kept == driver_kept
     assert len(calls) == 4  # one cached read per candidate, driver-side
+
+
+def test_dv_gate_measures_part_file_bytes(spark, catalog, monkeypatch):
+    """The DV size gate must sum the PART FILES inside each DV parquet
+    directory — os.path.getsize on the directory itself returns the
+    ~4 KiB inode size, which would keep the gate permanently open (the
+    round-14 review catch). Pin it by setting the threshold one byte
+    on either side of the true part-file total and asserting the plan
+    flips."""
+    import glob as _glob
+
+    from advent_of_code_flink_paimon_spark.lakehouse import table as table_mod
+
+    t = catalog.create_table(
+        "dvsz", "k long, v string",
+        {"bucket": "1", "deletion-vectors.enabled": "true"},
+    )
+    t.append(_kv(spark, 0, 20000))
+    t.delete_where(spark, "k < 5000")
+    dv_dirs = {e["deletion_vector"] for e in t.manifest() if e.get("deletion_vector")}
+    assert dv_dirs
+    real_total = sum(
+        os.path.getsize(f)
+        for d in sorted(dv_dirs)
+        for f in _glob.glob(os.path.join(t.paths.root, d, "*.parquet"))
+    )
+    # precondition: the true vector bytes dominate the inode sizes, so
+    # the buggy measurement (4096/dir) and the real one disagree
+    assert real_total > 4096 * len(dv_dirs)
+
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+
+    def plan_of(df):
+        return df._jdf.queryExecution().explainString(jmode)
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        monkeypatch.setattr(table_mod, "_DV_BROADCAST_MAX_BYTES", real_total - 1)
+        assert "BroadcastHashJoin" not in plan_of(t.read(spark))
+        monkeypatch.setattr(table_mod, "_DV_BROADCAST_MAX_BYTES", real_total)
+        assert "BroadcastHashJoin" in plan_of(t.read(spark))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+    assert t.read(spark).count() == 15000
