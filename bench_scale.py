@@ -122,7 +122,12 @@ QUERIES = ["x07_dup_clusters", "x13_semantic_dedup", "x03_dedup_minhash_lsh",
            # band-join + verify shape restricted train x eval; x111 is
            # x90's banded cosine path restricted the same way — both
            # should inherit their parents' ~1.1-1.6x growths
-           "x110_fuzzy_decontaminate", "x111_semantic_decontaminate"]
+           "x110_fuzzy_decontaminate", "x111_semantic_decontaminate",
+           # round-15 (VERDICT r14 ask #1): q08 first crossed the 1.0 s
+           # hot bar in the driver's r14 bench — one broadcast join +
+           # map-side-combinable agg over lineitem, the flat-per-row
+           # class; supplier stays a fixed broadcast dim at scale
+           "q08_join_inner_broadcast"]
 REPEATS = 3
 
 
@@ -160,6 +165,18 @@ def _gen_relational(con) -> None:
     con.execute(
         f"COPY (SELECT * FROM read_parquet('{BASE}/nation.parquet')) "
         f"TO '{SCALE_DIR}/nation.parquet' (FORMAT PARQUET)"
+    )
+    _gen_supplier(con)
+
+
+def _gen_supplier(con) -> None:
+    """q08's broadcast dim: the replicated lineitem keeps l_suppkey
+    unoffset, so supplier stays a fixed dim (like nation) and per-key
+    fact cardinality scales exactly M x — the broadcast-join shape the
+    growth row measures."""
+    con.execute(
+        f"COPY (SELECT * FROM read_parquet('{BASE}/supplier.parquet')) "
+        f"TO '{SCALE_DIR}/supplier.parquet' (FORMAT PARQUET)"
     )
 
 
@@ -232,7 +249,8 @@ def ensure_scale_data() -> None:
 
     done = os.path.join(SCALE_DIR, ".complete")
     have_events = os.path.exists(os.path.join(SCALE_DIR, "events.parquet"))
-    if os.path.exists(done) and have_events:
+    have_supplier = os.path.exists(os.path.join(SCALE_DIR, "supplier.parquet"))
+    if os.path.exists(done) and have_events and have_supplier:
         return
     os.makedirs(SCALE_DIR, exist_ok=True)
     con = duckdb.connect()
@@ -244,6 +262,8 @@ def ensure_scale_data() -> None:
             f.write("ok")
     if not have_events:  # round 10: events added to an existing cache
         _gen_events(con)
+    if not have_supplier:
+        _gen_supplier(con)  # round 15: q08's dim added to an existing cache
 
 
 def main() -> None:
