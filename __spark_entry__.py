@@ -17,29 +17,53 @@ from pyspark.sql import DataFrame, SparkSession
 # 50 queries() entries in dict iteration order (CORRECTNESS_r01.json is
 # exactly the registry-order prefix). The window is ROTATED each round
 # so no entry's freshest driver row ever goes >1 round stale:
-# round 14 executes the plan VERDICT.md r13 ask #1 endorsed (details
+# round 15 executes the plan VERDICT.md r14 ask #2 endorsed (details
 # in the block comments inside _ORDER). The overflow is exactly the 50
-# entries green in CORRECTNESS_r13.json, so at judging time every
+# entries green in CORRECTNESS_r14.json, so at judging time every
 # registry entry has a driver row ≤1 round old.
 #
-# Round-15 rotation plan: lead with the then-overflow (the 50 entries
-# scored in round 13, listed second below); fill any slots that open
-# by promoting the strongest remaining library operators.
+# Round-16 rotation plan: lead with the then-overflow (the 50 entries
+# scored in round 14, listed second below); fill any slots that open
+# by promoting the strongest remaining library operators (x112/x113,
+# the round-15 lakehouse lifecycle cards, are first in line).
 _ORDER = [
-    # -- round-14 scored window (VERDICT r13 ask #1): lead with the
-    # round-12-evidence overflow (their driver rows would otherwise go
-    # 2 rounds stale), minus SEVEN long-stable entries demoted to the
-    # library this round — x25 heavy-hitter bigrams (class scored via
-    # x20/x26/x57), x52 norm-dedup (x01/x02/x53), x58 vocab coverage
-    # (x57/x99), x60 source-dup matrix (x83/x101), x61 cluster-balanced
-    # sample (x34/x43/x44), x91 approx percentiles (q33), q53 histogram
-    # (q52/q54); all seven remain strict-oracle-gated by
-    # tests/test_relational_oracle.py. The freed slots go to the seven
-    # round-13 library cards VERDICT r13 named, all strict-oracle green
-    # at sf0.001/0.01/0.1: x101 cluster-size histogram, x103 threshold
-    # calibration, x104 containment pairs, x105 MAD outliers, x106 hard
-    # negatives, x107 event-rate anomaly, x108 token savings — each
-    # gets its FIRST driver row this round.
+    # -- round-15 scored window (VERDICT r14 ask #2): lead with the
+    # round-13-evidence overflow (their driver rows would otherwise go
+    # 2 rounds stale), minus THREE long-stable entries demoted to the
+    # library this round — x22 token count (class scored via
+    # x20/x57/x99), x47 token entropy (x20/x32/x95), x36 chunk dedup
+    # (x45 + the x01/x02 exact family); all three remain
+    # strict-oracle-gated by tests/test_relational_oracle.py. The
+    # freed slots go to the three round-14 library cards VERDICT r14
+    # named, all strict-oracle green at sf0.001/0.01/0.1 with recorded
+    # BENCH_scale rows: x109 DV-delete lifecycle (1.59x), x110 fuzzy
+    # decontaminate (1.14x), x111 semantic decontaminate (1.17x) —
+    # each gets its FIRST driver row this round.
+    "x46_incremental_dedup", "x30_multimodal_features",
+    "x31_frame_sample", "q01_pricing_summary", "q28_enrichment_join",
+    "q30_range_join", "q31_time_bucket_rollup", "q32_cube", "q33_percentiles",
+    "q36_correlated_exists", "q37_below_group_avg", "x07_dup_clusters",
+    "x21_lang_id", "x23_quality_score",
+    "x26_tfidf_top_terms", "x27_pii_redact", "x32_unigram_lm_score",
+    "x33_dsir_importance", "x34_cluster_keep_best", "x35_token_pack",
+    "x37_bloom_dedup", "x38_embedding_quantize",
+    "x39_kmeans", "x43_stratified_cap", "x44_mixture_resample",
+    "x45_substr_dedup", "x48_split_assign", "x62_bm25_topk",
+    "x71_bigram_lm_score", "x72_ivfpq_residual_topk",
+    "x73_temperature_mixture", "x74_prototypicality_prune",
+    "x76_tfidf_cosine_pairs", "x77_stupid_backoff_score",
+    "x78_source_kl_drift", "x79_split_leakage_audit",
+    "x80_embedding_anisotropy", "x86_funnel_stages", "x87_cohort_retention",
+    "x88_novelty_profile", "x89_filter_agreement", "x92_ivfpq_batch_probe",
+    "x94_matryoshka_recall", "x95_zipf_fit_per_source",
+    "x96_lsh_index_health", "x99_tokenizer_fertility", "x100_join_key_skew",
+    "x109_dv_delete_lifecycle", "x110_fuzzy_decontaminate",
+    "x111_semantic_decontaminate",
+    # -- overflow past the 50-entry cap: ALL green in
+    # CORRECTNESS_r14.json (rows+schema+hash true), so their driver
+    # evidence is exactly one round old at round-15 judging. Round-16
+    # rotation plan: lead with these 50; fill any opening slots from
+    # the strongest library entries as usual.
     "x63_pq_index_lifecycle", "x49_minhash_index_dedup",
     "x64_ivf_index_lifecycle", "x65_gopher_rules", "x66_ivfpq_adc_topk",
     "x67_ivfpq_onetable_topk", "x68_ann_recall", "q19_window_rank_merge",
@@ -59,29 +83,6 @@ _ORDER = [
     "x103_quality_threshold_calibration", "x104_containment_pairs",
     "x105_mad_outliers", "x106_hard_negatives", "x107_event_rate_anomaly",
     "x108_dedup_token_savings",
-    # -- overflow past the 50-entry cap: ALL green in
-    # CORRECTNESS_r13.json (rows+schema+hash true), so their driver
-    # evidence is exactly one round old at round-14 judging. Round-15
-    # rotation plan: lead with these 50; fill any opening slots from
-    # the strongest library entries as usual.
-    "x47_token_entropy", "x46_incremental_dedup", "x30_multimodal_features",
-    "x31_frame_sample", "q01_pricing_summary", "q28_enrichment_join",
-    "q30_range_join", "q31_time_bucket_rollup", "q32_cube", "q33_percentiles",
-    "q36_correlated_exists", "q37_below_group_avg", "x07_dup_clusters",
-    "x21_lang_id", "x22_token_count", "x23_quality_score",
-    "x26_tfidf_top_terms", "x27_pii_redact", "x32_unigram_lm_score",
-    "x33_dsir_importance", "x34_cluster_keep_best", "x35_token_pack",
-    "x36_chunk_dedup", "x37_bloom_dedup", "x38_embedding_quantize",
-    "x39_kmeans", "x43_stratified_cap", "x44_mixture_resample",
-    "x45_substr_dedup", "x48_split_assign", "x62_bm25_topk",
-    "x71_bigram_lm_score", "x72_ivfpq_residual_topk",
-    "x73_temperature_mixture", "x74_prototypicality_prune",
-    "x76_tfidf_cosine_pairs", "x77_stupid_backoff_score",
-    "x78_source_kl_drift", "x79_split_leakage_audit",
-    "x80_embedding_anisotropy", "x86_funnel_stages", "x87_cohort_retention",
-    "x88_novelty_profile", "x89_filter_agreement", "x92_ivfpq_batch_probe",
-    "x94_matryoshka_recall", "x95_zipf_fit_per_source",
-    "x96_lsh_index_health", "x99_tokenizer_fertility", "x100_join_key_skew",
 ]
 
 

@@ -2762,11 +2762,15 @@ def x110_fuzzy_decontaminate(spark, sf_dir):
     )
 
 
-# x110 ships library-gated (the x101-x109 path): the round-14 scored
-# window and the 100-entry registry are full; the strict local harness
-# oracles it at every run and it is registry-eligible at the round-15
-# rotation.
-from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote_x110  # noqa: E402
+# x110 shipped library-gated in round 14 (the x101-x109 path); round 15
+# PROMOTES it into the scored registry (VERDICT r14 ask #2). The slot
+# comes from x36_chunk_dedup / x47_token_entropy / x22_token_count
+# (demoted this round; see the rotation block in __spark_entry__.py).
+#
+# x36_chunk_dedup demoted round 15: the chunk-hash dedup class stays
+# driver-scored via x45_substr_dedup and the x01/x02 exact family;
+# x36 remains strict-oracle-gated by the library harness.
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote_r15d  # noqa: E402
 
-_demote_x110("x110_fuzzy_decontaminate")
-del _demote_x110
+_demote_r15d("x36_chunk_dedup")
+del _demote_r15d

@@ -1655,7 +1655,8 @@ def x109_dv_delete_lifecycle(spark, sf_dir):
 # window and the 100-entry registry are full; the strict local harness
 # oracles it at every run and it is registry-eligible at the round-15
 # rotation.
-from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote_x109  # noqa: E402
-
-_demote_x109("x109_dv_delete_lifecycle")
-del _demote_x109
+#
+# Round 15: PROMOTED into the scored registry (VERDICT r14 ask #2) —
+# the demote call below was removed; x36_chunk_dedup yielded its slot
+# (chunk-hash dedup stays driver-scored via x45_substr_dedup and the
+# x01/x02 exact-dedup family).

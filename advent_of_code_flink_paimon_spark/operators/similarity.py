@@ -2705,14 +2705,9 @@ def x111_semantic_decontaminate(spark, sf_dir):
     )
 
 
-# x111 ships library-gated (the x101-x110 path): the round-14 scored
-# window and the 100-entry registry are full; the strict local harness
-# oracles it at every run and it is registry-eligible at the round-15
-# rotation.
-from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote_x111  # noqa: E402
-
-_demote_x111("x111_semantic_decontaminate")
-del _demote_x111
+# x111 shipped library-gated in round 14 (the x101-x110 path); round 15
+# PROMOTES it into the scored registry (VERDICT r14 ask #2) — see the
+# rotation block in __spark_entry__.py for the slot accounting.
 
 
 from advent_of_code_flink_paimon_spark.operators.registry import (  # noqa: E402

@@ -2927,4 +2927,11 @@ from advent_of_code_flink_paimon_spark.operators.registry import demote as _demo
 
 _demote_r14x("x25_heavy_hitter_bigrams")
 _demote_r14x("x58_vocab_coverage")
+# Round 15: x22/x47 yield their slots to the promoted x109/x110/x111
+# (VERDICT r14 ask #2) — token counting stays driver-scored via
+# x20_text_stats / x57_bpe_pair_counts / x99_tokenizer_fertility, and
+# the entropy/score class via x20/x32/x95; both remain
+# strict-oracle-gated by the library harness.
+_demote_r14x("x22_token_count")
+_demote_r14x("x47_token_entropy")
 del _demote_r14x
