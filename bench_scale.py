@@ -127,7 +127,12 @@ QUERIES = ["x07_dup_clusters", "x13_semantic_dedup", "x03_dedup_minhash_lsh",
            # hot bar in the driver's r14 bench — one broadcast join +
            # map-side-combinable agg over lineitem, the flat-per-row
            # class; supplier stays a fixed broadcast dim at scale
-           "q08_join_inner_broadcast"]
+           "q08_join_inner_broadcast",
+           # round-15 lakehouse lifecycle cards (asks #5/#6): x112 is
+           # build-dominated (bucketed write + sidecar build, the
+           # x63/x64 fixed-cost class — its 8 probe reads scan ~1 file
+           # each); x113 is O(metadata) branching + one grouped agg
+           "x112_bloom_index_lifecycle", "x113_branch_lifecycle"]
 REPEATS = 3
 
 
