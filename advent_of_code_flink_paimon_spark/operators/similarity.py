@@ -30,7 +30,12 @@ import functools
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from advent_of_code_flink_paimon_spark.operators.registry import T, fan_out, query
+from advent_of_code_flink_paimon_spark.operators.registry import (
+    T,
+    fan_out,
+    footer_row_count,
+    query,
+)
 
 TOP_K = 5
 N_QUERIES = 5  # vec_id < 5 are the query vectors (deterministic subset)
@@ -2580,7 +2585,11 @@ def x90_dedup_embedding_lsh_verify(spark, sf_dir, max_vec_id: int | None = None)
     v = fan_out(e, heavy=True).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vv")
     )
-    r = _x90_band_bits(v.count())
+    # band width from footer metadata — no plan-time corpus pass; the
+    # bounded-sample branch filters rows, so only IT still pays a count
+    r = _x90_band_bits(
+        v.count() if max_vec_id is not None else footer_row_count(sf_dir, "embeddings")
+    )
     banded = (
         v.select("vec_id", _x90_bits("vv").alias("bits"))
         .select("vec_id", F.explode(_x90_keys(r)).alias("key"))
@@ -2675,7 +2684,11 @@ def x111_semantic_decontaminate(spark, sf_dir):
     v = fan_out(T(spark, sf_dir, "embeddings"), heavy=True).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vv")
     )
-    r = _x90_band_bits(v.count())
+    # band width from footer metadata (VERDICT r14 ask #7) — the
+    # corpus-sizing count is plan-build O(footers), not a data scan;
+    # both slices still band identically because the width input is
+    # the SAME whole-corpus row count the oracle's COUNT(*) computes
+    r = _x90_band_bits(footer_row_count(sf_dir, "embeddings"))
     banded = (
         v.select("vec_id", _x90_bits("vv").alias("bits"))
         .select("vec_id", F.explode(_x90_keys(r)).alias("key"))

@@ -571,3 +571,23 @@ def test_changelog_replay_reproduces_merged_image(
                 state[r.k] = (r.v, r.seq)
     merged = {r.k: (r.v, r.seq) for r in t.read(spark).collect()}
     assert state == merged
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+@pytest.mark.parametrize("table", ["embeddings", "documents", "orders"])
+def test_footer_row_count_matches_scan(sf_dir, table):
+    """footer_row_count (the plan-time metadata COUNT(*) that sizes the
+    x90/x111 LSH band width — VERDICT r14 asks #7/#8) must equal the
+    scan-derived count exactly, so the metadata fast path can never
+    change a band width (and therefore never change banding output)."""
+    import duckdb
+
+    from advent_of_code_flink_paimon_spark.operators.registry import footer_row_count
+    from advent_of_code_flink_paimon_spark.operators.similarity import _x90_band_bits
+
+    scanned = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/{table}.parquet')"
+    ).fetchone()[0]
+    meta = footer_row_count(sf_dir, table)
+    assert meta == scanned
+    assert _x90_band_bits(meta) == _x90_band_bits(scanned)
