@@ -1842,3 +1842,374 @@ from advent_of_code_flink_paimon_spark.operators.registry import demote as _demo
 _demote_r15("x112_bloom_index_lifecycle")
 _demote_r15("x113_branch_lifecycle")
 del _demote_r15
+
+
+# ---------------------------------------------------------------------------
+# x114-x118 (round 15): the lifecycle-card family extended to the five
+# remaining big [S] lakehouse surfaces — schema evolution, full
+# compaction, tags/time-travel/expiry, PK last-write-wins upsert, and
+# the aggregation merge engine. Same x109 protocol: the relation is
+# produced by the REAL lakehouse machinery and DuckDB replays it from
+# the raw table, with metadata claims riding as oracle-checkable
+# columns.
+# ---------------------------------------------------------------------------
+
+_SQL_SCHEMA_EVOLUTION = """
+WITH r AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS status,
+         o_totalprice AS price_usd
+  FROM orders
+)
+SELECT COALESCE(status, '<pre-evolution>') AS status,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(price_usd AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       TRUE AS old_files_untouched
+FROM r
+GROUP BY 1
+"""
+
+
+@query("x114_schema_evolution_lifecycle", oracle=_SQL_SCHEMA_EVOLUTION)
+def x114_schema_evolution_lifecycle(spark, sf_dir):
+    """Schema evolution end to end, oracled: even orders keys land
+    under schema v0 (key, price); ADD COLUMN twice (status + a junk
+    column), odd keys land under schema v2; RENAME price -> price_usd;
+    DROP the junk column. The read merges all file groups under the
+    LATEST schema: v0 files null-fill status (surfaced as
+    '<pre-evolution>'), the physical price column resolves through the
+    rename log, and the dropped column vanishes from the relation even
+    though half the files still carry its bytes
+    (lakehouse/catalog.py add/rename/drop_column; Paimon schema-N
+    evolution, SURVEY §2.1). ``old_files_untouched`` pins the
+    no-rewrite contract: every v0 data file is still live after three
+    schema commits — evolution is metadata-only at any table size.
+
+    Scale shape: one grouped exchange; schema mapping is per-file-group
+    projection, no data movement."""
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+    from advent_of_code_flink_paimon_spark.operators.dedup import _mhidx_warehouse
+
+    catalog = Catalog(_mhidx_warehouse("schemaevo114", sf_dir), "default")
+    catalog.create_table(
+        "orders_se",
+        "o_orderkey long, o_totalprice double",
+        {"bucket": "2", "bucket-key": "o_orderkey"},
+    )
+    src = T(spark, sf_dir, "orders")
+    t = catalog.get_table("orders_se")
+    t.append(
+        src.filter(F.pmod(F.col("o_orderkey"), F.lit(2)) == 0)
+        .select("o_orderkey", "o_totalprice")
+    )
+    files_v0 = {e["file_path"] for e in t.manifest()}
+    catalog.add_column("orders_se", "o_orderstatus string")
+    catalog.add_column("orders_se", "junk long")
+    t = catalog.get_table("orders_se")
+    t.append(
+        src.filter(F.pmod(F.col("o_orderkey"), F.lit(2)) == 1)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .withColumn("junk", F.lit(1).cast("long"))
+    )
+    catalog.rename_column("orders_se", "o_totalprice", "price_usd")
+    catalog.drop_column("orders_se", "junk")
+    t = catalog.get_table("orders_se")
+    untouched = files_v0 <= {e["file_path"] for e in t.manifest()}
+    return (
+        t.read(spark)
+        .groupBy(
+            F.coalesce(F.col("o_orderstatus"), F.lit("<pre-evolution>")).alias("status")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("price_usd").cast("decimal(18,2)"))
+            .cast("double").alias("sum_price"),
+        )
+        .withColumn("old_files_untouched", F.lit(bool(untouched)))
+    )
+
+
+_SQL_COMPACTION_LIFECYCLE = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       TRUE AS compact_reduced_files,
+       TRUE AS one_file_per_bucket,
+       TRUE AS time_travel_intact
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@query("x115_compaction_lifecycle", oracle=_SQL_COMPACTION_LIFECYCLE)
+def x115_compaction_lifecycle(spark, sf_dir):
+    """Full compaction end to end, oracled: orders lands as EIGHT
+    separate appends (key % 8 slices) into a 2-bucket table — 16 small
+    live files — then ``compact()`` rewrites them to one file per
+    bucket in a single COMPACT commit (lakehouse/table.py compact;
+    tutorial/guide.md:212-231 full-compaction surface). The relation
+    aggregates the post-compaction read; DuckDB replays it over raw
+    orders because append-table compaction preserves exact content.
+    Three claims ride the result: ``compact_reduced_files`` (live file
+    count strictly fell), ``one_file_per_bucket`` (the full-compaction
+    contract), and ``time_travel_intact`` — metadata_count at the
+    pre-compaction snapshot equals the post-compaction count (both
+    metadata-only folds: time travel survives the rewrite because
+    COMPACT replaces the manifest, never deletes replaced files while
+    their snapshots live).
+
+    Scale shape: compaction is the scan+rewrite it claims to be
+    (bounded by live bytes, not history); the aggregate is one
+    partial-aggregated exchange."""
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+    from advent_of_code_flink_paimon_spark.operators.dedup import _mhidx_warehouse
+
+    catalog = Catalog(_mhidx_warehouse("compactlife115", sf_dir), "default")
+    t = catalog.create_table(
+        "orders_ct",
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+        {"bucket": "2", "bucket-key": "o_orderkey"},
+    )
+    src = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    for r in range(8):
+        t.append(src.filter(F.pmod(F.col("o_orderkey"), F.lit(8)) == r))
+    pre_sid = t.latest_snapshot_id()
+    files_before = len(t.manifest())
+    t.compact()
+    files_after = len(t.manifest())
+    tt_intact = t.metadata_count(snapshot_id=pre_sid) == t.metadata_count()
+    return (
+        t.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("sum_price"),
+        )
+        .withColumn("compact_reduced_files", F.lit(bool(files_after < files_before)))
+        .withColumn("one_file_per_bucket", F.lit(bool(files_after == t.num_buckets)))
+        .withColumn("time_travel_intact", F.lit(bool(tt_intact)))
+    )
+
+
+_SQL_TIME_TRAVEL_LIFECYCLE = """
+WITH base AS (
+  SELECT o_orderstatus, COUNT(*) AS n_base
+  FROM orders WHERE o_orderkey % 3 IN (0, 1)
+  GROUP BY 1
+),
+lat AS (
+  SELECT o_orderstatus,
+         COUNT(*) AS n_latest,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price_latest
+  FROM orders WHERE (o_orderkey % 3 = 1) IS NOT TRUE
+  GROUP BY 1
+)
+SELECT b.o_orderstatus, n_base, n_latest, sum_price_latest,
+       TRUE AS intermediates_expired
+FROM base b JOIN lat l USING (o_orderstatus)
+"""
+
+
+@query("x116_time_travel_lifecycle", oracle=_SQL_TIME_TRAVEL_LIFECYCLE)
+def x116_time_travel_lifecycle(spark, sf_dir):
+    """Tags + time travel + snapshot expiry end to end, oracled: two
+    appends build the base image (key % 3 in (0,1)), tag 'base' pins
+    it, a third append and a row-level DELETE move the table on, then
+    ``expire_snapshots(retain_max=1)`` drops every snapshot EXCEPT the
+    latest and the tagged one (tags are a promise the snapshot stays
+    readable — lakehouse/table.py expire_snapshots; Paimon tag
+    semantics, SURVEY §2.1). The relation joins the AS-OF-'base' read
+    against the latest read per status; DuckDB replays both slices
+    from raw orders. ``intermediates_expired`` pins that expiry
+    actually ran: exactly two snapshots remain, yet both reads still
+    answer — the tagged snapshot's files survived the sweep.
+
+    Scale shape: expiry is a manifest fold + unreferenced-file sweep;
+    both reads prune to their snapshot's file lists; one grouped
+    exchange each + a tiny status-keyed join."""
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+    from advent_of_code_flink_paimon_spark.operators.dedup import _mhidx_warehouse
+
+    catalog = Catalog(_mhidx_warehouse("ttlife116", sf_dir), "default")
+    t = catalog.create_table(
+        "orders_tt",
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+        {"bucket": "2", "bucket-key": "o_orderkey"},
+    )
+    src = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t.append(src.filter(F.pmod(F.col("o_orderkey"), F.lit(3)) == 0))
+    t.append(src.filter(F.pmod(F.col("o_orderkey"), F.lit(3)) == 1))
+    t.create_tag("base")
+    t.append(src.filter(F.pmod(F.col("o_orderkey"), F.lit(3)) == 2))
+    t.delete_where(spark, "o_orderkey % 3 = 1")
+    t.expire_snapshots(retain_min=1, retain_max=1)
+    expired_ok = len(t.snapshots()) == 2
+    base = (
+        t.read(spark, "base")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_base"))
+    )
+    lat = (
+        t.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_latest"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("sum_price_latest"),
+        )
+    )
+    return base.join(lat, "o_orderstatus").withColumn(
+        "intermediates_expired", F.lit(bool(expired_ok))
+    )
+
+
+_SQL_PK_UPSERT_LWW = """
+WITH merged AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 < 2 THEN 'UPD' ELSE o_orderstatus END AS status,
+         CASE WHEN o_orderkey % 5 < 2 THEN o_totalprice * 2 ELSE o_totalprice END AS price
+  FROM orders
+)
+SELECT status,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       TRUE AS meta_count_refused
+FROM merged
+GROUP BY status
+"""
+
+
+@query("x117_pk_upsert_lww", oracle=_SQL_PK_UPSERT_LWW)
+def x117_pk_upsert_lww(spark, sf_dir):
+    """Primary-key last-write-wins upsert end to end, oracled: all of
+    orders lands in a PK table, then a second upsert rewrites the
+    key % 5 < 2 slice with doubled price and a sentinel status — the
+    merge-on-read image must show EXACTLY the second write for those
+    keys and the first for the rest (merge-engine 'deduplicate',
+    lakehouse/table.py _merged; the reference's primary-key upsert
+    surface, tutorial/guide.md). ``meta_count_refused`` pins the
+    companion metadata contract: metadata_count returns None on PK
+    tables (per-file record_count over-counts under merge-on-read —
+    exact-or-refuse, never guess).
+
+    Scale shape: the upsert shuffles once on the key-hash bucket; the
+    merged read is per-bucket ranking over key groups, no global
+    exchange; final aggregate is one status-keyed exchange."""
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+    from advent_of_code_flink_paimon_spark.operators.dedup import _mhidx_warehouse
+
+    catalog = Catalog(_mhidx_warehouse("pklww117", sf_dir), "default")
+    t = catalog.create_table(
+        "orders_pk",
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+        {"primary-key": "o_orderkey", "bucket": "4"},
+    )
+    src = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t.upsert(src)
+    t.upsert(
+        src.filter(F.pmod(F.col("o_orderkey"), F.lit(5)) < 2)
+        .withColumn("o_orderstatus", F.lit("UPD"))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    )
+    refused = t.metadata_count() is None
+    return (
+        t.read(spark)
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("sum_price"),
+        )
+        .withColumn("meta_count_refused", F.lit(bool(refused)))
+    )
+
+
+_SQL_AGG_MERGE_ENGINE = """
+WITH per_key AS (
+  SELECT l_orderkey AS k,
+         CAST(SUM(l_quantity) AS DOUBLE) AS qty,
+         COUNT(*) AS n
+  FROM lineitem
+  GROUP BY 1
+)
+SELECT n AS lines_per_order,
+       COUNT(*) AS n_orders,
+       CAST(SUM(qty) AS DOUBLE) AS sum_qty
+FROM per_key
+GROUP BY 1
+"""
+
+
+@query("x118_agg_merge_engine", oracle=_SQL_AGG_MERGE_ENGINE)
+def x118_agg_merge_engine(spark, sf_dir):
+    """Aggregation merge engine end to end, oracled: lineitem rows
+    stream into a PK table keyed on l_orderkey with
+    fields.qty.aggregate-function = sum and fields.n.aggregate-function
+    = sum, split across two upserts (even/odd l_linenumber) — the
+    merged image must hold the PER-KEY running sums folded across
+    BOTH commits and within each commit's duplicate keys
+    (lakehouse/table.py merge engines; Paimon 'aggregation' merge
+    engine, SURVEY §2.1). DuckDB replays the image as a plain GROUP BY
+    over raw lineitem (l_quantity is integer-valued, so double
+    summation is exact in any order); the returned relation is the
+    lines-per-order histogram over the merged table — sensitive to
+    every per-key count AND every per-key sum.
+
+    Scale shape: each upsert shuffles once on the key hash; the
+    aggregate fold is per-bucket; the histogram is one tiny
+    n-keyed exchange."""
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+    from advent_of_code_flink_paimon_spark.operators.dedup import _mhidx_warehouse
+
+    catalog = Catalog(_mhidx_warehouse("aggme118", sf_dir), "default")
+    t = catalog.create_table(
+        "line_sums",
+        "k long, qty double, n long",
+        {
+            "primary-key": "k",
+            "bucket": "4",
+            "merge-engine": "aggregation",
+            "fields.qty.aggregate-function": "sum",
+            "fields.n.aggregate-function": "sum",
+        },
+    )
+    src = T(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"),
+        F.col("l_quantity").cast("double").alias("qty"),
+        F.lit(1).cast("long").alias("n"),
+        F.col("l_linenumber").alias("ln"),
+    )
+    for r in (0, 1):
+        t.upsert(src.filter(F.pmod(F.col("ln"), F.lit(2)) == r).drop("ln"))
+    return (
+        t.read(spark)
+        .groupBy(F.col("n").alias("lines_per_order"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("qty")).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+# x114-x118 ship library-gated (the x101-x113 path): the round-15
+# scored window and the 100-entry registry are full; the strict local
+# harness oracles them at every run and they queue behind x112/x113
+# for the round-16 rotation.
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote_r15b  # noqa: E402
+
+for _n in (
+    "x114_schema_evolution_lifecycle",
+    "x115_compaction_lifecycle",
+    "x116_time_travel_lifecycle",
+    "x117_pk_upsert_lww",
+    "x118_agg_merge_engine",
+):
+    _demote_r15b(_n)
+del _demote_r15b, _n

@@ -132,7 +132,19 @@ QUERIES = ["x07_dup_clusters", "x13_semantic_dedup", "x03_dedup_minhash_lsh",
            # build-dominated (bucketed write + sidecar build, the
            # x63/x64 fixed-cost class — its 8 probe reads scan ~1 file
            # each); x113 is O(metadata) branching + one grouped agg
-           "x112_bloom_index_lifecycle", "x113_branch_lifecycle"]
+           "x112_bloom_index_lifecycle", "x113_branch_lifecycle",
+           # round-15 continuation — the lifecycle family over the
+           # remaining [S] surfaces: x114 schema evolution (two
+           # appends + 3 metadata-only schema commits), x115 full
+           # compaction (8 appends + one rewrite bounded by live
+           # bytes), x116 tags/expiry (two snapshot-pruned reads),
+           # x117 PK LWW upsert (two key-hash shuffles + per-bucket
+           # merge), x118 aggregation merge engine (same shape with
+           # per-key fold) — all bounded by table bytes, the ~linear
+           # write-dominated class
+           "x114_schema_evolution_lifecycle", "x115_compaction_lifecycle",
+           "x116_time_travel_lifecycle", "x117_pk_upsert_lww",
+           "x118_agg_merge_engine"]
 REPEATS = 3
 
 
