@@ -2213,3 +2213,445 @@ for _n in (
 ):
     _demote_r15b(_n)
 del _demote_r15b, _n
+
+
+# ---------------------------------------------------------------------------
+# x119-x125 (round 15, continuation): lifecycle cards for the rest of
+# the §2.1 [S] rows — partitioned tables + metadata partition drop,
+# incremental read, the partial-update / first-row merge engines,
+# sequence.field ordering, dynamic buckets, and the Flink-dialect SQL
+# frontend driven end to end.
+# ---------------------------------------------------------------------------
+
+_SQL_PARTITION_LIFECYCLE = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       (SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'O') AS meta_count_o,
+       TRUE AS drop_was_metadata_only
+FROM orders
+WHERE o_orderstatus <> 'P'
+GROUP BY o_orderstatus
+"""
+
+
+@query("x119_partition_lifecycle", oracle=_SQL_PARTITION_LIFECYCLE)
+def x119_partition_lifecycle(spark, sf_dir):
+    """Partitioned table end to end, oracled: orders lands partitioned
+    by o_orderstatus (Hive-style dirs above the buckets), then the
+    whole 'P' partition is DELETEd — a file-level metadata delete: the
+    partition value decides every row of every file, so the commit
+    drops manifest entries without reading or rewriting anything
+    (lakehouse/table.py delete_where split; Paimon drop-partition
+    semantics, SURVEY §2.1). Claims riding the relation:
+    ``meta_count_o`` answers a partition-predicate COUNT from manifest
+    metadata alone (partition values decide whole files — exact), and
+    ``drop_was_metadata_only`` pins that the delete created NO new
+    files (pure manifest shrink). At 100 TB, dropping a partition or
+    counting one is a metadata operation.
+
+    Scale shape: partition pruning at the manifest, one grouped
+    exchange for the aggregate."""
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+    from advent_of_code_flink_paimon_spark.operators.dedup import _mhidx_warehouse
+
+    catalog = Catalog(_mhidx_warehouse("partlife119", sf_dir), "default")
+    t = catalog.create_table(
+        "orders_part",
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+        {"bucket": "2", "bucket-key": "o_orderkey", "partition-by": "o_orderstatus"},
+    )
+    src = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t.append(src)
+    files_before = {e["file_path"] for e in t.manifest()}
+    t.delete_where(spark, "o_orderstatus = 'P'")
+    files_after = {e["file_path"] for e in t.manifest()}
+    metadata_only = files_after <= files_before
+    meta_o = t.metadata_count(where="o_orderstatus = 'O'")
+    return (
+        t.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("sum_price"),
+        )
+        .withColumn("meta_count_o", F.lit(int(meta_o)).cast("long"))
+        .withColumn("drop_was_metadata_only", F.lit(bool(metadata_only)))
+    )
+
+
+_SQL_INCREMENTAL_READ = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       TRUE AS delta_manifest_only
+FROM orders
+WHERE o_orderkey % 2 = 1
+GROUP BY o_orderstatus
+"""
+
+
+@query("x120_incremental_read", oracle=_SQL_INCREMENTAL_READ)
+def x120_incremental_read(spark, sf_dir):
+    """Incremental (between-snapshots) read, oracled: two appends split
+    orders by key parity; ``incremental_read(s1, s2)`` must return
+    EXACTLY the second batch — the batch equivalent of one streaming
+    micro-batch over the snapshot log (lakehouse/table.py
+    incremental_read; Paimon's incremental-between surface, SURVEY
+    §2.1). ``delta_manifest_only`` pins the hot-path claim: a
+    pure-append range is answered from the delta manifests alone —
+    O(commits in range) metadata, never an O(table) manifest diff
+    (the per-trigger cost model at 100 TB).
+
+    Scale shape: the read lists only the files the range added; one
+    grouped exchange."""
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+    from advent_of_code_flink_paimon_spark.operators.dedup import _mhidx_warehouse
+
+    catalog = Catalog(_mhidx_warehouse("incread120", sf_dir), "default")
+    t = catalog.create_table(
+        "orders_inc",
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+        {"bucket": "2", "bucket-key": "o_orderkey"},
+    )
+    src = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t.append(src.filter(F.pmod(F.col("o_orderkey"), F.lit(2)) == 0))
+    s1 = t.latest_snapshot_id()
+    t.append(src.filter(F.pmod(F.col("o_orderkey"), F.lit(2)) == 1))
+    s2 = t.latest_snapshot_id()
+    delta_only = t._delta_added_paths(s1, s2) is not None
+    return (
+        t.incremental_read(spark, s1, s2)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("sum_price"),
+        )
+        .withColumn("delta_manifest_only", F.lit(bool(delta_only)))
+    )
+
+
+_SQL_PARTIAL_UPDATE = """
+SELECT o_orderkey % 2 AS key_par,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_a,
+       CAST(SUM(CASE WHEN o_orderkey % 2 = 0
+                     THEN CAST(o_totalprice * 2 AS DECIMAL(18,2)) END)
+            AS DOUBLE) AS sum_b
+FROM orders
+GROUP BY 1
+"""
+
+
+@query("x121_partial_update_merge", oracle=_SQL_PARTIAL_UPDATE)
+def x121_partial_update_merge(spark, sf_dir):
+    """Partial-update merge engine, oracled: the first upsert writes
+    every key with column a = price and b = NULL; the second writes
+    ONLY even keys with a = NULL and b = 2*price. Per-column last
+    NON-NULL wins (lakehouse/table.py merge engines; Paimon
+    'partial-update', SURVEY §2.1): the merged image must keep a from
+    write 1 for EVERY key (the second write's NULL a must not clobber
+    it) and fill b only for even keys. The parity rollup is sensitive
+    to both directions of the rule.
+
+    Scale shape: two key-hash shuffles + per-bucket column fold; one
+    tiny parity-keyed exchange."""
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+    from advent_of_code_flink_paimon_spark.operators.dedup import _mhidx_warehouse
+
+    catalog = Catalog(_mhidx_warehouse("partial121", sf_dir), "default")
+    t = catalog.create_table(
+        "orders_pu",
+        "k long, a double, b double",
+        {"primary-key": "k", "bucket": "4", "merge-engine": "partial-update"},
+    )
+    src = T(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
+    )
+    t.upsert(
+        src.select("k", F.col("p").alias("a"), F.lit(None).cast("double").alias("b"))
+    )
+    t.upsert(
+        src.filter(F.pmod(F.col("k"), F.lit(2)) == 0).select(
+            "k",
+            F.lit(None).cast("double").alias("a"),
+            (F.col("p") * 2).alias("b"),
+        )
+    )
+    return (
+        t.read(spark)
+        .groupBy(F.pmod(F.col("k"), F.lit(2)).alias("key_par"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("a").cast("decimal(18,2)")).cast("double").alias("sum_a"),
+            F.sum(F.col("b").cast("decimal(18,2)")).cast("double").alias("sum_b"),
+        )
+    )
+
+
+_SQL_FIRST_ROW = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       TRUE AS later_writes_ignored
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@query("x122_first_row_merge", oracle=_SQL_FIRST_ROW)
+def x122_first_row_merge(spark, sf_dir):
+    """First-row merge engine, oracled: orders lands once, then a
+    second full upsert tries to overwrite every key with a sentinel
+    status and doubled price — first write wins, so the merged image
+    must be bit-identical to write 1 (lakehouse/table.py merge
+    engines; Paimon 'first-row' — the dedup-at-ingest engine for
+    exactly-once-ish sources, SURVEY §2.1). ``later_writes_ignored``
+    pins that zero sentinel rows survived; the status grouping would
+    also surface any leak as an extra group.
+
+    Scale shape: same PK shuffles as x117; the first-row fold keeps
+    the minimum sequence per key."""
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+    from advent_of_code_flink_paimon_spark.operators.dedup import _mhidx_warehouse
+
+    catalog = Catalog(_mhidx_warehouse("firstrow122", sf_dir), "default")
+    t = catalog.create_table(
+        "orders_fr",
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+        {"primary-key": "o_orderkey", "bucket": "4", "merge-engine": "first-row"},
+    )
+    src = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t.upsert(src)
+    t.upsert(
+        src.withColumn("o_orderstatus", F.lit("ZZZ"))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    )
+    live = t.read(spark)
+    ignored = live.filter(F.col("o_orderstatus") == "ZZZ").count() == 0
+    return (
+        live.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("sum_price"),
+        )
+        .withColumn("later_writes_ignored", F.lit(bool(ignored)))
+    )
+
+
+_SQL_SEQUENCE_FIELD = """
+WITH merged AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * 3
+              ELSE o_totalprice END AS price,
+         CASE WHEN o_orderkey % 2 = 0 THEN 2 ELSE 1 END AS seq
+  FROM orders
+)
+SELECT o_orderkey % 2 AS key_par,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       CAST(SUM(seq) AS BIGINT) AS sum_seq
+FROM merged
+GROUP BY 1
+"""
+
+
+@query("x123_sequence_field_ordering", oracle=_SQL_SEQUENCE_FIELD)
+def x123_sequence_field_ordering(spark, sf_dir):
+    """sequence.field ordering, oracled: the FIRST commit writes even
+    keys with seq = 2 (and tripled price); the SECOND commit writes
+    EVERY key with seq = 1. Event-time ordering must beat commit
+    order: the later, lower-seq write LOSES for even keys (their
+    merged row keeps seq 2 / price*3) and wins only where it is the
+    sole row (odd keys — seq 1 / plain price)
+    (lakehouse/table.py sequence.field; Paimon sequence-field
+    last-value-by-event-time, SURVEY §2.1). ``sum_seq`` makes the
+    per-key winning sequence itself part of the oracle check.
+
+    Scale shape: two key-hash shuffles + per-bucket max-seq fold; one
+    parity-keyed exchange."""
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+    from advent_of_code_flink_paimon_spark.operators.dedup import _mhidx_warehouse
+
+    catalog = Catalog(_mhidx_warehouse("seqfield123", sf_dir), "default")
+    t = catalog.create_table(
+        "orders_sq",
+        "o_orderkey long, price double, seq long",
+        {"primary-key": "o_orderkey", "bucket": "4", "sequence.field": "seq"},
+    )
+    src = T(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").alias("p")
+    )
+    t.upsert(
+        src.filter(F.pmod(F.col("o_orderkey"), F.lit(2)) == 0).select(
+            "o_orderkey",
+            (F.col("p") * 3).alias("price"),
+            F.lit(2).cast("long").alias("seq"),
+        )
+    )
+    t.upsert(
+        src.select(
+            "o_orderkey",
+            F.col("p").alias("price"),
+            F.lit(1).cast("long").alias("seq"),
+        )
+    )
+    return (
+        t.read(spark)
+        .groupBy(F.pmod(F.col("o_orderkey"), F.lit(2)).alias("key_par"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("price").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+            F.sum("seq").cast("long").alias("sum_seq"),
+        )
+    )
+
+
+_SQL_DYNAMIC_BUCKET = """
+WITH merged AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 < 2 THEN 'UPD' ELSE o_orderstatus END AS status,
+         CASE WHEN o_orderkey % 5 < 2 THEN o_totalprice * 2 ELSE o_totalprice END AS price
+  FROM orders
+)
+SELECT status,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       TRUE AS index_covers_all_keys
+FROM merged
+GROUP BY status
+"""
+
+
+@query("x124_dynamic_bucket_upsert", oracle=_SQL_DYNAMIC_BUCKET)
+def x124_dynamic_bucket_upsert(spark, sf_dir):
+    """Dynamic buckets ('bucket' = '-1'), oracled: the x117 LWW flow
+    rerun through the HashBucketAssigner path — keys get buckets from
+    the persisted key->bucket index (assigner task t = hash % A owns
+    buckets {t, t+A, ...}, filling each to
+    dynamic-bucket.target-row-num keys), so the SECOND upsert must
+    route every updated key to the bucket the index assigned it in
+    write 1, or merge-on-read would see two images in different
+    buckets and resurrect the old row (lakehouse/table.py
+    _assign_dynamic_buckets; Paimon dynamic bucket mode, SURVEY
+    §2.1). ``index_covers_all_keys`` pins the index invariant: one
+    index row per distinct key after both writes.
+
+    Scale shape: index routing is a broadcast-or-shuffle join against
+    the key index (O(keys) data, never driver state); the merged read
+    and aggregate are per-bucket."""
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+    from advent_of_code_flink_paimon_spark.operators.dedup import _mhidx_warehouse
+
+    catalog = Catalog(_mhidx_warehouse("dynbucket124", sf_dir), "default")
+    t = catalog.create_table(
+        "orders_dyn",
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+        {
+            "primary-key": "o_orderkey",
+            "bucket": "-1",
+            "dynamic-bucket.target-row-num": "4000",
+        },
+    )
+    src = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t.upsert(src)
+    t.upsert(
+        src.filter(F.pmod(F.col("o_orderkey"), F.lit(5)) < 2)
+        .withColumn("o_orderstatus", F.lit("UPD"))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    )
+    n_keys = src.select("o_orderkey").distinct().count()
+    idx_rows = t._read_index(spark).count()
+    return (
+        t.read(spark)
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("sum_price"),
+        )
+        .withColumn("index_covers_all_keys", F.lit(bool(idx_rows == n_keys)))
+    )
+
+
+_SQL_SQL_FRONTEND = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders
+WHERE o_orderkey % 4 <> 0
+GROUP BY o_orderstatus
+"""
+
+
+@query("x125_sql_frontend_lifecycle", oracle=_SQL_SQL_FRONTEND)
+def x125_sql_frontend_lifecycle(spark, sf_dir):
+    """The Flink-dialect SQL frontend driven end to end, oracled:
+    CREATE TABLE ... WITH (Flink connector-options spelling) ->
+    INSERT INTO ... SELECT from a registered source -> row-level
+    DELETE -> SELECT aggregate, every statement through ``Engine.sql``
+    (plans/frontend.py — the SQL-client role of the reference,
+    Readme.md:38-46; statements in the tutorial's own dialect). The
+    returned relation is the frontend's SELECT result; DuckDB replays
+    the whole statement sequence as one filtered aggregate.
+
+    Scale shape: identical to the underlying table ops — the frontend
+    is a statement router, not an execution layer; the SELECT plans
+    through the same snapshot read + grouped exchange."""
+    from advent_of_code_flink_paimon_spark.operators.dedup import _mhidx_warehouse
+    from advent_of_code_flink_paimon_spark.plans import Engine
+
+    eng = Engine(spark, _mhidx_warehouse("sqlfront125", sf_dir), "default")
+    src = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    eng.register_source("orders_src", src)
+    eng.sql(
+        """
+        CREATE TABLE orders_sql (
+          o_orderkey BIGINT,
+          o_orderstatus STRING,
+          o_totalprice DOUBLE
+        ) WITH ('bucket' = '2', 'bucket-key' = 'o_orderkey')
+        """
+    )
+    eng.sql(
+        "INSERT INTO orders_sql "
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders_src"
+    )
+    eng.sql("DELETE FROM orders_sql WHERE o_orderkey % 4 = 0")
+    return eng.sql(
+        "SELECT o_orderstatus, COUNT(*) AS n_rows, "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price "
+        "FROM orders_sql GROUP BY o_orderstatus"
+    )
+
+
+# x119-x125 ship library-gated (the x101-x118 path): the round-15
+# scored window and the 100-entry registry are full; the strict local
+# harness oracles them at every run and they queue behind x112-x118
+# for future rotations.
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote_r15c  # noqa: E402
+
+for _n in (
+    "x119_partition_lifecycle",
+    "x120_incremental_read",
+    "x121_partial_update_merge",
+    "x122_first_row_merge",
+    "x123_sequence_field_ordering",
+    "x124_dynamic_bucket_upsert",
+    "x125_sql_frontend_lifecycle",
+):
+    _demote_r15c(_n)
+del _demote_r15c, _n

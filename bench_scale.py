@@ -144,7 +144,17 @@ QUERIES = ["x07_dup_clusters", "x13_semantic_dedup", "x03_dedup_minhash_lsh",
            # write-dominated class
            "x114_schema_evolution_lifecycle", "x115_compaction_lifecycle",
            "x116_time_travel_lifecycle", "x117_pk_upsert_lww",
-           "x118_agg_merge_engine"]
+           "x118_agg_merge_engine",
+           # round-15 continuation 2 — the remaining [S] rows: x119
+           # partitioned write + metadata drop, x120 two appends + a
+           # delta-manifest ranged read, x121/x122/x123 the other
+           # merge engines (same PK-shuffle shape as x117), x124 the
+           # dynamic-bucket index-routing path (index join scales
+           # with keys), x125 the SQL frontend over the same ops
+           "x119_partition_lifecycle", "x120_incremental_read",
+           "x121_partial_update_merge", "x122_first_row_merge",
+           "x123_sequence_field_ordering", "x124_dynamic_bucket_upsert",
+           "x125_sql_frontend_lifecycle"]
 REPEATS = 3
 
 
