@@ -2655,3 +2655,203 @@ for _n in (
 ):
     _demote_r15c(_n)
 del _demote_r15c, _n
+
+
+# ---------------------------------------------------------------------------
+# x126-x128 (round 15, continuation): ORC format round-trip, consumer
+# bookmark lifecycle, and the stored changelog itself as an oracled
+# relation.
+# ---------------------------------------------------------------------------
+
+_SQL_ORC_ROUNDTRIP = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       TRUE AS format_is_orc
+FROM orders
+WHERE (o_orderkey % 6 = 3) IS NOT TRUE
+GROUP BY o_orderstatus
+"""
+
+
+@query("x126_orc_format_roundtrip", oracle=_SQL_ORC_ROUNDTRIP)
+def x126_orc_format_roundtrip(spark, sf_dir):
+    """ORC data format end to end, oracled: orders lands in a table
+    with 'file.format' = 'orc', takes a row-level DELETE (copy-on-write
+    rewrite THROUGH the ORC read/write path — ORC has no footer-stats
+    pruning here, so the rewrite must scan-and-split correctly), and
+    the aggregate reads back through the same format
+    (lakehouse/table.py data_format; tutorial/guide.md:30 'file.format'
+    WITH option, SURVEY §2.1). ``format_is_orc`` pins that every live
+    data file is actually .orc — the DELETE rewrite may not silently
+    fall back to parquet.
+
+    Scale shape: identical plan to the parquet path (format is a scan/
+    sink codec choice); one grouped exchange."""
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+    from advent_of_code_flink_paimon_spark.operators.dedup import _mhidx_warehouse
+
+    catalog = Catalog(_mhidx_warehouse("orc126", sf_dir), "default")
+    t = catalog.create_table(
+        "orders_orc",
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+        {"bucket": "2", "bucket-key": "o_orderkey", "file.format": "orc"},
+    )
+    src = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t.append(src)
+    t.delete_where(spark, "o_orderkey % 6 = 3")
+    all_orc = all(e["file_path"].endswith(".orc") for e in t.manifest())
+    return (
+        t.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("sum_price"),
+        )
+        .withColumn("format_is_orc", F.lit(bool(all_orc)))
+    )
+
+
+_SQL_CONSUMER_LIFECYCLE = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       TRUE AS consumer_pinned,
+       TRUE AS pin_released
+FROM orders
+WHERE o_orderkey % 3 IN (1, 2)
+GROUP BY o_orderstatus
+"""
+
+
+@query("x127_consumer_lifecycle", oracle=_SQL_CONSUMER_LIFECYCLE)
+def x127_consumer_lifecycle(spark, sf_dir):
+    """Consumer bookmarks end to end, oracled: three appends build the
+    table; a registered consumer still needing snapshot 2 PINS
+    snapshots {2,3} through an aggressive ``retain_max=1`` expiry
+    (``consumer_pinned``: exactly two snapshots survive, snapshot 1
+    expires), so the consumer's unread window —
+    ``incremental_read(1, 3)``, batches 2+3 — still answers and IS the
+    returned relation. The consumer then catches up (re-register
+    advances the bookmark — mutable, unlike tags) and the SAME expiry
+    now collapses the chain to latest-only (``pin_released``)
+    (lakehouse/table.py register_consumer/expire_snapshots; Paimon
+    consumer-id surface, tutorial/guide.md scan resume; SURVEY §2.1).
+    A stalled subscriber can never lose unread data; a caught-up one
+    never blocks retention.
+
+    Scale shape: bookmark ops are O(1) metadata; the ranged read lists
+    only the range's files; one grouped exchange."""
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+    from advent_of_code_flink_paimon_spark.operators.dedup import _mhidx_warehouse
+
+    catalog = Catalog(_mhidx_warehouse("consumer127", sf_dir), "default")
+    t = catalog.create_table(
+        "orders_cons",
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+        {"bucket": "2", "bucket-key": "o_orderkey"},
+    )
+    src = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    for r in range(3):
+        t.append(src.filter(F.pmod(F.col("o_orderkey"), F.lit(3)) == r))
+    t.register_consumer("sub", next_snapshot_id=2)
+    t.expire_snapshots(retain_min=1, retain_max=1)
+    pinned = len(t.snapshots()) == 2
+    out = (
+        t.incremental_read(spark, 1, 3)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("sum_price"),
+        )
+    )
+    t.register_consumer("sub")  # caught up: bookmark advances past LATEST
+    t.expire_snapshots(retain_min=1, retain_max=1)
+    released = len(t.snapshots()) == 1
+    return out.withColumn("consumer_pinned", F.lit(bool(pinned))).withColumn(
+        "pin_released", F.lit(bool(released))
+    )
+
+
+_SQL_CHANGELOG_RELATION = """
+SELECT '+I' AS change_type,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+FROM orders
+UNION ALL
+SELECT '-U', COUNT(*),
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+FROM orders WHERE o_orderkey % 4 = 0
+UNION ALL
+SELECT '+U', COUNT(*),
+       CAST(SUM(CAST(o_totalprice * 2 AS DECIMAL(18,2))) AS DOUBLE)
+FROM orders WHERE o_orderkey % 4 = 0
+UNION ALL
+SELECT '-D', COUNT(*),
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+FROM orders WHERE o_orderkey % 4 = 1
+"""
+
+
+@query("x128_changelog_relation", oracle=_SQL_CHANGELOG_RELATION)
+def x128_changelog_relation(spark, sf_dir):
+    """The stored changelog itself as an oracled relation
+    (changelog-producer=input): upsert all of orders (+I per key),
+    re-upsert the key%4==0 slice with doubled price (an exact -U
+    pre-image + +U post-image pair per key), then DELETE the key%4==1
+    slice (-D carrying the deleted image). The relation aggregates the
+    FULL stored changelog by change type; DuckDB replays every
+    event-class count AND value sum from raw orders — the changelog
+    contract (each event carries the right image) checked end to end,
+    not just row kinds (lakehouse/table.py changelog emission +
+    read_changelog; tutorial/guide.md:69-74 changelog-producer=input,
+    SURVEY §2.9).
+
+    Scale shape: changelog derivation joins each batch against only
+    its PK pre-images (per-bucket); the readback is a scan of the
+    changelog files + one change-type exchange."""
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+    from advent_of_code_flink_paimon_spark.operators.dedup import _mhidx_warehouse
+
+    catalog = Catalog(_mhidx_warehouse("changelog128", sf_dir), "default")
+    t = catalog.create_table(
+        "orders_cl",
+        "o_orderkey long, o_totalprice double",
+        {"primary-key": "o_orderkey", "bucket": "4", "changelog-producer": "input"},
+    )
+    src = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    t.upsert(src)
+    t.upsert(
+        src.filter(F.pmod(F.col("o_orderkey"), F.lit(4)) == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    )
+    t.delete_where(spark, "o_orderkey % 4 = 1")
+    return (
+        t.read_changelog(spark)
+        .groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("sum_v"),
+        )
+    )
+
+
+# x126-x128 ship library-gated (the x101-x125 path): the scored window
+# and registry are full; the strict local harness oracles them at
+# every run and they queue for future rotations.
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote_r15d  # noqa: E402
+
+for _n in (
+    "x126_orc_format_roundtrip",
+    "x127_consumer_lifecycle",
+    "x128_changelog_relation",
+):
+    _demote_r15d(_n)
+del _demote_r15d, _n

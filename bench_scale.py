@@ -154,7 +154,13 @@ QUERIES = ["x07_dup_clusters", "x13_semantic_dedup", "x03_dedup_minhash_lsh",
            "x119_partition_lifecycle", "x120_incremental_read",
            "x121_partial_update_merge", "x122_first_row_merge",
            "x123_sequence_field_ordering", "x124_dynamic_bucket_upsert",
-           "x125_sql_frontend_lifecycle"]
+           "x125_sql_frontend_lifecycle",
+           # round-15 continuation 3: x126 ORC write+rewrite (format
+           # codec choice, same plan as parquet), x127 consumer pins
+           # (O(1) bookmarks + ranged read), x128 stored changelog
+           # (per-bucket pre-image joins per DML + changelog scan)
+           "x126_orc_format_roundtrip", "x127_consumer_lifecycle",
+           "x128_changelog_relation"]
 REPEATS = 3
 
 
