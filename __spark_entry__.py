@@ -24,8 +24,15 @@ from pyspark.sql import DataFrame, SparkSession
 #
 # Round-16 rotation plan: lead with the then-overflow (the 50 entries
 # scored in round 14, listed second below); fill any slots that open
-# by promoting the strongest remaining library operators (x112/x113,
-# the round-15 lakehouse lifecycle cards, are first in line).
+# by promoting the strongest remaining library operators — the
+# round-15 lifecycle-card queue first (x112 bloom, x113 branch, x114
+# schema evolution, x115 compaction, x116 tags/expiry, x117 PK LWW,
+# x118 aggregation engine, x119 partitions, x120 incremental read,
+# x121 partial-update, x122 first-row, x123 sequence.field, x124
+# dynamic buckets, x125 SQL frontend, x126 ORC, x127 consumers, x128
+# changelog — all strict-oracle green at three SFs with recorded
+# BENCH_scale rows), demoting long-stable entries whose operator
+# class stays driver-scored, the established pattern.
 _ORDER = [
     # -- round-15 scored window (VERDICT r14 ask #2): lead with the
     # round-13-evidence overflow (their driver rows would otherwise go
