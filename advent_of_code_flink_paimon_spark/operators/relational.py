@@ -2855,3 +2855,213 @@ for _n in (
 ):
     _demote_r15d(_n)
 del _demote_r15d, _n
+
+
+# ---------------------------------------------------------------------------
+# x129-x131 (round 15, continuation): orphan-file sweep with the
+# cross-chain guard, bucket rescale with the mixed-modulus write
+# refusal, and INSERT OVERWRITE with pre-overwrite time travel.
+# ---------------------------------------------------------------------------
+
+_SQL_ORPHAN_SWEEP = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       TRUE AS guard_protected_branch,
+       TRUE AS orphans_swept
+FROM orders
+WHERE o_orderkey % 2 = 0
+GROUP BY o_orderstatus
+"""
+
+
+@query("x129_orphan_sweep_lifecycle", oracle=_SQL_ORPHAN_SWEEP)
+def x129_orphan_sweep_lifecycle(spark, sf_dir):
+    """Orphan-file sweep end to end, oracled: even orders keys land on
+    main, a branch takes the odd keys as a branch-only append, and two
+    sweeps bracket the branch's deletion. ``guard_protected_branch``
+    pins the cross-chain reference guard: while the branch lives, a
+    sweep (with a future cutoff — everything is old enough) removes
+    NOTHING, because 'safe to delete?' unions every other chain's
+    references. After ``delete_branch``, its files are true orphans
+    and ``orphans_swept`` pins that the second sweep actually removed
+    them — while the main read (the returned relation) is bit-intact
+    (lakehouse/table.py remove_orphan_files /
+    _external_referenced_files; Paimon remove_orphan_files action,
+    SURVEY §2.1).
+
+    Scale shape: the sweep is a directory walk diffed against the
+    manifest union — O(files) metadata, no data I/O; the aggregate is
+    one grouped exchange."""
+    import time as _time
+
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+    from advent_of_code_flink_paimon_spark.operators.dedup import _mhidx_warehouse
+
+    catalog = Catalog(_mhidx_warehouse("orphan129", sf_dir), "default")
+    t = catalog.create_table(
+        "orders_orph",
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+        {"bucket": "2", "bucket-key": "o_orderkey"},
+    )
+    src = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t.append(src.filter(F.pmod(F.col("o_orderkey"), F.lit(2)) == 0))
+    t.create_branch("tmp")
+    t.use_branch("tmp").append(src.filter(F.pmod(F.col("o_orderkey"), F.lit(2)) == 1))
+    future = int(_time.time() * 1000) + 3_600_000
+    guarded = t.remove_orphan_files(older_than_ms=future) == []
+    t.delete_branch("tmp")
+    swept = len(t.remove_orphan_files(older_than_ms=future)) > 0
+    return (
+        t.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("sum_price"),
+        )
+        .withColumn("guard_protected_branch", F.lit(bool(guarded)))
+        .withColumn("orphans_swept", F.lit(bool(swept)))
+    )
+
+
+_SQL_BUCKET_RESCALE = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       TRUE AS write_refused_before_rescale,
+       TRUE AS rescaled_to_new_modulus
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@query("x130_bucket_rescale", oracle=_SQL_BUCKET_RESCALE)
+def x130_bucket_rescale(spark, sf_dir):
+    """Bucket rescale end to end, oracled: even keys land under
+    bucket=2, ALTER SET ('bucket'='8') changes the declared count, and
+    the mixed-modulus contract takes over:
+    ``write_refused_before_rescale`` pins that an incremental append
+    is REFUSED while live files still carry the old modulus (routing a
+    key's new rows to a bucket its old rows aren't in would break
+    bucket-pruned pre-image lookups — Paimon's rescale contract), a
+    full ``compact()`` rewrite rescales
+    (``rescaled_to_new_modulus``: every live file now carries
+    total_buckets=8), and the previously-refused append of the odd
+    keys then succeeds — the relation aggregates the complete table
+    (lakehouse/table.py _check_bucket_rescale; SURVEY §2.1 rescale
+    row).
+
+    Scale shape: the refusal is an O(manifest) metadata check; the
+    rescale pays exactly one full rewrite (the documented cost); the
+    aggregate is one grouped exchange."""
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+    from advent_of_code_flink_paimon_spark.operators.dedup import _mhidx_warehouse
+
+    catalog = Catalog(_mhidx_warehouse("rescale130", sf_dir), "default")
+    catalog.create_table(
+        "orders_rs",
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+        {"bucket": "2", "bucket-key": "o_orderkey"},
+    )
+    src = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    odd = src.filter(F.pmod(F.col("o_orderkey"), F.lit(2)) == 1)
+    catalog.get_table("orders_rs").append(
+        src.filter(F.pmod(F.col("o_orderkey"), F.lit(2)) == 0)
+    )
+    catalog.alter_table("orders_rs", {"bucket": "8"})
+    t = catalog.get_table("orders_rs")
+    try:
+        t.append(odd)
+        refused = False
+    except ValueError:
+        refused = True
+    t.compact()  # the rescaling rewrite
+    rescaled = {e.get("total_buckets") for e in t.manifest()} == {8}
+    t.append(odd)  # now legal
+    return (
+        t.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("sum_price"),
+        )
+        .withColumn("write_refused_before_rescale", F.lit(bool(refused)))
+        .withColumn("rescaled_to_new_modulus", F.lit(bool(rescaled)))
+    )
+
+
+_SQL_INSERT_OVERWRITE = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice * 2 AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       (SELECT COUNT(*) FROM orders) AS meta_pre_rows
+FROM orders
+WHERE o_orderkey % 3 = 0
+GROUP BY o_orderstatus
+"""
+
+
+@query("x131_insert_overwrite", oracle=_SQL_INSERT_OVERWRITE)
+def x131_insert_overwrite(spark, sf_dir):
+    """INSERT OVERWRITE end to end, oracled: all of orders lands, then
+    one OVERWRITE commit replaces the whole image with the key%3==0
+    slice at doubled price — the read must show ONLY the new image
+    (lakehouse/table.py overwrite; the reference's INSERT OVERWRITE
+    surface, SURVEY §2.1). ``meta_pre_rows`` pins that the replaced
+    image is NOT gone: metadata_count at the pre-overwrite snapshot
+    still answers the full original row count from manifest metadata
+    alone — OVERWRITE replaces the live manifest, it never deletes
+    replaced files while their snapshots live (time travel across an
+    overwrite).
+
+    Scale shape: OVERWRITE stages the new image once and commits
+    O(metadata); the aggregate is one grouped exchange."""
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+    from advent_of_code_flink_paimon_spark.operators.dedup import _mhidx_warehouse
+
+    catalog = Catalog(_mhidx_warehouse("overwrite131", sf_dir), "default")
+    t = catalog.create_table(
+        "orders_ow",
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+        {"bucket": "2", "bucket-key": "o_orderkey"},
+    )
+    src = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t.append(src)
+    pre = t.latest_snapshot_id()
+    t.overwrite(
+        src.filter(F.pmod(F.col("o_orderkey"), F.lit(3)) == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    )
+    meta_pre = t.metadata_count(snapshot_id=pre)
+    return (
+        t.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("sum_price"),
+        )
+        .withColumn("meta_pre_rows", F.lit(int(meta_pre)).cast("long"))
+    )
+
+
+# x129-x131 ship library-gated (the x101-x128 path): the scored window
+# and registry are full; the strict local harness oracles them at
+# every run and they queue for future rotations.
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote_r15e  # noqa: E402
+
+for _n in (
+    "x129_orphan_sweep_lifecycle",
+    "x130_bucket_rescale",
+    "x131_insert_overwrite",
+):
+    _demote_r15e(_n)
+del _demote_r15e, _n

@@ -160,7 +160,13 @@ QUERIES = ["x07_dup_clusters", "x13_semantic_dedup", "x03_dedup_minhash_lsh",
            # (O(1) bookmarks + ranged read), x128 stored changelog
            # (per-bucket pre-image joins per DML + changelog scan)
            "x126_orc_format_roundtrip", "x127_consumer_lifecycle",
-           "x128_changelog_relation"]
+           "x128_changelog_relation",
+           # round-15 continuation 4: x129 orphan sweep (directory
+           # walk vs manifest union), x130 bucket rescale (one full
+           # rewrite, the documented cost), x131 overwrite (one
+           # staged image + metadata commit)
+           "x129_orphan_sweep_lifecycle", "x130_bucket_rescale",
+           "x131_insert_overwrite"]
 REPEATS = 3
 
 
