@@ -449,6 +449,116 @@ def bloom_index_benefit(spark, sf_dir: str, scratch: str, slices: int = 16,
     }
 
 
+def _tree_files(root: str) -> dict[str, int]:
+    """{relpath: bytes} of every data file under a table root (data
+    dirs only — metadata/ dv/ stream/ excluded)."""
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        rel = os.path.relpath(dirpath, root)
+        if rel.split(os.sep)[0] in ("metadata", "stream", "changelog", "index"):
+            continue
+        for f in files:
+            if f.endswith((".parquet", ".orc")):
+                p = os.path.join(dirpath, f)
+                out[os.path.relpath(p, root)] = os.path.getsize(p)
+    return out
+
+
+def partition_drop_benefit(spark, sf_dir: str, scratch: str) -> dict:
+    """Measured benefit of metadata partition drop (round 15, the x119
+    claim quantified): DELETE a whole partition on twin tables —
+    partitioned (the partition value decides every file: pure manifest
+    shrink, zero files written) vs unpartitioned (the same predicate
+    straddles every file: copy-on-write rewrite). At 100 TB the first
+    is a metadata commit; the second rewrites the surviving majority
+    of every touched file."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+    from advent_of_code_flink_paimon_spark.operators.registry import T
+
+    src = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    cat = Catalog(os.path.join(scratch, "wh-pdrop"))
+    ddl = "o_orderkey long, o_orderstatus string, o_totalprice double"
+    t_part = cat.create_table(
+        "o_part", ddl,
+        {"bucket": "2", "bucket-key": "o_orderkey", "partition-by": "o_orderstatus"},
+    )
+    t_flat = cat.create_table(
+        "o_flat", ddl, {"bucket": "2", "bucket-key": "o_orderkey"}
+    )
+    t_part.append(src)
+    t_flat.append(src)
+    out = {}
+    for tag, t in (("partitioned_metadata_drop", t_part), ("unpartitioned_rewrite", t_flat)):
+        before = _tree_files(t.paths.root)
+        t0 = time.perf_counter()
+        t.delete_where(spark, "o_orderstatus = 'P'")
+        wall = round(time.perf_counter() - t0, 3)
+        after = _tree_files(t.paths.root)
+        new = {p: b for p, b in after.items() if p not in before}
+        out[tag] = {
+            "wall_s": wall,
+            "files_written": len(new),
+            "bytes_written": sum(new.values()),
+        }
+    w_m = out["partitioned_metadata_drop"]["wall_s"]
+    w_r = out["unpartitioned_rewrite"]["wall_s"]
+    out["speedup"] = round(w_r / w_m, 2) if w_m else None
+    return out
+
+
+def dv_delete_benefit(spark, sf_dir: str, scratch: str) -> dict:
+    """Measured benefit of deletion vectors (round 15, the x109 apply
+    path quantified): a sparse DELETE (~1% of rows, straddling every
+    file) on twin tables — DV-enabled (writes only the position
+    vectors) vs plain copy-on-write (rewrites every touched file's
+    surviving 99%). The bytes-written ratio IS the write-amplification
+    the DV surface exists to kill."""
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+    from advent_of_code_flink_paimon_spark.operators.registry import T
+
+    src = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    cat = Catalog(os.path.join(scratch, "wh-dvbench"))
+    ddl = "o_orderkey long, o_orderstatus string, o_totalprice double"
+    t_dv = cat.create_table(
+        "o_dv", ddl,
+        {"bucket": "2", "bucket-key": "o_orderkey", "deletion-vectors.enabled": "true"},
+    )
+    t_cow = cat.create_table(
+        "o_cow", ddl, {"bucket": "2", "bucket-key": "o_orderkey"}
+    )
+    t_dv.append(src)
+    t_cow.append(src)
+    out = {}
+    for tag, t in (("deletion_vectors", t_dv), ("copy_on_write", t_cow)):
+        before = _tree_files(t.paths.root)
+        # dv/ parquet must COUNT as written bytes for the DV side —
+        # walk the dv dir explicitly (excluded dirs above don't list it)
+        dv_dir = os.path.join(t.paths.root, "dv")
+        before_dv = _tree_files(dv_dir) if os.path.isdir(dv_dir) else {}
+        t0 = time.perf_counter()
+        t.delete_where(spark, "o_orderkey % 97 = 0")
+        wall = round(time.perf_counter() - t0, 3)
+        after = _tree_files(t.paths.root)
+        after_dv = _tree_files(dv_dir) if os.path.isdir(dv_dir) else {}
+        new = {p: b for p, b in after.items() if p not in before}
+        new_dv = {p: b for p, b in after_dv.items() if p not in before_dv}
+        out[tag] = {
+            "wall_s": wall,
+            "files_written": len(new) + len(new_dv),
+            "bytes_written": sum(new.values()) + sum(new_dv.values()),
+        }
+    b_dv = out["deletion_vectors"]["bytes_written"]
+    b_cw = out["copy_on_write"]["bytes_written"]
+    out["write_amplification_ratio"] = round(b_cw / b_dv, 1) if b_dv else None
+    return out
+
+
 def main() -> None:
     import shutil
     import tempfile
@@ -472,6 +582,8 @@ def main() -> None:
     scratch = tempfile.mkdtemp(prefix="spark-graft-plbench-")
     refresh = None
     bloom = None
+    pdrop = None
+    dvben = None
     try:
         results = run_pipelines(spark, sf_dir, scratch,
                                 n_batches=n_batches, quality=not soak)
@@ -484,6 +596,10 @@ def main() -> None:
             # ask r13 #4: the bloom file index's measured benefit rides
             # the rate artifact
             bloom = bloom_index_benefit(spark, sf_dir, scratch)
+            # round 15: the partition-drop and DV write-amplification
+            # benefits ride the rate artifact too
+            pdrop = partition_drop_benefit(spark, sf_dir, scratch)
+            dvben = dv_delete_benefit(spark, sf_dir, scratch)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
         spark.stop()
@@ -504,6 +620,10 @@ def main() -> None:
         artifact["refresh_cost_series"] = refresh
     if bloom is not None:
         artifact["bloom_file_index"] = bloom
+    if pdrop is not None:
+        artifact["partition_drop"] = pdrop
+    if dvben is not None:
+        artifact["dv_delete"] = dvben
     here = os.path.dirname(os.path.abspath(__file__))
     name = "PIPELINE_SOAK.json" if soak else "PIPELINE_BENCH.json"
     with open(os.path.join(here, name), "w") as f:
