@@ -166,7 +166,13 @@ QUERIES = ["x07_dup_clusters", "x13_semantic_dedup", "x03_dedup_minhash_lsh",
            # rewrite, the documented cost), x131 overwrite (one
            # staged image + metadata commit)
            "x129_orphan_sweep_lifecycle", "x130_bucket_rescale",
-           "x131_insert_overwrite"]
+           "x131_insert_overwrite",
+           # round-15 streaming cards: x132 four availableNow
+           # micro-batches + an exactly-once replay (per-trigger work
+           # is O(batch)), x133 a mirror-fed table-to-table
+           # subscription (O(new files per trigger))
+           "x132_streaming_ingest_lifecycle",
+           "x133_stream_subscribe_lifecycle"]
 REPEATS = 3
 
 
