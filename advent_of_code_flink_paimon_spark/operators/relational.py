@@ -3236,3 +3236,116 @@ from advent_of_code_flink_paimon_spark.operators.registry import demote as _demo
 _demote_r15f("x132_streaming_ingest_lifecycle")
 _demote_r15f("x133_stream_subscribe_lifecycle")
 del _demote_r15f
+
+
+# ---------------------------------------------------------------------------
+# x134 (round 15): streaming changelog subscription — the stored
+# +I/-U/+U/-D stream delivered BY Structured Streaming into a
+# downstream table, end state oracled (x128's arithmetic, arriving via
+# the live stream instead of a batch read).
+# ---------------------------------------------------------------------------
+
+_SQL_STREAM_CHANGELOG = """
+WITH ev AS (
+  SELECT '+I' AS change_type, COUNT(*) AS n_rows,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+  FROM orders
+  UNION ALL
+  SELECT '-U', COUNT(*),
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+  FROM orders WHERE o_orderkey % 4 = 0
+  UNION ALL
+  SELECT '+U', COUNT(*),
+         CAST(SUM(CAST(o_totalprice * 2 AS DECIMAL(18,2))) AS DOUBLE)
+  FROM orders WHERE o_orderkey % 4 = 0
+  UNION ALL
+  SELECT '-D', COUNT(*),
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+  FROM orders WHERE o_orderkey % 4 = 1
+)
+SELECT change_type, n_rows, sum_v,
+       TRUE AS consumer_registered,
+       TRUE AS replay_noop
+FROM ev
+"""
+
+
+@query("x134_stream_changelog_subscribe", oracle=_SQL_STREAM_CHANGELOG)
+def x134_stream_changelog_subscribe(spark, sf_dir):
+    """Streaming changelog subscription end to end, oracled: the x128
+    DML sequence (upsert all, re-upsert the key%4==0 slice doubled,
+    DELETE the key%4==1 slice) writes a stored changelog, and a
+    Structured Streaming subscriber (``stream_table_changelog`` with a
+    consumer-id, availableNow) delivers every +I/-U/+U/-D event into a
+    downstream table. The downstream aggregate by change type must
+    reproduce x128's event arithmetic exactly — each class's count AND
+    value sum — proving the live stream delivers the same events as
+    the batch changelog read, exactly once
+    (streaming/pipelines.py stream_table_changelog;
+    tutorial/guide.md:69-74; SURVEY §2.9). ``consumer_registered``
+    pins the table-side bookmark (the subscriber is expiry-protected
+    from first attach); ``replay_noop`` pins exactly-once across an
+    identical rerun over the same checkpoint.
+
+    Scale shape: the subscription scans only changelog files; one
+    change-type exchange downstream."""
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+    from advent_of_code_flink_paimon_spark.operators.dedup import _mhidx_warehouse
+    from advent_of_code_flink_paimon_spark.streaming.pipelines import (
+        Pipeline,
+        stream_table_changelog,
+    )
+
+    wh = _mhidx_warehouse("streamcl134", sf_dir)
+    catalog = Catalog(wh, "default")
+    up = catalog.create_table(
+        "orders_clu",
+        "o_orderkey long, o_totalprice double",
+        {"primary-key": "o_orderkey", "bucket": "4", "changelog-producer": "input"},
+    )
+    down = catalog.create_table(
+        "orders_cld",
+        "o_orderkey long, o_totalprice double, _change_type string",
+        {"bucket": "2", "bucket-key": "o_orderkey"},
+    )
+    src = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    up.upsert(src)
+    up.upsert(
+        src.filter(F.pmod(F.col("o_orderkey"), F.lit(4)) == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    )
+    up.delete_where(spark, "o_orderkey % 4 = 1")
+
+    def run():
+        q = Pipeline(
+            "subscribe134",
+            stream_table_changelog(spark, up, consumer_id="sub"),
+            down,
+            mode="append",
+            available_now=True,
+        ).start()
+        q.awaitTermination()
+
+    run()
+    committed = down.latest_snapshot_id() or 0
+    run()  # identical rerun over the same checkpoint: must be a no-op
+    replay_noop = (down.latest_snapshot_id() or 0) == committed
+    registered = "sub" in up.consumers()
+    return (
+        down.read(spark)
+        .groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("sum_v"),
+        )
+        .withColumn("consumer_registered", F.lit(bool(registered)))
+        .withColumn("replay_noop", F.lit(bool(replay_noop)))
+    )
+
+
+# x134 ships library-gated (the x101-x133 path).
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote_r15g  # noqa: E402
+
+_demote_r15g("x134_stream_changelog_subscribe")
+del _demote_r15g

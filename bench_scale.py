@@ -172,7 +172,9 @@ QUERIES = ["x07_dup_clusters", "x13_semantic_dedup", "x03_dedup_minhash_lsh",
            # is O(batch)), x133 a mirror-fed table-to-table
            # subscription (O(new files per trigger))
            "x132_streaming_ingest_lifecycle",
-           "x133_stream_subscribe_lifecycle"]
+           "x133_stream_subscribe_lifecycle",
+           # x134: changelog-file subscription (O(changelog files))
+           "x134_stream_changelog_subscribe"]
 REPEATS = 3
 
 
