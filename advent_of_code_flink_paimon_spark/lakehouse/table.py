@@ -21,7 +21,10 @@ already-committed identifier is a no-op (SURVEY.md §7 watch list).
 
 from __future__ import annotations
 
+import datetime as _dt
+import decimal as _decimal
 import glob
+import math
 import os
 import re
 import shutil
@@ -1426,6 +1429,17 @@ class Table:
         An empty selection answers SQL's empty-aggregate NULL:
         ``(True, None)``."""
         if self.primary_key or func not in ("min", "max"):
+            return None
+        # Decimal columns: their manifest stats are floats widened one
+        # ulp outward (_footer_stats — JSON can't carry Decimal), so
+        # the recorded bound may be strictly outside the true value.
+        # Exact-or-refuse: fall through to the scan.
+        try:
+            from pyspark.sql.types import DecimalType
+
+            if isinstance(self.schema[col].dataType, DecimalType):
+                return None
+        except KeyError:
             return None
         entries = self.manifest(snapshot_id)
         if where is not None:
@@ -2901,6 +2915,25 @@ def _footer_stats(meta) -> dict:
                     mn, mx = mn.decode(), mx.decode()
                 except UnicodeDecodeError:
                     continue
+            # Manifest stats must be JSON + comparison-safe (round 15,
+            # found by the x135 decimal/timestamp sink):
+            # - datetime stats are SKIPPED: an ISO-string bound would
+            #   compare lexicographically against whatever format a
+            #   predicate literal uses — a format mismatch could prune
+            #   a file that matches. No stats = no pruning = correct.
+            # - decimal stats become floats widened ONE ULP OUTWARD, so
+            #   float rounding can never narrow the range (a bound
+            #   rounded inward would let the pruner drop a file whose
+            #   true min/max equals the query literal).
+            if isinstance(mn, (_dt.datetime, _dt.date)):
+                continue
+            if isinstance(mn, _decimal.Decimal):
+                f_mn, f_mx = float(mn), float(mx)
+                if _decimal.Decimal(f_mn) > mn:
+                    f_mn = math.nextafter(f_mn, -math.inf)
+                if _decimal.Decimal(f_mx) < mx:
+                    f_mx = math.nextafter(f_mx, math.inf)
+                mn, mx = f_mn, f_mx
             try:
                 nulls = st.null_count if st.has_null_count else None
             except Exception:

@@ -3349,3 +3349,106 @@ from advent_of_code_flink_paimon_spark.operators.registry import demote as _demo
 
 _demote_r15g("x134_stream_changelog_subscribe")
 del _demote_r15g
+
+
+# ---------------------------------------------------------------------------
+# x135 (round 15): watermarked tumbling-window streaming aggregate —
+# the end state of a real windowed Structured Streaming job, oracled,
+# INCLUDING the watermark semantics: the still-open final window must
+# be held back (append mode emits only closed windows), and the oracle
+# replays exactly that cutoff.
+# ---------------------------------------------------------------------------
+
+_SQL_STREAM_TUMBLING = """
+WITH mx AS (SELECT MAX(ts) AS m FROM events),
+agg AS (
+  SELECT time_bucket(INTERVAL 1 DAY, ts) AS window_start,
+         time_bucket(INTERVAL 1 DAY, ts) + INTERVAL 1 DAY AS window_end,
+         event_type,
+         COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(18,6))) AS sv
+  FROM events
+  GROUP BY 1, 2, 3
+)
+SELECT window_start, window_end, event_type, n,
+       CAST(sv AS DOUBLE) AS sum_value,
+       TRUE AS open_window_held_back
+FROM agg, mx
+WHERE window_end <= m
+"""
+
+
+@query("x135_stream_tumbling_window", oracle=_SQL_STREAM_TUMBLING)
+def x135_stream_tumbling_window(spark, sf_dir):
+    """Watermarked tumbling windows end to end, oracled WITH the
+    watermark semantics: events stream through ``tumbling_agg``
+    (1-day windows, watermark 0 s, append mode) into a lakehouse sink
+    via a real availableNow run. Append mode emits a window only once
+    the watermark passes its end — so the final, still-open day (the
+    one containing max(ts)) must be ABSENT from the sink, and the
+    oracle replays exactly that cutoff (`window_end <= max(ts)`).
+    ``open_window_held_back`` pins that the held-back window really
+    existed (the source has more distinct windows than the sink
+    emitted). The source is a single file so every row is on time —
+    the cutoff, not racing file order, decides emission
+    (streaming/windows.py tumbling_agg; the reference's windowed
+    streaming aggregates, SURVEY §2.9; Flink TVF tumble semantics).
+
+    Scale shape: windowed agg state is per (window, key); emission is
+    append-only; the end-state read is one grouped-window exchange.
+    Value sums fold in DECIMAL so emission order cannot change a
+    float result."""
+    import os as _os
+    import shutil as _shutil
+
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+    from advent_of_code_flink_paimon_spark.operators.dedup import _mhidx_warehouse
+    from advent_of_code_flink_paimon_spark.streaming.pipelines import Pipeline
+    from advent_of_code_flink_paimon_spark.streaming.windows import tumbling_agg
+
+    wh = _mhidx_warehouse("tumbling135", sf_dir)
+    catalog = Catalog(wh, "default")
+    sink = catalog.create_table(
+        "daily_counts",
+        "window_start timestamp, window_end timestamp, event_type string, "
+        "n long, sum_value decimal(28,6)",  # SUM over decimal(18,6) widens by 10
+        {"bucket": "1"},
+    )
+    src_dir = _os.path.join(wh, "events-src")
+    _shutil.rmtree(src_dir, ignore_errors=True)
+    ev = T(spark, sf_dir, "events").select(
+        "ts", "event_type", F.col("value").cast("decimal(18,6)").alias("value")
+    )
+    ev.coalesce(1).write.parquet(src_dir)
+    n_windows_total = ev.select(F.window("ts", "1 day")).distinct().count()
+    stream = spark.readStream.schema(
+        "ts timestamp, event_type string, value decimal(18,6)"
+    ).parquet(src_dir)
+    q = Pipeline(
+        "tumbling135",
+        tumbling_agg(stream, "ts", ["event_type"], window="1 day",
+                     watermark="0 seconds"),
+        sink,
+        mode="append",
+        available_now=True,
+    ).start()
+    q.awaitTermination()
+    emitted = sink.read(spark)
+    held_back = (
+        emitted.select("window_start").distinct().count() < n_windows_total
+    )
+    return emitted.select(
+        "window_start",
+        "window_end",
+        "event_type",
+        "n",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        F.lit(bool(held_back)).alias("open_window_held_back"),
+    )
+
+
+# x135 ships library-gated (the x101-x134 path).
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote_r15h  # noqa: E402
+
+_demote_r15h("x135_stream_tumbling_window")
+del _demote_r15h

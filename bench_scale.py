@@ -174,7 +174,9 @@ QUERIES = ["x07_dup_clusters", "x13_semantic_dedup", "x03_dedup_minhash_lsh",
            "x132_streaming_ingest_lifecycle",
            "x133_stream_subscribe_lifecycle",
            # x134: changelog-file subscription (O(changelog files))
-           "x134_stream_changelog_subscribe"]
+           "x134_stream_changelog_subscribe",
+           # x135: windowed streaming agg (per-window/key state)
+           "x135_stream_tumbling_window"]
 REPEATS = 3
 
 

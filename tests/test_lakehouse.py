@@ -3043,3 +3043,43 @@ def test_dv_gate_measures_part_file_bytes(spark, catalog, monkeypatch):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
     assert t.read(spark).count() == 15000
+
+
+def test_decimal_and_timestamp_columns_roundtrip_with_safe_stats(spark, tmp_path):
+    """Round 15 (found by x135's windowed-aggregate sink): manifest
+    stats must be JSON-safe for EVERY column type. Decimal footer
+    bounds become floats widened one ulp outward (float rounding can
+    never narrow the range); datetime bounds are skipped entirely (an
+    ISO-string bound could compare lexicographically against a
+    differently-formatted predicate literal and wrongly prune).
+    metadata_min_max refuses decimal columns — its recorded bound may
+    be strictly outside the true value."""
+    from decimal import Decimal
+
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+
+    cat = Catalog(str(tmp_path / "wh"))
+    # precision > 18 forces the FIXED_LEN_BYTE_ARRAY physical type,
+    # where pyarrow CAN extract stats and returns Decimal objects (a
+    # <=18 decimal is INT64-backed and pyarrow refuses stats for it —
+    # that path was already safely skipped)
+    t = cat.create_table(
+        "dts", "k long, d decimal(28,6), ts timestamp", {"bucket": "1"}
+    )
+    rows = [
+        (1, Decimal("1.000001"), "2024-01-01 00:00:00"),
+        (2, Decimal("2.999999"), "2024-02-01 12:34:56"),
+    ]
+    df = spark.createDataFrame(rows, "k long, d decimal(28,6), ts string").withColumn(
+        "ts", __import__("pyspark.sql.functions", fromlist=["col"]).col("ts").cast("timestamp")
+    )
+    t.append(df)  # pre-fix: TypeError (Decimal is not JSON serializable)
+    (entry,) = t.manifest()
+    d_stats = entry["stats"]["d"]
+    assert isinstance(d_stats["min"], float) and isinstance(d_stats["max"], float)
+    assert d_stats["min"] <= 1.000001 and d_stats["max"] >= 2.999999
+    assert "ts" not in entry["stats"]  # datetime stats skipped, not stored
+    assert t.metadata_min_max("min", "d") is None  # widened bound: refuse
+    assert t.metadata_min_max("min", "k") == (True, 1)  # untouched path
+    got = {(r.k, r.d) for r in t.read(spark).collect()}
+    assert got == {(1, Decimal("1.000001")), (2, Decimal("2.999999"))}
