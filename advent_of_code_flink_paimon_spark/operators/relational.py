@@ -3452,3 +3452,106 @@ from advent_of_code_flink_paimon_spark.operators.registry import demote as _demo
 
 _demote_r15h("x135_stream_tumbling_window")
 del _demote_r15h
+
+
+# ---------------------------------------------------------------------------
+# x136 (round 15): the processing-time LOOKUP JOIN pipeline, end state
+# oracled — matches enrich the target, permanent misses stay in the
+# persistent retry queue, never silently dropped into the output.
+# ---------------------------------------------------------------------------
+
+_SQL_LOOKUP_JOIN = """
+SELECT s.s_name AS supp_name,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       TRUE AS misses_queued
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+WHERE s.s_suppkey % 2 = 0
+GROUP BY s.s_name
+"""
+
+
+@query("x136_lookup_join_lifecycle", oracle=_SQL_LOOKUP_JOIN)
+def x136_lookup_join_lifecycle(spark, sf_dir):
+    """Processing-time lookup join end to end, oracled: lineitem
+    streams (two files, one per trigger) through the
+    ``LookupJoinPipeline`` against a dimension holding ONLY the
+    even-keyed suppliers. Matches join the dimension's latest snapshot
+    and append to the enriched target; odd-suppkey rows MISS and land
+    in the persistent retry queue with an attempt counter — the
+    `retry-predicate=lookup_miss` semantic
+    (tutorial/guide.md:119-141; streaming/lookup_join.py; SURVEY
+    §2.3). The end-state aggregate must equal the plain inner join
+    against the even dimension — a missed row may never leak into the
+    output — and ``misses_queued`` pins that the misses are actually
+    QUEUED (retry table non-empty), not silently dropped.
+
+    Scale shape: per trigger, one broadcast of the dimension's merged
+    snapshot against batch-sized candidates; the queue is overwritten
+    wholesale per batch (bounded by live misses)."""
+    import os as _os
+    import shutil as _shutil
+
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+    from advent_of_code_flink_paimon_spark.operators.dedup import _mhidx_warehouse
+    from advent_of_code_flink_paimon_spark.streaming.lookup_join import (
+        LookupJoinPipeline,
+    )
+
+    wh = _mhidx_warehouse("lookup136", sf_dir)
+    catalog = Catalog(wh, "default")
+    dim = catalog.create_table(
+        "supplier_dim",
+        "l_suppkey long, s_name string",
+        {"primary-key": "l_suppkey", "bucket": "2"},
+    )
+    sup = T(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("l_suppkey"), "s_name"
+    )
+    dim.upsert(sup.filter(F.pmod(F.col("l_suppkey"), F.lit(2)) == 0))
+    target = catalog.create_table(
+        "lineitem_enriched",
+        "l_orderkey long, l_linenumber long, l_suppkey long, "
+        "l_extendedprice double, s_name string",
+        {"bucket": "2", "bucket-key": "l_orderkey"},
+    )
+    src_dir = _os.path.join(wh, "lineitem-src")
+    _shutil.rmtree(src_dir, ignore_errors=True)
+    T(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        "l_suppkey",
+        "l_extendedprice",
+    ).repartition(2).write.parquet(src_dir)
+    stream = spark.readStream.schema(
+        "l_orderkey long, l_linenumber long, l_suppkey long, l_extendedprice double"
+    ).option("maxFilesPerTrigger", 1).parquet(src_dir)
+    q = LookupJoinPipeline(
+        "lookup136",
+        catalog,
+        stream,
+        dim,
+        target,
+        on="l_suppkey",
+        available_now=True,
+    ).start()
+    q.awaitTermination()
+    retry = catalog.get_table("lineitem_enriched_retry")
+    misses_queued = retry.read(spark).count() > 0
+    return (
+        target.read(spark)
+        .groupBy(F.col("s_name").alias("supp_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").alias("revenue"),
+        )
+        .withColumn("misses_queued", F.lit(bool(misses_queued)))
+    )
+
+
+# x136 ships library-gated (the x101-x135 path).
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote_r15i  # noqa: E402
+
+_demote_r15i("x136_lookup_join_lifecycle")
+del _demote_r15i

@@ -176,7 +176,9 @@ QUERIES = ["x07_dup_clusters", "x13_semantic_dedup", "x03_dedup_minhash_lsh",
            # x134: changelog-file subscription (O(changelog files))
            "x134_stream_changelog_subscribe",
            # x135: windowed streaming agg (per-window/key state)
-           "x135_stream_tumbling_window"]
+           "x135_stream_tumbling_window",
+           # x136: per-trigger broadcast lookup join + retry queue
+           "x136_lookup_join_lifecycle"]
 REPEATS = 3
 
 
