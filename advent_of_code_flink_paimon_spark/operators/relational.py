@@ -3555,3 +3555,157 @@ from advent_of_code_flink_paimon_spark.operators.registry import demote as _demo
 
 _demote_r15i("x136_lookup_join_lifecycle")
 del _demote_r15i
+
+
+# ---------------------------------------------------------------------------
+# x137/x138 (round 15): sliding and session windows — the remaining
+# two streaming window shapes, end states oracled with their watermark
+# cutoffs (the x135 protocol).
+# ---------------------------------------------------------------------------
+
+_SQL_STREAM_SLIDING = """
+WITH mx AS (SELECT MAX(ts) AS m FROM events),
+exp AS (
+  SELECT time_bucket(INTERVAL 1 DAY, ts) - k * INTERVAL 1 DAY AS ws, event_type
+  FROM events, (SELECT UNNEST([0, 1]) AS k)
+),
+agg AS (
+  SELECT ws AS window_start, ws + 2 * INTERVAL 1 DAY AS window_end,
+         event_type, COUNT(*) AS n
+  FROM exp GROUP BY 1, 2, 3
+)
+SELECT window_start, window_end, event_type, n,
+       TRUE AS open_windows_held_back
+FROM agg, mx WHERE window_end <= m
+"""
+
+
+@query("x137_stream_sliding_window", oracle=_SQL_STREAM_SLIDING)
+def x137_stream_sliding_window(spark, sf_dir):
+    """Watermarked SLIDING windows end to end, oracled: events stream
+    through ``sliding_agg`` (2-day windows sliding by 1 day — every
+    event lands in exactly two windows) into a lakehouse sink via
+    availableNow; append mode emits a window only once the watermark
+    passes its end, so the LAST TWO still-open windows are absent and
+    the oracle replays exactly that cutoff by expanding each event
+    into its two slide-aligned windows and filtering
+    `window_end <= max(ts)` (streaming/windows.py sliding_agg; Flink
+    HOP windows, SURVEY §2.9).
+
+    Scale shape: state is per (window, key) — 2x the tumbling state
+    for slide = window/2; emission append-only; counts only, so no
+    float-order concern."""
+    import os as _os
+    import shutil as _shutil
+
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+    from advent_of_code_flink_paimon_spark.operators.dedup import _mhidx_warehouse
+    from advent_of_code_flink_paimon_spark.streaming.pipelines import Pipeline
+    from advent_of_code_flink_paimon_spark.streaming.windows import sliding_agg
+
+    wh = _mhidx_warehouse("sliding137", sf_dir)
+    catalog = Catalog(wh, "default")
+    sink = catalog.create_table(
+        "sliding_counts",
+        "window_start timestamp, window_end timestamp, event_type string, n long",
+        {"bucket": "1"},
+    )
+    src_dir = _os.path.join(wh, "events-src")
+    _shutil.rmtree(src_dir, ignore_errors=True)
+    T(spark, sf_dir, "events").select("ts", "event_type").coalesce(1).write.parquet(src_dir)
+    stream = spark.readStream.schema("ts timestamp, event_type string").parquet(src_dir)
+    q = Pipeline(
+        "sliding137",
+        sliding_agg(stream, "ts", ["event_type"], window="2 days",
+                    slide="1 day", watermark="0 seconds"),
+        sink,
+        mode="append",
+        available_now=True,
+    ).start()
+    q.awaitTermination()
+    return sink.read(spark).withColumn("open_windows_held_back", F.lit(True))
+
+
+_SQL_STREAM_SESSION = """
+WITH mx AS (SELECT MAX(ts) AS m FROM events),
+marked AS (
+  SELECT event_type, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w > INTERVAL 2 HOUR
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts)
+),
+sess AS (
+  SELECT event_type, ts,
+         SUM(new_sess) OVER (PARTITION BY event_type ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+),
+agg AS (
+  SELECT MIN(ts) AS session_start,
+         MAX(ts) + INTERVAL 2 HOUR AS session_end,
+         event_type,
+         COUNT(*) AS n_events
+  FROM sess GROUP BY event_type, sid
+)
+SELECT session_start, session_end, event_type, n_events,
+       TRUE AS open_sessions_held_back
+FROM agg, mx WHERE session_end <= m
+"""
+
+
+@query("x138_stream_session_window", oracle=_SQL_STREAM_SESSION)
+def x138_stream_session_window(spark, sf_dir):
+    """Watermarked SESSION windows end to end, oracled: events stream
+    through ``session_agg`` (2-hour idle gap per event_type) into a
+    lakehouse sink via availableNow. A session's end is its last
+    event + gap; append mode emits a session only once the watermark
+    passes that end, so any session still idle-open at max(ts) is
+    held back — the oracle replays the gap-merge per type with window
+    functions (the q34_sessionize pattern as SQL) and applies exactly
+    the `session_end <= max(ts)` cutoff (streaming/windows.py
+    session_agg; Flink SESSION windows / the reference's
+    sessionization, SURVEY §2.9).
+
+    Scale shape: session state is per (key, open session); the
+    gap-merge happens inside Spark's session-window state store, never
+    a global sort; emission append-only."""
+    import os as _os
+    import shutil as _shutil
+
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+    from advent_of_code_flink_paimon_spark.operators.dedup import _mhidx_warehouse
+    from advent_of_code_flink_paimon_spark.streaming.pipelines import Pipeline
+    from advent_of_code_flink_paimon_spark.streaming.windows import session_agg
+
+    wh = _mhidx_warehouse("session138", sf_dir)
+    catalog = Catalog(wh, "default")
+    sink = catalog.create_table(
+        "session_counts",
+        "session_start timestamp, session_end timestamp, event_type string, "
+        "n_events long",
+        {"bucket": "1"},
+    )
+    src_dir = _os.path.join(wh, "events-src")
+    _shutil.rmtree(src_dir, ignore_errors=True)
+    T(spark, sf_dir, "events").select("ts", "event_type").coalesce(1).write.parquet(src_dir)
+    stream = spark.readStream.schema("ts timestamp, event_type string").parquet(src_dir)
+    q = Pipeline(
+        "session138",
+        session_agg(stream, "ts", ["event_type"], gap="2 hours",
+                    watermark="0 seconds"),
+        sink,
+        mode="append",
+        available_now=True,
+    ).start()
+    q.awaitTermination()
+    return sink.read(spark).withColumn("open_sessions_held_back", F.lit(True))
+
+
+# x137/x138 ship library-gated (the x101-x136 path).
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote_r15j  # noqa: E402
+
+_demote_r15j("x137_stream_sliding_window")
+_demote_r15j("x138_stream_session_window")
+del _demote_r15j

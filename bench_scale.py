@@ -178,7 +178,10 @@ QUERIES = ["x07_dup_clusters", "x13_semantic_dedup", "x03_dedup_minhash_lsh",
            # x135: windowed streaming agg (per-window/key state)
            "x135_stream_tumbling_window",
            # x136: per-trigger broadcast lookup join + retry queue
-           "x136_lookup_join_lifecycle"]
+           "x136_lookup_join_lifecycle",
+           # x137/x138: sliding (2x tumbling state) and session
+           # (per-key open-session state) streaming windows
+           "x137_stream_sliding_window", "x138_stream_session_window"]
 REPEATS = 3
 
 
