@@ -30,9 +30,12 @@ from pyspark.sql import DataFrame, SparkSession
 # x118 aggregation engine, x119 partitions, x120 incremental read,
 # x121 partial-update, x122 first-row, x123 sequence.field, x124
 # dynamic buckets, x125 SQL frontend, x126 ORC, x127 consumers, x128
-# changelog — all strict-oracle green at three SFs with recorded
-# BENCH_scale rows), demoting long-stable entries whose operator
-# class stays driver-scored, the established pattern.
+# changelog, x129 orphan sweep, x130 rescale, x131 overwrite, and the
+# seven STREAMING end-state cards x132-x138 (ingest, subscription,
+# changelog stream, tumbling/sliding/session windows, lookup join) —
+# all strict-oracle green at three SFs with recorded BENCH_scale
+# rows), demoting long-stable entries whose operator class stays
+# driver-scored, the established pattern.
 _ORDER = [
     # -- round-15 scored window (VERDICT r14 ask #2): lead with the
     # round-13-evidence overflow (their driver rows would otherwise go
