@@ -22,77 +22,75 @@ from pyspark.sql import DataFrame, SparkSession
 # entries green in CORRECTNESS_r14.json, so at judging time every
 # registry entry has a driver row ≤1 round old.
 #
-# Round-16 rotation plan: lead with the then-overflow (the 50 entries
-# scored in round 14, listed second below); fill any slots that open
-# by promoting the strongest remaining library operators — the
-# round-15 lifecycle-card queue first (x112 bloom, x113 branch, x114
-# schema evolution, x115 compaction, x116 tags/expiry, x117 PK LWW,
-# x118 aggregation engine, x119 partitions, x120 incremental read,
-# x121 partial-update, x122 first-row, x123 sequence.field, x124
-# dynamic buckets, x125 SQL frontend, x126 ORC, x127 consumers, x128
-# changelog, x129 orphan sweep, x130 rescale, x131 overwrite, and the
-# seven STREAMING end-state cards x132-x138 (ingest, subscription,
-# changelog stream, tumbling/sliding/session windows, lookup join) —
-# all strict-oracle green at three SFs with recorded BENCH_scale
-# rows), demoting long-stable entries whose operator class stays
-# driver-scored, the established pattern.
+# Round-16 rotation executed below (VERDICT r15 ask #1); the per-round
+# plan for round 17 is documented inside _ORDER at the overflow marker.
 _ORDER = [
-    # -- round-15 scored window (VERDICT r14 ask #2): lead with the
-    # round-13-evidence overflow (their driver rows would otherwise go
-    # 2 rounds stale), minus THREE long-stable entries demoted to the
-    # library this round — x22 token count (class scored via
-    # x20/x57/x99), x47 token entropy (x20/x32/x95), x36 chunk dedup
-    # (x45 + the x01/x02 exact family); all three remain
-    # strict-oracle-gated by tests/test_relational_oracle.py. The
-    # freed slots go to the three round-14 library cards VERDICT r14
-    # named, all strict-oracle green at sf0.001/0.01/0.1 with recorded
-    # BENCH_scale rows: x109 DV-delete lifecycle (1.59x), x110 fuzzy
-    # decontaminate (1.14x), x111 semantic decontaminate (1.17x) —
-    # each gets its FIRST driver row this round.
-    "x46_incremental_dedup", "x30_multimodal_features",
-    "x31_frame_sample", "q01_pricing_summary", "q28_enrichment_join",
-    "q30_range_join", "q31_time_bucket_rollup", "q32_cube", "q33_percentiles",
-    "q36_correlated_exists", "q37_below_group_avg", "x07_dup_clusters",
-    "x21_lang_id", "x23_quality_score",
-    "x26_tfidf_top_terms", "x27_pii_redact", "x32_unigram_lm_score",
-    "x33_dsir_importance", "x34_cluster_keep_best", "x35_token_pack",
-    "x37_bloom_dedup", "x38_embedding_quantize",
-    "x39_kmeans", "x43_stratified_cap", "x44_mixture_resample",
-    "x45_substr_dedup", "x48_split_assign", "x62_bm25_topk",
-    "x71_bigram_lm_score", "x72_ivfpq_residual_topk",
-    "x73_temperature_mixture", "x74_prototypicality_prune",
-    "x76_tfidf_cosine_pairs", "x77_stupid_backoff_score",
-    "x78_source_kl_drift", "x79_split_leakage_audit",
-    "x80_embedding_anisotropy", "x86_funnel_stages", "x87_cohort_retention",
-    "x88_novelty_profile", "x89_filter_agreement", "x92_ivfpq_batch_probe",
-    "x94_matryoshka_recall", "x95_zipf_fit_per_source",
-    "x96_lsh_index_health", "x99_tokenizer_fertility", "x100_join_key_skew",
-    "x109_dv_delete_lifecycle", "x110_fuzzy_decontaminate",
-    "x111_semantic_decontaminate",
-    # -- overflow past the 50-entry cap: ALL green in
-    # CORRECTNESS_r14.json (rows+schema+hash true), so their driver
-    # evidence is exactly one round old at round-15 judging. Round-16
-    # rotation plan: lead with these 50; fill any opening slots from
-    # the strongest library entries as usual.
+    # -- round-16 scored window (VERDICT r15 ask #1): lead with the
+    # round-14-evidence overflow (their driver rows would otherwise go
+    # 2 rounds stale), minus FIVE long-stable entries demoted to the
+    # library this round to make room for the streaming promotions —
+    # x13 semantic dedup (class scored via x90 + the 1-round-old
+    # x110/x111 rows), x24 winnowing (x02/x04/x05), x53 keep-longest
+    # (x01/x02), x54 domain mix (x59/x85 + 1-round-old x43/x44/x73/
+    # x78), x105 MAD outliers (x107); all five remain strict-oracle
+    # gated by tests/test_relational_oracle.py. The freed slots go to
+    # the five STREAMING end-state cards VERDICT r15 asked for —
+    # x132 exactly-once ingest, x133 subscription compaction-
+    # invisibility, x134 changelog stream, x135 watermarked tumbling
+    # window, x136 lookup join with the retry queue pinned — the
+    # newest operator class, each getting its FIRST driver row. All
+    # five are strict-oracle green at sf0.001/0.01/0.1 with recorded
+    # BENCH_scale rows (1.11x-1.83x at 5x rows).
     "x63_pq_index_lifecycle", "x49_minhash_index_dedup",
     "x64_ivf_index_lifecycle", "x65_gopher_rules", "x66_ivfpq_adc_topk",
     "x67_ivfpq_onetable_topk", "x68_ann_recall", "q19_window_rank_merge",
     "q29_asof_join", "q34_sessionize", "q47_not_in_null_aware",
     "q48_time_range_frame", "x01_dedup_exact", "x02_fingerprint_dedup",
     "x03_dedup_minhash_lsh", "x04_dedup_simhash", "x05_ngram_jaccard_join",
-    "x10_embedding_topk", "x11_embedding_topk_lsh", "x12_embedding_topk_ivf",
-    "x13_semantic_dedup", "x20_text_stats", "x24_winnow_fingerprint",
-    "x28_repetition_filter", "x40_corpus_curation", "x41_decontaminate",
-    "x50_ivf_kmeans_refresh", "x51_ccnet_perplexity_bucket",
-    "x53_keep_longest_dedup", "x54_domain_mix_report", "x55_pq_quantize",
-    "x56_pq_adc_topk", "x57_bpe_pair_counts", "x59_shard_assign",
-    "x81_rrf_fusion_topk", "x82_bm25_prf_topk", "x84_ann_refine_rerank",
+    "x10_embedding_topk", "x11_embedding_topk_lsh",
+    "x12_embedding_topk_ivf", "x20_text_stats", "x28_repetition_filter",
+    "x40_corpus_curation", "x41_decontaminate", "x50_ivf_kmeans_refresh",
+    "x51_ccnet_perplexity_bucket", "x55_pq_quantize", "x56_pq_adc_topk",
+    "x57_bpe_pair_counts", "x59_shard_assign", "x81_rrf_fusion_topk",
+    "x82_bm25_prf_topk", "x84_ann_refine_rerank",
     "x85_token_budget_curriculum", "x90_dedup_embedding_lsh_verify",
     "x83_dedup_method_agreement", "q52_corr_stats", "q54_regr_stats",
     "x98_ivf_index_health", "x101_cluster_size_histogram",
     "x103_quality_threshold_calibration", "x104_containment_pairs",
-    "x105_mad_outliers", "x106_hard_negatives", "x107_event_rate_anomaly",
-    "x108_dedup_token_savings",
+    "x106_hard_negatives", "x107_event_rate_anomaly",
+    "x108_dedup_token_savings", "x132_streaming_ingest_lifecycle",
+    "x133_stream_subscribe_lifecycle", "x134_stream_changelog_subscribe",
+    "x135_stream_tumbling_window", "x136_lookup_join_lifecycle",
+    # -- overflow past the 50-entry cap: ALL green in
+    # CORRECTNESS_r15.json (rows+schema+hash true), so their driver
+    # evidence is exactly one round old at round-16 judging. Round-17
+    # rotation plan: lead with these 50; fill opening slots from the
+    # remaining round-15 lifecycle-card queue — x137/x138 (sliding/
+    # session windows, held-back flags now computed, not vacuous),
+    # the merge-engine cards x117/x118/x121/x122/x123, and the new
+    # x139 stream-stream interval join / x140 changelog_normalize
+    # end-state cards — demoting long-stable entries whose class
+    # stays covered, the established pattern.
+    "x46_incremental_dedup", "x30_multimodal_features", "x31_frame_sample",
+    "q01_pricing_summary", "q28_enrichment_join", "q30_range_join",
+    "q31_time_bucket_rollup", "q32_cube", "q33_percentiles",
+    "q36_correlated_exists", "q37_below_group_avg", "x07_dup_clusters",
+    "x21_lang_id", "x23_quality_score", "x26_tfidf_top_terms",
+    "x27_pii_redact", "x32_unigram_lm_score", "x33_dsir_importance",
+    "x34_cluster_keep_best", "x35_token_pack", "x37_bloom_dedup",
+    "x38_embedding_quantize", "x39_kmeans", "x43_stratified_cap",
+    "x44_mixture_resample", "x45_substr_dedup", "x48_split_assign",
+    "x62_bm25_topk", "x71_bigram_lm_score", "x72_ivfpq_residual_topk",
+    "x73_temperature_mixture", "x74_prototypicality_prune",
+    "x76_tfidf_cosine_pairs", "x77_stupid_backoff_score",
+    "x78_source_kl_drift", "x79_split_leakage_audit",
+    "x80_embedding_anisotropy", "x86_funnel_stages",
+    "x87_cohort_retention", "x88_novelty_profile", "x89_filter_agreement",
+    "x92_ivfpq_batch_probe", "x94_matryoshka_recall",
+    "x95_zipf_fit_per_source", "x96_lsh_index_health",
+    "x99_tokenizer_fertility", "x100_join_key_skew",
+    "x109_dv_delete_lifecycle", "x110_fuzzy_decontaminate",
+    "x111_semantic_decontaminate",
 ]
 
 

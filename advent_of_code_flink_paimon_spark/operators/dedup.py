@@ -1670,6 +1670,16 @@ def x53_keep_longest_dedup(spark, sf_dir):
     )
 
 
+
+# x-demoted round 16: x53_keep_longest_dedup yields its driver-registry slot to the
+# streaming-card promotions (x132-x136); the exact-dedup family stays driver-scored via x01/x02 (scored
+# window).
+# Full strict-oracle gating continues via tests/test_relational_oracle.py.
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote_r16b  # noqa: E402
+
+_demote_r16b("x53_keep_longest_dedup")
+del _demote_r16b
+
 # ---------------------------------------------------------------------------
 # Continuous dedup ingestion: stream -> near-dedup vs corpus -> lakehouse
 # ---------------------------------------------------------------------------

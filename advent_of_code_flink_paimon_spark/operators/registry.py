@@ -236,6 +236,10 @@ def footer_row_count(sf_dir: str, name: str) -> int:
         if os.path.isfile(path)
         else sorted(_glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
     )
+    if not paths:
+        # fail as loudly as the scan this replaces would: a typo'd table
+        # must not silently size an LSH band width from 0 rows
+        raise FileNotFoundError(f"no parquet files for table {name!r} under {sf_dir!r}")
     return sum(_pq.ParquetFile(p).metadata.num_rows for p in paths)
 
 

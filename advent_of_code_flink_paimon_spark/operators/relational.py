@@ -3228,14 +3228,10 @@ def x133_stream_subscribe_lifecycle(spark, sf_dir):
     )
 
 
-# x132/x133 ship library-gated (the x101-x131 path): the scored window
-# and registry are full; the strict local harness oracles them at
-# every run and they queue for future rotations.
-from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote_r15f  # noqa: E402
-
-_demote_r15f("x132_streaming_ingest_lifecycle")
-_demote_r15f("x133_stream_subscribe_lifecycle")
-del _demote_r15f
+# x132/x133 PROMOTED to the scored registry in round 16 (VERDICT r15
+# ask #1: the streaming cards are the newest operator class with zero
+# driver history — they take the slots freed by demoting five
+# long-stable, class-covered entries; see __spark_entry__._ORDER).
 
 
 # ---------------------------------------------------------------------------
@@ -3344,11 +3340,7 @@ def x134_stream_changelog_subscribe(spark, sf_dir):
     )
 
 
-# x134 ships library-gated (the x101-x133 path).
-from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote_r15g  # noqa: E402
-
-_demote_r15g("x134_stream_changelog_subscribe")
-del _demote_r15g
+# x134 PROMOTED to the scored registry in round 16 (with x132/x133).
 
 
 # ---------------------------------------------------------------------------
@@ -3447,11 +3439,8 @@ def x135_stream_tumbling_window(spark, sf_dir):
     )
 
 
-# x135 ships library-gated (the x101-x134 path).
-from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote_r15h  # noqa: E402
-
-_demote_r15h("x135_stream_tumbling_window")
-del _demote_r15h
+# x135 PROMOTED to the scored registry in round 16 (VERDICT r15 ask #1
+# named it explicitly — first watermarked-window card the driver sees).
 
 
 # ---------------------------------------------------------------------------
@@ -3550,11 +3539,8 @@ def x136_lookup_join_lifecycle(spark, sf_dir):
     )
 
 
-# x136 ships library-gated (the x101-x135 path).
-from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote_r15i  # noqa: E402
-
-_demote_r15i("x136_lookup_join_lifecycle")
-del _demote_r15i
+# x136 PROMOTED to the scored registry in round 16 (VERDICT r15 ask #1
+# named it explicitly — the lookup-join retry-queue card).
 
 
 # ---------------------------------------------------------------------------
@@ -3612,7 +3598,11 @@ def x137_stream_sliding_window(spark, sf_dir):
     )
     src_dir = _os.path.join(wh, "events-src")
     _shutil.rmtree(src_dir, ignore_errors=True)
-    T(spark, sf_dir, "events").select("ts", "event_type").coalesce(1).write.parquet(src_dir)
+    ev = T(spark, sf_dir, "events").select("ts", "event_type")
+    ev.coalesce(1).write.parquet(src_dir)
+    # batch-derived ground truth: every slide-aligned window any event
+    # lands in; append mode must emit strictly fewer (the open tail).
+    n_windows_total = ev.select(F.window("ts", "2 days", "1 day")).distinct().count()
     stream = spark.readStream.schema("ts timestamp, event_type string").parquet(src_dir)
     q = Pipeline(
         "sliding137",
@@ -3623,7 +3613,16 @@ def x137_stream_sliding_window(spark, sf_dir):
         available_now=True,
     ).start()
     q.awaitTermination()
-    return sink.read(spark).withColumn("open_windows_held_back", F.lit(True))
+    emitted = sink.read(spark)
+    # computed, not asserted (the x135 protocol; VERDICT r15 advice):
+    # the oracle pins TRUE, so a leak of the open windows into the
+    # append-mode output flips this to False and fails the hash.
+    held_back = (
+        emitted.select("window_start").distinct().count() < n_windows_total
+    )
+    return emitted.withColumn(
+        "open_windows_held_back", F.lit(bool(held_back))
+    )
 
 
 _SQL_STREAM_SESSION = """
@@ -3689,7 +3688,16 @@ def x138_stream_session_window(spark, sf_dir):
     )
     src_dir = _os.path.join(wh, "events-src")
     _shutil.rmtree(src_dir, ignore_errors=True)
-    T(spark, sf_dir, "events").select("ts", "event_type").coalesce(1).write.parquet(src_dir)
+    ev = T(spark, sf_dir, "events").select("ts", "event_type")
+    ev.coalesce(1).write.parquet(src_dir)
+    # batch-derived ground truth: total gap-merged sessions per key via
+    # Spark's own session_window; append mode must emit strictly fewer
+    # (each key's final session is still idle-open at max(ts)).
+    n_sessions_total = (
+        ev.groupBy("event_type", F.session_window("ts", "2 hours"))
+        .count()
+        .count()
+    )
     stream = spark.readStream.schema("ts timestamp, event_type string").parquet(src_dir)
     q = Pipeline(
         "session138",
@@ -3700,7 +3708,14 @@ def x138_stream_session_window(spark, sf_dir):
         available_now=True,
     ).start()
     q.awaitTermination()
-    return sink.read(spark).withColumn("open_sessions_held_back", F.lit(True))
+    emitted = sink.read(spark)
+    # computed, not asserted (the x135 protocol; VERDICT r15 advice):
+    # a leak of still-open sessions into the append output flips this
+    # to False and fails the oracle hash.
+    held_back = emitted.count() < n_sessions_total
+    return emitted.withColumn(
+        "open_sessions_held_back", F.lit(bool(held_back))
+    )
 
 
 # x137/x138 ship library-gated (the x101-x136 path).
@@ -3709,3 +3724,233 @@ from advent_of_code_flink_paimon_spark.operators.registry import demote as _demo
 _demote_r15j("x137_stream_sliding_window")
 _demote_r15j("x138_stream_session_window")
 del _demote_r15j
+
+
+# ---------------------------------------------------------------------------
+# x139 (round 16, VERDICT r15 ask #3): the stream-stream INTERVAL JOIN
+# end to end, oracled — the last watermarked stateful operator that was
+# behavioral-only. Two real event streams (clicks / purchases split
+# from the events table) flow through ``stream_stream_join`` (±30 min
+# per user, availableNow) into a lakehouse sink; DuckDB replays the
+# equivalent batch interval join. Both sources arrive in one trigger so
+# every row is on time — the emitted pair set must EQUAL the batch
+# join (inner stream-stream joins emit on match; the watermark bounds
+# state, not emission), and ``all_on_time_emitted`` pins exactly that
+# equality Spark-side so a dropped or duplicated pair fails the oracle
+# twice (hash and flag).
+# ---------------------------------------------------------------------------
+
+_SQL_STREAM_STREAM_JOIN = """
+WITH pairs AS (
+  SELECT l.user_id, l.value AS cval, r.value AS pval
+  FROM events l JOIN events r
+    ON l.user_id = r.user_id
+   AND l.event_type = 'click' AND r.event_type = 'purchase'
+   AND r.ts >= l.ts - INTERVAL 30 MINUTE
+   AND r.ts <= l.ts + INTERVAL 30 MINUTE
+)
+SELECT user_id, COUNT(*) AS n_pairs,
+       CAST(SUM(CAST(cval AS DECIMAL(18,6))) AS DOUBLE) AS sum_click_value,
+       CAST(SUM(CAST(pval AS DECIMAL(18,6))) AS DOUBLE) AS sum_purchase_value,
+       TRUE AS all_on_time_emitted
+FROM pairs GROUP BY user_id
+"""
+
+
+@query("x139_stream_stream_join", oracle=_SQL_STREAM_STREAM_JOIN)
+def x139_stream_stream_join(spark, sf_dir):
+    """Watermarked stream-stream interval join end to end, oracled:
+    clicks and purchases stream through ``stream_stream_join``
+    (match when the same user's events are within ±30 min) into a
+    lakehouse sink via availableNow; the oracle replays the identical
+    batch interval join + per-user aggregate in DuckDB
+    (streaming/windows.py stream_stream_join; Flink interval join,
+    SURVEY §2.9 — the x135 end-state protocol applied to the last
+    [S]-only join operator).
+
+    Scale shape: both sides shuffle on the join key; keyed state is
+    bounded by the watermark + the ±interval (state holds only rows
+    whose event time can still match — at 100 TB the buffer is
+    O(interval x rate), never O(stream)). Value sums fold in DECIMAL
+    so emission order cannot change a float result."""
+    import os as _os
+    import shutil as _shutil
+
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+    from advent_of_code_flink_paimon_spark.operators.dedup import _mhidx_warehouse
+    from advent_of_code_flink_paimon_spark.streaming.pipelines import Pipeline
+    from advent_of_code_flink_paimon_spark.streaming.windows import stream_stream_join
+
+    wh = _mhidx_warehouse("ssjoin139", sf_dir)
+    catalog = Catalog(wh, "default")
+    sink = catalog.create_table(
+        "click_purchase_pairs",
+        "user_id long, cval double, pval double",
+        {"bucket": "1"},
+    )
+    ev = T(spark, sf_dir, "events").select("ts", "user_id", "event_type", "value")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts"), F.col("value").alias("cval")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("value").alias("pval")
+    )
+    c_dir = _os.path.join(wh, "clicks-src")
+    p_dir = _os.path.join(wh, "purchases-src")
+    for d, df in ((c_dir, clicks), (p_dir, purchases)):
+        _shutil.rmtree(d, ignore_errors=True)
+        df.coalesce(1).write.parquet(d)
+    cs = spark.readStream.schema(
+        "user_id long, cts timestamp, cval double"
+    ).parquet(c_dir)
+    ps = spark.readStream.schema(
+        "user_id long, pts timestamp, pval double"
+    ).parquet(p_dir)
+    joined = stream_stream_join(
+        cs, ps, on="user_id", left_ts="cts", right_ts="pts",
+        watermark="0 seconds", within="30 minutes",
+    ).select(cs.user_id, "cval", "pval")
+    q = Pipeline(
+        "ssjoin139", joined, sink, mode="append", available_now=True
+    ).start()
+    q.awaitTermination()
+    # batch-derived ground truth (computed, not asserted — the x135
+    # protocol): the same interval join as a plain DataFrame join
+    iv = F.expr("interval 30 minutes")
+    n_batch_pairs = clicks.join(
+        purchases,
+        (clicks.user_id == purchases.user_id)
+        & (purchases.pts >= clicks.cts - iv)
+        & (purchases.pts <= clicks.cts + iv),
+    ).count()
+    emitted = sink.read(spark)
+    all_on_time = emitted.count() == n_batch_pairs
+    return (
+        emitted.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("cval").cast("decimal(18,6)"))
+            .cast("double").alias("sum_click_value"),
+            F.sum(F.col("pval").cast("decimal(18,6)"))
+            .cast("double").alias("sum_purchase_value"),
+        )
+        .withColumn("all_on_time_emitted", F.lit(bool(all_on_time)))
+    )
+
+
+# ---------------------------------------------------------------------------
+# x140 (round 16, VERDICT r15 ask #3): CHANGELOG NORMALIZE end to end,
+# oracled — the post-image upsert stream of a changelog-LESS PK table
+# (+U/-D, no pre-images) normalized to a full +I/-U/+U/-D changelog by
+# the keyed-state operator, sunk to a table, and the per-class counts
+# AND value sums replayed from raw orders: exactly x128's stored-
+# changelog arithmetic, but produced by ChangelogNormalize state
+# instead of a stored producer.
+# ---------------------------------------------------------------------------
+
+_SQL_CHANGELOG_NORMALIZE = """
+WITH ev AS (
+  SELECT '+I' AS change_type, COUNT(*) AS n_rows,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+  FROM orders
+  UNION ALL
+  SELECT '-U', COUNT(*),
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+  FROM orders WHERE o_orderkey % 4 = 0
+  UNION ALL
+  SELECT '+U', COUNT(*),
+         CAST(SUM(CAST(o_totalprice * 2 AS DECIMAL(18,2))) AS DOUBLE)
+  FROM orders WHERE o_orderkey % 4 = 0
+  UNION ALL
+  SELECT '-D', COUNT(*),
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+  FROM orders WHERE o_orderkey % 4 = 1
+)
+SELECT change_type, n_rows, sum_v, TRUE AS replay_noop FROM ev
+"""
+
+
+@query("x140_changelog_normalize", oracle=_SQL_CHANGELOG_NORMALIZE)
+def x140_changelog_normalize(spark, sf_dir):
+    """ChangelogNormalize end to end, oracled: the x128 DML sequence
+    (upsert all of orders, re-upsert the key%4==0 slice doubled,
+    DELETE the key%4==1 slice) runs against a changelog-LESS PK table,
+    whose upsert stream carries only post-images (+U/-D). A real
+    availableNow job pipes it through ``changelog_normalize`` (one
+    remembered-row state per key, commit-ordered by the seq column)
+    into a downstream table; the aggregate by change type must
+    reproduce the stored-changelog arithmetic exactly — the -U rows
+    carry the REMEMBERED original price and the -D rows the deleted
+    image, both recovered from state, not from the stream
+    (streaming/windows.py changelog_normalize; the reference planner's
+    ChangelogNormalize node, tutorial/guide.md:69-74; SURVEY §2.9).
+    ``replay_noop`` pins exactly-once across an identical rerun over
+    the same checkpoint.
+
+    Scale shape: state is O(live keys), sharded by the groupBy key
+    hash; each trigger folds only its new post-images (the stream/
+    mirror is O(new files)); one change-type exchange downstream."""
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+    from advent_of_code_flink_paimon_spark.operators.dedup import _mhidx_warehouse
+    from advent_of_code_flink_paimon_spark.streaming.pipelines import (
+        Pipeline,
+        stream_table_upsert,
+    )
+    from advent_of_code_flink_paimon_spark.streaming.windows import changelog_normalize
+
+    wh = _mhidx_warehouse("clnorm140", sf_dir)
+    catalog = Catalog(wh, "default")
+    up = catalog.create_table(
+        "orders_nocl",
+        "o_orderkey long, o_totalprice double",
+        {"primary-key": "o_orderkey", "bucket": "4"},  # NO changelog producer
+    )
+    down = catalog.create_table(
+        "orders_norm",
+        "o_orderkey long, o_totalprice double, _change_type string",
+        {"bucket": "2", "bucket-key": "o_orderkey"},
+    )
+    src = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    up.upsert(src)
+    up.upsert(
+        src.filter(F.pmod(F.col("o_orderkey"), F.lit(4)) == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    )
+    up.delete_where(spark, "o_orderkey % 4 = 1")
+
+    def run():
+        normalized = changelog_normalize(
+            stream_table_upsert(spark, up, include_seq=True),
+            key_cols=["o_orderkey"],
+            value_cols=["o_totalprice"],
+            order_col="seq",
+        )
+        q = Pipeline(
+            "clnorm140", normalized, down, mode="append", available_now=True
+        ).start()
+        q.awaitTermination()
+
+    run()
+    committed = down.latest_snapshot_id() or 0
+    run()  # identical rerun over the same checkpoint: must be a no-op
+    replay_noop = (down.latest_snapshot_id() or 0) == committed
+    return (
+        down.read(spark)
+        .groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("sum_v"),
+        )
+        .withColumn("replay_noop", F.lit(bool(replay_noop)))
+    )
+
+
+# x139/x140 ship library-gated (the x101-x138 path): the round-16
+# scored window is full; the strict local harness oracles them at
+# every run and they head the round-17 promotion queue.
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote_r16f  # noqa: E402
+
+_demote_r16f("x139_stream_stream_join")
+_demote_r16f("x140_changelog_normalize")
+del _demote_r16f

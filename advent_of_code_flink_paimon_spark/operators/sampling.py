@@ -279,6 +279,16 @@ def x54_domain_mix_report(spark, sf_dir):
     )
 
 
+
+# x-demoted round 16: x54_domain_mix_report yields its driver-registry slot to the
+# streaming-card promotions (x132-x136); sampling/mixing stays driver-scored via x59/x85 (scored window) and
+# x43/x44/x73/x78 (1-round-old r15 rows).
+# Full strict-oracle gating continues via tests/test_relational_oracle.py.
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote_r16d  # noqa: E402
+
+_demote_r16d("x54_domain_mix_report")
+del _demote_r16d
+
 # ---------------------------------------------------------------------------
 # x59: deterministic global shuffle -> training-shard manifest
 # ---------------------------------------------------------------------------

@@ -338,6 +338,16 @@ def x13_semantic_dedup(spark, sf_dir):
     return a.join(dup_ids, "vec_id", "left_anti").select("vec_id", "cluster")
 
 
+
+# x-demoted round 16: x13_semantic_dedup yields its driver-registry slot to the
+# streaming-card promotions (x132-x136); embedding near-dup stays driver-scored via x90 (scored window) and
+# x110/x111 semantic decontaminate (1-round-old r15 rows).
+# Full strict-oracle gating continues via tests/test_relational_oracle.py.
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote_r16a  # noqa: E402
+
+_demote_r16a("x13_semantic_dedup")
+del _demote_r16a
+
 EMB_DIM = 64  # testdata embedding width (TESTDATA.md)
 _LSH_BASIS = None  # EMB_DIM × LSH_PLANES Gaussian matrix, lazy singleton
 
@@ -3739,7 +3749,17 @@ def build_lsh_band_index(spark, catalog, vecs_table: str) -> int:
     vecs_t = catalog.get_table(vecs_table)
     latest = vecs_t.latest_snapshot_id() or 0
     v = _pq_vecs(vecs_t.read(spark)).persist()
-    n = v.count()
+    # corpus size from manifest record_count (VERDICT r15 ask #8, the
+    # lakehouse twin of footer_row_count): append tables answer
+    # COUNT(*) from metadata EXACTLY (metadata_count's contract), so
+    # band-width sizing is zero-I/O — no Spark job, no footer reads.
+    # The exact-or-refuse fallback (a PK corpus returns None) pays the
+    # scan-count so the width can never drift from the true row count;
+    # width equality across both paths is pinned in
+    # tests/test_properties.py::test_lakehouse_band_width_metadata_path.
+    n = vecs_t.metadata_count()
+    if n is None:
+        n = v.count()
     r = _x90_band_bits(n)
     meta = lsh_meta_name(vecs_table)
     if not catalog.has_table(meta):

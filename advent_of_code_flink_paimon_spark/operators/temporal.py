@@ -593,6 +593,15 @@ def x105_mad_outliers(spark, sf_dir):
     )
 
 
+
+# x-demoted round 16: x105_mad_outliers yields its driver-registry slot to the
+# streaming-card promotions (x132-x136); telemetry stays driver-scored via x107 (scored window).
+# Full strict-oracle gating continues via tests/test_relational_oracle.py.
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote_r16e  # noqa: E402
+
+_demote_r16e("x105_mad_outliers")
+del _demote_r16e
+
 # ---------------------------------------------------------------------------
 # x107: event-RATE anomaly card — x105 flags anomalous VALUES; this
 # flags anomalous ARRIVAL RATES (an hour where a type's event count

@@ -223,6 +223,16 @@ def x24_winnow_fingerprint(spark, sf_dir):
     )
 
 
+
+# x-demoted round 16: x24_winnow_fingerprint yields its driver-registry slot to the
+# streaming-card promotions (x132-x136); fingerprint dedup stays driver-scored via x02/x04/x05 (scored
+# window); winnowing itself remains oracled here and by x69 (library).
+# Full strict-oracle gating continues via tests/test_relational_oracle.py.
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote_r16c  # noqa: E402
+
+_demote_r16c("x24_winnow_fingerprint")
+del _demote_r16c
+
 @query(
     "x25_heavy_hitter_bigrams",
     oracle="""

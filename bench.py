@@ -155,6 +155,23 @@ HEADLINE = [
     "x109_dv_delete_lifecycle",
     "x110_fuzzy_decontaminate",
     "x111_semantic_decontaminate",
+    # round 16: the five streaming end-state cards promoted into the
+    # scored window (x132 exactly-once ingest, x133 subscription, x134
+    # changelog stream, x135 tumbling window, x136 lookup join) join
+    # the bench; eight flat sub-0.8 s entries (x99 0.34 s, x100
+    # 0.47 s, x103 0.43 s, x107 0.67 s, x80 0.69 s, q53 0.74 s, x51
+    # 0.74 s, x88 0.78 s — all stable since their debut rounds) retire
+    # to hold the summary-line byte headroom under the 2000-byte
+    # stdout tail window (the streaming card names are long and the
+    # line now carries contention markers). Their history lives in
+    # BENCH_r01..r15 and the strict harness still gates their
+    # correctness every run; their scale rows stay in the
+    # bench_scale.py battery.
+    "x132_streaming_ingest_lifecycle",
+    "x133_stream_subscribe_lifecycle",
+    "x134_stream_changelog_subscribe",
+    "x135_stream_tumbling_window",
+    "x136_lookup_join_lifecycle",
 ]
 for _retired in ("x52_norm_dedup", "x91_approx_percentiles",
                  "x04_dedup_simhash", "q25_json_extract",
@@ -165,14 +182,46 @@ for _retired in ("x52_norm_dedup", "x91_approx_percentiles",
                  "x61_cluster_balanced_sample", "x78_source_kl_drift",
                  "x87_cohort_retention",
                  "x74_prototypicality_prune", "x86_funnel_stages",
-                 "x94_matryoshka_recall"):
+                 "x94_matryoshka_recall",
+                 "x99_tokenizer_fertility", "x100_join_key_skew",
+                 "x103_quality_threshold_calibration",
+                 "x107_event_rate_anomaly", "x80_embedding_anisotropy",
+                 "q53_histogram", "x51_ccnet_perplexity_bucket",
+                 "x88_novelty_profile"):
     HEADLINE.remove(_retired)
 del _retired
+
+
+def _contention_markers(samples: dict[str, list[float]]) -> dict:
+    """Round 16 (VERDICT r15 ask #2 — two of the last three artifacts
+    of record were contention-skewed): make a skewed run
+    machine-detectable from the artifact alone. Per-query spread ratio
+    = max/min across the round-robin repeat passes; on a quiet machine
+    the median ratio sits near 1.05-1.2 (BENCH_clean_r13..r15), while
+    a contended window shows ratios like q08's r15 [0.93 s, 3.15 s]
+    = 3.4x. The run is flagged ``contended`` when the median ratio
+    exceeds 1.35 or more than 20% of queries exceed 2x — bounds set
+    one comfortable notch above every clean-run observation on record.
+    """
+    ratios = sorted(
+        (max(s) / min(s)) for s in samples.values() if s and min(s) > 0
+    )
+    if not ratios:
+        return {"spread_ratio_median": None, "contended": False}
+    med = ratios[len(ratios) // 2]
+    frac_over_2x = sum(1 for r in ratios if r > 2.0) / len(ratios)
+    return {
+        "spread_ratio_median": round(med, 3),
+        "spread_ratio_max": round(ratios[-1], 2),
+        "frac_over_2x": round(frac_over_2x, 3),
+        "contended": bool(med > 1.35 or frac_over_2x > 0.2),
+    }
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    load_before = [round(x, 2) for x in os.getloadavg()]
 
     import __spark_entry__ as entrymod
     from advent_of_code_flink_paimon_spark.session import get_spark
@@ -213,6 +262,11 @@ def main() -> None:
 
     timings = {n: round(statistics.median(s), 4) for n, s in samples.items()}
     spread = {n: [round(min(s), 4), round(max(s), 4)] for n, s in samples.items()}
+    load_after = [round(x, 2) for x in os.getloadavg()]
+    markers = _contention_markers(samples)
+    markers["loadavg_before"] = load_before
+    markers["loadavg_after"] = load_after
+    markers["cpus"] = os.cpu_count()
 
     total = round(sum(timings.values()), 4)
     # Round 6 (VERDICT r5 ask #1): the round-5 artifact recorded
@@ -226,7 +280,8 @@ def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_spread.json"), "w") as f:
         json.dump(
-            {"spread": spread, "medians": timings, "repeats": repeats, "sf": sf},
+            {"spread": spread, "medians": timings, "repeats": repeats,
+             "sf": sf, "contention": markers},
             f, indent=1,
         )
     spark.stop()
@@ -245,6 +300,11 @@ def main() -> None:
                 "queries": {n: round(t, 2) for n, t in timings.items()},
                 "repeats": repeats,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # compact contention markers (full detail in
+                # BENCH_spread.json): a skewed run self-labels
+                "load": [load_before[0], load_after[0]],
+                "spread_med": markers["spread_ratio_median"],
+                "contended": markers["contended"],
             },
             separators=(",", ":"),
         )

@@ -455,7 +455,7 @@ def _tree_files(root: str) -> dict[str, int]:
     out = {}
     for dirpath, _dirs, files in os.walk(root):
         rel = os.path.relpath(dirpath, root)
-        if rel.split(os.sep)[0] in ("metadata", "stream", "changelog", "index"):
+        if rel.split(os.sep)[0] in ("metadata", "stream", "changelog", "index", "dv"):
             continue
         for f in files:
             if f.endswith((".parquet", ".orc")):

@@ -181,7 +181,21 @@ QUERIES = ["x07_dup_clusters", "x13_semantic_dedup", "x03_dedup_minhash_lsh",
            "x136_lookup_join_lifecycle",
            # x137/x138: sliding (2x tumbling state) and session
            # (per-key open-session state) streaming windows
-           "x137_stream_sliding_window", "x138_stream_session_window"]
+           "x137_stream_sliding_window", "x138_stream_session_window",
+           # round-16 (VERDICT r15 ask #5): the four queries hot only
+           # in rounds 1-2 (q19 1.06 s, q25 1.34 s, q34 1.16 s, x10
+           # 1.19 s — all sub-0.6 s since) join so the written
+           # "ever >= 1 s" coverage rule holds literally: one window
+           # sort, one JSON projection, one gap sessionization, one
+           # brute-force top-k — all single-exchange linear shapes
+           "q19_window_rank_merge", "q25_json_extract",
+           "q34_sessionize", "x10_embedding_topk",
+           # round-16 end-state cards (VERDICT r15 ask #3): x139
+           # buffers watermark-bounded keyed state on both sides (pair
+           # count densifies with event rate but stays tiny vs the
+           # scan); x140 folds one remembered row per live key — both
+           # the write-dominated ~linear class
+           "x139_stream_stream_join", "x140_changelog_normalize"]
 REPEATS = 3
 
 

@@ -15,6 +15,12 @@ The one standing exemption is x06_dedup_embedding_cosine, which HAS a
 scale row by design: it is the deliberately retained O(n^2) exact
 ground-truth control (its super-linear growth is the documented
 baseline the sub-quadratic x90/x11 paths are judged against).
+
+Round 16 (VERDICT r15 ask #5): the code now implements the written
+"EVER >= 1 s" rule — the hot set is the per-query MAX median over the
+full BENCH_r* history, not the latest observation — and the four
+rounds-1-2-only hot queries (q19, q25, q34, x10) have recorded growth
+rows, so prose and logic agree.
 """
 
 from __future__ import annotations
@@ -28,12 +34,11 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 HOT_SECONDS = 1.0
 
 
-def _latest_bench_medians() -> dict[str, float]:
-    """Per-query median from the NEWEST BENCH_r* round that measured
-    it (retired entries keep their last observation)."""
-    latest: dict[str, tuple[int, float]] = {}
+def _bench_observations() -> dict[str, list[float]]:
+    """Every per-query median ever recorded across the BENCH_r*
+    history (retired entries keep their old observations)."""
+    obs: dict[str, list[float]] = {}
     for path in glob.glob(os.path.join(ROOT, "BENCH_r*.json")):
-        rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
         tail = json.load(open(path)).get("tail", "")
         m = re.search(r'\{"metric".*', tail)
         if not m:
@@ -43,16 +48,26 @@ def _latest_bench_medians() -> dict[str, float]:
         except (ValueError, KeyError):
             continue  # a truncated tail (the r10 lesson) — skip that round
         for name, sec in queries.items():
-            if name not in latest or latest[name][0] < rnd:
-                latest[name] = (rnd, float(sec))
-    return {k: v for k, (_, v) in latest.items()}
+            obs.setdefault(name, []).append(float(sec))
+    return obs
+
+
+def _ever_hot_medians() -> dict[str, float]:
+    """Per-query MAX median over the full BENCH_r* history — the
+    round-16 fix for the VERDICT r15 docstring/code divergence: the
+    written rule is "ever cost >= 1 s", so a query that was hot in
+    round 1 and cheap ever since (q19, q25, q34, x10) still needs its
+    growth row; a contention spike is the only way a never-actually-
+    hot query lands here, and its scale row is then cheap insurance,
+    not a false positive."""
+    return {name: max(secs) for name, secs in _bench_observations().items()}
 
 
 def test_bench_scale_coverage_is_structural():
     import bench
     import bench_scale
 
-    hot = {n for n, sec in _latest_bench_medians().items() if sec >= HOT_SECONDS}
+    hot = {n for n, sec in _ever_hot_medians().items() if sec >= HOT_SECONDS}
     assert hot, "no BENCH_r* history parsed — the coverage base is gone"
 
     battery = set(bench_scale.QUERIES)
@@ -78,7 +93,7 @@ def test_bench_scale_coverage_is_structural():
     # promotion time, as r13 did for x99/x100, keeps this vacuous)
     unknown_hot = sorted(
         n for n in bench.HEADLINE
-        if n not in recorded and _latest_bench_medians().get(n, 0.0) >= HOT_SECONDS
+        if n not in recorded and _ever_hot_medians().get(n, 0.0) >= HOT_SECONDS
     )
     assert not unknown_hot, unknown_hot
 
