@@ -3954,3 +3954,201 @@ from advent_of_code_flink_paimon_spark.operators.registry import demote as _demo
 _demote_r16f("x139_stream_stream_join")
 _demote_r16f("x140_changelog_normalize")
 del _demote_r16f
+
+
+# ---------------------------------------------------------------------------
+# x141 (round 16): streaming DEDUP end to end, oracled — the stateful
+# first-occurrence-wins operator (dropDuplicatesWithinWatermark) was
+# behavioral-only. Events plus an exact-duplicate slice stream through
+# it across TWO triggers; state keyed by event_id must drop every
+# duplicate (including cross-trigger re-arrivals), so the sink equals
+# the original corpus exactly.
+# ---------------------------------------------------------------------------
+
+_SQL_STREAM_DEDUP = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       TRUE AS dupes_dropped
+FROM events GROUP BY event_type
+"""
+
+
+@query("x141_stream_dedup", oracle=_SQL_STREAM_DEDUP)
+def x141_stream_dedup(spark, sf_dir):
+    """Stateful streaming dedup end to end, oracled: the events table
+    plus an EXACT duplicate of its event_id%5==0 slice stream through
+    ``dedup_within_watermark`` (keyed by event_id) in two
+    maxFilesPerTrigger=1 micro-batches — originals in trigger 1, the
+    duplicate slice re-arriving in trigger 2 — into a lakehouse sink.
+    Keyed state survives the trigger boundary, so every duplicate is
+    dropped and the per-type counts AND value sums equal raw events
+    exactly; ``dupes_dropped`` is computed from the fed-vs-emitted row
+    counts (streaming/windows.py dedup_within_watermark; the streaming
+    form of exact dedup, SURVEY §2.11/§2.9).
+
+    The watermark horizon is set past the corpus time span so the
+    bounded replay is deterministic (no dedup-state eviction mid-run);
+    a production stream uses a real horizon and holds O(keys-within-
+    horizon) state — the bounded-memory contract this card's operator
+    exists for.
+
+    Scale shape: one key-hash exchange into the dedup state store;
+    state O(live keys within the horizon); append-only emission."""
+    import os as _os
+    import shutil as _shutil
+
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+    from advent_of_code_flink_paimon_spark.operators.dedup import _mhidx_warehouse
+    from advent_of_code_flink_paimon_spark.streaming.pipelines import Pipeline
+    from advent_of_code_flink_paimon_spark.streaming.windows import dedup_within_watermark
+
+    wh = _mhidx_warehouse("sdedup141", sf_dir)
+    catalog = Catalog(wh, "default")
+    sink = catalog.create_table(
+        "events_deduped",
+        "event_id long, ts timestamp, event_type string, value double",
+        {"bucket": "2", "bucket-key": "event_id"},
+    )
+    ev = T(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    src_dir = _os.path.join(wh, "events-src")
+    _shutil.rmtree(src_dir, ignore_errors=True)
+    ev.coalesce(1).write.parquet(src_dir)  # trigger 1: the originals
+    dup_slice = ev.filter(F.pmod(F.col("event_id"), F.lit(5)) == 0)
+    dup_slice.coalesce(1).write.mode("append").parquet(src_dir)  # trigger 2: exact dupes
+    n_original = ev.count()
+    n_fed = n_original + dup_slice.count()
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = Pipeline(
+        "sdedup141",
+        dedup_within_watermark(stream, ["event_id"], "ts", watermark="40 days"),
+        sink,
+        mode="append",
+        available_now=True,
+    ).start()
+    q.awaitTermination()
+    emitted = sink.read(spark)
+    n_emitted = emitted.count()
+    dupes_dropped = n_emitted == n_original and n_fed > n_emitted
+    return (
+        emitted.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double").alias("sum_value"),
+        )
+        .withColumn("dupes_dropped", F.lit(bool(dupes_dropped)))
+    )
+
+
+# ---------------------------------------------------------------------------
+# x142 (round 16): the CONTINUOUS AGGREGATE materialized into a PK
+# table (upsert rollup), oracled — the update-mode complement of
+# x135's append-mode cutoff: every trigger re-emits the windows it
+# touched (open windows INCLUDED) and the PK sink's last-write-wins
+# merge converges on exactly the full batch aggregate.
+# ---------------------------------------------------------------------------
+
+_SQL_CONTINUOUS_ROLLUP = """
+SELECT time_bucket(INTERVAL 1 DAY, ts) AS window_start,
+       event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       TRUE AS multi_commit, TRUE AS pk_unique
+FROM events GROUP BY 1, 2
+"""
+
+
+@query("x142_continuous_rollup_upsert", oracle=_SQL_CONTINUOUS_ROLLUP)
+def x142_continuous_rollup_upsert(spark, sf_dir):
+    """Upsert-materialized continuous aggregate end to end, oracled:
+    events stream in two maxFilesPerTrigger=1 micro-batches (split by
+    event_id parity, so most windows are touched TWICE) through
+    ``tumbling_agg`` in UPDATE output mode into a PK lakehouse table
+    keyed (window_start, event_type). Each trigger upserts the windows
+    it revised — open windows included — and last-write-wins keeps the
+    newest image, so the end state equals the FULL batch aggregate
+    with no held-back window (the exact complement of x135's
+    append-mode cutoff). ``multi_commit`` pins one upsert commit per
+    trigger (snapshot count >= 2); ``pk_unique`` pins the LWW
+    invariant (one row per key) (streaming/pipelines.py Pipeline
+    output_mode + lakehouse PK upsert; Paimon's aggregation-downstream
+    rollup pattern, SURVEY §2.9).
+
+    The watermark horizon is set past the corpus span so the
+    event_id-parity replay is deterministic (neither file's rows are
+    ever late); production uses a real horizon — update mode's
+    emission does not depend on it.
+
+    Scale shape: windowed-agg state per (window, key); each upsert
+    commit shuffles only the touched windows into the PK buckets."""
+    import os as _os
+    import shutil as _shutil
+
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+    from advent_of_code_flink_paimon_spark.operators.dedup import _mhidx_warehouse
+    from advent_of_code_flink_paimon_spark.streaming.pipelines import Pipeline
+    from advent_of_code_flink_paimon_spark.streaming.windows import tumbling_agg
+
+    wh = _mhidx_warehouse("rollup142", sf_dir)
+    catalog = Catalog(wh, "default")
+    sink = catalog.create_table(
+        "daily_rollup",
+        "window_start timestamp, window_end timestamp, event_type string, "
+        "n long, sum_value decimal(28,6)",
+        {"primary-key": ["window_start", "event_type"], "bucket": "2"},
+    )
+    ev = T(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type",
+        F.col("value").cast("decimal(18,6)").alias("value"),
+    )
+    src_dir = _os.path.join(wh, "events-src")
+    _shutil.rmtree(src_dir, ignore_errors=True)
+    ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == 0).coalesce(1).write.parquet(src_dir)
+    ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, event_type string, value decimal(18,6)"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = Pipeline(
+        "rollup142",
+        tumbling_agg(stream.drop("event_id"), "ts", ["event_type"],
+                     window="1 day", watermark="40 days"),
+        sink,
+        mode="upsert",
+        available_now=True,
+        output_mode="update",
+    ).start()
+    q.awaitTermination()
+    multi_commit = (sink.latest_snapshot_id() or 0) >= 2
+    emitted = sink.read(spark)
+    pk_unique = (
+        emitted.count()
+        == emitted.select("window_start", "event_type").distinct().count()
+    )
+    return emitted.select(
+        "window_start",
+        "event_type",
+        "n",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        F.lit(bool(multi_commit)).alias("multi_commit"),
+        F.lit(bool(pk_unique)).alias("pk_unique"),
+    )
+
+
+# x141/x142 ship library-gated (the x101-x140 path): the round-16
+# scored window is full; the strict local harness oracles them at
+# every run and they join the round-17 promotion queue behind
+# x139/x140 and x137/x138.
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote_r16g  # noqa: E402
+
+_demote_r16g("x141_stream_dedup")
+_demote_r16g("x142_continuous_rollup_upsert")
+del _demote_r16g

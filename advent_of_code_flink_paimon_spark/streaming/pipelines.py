@@ -33,11 +33,21 @@ class Pipeline:
         checkpoint_dir: str | None = None,
         available_now: bool = False,
         transform=None,
+        output_mode: str | None = None,
     ):
         self.name, self.source, self.target, self.mode = name, source, target, mode
         self.trigger_seconds = trigger_seconds
         self.available_now = available_now
         self.transform = transform
+        # Spark OUTPUT mode (None = Spark's default, append). An
+        # upsert-MATERIALIZED rollup (continuous aggregate into a PK
+        # table, Paimon's aggregation-downstream pattern) sets
+        # 'update': every trigger re-emits the windows it touched —
+        # open windows included — and the PK sink's last-write-wins
+        # merge keeps exactly the newest image per key. Append-mode
+        # aggregates instead emit a window once, on watermark close
+        # (the x135 cutoff semantics).
+        self.output_mode = output_mode
         self.checkpoint_dir = checkpoint_dir or os.path.join(
             target.paths.root, f".checkpoint-{name}"
         )
@@ -73,6 +83,8 @@ class Pipeline:
             .foreachBatch(self._sink)
             .option("checkpointLocation", self.checkpoint_dir)
         )
+        if self.output_mode:
+            writer = writer.outputMode(self.output_mode)
         if self.available_now:
             writer = writer.trigger(availableNow=True)
         elif self.trigger_seconds:

@@ -195,7 +195,10 @@ QUERIES = ["x07_dup_clusters", "x13_semantic_dedup", "x03_dedup_minhash_lsh",
            # count densifies with event rate but stays tiny vs the
            # scan); x140 folds one remembered row per live key — both
            # the write-dominated ~linear class
-           "x139_stream_stream_join", "x140_changelog_normalize"]
+           "x139_stream_stream_join", "x140_changelog_normalize",
+           # x141 one key-hash exchange into dedup state; x142 windowed
+           # state + two PK upsert commits — both write-dominated
+           "x141_stream_dedup", "x142_continuous_rollup_upsert"]
 REPEATS = 3
 
 
