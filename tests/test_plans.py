@@ -690,7 +690,8 @@ def test_hard_negatives_posting_is_capped_before_candidates(spark):
 
 
 def test_no_cartesian_and_no_rowwise_python_anywhere(spark):
-    """Whole-surface structural sweep (registry + library, 147 plans):
+    """Whole-surface structural sweep (registry + library — 183 plans
+    as of round 16; the sweep iterates whatever is registered):
     no query may plan a CartesianProduct (the O(n²) scale-killer —
     every pair-producing operator must generate candidates through a
     keyed join), and no query may plan a BatchEvalPython (row-at-a-time
