@@ -198,7 +198,10 @@ QUERIES = ["x07_dup_clusters", "x13_semantic_dedup", "x03_dedup_minhash_lsh",
            "x139_stream_stream_join", "x140_changelog_normalize",
            # x141 one key-hash exchange into dedup state; x142 windowed
            # state + two PK upsert commits — both write-dominated
-           "x141_stream_dedup", "x142_continuous_rollup_upsert"]
+           "x141_stream_dedup", "x142_continuous_rollup_upsert",
+           # x143: one (source, shingle) presence exchange + a
+           # template-bounded equi-join — x05's shingle class
+           "x143_source_template_shingles"]
 REPEATS = 3
 
 
