@@ -4152,3 +4152,123 @@ from advent_of_code_flink_paimon_spark.operators.registry import demote as _demo
 _demote_r16g("x141_stream_dedup")
 _demote_r16g("x142_continuous_rollup_upsert")
 del _demote_r16g
+
+
+# ---------------------------------------------------------------------------
+# x144 (round 16): the custom stateful EWMA — the LAST [S]-only custom
+# stateful operator — oracled BIT-EXACTLY. The sequential float fold
+# (ewma = a*v + (1-a)*ewma) was assumed oracle-unreachable; it is not:
+# with alpha = 0.5 every coefficient is a power of two and DuckDB's
+# list_reduce replays the identical IEEE-double recurrence in the
+# identical order, so the Python state fold and the SQL replay agree
+# to the last bit (prototyped: 500-element folds bit-equal).
+# ---------------------------------------------------------------------------
+
+_SQL_STATEFUL_EWMA = """
+WITH collapsed AS (
+  SELECT user_id, ts, MAX(value) AS value
+  FROM events GROUP BY user_id, ts
+),
+seq AS (
+  SELECT user_id, list(value ORDER BY ts) AS vs, COUNT(*) AS n
+  FROM collapsed GROUP BY user_id
+)
+SELECT user_id,
+       list_reduce(vs, (acc, x) -> 0.5 * x + 0.5 * acc) AS ewma,
+       CAST(n AS BIGINT) AS n_seen,
+       TRUE AS multi_commit, TRUE AS state_carried
+FROM seq
+"""
+
+
+@query("x144_stateful_ewma", oracle=_SQL_STATEFUL_EWMA)
+def x144_stateful_ewma(spark, sf_dir):
+    """Custom stateful EWMA end to end, oracled bit-exactly: events
+    stream in two time-ordered maxFilesPerTrigger=1 micro-batches
+    through ``stateful_ewma`` (applyInPandasWithState, one (ewma, n)
+    state per user, alpha=0.5) into a PK lakehouse sink in update
+    output mode. Alpha 0.5 makes every fold coefficient a power of
+    two, so DuckDB's ``list_reduce`` over the ts-ordered value list
+    replays the exact IEEE recurrence — the per-key Python state fold
+    and the SQL replay agree to the last bit, no rounding tolerance
+    anywhere (streaming/windows.py stateful_ewma; the engine's custom
+    stateful escape hatch, SURVEY §2.9/§2.10).
+
+    Determinism: (user_id, ts) is unique in the corpus and the card
+    still pre-collapses to MAX(value) per (user_id, ts) on BOTH sides
+    so hypothetical ties cannot make the fold order ambiguous; the
+    time-split files are mtime-ordered (the early file is backdated)
+    so trigger order equals event-time order. ``state_carried`` is
+    computed: total n_seen across users equals the corpus row count
+    only if trigger-2 folds CONTINUED from trigger-1 state rather
+    than restarting. ``multi_commit`` pins one upsert commit per
+    trigger.
+
+    Scale shape: state is one (double, long) per key, sharded by the
+    groupBy hash; each trigger folds only its new rows."""
+    import os as _os
+    import shutil as _shutil
+
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+    from advent_of_code_flink_paimon_spark.operators.dedup import _mhidx_warehouse
+    from advent_of_code_flink_paimon_spark.streaming.pipelines import Pipeline
+    from advent_of_code_flink_paimon_spark.streaming.windows import stateful_ewma
+
+    wh = _mhidx_warehouse("ewma144", sf_dir)
+    catalog = Catalog(wh, "default")
+    sink = catalog.create_table(
+        "user_ewma",
+        "user_id long, ewma double, n_seen long",
+        {"primary-key": "user_id", "bucket": "2"},
+    )
+    ev = (
+        T(spark, sf_dir, "events")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    n_rows_total = ev.count()
+    split_ts = "2024-01-16 00:00:00"
+    src_dir = _os.path.join(wh, "events-src")
+    _shutil.rmtree(src_dir, ignore_errors=True)
+    ev.filter(F.col("ts") < split_ts).coalesce(1).write.parquet(src_dir)
+    early = [
+        _os.path.join(src_dir, f)
+        for f in _os.listdir(src_dir)
+        if f.endswith(".parquet")
+    ]
+    ev.filter(F.col("ts") >= split_ts).coalesce(1).write.mode("append").parquet(src_dir)
+    for f in early:  # backdate so mtime order == event-time order
+        _os.utime(f, (1_000_000_000, 1_000_000_000))
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = Pipeline(
+        "ewma144",
+        stateful_ewma(stream, key_col="user_id", value_col="value",
+                      ts_col="ts", alpha=0.5, watermark="40 days"),
+        sink,
+        mode="upsert",
+        available_now=True,
+        output_mode="update",
+    ).start()
+    q.awaitTermination()
+    multi_commit = (sink.latest_snapshot_id() or 0) >= 2
+    emitted = sink.read(spark)
+    carried = (emitted.agg(F.sum("n_seen")).collect()[0][0] or 0) == n_rows_total
+    return emitted.select(
+        "user_id",
+        "ewma",
+        "n_seen",
+        F.lit(bool(multi_commit)).alias("multi_commit"),
+        F.lit(bool(carried)).alias("state_carried"),
+    )
+
+
+# x144 ships library-gated (the x101-x143 path): the round-16 scored
+# window is full; the strict local harness oracles it every run.
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote_r16i  # noqa: E402
+
+_demote_r16i("x144_stateful_ewma")
+del _demote_r16i

@@ -201,7 +201,10 @@ QUERIES = ["x07_dup_clusters", "x13_semantic_dedup", "x03_dedup_minhash_lsh",
            "x141_stream_dedup", "x142_continuous_rollup_upsert",
            # x143: one (source, shingle) presence exchange + a
            # template-bounded equi-join — x05's shingle class
-           "x143_source_template_shingles"]
+           "x143_source_template_shingles",
+           # x144: one key-hash exchange into (double, long) state per
+           # key + two PK upsert commits — the write-dominated class
+           "x144_stateful_ewma"]
 REPEATS = 3
 
 
