@@ -70,8 +70,10 @@ _ORDER = [
     # the merge-engine cards x117/x118/x121/x122/x123, and the new
     # round-16 end-state cards — x139 stream-stream interval join,
     # x140 changelog_normalize, x141 streaming dedup, x142 the
-    # upsert-materialized continuous rollup — demoting long-stable
-    # entries whose class stays covered, the established pattern.
+    # upsert-materialized continuous rollup, x143 template-shingle
+    # detection, x144 the bit-exactly-oracled stateful EWMA —
+    # demoting long-stable entries whose class stays covered, the
+    # established pattern.
     "x46_incremental_dedup", "x30_multimodal_features", "x31_frame_sample",
     "q01_pricing_summary", "q28_enrichment_join", "q30_range_join",
     "q31_time_bucket_rollup", "q32_cube", "q33_percentiles",
