@@ -4013,8 +4013,22 @@ def x141_stream_dedup(spark, sf_dir):
     src_dir = _os.path.join(wh, "events-src")
     _shutil.rmtree(src_dir, ignore_errors=True)
     ev.coalesce(1).write.parquet(src_dir)  # trigger 1: the originals
+    originals = [
+        _os.path.join(src_dir, f)
+        for f in _os.listdir(src_dir)
+        if f.endswith(".parquet")
+    ]
     dup_slice = ev.filter(F.pmod(F.col("event_id"), F.lit(5)) == 0)
     dup_slice.coalesce(1).write.mode("append").parquet(src_dir)  # trigger 2: exact dupes
+    # FileStreamSource orders files by mtime; both writes can land in
+    # the same mtime second, which would let the duplicate slice run
+    # FIRST and silently invert the documented cross-trigger
+    # re-arrival scenario (the oracle passes either way — dupes are
+    # exact copies — but the exercised scenario must match the
+    # docstring). Backdate the originals so trigger order is pinned
+    # (the x144 protocol; round-16 ADVICE #3).
+    for f in originals:
+        _os.utime(f, (1_000_000_000, 1_000_000_000))
     n_original = ev.count()
     n_fed = n_original + dup_slice.count()
     stream = (

@@ -153,11 +153,19 @@ def stateful_ewma(
         import pandas as pd
 
         ewma, n = state.get if state.exists else (None, 0)
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col)
-            for v in pdf[value_col].astype("float64"):
-                ewma = v if ewma is None else alpha * v + (1 - alpha) * ewma
-                n += 1
+        # one frame per group, sorted ONCE: per-chunk sorting folds
+        # chunks in shuffle-arrival order when a key's micro-batch rows
+        # span multiple Arrow batches (rows > arrow.maxRecordsPerBatch),
+        # and this fold is order-sensitive — the bit-exact oracle
+        # contract (x144) requires the global ts order DuckDB's
+        # list_reduce replays (the changelog_normalize pattern,
+        # round-6 ADVICE #2 / round-16 ADVICE #1)
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ts_col, kind="stable"
+        )
+        for v in pdf[value_col].astype("float64"):
+            ewma = v if ewma is None else alpha * v + (1 - alpha) * ewma
+            n += 1
         state.update((float(ewma), int(n)))
         yield pd.DataFrame({key_col: [key[0]], "ewma": [ewma], "n_seen": [n]})
 

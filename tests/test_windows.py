@@ -243,3 +243,54 @@ def test_continuous_aggregate_into_pk_table(spark, tmp_path, event_stream):
     assert got and all(got[k] == expected[k] for k in got)
     # PK invariant: one row per (window, sensor)
     assert rollup.read(spark).count() == rollup.read(spark).select("window_start", "sensor_id").distinct().count()
+
+
+def test_stateful_ewma_bit_exact_across_arrow_chunks(spark, tmp_path):
+    """The EWMA fold must see a key's WHOLE micro-batch in global ts
+    order, not per-Arrow-chunk order (round-16 ADVICE #1): with
+    maxRecordsPerBatch=2 a 12-row key spans 6 chunks, and a per-chunk
+    sort would fold chunks in shuffle-arrival order — the
+    order-sensitive recurrence then diverges from the sequential model
+    (and from x144's DuckDB list_reduce oracle). alpha=0.5 keeps every
+    coefficient a power of two, so the comparison is bit-EXACT (==),
+    the same contract the x144 card relies on."""
+    # values chosen so any fold-order change flips low-order bits
+    vals = [float(v) for v in (7, 1, 13, 3, 11, 5, 2, 17, 23, 4, 19, 8)]
+    # deterministic scramble that interleaves badly across 2-row chunks
+    scrambled = sorted(range(12), key=lambda s: (s * 7) % 12)
+    rows = [
+        (1, vals[s], f"2024-01-01 00:00:{s:02d}") for s in scrambled
+    ]
+    df = spark.createDataFrame(
+        rows, "sensor_id long, value double, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    src = str(tmp_path / "ewma-chunk-src")
+    df.coalesce(1).write.parquet(src)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        stream = spark.readStream.schema(DDL).parquet(src)
+        _run_to_memory(
+            stateful_ewma(
+                stream, key_col="sensor_id", value_col="value", ts_col="ts", alpha=0.5
+            ),
+            "ewma_chunks",
+            tmp_path,
+            output_mode="update",
+        )
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    [(got, n_seen)] = [
+        (r.ewma, r.n_seen)
+        for r in spark.sql("SELECT * FROM ewma_chunks").collect()
+    ]
+    assert n_seen == 12
+    expect = vals[0]
+    for v in vals[1:]:
+        expect = 0.5 * v + 0.5 * expect
+    assert got == expect  # bit-exact, not approx — the x144 contract
