@@ -2784,3 +2784,22 @@ from advent_of_code_flink_paimon_spark.operators.registry import demote as _demo
 
 _demote_r15d("x36_chunk_dedup")
 del _demote_r15d
+
+
+# Round-17 demotions (dedup.py's share of the 13 slots freed for the
+# VERDICT r16 ask #1 promotions): x37 bloom dedup (exact-dedup class
+# driver-evidenced by x01/x02 with r16 rows plus x45 substring dedup
+# staying scored), x46 incremental dedup (persisted-index dedup class
+# covered by x49 with an r16 row plus the DedupIngestPipeline
+# behavioral suite), x88 novelty profile (split/profile class covered
+# by x48 split assignment + x79 split-leakage audit, both staying
+# scored). All three remain strict-oracle gated by the local harness.
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote_r17b  # noqa: E402
+
+for _n in (
+    "x37_bloom_dedup",
+    "x46_incremental_dedup",
+    "x88_novelty_profile",
+):
+    _demote_r17b(_n)
+del _demote_r17b, _n

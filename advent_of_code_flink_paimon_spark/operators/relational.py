@@ -2198,18 +2198,17 @@ def x118_agg_merge_engine(spark, sf_dir):
     )
 
 
-# x114-x118 ship library-gated (the x101-x113 path): the round-15
-# scored window and the 100-entry registry are full; the strict local
-# harness oracles them at every run and they queue behind x112/x113
-# for the round-16 rotation.
+# x114-x116 ship library-gated (the x101-x113 path): the scored window
+# and the 100-entry registry are full; the strict local harness oracles
+# them at every run and they queue for the round-18 rotation. x117/x118
+# (PK LWW + aggregation merge engine) were PROMOTED into the round-17
+# scored window per VERDICT r16 ask #1 — their first driver rows.
 from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote_r15b  # noqa: E402
 
 for _n in (
     "x114_schema_evolution_lifecycle",
     "x115_compaction_lifecycle",
     "x116_time_travel_lifecycle",
-    "x117_pk_upsert_lww",
-    "x118_agg_merge_engine",
 ):
     _demote_r15b(_n)
 del _demote_r15b, _n
@@ -2638,18 +2637,17 @@ def x125_sql_frontend_lifecycle(spark, sf_dir):
     )
 
 
-# x119-x125 ship library-gated (the x101-x118 path): the round-15
+# x119/x120/x124/x125 ship library-gated (the x101-x118 path): the
 # scored window and the 100-entry registry are full; the strict local
-# harness oracles them at every run and they queue behind x112-x118
-# for future rotations.
+# harness oracles them at every run and they queue for the round-18
+# rotation. x121/x122/x123 (partial-update + first-row merge engines,
+# sequence.field ordering) were PROMOTED into the round-17 scored
+# window per VERDICT r16 ask #1 — their first driver rows.
 from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote_r15c  # noqa: E402
 
 for _n in (
     "x119_partition_lifecycle",
     "x120_incremental_read",
-    "x121_partial_update_merge",
-    "x122_first_row_merge",
-    "x123_sequence_field_ordering",
     "x124_dynamic_bucket_upsert",
     "x125_sql_frontend_lifecycle",
 ):
@@ -3718,12 +3716,9 @@ def x138_stream_session_window(spark, sf_dir):
     )
 
 
-# x137/x138 ship library-gated (the x101-x136 path).
-from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote_r15j  # noqa: E402
-
-_demote_r15j("x137_stream_sliding_window")
-_demote_r15j("x138_stream_session_window")
-del _demote_r15j
+# x137/x138 (sliding/session windows, held-back flags computed) were
+# PROMOTED into the round-17 scored window per VERDICT r16 ask #1 —
+# their first driver rows.
 
 
 # ---------------------------------------------------------------------------
@@ -3946,14 +3941,9 @@ def x140_changelog_normalize(spark, sf_dir):
     )
 
 
-# x139/x140 ship library-gated (the x101-x138 path): the round-16
-# scored window is full; the strict local harness oracles them at
-# every run and they head the round-17 promotion queue.
-from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote_r16f  # noqa: E402
-
-_demote_r16f("x139_stream_stream_join")
-_demote_r16f("x140_changelog_normalize")
-del _demote_r16f
+# x139/x140 (stream-stream interval join + ChangelogNormalize end
+# states) were PROMOTED into the round-17 scored window per VERDICT
+# r16 ask #1 — their first driver rows.
 
 
 # ---------------------------------------------------------------------------
@@ -4157,15 +4147,9 @@ def x142_continuous_rollup_upsert(spark, sf_dir):
     )
 
 
-# x141/x142 ship library-gated (the x101-x140 path): the round-16
-# scored window is full; the strict local harness oracles them at
-# every run and they join the round-17 promotion queue behind
-# x139/x140 and x137/x138.
-from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote_r16g  # noqa: E402
-
-_demote_r16g("x141_stream_dedup")
-_demote_r16g("x142_continuous_rollup_upsert")
-del _demote_r16g
+# x141/x142 (streaming dedup + upsert-materialized continuous rollup
+# end states) were PROMOTED into the round-17 scored window per
+# VERDICT r16 ask #1 — their first driver rows.
 
 
 # ---------------------------------------------------------------------------
@@ -4280,9 +4264,16 @@ def x144_stateful_ewma(spark, sf_dir):
     )
 
 
-# x144 ships library-gated (the x101-x143 path): the round-16 scored
-# window is full; the strict local harness oracles it every run.
-from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote_r16i  # noqa: E402
+# x144 (the bit-exactly-oracled custom stateful EWMA) was PROMOTED
+# into the round-17 scored window per VERDICT r16 ask #1 — its first
+# driver row.
 
-_demote_r16i("x144_stateful_ewma")
-del _demote_r16i
+
+# Round-17 demotion (relational.py's share of the 13 slots freed for
+# the VERDICT r16 ask #1 promotions): x100 join-key skew report
+# (telemetry class driver-evidenced by x107 event-rate anomaly, r16
+# row). Remains strict-oracle gated by the local harness.
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote_r17f  # noqa: E402
+
+_demote_r17f("x100_join_key_skew")
+del _demote_r17f

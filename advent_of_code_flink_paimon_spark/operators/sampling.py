@@ -751,3 +751,16 @@ from advent_of_code_flink_paimon_spark.operators.registry import demote as _demo
 
 _demote13("x42_hash_sample")
 del _demote13
+
+
+# Round-17 demotions (sampling.py's share of the 13 slots freed for
+# the VERDICT r16 ask #1 promotions): x35 token packing (token-budget
+# class driver-evidenced by x85 token-budget curriculum, r16 row),
+# x73 temperature mixture (mixture class covered by x43 stratified cap
+# + x44 mixture resample, both staying scored). Both remain
+# strict-oracle gated by the local harness.
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote_r17c  # noqa: E402
+
+_demote_r17c("x35_token_pack")
+_demote_r17c("x73_temperature_mixture")
+del _demote_r17c

@@ -4302,3 +4302,22 @@ from advent_of_code_flink_paimon_spark.operators.registry import demote as _demo
 
 _demote_r14s("x61_cluster_balanced_sample")
 del _demote_r14s
+
+
+# Round-17 demotions (similarity.py's share of the 13 slots freed for
+# the VERDICT r16 ask #1 promotions): x72 IVF-PQ residual top-k
+# (IVF-PQ class driver-evidenced by x66/x67 with r16 rows plus x92
+# batch probe staying scored), x80 embedding anisotropy (embedding
+# telemetry covered by x38 quantization staying scored + x96/x98
+# index-health cards), x94 matryoshka recall (ANN recall class
+# covered by x68 with an r16 row). All three remain strict-oracle
+# gated by the local harness.
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote_r17e  # noqa: E402
+
+for _n in (
+    "x72_ivfpq_residual_topk",
+    "x80_embedding_anisotropy",
+    "x94_matryoshka_recall",
+):
+    _demote_r17e(_n)
+del _demote_r17e, _n

@@ -716,3 +716,13 @@ from advent_of_code_flink_paimon_spark.operators.registry import demote as _demo
 
 _demote_r14t("x91_approx_percentiles")
 del _demote_r14t
+
+
+# Round-17 demotion (temporal.py's share of the 13 slots freed for the
+# VERDICT r16 ask #1 promotions): x86 funnel stages (funnel/cohort
+# class driver-evidenced by x87 cohort retention, staying scored).
+# Remains strict-oracle gated by the local harness.
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote_r17d  # noqa: E402
+
+_demote_r17d("x86_funnel_stages")
+del _demote_r17d

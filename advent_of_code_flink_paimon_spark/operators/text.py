@@ -3048,9 +3048,23 @@ def x143_source_template_shingles(spark, sf_dir):
     )
 
 
-# x143 ships library-gated (the x101-x142 path): the round-16 scored
-# window is full; the strict local harness oracles it every run.
-from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote_r16h  # noqa: E402
+# x143 (per-source template/boilerplate shingle detection) was
+# PROMOTED into the round-17 scored window per VERDICT r16 ask #1 —
+# its first driver row.
+#
+# Round-17 demotions (text.py's share of the 13 slots freed for the
+# promotions — VERDICT r16 ask #1's "demote long-stable entries whose
+# class stays covered"): x26 tf-idf top terms (class driver-evidenced
+# by x76 tf-idf cosine pairs + x62 BM25, both staying scored), x77
+# stupid-backoff LM score (x32 unigram + x71 bigram LM scores stay),
+# x99 tokenizer fertility (x57 BPE pair counts holds r16 evidence).
+# All three remain strict-oracle gated by the local harness.
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote_r17a  # noqa: E402
 
-_demote_r16h("x143_source_template_shingles")
-del _demote_r16h
+for _n in (
+    "x26_tfidf_top_terms",
+    "x77_stupid_backoff_score",
+    "x99_tokenizer_fertility",
+):
+    _demote_r17a(_n)
+del _demote_r17a, _n
