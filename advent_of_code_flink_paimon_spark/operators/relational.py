@@ -4277,3 +4277,172 @@ from advent_of_code_flink_paimon_spark.operators.registry import demote as _demo
 
 _demote_r17f("x100_join_key_skew")
 del _demote_r17f
+
+
+# ---------------------------------------------------------------------------
+# x145 (round 17): LEFT-OUTER stream-stream interval join end to end,
+# oracled — x139 closed the inner case; the outer case adds the
+# watermark-gated NULL emission (an unmatched left row may only be
+# emitted once the watermark proves no matching right row can still
+# arrive), which is the semantically hard half of Flink/Spark outer
+# interval joins. Clicks LEFT OUTER JOIN purchases within ±30 min:
+# matches emit on match (same as inner); unmatched clicks emit
+# null-padded exactly when cts + 30 min falls below the final global
+# watermark = LEAST(max click ts, max purchase ts) (zero-delay
+# watermarks, availableNow's trailing zero-data batch advances the
+# watermark over the last file — the x135 cutoff protocol applied to
+# outer-join emission). DuckDB replays both populations.
+# ---------------------------------------------------------------------------
+
+_SQL_STREAM_OUTER_JOIN = """
+WITH clicks AS (
+  SELECT user_id, ts AS cts, value AS cval FROM events WHERE event_type = 'click'
+),
+purch AS (
+  SELECT user_id, ts AS pts, value AS pval FROM events WHERE event_type = 'purchase'
+),
+wm AS (
+  SELECT LEAST((SELECT MAX(cts) FROM clicks), (SELECT MAX(pts) FROM purch)) AS w
+),
+pairs AS (
+  SELECT c.user_id, c.cval, p.pval
+  FROM clicks c JOIN purch p
+    ON c.user_id = p.user_id
+   AND p.pts >= c.cts - INTERVAL 30 MINUTE
+   AND p.pts <= c.cts + INTERVAL 30 MINUTE
+),
+unmatched AS (
+  SELECT c.user_id, c.cval, CAST(NULL AS DOUBLE) AS pval
+  FROM clicks c, wm
+  WHERE c.cts + INTERVAL 30 MINUTE < wm.w
+    AND NOT EXISTS (
+      SELECT 1 FROM purch p
+      WHERE p.user_id = c.user_id
+        AND p.pts >= c.cts - INTERVAL 30 MINUTE
+        AND p.pts <= c.cts + INTERVAL 30 MINUTE
+    )
+)
+SELECT user_id, COUNT(*) AS n_rows,
+       CAST(COUNT(pval) AS BIGINT) AS n_matched,
+       CAST(SUM(CAST(cval AS DECIMAL(18,6))) AS DOUBLE) AS sum_click_value,
+       CAST(SUM(CAST(pval AS DECIMAL(18,6))) AS DOUBLE) AS sum_purchase_value,
+       TRUE AS outer_complete
+FROM (SELECT * FROM pairs UNION ALL SELECT * FROM unmatched)
+GROUP BY user_id
+"""
+
+
+@query("x145_stream_outer_join", oracle=_SQL_STREAM_OUTER_JOIN)
+def x145_stream_outer_join(spark, sf_dir):
+    """Watermarked LEFT-OUTER stream-stream interval join end to end,
+    oracled: clicks and purchases stream in two mtime-pinned files per
+    side (ts-split, so keyed join state crosses a real trigger
+    boundary) through ``stream_stream_join(..., how="left_outer")``
+    into a lakehouse sink via availableNow. Matched pairs emit on
+    match; an unmatched click emits (cval, NULL) only when the global
+    watermark passes cts + 30 min — clicks whose no-match status the
+    watermark cannot yet prove are HELD BACK in state, and the oracle
+    replays exactly that split: the final watermark is
+    LEAST(max click ts, max purchase ts) under the zero-delay
+    watermark, so DuckDB emits null rows solely for globally
+    unmatched clicks with cts + 30 min below it
+    (streaming/windows.py stream_stream_join; Flink outer interval
+    join semantics; the x135/x139 end-state protocol — SURVEY §2.9).
+
+    ``outer_complete`` is computed, not asserted: emitted rows must
+    equal batch pairs + watermark-eligible unmatched clicks exactly.
+
+    Scale shape: identical to x139 (both sides shuffle on user_id,
+    state bounded by watermark + interval); the null path adds no
+    exchange — eviction emits from the same keyed store."""
+    import os as _os
+    import shutil as _shutil
+
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+    from advent_of_code_flink_paimon_spark.operators.dedup import _mhidx_warehouse
+    from advent_of_code_flink_paimon_spark.streaming.pipelines import Pipeline
+    from advent_of_code_flink_paimon_spark.streaming.windows import stream_stream_join
+
+    wh = _mhidx_warehouse("ssouter145", sf_dir)
+    catalog = Catalog(wh, "default")
+    sink = catalog.create_table(
+        "click_purchase_outer",
+        "user_id long, cval double, pval double",
+        {"bucket": "1"},
+    )
+    ev = T(spark, sf_dir, "events").select("ts", "user_id", "event_type", "value")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts"), F.col("value").alias("cval")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("value").alias("pval")
+    )
+    split_ts = "2024-01-16 00:00:00"
+    c_dir = _os.path.join(wh, "clicks-src")
+    p_dir = _os.path.join(wh, "purchases-src")
+    for d, df, ts_col in ((c_dir, clicks, "cts"), (p_dir, purchases, "pts")):
+        _shutil.rmtree(d, ignore_errors=True)
+        df.filter(F.col(ts_col) < split_ts).coalesce(1).write.parquet(d)
+        early = [
+            _os.path.join(d, f) for f in _os.listdir(d) if f.endswith(".parquet")
+        ]
+        df.filter(F.col(ts_col) >= split_ts).coalesce(1).write.mode("append").parquet(d)
+        for f in early:  # backdate: trigger order == event-time order
+            _os.utime(f, (1_000_000_000, 1_000_000_000))
+    cs = (
+        spark.readStream.schema("user_id long, cts timestamp, cval double")
+        .option("maxFilesPerTrigger", "1").parquet(c_dir)
+    )
+    ps = (
+        spark.readStream.schema("user_id long, pts timestamp, pval double")
+        .option("maxFilesPerTrigger", "1").parquet(p_dir)
+    )
+    joined = stream_stream_join(
+        cs, ps, on="user_id", left_ts="cts", right_ts="pts",
+        watermark="0 seconds", within="30 minutes", how="left_outer",
+    ).select(cs.user_id, "cval", "pval")
+    q = Pipeline(
+        "ssouter145", joined, sink, mode="append", available_now=True
+    ).start()
+    q.awaitTermination()
+    # batch-derived ground truth (computed, not asserted): pair count +
+    # watermark-eligible unmatched count must equal the emitted rows
+    iv = F.expr("interval 30 minutes")
+    match_cond = (
+        (clicks.user_id == purchases.user_id)
+        & (purchases.pts >= clicks.cts - iv)
+        & (purchases.pts <= clicks.cts + iv)
+    )
+    n_pairs = clicks.join(purchases, match_cond).count()
+    wm_row = clicks.agg(F.max("cts").alias("mc")).crossJoin(
+        purchases.agg(F.max("pts").alias("mp"))
+    ).select(F.least("mc", "mp").alias("w")).collect()[0]
+    eligible_nulls = (
+        clicks.join(purchases, match_cond, "left_anti")
+        .filter(F.col("cts") + iv < F.lit(wm_row.w))
+        .count()
+    )
+    emitted = sink.read(spark)
+    outer_complete = emitted.count() == n_pairs + eligible_nulls
+    return (
+        emitted.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.col("pval")).cast("long").alias("n_matched"),
+            F.sum(F.col("cval").cast("decimal(18,6)"))
+            .cast("double").alias("sum_click_value"),
+            F.sum(F.col("pval").cast("decimal(18,6)"))
+            .cast("double").alias("sum_purchase_value"),
+        )
+        .withColumn("outer_complete", F.lit(bool(outer_complete)))
+    )
+
+
+# x145 ships library-gated (the established path for mid-round
+# additions: the scored window and the 100-entry registry are full);
+# the strict local harness oracles it every run and it queues for the
+# round-18 rotation behind the x112-x131 lifecycle cards.
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote_r17h  # noqa: E402
+
+_demote_r17h("x145_stream_outer_join")
+del _demote_r17h

@@ -3068,3 +3068,90 @@ for _n in (
 ):
     _demote_r17a(_n)
 del _demote_r17a, _n
+
+
+# ---------------------------------------------------------------------------
+# x146 (round 17): RAG-style document CHUNKING — fixed token-window
+# chunks with overlap (the retrieval-corpus preparation step every
+# RAG/embedding pipeline runs before x62/x10: chunk, then embed, then
+# index). Fully declarative: tokenize (split), enumerate chunk starts
+# (sequence), slice the token array per start (posexplode + slice),
+# re-join — zero UDFs, whole-stage codegen end to end, and the chunk
+# fan-out is row-local so the operator is embarrassingly parallel at
+# 100 TB (no shuffle at all until a consumer aggregates).
+# ---------------------------------------------------------------------------
+
+_CHUNK_W = 64  # tokens per chunk
+_CHUNK_S = 48  # stride (overlap = W - S = 16 tokens)
+
+_SQL_DOC_CHUNKS = f"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+),
+n AS (SELECT doc_id, toks, len(toks) AS n_tokens FROM d),
+c AS (
+  SELECT doc_id,
+         CAST(s.g // {_CHUNK_S} AS BIGINT) AS chunk_idx,
+         CAST(s.g AS BIGINT) AS chunk_start,
+         list_slice(toks, s.g + 1, s.g + {_CHUNK_W}) AS ctoks
+  FROM n, LATERAL (
+    SELECT unnest(generate_series(0, ((n_tokens - 1) // {_CHUNK_S}) * {_CHUNK_S},
+                                  {_CHUNK_S})) AS g
+  ) s
+)
+SELECT doc_id, chunk_idx, chunk_start,
+       CAST(len(ctoks) AS BIGINT) AS n_tokens,
+       array_to_string(ctoks, ' ') AS chunk_text
+FROM c
+"""
+
+
+@query("x146_doc_chunking", oracle=_SQL_DOC_CHUNKS)
+def x146_doc_chunking(spark, sf_dir):
+    """Overlapping token-window chunking over documents (window 64,
+    stride 48): each document becomes ceil-ranged chunks starting at
+    every stride boundary below the token count, each carrying its
+    token slice re-joined as text — the RAG corpus-preparation shape
+    (chunk -> embed -> index; the retrieval complement of x62/x10).
+    Whitespace tokenization matches the x57/x108 convention; DuckDB
+    replays the identical split/series/slice pipeline.
+
+    Scale shape: zero exchanges — tokenize, start-enumeration, and
+    slice are all row-local generators inside one codegen stage, so
+    the operator scales with input bytes and the ~W/S output
+    amplification, never with corpus row count."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.filter(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+    n = toks.withColumn("n_tokens", F.size("toks"))
+    starts = n.select(
+        "doc_id",
+        "toks",
+        F.posexplode(
+            F.sequence(
+                F.lit(0),
+                (F.floor((F.col("n_tokens") - 1) / _CHUNK_S) * _CHUNK_S).cast("int"),
+                F.lit(_CHUNK_S),
+            )
+        ).alias("chunk_idx", "chunk_start"),
+    )
+    ctoks = F.slice(F.col("toks"), F.col("chunk_start") + 1, F.lit(_CHUNK_W))
+    return starts.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        F.size(ctoks).cast("long").alias("n_tokens"),
+        F.array_join(ctoks, " ").alias("chunk_text"),
+    )
+
+
+# x146 ships library-gated (the established path for mid-round
+# additions: the scored window and the 100-entry registry are full);
+# the strict local harness oracles it every run and it queues for the
+# round-18 rotation behind the x112-x131 lifecycle cards.
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote_r17g  # noqa: E402
+
+_demote_r17g("x146_doc_chunking")
+del _demote_r17g

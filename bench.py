@@ -172,6 +172,16 @@ HEADLINE = [
     "x134_stream_changelog_subscribe",
     "x135_stream_tumbling_window",
     "x136_lookup_join_lifecycle",
+    # round 17 (VERDICT r16 stretch #7): the two round-16 operator
+    # CLASSES with no headline history join — x143 template-shingle
+    # detection (the boilerplate-removal primitive) and x144 the
+    # bit-exactly-oracled custom stateful EWMA. Funded under the
+    # 2000-byte budget by retiring the two flattest long-stable
+    # library cards (x105 0.85 s, x36 0.92 s — both demoted from the
+    # scored registry in r15/r16, stable for 3+ rounds; scale rows
+    # stay in the bench_scale.py battery).
+    "x143_source_template_shingles",
+    "x144_stateful_ewma",
 ]
 for _retired in ("x52_norm_dedup", "x91_approx_percentiles",
                  "x04_dedup_simhash", "q25_json_extract",
@@ -187,7 +197,8 @@ for _retired in ("x52_norm_dedup", "x91_approx_percentiles",
                  "x103_quality_threshold_calibration",
                  "x107_event_rate_anomaly", "x80_embedding_anisotropy",
                  "q53_histogram", "x51_ccnet_perplexity_bucket",
-                 "x88_novelty_profile"):
+                 "x88_novelty_profile",
+                 "x105_mad_outliers", "x36_chunk_dedup"):
     HEADLINE.remove(_retired)
 del _retired
 
@@ -215,6 +226,55 @@ def _contention_markers(samples: dict[str, list[float]]) -> dict:
         "spread_ratio_max": round(ratios[-1], 2),
         "frac_over_2x": round(frac_over_2x, 3),
         "contended": bool(med > 1.35 or frac_over_2x > 0.2),
+    }
+
+
+def _history_markers(timings: dict[str, float], sf: str) -> dict:
+    """Round 17 (VERDICT r16 ask #4): the spread ratio alone cannot
+    separate "quiet" from "mildly loaded" — the r16 clean rerun
+    self-scored NOISIER (spread_med 1.302) than the loadavg-7 driver
+    window (1.273), both under the 1.35 flag. Intra-run spread measures
+    repeat-to-repeat jitter; a uniformly loaded machine inflates every
+    repeat equally and shows LOW spread. So score each query's median
+    against its own best median across the full BENCH_r*/BENCH_clean_r*
+    history at the same SF: on a quiet machine the median
+    ratio-to-best sits near 1.0-1.15 (code only gets faster or stays
+    put round over round), while uniform load shifts the whole
+    distribution up. ``hist_ratio_med`` > 1.25 marks a loaded window
+    even when spread is flat; a genuine plan regression also trips it,
+    which is exactly when a human should look either way. Queries with
+    no history (promotion debuts) are skipped."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best: dict[str, float] = {}
+    for path in glob.glob(os.path.join(here, "BENCH_*r[0-9]*.json")):
+        if not re.match(r"BENCH_(clean_)?r\d+\.json$", os.path.basename(path)):
+            continue
+        try:
+            with open(path) as f:
+                art = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        if isinstance(art.get("parsed"), dict):  # driver wrapper shape
+            art = art["parsed"]
+        if str(art.get("sf")) != str(sf):
+            continue
+        for n, t in (art.get("queries") or {}).items():
+            if isinstance(t, (int, float)) and t > 0:
+                best[n] = min(best.get(n, t), t)
+    ratios = sorted(
+        timings[n] / best[n] for n in timings if n in best and timings[n] > 0
+    )
+    if not ratios:
+        return {"hist_ratio_med": None, "hist_n": 0, "loaded_vs_history": False}
+    med = ratios[len(ratios) // 2]
+    return {
+        "hist_ratio_med": round(med, 3),
+        "hist_ratio_p90": round(ratios[int(len(ratios) * 0.9)], 3),
+        "hist_n": len(ratios),
+        "loaded_vs_history": bool(med > 1.25),
     }
 
 
@@ -267,6 +327,7 @@ def main() -> None:
     markers["loadavg_before"] = load_before
     markers["loadavg_after"] = load_after
     markers["cpus"] = os.cpu_count()
+    markers.update(_history_markers(timings, sf))
 
     total = round(sum(timings.values()), 4)
     # Round 6 (VERDICT r5 ask #1): the round-5 artifact recorded
@@ -305,6 +366,10 @@ def main() -> None:
                 "load": [load_before[0], load_after[0]],
                 "spread_med": markers["spread_ratio_median"],
                 "contended": markers["contended"],
+                # ratio-to-best vs BENCH_r* history (ask r16 #4):
+                # uniform load shows here even when spread is flat
+                "hist_med": markers["hist_ratio_med"],
+                "loaded": markers["loaded_vs_history"],
             },
             separators=(",", ":"),
         )

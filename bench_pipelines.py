@@ -559,6 +559,143 @@ def dv_delete_benefit(spark, sf_dir: str, scratch: str) -> dict:
     return out
 
 
+def stateful_operator_soak(spark, scratch: str, n_batches: int = 20) -> dict:
+    """VERDICT r16 ask #5: soak the two heaviest windows.py stateful
+    operators the way the ingest pipelines are soaked — n_batches
+    micro-batches (one file per trigger, mtime-pinned order) through a
+    REAL streaming query, recording per-batch trigger walls from
+    ``query.recentProgress`` plus the state-store row series, so both
+    claims are measured, not asserted:
+
+    - ``stream_stream_join``: event times advance one minute per
+      batch; with a 1-minute watermark and a ±30 s join interval the
+      state the store retains is bounded by the horizon — the row
+      series must PLATEAU (the eviction claim in x139's docstring),
+      and batch walls must stay flat while total rows processed grows
+      n_batches×.
+    - ``changelog_normalize``: a fixed 500-key universe upserted every
+      batch; state is one remembered row per live key BY DESIGN
+      (NoTimeout), so the row series must plateau at ≤ the key
+      universe while the processed volume grows n_batches×.
+
+    Flatness uses the same early-vs-tail windows as the pipelines
+    (_flatness); state boundedness compares the tail-quarter max to
+    the post-warmup max."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from advent_of_code_flink_paimon_spark.streaming.windows import (
+        changelog_normalize,
+        stream_stream_join,
+    )
+
+    def write_batches(subdir, make_rows, schema):
+        src = os.path.join(scratch, subdir)
+        os.makedirs(src, exist_ok=True)
+        for b in range(n_batches):
+            part = os.path.join(src, f"b{b:03d}")
+            spark.createDataFrame(make_rows(b), schema).coalesce(1).write.parquet(part)
+            # one FILE per batch dir; flatten so the file source sees a
+            # flat glob with ascending mtimes (trigger order == batch
+            # order, the x144 mtime protocol)
+            for f in os.listdir(part):
+                if f.endswith(".parquet"):
+                    dst = os.path.join(src, f"batch-{b:03d}.parquet")
+                    os.rename(os.path.join(part, f), dst)
+                    os.utime(dst, (1_000_000_000 + b, 1_000_000_000 + b))
+            import shutil as _sh
+
+            _sh.rmtree(part)
+        return src
+
+    def drive(name, stream_df):
+        q = (
+            stream_df.writeStream.format("noop")
+            .option("checkpointLocation", os.path.join(scratch, f"ckpt-{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        prog = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        walls = [round(p["durationMs"]["triggerExecution"] / 1000.0, 3) for p in prog]
+        state_rows = [
+            sum(op["numRowsTotal"] for op in p["stateOperators"]) for p in prog
+        ]
+        rows_in = [p["numInputRows"] for p in prog]
+        tailq = max(3, len(state_rows) // 4)
+        warm = state_rows[1:] or state_rows  # batch 0 is startup
+        bounded = max(state_rows[-tailq:]) <= max(warm[: len(warm) // 2]) * SOAK_TOLERANCE
+        return {
+            "n_triggers": len(prog),
+            "rows_processed": sum(rows_in),
+            "batch_walls_s": walls,
+            "state_rows_series": state_rows,
+            "state_rows_max": max(state_rows),
+            "state_bounded": bool(bounded),
+            "soak": _flatness(walls),
+        }
+
+    out = {}
+
+    # --- stream-stream interval join: advancing clock, watermark evicts ---
+    per_batch, n_users = 240, 40
+
+    def side_rows(b, salt):
+        return [
+            (
+                i % n_users,
+                f"2024-01-01 00:{b:02d}:{(i * salt) % 60:02d}",
+                float(i),
+            )
+            for i in range(per_batch)
+        ]
+
+    ldir = write_batches(
+        "ssj-left", lambda b: side_rows(b, 7), "user_id long, ts string, lval double"
+    )
+    rdir = write_batches(
+        "ssj-right", lambda b: side_rows(b, 11), "user_id long, ts string, rval double"
+    )
+    ls = (
+        spark.readStream.schema("user_id long, ts string, lval double")
+        .option("maxFilesPerTrigger", "1").parquet(ldir)
+        .withColumn("lts", F.col("ts").cast("timestamp")).drop("ts")
+    )
+    rs = (
+        spark.readStream.schema("user_id long, ts string, rval double")
+        .option("maxFilesPerTrigger", "1").parquet(rdir)
+        .withColumn("rts", F.col("ts").cast("timestamp")).drop("ts")
+    )
+    joined = stream_stream_join(
+        ls, rs, on="user_id", left_ts="lts", right_ts="rts",
+        watermark="1 minute", within="30 seconds",
+    )
+    out["stream_stream_join"] = drive("ssj", joined)
+
+    # --- changelog normalize: fixed key universe, state = live keys ---
+    n_keys = 500
+
+    def upsert_rows(b):
+        return [
+            (k, f"v{b}-{k}", "+U", b * n_keys + k) for k in range(n_keys)
+        ]
+
+    cdir = write_batches(
+        "cln-src", upsert_rows, "k long, v string, op string, seq long"
+    )
+    cs = (
+        spark.readStream.schema("k long, v string, op string, seq long")
+        .option("maxFilesPerTrigger", "1").parquet(cdir)
+    )
+    normalized = changelog_normalize(
+        cs, key_cols=["k"], value_cols=["v"], order_col="seq"
+    )
+    res = drive("cln", normalized)
+    res["key_universe"] = n_keys
+    res["state_at_most_live_keys"] = res["state_rows_max"] <= n_keys
+    out["changelog_normalize"] = res
+    return out
+
+
 def main() -> None:
     import shutil
     import tempfile
@@ -592,6 +729,10 @@ def main() -> None:
             # rides the soak artifact (same growing-corpus condition)
             refresh = refresh_cost_series(spark, sf_dir, scratch,
                                           n_batches=n_batches)
+            # ask r16 #5: the windows.py stateful operators soaked as
+            # real streaming queries (walls + state-row series)
+            results.update(stateful_operator_soak(spark, scratch,
+                                                  n_batches=n_batches))
         else:
             # ask r13 #4: the bloom file index's measured benefit rides
             # the rate artifact
@@ -604,7 +745,8 @@ def main() -> None:
         shutil.rmtree(scratch, ignore_errors=True)
         spark.stop()
     for v in results.values():
-        v["vs_plain_append_baseline"] = round(v["rec_s"] / BASELINE_REC_S, 4)
+        if "rec_s" in v:  # stateful-operator soak rows carry walls, not rates
+            v["vs_plain_append_baseline"] = round(v["rec_s"] / BASELINE_REC_S, 4)
     artifact = {
         "metric": "ingest_pipeline_soak_flatness" if soak
         else "ingest_pipeline_sustained_rate",

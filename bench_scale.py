@@ -204,7 +204,13 @@ QUERIES = ["x07_dup_clusters", "x13_semantic_dedup", "x03_dedup_minhash_lsh",
            "x143_source_template_shingles",
            # x144: one key-hash exchange into (double, long) state per
            # key + two PK upsert commits — the write-dominated class
-           "x144_stateful_ewma"]
+           "x144_stateful_ewma",
+           # round-17 additions (the ask-#2 creation-time policy):
+           # x145 is x139's two-sided keyed-state shape plus the
+           # watermark-gated null path (same exchanges); x146 is a
+           # zero-exchange row-local generator — scales with input
+           # bytes x the W/S amplification
+           "x145_stream_outer_join", "x146_doc_chunking"]
 REPEATS = 3
 
 

@@ -27,7 +27,11 @@ sys.path.insert(0, ROOT)
 import bench_scale as bs  # noqa: E402
 
 M25 = 25
-TARGETS = ["x65_gopher_rules", "x71_bigram_lm_score", "q16_agg_approx_distinct"]
+# r15 ask #6 trio, then the round-17 successors (VERDICT r16 ask #2):
+# x140/x143 are the two steepest non-control 5x rows on the board
+# (4.52x / 2.72x) — the same protocol decides log-linear vs onset.
+TARGETS = ["x65_gopher_rules", "x71_bigram_lm_score", "q16_agg_approx_distinct",
+           "x140_changelog_normalize", "x143_source_template_shingles"]
 REPEATS = 3
 
 
@@ -63,7 +67,18 @@ def main() -> None:
 
     qs = {**LIBRARY_QUERIES, **qs}
     out = {"sf_base": 0.1, "sf_scale": 2.5, "row_multiple": M25, "queries": {}}
-    for name in TARGETS:
+    # merge-don't-overwrite: later rounds add targets one at a time
+    # (SPARK_GRAFT_SCALE25_ONLY=<prefix>) without re-timing the rest
+    prior = os.path.join(ROOT, "BENCH_scale25.json")
+    if os.path.exists(prior):
+        with open(prior) as f:
+            out["queries"].update(json.load(f).get("queries", {}))
+    targets = TARGETS
+    only = os.environ.get("SPARK_GRAFT_SCALE25_ONLY")
+    if only:
+        prefixes = only.split(",")
+        targets = [n for n in TARGETS if any(n.startswith(p) for p in prefixes)]
+    for name in targets:
         fn = qs[name]
         med = {}
         for tag, sf_dir in (("base", bs.BASE), ("scale", bs.SCALE_DIR)):
