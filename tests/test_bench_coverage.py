@@ -114,3 +114,27 @@ def test_bench_scale_rows_stay_subquadratic():
         f"super-linear growth at {m}x rows: {offenders} — a scale-killer "
         "is hiding in these plans"
     )
+
+
+def test_history_marker_separates_clean_from_contended():
+    """The ratio-to-best history marker (VERDICT r16 ask #4) must keep
+    discriminating on the recorded artifacts: the clean r15/r16 reruns
+    score well under the 1.25 load flag, the r15 driver window (the
+    contended artifact the marker exists for) scores over it. If a
+    threshold tweak or a history-glob regression breaks either side,
+    this pins it."""
+    import bench
+
+    def timings(name):
+        art = json.load(open(os.path.join(ROOT, name)))
+        if isinstance(art.get("parsed"), dict):
+            art = art["parsed"]
+        return art["queries"], str(art["sf"])
+
+    for clean in ("BENCH_clean_r15.json", "BENCH_clean_r16.json"):
+        t, sf = timings(clean)
+        m = bench._history_markers(t, sf)
+        assert m["hist_n"] > 40 and not m["loaded_vs_history"], (clean, m)
+    t, sf = timings("BENCH_r15.json")
+    m = bench._history_markers(t, sf)
+    assert m["loaded_vs_history"], ("contended r15 run not flagged", m)
