@@ -82,9 +82,10 @@ _ORDER = [
     # x126 ORC, x127 consumers, x128 changelog relation, x129 orphan
     # sweep, x130 bucket rescale, x131 INSERT OVERWRITE, plus
     # x112/x113 (bloom index, branches) and the round-17 additions
-    # x145 (left-outer stream-stream interval join) and x146 (RAG
-    # token-window chunking) — demoting long-stable entries whose
-    # class stays covered, the established pattern.
+    # x145 (left-outer stream-stream interval join), x146 (RAG
+    # token-window chunking) and x147 (late-data accounting) —
+    # demoting long-stable entries whose class stays covered, the
+    # established pattern.
     "x63_pq_index_lifecycle", "x49_minhash_index_dedup",
     "x64_ivf_index_lifecycle", "x65_gopher_rules", "x66_ivfpq_adc_topk",
     "x67_ivfpq_onetable_topk", "x68_ann_recall", "q19_window_rank_merge",

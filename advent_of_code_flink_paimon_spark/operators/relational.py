@@ -4446,3 +4446,154 @@ from advent_of_code_flink_paimon_spark.operators.registry import demote as _demo
 
 _demote_r17h("x145_stream_outer_join")
 del _demote_r17h
+
+
+# ---------------------------------------------------------------------------
+# x147 (round 17): LATE-DATA ACCOUNTING, oracled — the third leg of
+# the watermark contract. x135 oracles what append mode EMITS (the
+# window_end <= watermark cutoff) and x137/x138 its sliding/session
+# forms, but nothing yet pins what the watermark DROPS: a row arriving
+# after the watermark passed its window is discarded at the operator,
+# silently. Here the drop set is made deterministic (an old slice
+# re-arrives in trigger 2, after trigger 1 established the global-max
+# watermark), the sink must aggregate the ON-TIME slice only, and the
+# state store's own drop counter must equal the late slice exactly.
+# ---------------------------------------------------------------------------
+
+_SQL_LATE_DATA = """
+WITH on_time AS (
+  SELECT ts, event_type, value FROM events WHERE ts >= TIMESTAMP '2024-01-10'
+),
+mx AS (SELECT MAX(ts) AS m FROM on_time),
+agg AS (
+  SELECT time_bucket(INTERVAL 1 DAY, ts) AS window_start,
+         event_type,
+         COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(18,6))) AS sv
+  FROM on_time GROUP BY 1, 2
+)
+SELECT window_start, event_type, n,
+       CAST(sv AS DOUBLE) AS sum_value,
+       TRUE AS late_rows_dropped_exactly
+FROM agg, mx
+WHERE window_start + INTERVAL 1 DAY <= m
+"""
+
+
+@query("x147_late_data_accounting", oracle=_SQL_LATE_DATA)
+def x147_late_data_accounting(spark, sf_dir):
+    """Watermark late-data drop semantics end to end, oracled: events
+    stream through ``tumbling_agg`` (1-day windows, zero-delay
+    watermark, append mode) in three mtime-pinned files — the RECENT
+    slice (ts >= 2024-01-10) split across triggers 1-2, the OLD slice
+    re-arriving LAST. Triggers 1-2 advance the late-filter watermark
+    past every old window (see the in-body comment on the
+    late-events/eviction watermark lag), so every trigger-3 row's
+    window is provably closed and the operator must drop ALL of
+    them: the sink equals the on-time aggregate alone
+    (with x135's window_end <= watermark emission cutoff), and
+    ``late_rows_dropped_exactly`` pins the state store's own
+    numRowsDroppedByWatermark counter (summed over recentProgress)
+    against the DISTINCT late (window, key) group count — the
+    stateful exchange receives map-side partial aggregates, one per
+    (window, key) per upstream partition (a single-file trigger = one
+    partition), so the counter counts dropped PARTIALS, not raw rows
+    — the drop is counted at the operator, not inferred from the
+    output
+    (streaming/windows.py tumbling_agg; Spark/Flink allowed-lateness
+    contract, SURVEY §2.9 — completes x135/x137/x138's emission-side
+    oracles with the drop side).
+
+    Scale shape: identical to x135 (per-(window,key) state, append
+    emission); late rows cost one watermark comparison each and never
+    touch state."""
+    import os as _os
+    import shutil as _shutil
+
+    from advent_of_code_flink_paimon_spark.lakehouse import Catalog
+    from advent_of_code_flink_paimon_spark.operators.dedup import _mhidx_warehouse
+    from advent_of_code_flink_paimon_spark.streaming.pipelines import Pipeline
+    from advent_of_code_flink_paimon_spark.streaming.windows import tumbling_agg
+
+    wh = _mhidx_warehouse("latedrop147", sf_dir)
+    catalog = Catalog(wh, "default")
+    sink = catalog.create_table(
+        "ontime_daily_counts",
+        "window_start timestamp, event_type string, n long, "
+        "sum_value decimal(28,6)",
+        {"bucket": "1"},
+    )
+    split_ts = "2024-01-10 00:00:00"
+    mid_ts = "2024-01-25 00:00:00"
+    ev = T(spark, sf_dir, "events").select(
+        "ts", "event_type", F.col("value").cast("decimal(18,6)").alias("value")
+    )
+    src_dir = _os.path.join(wh, "events-src")
+    _shutil.rmtree(src_dir, ignore_errors=True)
+    # THREE mtime-ordered triggers, because Spark's stateful operators
+    # filter late records against the PREVIOUS batch's eviction
+    # watermark (the one-batch lag of SPARK-40925's
+    # late-events/eviction watermark split): with only two files the
+    # late slice would arrive while the late-filter watermark is still
+    # at epoch and be absorbed into not-yet-evicted windows. Trigger 1
+    # ([Jan 10, Jan 25)) establishes the max; trigger 2 ([Jan 25, ..))
+    # advances BOTH watermarks past every late window and contributes
+    # only to windows the trigger-1 eviction cannot have closed; so by
+    # trigger 3 the old slice is provably late under either lag
+    # semantics and must be dropped at the operator, counted.
+    ev.filter((F.col("ts") >= split_ts) & (F.col("ts") < mid_ts)).coalesce(1).write.parquet(src_dir)
+    part1 = {
+        f for f in _os.listdir(src_dir) if f.endswith(".parquet")
+    }
+    ev.filter(F.col("ts") >= mid_ts).coalesce(1).write.mode("append").parquet(src_dir)
+    part2 = {
+        f for f in _os.listdir(src_dir) if f.endswith(".parquet")
+    } - part1
+    ev.filter(F.col("ts") < split_ts).coalesce(1).write.mode("append").parquet(src_dir)
+    for f in part1:
+        _os.utime(_os.path.join(src_dir, f), (1_000_000_000, 1_000_000_000))
+    for f in part2:
+        _os.utime(_os.path.join(src_dir, f), (1_000_000_060, 1_000_000_060))
+    n_late_groups = (
+        ev.filter(F.col("ts") < split_ts)
+        .select(F.window("ts", "1 day"), "event_type")
+        .distinct()
+        .count()
+    )
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value decimal(18,6)")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    agg = tumbling_agg(stream, "ts", ["event_type"], window="1 day",
+                       watermark="0 seconds").select(
+        "window_start", "event_type", "n", "sum_value"
+    )
+    q = Pipeline(
+        "latedrop147", agg, sink, mode="append", available_now=True
+    ).start()
+    q.awaitTermination()
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+    )
+    emitted = sink.read(spark)
+    dropped_exactly = dropped == n_late_groups
+    return emitted.select(
+        "window_start",
+        "event_type",
+        "n",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        F.lit(bool(dropped_exactly)).alias("late_rows_dropped_exactly"),
+    )
+
+
+# x147 ships library-gated (the established path for mid-round
+# additions: the scored window and the 100-entry registry are full);
+# the strict local harness oracles it every run and it queues for the
+# round-18 rotation behind the x112-x131 lifecycle cards.
+from advent_of_code_flink_paimon_spark.operators.registry import demote as _demote_r17i  # noqa: E402
+
+_demote_r17i("x147_late_data_accounting")
+del _demote_r17i

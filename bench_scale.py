@@ -210,7 +210,10 @@ QUERIES = ["x07_dup_clusters", "x13_semantic_dedup", "x03_dedup_minhash_lsh",
            # watermark-gated null path (same exchanges); x146 is a
            # zero-exchange row-local generator — scales with input
            # bytes x the W/S amplification
-           "x145_stream_outer_join", "x146_doc_chunking"]
+           "x145_stream_outer_join", "x146_doc_chunking",
+           # x147: x135's per-(window,key)-state shape; the late path
+           # costs one watermark comparison per partial and no state
+           "x147_late_data_accounting"]
 REPEATS = 3
 
 
