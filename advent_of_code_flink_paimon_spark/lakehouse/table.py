@@ -58,6 +58,38 @@ _DV_BROADCAST_MAX_BYTES = 32 << 20
 # sentinel: caller did not capture a base snapshot (self-conflict only)
 _UNSET = object()
 
+# sentinel: the driver-local commit fast path does not apply (fall back
+# to the executor staging write) — distinct from None (= empty commit)
+_NOT_LOCAL = object()
+
+
+def _pa_type(dt):
+    """Spark type → pyarrow type for the driver-local commit fast path;
+    None = unsupported (caller falls back to the Spark write). Only the
+    types the tiny driver-resident relations (centroids, codebooks,
+    index params) actually use — timestamps/decimals/structs keep the
+    Spark path so their parquet encodings stay byte-compatible with
+    every existing reader expectation."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.LongType):
+        return pa.int64()
+    if isinstance(dt, T.IntegerType):
+        return pa.int32()
+    if isinstance(dt, T.DoubleType):
+        return pa.float64()
+    if isinstance(dt, T.FloatType):
+        return pa.float32()
+    if isinstance(dt, T.StringType):
+        return pa.string()
+    if isinstance(dt, T.BooleanType):
+        return pa.bool_()
+    if isinstance(dt, T.ArrayType):
+        inner = _pa_type(dt.elementType)
+        return pa.list_(inner) if inner is not None else None
+    return None
+
 
 class CommitConflictError(RuntimeError):
     """Another committer published a snapshot between this writer's read
@@ -797,6 +829,128 @@ class Table:
             if f not in moved:
                 os.unlink(f)
 
+    def _stage_local(self, rows: list) -> list[dict] | object:
+        """Driver-local staging fast path (r17 optimization, guide §5:
+        the driver should do almost no data work — and these rows ARE
+        driver-resident already, so shipping them through
+        createDataFrame + a Spark write job buys nothing and costs a
+        full job round-trip, ~0.4 s per commit locally). Used by
+        append_rows/overwrite_rows for the tiny driver-built relations
+        (IVF centroids, PQ codebooks, index params — always small by
+        construction). Applies only when the table layout needs no
+        executor-side work: unpartitioned, single fixed bucket,
+        parquet, no sort-by / bloom-index / compression option, not
+        PK, and every column type has an exact pyarrow twin.
+        Everything else — including the footer-stats manifest entry,
+        which goes through the same pyarrow metadata read as the
+        Spark-written path — is identical. Returns manifest entries,
+        or _NOT_LOCAL when the fast path does not apply (caller falls
+        back to the createDataFrame + _stage_write path)."""
+        if (
+            self.primary_key
+            or self.partition_keys
+            or self.num_buckets != 1
+            or self.data_format != "parquet"
+            or self.options.get("sort-by")
+            or self.options.get("file.compression")
+            or _bloom_index_columns(self.options)
+        ):
+            return _NOT_LOCAL
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        fields = list(self.schema.fields)
+        pa_types = [_pa_type(f.dataType) for f in fields]
+        if any(t is None for t in pa_types):
+            return _NOT_LOCAL
+        if not rows:
+            return []
+        cols = [
+            pa.array([r[i] for r in rows], type=t) for i, t in enumerate(pa_types)
+        ]
+        table = pa.Table.from_arrays(cols, names=[f.name for f in fields])
+        dest_dir = os.path.join(self.paths.root, "bucket-0")
+        os.makedirs(dest_dir, exist_ok=True)
+        dest = os.path.join(dest_dir, new_file_name("parquet"))
+        pq.write_table(table, dest, compression="snappy")
+        meta = pq.ParquetFile(dest).metadata
+        return [
+            {
+                "file_path": os.path.relpath(dest, self.paths.root),
+                "bucket": 0,
+                "total_buckets": 1,
+                "partition": {},
+                "record_count": meta.num_rows,
+                "file_size_in_bytes": os.path.getsize(dest),
+                "level": 0,
+                "stats": _footer_stats(meta),
+                "creation_time": now_millis(),
+            }
+        ]
+
+    def added_record_count(self, sid: int | None) -> int:
+        """Rows a just-made commit added, from snapshot metadata alone
+        (no Spark job — r17 optimization: build/refresh paths used to
+        pay a persist + count() pass for a number the manifest already
+        knows). None (= empty/no-op commit) → 0. An OVERWRITE replaces
+        the whole image, so its total_record_count IS this commit's row
+        count; an APPEND's added rows are the total's delta vs the
+        previous snapshot."""
+        if sid is None:
+            return 0
+        snap = self.snapshot(sid)
+        if snap.get("commit_kind") != "APPEND" or sid == 1:
+            return int(snap["total_record_count"])
+        prev = self.snapshot(sid - 1)
+        return int(snap["total_record_count"]) - int(prev["total_record_count"])
+
+    def append_rows(
+        self, spark: SparkSession, rows: list, commit_identifier: int | None = None
+    ) -> int | None:
+        """APPEND commit of driver-resident rows (tuples in schema
+        order) without a Spark job when the layout allows (see
+        _stage_local); falls back to createDataFrame + append."""
+        if commit_identifier is not None and (
+            ("APPEND", commit_identifier) in self._committed_identifiers()
+        ):
+            return None
+        entries = self._stage_local(rows)
+        if entries is _NOT_LOCAL:
+            return self.append(
+                spark.createDataFrame(rows, self.schema),
+                commit_identifier=commit_identifier,
+            )
+        if not entries:
+            return None
+        self._check_bucket_rescale()
+        return self._commit(
+            entries, "APPEND", commit_identifier=commit_identifier,
+            expected_latest=self.latest_snapshot_id(),
+        )
+
+    def overwrite_rows(
+        self, spark: SparkSession, rows: list, commit_identifier: int | None = None
+    ) -> int | None:
+        """OVERWRITE commit of driver-resident rows (tuples in schema
+        order) without a Spark job when the layout allows (see
+        _stage_local); falls back to createDataFrame + overwrite."""
+        if commit_identifier is not None and (
+            ("OVERWRITE", commit_identifier) in self._committed_identifiers()
+        ):
+            return None
+        entries = self._stage_local(rows)
+        if entries is _NOT_LOCAL:
+            return self.overwrite(
+                spark.createDataFrame(rows, self.schema),
+                commit_identifier=commit_identifier,
+            )
+        expected = self.latest_snapshot_id()
+        old = {e["file_path"] for e in self.manifest()} if expected else set()
+        return self._commit(
+            entries, "OVERWRITE", replaced=old,
+            commit_identifier=commit_identifier, expected_latest=expected,
+        )
+
     def _stage_write(
         self, df: DataFrame, sort_by_override: str | None = None
     ) -> tuple[str, list[dict]]:
@@ -816,7 +970,20 @@ class Table:
         for c in pcols:
             staged = staged.withColumn(f"__pt_{c}", F.col(c).cast("string"))
         part_by = [f"__pt_{c}" for c in pcols] + ["__bucket"]
-        writer = staged.repartition(*part_by)
+        # r17 optimization (guide §2.2): size the staging exchange to the
+        # DATA instead of the session-wide shuffle default — a commit of
+        # a few MB used to fan into 32 near-empty write tasks (one Spark
+        # task per shuffle partition, scheduled whether or not it holds
+        # rows). n = est_bytes / 128 MB, capped at the session default so
+        # corpus-sized writes keep their full fan-out; rows still hash on
+        # (partition, bucket), so which file a row lands in is unchanged
+        # for every n. Unknown/absurd estimates fall back to the default.
+        n_parts = _staging_partitions(df, staged.sparkSession)
+        writer = (
+            staged.repartition(n_parts, *part_by)
+            if n_parts
+            else staged.repartition(*part_by)
+        )
         # 'sort-by': cluster rows within each file so footer min/max
         # ranges are tight and disjoint → manifest + row-group pruning
         # skip far more files on those columns. Two spellings:
@@ -2894,6 +3061,23 @@ def _zorder_key(df: DataFrame, cols: list[str], bits: int = _ZORDER_BITS) -> F.C
 # ----------------------------------------------------------------------
 # manifest stats + pruning
 # ----------------------------------------------------------------------
+def _staging_partitions(df: DataFrame, spark: SparkSession) -> int | None:
+    """Partition count for the staging exchange, sized to the input's
+    Catalyst size estimate at ~128 MB per write task (guide §2.2/§6) and
+    capped at the session shuffle default (corpus-scale writes keep full
+    fan-out; the cap also guards against Catalyst's join-product
+    estimates, which can be absurd). None = no usable estimate."""
+    try:
+        size = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        est = int(size if isinstance(size, int) else size.toString())
+    except Exception:
+        return None
+    if est <= 0 or est > (1 << 50):  # unknown/absurd → session default
+        return None
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    return max(1, min(est // (128 << 20) + 1, cap))
+
+
 def _footer_stats(meta) -> dict:
     """Aggregate parquet row-group min/max into per-column stats."""
     stats: dict[str, dict] = {}

@@ -1155,18 +1155,19 @@ def _create_index_table(catalog, index_table: str):
     return catalog.get_table(index_table)
 
 
-def _append_bands(idx_t, docs_df: DataFrame, commit_identifier: int | None = None) -> None:
+def _append_bands(idx_t, docs_df: DataFrame, commit_identifier: int | None = None) -> int | None:
     """Band a docs relation (row-local) and append to the index table.
     Build-time banding is UNCAPPED: an increment can't see global band
     sizes, so the hot-band guard moves to query time (capped_index)
     where the count rides the join's partitioning. fan_out first: a
     lakehouse read often yields few big partitions (one per data file)
-    and the signature projection is the compute-heavy stage."""
+    and the signature projection is the compute-heavy stage. Returns
+    the commit's snapshot id (None = empty append)."""
     banded = band_rows(
         minhash_signatures(shingle_hash_arrays(fan_out(docs_df, heavy=True))),
         band_cap=None,
     )
-    idx_t.append(
+    return idx_t.append(
         banded.select(
             F.col("band").cast("int").alias("band"),
             F.col("bh").cast("long").alias("bh"),
@@ -1309,13 +1310,14 @@ def refresh_minhash_index(
         if nxt > docs_t.consumers().get(consumer_id, {}).get("next_snapshot_id", 1):
             docs_t.register_consumer(consumer_id, next_snapshot_id=nxt)
         return 0
-    # persist: count + append would otherwise execute the incremental
-    # read (and the banding above it) twice (round-6 VERDICT #2)
-    fresh = docs_t.merge_raw(docs_t.incremental_read(spark, nxt - 1, latest)).persist()
-    n = fresh.count()
-    if n:
-        cid = pack_refresh_range(nxt, latest)
-        if sh_t is not None:
+    cid = pack_refresh_range(nxt, latest)
+    if sh_t is not None:
+        # persist: the shingle-store upsert AND the banding both consume
+        # fresh — unpersisted, the incremental read would execute twice
+        # (round-6 VERDICT #2)
+        fresh = docs_t.merge_raw(docs_t.incremental_read(spark, nxt - 1, latest)).persist()
+        n = fresh.count()
+        if n:
             # one shingle pass feeds the store AND (recomputed inside
             # _append_bands) the signatures; shingles commit FIRST so
             # bookmark recovery (keyed on the band table) can never
@@ -1324,10 +1326,18 @@ def refresh_minhash_index(
                 shingle_hash_arrays(fan_out(fresh, heavy=True)),
                 commit_identifier=cid,
             )
-        _append_bands(idx_t, fresh, commit_identifier=cid)
-    fresh.unpersist()
+            _append_bands(idx_t, fresh, commit_identifier=cid)
+        fresh.unpersist()
+        docs_t.register_consumer(consumer_id, latest + 1)
+        return n
+    # single consumer: band straight off the incremental read — the old
+    # persist + count() pre-pass only derived n, which the commit's
+    # snapshot metadata already knows (LSH_BANDS rows per doc — r17
+    # optimization); an empty batch stages nothing and commits nothing
+    fresh = docs_t.merge_raw(docs_t.incremental_read(spark, nxt - 1, latest))
+    sid = _append_bands(idx_t, fresh, commit_identifier=cid)
     docs_t.register_consumer(consumer_id, latest + 1)
-    return n
+    return idx_t.added_record_count(sid) // LSH_BANDS
 
 
 def dedup_batch_from_storage(spark, catalog, docs_table: str, batch_docs: DataFrame) -> DataFrame:

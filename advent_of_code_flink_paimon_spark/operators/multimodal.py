@@ -1053,8 +1053,10 @@ def build_phash_index(spark, catalog, media_table: str, features_fn=None) -> int
     meta = phash_meta_name(media_table)
     if not catalog.has_table(meta):
         catalog.create_table(meta, "d int, thr double", {})
-    catalog.get_table(meta).overwrite(
-        spark.createDataFrame(list(enumerate(thresholds)), "d int, thr double")
+    # D driver-resident rows: commit without a Spark write job
+    # (overwrite_rows fast path — r17 optimization, guide §5)
+    catalog.get_table(meta).overwrite_rows(
+        spark, [(int(d), float(t)) for d, t in enumerate(thresholds)]
     )
     iname = phash_index_name(media_table)
     if not catalog.has_table(iname):
@@ -1089,22 +1091,23 @@ def refresh_phash_index(spark, catalog, media_table: str, features_fn=None) -> i
         if nxt > media_t.consumers().get(consumer_id, {}).get("next_snapshot_id", 1):
             media_t.register_consumer(consumer_id, next_snapshot_id=nxt)
         return 0
-    fresh = media_t.merge_raw(media_t.incremental_read(spark, nxt - 1, latest)).persist()
-    n = fresh.count()
-    if n:
-        thresholds = load_phash_thresholds(spark, catalog, media_table)
-        idx_t.append(
-            _phash_block_rows(
-                phash_signatures(
-                    features_fn(fresh).select("doc_id", "features"), thresholds
-                ),
-                len(thresholds),
+    # one pass: signature+block straight off the incremental read (the
+    # old persist + count() pre-pass only derived n, which the commit's
+    # snapshot metadata already knows — exactly _PHASH_BLOCKS rows per
+    # doc; r17 optimization)
+    fresh = media_t.merge_raw(media_t.incremental_read(spark, nxt - 1, latest))
+    thresholds = load_phash_thresholds(spark, catalog, media_table)
+    sid = idx_t.append(
+        _phash_block_rows(
+            phash_signatures(
+                features_fn(fresh).select("doc_id", "features"), thresholds
             ),
-            commit_identifier=pack_refresh_range(nxt, latest),
-        )
-    fresh.unpersist()
+            len(thresholds),
+        ),
+        commit_identifier=pack_refresh_range(nxt, latest),
+    )
     media_t.register_consumer(consumer_id, latest + 1)
-    return n
+    return idx_t.added_record_count(sid) // _PHASH_BLOCKS
 
 
 class MediaDedupIngestPipeline:
@@ -1238,10 +1241,8 @@ class MediaDedupIngestPipeline:
             meta = phash_meta_name(self.media_table)
             if not self.catalog.has_table(meta):
                 self.catalog.create_table(meta, "d int, thr double", {})
-            self.catalog.get_table(meta).overwrite(
-                self.spark.createDataFrame(
-                    list(enumerate(thresholds)), "d int, thr double"
-                )
+            self.catalog.get_table(meta).overwrite_rows(
+                self.spark, [(int(d), float(t)) for d, t in enumerate(thresholds)]
             )
             iname = phash_index_name(self.media_table)
             if not self.catalog.has_table(iname):

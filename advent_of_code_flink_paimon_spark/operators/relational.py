@@ -3129,8 +3129,7 @@ def x132_streaming_ingest_lifecycle(spark, sf_dir):
         )
         q = Pipeline(
             "ingest132", stream, t, mode="append", available_now=True
-        ).start()
-        q.awaitTermination()
+        ).run()
 
     run()
     committed = t.latest_snapshot_id() or 0
@@ -3212,8 +3211,7 @@ def x133_stream_subscribe_lifecycle(spark, sf_dir):
         down,
         mode="append",
         available_now=True,
-    ).start()
-    q.awaitTermination()
+    ).run()
     return (
         down.read(spark)
         .groupBy("o_orderstatus")
@@ -3317,8 +3315,7 @@ def x134_stream_changelog_subscribe(spark, sf_dir):
             down,
             mode="append",
             available_now=True,
-        ).start()
-        q.awaitTermination()
+        ).run()
 
     run()
     committed = down.latest_snapshot_id() or 0
@@ -3421,8 +3418,7 @@ def x135_stream_tumbling_window(spark, sf_dir):
         sink,
         mode="append",
         available_now=True,
-    ).start()
-    q.awaitTermination()
+    ).run()
     emitted = sink.read(spark)
     held_back = (
         emitted.select("window_start").distinct().count() < n_windows_total
@@ -3521,8 +3517,7 @@ def x136_lookup_join_lifecycle(spark, sf_dir):
         target,
         on="l_suppkey",
         available_now=True,
-    ).start()
-    q.awaitTermination()
+    ).run()
     retry = catalog.get_table("lineitem_enriched_retry")
     misses_queued = retry.read(spark).count() > 0
     return (
@@ -3609,8 +3604,7 @@ def x137_stream_sliding_window(spark, sf_dir):
         sink,
         mode="append",
         available_now=True,
-    ).start()
-    q.awaitTermination()
+    ).run()
     emitted = sink.read(spark)
     # computed, not asserted (the x135 protocol; VERDICT r15 advice):
     # the oracle pins TRUE, so a leak of the open windows into the
@@ -3704,8 +3698,7 @@ def x138_stream_session_window(spark, sf_dir):
         sink,
         mode="append",
         available_now=True,
-    ).start()
-    q.awaitTermination()
+    ).run()
     emitted = sink.read(spark)
     # computed, not asserted (the x135 protocol; VERDICT r15 advice):
     # a leak of still-open sessions into the append output flips this
@@ -3807,8 +3800,7 @@ def x139_stream_stream_join(spark, sf_dir):
     ).select(cs.user_id, "cval", "pval")
     q = Pipeline(
         "ssjoin139", joined, sink, mode="append", available_now=True
-    ).start()
-    q.awaitTermination()
+    ).run()
     # batch-derived ground truth (computed, not asserted — the x135
     # protocol): the same interval join as a plain DataFrame join
     iv = F.expr("interval 30 minutes")
@@ -3921,9 +3913,13 @@ def x140_changelog_normalize(spark, sf_dir):
             order_col="seq",
         )
         q = Pipeline(
-            "clnorm140", normalized, down, mode="append", available_now=True
-        ).start()
-        q.awaitTermination()
+            "clnorm140", normalized, down, mode="append", available_now=True,
+            # Python-compute-bound stateful fold: one state per order key
+            # (~150k keys/trigger) — fan the fold to the cores, not the
+            # trigger-sized stream default (see stream_confs; measured
+            # 65.3 s at 8 partitions vs 22 s at defaultParallelism)
+            shuffle_partitions=spark.sparkContext.defaultParallelism,
+        ).run()
 
     run()
     committed = down.latest_snapshot_id() or 0
@@ -4032,8 +4028,7 @@ def x141_stream_dedup(spark, sf_dir):
         sink,
         mode="append",
         available_now=True,
-    ).start()
-    q.awaitTermination()
+    ).run()
     emitted = sink.read(spark)
     n_emitted = emitted.count()
     dupes_dropped = n_emitted == n_original and n_fed > n_emitted
@@ -4129,8 +4124,7 @@ def x142_continuous_rollup_upsert(spark, sf_dir):
         mode="upsert",
         available_now=True,
         output_mode="update",
-    ).start()
-    q.awaitTermination()
+    ).run()
     multi_commit = (sink.latest_snapshot_id() or 0) >= 2
     emitted = sink.read(spark)
     pk_unique = (
@@ -4250,8 +4244,7 @@ def x144_stateful_ewma(spark, sf_dir):
         mode="upsert",
         available_now=True,
         output_mode="update",
-    ).start()
-    q.awaitTermination()
+    ).run()
     multi_commit = (sink.latest_snapshot_id() or 0) >= 2
     emitted = sink.read(spark)
     carried = (emitted.agg(F.sum("n_seen")).collect()[0][0] or 0) == n_rows_total
@@ -4403,8 +4396,7 @@ def x145_stream_outer_join(spark, sf_dir):
     ).select(cs.user_id, "cval", "pval")
     q = Pipeline(
         "ssouter145", joined, sink, mode="append", available_now=True
-    ).start()
-    q.awaitTermination()
+    ).run()
     # batch-derived ground truth (computed, not asserted): pair count +
     # watermark-eligible unmatched count must equal the emitted rows
     iv = F.expr("interval 30 minutes")
@@ -4571,8 +4563,7 @@ def x147_late_data_accounting(spark, sf_dir):
     )
     q = Pipeline(
         "latedrop147", agg, sink, mode="append", available_now=True
-    ).start()
-    q.awaitTermination()
+    ).run()
     dropped = sum(
         op.get("numRowsDroppedByWatermark", 0)
         for p in q.recentProgress

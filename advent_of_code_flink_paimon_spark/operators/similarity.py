@@ -1420,9 +1420,9 @@ def build_pq_codebook(spark, catalog, vecs_table: str, v: DataFrame) -> dict:
     cb_name = pq_codebook_name(vecs_table)
     if not catalog.has_table(cb_name):
         catalog.create_table(cb_name, PQ_CODEBOOK_SCHEMA, {})
-    catalog.get_table(cb_name).overwrite(
-        spark.createDataFrame(cb_data, PQ_CODEBOOK_SCHEMA)
-    )
+    # M·K driver-resident rows: commit without a Spark write job
+    # (overwrite_rows fast path — r17 optimization, guide §5)
+    catalog.get_table(cb_name).overwrite_rows(spark, cb_data)
     return _codebook_dict(cb_data)
 
 
@@ -1453,15 +1453,17 @@ def build_pq_index(spark, catalog, vecs_table: str, v: DataFrame | None = None) 
         catalog.create_table(codes_name, PQ_CODES_SCHEMA, {})
     # a rebuild REPLACES the codes (old digits are meaningless under a
     # new codebook); the range stamp seeds recover_refresh_bookmark
-    catalog.get_table(codes_name).overwrite(
+    codes_t = catalog.get_table(codes_name)
+    sid = codes_t.overwrite(
         _pq_encode(v, codebook),
         commit_identifier=pack_refresh_range(1, latest) if latest else None,
     )
-    n = v.count()
     if own:
         v.unpersist()
     vecs_t.register_consumer(f"{_PQ_CONSUMER_PREFIX}-{vecs_table}", latest + 1)
-    return n
+    # encoded-row count off the commit's own snapshot metadata — the
+    # count() pass this replaces re-scanned v (r17 optimization)
+    return codes_t.added_record_count(sid)
 
 
 def refresh_pq_codes(spark, catalog, vecs_table: str) -> int:
@@ -1486,17 +1488,18 @@ def refresh_pq_codes(spark, catalog, vecs_table: str) -> int:
         if nxt > vecs_t.consumers().get(consumer_id, {}).get("next_snapshot_id", 1):
             vecs_t.register_consumer(consumer_id, next_snapshot_id=nxt)
         return 0
-    fresh = vecs_t.merge_raw(vecs_t.incremental_read(spark, nxt - 1, latest)).persist()
-    n = fresh.count()
-    if n:
-        codebook = load_pq_codebook(spark, catalog, vecs_table)
-        codes_t.append(
-            _pq_encode(_pq_vecs(fresh), codebook),
-            commit_identifier=pack_refresh_range(nxt, latest),
-        )
-    fresh.unpersist()
+    # one pass: encode straight off the incremental read (the old
+    # persist + count() pre-pass only derived n, which the commit's
+    # snapshot metadata already knows — r17 optimization); an empty
+    # batch stages nothing and append() returns None without committing
+    fresh = vecs_t.merge_raw(vecs_t.incremental_read(spark, nxt - 1, latest))
+    codebook = load_pq_codebook(spark, catalog, vecs_table)
+    sid = codes_t.append(
+        _pq_encode(_pq_vecs(fresh), codebook),
+        commit_identifier=pack_refresh_range(nxt, latest),
+    )
     vecs_t.register_consumer(consumer_id, latest + 1)
-    return n
+    return codes_t.added_record_count(sid)
 
 
 def adc_topk_index(
@@ -1653,9 +1656,9 @@ def build_ivf_centroids(spark, catalog, vecs_table: str, v: DataFrame) -> list:
     cname = ivf_centroids_name(vecs_table)
     if not catalog.has_table(cname):
         catalog.create_table(cname, IVF_CENTROIDS_SCHEMA, {})
-    catalog.get_table(cname).overwrite(
-        spark.createDataFrame(centroids, IVF_CENTROIDS_SCHEMA)
-    )
+    # C driver-resident rows: commit without a Spark write job
+    # (overwrite_rows fast path — r17 optimization, guide §5)
+    catalog.get_table(cname).overwrite_rows(spark, centroids)
     return centroids
 
 
@@ -1685,15 +1688,17 @@ def build_ivf_index(spark, catalog, vecs_table: str, v: DataFrame | None = None)
         catalog.create_table(lname, IVF_LISTS_SCHEMA, {"bucket": "8", "bucket-key": "cid"})
     # a rebuild REPLACES the lists (old assignments are meaningless
     # under new centroids); the range stamp seeds recover_refresh_bookmark
-    catalog.get_table(lname).overwrite(
+    lists_t = catalog.get_table(lname)
+    sid = lists_t.overwrite(
         _ivf_assign_lists(v, centroids),
         commit_identifier=pack_refresh_range(1, latest) if latest else None,
     )
-    n = v.count()
     if own:
         v.unpersist()
     vecs_t.register_consumer(f"{_IVF_CONSUMER_PREFIX}-{vecs_table}", latest + 1)
-    return n
+    # assigned-row count off the commit's own snapshot metadata — the
+    # count() pass this replaces re-scanned v (r17 optimization)
+    return lists_t.added_record_count(sid)
 
 
 def refresh_ivf_lists(spark, catalog, vecs_table: str) -> int:
@@ -1718,17 +1723,16 @@ def refresh_ivf_lists(spark, catalog, vecs_table: str) -> int:
         if nxt > vecs_t.consumers().get(consumer_id, {}).get("next_snapshot_id", 1):
             vecs_t.register_consumer(consumer_id, next_snapshot_id=nxt)
         return 0
-    fresh = vecs_t.merge_raw(vecs_t.incremental_read(spark, nxt - 1, latest)).persist()
-    n = fresh.count()
-    if n:
-        centroids = load_ivf_centroids(spark, catalog, vecs_table)
-        lists_t.append(
-            _ivf_assign_lists(_pq_vecs(fresh), centroids),
-            commit_identifier=pack_refresh_range(nxt, latest),
-        )
-    fresh.unpersist()
+    # one pass: assign straight off the incremental read (the old
+    # persist + count() pre-pass only derived n — r17 optimization)
+    fresh = vecs_t.merge_raw(vecs_t.incremental_read(spark, nxt - 1, latest))
+    centroids = load_ivf_centroids(spark, catalog, vecs_table)
+    sid = lists_t.append(
+        _ivf_assign_lists(_pq_vecs(fresh), centroids),
+        commit_identifier=pack_refresh_range(nxt, latest),
+    )
     vecs_t.register_consumer(consumer_id, latest + 1)
-    return n
+    return lists_t.added_record_count(sid)
 
 
 def ivf_topk_index(
@@ -2225,14 +2229,16 @@ def build_ivfpq_index(spark, catalog, vecs_table: str) -> int:
     name = ivfpq_name(vecs_table)
     if not catalog.has_table(name):
         catalog.create_table(name, IVFPQ_SCHEMA, {"bucket": "8", "bucket-key": "cid"})
-    catalog.get_table(name).overwrite(
+    idx_t = catalog.get_table(name)
+    sid = idx_t.overwrite(
         _ivfpq_rows(v, centroids, codebook),
         commit_identifier=pack_refresh_range(1, latest) if latest else None,
     )
-    n = v.count()
     v.unpersist()
     vecs_t.register_consumer(f"{_IVFPQ_CONSUMER_PREFIX}-{vecs_table}", latest + 1)
-    return n
+    # encoded-row count off the commit's own snapshot metadata — the
+    # count() pass this replaces re-scanned v (r17 optimization)
+    return idx_t.added_record_count(sid)
 
 
 def refresh_ivfpq_index(spark, catalog, vecs_table: str) -> int:
@@ -2254,18 +2260,17 @@ def refresh_ivfpq_index(spark, catalog, vecs_table: str) -> int:
         if nxt > vecs_t.consumers().get(consumer_id, {}).get("next_snapshot_id", 1):
             vecs_t.register_consumer(consumer_id, next_snapshot_id=nxt)
         return 0
-    fresh = vecs_t.merge_raw(vecs_t.incremental_read(spark, nxt - 1, latest)).persist()
-    n = fresh.count()
-    if n:
-        centroids = load_ivf_centroids(spark, catalog, vecs_table)
-        codebook = load_pq_codebook(spark, catalog, vecs_table)
-        idx_t.append(
-            _ivfpq_rows(_pq_vecs(fresh), centroids, codebook),
-            commit_identifier=pack_refresh_range(nxt, latest),
-        )
-    fresh.unpersist()
+    # one pass: assign+encode straight off the incremental read (the
+    # old persist + count() pre-pass only derived n — r17 optimization)
+    fresh = vecs_t.merge_raw(vecs_t.incremental_read(spark, nxt - 1, latest))
+    centroids = load_ivf_centroids(spark, catalog, vecs_table)
+    codebook = load_pq_codebook(spark, catalog, vecs_table)
+    sid = idx_t.append(
+        _ivfpq_rows(_pq_vecs(fresh), centroids, codebook),
+        commit_identifier=pack_refresh_range(nxt, latest),
+    )
     vecs_t.register_consumer(consumer_id, latest + 1)
-    return n
+    return idx_t.added_record_count(sid)
 
 
 # Size gate for the ANN probe plan shape (VERDICT.md r9 ask #3): the
@@ -2899,24 +2904,26 @@ def build_ivfpq_residual_index(spark, catalog, vecs_table: str) -> int:
     cb_name = rpq_codebook_name(vecs_table)
     if not catalog.has_table(cb_name):
         catalog.create_table(cb_name, PQ_CODEBOOK_SCHEMA, {})
-    catalog.get_table(cb_name).overwrite(
-        spark.createDataFrame(cb_data, PQ_CODEBOOK_SCHEMA)
-    )
+    # M·K driver-resident rows: commit without a Spark write job
+    # (overwrite_rows fast path — r17 optimization, guide §5)
+    catalog.get_table(cb_name).overwrite_rows(spark, cb_data)
     codebook = _codebook_dict(cb_data)
     name = ivfpqr_name(vecs_table)
     if not catalog.has_table(name):
         catalog.create_table(name, IVFPQ_SCHEMA, {"bucket": "8", "bucket-key": "cid"})
-    catalog.get_table(name).overwrite(
+    idx_t = catalog.get_table(name)
+    sid = idx_t.overwrite(
         _pq_encode(resid, codebook, extra_cols=("cid",)).select(
             "cid", "vec_id", "code0", "code1", "code2", "code3"
         ),
         commit_identifier=pack_refresh_range(1, latest) if latest else None,
     )
-    n = v.count()
     resid.unpersist()
     v.unpersist()
     vecs_t.register_consumer(f"{_IVFPQR_CONSUMER_PREFIX}-{vecs_table}", latest + 1)
-    return n
+    # encoded-row count off the commit's own snapshot metadata — the
+    # count() pass this replaces re-scanned v (r17 optimization)
+    return idx_t.added_record_count(sid)
 
 
 def refresh_ivfpq_residual_index(spark, catalog, vecs_table: str) -> int:
@@ -2938,23 +2945,23 @@ def refresh_ivfpq_residual_index(spark, catalog, vecs_table: str) -> int:
         if nxt > vecs_t.consumers().get(consumer_id, {}).get("next_snapshot_id", 1):
             vecs_t.register_consumer(consumer_id, next_snapshot_id=nxt)
         return 0
-    fresh = vecs_t.merge_raw(vecs_t.incremental_read(spark, nxt - 1, latest)).persist()
-    n = fresh.count()
-    if n:
-        centroids = load_ivf_centroids(spark, catalog, vecs_table)
-        codebook = load_pq_codebook(
-            spark, catalog, vecs_table, table_name=rpq_codebook_name(vecs_table)
-        )
-        resid = _residualize(spark, _pq_vecs(fresh), centroids)
-        idx_t.append(
-            _pq_encode(resid, codebook, extra_cols=("cid",)).select(
-                "cid", "vec_id", "code0", "code1", "code2", "code3"
-            ),
-            commit_identifier=pack_refresh_range(nxt, latest),
-        )
-    fresh.unpersist()
+    # one pass: residualize+encode straight off the incremental read
+    # (the old persist + count() pre-pass only derived n — r17
+    # optimization)
+    fresh = vecs_t.merge_raw(vecs_t.incremental_read(spark, nxt - 1, latest))
+    centroids = load_ivf_centroids(spark, catalog, vecs_table)
+    codebook = load_pq_codebook(
+        spark, catalog, vecs_table, table_name=rpq_codebook_name(vecs_table)
+    )
+    resid = _residualize(spark, _pq_vecs(fresh), centroids)
+    sid = idx_t.append(
+        _pq_encode(resid, codebook, extra_cols=("cid",)).select(
+            "cid", "vec_id", "code0", "code1", "code2", "code3"
+        ),
+        commit_identifier=pack_refresh_range(nxt, latest),
+    )
     vecs_t.register_consumer(consumer_id, latest + 1)
-    return n
+    return idx_t.added_record_count(sid)
 
 
 def ivfpq_residual_topk(
@@ -3764,9 +3771,9 @@ def build_lsh_band_index(spark, catalog, vecs_table: str) -> int:
     meta = lsh_meta_name(vecs_table)
     if not catalog.has_table(meta):
         catalog.create_table(meta, "r int, built_n long", {})
-    catalog.get_table(meta).overwrite(
-        spark.createDataFrame([(r, n)], "r int, built_n long")
-    )
+    # 1 driver-resident row: commit without a Spark write job
+    # (overwrite_rows fast path — r17 optimization, guide §5)
+    catalog.get_table(meta).overwrite_rows(spark, [(int(r), int(n))])
     name = lsh_bands_name(vecs_table)
     if not catalog.has_table(name):
         catalog.create_table(name, LSH_BANDS_SCHEMA, {"bucket": "8", "bucket-key": "key"})
@@ -3798,17 +3805,18 @@ def refresh_lsh_band_index(spark, catalog, vecs_table: str) -> int:
         if nxt > vecs_t.consumers().get(consumer_id, {}).get("next_snapshot_id", 1):
             vecs_t.register_consumer(consumer_id, next_snapshot_id=nxt)
         return 0
-    fresh = vecs_t.merge_raw(vecs_t.incremental_read(spark, nxt - 1, latest)).persist()
-    n = fresh.count()
-    if n:
-        r = load_lsh_band_width(spark, catalog, vecs_table)
-        idx_t.append(
-            _band_rows(_pq_vecs(fresh), r),
-            commit_identifier=pack_refresh_range(nxt, latest),
-        )
-    fresh.unpersist()
+    # one pass: band straight off the incremental read (the old
+    # persist + count() pre-pass only derived n — r17 optimization).
+    # NOTE n counts VECTORS, not band rows: every vector emits exactly
+    # ⌊LSH_PLANES/r⌋ index rows (_x90_keys), so divide back down.
+    fresh = vecs_t.merge_raw(vecs_t.incremental_read(spark, nxt - 1, latest))
+    r = load_lsh_band_width(spark, catalog, vecs_table)
+    sid = idx_t.append(
+        _band_rows(_pq_vecs(fresh), r),
+        commit_identifier=pack_refresh_range(nxt, latest),
+    )
     vecs_t.register_consumer(consumer_id, latest + 1)
-    return n
+    return idx_t.added_record_count(sid) // (LSH_PLANES // r)
 
 
 def _expand_probe_keys(bands: DataFrame, r: int, flips: int) -> DataFrame:

@@ -65,6 +65,17 @@ class LookupJoinPipeline:
             return self.catalog.create_table(name, retry_schema)
 
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from advent_of_code_flink_paimon_spark.operators.registry import micro_batch_confs
+
+        spark = batch_df.sparkSession
+        # r17 optimization (guide §2.2/§3.1): the whole body — retry-queue
+        # read, broadcast lookup join, two batch-sized commits — is
+        # trigger-sized work; run it under the same scoped AQE-off +
+        # batch-sized shuffle fan-out the ingest-pipeline sinks use.
+        with micro_batch_confs(spark):
+            self._process_batch_inner(batch_df, batch_id)
+
+    def _process_batch_inner(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         # NO early return on a replayed batch id: exactly-once spans TWO
         # commits (target append + queue overwrite). After a crash
@@ -113,3 +124,14 @@ class LookupJoinPipeline:
         elif self.trigger_seconds:
             writer = writer.trigger(processingTime=f"{self.trigger_seconds} seconds")
         return writer.start()
+
+    def run(self) -> StreamingQuery:
+        """start() + awaitTermination() under ``stream_confs`` (see
+        streaming/pipelines.py): trigger-sized shuffle fan-out for the
+        whole run."""
+        from advent_of_code_flink_paimon_spark.streaming.pipelines import stream_confs
+
+        with stream_confs(self.source.sparkSession):
+            q = self.start()
+            q.awaitTermination()
+        return q

@@ -10,13 +10,70 @@ makes replayed batches no-ops → exactly-once end to end.
 
 from __future__ import annotations
 
+import contextlib
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import LongType
 
 from advent_of_code_flink_paimon_spark.lakehouse.table import Table
+
+# ---------------------------------------------------------------------------
+# Round 17 (optimization; guide §2.2): shuffle fan-out for a WHOLE
+# micro-batch streaming run. A trigger's topology is bounded and small
+# by construction (the trigger carves the stream into batch-sized
+# pieces), so the corpus-scale session default (32 locally, 2-3× total
+# cores on a cluster) over-fans every stateful exchange AND fixes an
+# oversized state-store instance count: stateful operators pin
+# `spark.sql.shuffle.partitions` into the checkpoint's offset-log
+# metadata at query START, and every later trigger pays one state-store
+# task per partition. Sizing: rows-per-trigger / a few hundred k rows
+# per task — `SPARK_GRAFT_STREAM_SHUFFLE` (default 8) parameterizes it;
+# on a 100 TB deployment with large triggers raise it accordingly.
+# Measured locally (sf0.1, quiet, 3-repeat medians): the 14 streaming
+# lifecycle cards 44.5 s → 32.8 s (see OPTIMIZATION_r17.md).
+#
+# The lock guards only the save/restore bookkeeping and is NEVER held
+# across the run — a foreachBatch body taking micro_batch_confs on the
+# stream execution thread can therefore not deadlock against the
+# driver thread sitting in awaitTermination. Nested/concurrent runs
+# save once and restore at the outermost exit.
+# ---------------------------------------------------------------------------
+_STREAM_CONF_LOCK = threading.Lock()
+_STREAM_CONF_DEPTH = 0
+_STREAM_CONF_PREV: str | None = None
+
+
+@contextlib.contextmanager
+def stream_confs(spark: SparkSession, partitions: int | None = None):
+    """Scoped `spark.sql.shuffle.partitions` for one streaming run
+    (start → awaitTermination), sized to trigger volume (see above).
+
+    ``partitions`` overrides the env default for pipelines whose
+    stateful operator is PYTHON-COMPUTE-BOUND rather than
+    overhead-bound (e.g. a per-key applyInPandasWithState fold over
+    hundreds of thousands of keys per trigger): there the fold wants
+    one partition per core, not the trigger-sized minimum — measured
+    on x140 (changelog_normalize over the full x128 DML sequence):
+    8 partitions 65.3 s vs defaultParallelism 22 s at sf0.1."""
+    global _STREAM_CONF_DEPTH, _STREAM_CONF_PREV
+    parts = str(partitions) if partitions else os.environ.get(
+        "SPARK_GRAFT_STREAM_SHUFFLE", "8"
+    )
+    with _STREAM_CONF_LOCK:
+        if _STREAM_CONF_DEPTH == 0:
+            _STREAM_CONF_PREV = spark.conf.get("spark.sql.shuffle.partitions", "32")
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+        _STREAM_CONF_DEPTH += 1
+    try:
+        yield
+    finally:
+        with _STREAM_CONF_LOCK:
+            _STREAM_CONF_DEPTH -= 1
+            if _STREAM_CONF_DEPTH == 0:
+                spark.conf.set("spark.sql.shuffle.partitions", _STREAM_CONF_PREV)
 
 
 class Pipeline:
@@ -34,11 +91,15 @@ class Pipeline:
         available_now: bool = False,
         transform=None,
         output_mode: str | None = None,
+        shuffle_partitions: int | None = None,
     ):
         self.name, self.source, self.target, self.mode = name, source, target, mode
         self.trigger_seconds = trigger_seconds
         self.available_now = available_now
         self.transform = transform
+        # stream-run shuffle fan-out override for Python-compute-bound
+        # stateful folds (see stream_confs); None = trigger-sized default
+        self.shuffle_partitions = shuffle_partitions
         # Spark OUTPUT mode (None = Spark's default, append). An
         # upsert-MATERIALIZED rollup (continuous aggregate into a PK
         # table, Paimon's aggregation-downstream pattern) sets
@@ -54,6 +115,7 @@ class Pipeline:
 
     def _sink(self, batch_df: DataFrame, batch_id: int) -> None:
         from advent_of_code_flink_paimon_spark.lakehouse.table import CommitConflictError
+        from advent_of_code_flink_paimon_spark.operators.registry import micro_batch_confs
 
         if self.transform is not None:
             batch_df = self.transform(batch_df)
@@ -69,13 +131,19 @@ class Pipeline:
         # a half-replayed batch can never double-commit. A real Paimon
         # deployment resolves the same race with commit retries in the
         # committer operator.
-        for attempt in range(4):
-            try:
-                commit(batch_df, commit_identifier=batch_id)
-                return
-            except CommitConflictError:
-                if attempt == 3:
-                    raise
+        #
+        # micro_batch_confs (r17 optimization, guide §2.2): the commit's
+        # shuffle/write topology is batch-sized — same scoped AQE-off +
+        # trigger-sized fan-out the ingest-pipeline sinks already use
+        # (the 32→8 / AQE measurements in operators/registry.py).
+        with micro_batch_confs(batch_df.sparkSession):
+            for attempt in range(4):
+                try:
+                    commit(batch_df, commit_identifier=batch_id)
+                    return
+                except CommitConflictError:
+                    if attempt == 3:
+                        raise
 
     def start(self) -> StreamingQuery:
         writer = (
@@ -90,6 +158,16 @@ class Pipeline:
         elif self.trigger_seconds:
             writer = writer.trigger(processingTime=f"{self.trigger_seconds} seconds")
         return writer.start()
+
+    def run(self) -> StreamingQuery:
+        """start() + awaitTermination() under ``stream_confs`` — the
+        synchronous (availableNow) way the lifecycle cards drive a
+        pipeline. Returns the terminated query so callers can read its
+        progress metrics (e.g. numRowsDroppedByWatermark)."""
+        with stream_confs(self.source.sparkSession, self.shuffle_partitions):
+            q = self.start()
+            q.awaitTermination()
+        return q
 
 
 def resolve_scan_start(
