@@ -1333,6 +1333,7 @@ class Table:
         # instead trusts the source stream to carry complete retractions,
         # and this engine's sinks always derive, so both spellings give
         # the same (correct) rows here.
+        pinned = None
         if self.options.get("changelog-producer") in ("input", "lookup"):
             if self.branch_name is not None:
                 raise ValueError(
@@ -1341,6 +1342,15 @@ class Table:
                     "chain) — write through the main table or drop the "
                     "'changelog-producer' option"
                 )
+            # TWO consumers ahead (changelog write + staging write):
+            # persist the deduped batch so (a) the window dedup runs
+            # once, not twice (r17 optimization), and (b) the two
+            # writes can never diverge — the dedup's __ord tiebreak is
+            # monotonically_increasing_id(), which independent
+            # re-executions are not guaranteed to reproduce for a batch
+            # carrying several rows per key; the cache pins one winner
+            # set for both the changelog post-images and the data files
+            pinned = batch = batch.persist()
             # stage pre-commit (the pre-image must reflect the table
             # BEFORE this batch), publish only after the commit wins
             # uuid component: two threads of one process can commit in
@@ -1351,8 +1361,8 @@ class Table:
             )
             self._write_changelog(batch, seq, target_dir=pending_changelog)
 
-        _, entries = self._stage_write(batch)
         try:
+            _, entries = self._stage_write(batch)
             sid = self._commit(
                 entries, "APPEND", commit_identifier=commit_identifier,
                 sequence_number=seq, expected_latest=latest,
@@ -1363,6 +1373,9 @@ class Table:
             if pending_changelog:
                 shutil.rmtree(pending_changelog, ignore_errors=True)
             raise
+        finally:
+            if pinned is not None:
+                pinned.unpersist()
         if pending_changelog:
             final = self.paths.changelog_dir(seq)
             shutil.rmtree(final, ignore_errors=True)

@@ -512,6 +512,14 @@ def x34_cluster_keep_best(spark, sf_dir):
     )
 
 
+# Driver gate for connected_components' union-find fast path: past this
+# many (bidirectional, deduped) edges the iterative distributed loop
+# runs instead. 200k Row objects ≈ tens of MB transient driver memory —
+# far under driver.memory, far over any near-dup pair graph the bench
+# sees (25-50 pairs at sf0.1).
+_CC_DRIVER_MAX_EDGES = 200_000
+
+
 def connected_components(
     pairs: DataFrame,
     checkpoint_dir: str | None = None,
@@ -562,6 +570,43 @@ def connected_components(
     edges = edges.unionByName(
         edges.select(F.col("j").alias("i"), F.col("i").alias("j"))
     ).distinct().persist()
+    # r17 optimization (guide §1.2/§5): near-dup pair graphs are
+    # pair-graph-sized ≪ corpus by construction; when the edge list
+    # fits comfortably on the driver, fold it there with a min-rooted
+    # union-find that produces the IDENTICAL relation (label = min
+    # node id of the component — the same fixed point the iterative
+    # loop converges to). The distributed loop pays two jobs per round
+    # (eager checkpoint + convergence aggregate) plus join exchanges,
+    # which dwarf a tiny graph; at real scale the LIMIT probe stops at
+    # the cap (one bounded collect off the already-persisted edges)
+    # and the iterative path below runs unchanged.
+    probe = edges.limit(_CC_DRIVER_MAX_EDGES + 1).collect()
+    if len(probe) <= _CC_DRIVER_MAX_EDGES:
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in probe:
+            a, b = r[0], r[1]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # attach the larger root under the smaller: every
+                # component's root IS its min node id
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        rows = [(n, find(n)) for n in sorted(parent)]
+        node_t = edges.schema["i"].dataType.simpleString()
+        edges.unpersist()
+        return pairs.sparkSession.createDataFrame(
+            rows, f"node {node_t}, label {node_t}"
+        )
     # eager checkpoint per round, NOT persist: each round's plan
     # references the previous labels TWICE (directly + inside the
     # neighbor aggregate), so without lineage truncation the logical
