@@ -277,9 +277,20 @@ def fan_out(df: DataFrame, heavy: bool = False) -> DataFrame:
     if not heavy and est is not None and est // target < _FAN_OUT_BYTES_PER_SLOT:
         return df  # cheap-per-byte work, small input: the shuffle wins nothing
     if est is not None:
-        max_split = _size_bytes(
+        # mirror Spark's split sizing: maxSplitBytes = min(maxPartition,
+        # max(openCost, bytes/minPartitionNum)) — with the r17 scan-
+        # parallelism floor (session.py) small scans already split, so
+        # judge the scan's real task count, not just bytes/maxPartition
+        max_part = _size_bytes(
             spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
         )
+        open_cost = _size_bytes(
+            spark.conf.get("spark.sql.files.openCostInBytes", "4194304b")
+        )
+        min_num = int(spark.conf.get("spark.sql.files.minPartitionNum", "0") or 0)
+        max_split = max_part
+        if min_num > 0:
+            max_split = min(max_part, max(open_cost, est // min_num + 1))
         if est // max_split + 1 >= target:
             return df  # the scan's own splits already fill the cores
     elif df.rdd.getNumPartitions() >= target:
