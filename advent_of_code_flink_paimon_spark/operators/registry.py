@@ -243,6 +243,20 @@ def footer_row_count(sf_dir: str, name: str) -> int:
     return sum(_pq.ParquetFile(p).metadata.num_rows for p in paths)
 
 
+def _conf_or_none(spark: SparkSession, key: str) -> str | None:
+    """Read a session conf, returning None when it is unset (or when the
+    read fails for any reason). Never pass a sentinel fallback to
+    ``spark.conf.get`` for registered SQL confs: when the conf is unset
+    Spark validates the fallback string against the entry's requirement
+    (e.g. minPartitionNum must be a positive int) and an invalid sentinel
+    raises — which is how r17 crashed 15 scored queries under the
+    driver's vanilla session."""
+    try:
+        return spark.conf.get(key)
+    except Exception:
+        return None
+
+
 def fan_out(df: DataFrame, heavy: bool = False) -> DataFrame:
     """Raise parallelism before compute-heavy row-local stages (wide
     projections, Pandas UDFs) when the scan has fewer partitions than
@@ -280,14 +294,25 @@ def fan_out(df: DataFrame, heavy: bool = False) -> DataFrame:
         # mirror Spark's split sizing: maxSplitBytes = min(maxPartition,
         # max(openCost, bytes/minPartitionNum)) — with the r17 scan-
         # parallelism floor (session.py) small scans already split, so
-        # judge the scan's real task count, not just bytes/maxPartition
+        # judge the scan's real task count, not just bytes/maxPartition.
+        # Conf reads must work on ANY session, including one the repo
+        # did not build (the external driver's): pyspark validates the
+        # *supplied fallback* when a registered conf is unset, so a
+        # sentinel like "0" for the positive-int minPartitionNum throws
+        # INVALID_CONF_VALUE. Read with no fallback and treat every
+        # failure (unset, validation, py4j) as "use Spark's own
+        # default" — for minPartitionNum that default is
+        # leafNodeDefaultParallelism → defaultParallelism (== target).
         max_part = _size_bytes(
-            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+            _conf_or_none(spark, "spark.sql.files.maxPartitionBytes") or "134217728b"
         )
         open_cost = _size_bytes(
-            spark.conf.get("spark.sql.files.openCostInBytes", "4194304b")
+            _conf_or_none(spark, "spark.sql.files.openCostInBytes") or "4194304b"
         )
-        min_num = int(spark.conf.get("spark.sql.files.minPartitionNum", "0") or 0)
+        raw_min = _conf_or_none(spark, "spark.sql.files.minPartitionNum")
+        if raw_min is None:
+            raw_min = _conf_or_none(spark, "spark.sql.leafNodeDefaultParallelism")
+        min_num = int(raw_min) if raw_min else target
         max_split = max_part
         if min_num > 0:
             max_split = min(max_part, max(open_cost, est // min_num + 1))

@@ -322,11 +322,22 @@ def main() -> None:
 
     timings = {n: round(statistics.median(s), 4) for n, s in samples.items()}
     spread = {n: [round(min(s), 4), round(max(s), 4)] for n, s in samples.items()}
+    # Round 18 (VERDICT r17 ask #8): cold-first honesty series — pass-1
+    # wall per query, recorded alongside the warm-median series. The
+    # printed contract line keeps the median (round-over-round
+    # comparability); this column answers "what does a cache-cold run
+    # cost" without a second harness.
+    first_pass = {n: round(s[0], 4) for n, s in samples.items()}
     load_after = [round(x, 2) for x in os.getloadavg()]
     markers = _contention_markers(samples)
     markers["loadavg_before"] = load_before
     markers["loadavg_after"] = load_after
-    markers["cpus"] = os.cpu_count()
+    # Round 18 (VERDICT r17 ask #3): report the EFFECTIVE core count —
+    # the session's scheduler parallelism (== local[N]) — not the
+    # machine's os.cpu_count(), which made the driver's c8 scaling run
+    # look like the bench ignored SPARK_GRAFT_CPUS.
+    markers["cpus"] = spark.sparkContext.defaultParallelism
+    markers["cpus_machine"] = os.cpu_count()
     markers.update(_history_markers(timings, sf))
 
     total = round(sum(timings.values()), 4)
@@ -341,8 +352,8 @@ def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_spread.json"), "w") as f:
         json.dump(
-            {"spread": spread, "medians": timings, "repeats": repeats,
-             "sf": sf, "contention": markers},
+            {"spread": spread, "medians": timings, "first_pass": first_pass,
+             "repeats": repeats, "sf": sf, "contention": markers},
             f, indent=1,
         )
     spark.stop()
@@ -361,6 +372,10 @@ def main() -> None:
                 "queries": {n: round(t, 2) for n, t in timings.items()},
                 "repeats": repeats,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # effective core count (VERDICT r17 ask #3): local[N]
+                # from SPARK_GRAFT_CPUS, so a lower-core driver run is
+                # self-labelling instead of suspect
+                "cpus": markers["cpus"],
                 # compact contention markers (full detail in
                 # BENCH_spread.json): a skewed run self-labels
                 "load": [load_before[0], load_after[0]],
