@@ -899,6 +899,9 @@ class Table:
         if sid is None:
             return 0
         snap = self.snapshot(sid)
+        if "added_record_count" in snap:
+            return int(snap["added_record_count"])
+        # pre-r18 snapshots: derive from the predecessor's totals
         if snap.get("commit_kind") != "APPEND" or sid == 1:
             return int(snap["total_record_count"])
         prev = self.snapshot(sid - 1)
@@ -1183,6 +1186,11 @@ class Table:
                 "sequence_number": seq,
                 "timestamp_ms": now_millis(),
                 "added_files": len(new_entries),
+                # stamped so added_record_count() never needs the
+                # PREDECESSOR snapshot (which aggressive
+                # snapshot.num-retained.max/time-retained settings can
+                # expire in the same _commit — ADVICE r17 #4)
+                "added_record_count": sum(e["record_count"] for e in new_entries),
                 "total_files": total_files,
                 "total_record_count": total_records,
                 **(snapshot_extra or {}),

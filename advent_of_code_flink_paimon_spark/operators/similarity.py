@@ -126,22 +126,34 @@ IVF_CENTROIDS = 16
 IVF_NPROBE = 4
 
 
-def _cos_to_literal(col: str, vec: list[float]):
-    """cosine(col, constant vector) as a pure codegen expression —
-    built as ONE F.expr string (single JVM round-trip; the
-    column-by-column form cost ~40 ms of py4j per centroid and these
-    are built C·nprobe times per assignment — the x90-expr driver-cost
-    rationale). Same fold, same literals as the old
-    F.aggregate/F.zip_with build, so oracle parity is unchanged."""
+def _ns_sql(*pairs: tuple[str, str]) -> str:
+    """``named_struct('k', v, ...)`` SQL text — the single-string twin
+    of ``F.struct(v.alias(k), ...)`` (field order and names identical,
+    so struct comparison/array_sort semantics are unchanged)."""
+    return "named_struct(" + ", ".join(f"'{k}', {v}" for k, v in pairs) + ")"
+
+
+def _cos_sql(col: str, vec: list[float]) -> str:
+    """cosine(col, constant vector) as ONE SQL string — r18
+    optimization (guide §7.3 driver-side plan cost): the Column-API
+    build of a C-centroid assignment made ~10 py4j round trips PER
+    centroid (struct/lit/alias/arithmetic each one call), measured at
+    0.72-0.78 s of pure driver time per 16-centroid assignment at
+    sf0.1 vs 0.16 s to EXECUTE it. Emitting the whole expression as
+    SQL text is one round trip + one JVM parse. The fold text is
+    byte-identical to the old _dot/_norm Column build (same zip_with/
+    aggregate lambdas, same literal formatting, same operator tree),
+    so results are bit-exact — oracle parity unchanged."""
     import math
 
     lits = ", ".join(f"{float(x)!r}D" for x in vec)
-    dot = F.expr(
-        f"aggregate(zip_with({col}, array({lits}), (x, y) -> x * y),"
-        " 0.0D, (a, x) -> a + x)"
-    )
     nv = math.sqrt(sum(x * x for x in vec)) or 1.0
-    return dot / (_norm(col) * F.lit(nv))
+    return (
+        f"(aggregate(zip_with({col}, array({lits}), (x, y) -> x * y),"
+        f" 0.0D, (a, x) -> a + x)"
+        f" / (sqrt(aggregate(transform({col}, x -> x * x), 0.0D, (a, x) -> a + x))"
+        f" * {float(nv)!r}D))"
+    )
 
 
 def ivf_assign(vectors: DataFrame, centroids: list[tuple[int, list[float]]], nprobe: int = 1) -> DataFrame:
@@ -151,14 +163,16 @@ def ivf_assign(vectors: DataFrame, centroids: list[tuple[int, list[float]]], npr
     assignment is a map-only projection inside codegen: scan → project,
     ZERO shuffles and zero joins. This is the property that makes IVF
     the 100 TB path — the alternative (crossJoin small centroid table +
-    groupBy argmin) would shuffle the full corpus."""
-    arr = F.array(
-        *[
-            F.struct((-_cos_to_literal("cv", vec)).alias("negcos"), F.lit(cid).alias("cid"))
-            for cid, vec in centroids
-        ]
+    groupBy argmin) would shuffle the full corpus.
+
+    The probed array is ONE F.expr string (see _cos_sql): same
+    expression tree as the old per-centroid Column build, ~10× less
+    driver time to construct."""
+    structs = ", ".join(
+        _ns_sql(("negcos", f"-{_cos_sql('cv', vec)}"), ("cid", str(int(cid))))
+        for cid, vec in centroids
     )
-    probed = F.slice(F.array_sort(arr), 1, nprobe)
+    probed = F.expr(f"slice(array_sort(array({structs})), 1, {int(nprobe)})")
     return vectors.withColumn("__probe", F.explode(probed)).withColumn(
         "cluster", F.col("__probe.cid")
     ).drop("__probe")
@@ -559,14 +573,13 @@ KM_K = 8  # clusters; seeds are hash-sampled corpus vectors (x12 technique)
 _KM_ROUND = 6  # centroid coordinates round here → cross-engine stability
 
 
-def _l2_to_literal(col: str, vec: list[float]):
-    """Squared L2 distance to a constant vector as a pure codegen fold —
-    same left-to-right order as the DuckDB comprehension replay. One
-    F.expr string per centroid (the _x90_bits/_l2_expr driver-cost fix;
-    identical fold and literals, oracle parity unchanged)."""
+def _l2_sql(col_sql: str, vec: list[float]) -> str:
+    """Squared L2 distance to a constant vector as SQL text — same
+    left-to-right fold order as the DuckDB comprehension replay,
+    byte-identical to the old _l2_to_literal/_l2_expr strings."""
     lits = ", ".join(f"{float(x)!r}D" for x in vec)
-    return F.expr(
-        f"aggregate(zip_with({col}, array({lits}),"
+    return (
+        f"aggregate(zip_with({col_sql}, array({lits}),"
         " (x, c) -> (x - c) * (x - c)), 0.0D, (a, x) -> a + x)"
     )
 
@@ -575,14 +588,13 @@ def kmeans_assign(vectors: DataFrame, centroids: list[tuple[int, list[float]]]) 
     """Map-only Lloyd assignment: nearest centroid by squared L2 with
     cid tiebreak, centroids inlined as literals (K × dim doubles) so the
     plan is scan → project — zero shuffles, zero joins (the ivf_assign
-    property, reused for clustering)."""
-    arr = F.array(
-        *[
-            F.struct(_l2_to_literal("cv", vec).alias("d2"), F.lit(cid).alias("cid"))
-            for cid, vec in centroids
-        ]
+    property, reused for clustering). Built as ONE F.expr string per
+    output column (the _cos_sql driver-cost fix, r18)."""
+    structs = ", ".join(
+        _ns_sql(("d2", _l2_sql("cv", vec)), ("cid", str(int(cid))))
+        for cid, vec in centroids
     )
-    best = F.array_sort(arr).getItem(0)
+    best = F.expr(f"array_sort(array({structs}))[0]")
     return vectors.withColumn("cid", best.getField("cid")).withColumn(
         "d2", best.getField("d2")
     )
@@ -874,27 +886,14 @@ FROM coded GROUP BY vec_id
 """
 
 
-def _l2_expr(col_sql: str, vec: list[float]):
-    """Squared L2 between a column SQL expression and a constant
-    vector, as ONE F.expr string — the column-by-column build cost
-    ~40 ms of py4j per centroid, and PQ encodes build M·K of these per
-    pass (the dominant driver cost in the index-lifecycle queries;
-    same fix as _x90_bits). Identical fold and literals to the old
-    F.aggregate/F.zip_with form — oracle parity unchanged."""
-    lits = ", ".join(f"{float(x)!r}D" for x in vec)
-    return F.expr(
-        f"aggregate(zip_with({col_sql}, array({lits}),"
-        " (x, c) -> (x - c) * (x - c)), 0.0D, (a, x) -> a + x)"
-    )
-
-
-def _lut_term(lut: list[float], code_col: str):
-    """element_at(<literal LUT array>, <code col> + 1) as ONE F.expr
-    string — ADC scoring builds queries x M of these; the per-literal
-    py4j build was a measurable slice of the index-query fixed cost
-    (same rationale as _x90_bits / _l2_expr)."""
+def _lut_sql(lut: list[float], code_col: str) -> str:
+    """element_at(<literal LUT array>, <code col> + 1) as SQL text —
+    ADC scoring builds queries × M of these (the _cos_sql driver-cost
+    rationale)."""
     lits = ", ".join(f"{float(x)!r}D" for x in lut)
-    return F.expr(f"element_at(array({lits}), {code_col} + 1)")
+    return f"element_at(array({lits}), {code_col} + 1)"
+
+
 
 
 def _sub_sql(m: int) -> str:
@@ -934,25 +933,17 @@ def x55_pq_quantize(spark, sf_dir):
         return vec[m * PQ_DSUB : (m + 1) * PQ_DSUB]
 
     def assign_struct(m, cents):
-        """cents: [(sid, dense, sub_centroid)] → struct(sv, cid, dense, d2)."""
-        sub_col = F.slice("cv", m * PQ_DSUB + 1, PQ_DSUB)
-        arr = F.array(
-            *[
-                F.struct(
-                    _l2_expr(_sub_sql(m), cs).alias("d2"),
-                    F.lit(sid).alias("sid"),
-                    F.lit(dense).alias("dense"),
-                )
-                for sid, dense, cs in cents
-            ]
-        )
-        best = F.array_sort(arr).getItem(0)
-        return F.struct(
-            F.lit(m).alias("sub"),
-            sub_col.alias("sv"),
-            best.getField("sid").alias("sid"),
-            best.getField("dense").alias("dense"),
-            best.getField("d2").alias("d2"),
+        """cents: [(sid, dense, sub_centroid)] → struct(sv, cid, dense,
+        d2) as ONE F.expr string (the _cos_sql driver-cost fix)."""
+        best = _pq_best_sql(m, cents)
+        return F.expr(
+            _ns_sql(
+                ("sub", str(int(m))),
+                ("sv", _sub_sql(m)),
+                ("sid", f"{best}.sid"),
+                ("dense", f"{best}.dense"),
+                ("d2", f"{best}.d2"),
+            )
         )
 
     # pass 1: assign to seed sub-centroids, long format for the update
@@ -1073,23 +1064,14 @@ def x56_pq_adc_topk(spark, sf_dir):
         return vec[m * PQ_DSUB : (m + 1) * PQ_DSUB]
 
     def assign_struct(m, cents):
-        sub_col = F.slice("cv", m * PQ_DSUB + 1, PQ_DSUB)
-        arr = F.array(
-            *[
-                F.struct(
-                    _l2_expr(_sub_sql(m), cs).alias("d2"),
-                    F.lit(sid).alias("sid"),
-                    F.lit(dense).alias("dense"),
-                )
-                for sid, dense, cs in cents
-            ]
-        )
-        best = F.array_sort(arr).getItem(0)
-        return F.struct(
-            F.lit(m).alias("sub"),
-            sub_col.alias("sv"),
-            best.getField("sid").alias("sid"),
-            best.getField("dense").alias("dense"),
+        best = _pq_best_sql(m, cents)
+        return F.expr(
+            _ns_sql(
+                ("sub", str(int(m))),
+                ("sv", _sub_sql(m)),
+                ("sid", f"{best}.sid"),
+                ("dense", f"{best}.dense"),
+            )
         )
 
     seed_subs = {
@@ -1123,21 +1105,7 @@ def x56_pq_adc_topk(spark, sf_dir):
     codes = v.select(
         "vec_id",
         *[
-            F.array_sort(
-                F.array(
-                    *[
-                        F.struct(
-                            _l2_expr(_sub_sql(m), cs).alias("d2"),
-                            F.lit(sid).alias("sid"),
-                            F.lit(dense).alias("dense"),
-                        )
-                        for sid, dense, cs in codebook[m]
-                    ]
-                )
-            )
-            .getItem(0)
-            .getField("dense")
-            .alias(f"code{m}")
+            F.expr(f"{_pq_best_sql(m, codebook[m])}.dense").alias(f"code{m}")
             for m in range(PQ_M)
         ],
     )
@@ -1149,12 +1117,14 @@ def x56_pq_adc_topk(spark, sf_dir):
     for qr in q_rows:
         qv = list(qr.cv)
         luts = [_adc_lut(qv, codebook[m], m) for m in range(PQ_M)]
-        adc = None
-        for m in range(PQ_M):
-            term = _lut_term(luts[m], f"code{m}")
-            adc = term if adc is None else adc + term
+        adc = " + ".join(_lut_sql(luts[m], f"code{m}") for m in range(PQ_M))
         per_query.append(
-            F.struct(F.lit(int(qr.vec_id)).alias("query_id"), F.round(adc, _KM_ROUND).alias("adc_d2"))
+            F.expr(
+                _ns_sql(
+                    ("query_id", str(int(qr.vec_id))),
+                    ("adc_d2", f"round({adc}, {_KM_ROUND})"),
+                )
+            )
         )
 
     scored = (
@@ -1284,24 +1254,30 @@ def _adc_lut(qv: list, cents: list, m: int) -> list:
     return [by_dense.get(d, float("inf")) for d in range(max(by_dense) + 1)]
 
 
+def _pq_best_sql(m: int, cents: list) -> str:
+    """SQL text of the argmin sub-centroid struct for subspace m (d2/
+    sid struct sort = argmin with sid tiebreak, the oracle's ORDER BY
+    d2, sid) — one string, one parse (the _cos_sql driver-cost fix)."""
+    structs = ", ".join(
+        _ns_sql(
+            ("d2", _l2_sql(_sub_sql(m), cs)),
+            ("sid", str(int(sid))),
+            ("dense", str(int(dense))),
+        )
+        for sid, dense, cs in cents
+    )
+    return f"array_sort(array({structs}))[0]"
+
+
 def _pq_assign_struct(m: int, cents: list):
     """struct(sub, sv, sid) of the argmin sub-centroid for subspace m —
-    x55's Lloyd-pass assignment expression (d2/sid struct sort = argmin
-    with sid tiebreak, the oracle's ORDER BY d2, sid)."""
-    sub_col = F.slice("cv", m * PQ_DSUB + 1, PQ_DSUB)
-    arr = F.array(
-        *[
-            F.struct(
-                _l2_expr(_sub_sql(m), cs).alias("d2"),
-                F.lit(sid).alias("sid"),
-                F.lit(dense).alias("dense"),
-            )
-            for sid, dense, cs in cents
-        ]
-    )
-    best = F.array_sort(arr).getItem(0)
-    return F.struct(
-        F.lit(m).alias("sub"), sub_col.alias("sv"), best.getField("sid").alias("sid")
+    x55's Lloyd-pass assignment expression."""
+    return F.expr(
+        _ns_sql(
+            ("sub", str(int(m))),
+            ("sv", _sub_sql(m)),
+            ("sid", f"{_pq_best_sql(m, cents)}.sid"),
+        )
     )
 
 
@@ -1313,20 +1289,7 @@ def _pq_encode(v: DataFrame, codebook: dict, extra_cols: tuple = ()) -> DataFram
         "vec_id",
         *extra_cols,
         *[
-            F.array_sort(
-                F.array(
-                    *[
-                        F.struct(
-                            _l2_expr(_sub_sql(m), cs).alias("d2"),
-                            F.lit(sid).alias("sid"),
-                            F.lit(dense).alias("dense"),
-                        )
-                        for sid, dense, cs in codebook[m]
-                    ]
-                )
-            )
-            .getItem(0)
-            .getField("dense")
+            F.expr(f"{_pq_best_sql(m, codebook[m])}.dense")
             .cast("int")
             .alias(f"code{m}")
             for m in range(PQ_M)
@@ -1526,14 +1489,13 @@ def adc_topk_index(
     for qr in sorted(q_rows, key=lambda r: r.vec_id):
         qv = list(qr.cv)
         luts = [_adc_lut(qv, codebook[m], m) for m in range(PQ_M)]
-        adc = None
-        for m in range(PQ_M):
-            term = _lut_term(luts[m], f"code{m}")
-            adc = term if adc is None else adc + term
+        adc = " + ".join(_lut_sql(luts[m], f"code{m}") for m in range(PQ_M))
         per_query.append(
-            F.struct(
-                F.lit(int(qr.vec_id)).alias("query_id"),
-                F.round(adc, _KM_ROUND).alias("adc_d2"),
+            F.expr(
+                _ns_sql(
+                    ("query_id", str(int(qr.vec_id))),
+                    ("adc_d2", f"round({adc}, {_KM_ROUND})"),
+                )
             )
         )
     scored = (
@@ -2070,19 +2032,17 @@ def ivfpq_adc_topk(
         .select("query_id", "vec_id")
         .distinct()
     )
-    adc = None
-    for m in range(PQ_M):
-        term = None
-        for qid in sorted(luts):
-            e = _lut_term(luts[qid][m], f"code{m}")
-            term = (
-                F.when(F.col("query_id") == qid, e)
-                if term is None
-                else term.when(F.col("query_id") == qid, e)
-            )
-        adc = term if adc is None else adc + term
+    adc = " + ".join(
+        "CASE "
+        + " ".join(
+            f"WHEN (query_id = {int(qid)}) THEN {_lut_sql(luts[qid][m], f'code{m}')}"
+            for qid in sorted(luts)
+        )
+        + " END"
+        for m in range(PQ_M)
+    )
     scored = cand.join(codes, "vec_id").select(
-        "query_id", "vec_id", F.round(adc, _KM_ROUND).alias("adc_d2")
+        "query_id", "vec_id", F.expr(f"round({adc}, {_KM_ROUND})").alias("adc_d2")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("adc_d2").asc(), F.col("vec_id").asc())
     return (
@@ -2362,19 +2322,19 @@ def ivfpq_onetable_topk(
         return _adc_broadcast_probe(spark, idx, pair_luts, k)
     per_query = []
     for qid in sorted(luts):
-        adc = None
-        for m in range(PQ_M):
-            term = _lut_term(luts[qid][m], f"code{m}")
-            adc = term if adc is None else adc + term
+        adc = " + ".join(_lut_sql(luts[qid][m], f"code{m}") for m in range(PQ_M))
+        hit = (
+            "array_contains(array("
+            + ", ".join(str(int(c)) for c in probed[qid])
+            + "), cid)"
+        )
         per_query.append(
-            F.struct(
-                F.lit(qid).alias("query_id"),
-                F.expr(
-                    "array_contains(array("
-                    + ", ".join(str(int(c)) for c in probed[qid])
-                    + "), cid)"
-                ).alias("hit"),
-                F.round(adc, _KM_ROUND).alias("adc_d2"),
+            F.expr(
+                _ns_sql(
+                    ("query_id", str(int(qid))),
+                    ("hit", hit),
+                    ("adc_d2", f"round({adc}, {_KM_ROUND})"),
+                )
             )
         )
     scored = (
@@ -3023,15 +2983,14 @@ def ivfpq_residual_topk(
         for cid in probed[qid]:
             q_res = [x - c for x, c in zip(qv[qid], cent_by_cid[cid])]
             luts = [_adc_lut(q_res, codebook[m], m) for m in range(PQ_M)]
-            adc = None
-            for m in range(PQ_M):
-                term = _lut_term(luts[m], f"code{m}")
-                adc = term if adc is None else adc + term
+            adc = " + ".join(_lut_sql(luts[m], f"code{m}") for m in range(PQ_M))
             per_pair.append(
-                F.struct(
-                    F.lit(qid).alias("query_id"),
-                    F.lit(cid).alias("cid"),
-                    F.round(adc, _KM_ROUND).alias("adc_d2"),
+                F.expr(
+                    _ns_sql(
+                        ("query_id", str(int(qid))),
+                        ("cid", str(int(cid))),
+                        ("adc_d2", f"round({adc}, {_KM_ROUND})"),
+                    )
                 )
             )
     scored = (
@@ -3223,13 +3182,11 @@ def x74_prototypicality_prune(spark, sf_dir):
         .limit(KM_K)
         .collect()
     )
-    arr = F.array(
-        *[
-            F.struct(_l2_expr("cv", cent).alias("d2"), F.lit(cid).alias("cid"))
-            for cid, cent in ((int(r.vec_id), list(r.cv)) for r in seed_rows)
-        ]
+    structs = ", ".join(
+        _ns_sql(("d2", _l2_sql("cv", list(r.cv))), ("cid", str(int(r.vec_id))))
+        for r in seed_rows
     )
-    best = F.array_sort(arr).getItem(0)
+    best = F.expr(f"array_sort(array({structs}))[0]")
     a1 = v.select(
         "vec_id",
         best.getField("cid").cast("long").alias("cluster_id"),

@@ -40,7 +40,16 @@ from advent_of_code_flink_paimon_spark.operators.registry import (
 )
 
 SF = os.environ.get("SPARK_GRAFT_ORACLE_DIR", "/root/testdata/sf0.001")
-SETTINGS = ("3", "17", "32")
+# Round 18 (VERDICT r17 ask #2, suite budget): order-dependence is
+# detectable from ANY two distinct partition counts — the extremes
+# (min parallelism vs session default) maximize the reorder. The
+# middle setting adds a third permutation of the same adds for ~130 s
+# of suite wall; it stays in the full sweep (SPARK_GRAFT_FULL_TESTS=1).
+SETTINGS = (
+    ("3", "17", "32")
+    if os.environ.get("SPARK_GRAFT_FULL_TESTS", "") == "1"
+    else ("3", "32")
+)
 
 ALL = {**LIBRARY_QUERIES, **QUERIES}
 
@@ -73,7 +82,7 @@ def test_partition_order_invariance(name, spark):
             results.append(
                 sorted(tuple(str(v) for v in r) for r in fn(spark, SF).collect())
             )
-        assert results[0] == results[1] == results[2], (
+        assert all(r == results[0] for r in results[1:]), (
             f"{name}: rows differ across shuffle-partition settings "
             f"{SETTINGS} — an unordered float aggregation leaks combine "
             f"order into a compared column"
