@@ -4213,10 +4213,15 @@ def x144_stateful_ewma(spark, sf_dir):
         "user_id long, ewma double, n_seen long",
         {"primary-key": "user_id", "bucket": "2"},
     )
+    # one aggregation pass, not three: count + both split writes read
+    # the persisted collapse (r18 optimization, guide §5 — the unpinned
+    # form re-ran the (user_id, ts) aggregation per consumer); released
+    # before the streaming run so nothing stays resident
     ev = (
         T(spark, sf_dir, "events")
         .groupBy("user_id", "ts")
         .agg(F.max("value").alias("value"))
+        .persist()
     )
     n_rows_total = ev.count()
     split_ts = "2024-01-16 00:00:00"
@@ -4229,6 +4234,7 @@ def x144_stateful_ewma(spark, sf_dir):
         if f.endswith(".parquet")
     ]
     ev.filter(F.col("ts") >= split_ts).coalesce(1).write.mode("append").parquet(src_dir)
+    ev.unpersist()
     for f in early:  # backdate so mtime order == event-time order
         _os.utime(f, (1_000_000_000, 1_000_000_000))
     stream = (

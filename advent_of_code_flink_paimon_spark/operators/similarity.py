@@ -126,6 +126,24 @@ IVF_CENTROIDS = 16
 IVF_NPROBE = 4
 
 
+def _overlap(*thunks):
+    """Run independent index builds/refreshes from a small thread pool
+    (guide §2.6: actions are only sequential because the driver calls
+    them sequentially — overlapping lets the next job's tasks back-fill
+    executors freed by the current job's tail, and overlaps the two
+    jobs' driver-side planning). Used ONLY for steps that touch
+    DISJOINT tables (lists vs codes; per-consumer bookmark files are
+    one atomic JSON each), so results are identical to the sequential
+    order. Returns results in submission order; exceptions propagate."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        return [f.result() for f in futures]
+
+
 def _ns_sql(*pairs: tuple[str, str]) -> str:
     """``named_struct('k', v, ...)`` SQL text — the single-string twin
     of ``F.struct(v.alias(k), ...)`` (field order and names identical,
@@ -2131,14 +2149,20 @@ def x66_ivfpq_adc_topk(spark, sf_dir):
     vecs_t = catalog.create_table("vecs", "vec_id long, embedding array<float>", {})
     vecs_t.append(e.filter(~is_batch))           # commit 1: the corpus
     # both builds share ONE persisted (vec_id, cv) relation — the
-    # corpus is scanned/cast once, not once per index family
+    # corpus is scanned/cast once, not once per index family — and run
+    # OVERLAPPED (guide §2.6): the two index families write disjoint
+    # tables, so the sequential order was pure driver convention
     v = _pq_vecs(vecs_t.read(spark)).persist()
-    build_ivf_index(spark, catalog, "vecs", v=v)
-    build_pq_index(spark, catalog, "vecs", v=v)
+    _overlap(
+        lambda: build_ivf_index(spark, catalog, "vecs", v=v),
+        lambda: build_pq_index(spark, catalog, "vecs", v=v),
+    )
     v.unpersist()
     vecs_t.append(e.filter(is_batch))            # commit 2: today's batch
-    refresh_ivf_lists(spark, catalog, "vecs")
-    refresh_pq_codes(spark, catalog, "vecs")
+    _overlap(
+        lambda: refresh_ivf_lists(spark, catalog, "vecs"),
+        lambda: refresh_pq_codes(spark, catalog, "vecs"),
+    )
     return ivfpq_adc_topk(spark, catalog, "vecs")
 
 
@@ -2184,8 +2208,13 @@ def build_ivfpq_index(spark, catalog, vecs_table: str) -> int:
     vecs_t = catalog.get_table(vecs_table)
     latest = vecs_t.latest_snapshot_id() or 0
     v = _pq_vecs(vecs_t.read(spark)).persist()
-    centroids = build_ivf_centroids(spark, catalog, vecs_table, v)
-    codebook = build_pq_codebook(spark, catalog, vecs_table, v)
+    # centroid pick and codebook learn are independent of each other
+    # (disjoint output tables, both read the shared persisted v) —
+    # overlap them (guide §2.6)
+    centroids, codebook = _overlap(
+        lambda: build_ivf_centroids(spark, catalog, vecs_table, v),
+        lambda: build_pq_codebook(spark, catalog, vecs_table, v),
+    )
     name = ivfpq_name(vecs_table)
     if not catalog.has_table(name):
         catalog.create_table(name, IVFPQ_SCHEMA, {"bucket": "8", "bucket-key": "cid"})
