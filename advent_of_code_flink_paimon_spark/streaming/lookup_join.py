@@ -99,19 +99,26 @@ class LookupJoinPipeline:
         dim = self.dim.read(spark).withColumn("__matched", F.lit(True))
         dim_cols = [c for c in dim.columns if c not in (self.on, "__matched")]
 
-        joined = candidates.join(F.broadcast(dim), on=self.on, how="left")
-        miss = F.col("__matched").isNull()  # explicit marker: dim NULLs ≠ miss
+        # TWO consumers (target append + queue overwrite): persist the
+        # joined batch so the micro-batch scan ∪ queue read ∪ broadcast
+        # join runs once per trigger, not once per commit (r18, guide
+        # §5 — the same two-consumer pin upsert() uses for changelogs)
+        joined = candidates.join(F.broadcast(dim), on=self.on, how="left").persist()
+        try:
+            miss = F.col("__matched").isNull()  # explicit marker: dim NULLs ≠ miss
 
-        matched = joined.filter(~miss).select(*stream_cols, *dim_cols)
-        self.target.append(matched, commit_identifier=batch_id)
+            matched = joined.filter(~miss).select(*stream_cols, *dim_cols)
+            self.target.append(matched, commit_identifier=batch_id)
 
-        retry_next = (
-            joined.filter(miss)
-            .filter(F.col("__attempts") + 1 < F.lit(self.max_attempts))
-            .select(*stream_cols, (F.col("__attempts") + 1).alias("__attempts"))
-        )
-        # OVERWRITE commit: the queue is replaced wholesale each batch
-        self.retry.overwrite(retry_next, commit_identifier=batch_id)
+            retry_next = (
+                joined.filter(miss)
+                .filter(F.col("__attempts") + 1 < F.lit(self.max_attempts))
+                .select(*stream_cols, (F.col("__attempts") + 1).alias("__attempts"))
+            )
+            # OVERWRITE commit: the queue is replaced wholesale each batch
+            self.retry.overwrite(retry_next, commit_identifier=batch_id)
+        finally:
+            joined.unpersist()
 
     def start(self) -> StreamingQuery:
         writer = (
